@@ -1,0 +1,114 @@
+"""KhronusEngine — the user-facing facade.
+
+Wires parser → binder → planner → executor over either:
+- an in-memory/batch `measurements` DataFrame (summaries computed on the
+  fly per queried resolution — exact, Catalyst-optimized), or
+- a materialized summary store written by the rollup engine
+  (`operators/rollup.py`), which is the 100 TB path: queries then scan
+  only the routed resolution's partitioned summary table.
+
+Equivalent of the reference's query entry point
+(`influx/service/InfluxService.scala:46-87` →
+`influx/finder/InfluxQueryResolver.scala:38-65`), minus HTTP.
+"""
+
+from __future__ import annotations
+
+import time as _time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from khronus_spark.functions.summary import counter_summary, histogram_summary
+from khronus_spark.operators.rollup import read_summaries
+from khronus_spark.parser.ast import InfluxCriteria, Source
+from khronus_spark.parser.parser import InfluxQueryParser
+from khronus_spark.plans.criteria import build_criteria
+from khronus_spark.plans.executor import InfluxSeriesResult, QueryExecutor
+from khronus_spark.timegrid import (
+    DEFAULT_WINDOWS_MS,
+    MAX_RESOLUTION_POINTS,
+    MIN_RESOLUTION_POINTS,
+)
+
+
+class KhronusEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        measurements: DataFrame | None = None,
+        summary_base_path: str | None = None,
+        catalog: list[tuple[str, str]] | None = None,
+        windows_ms: tuple[int, ...] = DEFAULT_WINDOWS_MS,
+        now_ms: int | None = None,
+        min_points: int = MIN_RESOLUTION_POINTS,
+        max_points: int = MAX_RESOLUTION_POINTS,
+        approx_percentiles: bool = False,
+    ):
+        if measurements is None and summary_base_path is None:
+            raise ValueError("need measurements or summary_base_path")
+        self.spark = spark
+        self.measurements = measurements
+        self.summary_base_path = summary_base_path
+        self.windows_ms = windows_ms
+        self._now_ms = now_ms
+        self.approx = approx_percentiles
+        self._catalog = catalog
+        self.executor = QueryExecutor(
+            spark, self._provide_summaries, windows_ms, min_points, max_points
+        )
+
+    # -- catalog (the meta snapshot, `store/Snapshot.scala:25-42`) ---------
+
+    @property
+    def catalog(self) -> list[tuple[str, str]]:
+        if self._catalog is None:
+            rows = (
+                self.measurements.select("metric", "mtype").distinct().collect()
+            )
+            self._catalog = sorted((r["metric"], r["mtype"]) for r in rows)
+        return self._catalog
+
+    def list_series(self, regex: str = ".*") -> DataFrame:
+        """`list series` (S10, `InfluxQueryResolver.scala:38-49`)."""
+        import re as _re
+
+        pat = _re.compile(f".*{regex}.*", _re.IGNORECASE)
+        names = [(0, name) for name, _ in self.catalog if pat.fullmatch(name)]
+        return self.spark.createDataFrame(names or [], "time INT, name STRING")
+
+    # -- summaries ----------------------------------------------------------
+
+    def _provide_summaries(self, src: Source, window_ms: int) -> DataFrame:
+        family = "counter" if src.mtype == "counter" else "histogram"
+        if self.summary_base_path is not None:
+            return read_summaries(self.spark, self.summary_base_path, family, window_ms)
+        m = self.measurements.where(F.col("metric") == src.metric)
+        if family == "counter":
+            return counter_summary(m, window_ms)
+        return histogram_summary(m, window_ms, approx=self.approx)
+
+    # -- query --------------------------------------------------------------
+
+    @property
+    def now_ms(self) -> int:
+        return self._now_ms if self._now_ms is not None else int(_time.time() * 1000)
+
+    def parse(self, query: str) -> InfluxCriteria:
+        parsed = InfluxQueryParser(now_ms=self.now_ms).parse(query)
+        return build_criteria(parsed, self.catalog)
+
+    def sql(self, query: str) -> list[InfluxSeriesResult]:
+        """Execute one InfluxQL query → list of series (name, df(time, value))."""
+        if query.strip().lower().startswith("list series"):
+            rest = query.strip()[len("list series"):].strip().strip("/")
+            return [
+                InfluxSeriesResult(
+                    "list_series_result", "", self.list_series(rest or ".*")
+                )
+            ]
+        return self.executor.execute(self.parse(query), self.now_ms)
+
+    def sql_union(self, query: str) -> DataFrame:
+        """All series of one query in long format (series, time, value)."""
+        return self.executor.execute_union(self.parse(query), self.now_ms)

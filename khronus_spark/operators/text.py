@@ -1,0 +1,160 @@
+"""Text-analysis operators: token stats, quality scoring, language ID.
+
+All JVM-side column expressions (split/filter/size — no Python UDFs in
+the hot path). Each has a DuckDB restatement with the exact same
+arithmetic.
+
+Ratio-like outputs are **integer basis points** (value × 10000, floor
+division): cross-engine double rounding is not bit-stable (Spark rounds
+the shortest decimal representation, DuckDB rounds the binary value),
+so scores that must hash-match across engines are defined on integer
+arithmetic end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _tokens():
+    return F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+
+
+#: stopword list used by quality scoring (English-ish; fixed).
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
+
+#: language marker profiles for the stopword-profile language-ID
+#: heuristic. Checked in a fixed order; ties go to the earlier language.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "is"),
+    "es": ("el", "la", "de", "que", "y"),
+    "fr": ("le", "la", "les", "et", "des"),
+    "de": ("der", "die", "und", "das", "ist"),
+}
+
+
+def _sql_list(words) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+def _contains_any(words):
+    # single-arg lambda on purpose: a 2-arg lambda would be interpreted
+    # as (element, index) by higher-order functions.
+    return lambda x: x.isin(*words)
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_uniq, ttr_bp): token counts + type-token
+    ratio in basis points."""
+    t = docs.select("doc_id", _tokens().alias("t"))
+    return t.select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        F.size(F.array_distinct("t")).alias("n_uniq"),
+        F.expr("size(array_distinct(t)) * 10000L div size(t)").alias("ttr_bp"),
+    )
+
+
+TOKEN_STATS_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(t) AS n_tokens,
+       len(list_distinct(t)) AS n_uniq,
+       (len(list_distinct(t)) * 10000) // len(t) AS ttr_bp
+FROM t
+"""
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic document quality in [0, 10000] basis points:
+    40% length component (tokens, capped at 100), 30% stopword ratio,
+    30% size component (chars, capped at 500). Integer arithmetic only.
+    """
+    t = docs.select("doc_id", F.col("n_chars"), _tokens().alias("t"))
+    in_list = ",".join(repr(w) for w in STOPWORDS)
+    stop_bp = F.expr(
+        f"size(filter(t, x -> x IN ({in_list}))) * 10000L div size(t)"
+    )
+    quality_bp = F.expr(
+        "(40 * (least(size(t), 100) * 100L)"
+        f" + 30 * (size(filter(t, x -> x IN ({in_list}))) * 10000L div size(t))"
+        " + 30 * (least(n_chars, 500) * 20L)) div 100"
+    )
+    return t.select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        stop_bp.alias("stop_bp"),
+        F.expr(
+            "aggregate(t, 0L, (acc, x) -> acc + length(x)) * 100L div size(t)"
+        ).alias("mean_tok_len_x100"),
+        quality_bp.alias("quality_bp"),
+    )
+
+
+QUALITY_SCORE_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, n_chars, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(t) AS n_tokens,
+       (len(list_filter(t, x -> x IN ({_sql_list(STOPWORDS)}))) * 10000) // len(t) AS stop_bp,
+       (list_sum(list_transform(t, x -> length(x))) * 100) // len(t) AS mean_tok_len_x100,
+       (40 * (least(len(t), 100) * 100)
+      + 30 * ((len(list_filter(t, x -> x IN ({_sql_list(STOPWORDS)}))) * 10000) // len(t))
+      + 30 * (least(n_chars, 500) * 20)) // 100 AS quality_bp
+FROM t
+"""
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Marker-token language ID: count marker hits per language profile;
+    predict the argmax (fixed tie order: en, es, fr, de; all-zero →
+    'unknown')."""
+    t = docs.select("doc_id", F.col("lang").alias("actual_lang"), _tokens().alias("t"))
+    hits = {
+        lang: F.size(F.filter(F.col("t"), _contains_any(words)))
+        for lang, words in LANG_MARKERS.items()
+    }
+    best = F.greatest(*[hits[lang] for lang in LANG_MARKERS])
+    pred = F.when(best <= 0, F.lit("unknown"))
+    for lang in LANG_MARKERS:  # fixed order — first max wins
+        pred = pred.when(hits[lang] == best, F.lit(lang))
+    cols = [F.col("doc_id"), F.col("actual_lang")]
+    cols += [hits[lang].alias(f"hits_{lang}") for lang in LANG_MARKERS]
+    cols.append(pred.alias("pred_lang"))
+    return t.select(*cols)
+
+
+def _lang_hits_sql(lang: str) -> str:
+    return f"len(list_filter(t, x -> x IN ({_sql_list(LANG_MARKERS[lang])})))"
+
+
+LANG_ID_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, lang AS actual_lang,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+),
+h AS (
+  SELECT doc_id, actual_lang,
+         {_lang_hits_sql('en')} AS hits_en,
+         {_lang_hits_sql('es')} AS hits_es,
+         {_lang_hits_sql('fr')} AS hits_fr,
+         {_lang_hits_sql('de')} AS hits_de
+  FROM t
+)
+SELECT doc_id, actual_lang, hits_en, hits_es, hits_fr, hits_de,
+       CASE
+         WHEN greatest(hits_en, hits_es, hits_fr, hits_de) <= 0 THEN 'unknown'
+         WHEN hits_en = greatest(hits_en, hits_es, hits_fr, hits_de) THEN 'en'
+         WHEN hits_es = greatest(hits_en, hits_es, hits_fr, hits_de) THEN 'es'
+         WHEN hits_fr = greatest(hits_en, hits_es, hits_fr, hits_de) THEN 'fr'
+         ELSE 'de'
+       END AS pred_lang
+FROM h
+"""

@@ -1,0 +1,133 @@
+"""Parquet sources for the engine and its test harness.
+
+The driver testdata (/root/testdata/sf*/) stores timestamps as parquet
+INT64 TIMESTAMP(NANOS), which Spark only reads with
+`spark.sql.legacy.parquet.nanosAsLong=true`. We standardize on that:
+every timestamp column arrives as an epoch-**nanosecond** long, which is
+timezone-unambiguous and identical across Spark and the DuckDB oracle.
+Helper expressions convert to the engine's epoch-millisecond domain.
+
+The `measurements` view maps the driver's `events` table onto the
+reference's ingest record (`model/MetricMeasurement.scala:44-52`):
+one row per sample: (metric, mtype, ts_ms, value). `event_type` plays the
+metric name; the metric-type assignment is a fixed deterministic mapping;
+negative values are skipped exactly like the reference ingest path
+(`store/MetricMeasurementStore.scala:122-127`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Timestamp (nanos-as-long) columns per table.
+_TS_COLUMNS = {
+    "events": ("ts",),
+    "lineitem": ("l_shipdate",),
+    "orders": ("o_orderdate",),
+}
+
+#: Deterministic metric-type assignment for the events→measurements view.
+#: Counters are scalar sums; timers and gauges are histogram-valued and
+#: share one code path (`InfluxCriteriaBuilder.scala:113-117`).
+EVENT_TYPE_MTYPE = {
+    "click": "counter",
+    "view": "counter",
+    "signup": "gauge",
+    "purchase": "timer",
+    "error": "timer",
+}
+
+
+def _ensure_nanos_as_long(spark: SparkSession) -> None:
+    # Session-settable; required because the testdata parquet uses
+    # TIMESTAMP(NANOS) which Spark 4 otherwise refuses to read.
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table; timestamp columns come back as epoch-ns longs."""
+    _ensure_nanos_as_long(spark)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def ns_to_ms(col: Column) -> Column:
+    """Epoch-ns long → epoch-ms long (floor; values are positive)."""
+    return (col / F.lit(1_000_000)).cast("long")
+
+
+def ns_to_date(col: Column) -> Column:
+    """Epoch-ns long → DateType (UTC calendar day)."""
+    return F.date_from_unix_date((col / F.lit(86_400_000_000_000)).cast("int"))
+
+
+def mtype_expr(event_type: Column) -> Column:
+    mapping = F.create_map(*[F.lit(x) for kv in EVENT_TYPE_MTYPE.items() for x in kv])
+    return F.coalesce(mapping[event_type], F.lit("timer"))
+
+
+def measurements_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → measurements(metric, mtype, ts_ms, value).
+
+    value is floored to Long (the reference's value domain is Long only —
+    `model/MetricMeasurement.scala:50-52`); negative values are skipped
+    (`store/MetricMeasurementStore.scala:122-127`).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("value") >= 0)
+        .select(
+            F.col("event_type").alias("metric"),
+            mtype_expr(F.col("event_type")).alias("mtype"),
+            ns_to_ms(F.col("ts")).alias("ts_ms"),
+            F.floor(F.col("value")).cast("long").alias("value"),
+        )
+    )
+
+
+def metric_catalog(measurements: DataFrame) -> DataFrame:
+    """The `meta` catalog: metrics auto-register on first write
+    (`store/MetricMeasurementStore.scala:111-120`, `store/MetaStore.scala:65`)."""
+    return (
+        measurements.groupBy("metric", "mtype")
+        .agg(F.max("ts_ms").alias("last_seen_ms"))
+        .withColumn("active", F.lit(True))
+    )
+
+
+# ---- DuckDB oracle helpers (shared SQL snippets) -------------------------
+
+#: SQL snippet for the same measurements view in DuckDB (events view is
+#: pre-registered by the driver). Timestamps in DuckDB read as TIMESTAMP
+#: (µs precision) — epoch_ms() floors to ms exactly like ns_to_ms above.
+MEASUREMENTS_SQL = """
+SELECT
+  event_type AS metric,
+  CASE event_type
+    WHEN 'click' THEN 'counter'
+    WHEN 'view' THEN 'counter'
+    WHEN 'signup' THEN 'gauge'
+    WHEN 'purchase' THEN 'timer'
+    WHEN 'error' THEN 'timer'
+    ELSE 'timer' END AS mtype,
+  epoch_ms(ts) AS ts_ms,
+  CAST(floor(value) AS BIGINT) AS value
+FROM events
+WHERE value >= 0
+"""
