@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Benchmark the engine's headline queries.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full materialization,
+no driver-side transfer cost).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("khronus-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from khronus_spark import entry_queries as eq
+    from khronus_spark.functions.summary import histogram_summary
+    from khronus_spark.sources.tables import load_table, measurements_from_events
+
+    def run_df(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    # warm the JVM + file listing
+    load_table(spark, sf_dir, "lineitem").count()
+    load_table(spark, sf_dir, "events").count()
+
+    q = eq.queries()
+    bench: dict[str, object] = {
+        # the rollup engine's heaviest path: exact percentile summaries at
+        # the finest resolution over the full measurement stream
+        "rollup_hist_30s": lambda: run_df(
+            histogram_summary(
+                measurements_from_events(spark, sf_dir).where(
+                    "mtype IN ('timer','gauge')"
+                ),
+                30_000,
+            )
+        ),
+        "rollup_counter_1m": lambda: run_df(q["ts_counter_summary_5m"](spark, sf_dir)),
+        "influx_dashboard": lambda: run_df(q["influx_count_click_5m"](spark, sf_dir)),
+        "influx_percentiles": lambda: run_df(
+            q["influx_percentiles_purchase_1h"](spark, sf_dir)
+        ),
+        "tpch_q1": lambda: run_df(q["tpch_q1_pricing"](spark, sf_dir)),
+        "tpch_q3": lambda: run_df(q["tpch_q3_top_orders"](spark, sf_dir)),
+        "tpch_q5": lambda: run_df(q["tpch_q5_regional_revenue"](spark, sf_dir)),
+        "dedup_minhash_lsh": lambda: run_df(q["minhash_lsh_pairs"](spark, sf_dir)),
+        "text_quality": lambda: run_df(q["quality_score"](spark, sf_dir)),
+        "ann_cosine_topk": lambda: run_df(q["ann_cosine_topk"](spark, sf_dir)),
+    }
+
+    timings: dict[str, float] = {}
+    for name, fn in bench.items():
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "khronus_spark headline suite wall-clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
