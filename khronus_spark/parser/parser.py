@@ -52,6 +52,13 @@ class QueryParseError(Exception):
     pass
 
 
+class _CommittedParseError(QueryParseError):
+    """A parse error past a committed keyword — backtracking (`_try`)
+    must not swallow it (e.g. `percentiles(12)`: once `percentiles` is
+    consumed with an open paren, an invalid selector is a hard error,
+    `InfluxQueryParser.scala:137-142`)."""
+
+
 _TOKEN_RE = re.compile(
     r"""
     (?P<ws>\s+)
@@ -243,7 +250,7 @@ class InfluxQueryParser:
             while (n := self._accept("num")) is not None:
                 v = int(n.text)
                 if v not in PERCENTILE_BY_VALUE:
-                    raise QueryParseError(
+                    raise _CommittedParseError(
                         f"invalid percentile {v}; valid: {sorted(PERCENTILE_BY_VALUE)}"
                     )
                 sel.append(PERCENTILE_BY_VALUE[v])
@@ -427,6 +434,8 @@ class InfluxQueryParser:
         save = self.i
         try:
             return fn()
+        except _CommittedParseError:
+            raise
         except QueryParseError:
             self.i = save
             return None

@@ -1,0 +1,146 @@
+"""Query-executor behavior tests on a controlled fixture — the Spark
+restatement of the resolver spec (`InfluxQueryResolverSpec.scala:70-381`)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from khronus_spark.engine import KhronusEngine
+
+SCHEMA = "metric STRING, mtype STRING, ts_ms LONG, value LONG"
+H = 3_600_000
+NOW = 100 * H  # fixed, grid-aligned "now"
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    rows = []
+    # timer with samples in three consecutive 30m buckets starting 10h ago
+    base = NOW - 10 * H
+    for b in range(3):
+        for i, v in enumerate([10, 20, 30, 40]):
+            rows.append(("t1", "timer", base + b * 1_800_000 + i * 1000, v + b))
+    # counter in two buckets
+    rows.append(("c1", "counter", base + 100, 5))
+    rows.append(("c1", "counter", base + 1_800_000, 7))
+    m = __import__("pyspark.sql", fromlist=["SparkSession"])
+    df = spark.createDataFrame(rows, SCHEMA)
+    return KhronusEngine(spark, measurements=df, now_ms=NOW)
+
+
+def _vals(series):
+    return {int(r["time"]): r["value"] for r in series.df.collect()}
+
+
+def test_missing_time_bound_rejected(engine):
+    from khronus_spark.plans.executor import QueryExecutionError
+
+    with pytest.raises(QueryExecutionError, match="From clause required"):
+        engine.sql('select count from "c1" group by time(5m)')
+
+
+def test_force_resolution_and_values(engine):
+    res = engine.sql(
+        f'select count from "c1" where time > now()-11h force group by time(30m)'
+    )
+    vals = _vals(res[0])
+    # counter counts are value sums per bucket
+    assert sorted(vals.values()) == [5.0, 7.0]
+
+
+def test_fill_and_spine_density(engine):
+    res = engine.sql(
+        'select count from "c1" where time > now()-11h force group by time(30m) fill(-1)'
+    )
+    vals = _vals(res[0])
+    # slice.from = (now-11h)+1 ceils to now-10.5h; spine to now inclusive
+    # → 22 points (InfluxQueryResolver.scala:120-133)
+    assert len(vals) == 22
+    assert sorted(set(vals.values())) == [-1.0, 5.0, 7.0]
+
+
+def test_gt_adds_one_ms_to_slice(engine):
+    # time > X excludes a summary exactly at X: slice.from = X+1, the
+    # spine then ceils to the next bucket (InfluxQueryResolver.scala:73)
+    base = NOW - 10 * H
+    inclusive = engine.sql(
+        f'select count from "c1" where time >= {base - 1_800_000 * 0} and time <= now() force group by time(30m)'
+    )
+    exclusive = engine.sql(
+        f'select count from "c1" where time > {base} and time <= now() force group by time(30m)'
+    )
+    # base is bucket-aligned? base = NOW-10h → multiple of 30m: yes.
+    vi, ve = _vals(inclusive[0]), _vals(exclusive[0])
+    assert base in vi and base not in ve
+
+
+def test_scale_and_round(engine):
+    res = engine.sql(
+        'select count from "c1" where time > now()-11h force group by time(30m) scale(0.333)'
+    )
+    vals = sorted(_vals(res[0]).values())
+    assert vals == [round(5 * 0.333, 4), round(7 * 0.333, 4)]
+
+
+def test_order_desc_and_limit(engine):
+    res = engine.sql(
+        'select count from "c1" where time > now()-11h force group by time(30m) limit 1 order desc'
+    )
+    vals = _vals(res[0])
+    # limit applies to the summary read in DESC order → latest bucket only
+    assert list(vals.values()) == [7.0]
+
+
+def test_operation_inner_join_semantics(engine):
+    # t1 has 3 buckets, c1 has 2 → operation only on the intersection
+    res = engine.sql(
+        'select t.count + c.count as s from "t1" as t, "c1" as c '
+        "where time > now()-11h force group by time(30m)"
+    )
+    vals = _vals(res[0])
+    assert len(vals) == 2
+    assert sorted(vals.values()) == [4 + 5.0, 4 + 7.0]
+
+
+def test_constant_series_spans_spine(engine):
+    res = engine.sql(
+        'select 2.5 as k from "t1" where time > now()-11h force group by time(30m)'
+    )
+    vals = _vals(res[0])
+    assert len(vals) == 22 and set(vals.values()) == {2.5}
+
+
+def test_projection_sort_order(engine):
+    res = engine.sql(
+        'select 9 as z, count as a from "t1" where time > now()-11h force group by time(30m)'
+    )
+    # projections emitted sorted by seriesId (InfluxQueryResolver.scala:155)
+    assert [s.name for s in res] == ["a", "z"]
+
+
+def test_timer_histogram_functions(engine):
+    res = engine.sql(
+        'select max, min, p50, mean from "t1" where time > now()-11h force group by time(30m)'
+    )
+    by_name = {s.name: _vals(s) for s in res}
+    base = NOW - 10 * H
+    assert by_name["max"][base] == 40.0 and by_name["min"][base] == 10.0
+    # bucket values [10,20,30,40]: disc p50 = sorted[ceil(.5*4)] = 20
+    assert by_name["p50"][base] == 20.0
+    assert by_name["mean"][base] == 25.0
+
+
+def test_cpm_uses_output_window(engine):
+    res = engine.sql(
+        'select cpm from "c1" where time > now()-11h force group by time(30m)'
+    )
+    vals = _vals(res[0])
+    # cpm = count / (30m/1m) = count/30
+    assert sorted(vals.values()) == [round(5 / 30, 4), round(7 / 30, 4)]
+
+
+def test_list_series(engine):
+    res = engine.sql("list series")
+    names = [r["name"] for r in res[0].df.collect()]
+    assert names == ["c1", "t1"]

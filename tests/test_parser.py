@@ -1,0 +1,248 @@
+"""Language conformance suite — the case list ported from the reference's
+parser spec (`InfluxQueryParserSpec.scala:40-780`, behaviors, not code)
+plus binder validations (`InfluxCriteriaBuilder.scala:24-117`).
+Pure Python: no Spark session needed."""
+
+from __future__ import annotations
+
+import pytest
+
+from khronus_spark.parser.ast import Field, GroupBy, Number, Operation, StringFilter, TimeFilter
+from khronus_spark.parser.parser import InfluxQueryParser, QueryParseError
+from khronus_spark.plans.criteria import QueryValidationError, build_criteria
+
+NOW = 1_700_000_000_000
+CATALOG = [
+    ("api.latency", "timer"),
+    ("api.errors", "timer"),
+    ("cart.checkouts", "counter"),
+    ("jvm.heap", "gauge"),
+]
+
+
+def parse(q: str):
+    return InfluxQueryParser(now_ms=NOW).parse(q)
+
+
+def bind(q: str):
+    return build_criteria(parse(q), CATALOG)
+
+
+# -- basic selects ----------------------------------------------------------
+
+def test_basic_query():
+    p = parse('select count(value) from "api.latency" as aliasTable group by time(2h)')
+    assert p.projections == (Field("count", None, None),)
+    assert p.tables[0].name == "api.latency" and p.tables[0].alias == "aliasTable"
+    assert p.group_by == GroupBy(2 * 3_600_000, False)
+
+
+def test_many_projections():
+    p = parse('select x.mean, x.max as maxValue, min(value) from "api.latency" as x group by time(2h)')
+    assert p.projections == (
+        Field("mean", None, "x"),
+        Field("max", "maxValue", "x"),
+        Field("min", None, None),
+    )
+
+
+def test_star_timer_expansion():
+    c = bind('select aliasTimer.* from "api.latency" as aliasTimer group by time (30s)')
+    names = [f.name for f in c.projections]
+    assert names == ["p50", "p80", "p90", "p95", "p99", "p999", "count", "min", "max", "mean", "cpm"]
+
+
+def test_star_counter_expansion():
+    c = bind('select * from "cart.checkouts" as aliasCounter group by time (30s)')
+    assert [f.name for f in c.projections] == ["count", "cpm"]
+
+
+def test_all_timer_fields():
+    p = parse('select max, min, mean, count, p50, p80, p90, p95, p99, p999 from "api.latency" group by time(1m)')
+    assert [f.name for f in p.projections] == [
+        "max", "min", "mean", "count", "p50", "p80", "p90", "p95", "p99", "p999"
+    ]
+
+
+def test_percentiles_all_and_selected():
+    p = parse('select percentiles from "api.latency" group by time(30s)')
+    assert [f.name for f in p.projections] == ["p50", "p80", "p90", "p95", "p99", "p999"]
+    p = parse('select percentiles(80 99 50) from "api.latency" group by time(30s)')
+    assert [f.name for f in p.projections] == ["p80", "p99", "p50"]
+    p = parse('select percentiles() from "api.latency" group by time(30s)')
+    assert [f.name for f in p.projections] == ["p50", "p80", "p90", "p95", "p99", "p999"]
+
+
+def test_cpm():
+    p = parse('select cpm from "api.latency" group by time(5m)')
+    assert p.projections == (Field("cpm", None, None),)
+
+
+# -- operations & scalars ---------------------------------------------------
+
+def test_operations_single_metric():
+    p = parse(
+        'select x.p50 + 90 as op1, x.max - x.min as op2, 35 * x.mean as op3, 3 / 4 as op4 '
+        'from "api.latency" as x group by time(1m)'
+    )
+    op1, op2, op3, op4 = p.projections
+    assert op1 == Operation(Field("p50", None, "x"), Number(90.0), "+", "op1")
+    assert op2 == Operation(Field("max", None, "x"), Field("min", None, "x"), "-", "op2")
+    assert op3 == Operation(Number(35.0), Field("mean", None, "x"), "*", "op3")
+    assert op4 == Operation(Number(3.0), Number(4.0), "/", "op4")
+
+
+def test_operation_two_metrics():
+    p = parse(
+        'select x.max + y.min as operation from "api.latency" as x, "api.errors" as y group by time(1m)'
+    )
+    assert p.projections[0].alias == "operation"
+    assert len(p.tables) == 2
+
+
+def test_scalar_projections():
+    p = parse(
+        'select 1 as positiveValue, -3 as negativeValue, 12.56 as decimalValue '
+        'from "api.latency" group by time(30s)'
+    )
+    assert p.projections == (
+        Number(1.0, "positiveValue"),
+        Number(-3.0, "negativeValue"),
+        Number(12.56, "decimalValue"),
+    )
+
+
+# -- FROM / regex -----------------------------------------------------------
+
+def test_regex_fanout():
+    c = bind('select count from "api\\..*" group by time(30s)')
+    assert sorted(s.metric for s in c.sources) == ["api.errors", "api.latency"]
+    # unqualified function fans out per source
+    assert len(c.projections) == 2
+
+
+def test_regex_case_insensitive():
+    c = bind('select count from "API\\.LATENCY" group by time(30s)')
+    assert c.sources[0].metric == "api.latency"
+
+
+def test_many_regex_tables():
+    c = bind('select count from "cart.*", "jvm.*" group by time(30s)')
+    assert sorted(s.metric for s in c.sources) == ["cart.checkouts", "jvm.heap"]
+
+
+# -- WHERE ------------------------------------------------------------------
+
+def test_string_filter():
+    p = parse("select count(value) from \"api.latency\" where host = 'aHost' group by time(5m)")
+    assert p.filters == (StringFilter("host", "=", "aHost"),)
+
+
+def test_time_filters_and():
+    p = parse('select max(value) from "api.latency" where time >= 1414508614 and time < 1414509500 group by time(5m)')
+    assert p.filters == (TimeFilter(">=", 1414508614), TimeFilter("<", 1414509500))
+
+
+def test_time_suffix():
+    p = parse('select min(value) from "api.latency" where time >= 1414508614s group by time(30s)')
+    assert p.filters == (TimeFilter(">=", 1414508614000),)
+
+
+@pytest.mark.parametrize(
+    "expr,delta",
+    [
+        ("now()", 0),
+        ("now() - 20s", 20_000),
+        ("now() - 5m", 300_000),
+        ("now() - 3h", 3 * 3_600_000),
+        ("now() - 10d", 10 * 86_400_000),
+        ("now() - 2w", 14 * 86_400_000),
+    ],
+)
+def test_relative_now(expr, delta):
+    p = parse(f'select mean(value) from "api.latency" where time > {expr} group by time(5m)')
+    assert p.filters == (TimeFilter(">", NOW - delta),)
+
+
+def test_between():
+    p = parse('select max(value) from "api.latency" where time between 1414508614 and 1414509500s group by time(2h)')
+    assert p.filters == (TimeFilter(">=", 1414508614), TimeFilter("<=", 1414509500000))
+
+
+# -- GROUP BY / modifiers ---------------------------------------------------
+
+def test_group_by_windows():
+    assert parse('select count(value) as c from "api.latency" force group by time(30s)').group_by == GroupBy(30_000, True)
+    assert parse('select min(value) as c from "api.latency" group by time(1m)').group_by == GroupBy(60_000, False)
+    # non-configured windows parse fine (resolution routing handles them)
+    assert parse('select count from "api.latency" group by time(13s)').group_by.duration_ms == 13_000
+    # fractional part is truncated (reference quirk)
+    assert parse('select count from "api.latency" group by time(0.1s)').group_by.duration_ms == 0
+
+
+def test_fill_scale_limit_order():
+    p = parse('select mean from "api.latency" group by time(1m) fill(999)')
+    assert p.fill == 999.0
+    p = parse('select p50(value) from "api.latency" group by time(1m) limit 10')
+    assert p.limit == 10
+    p = parse('select max(value) from "api.latency" group by time(1m) scale(-0.2)')
+    assert p.scale == -0.2
+    assert parse('select p80(value) from "api.latency" group by time(1m) order asc').order_asc
+    assert not parse('select p90(value) from "api.latency" group by time(1m) order desc').order_asc
+
+
+def test_full_query():
+    p = parse(
+        'select count(value) as counter from "api.latency" where time > 1000 and time <= 5000 '
+        "and host <> 'aHost' group by time(30s) limit 550 order desc;"
+    )
+    assert p.projections == (Field("count", "counter", None),)
+    assert p.filters[:2] == (TimeFilter(">", 1000), TimeFilter("<=", 5000))
+    assert p.filters[2] == StringFilter("host", "<>", "aHost")
+    assert p.limit == 550 and not p.order_asc
+
+
+# -- failure modes ----------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "query",
+    [
+        'select from "api.latency"',                                   # no projection
+        "select max(value) ",                                          # no from
+        "select max(value) from",                                      # no table
+        'select max(value) from "api.latency" group by time(30s',      # unclosed paren
+        "select max(value) from \"api.latency\" where host = 'host",   # unclosed literal
+        'select * max from "api.latency" group by time(30s)',          # * with extra projection
+        'select percentiles(12) from "api.latency" group by time(30s)',  # bad percentile
+        'select max(value) & 3 from "api.latency" group by time(30s)',   # bad operator
+        'select max 3 from "api.latency" group by time(30s)',            # op without operator
+        'select * from "api.latency" group by time(30s) order bogus',    # unknown order
+        'select max(value) from "api.latency" where time > now() - 1j group by time(30s)',  # bad suffix
+    ],
+)
+def test_parse_failures(query):
+    with pytest.raises(QueryParseError):
+        parse(query)
+
+
+@pytest.mark.parametrize(
+    "query",
+    [
+        'select a.max from "api.latency" group by time (30s)',          # undeclared alias
+        'select max(value) from "cart.checkouts" group by time(30s)',   # invalid fn for counter
+        'select * from "nothere" group by time(30s)',                   # no metric match
+        'select * from "api.latency" as x, "api.errors" as x group by time(30s)',  # dup alias
+        'select y.count from "api.latency" as x group by time(30s)',    # projection bad alias
+        'select y.count + x.max as op from "api.latency" as x group by time(30s)',  # op bad alias
+        'select x.count + y.max as op from "api.latency" as x group by time(30s)',
+        'select count from "api\\..*" as a group by time(30s)',         # alias on multi-match
+    ],
+)
+def test_bind_failures(query):
+    with pytest.raises(QueryValidationError):
+        bind(query)
+
+
+def test_invalid_percentile_names_the_value():
+    with pytest.raises(QueryParseError, match="invalid percentile 12"):
+        parse('select percentiles(12) from "api.latency" group by time(30s)')
