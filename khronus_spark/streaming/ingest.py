@@ -1,0 +1,124 @@
+"""Structured Streaming ingestion: the reference's rollup tick re-expressed.
+
+The reference is a micro-batch streaming system in disguise: a Quartz
+cron fires every 30 s on an elected leader, which fans metrics out to
+workers over an Akka consistent-hash ring, each worker incrementally
+aggregating the due buckets and bumping a per-metric watermark in the
+meta table (`cluster/Master.scala:169-242`, `model/TimeWindowChain.scala:29-67`,
+`model/Tick.scala:12-31`). On Spark, ALL of that machinery is replaced by
+Structured Streaming primitives:
+
+| reference | here |
+|---|---|
+| 30 s leader cron (T1)             | `Trigger.ProcessingTime("30 seconds")` |
+| tick-delay watermark (T2)         | `withWatermark("ts", "30 seconds")` |
+| tumbling bucket grid (T3)         | `window(ts, <resolution>)` |
+| per-metric lastProcessed (T4)     | streaming state store + checkpoint |
+| idempotent set-upsert (T5)        | append-after-watermark + checkpoint (Delta MERGE at scale) |
+| consistent-hash worker affinity (T6) | shuffle partitioning on the group key |
+
+Aggregation state per (metric, bucket) is bounded: counters keep a sum;
+histograms keep count/min/max/sum plus a `percentile_approx` sketch —
+mergeable and fixed-size, which is what makes this viable at 100 TB
+(the exact collect-values path is for batch/backfill only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from khronus_spark.functions.summary import PERCENTILE_FRACTIONS
+from khronus_spark.timegrid import duration_to_spark_interval, format_duration
+
+
+def _with_event_time(measurements: DataFrame) -> DataFrame:
+    """ts_ms (epoch millis, long) → event-time timestamp column."""
+    return measurements.withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+
+
+def streaming_counter_summary(
+    measurements: DataFrame,
+    window_ms: int,
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """Streaming CounterSummary: (metric, ts, count) per tumbling bucket,
+    finalized once the watermark passes the bucket end."""
+    interval = duration_to_spark_interval(window_ms)
+    return (
+        _with_event_time(measurements)
+        .withWatermark("ts", watermark)
+        .groupBy(F.col("metric"), F.window("ts", interval).alias("w"))
+        .agg(F.sum("value").alias("count"))
+        .select(
+            "metric", F.unix_millis(F.col("w.start")).alias("ts"), F.col("count")
+        )
+    )
+
+
+def streaming_histogram_summary(
+    measurements: DataFrame,
+    window_ms: int,
+    watermark: str = "30 seconds",
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Streaming HistogramSummary with mergeable sketch percentiles —
+    bounded state per (metric, bucket), unlike the exact batch path."""
+    interval = duration_to_spark_interval(window_ms)
+    aggs = [
+        F.count("value").alias("count"),
+        F.min("value").alias("min"),
+        F.max("value").alias("max"),
+        F.expr("sum(value) div count(value)").alias("mean"),
+    ] + [
+        F.percentile_approx("value", float(frac), accuracy).alias(name)
+        for name, frac in PERCENTILE_FRACTIONS.items()
+    ]
+    return (
+        _with_event_time(measurements)
+        .withWatermark("ts", watermark)
+        .groupBy(F.col("metric"), F.window("ts", interval).alias("w"))
+        .agg(*aggs)
+        .select(
+            "metric",
+            F.unix_millis(F.col("w.start")).alias("ts"),
+            *PERCENTILE_FRACTIONS,
+            "min",
+            "max",
+            "count",
+            "mean",
+        )
+    )
+
+
+def run_streaming_rollup(
+    measurements: DataFrame,
+    base_path: str,
+    checkpoint_path: str,
+    window_ms: int,
+    family: str,
+    watermark: str = "30 seconds",
+    trigger: dict | None = None,
+):
+    """Start one resolution's rollup stream → parquet summary table.
+
+    Append mode emits each (metric, bucket) exactly once after the
+    watermark passes (the reference's idempotent set-upsert, T5); the
+    checkpoint replaces the meta-table lastProcessed bookkeeping (T4).
+    `trigger` defaults to availableNow (drain-and-stop, for tests /
+    backfill); pass {"processingTime": "30 seconds"} for the reference
+    cadence (T1).
+    """
+    if family == "counter":
+        summaries = streaming_counter_summary(measurements, window_ms, watermark)
+    else:
+        summaries = streaming_histogram_summary(measurements, window_ms, watermark)
+    res = format_duration(window_ms)
+    writer = (
+        summaries.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", f"{base_path}/{family}_summary/{res}")
+        .option("checkpointLocation", f"{checkpoint_path}/{family}_{res}")
+    )
+    writer = writer.trigger(**(trigger or {"availableNow": True}))
+    return writer.start()
