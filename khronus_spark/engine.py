@@ -79,11 +79,23 @@ class KhronusEngine:
 
     # -- summaries ----------------------------------------------------------
 
-    def _provide_summaries(self, src: Source, window_ms: int) -> DataFrame:
+    def _provide_summaries(self, src: Source, window_ms: int, slc) -> DataFrame:
         family = "counter" if src.mtype == "counter" else "histogram"
         if self.summary_base_path is not None:
+            # materialized path: (metric, ts) predicates push down to the
+            # partitioned/sorted parquet store (the executor applies them)
             return read_summaries(self.spark, self.summary_base_path, family, window_ms)
-        m = self.measurements.where(F.col("metric") == src.metric)
+        # on-the-fly path: push the bucket-aligned slice into the RAW scan
+        # so only the queried buckets are aggregated (full buckets kept —
+        # a bucket's summary always covers [ts, ts+w), like the reference's
+        # precomputed summaries)
+        from khronus_spark.timegrid import align_floor
+
+        lo = align_floor(slc.from_ms, window_ms)
+        hi = align_floor(slc.to_ms, window_ms) + window_ms - 1
+        m = self.measurements.where(
+            (F.col("metric") == src.metric) & F.col("ts_ms").between(lo, hi)
+        )
         if family == "counter":
             return counter_summary(m, window_ms)
         return histogram_summary(m, window_ms, approx=self.approx)

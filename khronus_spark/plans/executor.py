@@ -49,10 +49,13 @@ from khronus_spark.timegrid import (
     build_time_range,
 )
 
-#: summary-table provider: (source, window_ms) -> DataFrame with the
-#: family's summary schema (histogram: metric/ts/p50..p999/min/max/count/
-#: mean; counter: metric/ts/count).
-SummaryProvider = Callable[[Source, int], DataFrame]
+#: summary-table provider: (source, window_ms, slice) -> DataFrame with
+#: the family's summary schema (histogram: metric/ts/p50..p999/min/max/
+#: count/mean; counter: metric/ts/count). The slice is advisory — a
+#: provider computing summaries on the fly can push it (bucket-aligned)
+#: into the raw scan so only the queried buckets are aggregated; the
+#: executor re-applies the exact ts filter afterwards either way.
+SummaryProvider = Callable[[Source, int, Slice], DataFrame]
 
 
 class QueryExecutionError(Exception):
@@ -154,7 +157,7 @@ class QueryExecutor:
     ) -> DataFrame:
         """Summary scan with slice + order + limit pushed to the read
         (`SummaryStore.readAll`, applied before spine generation)."""
-        df = self.summary_provider(src, window_ms)
+        df = self.summary_provider(src, window_ms, slc)
         df = df.where(
             (F.col("metric") == src.metric)
             & F.col("ts").between(slc.from_ms, slc.to_ms)
