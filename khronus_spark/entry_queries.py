@@ -632,3 +632,180 @@ def ann_cosine_topk(spark, sf_dir):
 def ann_lsh_buckets(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return sim_ops.lsh_bucket_assignments(emb)
+
+
+# ---------------------------------------------------------------------------
+# 5. additional InfluxQL surface: relative now() (W3), string-filter no-op
+#    (W4 — parsed but never applied, `InfluxQueryResolver.scala:78`)
+# ---------------------------------------------------------------------------
+
+def _rel_aligned(hours: int, window_ms: int) -> tuple[int, int]:
+    # slice for `time > now()-Nh`: from = (NOW-Nh)+1 (the +1ms edge), to = NOW
+    lo = align_ceil(NOW_MS - hours * 3_600_000 + 1, window_ms)
+    hi = align_floor(NOW_MS, window_ms)
+    return lo, hi
+
+
+@register(
+    "influx_relative_now_10m",
+    _influx_series_sql(
+        "count",
+        "view",
+        f"""
+SELECT ts AS time, round(CAST(count AS DOUBLE), 4) AS value
+FROM ({_counter_buckets_sql('view', 600_000)}) b
+WHERE ts BETWEEN {_rel_aligned(72, 600_000)[0]} AND {_rel_aligned(72, 600_000)[1]}
+""",
+    ),
+)
+def influx_relative_now_10m(spark, sf_dir):
+    return _engine(spark, sf_dir).sql_union(
+        'select count from "view" where time > now()-72h force group by time(10m)'
+    )
+
+
+@register(
+    "influx_string_filter_noop",
+    _influx_series_sql(
+        "count",
+        "view",
+        f"""
+SELECT ts AS time, round(CAST(count AS DOUBLE), 4) AS value
+FROM ({_counter_buckets_sql('view', 600_000)}) b
+WHERE ts BETWEEN {_rel_aligned(72, 600_000)[0]} AND {_rel_aligned(72, 600_000)[1]}
+""",
+    ),
+)
+def influx_string_filter_noop(spark, sf_dir):
+    # identical oracle to influx_relative_now_10m: the string filter is
+    # dead surface in the reference and stays a no-op here
+    return _engine(spark, sf_dir).sql_union(
+        "select count from \"view\" where host = 'ignored' and "
+        "time > now()-72h force group by time(10m)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# 6. general analytics: JSON, window functions, exact distinct
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_json_props",
+    """
+SELECT event_type,
+       count(*) AS n,
+       min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+       max(CAST(props->>'$.k' AS BIGINT)) AS max_k,
+       sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k
+FROM events
+GROUP BY event_type
+""",
+)
+def events_json_props(spark, sf_dir):
+    """JSON property extraction stays JVM-side (get_json_object)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.sum(k).alias("sum_k"),
+    )
+
+
+@register(
+    "events_user_gaps",
+    """
+WITH g AS (
+  SELECT user_id,
+         epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY event_id) AS gap_ms
+  FROM events
+)
+SELECT user_id,
+       count(gap_ms) AS n_gaps,
+       max(gap_ms) AS max_gap_ms,
+       sum(gap_ms) AS total_gap_ms
+FROM g
+WHERE gap_ms IS NOT NULL
+GROUP BY user_id
+""",
+)
+def events_user_gaps(spark, sf_dir):
+    """Inter-event gaps per user in arrival (event_id) order — window
+    lag + aggregation; one shuffle on user_id serves both."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    gaps = ev.select(
+        "user_id",
+        (
+            (F.col("ts") / 1_000_000).cast("long")
+            - F.lag((F.col("ts") / 1_000_000).cast("long")).over(w)
+        ).alias("gap_ms"),
+    ).where(F.col("gap_ms").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count("gap_ms").alias("n_gaps"),
+        F.max("gap_ms").alias("max_gap_ms"),
+        F.sum("gap_ms").alias("total_gap_ms"),
+    )
+
+
+@register(
+    "events_distinct_users_daily",
+    """
+SELECT event_type, CAST(ts AS DATE) AS day, count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY event_type, day
+""",
+)
+def events_distinct_users_daily(spark, sf_dir):
+    from khronus_spark.sources.tables import ns_to_date
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", ns_to_date(F.col("ts")).alias("day")
+    ).agg(F.countDistinct("user_id").alias("n_users"))
+
+
+@register(
+    "events_top_per_user",
+    """
+SELECT user_id, event_id, value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) = 1
+""",
+)
+def events_top_per_user(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "value")
+    )
+
+
+@register(
+    "part_brand_stats",
+    """
+SELECT p_brand,
+       count(*) AS n_parts,
+       sum(CAST(round(p_retailprice * 100, 0) AS BIGINT)) // count(*) AS avg_retail_cents,
+       max(p_size) AS max_size
+FROM part
+GROUP BY p_brand
+""",
+)
+def part_brand_stats(spark, sf_dir):
+    # money as integer cents: 2dp doubles × 100 round to exact integers on
+    # both engines; integer avg avoids cross-engine double rounding
+    part = load_table(spark, sf_dir, "part")
+    cents = F.round(F.col("p_retailprice") * 100, 0).cast("long")
+    return part.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.expr("sum(cast(round(p_retailprice * 100, 0) as bigint)) div count(1)").alias(
+            "avg_retail_cents"
+        ),
+        F.max("p_size").alias("max_size"),
+    )
