@@ -1,0 +1,60 @@
+"""Dashboard KV store (S11) + self-monitoring (S12) tests."""
+
+from __future__ import annotations
+
+import tempfile
+
+from khronus_spark.engine import KhronusEngine
+from khronus_spark.monitoring import Monitoring, is_system_metric
+from khronus_spark.sources.dashboards import DashboardStore
+
+
+def test_dashboard_crud(spark):
+    store = DashboardStore(spark, tempfile.mkdtemp() + "/dash")
+    store.store("prod-latency", '{"panels": 1}')
+    store.store("prod-errors", '{"panels": 2}')
+    store.store("dev-latency", '{"panels": 3}')
+
+    assert [r["name"] for r in store.lookup("PROD-.*").collect()] == [
+        "prod-errors",
+        "prod-latency",
+    ]
+    # upsert overwrites
+    store.store("prod-errors", '{"panels": 9}')
+    got = store.lookup("prod-errors").collect()
+    assert len(got) == 1 and got[0]["content"] == '{"panels": 9}'
+
+    assert store.drop("prod-.*") == 2
+    assert [r["name"] for r in store.lookup(".*").collect()] == ["dev-latency"]
+
+
+def test_monitoring_roundtrip(spark):
+    mon = Monitoring()
+    with mon.timed("query.execute"):
+        pass
+    mon.increment("ingest.batches", 3, ts_ms=1_000)
+    mon.record_gauge("catalog.size", 42, ts_ms=2_000)
+    mon.record_gauge("bogus.negative", -1)  # skipped like reference ingest
+
+    df = mon.flush(spark)
+    rows = {r["metric"]: r for r in df.collect()}
+    assert set(rows) == {
+        "~system.query.execute",
+        "~system.ingest.batches",
+        "~system.catalog.size",
+    }
+    assert all(is_system_metric(m) for m in rows)
+    assert rows["~system.ingest.batches"]["mtype"] == "counter"
+
+    # flushed metrics are queryable through the engine itself
+    eng = KhronusEngine(spark, measurements=mon.flush(spark).unionByName(df), now_ms=10_000)
+    res = eng.sql('select count from "~system.ingest.batches" where time >= 0 force group by time(30s)')
+    vals = [r["value"] for r in res[0].df.collect()]
+    assert vals == [3.0]
+
+
+def test_monitoring_drains_on_flush(spark):
+    mon = Monitoring()
+    mon.increment("x", 1, ts_ms=0)
+    assert mon.flush(spark).count() == 1
+    assert mon.flush(spark).count() == 0
