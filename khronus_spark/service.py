@@ -1,0 +1,159 @@
+"""HTTP shims: the reference's wire contract over the Spark engine.
+
+- S1 ingest: `POST /khronus/metrics` with JSON
+  `{"metrics": [{"name", "mtype", "measurements": [{"ts", "values"}]}]}`
+  (gzip optional) — flattened into measurement rows and appended to a
+  parquet landing dir that the Structured Streaming rollup (or batch
+  engine) consumes. Mirrors `service/KhronusEnpoint.scala:34-46` +
+  `model/MetricMeasurement.scala:42-52`: missing `ts` defaults to server
+  time, negative values are skipped, fire-and-forget 200 OK.
+- S9 query: `GET /khronus/db/influx/series?q=<influxql>` → JSON
+  `[{"name", "columns": ["time", <proj>], "points": [[ts, v], ...]}]`
+  (`influx/service/InfluxService.scala:46-87`,
+  `influx/service/InfluxProtocol.scala:19`). `list series` supported.
+
+Driver-side stdlib HTTP only — the engine itself stays DataFrames; this
+is the thin edge a reference user would point their agents/Grafana at.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from pyspark.sql import SparkSession
+
+from khronus_spark.engine import KhronusEngine
+
+_SCHEMA = "metric STRING, mtype STRING, ts_ms LONG, value LONG"
+
+
+def flatten_metric_batch(payload: dict, now_ms: int | None = None) -> list[tuple]:
+    """MetricBatch JSON → measurement rows (one per value)."""
+    now = now_ms if now_ms is not None else int(time.time() * 1000)
+    rows = []
+    for metric in payload.get("metrics", []):
+        name, mtype = metric["name"], metric["mtype"]
+        for m in metric.get("measurements", []):
+            ts = m.get("ts")
+            ts = now if ts is None else int(ts)
+            for v in m.get("values", []):
+                v = int(v)
+                if v < 0:  # skipped, like the reference ingest
+                    continue
+                rows.append((name, mtype, ts, v))
+    return rows
+
+
+def series_to_json(results) -> list[dict]:
+    """InfluxSeriesResult list → reference wire shape."""
+    out = []
+    for s in results:
+        rows = s.df.collect()
+        cols = s.df.columns
+        if cols == ["time", "value"]:
+            points = [[int(r["time"]), r["value"]] for r in rows]
+            columns = ["time", s.name]
+        else:  # list_series shape: (time, name)
+            points = [[r[c] for c in cols] for r in rows]
+            columns = list(cols)
+        out.append({"name": s.metric or s.name, "columns": columns, "points": points})
+    return out
+
+
+class KhronusHttpService:
+    """Minimal ingest+query server over one engine instance."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        landing_path: str,
+        engine_factory=None,
+        port: int = 0,
+    ):
+        self.spark = spark
+        self.landing_path = landing_path
+        self._engine_factory = engine_factory or self._default_engine
+        self._lock = threading.Lock()
+        self._idle = threading.Condition(self._lock)
+        self._inflight = 0
+        service = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args):  # quiet
+                pass
+
+            def do_POST(self):
+                if urlparse(self.path).path != "/khronus/metrics":
+                    self.send_error(404)
+                    return
+                length = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(length)
+                if self.headers.get("Content-Encoding") == "gzip":
+                    body = gzip.decompress(body)
+                try:
+                    rows = flatten_metric_batch(json.loads(body))
+                except Exception:
+                    self.send_error(400)
+                    return
+                # respond immediately (fire-and-forget, like the reference),
+                # then append — upgraded to at-least-once by the sink
+                with service._lock:
+                    service._inflight += 1
+                self.send_response(200)
+                self.end_headers()
+                try:
+                    if rows:
+                        service._append(rows)
+                finally:
+                    with service._lock:
+                        service._inflight -= 1
+                        service._idle.notify_all()
+
+            def do_GET(self):
+                url = urlparse(self.path)
+                if url.path != "/khronus/db/influx/series":
+                    self.send_error(404)
+                    return
+                q = parse_qs(url.query).get("q", [""])[0]
+                try:
+                    engine = service._engine_factory()
+                    body = json.dumps(series_to_json(engine.sql(q))).encode()
+                except Exception as e:
+                    self.send_response(400)
+                    self.end_headers()
+                    self.wfile.write(str(e).encode())
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(body)
+
+        self._server = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+        self.port = self._server.server_port
+        self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
+
+    def _append(self, rows: list[tuple]) -> None:
+        df = self.spark.createDataFrame(rows, _SCHEMA)
+        df.write.mode("append").parquet(self.landing_path)
+
+    def _default_engine(self) -> KhronusEngine:
+        measurements = self.spark.read.schema(_SCHEMA).parquet(self.landing_path)
+        return KhronusEngine(self.spark, measurements=measurements)
+
+    def wait_idle(self, timeout: float = 60.0) -> None:
+        """Block until every acked ingest batch has landed (the ack is
+        fire-and-forget, so readers needing read-your-writes wait here)."""
+        with self._idle:
+            self._idle.wait_for(lambda: self._inflight == 0, timeout=timeout)
+
+    def start(self) -> None:
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()

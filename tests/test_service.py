@@ -1,0 +1,99 @@
+"""HTTP shim end-to-end: POST MetricBatch JSON → parquet landing →
+GET InfluxQL query → reference wire-shape JSON."""
+
+from __future__ import annotations
+
+import gzip
+import json
+import tempfile
+import urllib.request
+
+import pytest
+
+from khronus_spark.engine import KhronusEngine
+from khronus_spark.service import KhronusHttpService, flatten_metric_batch
+
+BATCH = {
+    "metrics": [
+        {
+            "name": "api.latency",
+            "mtype": "timer",
+            "measurements": [
+                {"ts": 60_000, "values": [10, 20, -5, 30]},
+                {"ts": 95_000, "values": [40]},
+            ],
+        },
+        {
+            "name": "cart.checkouts",
+            "mtype": "counter",
+            "measurements": [{"ts": 61_000, "values": [2, 3]}],
+        },
+    ]
+}
+
+
+def test_flatten_metric_batch():
+    rows = flatten_metric_batch(BATCH)
+    assert ("api.latency", "timer", 60_000, 10) in rows
+    assert all(v >= 0 for (_, _, _, v) in rows)  # negatives skipped
+    assert len(rows) == 6
+    # missing ts defaults to server time
+    rows2 = flatten_metric_batch(
+        {"metrics": [{"name": "x", "mtype": "timer", "measurements": [{"values": [1]}]}]},
+        now_ms=123,
+    )
+    assert rows2 == [("x", "timer", 123, 1)]
+
+
+@pytest.fixture(scope="module")
+def service(spark):
+    landing = tempfile.mkdtemp(prefix="khronus_landing_") + "/in"
+    svc = KhronusHttpService(
+        spark,
+        landing,
+        engine_factory=lambda: KhronusEngine(
+            spark,
+            measurements=spark.read.schema(
+                "metric STRING, mtype STRING, ts_ms LONG, value LONG"
+            ).parquet(landing),
+            now_ms=4_000_000,
+        ),
+    )
+    svc.start()
+    yield svc
+    svc.stop()
+
+
+def test_ingest_then_query(service):
+    base = f"http://127.0.0.1:{service.port}"
+    # gzip ingest (the reference accepts gzip bodies)
+    body = gzip.compress(json.dumps(BATCH).encode())
+    req = urllib.request.Request(
+        f"{base}/khronus/metrics", data=body, method="POST",
+        headers={"Content-Encoding": "gzip"},
+    )
+    assert urllib.request.urlopen(req).status == 200
+    service.wait_idle()  # ingest ack is fire-and-forget; wait for landing
+
+    q ='select count from "cart.checkouts" where time >= 0 force group by time(1m)'
+    with urllib.request.urlopen(f"{base}/khronus/db/influx/series?q={urllib.parse.quote(q)}") as r:
+        series = json.loads(r.read())
+    assert series[0]["name"] == "cart.checkouts"
+    assert series[0]["columns"] == ["time", "count"]
+    assert [60_000, 5.0] in series[0]["points"]
+
+    # list series
+    with urllib.request.urlopen(f"{base}/khronus/db/influx/series?q=list%20series") as r:
+        listed = json.loads(r.read())
+    names = [p[1] for p in listed[0]["points"]]
+    assert set(names) == {"api.latency", "cart.checkouts"}
+
+
+def test_query_error_is_400(service):
+    base = f"http://127.0.0.1:{service.port}"
+    q = 'select count from "cart.checkouts" group by time(1m)'  # no time bound
+    try:
+        urllib.request.urlopen(f"{base}/khronus/db/influx/series?q={urllib.parse.quote(q)}")
+        raise AssertionError("expected HTTP error")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
