@@ -809,3 +809,44 @@ def part_brand_stats(spark, sf_dir):
         ),
         F.max("p_size").alias("max_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 7. embedding near-dup, LSH top-k, regex tokenizer
+# ---------------------------------------------------------------------------
+
+@register("embedding_near_dup", sim_ops.embedding_near_dup_sql(9000))
+def embedding_near_dup(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.embedding_near_duplicates(emb, threshold_bp=9000)
+
+
+@register("ann_lsh_topk", None)  # candidate set depends on LSH blocking;
+# exact-rerank output checked rows-only (the bucketed variant of
+# ann_cosine_topk, which IS oracle-checked)
+def ann_lsh_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.lsh_topk(emb, probe_ids=list(range(5)), k=3)
+
+
+@register(
+    "token_count_bpe_regex",
+    r"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens,
+       len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_ws_tokens
+FROM documents
+""",
+)
+def token_count_bpe_regex(spark, sf_dir):
+    """BPE-ish tokenization: alpha runs, digit runs, single punctuation —
+    the pre-tokenizer split most BPE vocabularies assume. Regex stays
+    JVM-side (regexp_extract_all)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(
+            F.expr(r"regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)")
+        ).alias("n_bpe_tokens"),
+        F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("n_ws_tokens"),
+    )

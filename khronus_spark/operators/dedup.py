@@ -109,37 +109,43 @@ SELECT doc_a, doc_b, jaccard_bp FROM pairs WHERE jaccard_bp >= 3000
 """
 
 
+def shingle_array(n: int = 3):
+    """Column expr: word n-gram shingles of the tokenized text (array)."""
+    return F.expr(
+        "CASE WHEN size(t) >= {n} THEN "
+        "transform(sequence(0, size(t) - {n}), i -> concat_ws(' ', slice(t, i + 1, {n}))) "
+        "ELSE array(concat_ws(' ', t)) END".format(n=n)
+    )
+
+
 def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle) — word n-gram shingles, distinct per doc."""
     toks = docs.select("doc_id", _tokens().alias("t"))
-    # n-gram via lateral sequence over token positions — all JVM-side.
-    sh = toks.select(
-        "doc_id",
-        F.explode(
-            F.when(
-                F.size("t") >= n,
-                F.expr(
-                    f"transform(sequence(0, size(t) - {n}), "
-                    f"i -> concat_ws(' ', slice(t, i + 1, {n})))"
-                ),
-            ).otherwise(F.array(F.concat_ws(" ", F.col("t"))))
-        ).alias("shingle"),
-    )
-    return sh.distinct()
+    return toks.select(
+        "doc_id", F.explode(shingle_array(n)).alias("shingle")
+    ).distinct()
 
 
 def minhash_signatures(docs: DataFrame, num_hashes: int = 16, n: int = 3) -> DataFrame:
-    """(doc_id, sig: array<long>) — minhash over shingles; hash i is
-    xxhash64(shingle, seed=i), a mergeable min-aggregate per seed."""
-    sh = shingles(docs, n)
-    mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    agg = sh.groupBy("doc_id").agg(*mins)
-    return agg.select(
-        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    """(doc_id, sig: array<long>) — minhash over word shingles; hash i is
+    min over shingles of xxhash64(shingle, seed=i).
+
+    Computed **per row** with array expressions (shingle → hash → min
+    fold): zero shuffle, embarrassingly parallel — at 100 TB the whole
+    signature stage is a map-only pass over the corpus. (Duplicate
+    shingles need no dedup: min is idempotent.)"""
+    toks = docs.select("doc_id", _tokens().alias("t"))
+    sh = toks.select("doc_id", shingle_array(n).alias("sh"))
+    sig = F.array(
+        *[
+            F.expr(
+                f"aggregate(sh, 9223372036854775807L, "
+                f"(acc, s) -> least(acc, xxhash64(s, {i})))"
+            )
+            for i in range(num_hashes)
+        ]
     )
+    return sh.select("doc_id", sig.alias("sig"))
 
 
 def minhash_lsh_candidates(
@@ -176,28 +182,26 @@ def minhash_lsh_candidates(
 
 
 def simhash(docs: DataFrame) -> DataFrame:
-    """64-bit SimHash: per token, xxhash64 bits vote ±1 weighted by token
-    count; signature bit j = sign of the vote sum. Pure column algebra
-    (bit tests via shiftright/and), no UDF."""
-    toks = docs.select("doc_id", F.explode(_tokens()).alias("token"))
-    counted = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("w"))
-    hashed = counted.select(
-        "doc_id", "w", F.xxhash64(F.col("token")).alias("h")
+    """64-bit SimHash: each token occurrence's xxhash64 bits vote ±1;
+    signature bit j = sign of the vote sum.
+
+    Per-row column algebra: tokens are hashed once into an array, then
+    64 fold-aggregates count the votes — no explode, no shuffle; a
+    map-only pass at any scale. Occurrence weighting falls out of NOT
+    deduplicating the token array."""
+    hashed = docs.select("doc_id", _tokens().alias("t")).select(
+        "doc_id", F.expr("transform(t, x -> xxhash64(x))").alias("hs")
     )
-    # vote_j = sum over tokens of w * (bit_j(h) ? 1 : -1)
-    votes = [
-        F.sum(
-            F.col("w")
-            * (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1)
-        ).alias(f"v{j}")
-        for j in range(64)
-    ]
-    agg = hashed.groupBy("doc_id").agg(*votes)
     sig = None
     for j in range(64):
-        bit = F.when(F.col(f"v{j}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
+        vote = F.expr(
+            f"aggregate(hs, 0L, (acc, h) -> acc + (((h >> {j}) & 1L) * 2 - 1))"
         )
-        term = bit * F.lit(1 << j).cast("long") if j < 63 else bit * F.lit(-(1 << 63)).cast("long")
+        bit = F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = (
+            bit * F.lit(1 << j).cast("long")
+            if j < 63
+            else bit * F.lit(-(1 << 63)).cast("long")
+        )
         sig = term if sig is None else sig + term
-    return agg.select("doc_id", sig.alias("simhash"))
+    return hashed.select("doc_id", sig.alias("simhash"))

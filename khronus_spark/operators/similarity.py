@@ -123,6 +123,58 @@ def lsh_buckets_sql() -> str:
     return f"SELECT vec_id, CAST({expr} AS BIGINT) AS bucket FROM embeddings"
 
 
+def embedding_near_duplicates(
+    embeddings: DataFrame, threshold_bp: int = 9000
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: (vec_a, vec_b, cosine_bp) with
+    vec_a < vec_b and cosine ≥ threshold (basis points, floor — integer
+    output is cross-engine bit-stable).
+
+    Blocking: candidates must share an LSH bucket (sign-random
+    projections), so the pair join is per-bucket — linear-ish in corpus
+    size at scale, exact cosine only on candidates."""
+    with_b = embeddings.join(lsh_bucket_assignments(embeddings), "vec_id")
+    a = with_b.alias("a")
+    b = with_b.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    sim = cosine_col(F.col("a.embedding"), F.col("b.embedding"))
+    cos_bp = F.floor(sim * 10000).cast("long")
+    return (
+        pairs.select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos_bp.alias("cosine_bp"),
+        )
+        .where(F.col("cosine_bp") >= threshold_bp)
+    )
+
+
+def embedding_near_dup_sql(threshold_bp: int = 9000) -> str:
+    """Oracle: same LSH blocking (identical hyperplane literals) + the
+    same left-to-right double cosine, floored to basis points."""
+    buckets = lsh_buckets_sql()
+    dot = (
+        "list_sum(list_transform(range(1, 65), "
+        "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+    )
+    norm = (
+        "sqrt(list_sum(list_transform(range(1, 65), "
+        "i -> CAST({s}.embedding[i] AS DOUBLE) * CAST({s}.embedding[i] AS DOUBLE))))"
+    )
+    return f"""
+WITH bk AS ({buckets}),
+emb AS (SELECT e.vec_id, e.embedding, bk.bucket FROM embeddings e JOIN bk USING (vec_id))
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       CAST(floor(({dot} / ({norm.format(s='a')} * {norm.format(s='b')})) * 10000) AS BIGINT) AS cosine_bp
+FROM emb a JOIN emb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE CAST(floor(({dot} / ({norm.format(s='a')} * {norm.format(s='b')})) * 10000) AS BIGINT) >= {threshold_bp}
+"""
+
+
 def lsh_topk(
     embeddings: DataFrame, probe_ids: list[int], k: int = 3
 ) -> DataFrame:
