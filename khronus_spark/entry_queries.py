@@ -850,3 +850,72 @@ def token_count_bpe_regex(spark, sf_dir):
         ).alias("n_bpe_tokens"),
         F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("n_ws_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 8. sessionization (session windows) + metric catalog (S3)
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_sessions_30m",
+    """
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= 1800000000 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+),
+islands AS (
+  SELECT user_id, ts, value,
+         sum(is_start) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM ordered
+)
+SELECT user_id,
+       epoch_us(min(ts)) // 1000 AS session_start_ms,
+       count(*) AS n_events,
+       (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000 AS span_ms
+FROM islands
+GROUP BY user_id, session_idx
+""",
+)
+def events_sessions_30m(spark, sf_dir):
+    """Sessionization with a 30-minute inactivity gap — Spark's built-in
+    `session_window` (merging event-time sessions; also valid in
+    Structured Streaming with watermarks, T3/T6). The oracle restates it
+    as gaps-and-islands SQL."""
+    ev = load_table(spark, sf_dir, "events")
+    # events.ts is epoch-ns long → µs-precision timestamp (matches the
+    # oracle's µs domain exactly)
+    with_ts = ev.select(
+        "user_id",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+    )
+    sess = with_ts.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("w")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.unix_micros(F.min("ts")).alias("_first_us"),
+        F.unix_micros(F.max("ts")).alias("_last_us"),
+    )
+    return sess.select(
+        "user_id",
+        F.expr("_first_us div 1000").alias("session_start_ms"),
+        "n_events",
+        F.expr("(_last_us - _first_us) div 1000").alias("span_ms"),
+    )
+
+
+@register(
+    "metric_catalog",
+    f"""
+SELECT metric, mtype, max(ts_ms) AS last_seen_ms, TRUE AS active
+FROM ({MEASUREMENTS_SQL}) m
+GROUP BY metric, mtype
+""",
+)
+def metric_catalog_entry(spark, sf_dir):
+    # S3 metric auto-registration (`store/MetricMeasurementStore.scala:111-120`)
+    from khronus_spark.sources.tables import metric_catalog
+
+    return metric_catalog(measurements_from_events(spark, sf_dir))
