@@ -919,3 +919,16 @@ def metric_catalog_entry(spark, sf_dir):
     from khronus_spark.sources.tables import metric_catalog
 
     return metric_catalog(measurements_from_events(spark, sf_dir))
+
+
+@register("ann_ivf_assignments", sim_ops.ivf_assignments_sql())
+def ann_ivf_assignments(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.ivf_assignments(emb)
+
+
+@register("ann_ivf_topk", None)  # rows-only: candidate set depends on IVF
+# list assignment; the exact variant ann_cosine_topk is oracle-checked
+def ann_ivf_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.ivf_topk(emb, probe_ids=list(range(5)), k=3)

@@ -175,6 +175,93 @@ WHERE CAST(floor(({dot} / ({norm.format(s='a')} * {norm.format(s='b')})) * 10000
 """
 
 
+#: IVF coarse quantizer: every CENTROID_STRIDE-th vector is a centroid —
+#: a deterministic stand-in for k-means (which would be iterative); the
+#: index structure (assignment, probe-side nlist search) is the real part.
+CENTROID_STRIDE = 50
+
+
+def ivf_assignments(embeddings: DataFrame, stride: int = CENTROID_STRIDE) -> DataFrame:
+    """(vec_id, centroid_id) — assign each vector to its nearest centroid
+    (cosine; ties → smaller centroid id). Centroids broadcast; the scan
+    is map-only."""
+    centroids = embeddings.where(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    pairs = embeddings.crossJoin(F.broadcast(centroids))
+    sim = cosine_col(F.col("embedding"), F.col("cvec"))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("_sim").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        pairs.select("vec_id", "centroid_id", sim.alias("_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "centroid_id")
+    )
+
+
+def ivf_assignments_sql(stride: int = CENTROID_STRIDE) -> str:
+    dot = (
+        "list_sum(list_transform(range(1, 65), "
+        "i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)))"
+    )
+    ne = (
+        "sqrt(list_sum(list_transform(range(1, 65), "
+        "i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))"
+    )
+    nc = (
+        "sqrt(list_sum(list_transform(range(1, 65), "
+        "i -> CAST(c.cvec[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE))))"
+    )
+    return f"""
+WITH c AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec
+  FROM embeddings WHERE vec_id % {stride} = 0
+)
+SELECT vec_id, centroid_id
+FROM (
+  SELECT e.vec_id, c.centroid_id, {dot} / ({ne} * {nc}) AS sim
+  FROM embeddings e CROSS JOIN c
+)
+QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) = 1
+"""
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    probe_ids: list[int],
+    k: int = 3,
+    stride: int = CENTROID_STRIDE,
+) -> DataFrame:
+    """IVF search: rerank only within the probe's assigned list (nprobe=1).
+    At scale the per-list scan is 1/nlist of the corpus."""
+    assign = ivf_assignments(embeddings, stride)
+    emb_a = embeddings.join(assign, "vec_id")
+    probes = emb_a.where(F.col("vec_id").isin(probe_ids)).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_vec"),
+        F.col("centroid_id").alias("probe_centroid"),
+    )
+    pairs = emb_a.alias("e").join(
+        F.broadcast(probes),
+        (F.col("e.centroid_id") == F.col("probe_centroid"))
+        & (F.col("e.vec_id") != F.col("probe_id")),
+    )
+    sim = cosine_col(F.col("probe_vec"), F.col("e.embedding"))
+    scored = pairs.select(
+        F.col("probe_id"), F.col("e.vec_id").alias("neighbor_id"), sim.alias("_sim")
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("probe_id", "neighbor_id", F.round(F.col("_sim"), 4).alias("cosine"))
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame, probe_ids: list[int], k: int = 3
 ) -> DataFrame:
