@@ -932,3 +932,35 @@ def ann_ivf_assignments(spark, sf_dir):
 def ann_ivf_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return sim_ops.ivf_topk(emb, probe_ids=list(range(5)), k=3)
+
+
+# ---------------------------------------------------------------------------
+# 9. HDR-compat mergeable-histogram summaries (the reference's sketch mode)
+# ---------------------------------------------------------------------------
+
+def _hdr_summary_sql(window_ms: int) -> str:
+    from khronus_spark.functions.hdr import hdr_quantize_sql
+
+    q = hdr_quantize_sql("value")
+    pct = ",\n  ".join(
+        f"(list_sort(list(q)))[CAST(greatest(1, ceil({frac} * count(q))) AS BIGINT)] AS {name}"
+        for name, frac in PERCENTILE_FRACTIONS.items()
+    )
+    return f"""
+SELECT metric, (ts_ms // {window_ms}) * {window_ms} AS ts,
+  {pct},
+  min(q) AS min, max(q) AS max, count(q) AS count,
+  sum(q) // count(q) AS mean
+FROM (SELECT metric, ts_ms, {q} AS q FROM ({MEASUREMENTS_SQL}) m WHERE mtype = 'timer') s
+GROUP BY metric, ts
+"""
+
+
+@register("ts_hdr_summary_5m", _hdr_summary_sql(300_000))
+def ts_hdr_summary_5m(spark, sf_dir):
+    """Mergeable HDR-histogram path: bounded per-bucket state, cascade-
+    rollup-capable (operators/hdr_rollup.py)."""
+    from khronus_spark.operators.hdr_rollup import histogram_state, state_summary
+
+    m = measurements_from_events(spark, sf_dir).where(F.col("mtype") == "timer")
+    return state_summary(histogram_state(m, 300_000))
