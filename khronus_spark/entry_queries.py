@@ -935,6 +935,95 @@ def ann_ivf_topk(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# 8b. multimodal columns: opaque binary payload + typed metadata
+# ---------------------------------------------------------------------------
+
+#: kind is derived deterministically from doc_id (synthesize_media)
+_MEDIA_KIND_SQL = (
+    "CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+)
+
+
+@register(
+    "media_features",
+    f"""
+SELECT doc_id AS media_id,
+       {_MEDIA_KIND_SQL} AS kind,
+       octet_length(encode(text)) AS n_bytes,
+       substr(sha256(text), 1, 16) AS checksum,
+       'feat_' || substr(sha256(text), 2, 1) AS feature
+FROM documents
+""",
+)
+def media_features(spark, sf_dir):
+    """Arrow-batched feature extraction over opaque media payloads
+    (mapInPandas; decode stubbed as sha256 — operators/multimodal.py).
+    The oracle recomputes the stub codec in SQL: checksum = first 16 hex
+    chars of sha256(payload); feature id = low nibble of byte 0."""
+    from khronus_spark.operators.multimodal import extract_features, synthesize_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(synthesize_media(docs))
+
+
+@register(
+    "media_resize_plan",
+    f"""
+SELECT doc_id AS media_id,
+       {_MEDIA_KIND_SQL} AS kind,
+       CAST(n_chars % 640 + 1 AS INT) AS width,
+       CAST(n_chars % 480 + 1 AS INT) AS height,
+       CAST(ceil((n_chars % 640 + 1) * least(1.0, 256.0 / greatest(n_chars % 640 + 1, n_chars % 480 + 1))) AS INT) AS target_width,
+       CAST(ceil((n_chars % 480 + 1) * least(1.0, 256.0 / greatest(n_chars % 640 + 1, n_chars % 480 + 1))) AS INT) AS target_height
+FROM documents
+""",
+)
+def media_resize_plan(spark, sf_dir):
+    """Resize planning: aspect-preserving target dims from metadata only —
+    pure column math, never touches the payload, stays in codegen."""
+    from khronus_spark.operators.multimodal import resize_metadata, synthesize_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_metadata(synthesize_media(docs), max_side=256)
+
+
+@register(
+    "media_frame_sample",
+    """
+WITH media AS (
+  SELECT doc_id AS media_id,
+         octet_length(encode(text)) AS n_bytes,
+         greatest(1, (n_chars * 10) // 1000) AS n_frames
+  FROM documents WHERE (doc_id % 3) = 2
+),
+stepped AS (
+  SELECT media_id, n_bytes, n_frames,
+         greatest(1, n_bytes // n_frames) AS step
+  FROM media
+)
+SELECT media_id,
+       CAST(unnest(range(n_frames)) AS INT) AS frame_idx,
+       CAST(least(step, greatest(0, n_bytes - unnest(range(n_frames)) * step)) AS INT) AS frame_bytes
+FROM stepped
+""",
+)
+def media_frame_sample(spark, sf_dir):
+    """Video frame sampling (one row per ~1s frame) via mapInPandas —
+    fan-out inside the Arrow batch, partition-preserving, no shuffle.
+    Compared by frame byte-counts (the stub slices the payload into
+    equal `step`-sized frames, so lengths fully determine the slices)."""
+    from khronus_spark.operators.multimodal import frame_sample, synthesize_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = frame_sample(synthesize_media(docs), every_ms=1000)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.octet_length("frame_payload").cast("int").alias("frame_bytes"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # 9. HDR-compat mergeable-histogram summaries (the reference's sketch mode)
 # ---------------------------------------------------------------------------
 
