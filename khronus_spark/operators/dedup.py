@@ -22,6 +22,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from khronus_spark.sources.tables import spread
+
+
 def _tokens():
     return F.split(F.trim(F.lower(F.col("text"))), r"\s+")
 
@@ -66,7 +69,7 @@ def near_duplicates_jaccard(docs: DataFrame, threshold_bp: int = 3000) -> DataFr
     """Exact token-set Jaccard over candidate pairs blocked by identical
     char length. Output: (doc_a, doc_b, jaccard_bp) with doc_a < doc_b;
     jaccard in integer basis points (cross-engine bit-stable)."""
-    toks = docs.select(
+    toks = spread(docs).select(
         "doc_id",
         F.col("n_chars"),
         F.array_sort(F.array_distinct(_tokens())).alias("tokens"),
@@ -120,7 +123,7 @@ def shingle_array(n: int = 3):
 
 def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle) — word n-gram shingles, distinct per doc."""
-    toks = docs.select("doc_id", _tokens().alias("t"))
+    toks = spread(docs).select("doc_id", _tokens().alias("t"))
     return toks.select(
         "doc_id", F.explode(shingle_array(n)).alias("shingle")
     ).distinct()
@@ -134,7 +137,7 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 16, n: int = 3) -> Dat
     fold): zero shuffle, embarrassingly parallel — at 100 TB the whole
     signature stage is a map-only pass over the corpus. (Duplicate
     shingles need no dedup: min is idempotent.)"""
-    toks = docs.select("doc_id", _tokens().alias("t"))
+    toks = spread(docs).select("doc_id", _tokens().alias("t"))
     sh = toks.select("doc_id", shingle_array(n).alias("sh"))
     sig = F.array(
         *[
@@ -189,7 +192,7 @@ def simhash(docs: DataFrame) -> DataFrame:
     64 fold-aggregates count the votes — no explode, no shuffle; a
     map-only pass at any scale. Occurrence weighting falls out of NOT
     deduplicating the token array."""
-    hashed = docs.select("doc_id", _tokens().alias("t")).select(
+    hashed = spread(docs).select("doc_id", _tokens().alias("t")).select(
         "doc_id", F.expr("transform(t, x -> xxhash64(x))").alias("hs")
     )
     sig = None

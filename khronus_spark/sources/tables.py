@@ -67,6 +67,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Widen under-partitioned inputs before CPU-heavy map stages.
+
+    Small parquet files scan as a single row-group → a single task, which
+    serializes compute-bound stages (hashing, folds, self-joins) no matter
+    how many cores exist. When the scan yields fewer partitions than the
+    cluster's parallelism, round-robin repartition to it — a trivial
+    shuffle at that size. At real scale (100 TB → thousands of splits)
+    the guard makes this a no-op, so no large shuffle is ever introduced.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def ns_to_ms(col: Column) -> Column:
     """Epoch-ns long → epoch-ms long (floor; values are positive)."""
     return (col / F.lit(1_000_000)).cast("long")
