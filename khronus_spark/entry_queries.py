@@ -1045,6 +1045,43 @@ GROUP BY metric, ts
 """
 
 
+@register("streaming_stateful_hist_1h", None)  # custom stateful streaming
+# (applyInPandasWithState, event-time timeouts) — non-SQL-expressible;
+# its batch equivalent ts_hdr_summary_5m IS oracle-checked, and
+# tests/test_stateful_streaming.py proves stream == batch per bucket
+def streaming_stateful_hist_1h(spark, sf_dir):
+    """Per-(metric, bucket) histogram state across micro-batches with
+    event-time-timeout finalization (streaming/stateful.py): the
+    reference's bucket cache + tick processing (`store/BucketCache.
+    scala:21-186`, `model/Tick.scala:12-19`) as one stateful operator."""
+    import tempfile
+
+    from khronus_spark.streaming.stateful import run_stateful_rollup
+
+    tmp = tempfile.mkdtemp(prefix="khronus_stateful_entry_")
+    m = measurements_from_events(spark, sf_dir).where(F.col("mtype") == "timer")
+    lo, hi = m.agg(F.min("ts_ms"), F.max("ts_ms")).first()
+    span = (hi - lo) + 1
+    chunked = m.withColumn("chunk", ((F.col("ts_ms") - lo) * 4 / span).cast("int"))
+    for i in range(4):
+        chunked.where(F.col("chunk") == i).drop("chunk").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/in/chunk={i}")
+    stream = (
+        spark.readStream.schema(m.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp}/in/*")
+    )
+    q = run_stateful_rollup(
+        stream,
+        out_path=f"{tmp}/out",
+        checkpoint_path=f"{tmp}/ckpt",
+        window_ms=3_600_000,
+    )
+    q.awaitTermination(180)
+    return spark.read.parquet(f"{tmp}/out")
+
+
 @register("ts_hdr_summary_5m", _hdr_summary_sql(300_000))
 def ts_hdr_summary_5m(spark, sf_dir):
     """Mergeable HDR-histogram path: bounded per-bucket state, cascade-
