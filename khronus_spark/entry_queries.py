@@ -735,11 +735,12 @@ def events_user_gaps(spark, sf_dir):
     lag + aggregation; one shuffle on user_id serves both."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("event_id")
+    from khronus_spark.sources.tables import ns_to_ms
+
     gaps = ev.select(
         "user_id",
         (
-            (F.col("ts") / 1_000_000).cast("long")
-            - F.lag((F.col("ts") / 1_000_000).cast("long")).over(w)
+            ns_to_ms(F.col("ts")) - F.lag(ns_to_ms(F.col("ts"))).over(w)
         ).alias("gap_ms"),
     ).where(F.col("gap_ms").isNotNull())
     return gaps.groupBy("user_id").agg(
@@ -932,6 +933,56 @@ def ann_ivf_assignments(spark, sf_dir):
 def ann_ivf_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return sim_ops.ivf_topk(emb, probe_ids=list(range(5)), k=3)
+
+
+@register(
+    "events_asof_signup",
+    """
+WITH purchases AS (
+  SELECT user_id, epoch_us(ts)//1000 AS ts_ms, event_id
+  FROM events WHERE event_type = 'purchase'),
+signups AS (
+  SELECT user_id, epoch_us(ts)//1000 AS ts_ms, max(event_id) AS signup_event_id
+  FROM events WHERE event_type = 'signup' GROUP BY user_id, epoch_us(ts)//1000)
+SELECT p.user_id, p.ts_ms, p.event_id,
+       s.signup_event_id, s.ts_ms AS signup_ts_ms,
+       p.ts_ms - s.ts_ms AS ms_since_signup
+FROM purchases p
+ASOF JOIN signups s ON p.user_id = s.user_id AND p.ts_ms >= s.ts_ms
+""",
+)
+def events_asof_signup(spark, sf_dir):
+    """Point-in-time join: each purchase matched to the user's latest
+    signup at-or-before it (operators/asof.py — single shuffle via
+    union + window carry-forward, never a theta-join). Oracle: DuckDB's
+    native ASOF JOIN."""
+    from khronus_spark.operators.asof import asof_join
+
+    from khronus_spark.sources.tables import ns_to_ms
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        ns_to_ms(F.col("ts")).alias("ts_ms"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts_ms", "event_id"
+    )
+    signups = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts_ms")
+        .agg(F.max("event_id").alias("signup_event_id"))
+    )
+    joined = asof_join(purchases, signups, by="user_id", ts="ts_ms")
+    return joined.select(
+        "user_id",
+        "ts_ms",
+        "event_id",
+        F.col("r_signup_event_id").alias("signup_event_id"),
+        F.col("r_ts_ms").alias("signup_ts_ms"),
+        (F.col("ts_ms") - F.col("r_ts_ms")).alias("ms_since_signup"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,85 @@
+"""As-of (point-in-time) join: each left row matched to the latest right
+row with right.ts <= left.ts, per key.
+
+The reference gets as-of behavior implicitly from its time-grid
+alignment (every series is re-gridded before `zipByTimestamp`,
+`InfluxQueryResolver.scala:203-212`); here it's a first-class operator
+because training-data pipelines need point-in-time-correct feature
+joins (no future leakage).
+
+Scale design: NOT a join at all — both sides are union-ed and sorted
+once per key (a single shuffle on the key), then the right payload is
+carried forward with `last(..., ignorenulls)` over an ever-growing
+window. Cost is one shuffle + one sort — the same as any groupBy — and
+is immune to the candidate-pair blowup a theta-join (`l.ts >= r.ts`)
+would produce. Skewed keys behave like any skewed aggregation (AQE
+handles them).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    ts: str = "ts_ms",
+    payload_prefix: str = "r_",
+) -> DataFrame:
+    """Inner as-of join. `left` and `right` share the key column `by` and
+    the long time column `ts`; every non-key right column is carried onto
+    matching left rows as `{payload_prefix}{col}`. Ties (equal ts) match.
+    """
+    r_payload = [c for c in right.columns if c not in (by, ts)]
+    l_cols = [c for c in left.columns]
+
+    r_tagged = right.select(
+        F.col(by),
+        F.col(ts),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"{payload_prefix}{c}") for c in r_payload],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
+          for c in l_cols if c not in (by, ts)],
+    )
+    l_tagged = left.select(
+        F.col(by),
+        F.col(ts),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{payload_prefix}{c}")
+          for c in r_payload],
+        *[F.col(c).alias(f"_l_{c}") for c in l_cols if c not in (by, ts)],
+    )
+    unioned = r_tagged.unionByName(l_tagged)
+
+    # right rows (_side=0) sort before left rows at equal ts → "<=" ties
+    # match; the carried ts disambiguates which right row matched
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(ts), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [
+        F.last(F.when(F.col("_side") == 0, F.col(f"{payload_prefix}{c}")),
+               ignorenulls=True).over(w).alias(f"{payload_prefix}{c}")
+        for c in r_payload
+    ] + [
+        F.last(F.when(F.col("_side") == 0, F.col(ts)),
+               ignorenulls=True).over(w).alias(f"{payload_prefix}{ts}")
+    ]
+    out = (
+        unioned.select(F.col(by), F.col(ts), F.col("_side"),
+                       *[F.col(f"_l_{c}") for c in l_cols if c not in (by, ts)],
+                       *carried)
+        .where(F.col("_side") == 1)
+        .where(F.col(f"{payload_prefix}{ts}").isNotNull())
+    )
+    return out.select(
+        F.col(by),
+        F.col(ts),
+        *[F.col(f"_l_{c}").alias(c) for c in l_cols if c not in (by, ts)],
+        *[F.col(f"{payload_prefix}{c}") for c in r_payload],
+        F.col(f"{payload_prefix}{ts}"),
+    )

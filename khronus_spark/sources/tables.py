@@ -84,13 +84,20 @@ def spread(df: DataFrame) -> DataFrame:
 
 
 def ns_to_ms(col: Column) -> Column:
-    """Epoch-ns long → epoch-ms long (floor; values are positive)."""
-    return (col / F.lit(1_000_000)).cast("long")
+    """Epoch-ns long → epoch-ms long (floor; values are positive).
+
+    Integral division, NOT `/` + cast: epoch-ns (~1.7e18) exceeds a
+    double's 53-bit mantissa, so float division can land a full unit off
+    at floor boundaries."""
+    return F.call_function("div", col, F.lit(1_000_000))
 
 
 def ns_to_date(col: Column) -> Column:
-    """Epoch-ns long → DateType (UTC calendar day)."""
-    return F.date_from_unix_date((col / F.lit(86_400_000_000_000)).cast("int"))
+    """Epoch-ns long → DateType (UTC calendar day). Integral division for
+    the same precision reason as ns_to_ms."""
+    return F.date_from_unix_date(
+        F.call_function("div", col, F.lit(86_400_000_000_000)).cast("int")
+    )
 
 
 def mtype_expr(event_type: Column) -> Column:
