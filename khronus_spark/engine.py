@@ -93,9 +93,15 @@ class KhronusEngine:
 
         lo = align_floor(slc.from_ms, window_ms)
         hi = align_floor(slc.to_ms, window_ms) + window_ms - 1
-        m = self.measurements.where(
-            (F.col("metric") == src.metric) & F.col("ts_ms").between(lo, hi)
-        )
+        cond = (F.col("metric") == src.metric) & F.col("ts_ms").between(lo, hi)
+        if "ts_ns" in self.measurements.columns:
+            # equivalent predicate in the raw source domain: unlike the
+            # derived ts_ms (an integral-div expression), this one pushes
+            # into the parquet scan and prunes row groups by stats
+            cond = cond & F.col("ts_ns").between(
+                lo * 1_000_000, (hi + 1) * 1_000_000 - 1
+            )
+        m = self.measurements.where(cond)
         if family == "counter":
             return counter_summary(m, window_ms)
         return histogram_summary(m, window_ms, approx=self.approx)

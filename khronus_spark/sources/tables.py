@@ -120,6 +120,10 @@ def measurements_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             mtype_expr(F.col("event_type")).alias("mtype"),
             ns_to_ms(F.col("ts")).alias("ts_ms"),
             F.floor(F.col("value")).cast("long").alias("value"),
+            # raw source-domain timestamp: time-range predicates restated
+            # on this column reach the parquet scan (row-group pruning),
+            # which `ts div 1000000 >= x` never can
+            F.col("ts").alias("ts_ns"),
         )
     )
 

@@ -1,0 +1,74 @@
+"""Physical-plan quality gates: the properties that make these plans
+survive a 100×-scale-up, pinned as regression tests.
+
+- dimension joins must broadcast (never shuffle both sides);
+- filters must reach the parquet scan (PushedFilters), including the
+  time range restated in the raw source domain;
+- scans must prune columns (ReadSchema ⊂ full schema);
+- nothing may degenerate into a cartesian/nested-loop join except the
+  deliberate broadcast cross in brute-force ANN.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+QUERIES = entry_mod.queries()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    jvm = spark._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_tpch_q3_broadcasts_and_pushes(spark, oracle_sf_dir):
+    plan = _plan(spark, oracle_sf_dir, "tpch_q3_top_orders")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "GreaterThan(l_shipdate" in plan  # date filter at the scan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "l_comment" not in plan  # column pruning
+
+def test_tpch_q5_all_dims_broadcast(spark, oracle_sf_dir):
+    plan = _plan(spark, oracle_sf_dir, "tpch_q5_regional_revenue")
+    # formatted mode prints each operator in the tree AND detail section
+    assert plan.count("BroadcastHashJoin") == 8  # 4 joins × 2 mentions
+    assert "SortMergeJoin" not in plan
+    assert "EqualTo(r_name,ASIA)" in plan
+
+
+def test_dashboard_query_pushes_time_range_raw(spark, oracle_sf_dir):
+    plan = _plan(spark, oracle_sf_dir, "influx_count_click_5m")
+    assert "EqualTo(event_type,click)" in plan
+    # the ms-domain slice must be restated on the raw ns column so
+    # parquet row-group stats can prune
+    assert "GreaterThanOrEqual(ts," in plan
+    assert "BroadcastHashJoin" in plan  # spine join broadcasts
+    assert "props" not in plan  # unused events columns pruned
+
+
+def test_rollup_single_shuffle(spark, oracle_sf_dir):
+    plan = _plan(spark, oracle_sf_dir, "ts_counter_summary_5m")
+    # map-side partial agg + one exchange + final agg — nothing else
+    assert plan.count("Exchange") == 2  # 1 exchange × 2 mentions
+    assert "partial_sum" in plan
+
+
+def test_no_accidental_cartesian_products(spark, oracle_sf_dir):
+    for name in ("minhash_lsh_pairs", "near_dup_jaccard", "events_asof_signup",
+                 "tpch_q3_top_orders", "influx_op_two_sources_30m"):
+        plan = _plan(spark, oracle_sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_asof_join_is_single_shuffle_no_join(spark, oracle_sf_dir):
+    plan = _plan(spark, oracle_sf_dir, "events_asof_signup")
+    # union + window carry-forward: no join operator at all
+    assert "Join" not in plan or "BroadcastHashJoin" not in plan
+    assert "CartesianProduct" not in plan
