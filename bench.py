@@ -76,6 +76,14 @@ def main() -> None:
         "dedup_minhash_lsh": lambda: run_df(q["minhash_lsh_pairs"](spark, sf_dir)),
         "text_quality": lambda: run_df(q["quality_score"](spark, sf_dir)),
         "ann_cosine_topk": lambda: run_df(q["ann_cosine_topk"](spark, sf_dir)),
+        # HDR-compat mergeable-histogram path (bounded per-bucket state)
+        "rollup_hdr_5m": lambda: run_df(q["ts_hdr_summary_5m"](spark, sf_dir)),
+        # point-in-time feature join (single-shuffle as-of)
+        "asof_join": lambda: run_df(q["events_asof_signup"](spark, sf_dir)),
+        # sessionization via session_window
+        "sessions_30m": lambda: run_df(q["events_sessions_30m"](spark, sf_dir)),
+        # Arrow-batched multimodal feature extraction
+        "media_features": lambda: run_df(q["media_features"](spark, sf_dir)),
     }
 
     timings: dict[str, float] = {}

@@ -31,6 +31,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from khronus_spark.sources.tables import spread
+
 #: canonical media table schema: payload is opaque binary; metadata is
 #: typed columns (filter/prune without touching bytes).
 MEDIA_SCHEMA = StructType(
@@ -105,7 +107,7 @@ def extract_features(media: DataFrame) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(run, FEATURE_SCHEMA)
+    return spread(media).mapInPandas(run, FEATURE_SCHEMA)
 
 
 def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
@@ -127,7 +129,7 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                 {"media_id": ids, "frame_idx": idxs, "frame_payload": payloads}
             )
 
-    return media.where(F.col("kind") == "video").mapInPandas(run, FRAME_SCHEMA)
+    return spread(media.where(F.col("kind") == "video")).mapInPandas(run, FRAME_SCHEMA)
 
 
 def resize_metadata(media: DataFrame, max_side: int = 256) -> DataFrame:
