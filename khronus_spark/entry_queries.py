@@ -213,6 +213,30 @@ def influx_count_click_5m(spark, sf_dir):
     )
 
 
+@register(
+    "influx_auto_resolution_click",
+    _influx_series_sql(
+        "count",
+        "click",
+        f"""
+SELECT ts AS time, round(CAST(count AS DOUBLE), 4) AS value
+FROM ({_counter_buckets_sql('click', 3_600_000)}) b
+WHERE ts BETWEEN {_aligned(3_600_000)[0]} AND {_aligned(3_600_000)[1]}
+""",
+    ),
+)
+def influx_auto_resolution_click(spark, sf_dir):
+    """G1 resolution adjustment end-to-end: a 26-day slice at the
+    requested 30s grid would emit ~75k points, so the planner re-routes
+    to the 1h summary table — the finest configured window landing in
+    [100, 700] points (`InfluxQueryResolver.scala:89-118`). The oracle
+    restates the query at the *adjusted* resolution."""
+    return _engine(spark, sf_dir).sql_union(
+        f'select count from "click" where time between {A_MS} and {B_MS} '
+        "group by time(30s)"
+    )
+
+
 def _percentile_union_sql(metric: str, names: list[str], window_ms: int) -> str:
     lo, hi = align_ceil(A_MS, window_ms), align_floor(B_MS, window_ms)
     parts = []
@@ -920,6 +944,38 @@ def metric_catalog_entry(spark, sf_dir):
     from khronus_spark.sources.tables import metric_catalog
 
     return metric_catalog(measurements_from_events(spark, sf_dir))
+
+
+#: retention cutoff: summaries before 2024-01-15 00:00 UTC expire
+_RETENTION_CUTOFF_MS = 1705276800000
+
+
+@register(
+    "summary_retention_5m",
+    f"""
+SELECT 'click' AS metric, ts, count
+FROM ({_counter_buckets_sql('click', 300_000)}) b
+WHERE ts >= {_RETENTION_CUTOFF_MS}
+""",
+)
+def summary_retention_5m(spark, sf_dir):
+    """O12 retention/TTL: materialize the 5m counter summary store
+    (partitioned parquet, sorted by metric/ts like the reference's
+    PK(metric, timestamp)), then age out buckets older than the cutoff
+    (`reference.conf:25-28`, `store/SummaryStore.scala:70-75`)."""
+    import tempfile
+
+    from khronus_spark.functions.summary import counter_summary
+    from khronus_spark.operators.rollup import apply_retention, write_summaries
+
+    m = measurements_from_events(spark, sf_dir).where(
+        (F.col("mtype") == "counter") & (F.col("metric") == "click")
+    )
+    tmp = tempfile.mkdtemp(prefix="khronus_retention_")
+    write_summaries({300_000: {"counter": counter_summary(m, 300_000)}}, tmp)
+    return apply_retention(
+        spark, tmp, "counter", 300_000, cutoff_ms=_RETENTION_CUTOFF_MS
+    ).select("metric", "ts", "count")
 
 
 @register("ann_ivf_assignments", sim_ops.ivf_assignments_sql())
