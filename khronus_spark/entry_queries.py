@@ -932,6 +932,71 @@ def events_sessions_30m(spark, sf_dir):
 
 
 @register(
+    "events_in_session_range_join",
+    """
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= 1800000000 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+),
+islands AS (
+  SELECT user_id, ts, event_id,
+         sum(is_start) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM ordered
+),
+sessions AS (
+  SELECT user_id,
+         epoch_us(min(ts)) // 1000 AS start_ms,
+         epoch_us(max(ts)) // 1000 AS end_ms,
+         count(*) AS n_events
+  FROM islands GROUP BY user_id, session_idx
+)
+SELECT e.user_id, e.event_id, epoch_us(e.ts) // 1000 AS ts_ms,
+       s.start_ms AS session_start_ms, s.n_events AS session_n_events
+FROM events e JOIN sessions s
+  ON e.user_id = s.user_id
+ AND epoch_us(e.ts) // 1000 BETWEEN s.start_ms AND s.end_ms
+""",
+)
+def events_in_session_range_join(spark, sf_dir):
+    """Bucketed range join (operators/asof.py): events matched to the
+    30-minute-gap session interval containing them. Intervals explode
+    into covered hour buckets and equi-join on (user, bucket) — a hash
+    join linear in events + session spans, where the naive BETWEEN
+    condition would be a nested-loop join. Oracle: plain BETWEEN join
+    over gaps-and-islands sessions."""
+    from khronus_spark.operators.asof import bucketed_range_join
+    from khronus_spark.sources.tables import ns_to_ms
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", ns_to_ms(F.col("ts")).alias("ts_ms")
+    )
+    with_ts = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+    )
+    sessions = (
+        with_ts.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr("unix_micros(min(ts)) div 1000").alias("start_ms"),
+            F.expr("unix_micros(max(ts)) div 1000").alias("end_ms"),
+        )
+        .select("user_id", "start_ms", "end_ms", "n_events")
+    )
+    joined = bucketed_range_join(ev, sessions, by="user_id")
+    return joined.select(
+        "user_id",
+        "event_id",
+        "ts_ms",
+        F.col("start_ms").alias("session_start_ms"),
+        F.col("n_events").alias("session_n_events"),
+    )
+
+
+@register(
     "metric_catalog",
     f"""
 SELECT metric, mtype, max(ts_ms) AS last_seen_ms, TRUE AS active

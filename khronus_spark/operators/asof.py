@@ -22,6 +22,45 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def bucketed_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    by: str,
+    ts: str = "ts_ms",
+    start: str = "start_ms",
+    end: str = "end_ms",
+    bucket_ms: int = 3_600_000,
+) -> DataFrame:
+    """Point-in-interval join (`start <= ts <= end`, same key) without a
+    theta-join: intervals explode into the grid buckets they cover
+    (bounded fan-out = interval span / bucket_ms), points map to their
+    single containing bucket, both sides equi-join on (key, bucket), and
+    the exact containment predicate filters the survivors.
+
+    A naive `l.ts between r.start and r.end` condition forces Spark into
+    BroadcastNestedLoopJoin (quadratic candidates); this shape keeps it
+    a hash join whose cost is linear in points + interval-bucket spans.
+    Each (point, interval) pair meets in exactly one bucket — the
+    point's — so no dedup is needed.
+    """
+    i_buckets = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.call_function("div", F.col(start), F.lit(bucket_ms)),
+                F.call_function("div", F.col(end), F.lit(bucket_ms)),
+            )
+        ),
+    )
+    p_buckets = points.withColumn(
+        "_bucket", F.call_function("div", F.col(ts), F.lit(bucket_ms))
+    )
+    joined = p_buckets.join(i_buckets, on=[by, "_bucket"], how="inner").where(
+        F.col(ts).between(F.col(start), F.col(end))
+    )
+    return joined.drop("_bucket")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -1,9 +1,8 @@
-"""asof_join edge semantics: <= tie matching, inner filtering, carry
-of the matched right timestamp."""
+"""asof_join / bucketed_range_join edge semantics."""
 
 from __future__ import annotations
 
-from khronus_spark.operators.asof import asof_join
+from khronus_spark.operators.asof import asof_join, bucketed_range_join
 
 
 def test_asof_join_edges(spark):
@@ -34,3 +33,29 @@ def test_asof_join_edges(spark):
     assert got["l_after_last"] == (30, 300)
     # keys never cross
     assert "l_other_key" not in got
+
+
+def test_bucketed_range_join_edges(spark):
+    points = spark.createDataFrame(
+        [
+            (1, 999, "before"),
+            (1, 1000, "at_start"),
+            (1, 7200, "mid_span"),     # interval spans multiple buckets
+            (1, 9000, "at_end"),
+            (1, 9001, "after"),
+            (2, 5000, "other_key"),
+        ],
+        "k long, ts_ms long, tag string",
+    )
+    intervals = spark.createDataFrame(
+        [(1, 1000, 9000, "iv1")], "k long, start_ms long, end_ms long, name string"
+    )
+    got = bucketed_range_join(
+        points, intervals, by="k", bucket_ms=1000
+    ).select("tag", "name").collect()
+    tags = sorted(r["tag"] for r in got)
+    # inclusive on both ends; no duplicates despite the 9-bucket span
+    assert tags == ["at_end", "at_start", "mid_span"]
+    # the join must stay a hash join, never a nested loop
+    plan = bucketed_range_join(points, intervals, by="k", bucket_ms=1000)._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
