@@ -78,6 +78,16 @@ def main() -> None:
         "ann_cosine_topk": lambda: run_df(q["ann_cosine_topk"](spark, sf_dir)),
         # HDR-compat mergeable-histogram path (bounded per-bucket state)
         "rollup_hdr_5m": lambda: run_df(q["ts_hdr_summary_5m"](spark, sf_dir)),
+        # sketch path: mergeable percentile_approx (the streaming/scale mode)
+        "rollup_hist_approx_30s": lambda: run_df(
+            histogram_summary(
+                measurements_from_events(spark, sf_dir).where(
+                    "mtype IN ('timer','gauge')"
+                ),
+                30_000,
+                approx=True,
+            )
+        ),
         # point-in-time feature join (single-shuffle as-of)
         "asof_join": lambda: run_df(q["events_asof_signup"](spark, sf_dir)),
         # sessionization via session_window

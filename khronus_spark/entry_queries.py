@@ -237,6 +237,27 @@ def influx_auto_resolution_click(spark, sf_dir):
     )
 
 
+@register(
+    "influx_field_plus_literal",
+    _influx_series_sql(
+        "shifted",
+        "",
+        f"""
+SELECT ts AS time, round(CAST(count + 10 AS DOUBLE), 4) AS value
+FROM ({_counter_buckets_sql('view', 600_000)}) b
+WHERE ts BETWEEN {_aligned(600_000)[0]} AND {_aligned(600_000)[1]}
+""",
+    ),
+)
+def influx_field_plus_literal(spark, sf_dir):
+    """P4 scalar literal as an operation operand + P5 arithmetic
+    (`InfluxAst.scala:47-107`): field + number projection."""
+    return _engine(spark, sf_dir).sql_union(
+        f'select v.count + 10 as shifted from "view" as v '
+        f"where time between {A_MS} and {B_MS} force group by time(10m)"
+    )
+
+
 def _percentile_union_sql(metric: str, names: list[str], window_ms: int) -> str:
     lo, hi = align_ceil(A_MS, window_ms), align_floor(B_MS, window_ms)
     parts = []

@@ -111,10 +111,18 @@ def _bind_projection(proj, sources: list[Source]) -> list[SimpleProjection]:
             raise QueryValidationError("Scalar projections require an alias")
         return [proj]
     if isinstance(proj, Operation):
-        left = _bind_projection(proj.left, sources)[0]
-        right = _bind_projection(proj.right, sources)[0]
+        # operands may be bare Numbers — only top-level scalar
+        # projections need an alias (`InfluxQueryParser.scala:102-108`)
+        left = _bind_operand(proj.left, sources)
+        right = _bind_operand(proj.right, sources)
         return [Operation(left, right, proj.operator, proj.alias)]
     raise QueryValidationError(f"Unknown projection {proj!r}")
+
+
+def _bind_operand(proj, sources: list[Source]) -> SimpleProjection:
+    if isinstance(proj, Number):
+        return proj
+    return _bind_projection(proj, sources)[0]
 
 
 def _lookup_by_alias(alias: str, sources: list[Source]) -> Source:
