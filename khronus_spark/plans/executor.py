@@ -237,7 +237,15 @@ class QueryExecutor:
             elif proj.operator == "*":
                 value = lv * rv
             elif proj.operator == "/":
-                value = lv / rv
+                # the reference throws on division by zero
+                # (`InfluxAst.scala:86-95`); reject the literal case at
+                # plan time, and fail per-point via a raising expression
+                # otherwise rather than emitting silent nulls
+                if isinstance(proj.right, Number) and float(proj.right.value) == 0.0:
+                    raise QueryExecutionError("Division by zero")
+                value = F.when(rv == 0, F.raise_error(F.lit("Division by zero"))).otherwise(
+                    lv / rv
+                )
             else:
                 raise QueryExecutionError(f"Unknown operator {proj.operator}")
             return joined.select("time", value.alias("value"))

