@@ -1074,7 +1074,7 @@ def ann_ivf_assignments(spark, sf_dir):
 # list assignment; the exact variant ann_cosine_topk is oracle-checked
 def ann_ivf_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
-    return sim_ops.ivf_topk(emb, probe_ids=list(range(5)), k=3)
+    return sim_ops.ivf_topk(emb, probe_ids=list(range(5)), k=3, nprobe=2)
 
 
 @register(

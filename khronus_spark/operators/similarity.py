@@ -228,21 +228,48 @@ QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id AS
 """
 
 
+def ivf_probe_lists(
+    embeddings: DataFrame,
+    probe_ids: list[int],
+    nprobe: int = 1,
+    stride: int = CENTROID_STRIDE,
+) -> DataFrame:
+    """(probe_id, probe_vec, probe_centroid) — each probe's `nprobe`
+    nearest centroids (the IVF recall/cost knob: more lists searched =
+    higher recall, proportionally more candidates scanned)."""
+    centroids = embeddings.where(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("probe_centroid"), F.col("embedding").alias("cvec")
+    )
+    probes = embeddings.where(F.col("vec_id").isin(probe_ids)).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    pairs = probes.crossJoin(F.broadcast(centroids))
+    sim = cosine_col(F.col("probe_vec"), F.col("cvec"))
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("_sim").desc(), F.col("probe_centroid").asc()
+    )
+    return (
+        pairs.select("probe_id", "probe_vec", "probe_centroid", sim.alias("_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= nprobe)
+        .select("probe_id", "probe_vec", "probe_centroid")
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     probe_ids: list[int],
     k: int = 3,
     stride: int = CENTROID_STRIDE,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF search: rerank only within the probe's assigned list (nprobe=1).
-    At scale the per-list scan is 1/nlist of the corpus."""
+    """IVF search: rerank only within the probe's `nprobe` nearest lists.
+    At scale the scan is nprobe/nlist of the corpus. Each vector lives in
+    exactly one list (argmax assignment), so multi-probe candidate sets
+    need no dedup."""
     assign = ivf_assignments(embeddings, stride)
     emb_a = embeddings.join(assign, "vec_id")
-    probes = emb_a.where(F.col("vec_id").isin(probe_ids)).select(
-        F.col("vec_id").alias("probe_id"),
-        F.col("embedding").alias("probe_vec"),
-        F.col("centroid_id").alias("probe_centroid"),
-    )
+    probes = ivf_probe_lists(embeddings, probe_ids, nprobe, stride)
     pairs = emb_a.alias("e").join(
         F.broadcast(probes),
         (F.col("e.centroid_id") == F.col("probe_centroid"))
