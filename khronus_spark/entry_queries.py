@@ -655,6 +655,12 @@ def token_stats(spark, sf_dir):
     return text_ops.token_stats(docs)
 
 
+@register("doc_rolling_fingerprint", text_ops.ROLLING_FINGERPRINT_SQL)
+def doc_rolling_fingerprint(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.rolling_fingerprint(docs)
+
+
 @register("quality_score", text_ops.QUALITY_SCORE_SQL)
 def quality_score(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")

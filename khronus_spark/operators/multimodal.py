@@ -107,7 +107,7 @@ def extract_features(media: DataFrame) -> DataFrame:
                 }
             )
 
-    return spread(media).mapInPandas(run, FEATURE_SCHEMA)
+    return spread(media, max_partitions=8).mapInPandas(run, FEATURE_SCHEMA)
 
 
 def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
@@ -129,7 +129,9 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                 {"media_id": ids, "frame_idx": idxs, "frame_payload": payloads}
             )
 
-    return spread(media.where(F.col("kind") == "video")).mapInPandas(run, FRAME_SCHEMA)
+    return spread(media.where(F.col("kind") == "video"), max_partitions=8).mapInPandas(
+        run, FRAME_SCHEMA
+    )
 
 
 def resize_metadata(media: DataFrame, max_side: int = 256) -> DataFrame:

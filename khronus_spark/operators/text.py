@@ -158,3 +158,29 @@ SELECT doc_id, actual_lang, hits_en, hits_es, hits_fr, hits_de,
        END AS pred_lang
 FROM h
 """
+
+
+#: 2^31 — keeps `acc*31 + byte` inside int64 on both engines (DuckDB
+#: errors on BIGINT overflow rather than wrapping like the JVM)
+ROLLING_MOD = 2_147_483_648
+
+
+def rolling_fingerprint(docs: DataFrame) -> DataFrame:
+    """Karp-Rabin polynomial rolling hash over the character stream:
+    fp = fold(chars, acc -> (acc·31 + code) mod 2³¹). A map-only pass
+    (array fold per row, no shuffle); the classic building block for
+    content-defined chunking and cheap near-identity checks. ASCII-only
+    corpus assumed (ascii() of multibyte chars is engine-specific)."""
+    expr = (
+        "aggregate(transform(split(text, ''), c -> ascii(c)), 0L, "
+        f"(acc, b) -> (acc * 31 + b) % {ROLLING_MOD})"
+    )
+    return docs.select("doc_id", F.expr(expr).alias("rolling_fp"))
+
+
+ROLLING_FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+                   (a, b) -> (a * 31 + b) % {ROLLING_MOD}) AS rolling_fp
+FROM documents
+"""

@@ -67,8 +67,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def spread(df: DataFrame) -> DataFrame:
+def spread(df: DataFrame, max_partitions: int | None = None) -> DataFrame:
     """Widen under-partitioned inputs before CPU-heavy map stages.
+
+    `max_partitions` caps the fan-out — Python-UDF stages (mapInPandas)
+    pay an interpreter + Arrow startup per worker, so small inputs want
+    modest parallelism, not one worker per core.
 
     Small parquet files scan as a single row-group → a single task, which
     serializes compute-bound stages (hashing, folds, self-joins) no matter
@@ -77,7 +81,8 @@ def spread(df: DataFrame) -> DataFrame:
     shuffle at that size. At real scale (100 TB → thousands of splits)
     the guard makes this a no-op, so no large shuffle is ever introduced.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    target = min(parallelism, max_partitions) if max_partitions else parallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
