@@ -655,6 +655,14 @@ def token_stats(spark, sf_dir):
     return text_ops.token_stats(docs)
 
 
+@register("doc_content_sample_25", dedup_ops.content_hash_sample_sql(25))
+def doc_content_sample_25(spark, sf_dir):
+    """Deterministic content-keyed 25% Bernoulli sample — reproducible
+    across engines and runs; identical texts sample together."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_ops.content_hash_sample(docs, percent=25)
+
+
 @register("doc_rolling_fingerprint", text_ops.ROLLING_FINGERPRINT_SQL)
 def doc_rolling_fingerprint(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
@@ -1279,6 +1287,24 @@ def streaming_stateful_hist_1h(spark, sf_dir):
     )
     q.awaitTermination(180)
     return spark.read.parquet(f"{tmp}/out")
+
+
+@register("ts_hdr_cascade_1h", _hdr_summary_sql(3_600_000))
+def ts_hdr_cascade_1h(spark, sf_dir):
+    """The cascade itself, oracle-checked: 1h summaries produced by
+    MERGING the 5m histogram states (`Histogram.add` semantics,
+    `model/TimeWindow.scala:96-109`) must equal summaries computed
+    directly from raw at 1h — "percentiles done right", never averaged.
+    The oracle computes the direct 1h restatement."""
+    from khronus_spark.operators.hdr_rollup import (
+        histogram_state,
+        merge_states,
+        state_summary,
+    )
+
+    m = measurements_from_events(spark, sf_dir).where(F.col("mtype") == "timer")
+    fine = histogram_state(m, 300_000)
+    return state_summary(merge_states(fine, 3_600_000))
 
 
 @register("ts_hdr_summary_5m", _hdr_summary_sql(300_000))

@@ -112,6 +112,27 @@ SELECT doc_a, doc_b, jaccard_bp FROM pairs WHERE jaccard_bp >= 3000
 """
 
 
+def content_hash_sample(docs: DataFrame, percent: int = 25) -> DataFrame:
+    """Deterministic Bernoulli sampling keyed on content: keep a doc iff
+    the first 8 hex chars of md5(text) fall under `percent`% of the
+    32-bit space. Reproducible across runs/engines, stable under
+    re-partitioning, and correlated for identical texts — duplicates are
+    sampled in or out together, which rate-based `sample()` cannot do.
+    Map-only at any scale."""
+    threshold = (1 << 32) * percent // 100
+    keep = F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10).cast("long")
+    return docs.where(keep < threshold).select("doc_id", "source", "n_chars")
+
+
+def content_hash_sample_sql(percent: int = 25) -> str:
+    threshold = (1 << 32) * percent // 100
+    return f"""
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE CAST(('0x' || substr(md5(text), 1, 8))::UINTEGER AS BIGINT) < {threshold}
+"""
+
+
 def shingle_array(n: int = 3):
     """Column expr: word n-gram shingles of the tokenized text (array)."""
     return F.expr(
