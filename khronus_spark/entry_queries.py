@@ -529,6 +529,78 @@ def tpch_q3_top_orders(spark, sf_dir):
 
 
 @register(
+    "tpch_q6_forecast_revenue",
+    """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def tpch_q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6-style forecast revenue: a pure filter+aggregate whose
+    entire predicate set (date range, discount band, quantity cap) must
+    reach the parquet scan — the canonical pushdown probe."""
+    li = load_table(spark, sf_dir, "lineitem")
+    filtered = li.where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    revenue = F.col("l_extendedprice").cast("decimal(12,2)") * F.col(
+        "l_discount"
+    ).cast("decimal(4,2)")
+    return filtered.agg(F.sum(revenue).cast("double").alias("revenue"))
+
+
+@register(
+    "events_value_moving_avg_7d",
+    """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+  FROM events GROUP BY event_type, day
+)
+SELECT event_type, day,
+       round(avg(day_value) OVER (
+         PARTITION BY event_type ORDER BY day
+         RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW), 4) AS avg_7d
+FROM daily
+""",
+)
+def events_value_moving_avg_7d(spark, sf_dir):
+    """Trailing 7-day moving average per metric: a range-frame window
+    over daily pre-aggregates — one shuffle for the daily rollup, the
+    frame scan rides the same partitioning. Day sums use DECIMAL to be
+    float-order-independent."""
+    from khronus_spark.sources.tables import ns_to_date
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            ns_to_date(F.col("ts")).alias("day"),
+            F.round(F.col("value"), 2).cast("decimal(18,2)").alias("v"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("v").cast("double").alias("day_value"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("day").cast("timestamp").cast("long"))
+        .rangeBetween(-6 * 86_400, 0)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        F.round(F.avg("day_value").over(w), 4).alias("avg_7d"),
+    )
+
+
+@register(
     "tpch_q5_regional_revenue",
     f"""
 SELECT n_name,
