@@ -953,10 +953,10 @@ def embedding_near_dup(spark, sf_dir):
     return sim_ops.embedding_near_duplicates(emb, threshold_bp=9000)
 
 
-@register("ann_lsh_topk", None)  # candidate set depends on LSH blocking;
-# exact-rerank output checked rows-only (the bucketed variant of
-# ann_cosine_topk, which IS oracle-checked)
+@register("ann_lsh_topk", sim_ops.lsh_topk_sql(list(range(5)), k=3))
 def ann_lsh_topk(spark, sf_dir):
+    """Bucketed ANN: exact rerank restricted to the probe's LSH bucket;
+    the oracle recomputes buckets from the shared hyperplane literals."""
     emb = load_table(spark, sf_dir, "embeddings")
     return sim_ops.lsh_topk(emb, probe_ids=list(range(5)), k=3)
 
@@ -1156,9 +1156,10 @@ def ann_ivf_assignments(spark, sf_dir):
     return sim_ops.ivf_assignments(emb)
 
 
-@register("ann_ivf_topk", None)  # rows-only: candidate set depends on IVF
-# list assignment; the exact variant ann_cosine_topk is oracle-checked
+@register("ann_ivf_topk", sim_ops.ivf_topk_sql(list(range(5)), k=3, nprobe=2))
 def ann_ivf_topk(spark, sf_dir):
+    """IVF multi-probe search; the oracle rebuilds the deterministic
+    coarse quantizer, probe lists, and rerank in SQL."""
     emb = load_table(spark, sf_dir, "embeddings")
     return sim_ops.ivf_topk(emb, probe_ids=list(range(5)), k=3, nprobe=2)
 

@@ -317,3 +317,70 @@ def lsh_topk(
         .where(F.col("rn") <= k)
         .select("probe_id", "neighbor_id", F.round(F.col("_sim"), 4).alias("cosine"))
     )
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        "list_sum(list_transform(range(1, 65), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def _norm_sql(v: str) -> str:
+    return f"sqrt({_dot_sql(v, v)})"
+
+
+def _topk_sql(probe_ids: list[int], k: int) -> str:
+    ids = ", ".join(str(i) for i in probe_ids)
+    return f"""
+scored AS (
+  SELECT p.probe_id, e.vec_id AS neighbor_id,
+         {_dot_sql('p.probe_vec', 'e.embedding')}
+         / ({_norm_sql('p.probe_vec')} * {_norm_sql('e.embedding')}) AS sim
+  FROM emb e JOIN probes p ON e._blk = p._probe_blk AND e.vec_id <> p.probe_id
+)
+SELECT probe_id, neighbor_id, round(sim, 4) AS cosine FROM scored
+QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id ASC) <= {k}
+""", ids
+
+
+def lsh_topk_sql(probe_ids: list[int], k: int = 3) -> str:
+    """Oracle for lsh_topk: identical hyperplane literals, candidate set
+    restricted to the probe's bucket, same rerank."""
+    tail, ids = _topk_sql(probe_ids, k)
+    return f"""
+WITH bk AS ({lsh_buckets_sql()}),
+emb AS (SELECT e.vec_id, e.embedding, bk.bucket AS _blk FROM embeddings e JOIN bk USING (vec_id)),
+probes AS (SELECT vec_id AS probe_id, embedding AS probe_vec, _blk AS _probe_blk
+           FROM emb WHERE vec_id IN ({ids})),
+{tail}
+"""
+
+
+def ivf_topk_sql(
+    probe_ids: list[int],
+    k: int = 3,
+    stride: int = CENTROID_STRIDE,
+    nprobe: int = 1,
+) -> str:
+    """Oracle for ivf_topk: the same deterministic coarse quantizer,
+    probe lists (nprobe nearest centroids), and rerank."""
+    tail, ids = _topk_sql(probe_ids, k)
+    return f"""
+WITH assign AS ({ivf_assignments_sql(stride)}),
+c AS (SELECT vec_id AS centroid_id, embedding AS cvec
+      FROM embeddings WHERE vec_id % {stride} = 0),
+p0 AS (SELECT vec_id AS probe_id, embedding AS probe_vec
+       FROM embeddings WHERE vec_id IN ({ids})),
+probes AS (
+  SELECT probe_id, probe_vec, centroid_id AS _probe_blk FROM (
+    SELECT p.probe_id, p.probe_vec, c.centroid_id,
+           {_dot_sql('p.probe_vec', 'c.cvec')}
+           / ({_norm_sql('p.probe_vec')} * {_norm_sql('c.cvec')}) AS sim
+    FROM p0 p CROSS JOIN c
+  ) QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, centroid_id ASC) <= {nprobe}
+),
+emb AS (SELECT e.vec_id, e.embedding, a.centroid_id AS _blk
+        FROM embeddings e JOIN assign a USING (vec_id)),
+{tail}
+"""
