@@ -715,6 +715,16 @@ def minhash_lsh_pairs(spark, sf_dir):
     return dedup_ops.minhash_lsh_candidates(docs)
 
 
+@register("minhash_md5_pairs", dedup_ops.minhash_md5_pairs_sql())
+def minhash_md5_pairs(spark, sf_dir):
+    """The MinHash+LSH pipeline with a cross-engine md5 hash family —
+    the full candidate-pair algorithm oracle-checked end-to-end
+    (signatures → banding → bucket join); xxhash64 remains the fast
+    production variant above."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_ops.minhash_md5_pairs(docs)
+
+
 @register("simhash_docs", None)  # non-SQL-expressible (xxhash64 bit mixing)
 def simhash_docs(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")

@@ -229,3 +229,97 @@ def simhash(docs: DataFrame) -> DataFrame:
         )
         sig = term if sig is None else sig + term
     return hashed.select("doc_id", sig.alias("simhash"))
+
+
+def _md5_60(expr: str) -> str:
+    """Spark SQL: first 60 bits of md5 as a positive BIGINT — the
+    cross-engine hash (DuckDB: ('0x'||substr(md5(x),1,15))::UBIGINT)."""
+    return f"CAST(conv(substring(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def minhash_md5_pairs(
+    docs: DataFrame, num_hashes: int = 8, bands: int = 2, n: int = 3
+) -> DataFrame:
+    """MinHash+LSH with an md5-derived hash family instead of xxhash64:
+    bit-identical in DuckDB, so the whole candidate-pair pipeline is
+    oracle-checkable. Same plan shape as minhash_lsh_candidates (map-only
+    signatures, band-bucket equi-join); xxhash64 stays the fast
+    production path."""
+    rows = num_hashes // bands
+    toks = spread(docs).select("doc_id", _tokens().alias("t"))
+    sh = toks.select("doc_id", shingle_array(n).alias("sh"))
+    sig = F.array(
+        *[
+            F.expr(
+                "aggregate(sh, 9223372036854775807L, "
+                "(acc, s) -> least(acc, %s))" % _md5_60("concat(s, '#%d')" % i)
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    banded = sh.select("doc_id", sig.alias("sig")).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> struct(b AS band, "
+                + _md5_60("concat_ws(',', slice(sig, b * %d + 1, %d))" % (rows, rows))
+                + " AS bucket))"
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def minhash_md5_pairs_sql(num_hashes: int = 8, bands: int = 2, n: int = 3) -> str:
+    rows = num_hashes // bands
+    h60 = "(('0x' || substr(md5({x}), 1, 15))::UBIGINT::BIGINT)"
+    sig_items = ", ".join(
+        "list_min(list_transform(sh, s -> " + h60.format(x=f"s || '#{i}'") + "))"
+        for i in range(num_hashes)
+    )
+    band_items = ", ".join(
+        "struct_pack(band := %d, bucket := %s)"
+        % (
+            b,
+            h60.format(
+                x=(
+                    "array_to_string(list_transform(sig[%d:%d], v -> CAST(v AS VARCHAR)), ',')"
+                    % (b * rows + 1, (b + 1) * rows)
+                )
+            ),
+        )
+        for b in range(bands)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= {n}
+              THEN list_transform(range(1, len(t) - {n - 2}), i -> array_to_string(t[i:i+{n - 1}], ' '))
+              ELSE [array_to_string(t, ' ')] END AS sh
+  FROM toks
+),
+sigs AS (SELECT doc_id, [{sig_items}] AS sig FROM sh),
+banded AS (
+  SELECT doc_id, u.band AS band, u.bucket AS bucket
+  FROM sigs, unnest([{band_items}]) AS r(u)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+GROUP BY doc_a, doc_b
+"""
