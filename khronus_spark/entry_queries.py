@@ -731,6 +731,15 @@ def simhash_docs(spark, sf_dir):
     return dedup_ops.simhash(docs)
 
 
+@register("simhash_md5", dedup_ops.simhash_md5_sql())
+def simhash_md5(spark, sf_dir):
+    """SimHash with the cross-engine md5 hash family (16-bit) — the
+    full bit-vote algorithm oracle-checked; the 64-bit xxhash64 variant
+    above stays the production path."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_ops.simhash_md5(docs)
+
+
 @register("token_stats", text_ops.TOKEN_STATS_SQL)
 def token_stats(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")

@@ -13,6 +13,12 @@ Python row loops) designed for 100 TB inputs:
   permutation seeds → 4 bands × 4 rows → candidates join on band bucket.
   Shuffles scale with #docs × #bands, never #docs².
 - SimHash: 64-bit signed-bit aggregation of token hashes.
+- md5 variants of both (minhash_md5_pairs, simhash_md5): identical
+  algorithm over a 60-bit md5-prefix hash family that DuckDB reproduces
+  bit-for-bit, so the full pipelines are oracle-checked; xxhash64 stays
+  the fast production family.
+- content_hash_sample: deterministic Bernoulli sampling keyed on the
+  text's md5 — reproducible, duplicates sample together.
 
 Spark tokenization: split on whitespace; tokens lowercased.
 """
@@ -322,4 +328,44 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
 FROM banded a JOIN banded b
   ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 GROUP BY doc_a, doc_b
+"""
+
+
+def simhash_md5(docs: DataFrame, bits: int = 16) -> DataFrame:
+    """SimHash over the cross-engine md5 hash family (low `bits` bits of
+    the 60-bit token hash vote ±1 per position) — oracle-checkable,
+    unlike the 64-bit xxhash64 production variant. Same map-only shape:
+    tokens hashed once per row, then `bits` fold-aggregates."""
+    hashed = spread(docs).select("doc_id", _tokens().alias("t")).select(
+        "doc_id",
+        F.expr(
+            "transform(t, x -> " + _md5_60("x") + ")"
+        ).alias("hs"),
+    )
+    sig = None
+    for j in range(bits):
+        vote = F.expr(
+            f"aggregate(hs, 0L, (acc, h) -> acc + (((h >> {j}) & 1L) * 2 - 1))"
+        )
+        bit = F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << j).cast("long")
+        sig = term if sig is None else sig + term
+    return hashed.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_md5_sql(bits: int = 16) -> str:
+    h60 = "(('0x' || substr(md5(x), 1, 15))::UBIGINT::BIGINT)"
+    terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> ((h >> {j}) & 1) * 2 - 1)) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(bits)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+),
+hashed AS (
+  SELECT doc_id, list_transform(t, x -> {h60}) AS hs FROM toks
+)
+SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM hashed
 """
