@@ -70,3 +70,54 @@ def test_streaming_histogram_rollup_runs(spark, staged):
     # sketch percentiles bounded by min/max
     for r in rows:
         assert r["min"] <= r["p50"] <= r["max"]
+
+
+def test_duplicate_deliveries_deduped(spark, staged):
+    """At-least-once redelivery: the same file staged twice must yield
+    the same counter rollup as a single delivery (T5 effectively-once
+    via dropDuplicatesWithinWatermark)."""
+    import tempfile
+
+    from pyspark.sql import functions as F2
+
+    from khronus_spark.streaming.ingest import dedupe_deliveries
+
+    tmp, schema, batch_m = staged
+    dup_dir = tempfile.mkdtemp(prefix="khronus_dup_")
+    with_id = batch_m.withColumn(
+        "delivery_id",
+        F2.concat_ws("#", "metric", "ts_ms", F2.monotonically_increasing_id()),
+    )
+    with_id.coalesce(1).write.mode("overwrite").parquet(f"{dup_dir}/in/copy=0")
+    with_id.coalesce(1).write.mode("overwrite").parquet(f"{dup_dir}/in/copy=1")
+
+    id_schema = with_id.schema
+    stream = spark.readStream.schema(id_schema).parquet(f"{dup_dir}/in/*")
+    deduped = dedupe_deliveries(
+        stream.where(F2.col("mtype") == "counter"), watermark="45 days"
+    )
+    interval_sums = (
+        deduped.groupBy("metric")
+        .agg(F2.sum("value").alias("total"))
+    )
+    q = (
+        interval_sums.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("dedup_totals")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["metric"]: r["total"]
+        for r in spark.sql("select * from dedup_totals").collect()
+    }
+    expected = {
+        r["metric"]: r["total"]
+        for r in batch_m.where(F2.col("mtype") == "counter")
+        .groupBy("metric")
+        .agg(F2.sum("value").alias("total"))
+        .collect()
+    }
+    assert got == expected, f"{got} != {expected}"
