@@ -557,6 +557,40 @@ def tpch_q6_forecast_revenue(spark, sf_dir):
 
 
 @register(
+    "tpch_q14_promo_revenue",
+    """
+SELECT round(
+         100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                    THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                    ELSE 0 END) AS DOUBLE)
+         / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE),
+         4) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+""",
+)
+def tpch_q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14-style promo revenue share: fact-dim broadcast join +
+    conditional decimal aggregate over one month of shipments."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-09-01 00:00:00"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        1 - F.col("l_discount").cast("decimal(4,2)")
+    )
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    promo = F.when(F.col("p_type").startswith("PROMO"), disc).otherwise(F.lit(0))
+    return joined.agg(
+        F.round(
+            100.0 * F.sum(promo).cast("double") / F.sum(disc).cast("double"), 4
+        ).alias("promo_revenue_pct")
+    )
+
+
+@register(
     "events_value_moving_avg_7d",
     """
 WITH daily AS (
@@ -1397,6 +1431,21 @@ def ts_hdr_cascade_1h(spark, sf_dir):
     m = measurements_from_events(spark, sf_dir).where(F.col("mtype") == "timer")
     fine = histogram_state(m, 300_000)
     return state_summary(merge_states(fine, 3_600_000))
+
+
+@register("ts_hdr_encoded_roundtrip_1h", _hdr_summary_sql(3_600_000))
+def ts_hdr_encoded_roundtrip_1h(spark, sf_dir):
+    """O8 storage codec in the correctness gate: histogram states pushed
+    through the delta+varint+zlib blob encoding (functions/encoding.py,
+    the SkinnyHistogram analogue — `org/HdrHistogram/SkinnyHistogram.
+    scala:16-73`) and back must summarize identically to DuckDB's direct
+    restatement."""
+    from khronus_spark.functions.encoding import decoded_states, encoded_states
+    from khronus_spark.operators.hdr_rollup import histogram_state, state_summary
+
+    m = measurements_from_events(spark, sf_dir).where(F.col("mtype") == "timer")
+    state = histogram_state(m, 3_600_000)
+    return state_summary(decoded_states(encoded_states(state)))
 
 
 @register("ts_hdr_summary_5m", _hdr_summary_sql(300_000))
