@@ -258,6 +258,52 @@ def influx_field_plus_literal(spark, sf_dir):
     )
 
 
+@register(
+    "influx_from_materialized_store",
+    _influx_series_sql(
+        "count",
+        "click",
+        f"""
+SELECT ts AS time, round(CAST(count AS DOUBLE), 4) AS value
+FROM ({_counter_buckets_sql('click', 300_000)}) b
+WHERE ts BETWEEN {_aligned(300_000)[0]} AND {_aligned(300_000)[1]}
+""",
+    ),
+)
+def influx_from_materialized_store(spark, sf_dir):
+    """The materialized query path end-to-end (S4-S7): rollup engine
+    writes the partitioned summary store, a storage-backed engine (no
+    raw measurements) answers the dashboard query from it — identical
+    result to the on-the-fly path (`influx_count_click_5m`)."""
+    import tempfile
+
+    from khronus_spark.functions.summary import counter_summary
+    from khronus_spark.operators.rollup import write_summaries
+
+    m = measurements_from_events(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="khronus_store_entry_")
+    write_summaries(
+        {
+            300_000: {
+                "counter": counter_summary(
+                    m.where(F.col("mtype") == "counter"), 300_000
+                )
+            }
+        },
+        tmp,
+    )
+    eng = KhronusEngine(
+        spark,
+        summary_base_path=tmp,
+        catalog=[("click", "counter"), ("view", "counter")],
+        now_ms=NOW_MS,
+    )
+    return eng.sql_union(
+        f'select count from "click" where time between {A_MS} and {B_MS} '
+        "force group by time(5m)"
+    )
+
+
 def _percentile_union_sql(metric: str, names: list[str], window_ms: int) -> str:
     lo, hi = align_ceil(A_MS, window_ms), align_floor(B_MS, window_ms)
     parts = []
