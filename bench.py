@@ -49,9 +49,17 @@ def main() -> None:
     def run_df(df):
         df.write.format("noop").mode("overwrite").save()
 
-    # warm the JVM + file listing
+    # warm the JVM + file listing + Python UDF workers (interpreter and
+    # Arrow startup otherwise lands inside the first mapInPandas timing)
     load_table(spark, sf_dir, "lineitem").count()
     load_table(spark, sf_dir, "events").count()
+    import pandas as _pd
+
+    def _noop(batches):
+        for b in batches:
+            yield b
+
+    spark.range(0, 64, 1, 8).mapInPandas(_noop, "id long").count()
 
     q = eq.queries()
     bench: dict[str, object] = {
