@@ -1406,12 +1406,15 @@ def media_frame_sample(spark, sf_dir):
 # 9. HDR-compat mergeable-histogram summaries (the reference's sketch mode)
 # ---------------------------------------------------------------------------
 
-def _hdr_summary_sql(window_ms: int) -> str:
+def _hdr_summary_sql(window_ms: int, convention: str = "engine") -> str:
     from khronus_spark.functions.hdr import hdr_quantize_sql
+    from khronus_spark.operators.hdr_rollup import _RANK_SQL
 
     q = hdr_quantize_sql("value")
     pct = ",\n  ".join(
-        f"(list_sort(list(q)))[CAST(greatest(1, ceil({frac} * count(q))) AS BIGINT)] AS {name}"
+        "(list_sort(list(q)))[CAST({rank} AS BIGINT)] AS {name}".format(
+            rank=_RANK_SQL[convention].format(f=frac, n="count(q)"), name=name
+        )
         for name, frac in PERCENTILE_FRACTIONS.items()
     )
     return f"""
@@ -1492,6 +1495,19 @@ def ts_hdr_encoded_roundtrip_1h(spark, sf_dir):
     m = measurements_from_events(spark, sf_dir).where(F.col("mtype") == "timer")
     state = histogram_state(m, 3_600_000)
     return state_summary(decoded_states(encoded_states(state)))
+
+
+@register("ts_hdr_summary_5m_hdrcompat", _hdr_summary_sql(300_000, "hdr"))
+def ts_hdr_summary_5m_hdrcompat(spark, sf_dir):
+    """Bit-parity mode with the reference's percentile convention:
+    HdrHistogram's `getValueAtPercentile` ranks at round-half-up of
+    frac·count (floored at 1), not ceil (`model/HistogramBucket.scala:
+    28-34`). Same mergeable state, different rank formula — both
+    conventions oracle-checked."""
+    from khronus_spark.operators.hdr_rollup import histogram_state, state_summary
+
+    m = measurements_from_events(spark, sf_dir).where(F.col("mtype") == "timer")
+    return state_summary(histogram_state(m, 300_000), convention="hdr")
 
 
 @register("ts_hdr_summary_5m", _hdr_summary_sql(300_000))

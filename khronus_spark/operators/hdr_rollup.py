@@ -65,29 +65,45 @@ def merge_states(state: DataFrame, coarser_window_ms: int) -> DataFrame:
     )
 
 
-def _pct_from_hist(frac: str):
-    """First value whose cumulative count ≥ ceil(frac·total): a fold over
+#: rank-from-fraction formulas: 'engine' = the repo-wide discrete
+#: convention (ceil(frac·n), shared with every oracle); 'hdr' = the
+#: public HdrHistogram getValueAtPercentile convention the reference
+#: inherits (`model/HistogramBucket.scala:28-34`): round-half-up of
+#: frac·n, floored at 1.
+_RANK_SQL = {
+    "engine": "greatest(1, ceil({f} * {n}))",
+    "hdr": "greatest(1, floor({f} * {n} + 0.5))",
+}
+
+
+def _pct_from_hist(frac: str, convention: str = "engine"):
+    """First value whose cumulative count reaches the rank: a fold over
     the sorted entries (struct acc: remaining needed, found value)."""
+    rank = _RANK_SQL[convention].format(
+        f=frac, n="aggregate(hist, 0L, (a, e) -> a + e.c)"
+    )
     return F.expr(
         "aggregate(hist, "
-        "  named_struct('rem', CAST(greatest(1, ceil({f} * aggregate(hist, 0L, (a, e) -> a + e.c))) AS BIGINT), "
+        "  named_struct('rem', CAST({rank} AS BIGINT), "
         "               'val', CAST(NULL AS BIGINT)), "
         "  (acc, e) -> IF(acc.val IS NOT NULL, acc, "
         "                 IF(acc.rem <= e.c, named_struct('rem', 0L, 'val', e.v), "
         "                    named_struct('rem', acc.rem - e.c, 'val', CAST(NULL AS BIGINT))))"
-        ").val".format(f=frac)
+        ").val".format(rank=rank)
     )
 
 
-def state_summary(state: DataFrame) -> DataFrame:
+def state_summary(state: DataFrame, convention: str = "engine") -> DataFrame:
     """Histogram state → the 11-field summary (quantized domain: min/max/
     mean/percentiles are over highest-equivalent values, mirroring the
-    reference's HdrHistogram getters)."""
+    reference's HdrHistogram getters). `convention='hdr'` switches the
+    percentile rank to HdrHistogram's round-half-up for bit-parity with
+    `getValueAtPercentile`."""
     total = F.expr("aggregate(hist, 0L, (a, e) -> a + e.c)")
     vsum = F.expr("aggregate(hist, 0L, (a, e) -> a + e.v * e.c)")
     cols = [F.col("metric"), F.col("ts")]
     for name, frac in PERCENTILE_FRACTIONS.items():
-        cols.append(_pct_from_hist(frac).alias(name))
+        cols.append(_pct_from_hist(frac, convention).alias(name))
     cols += [
         F.element_at("hist", 1)["v"].alias("min"),
         F.element_at("hist", -1)["v"].alias("max"),
