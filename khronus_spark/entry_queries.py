@@ -33,6 +33,8 @@ from khronus_spark.functions.summary import (
     histogram_summary,
     histogram_summary_sql,
 )
+from khronus_spark.operators import components as components_ops
+from khronus_spark.operators import curation as curation_ops
 from khronus_spark.operators import dedup as dedup_ops
 from khronus_spark.operators import similarity as sim_ops
 from khronus_spark.operators import text as text_ops
@@ -850,6 +852,29 @@ def quality_score(spark, sf_dir):
 def lang_id(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return text_ops.lang_id(docs)
+
+
+@register("doc_repetition", text_ops.REPETITION_SQL)
+def doc_repetition(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.repetition(docs)
+
+
+@register("dedup_components", components_ops.DEDUP_COMPONENTS_SQL)
+def dedup_components(spark, sf_dir):
+    """Near-dup clusters: Jaccard pairs → large-star/small-star
+    connected components (O(log² n) shuffle rounds; no reference
+    counterpart — training-data-pipeline extension)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return components_ops.duplicate_components(docs)
+
+
+@register("corpus_curation", curation_ops.CURATION_STATS_SQL)
+def corpus_curation(spark, sf_dir):
+    """Flagship end-to-end pipeline: quality gate → dedup clusters →
+    canonical keep → deterministic sample → per-language accounting."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation_ops.curation_stats(docs)
 
 
 @register("ann_cosine_topk", sim_ops.ANN_BRUTE_SQL)

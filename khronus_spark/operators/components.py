@@ -1,0 +1,176 @@
+"""Connected components + duplicate clustering for corpus dedup at scale.
+
+Pairwise near-duplicate candidates (``dedup.near_duplicates_jaccard``,
+``dedup.minhash_md5_pairs``) are only half of deduplication: a corpus
+cleaner must group transitively-linked docs into CLUSTERS and keep one
+canonical doc per cluster. At 100 TB the duplicate graph has billions of
+edges, so clustering must be a bounded number of shuffle rounds — not a
+driver-side union-find.
+
+We implement the alternating large-star/small-star algorithm (Kiveris et
+al., "Connected Components in MapReduce and Beyond", SoCC'14), which
+converges in O(log² n) rounds regardless of component diameter — a plain
+min-label propagation needs O(diameter) rounds and dies on chain-shaped
+duplicate clusters (doc A ~ B ~ C ~ ... arises naturally from
+content-drifted copies). Each round is two DataFrame self-aggregations
+(map-side combinable groupBy min + a join), fully JVM-side; lineage is
+truncated per round with an eager ``localCheckpoint`` so the plan stays
+O(1) deep (on a cluster this would be ``checkpoint()`` to durable
+storage for fault tolerance).
+
+Scale notes:
+- shuffle volume per round is O(|E|), and |E| SHRINKS monotonically
+  toward one star edge per non-root node;
+- the convergence check is a count+hash-sum checksum (two scalar
+  aggregates), never a driver-side collect of edges;
+- the final (doc_id → component_id) map is tiny relative to the corpus
+  (only docs that appear in some duplicate pair), so downstream
+  canonical-doc filters broadcast it.
+
+No reference counterpart (khronus has no graph operators); this is part
+of the training-data-pipeline extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from khronus_spark.operators.dedup import near_duplicates_jaccard
+
+#: more than enough for O(log² n) convergence at any realistic n;
+#: exceeded only if the implementation regresses.
+MAX_ROUNDS = 25
+
+
+def _checksum(edges: DataFrame) -> tuple[int, int]:
+    """Cheap order-insensitive fingerprint of an edge set: (count,
+    sum of xxhash64(src, dst)). Collision odds are ~2⁻⁶⁴ per round."""
+    row = edges.select(
+        F.count(F.lit(1)).alias("n"),
+        # decimal(38,0) sum: immune to ANSI long-overflow on the hash sum
+        F.coalesce(
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")), F.lit(0)
+        ).alias("h"),
+    ).first()
+    return int(row["n"]), int(row["h"])
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u over the SYMMETRIZED edge set: connect every
+    strictly-larger neighbor to m = min(Γ(u) ∪ {u})."""
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    label = (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select("src", F.least("mn", "src").alias("m"))
+    )
+    return (
+        sym.join(label, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient each edge large→small; for each node u connect u and all
+    its smaller neighbors to m = min of those neighbors."""
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).where(F.col("src") != F.col("dst"))
+    label = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+    relinked = (
+        oriented.join(label, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+    self_edge = label.select(F.col("src"), F.col("m").alias("dst"))
+    return (
+        relinked.union(self_edge)
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def connected_components(edges: DataFrame) -> DataFrame:
+    """(src, dst) long-id edge list → (node_id, component_id) where
+    component_id is the minimum node id in the component.
+
+    Isolated nodes don't appear in an edge list, hence not in the
+    output; callers union them back if needed (see
+    ``canonical_keep_filter``).
+    """
+    cur = edges.select(
+        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+    ).where(F.col("src") != F.col("dst")).distinct()
+    cur = cur.localCheckpoint(eager=True)
+    prev_sig = _checksum(cur)
+    for _ in range(MAX_ROUNDS):
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        sig = _checksum(nxt)
+        cur = nxt
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {MAX_ROUNDS} rounds")
+    # fixpoint is a depth-1 star forest: (v, m) for every non-root v.
+    roots = cur.select(F.col("dst").alias("node_id")).distinct().withColumn(
+        "component_id", F.col("node_id")
+    )
+    members = cur.select(
+        F.col("src").alias("node_id"), F.col("dst").alias("component_id")
+    )
+    return members.union(roots)
+
+
+def duplicate_components(docs: DataFrame, threshold_bp: int = 3000) -> DataFrame:
+    """Cluster near-duplicate documents: Jaccard candidate pairs →
+    connected components. Output (doc_id, component_id); only docs that
+    participate in at least one duplicate pair appear."""
+    pairs = near_duplicates_jaccard(docs, threshold_bp).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    return connected_components(pairs).select(
+        F.col("node_id").alias("doc_id"), "component_id"
+    )
+
+
+def canonical_keep_filter(docs: DataFrame, components: DataFrame) -> DataFrame:
+    """Keep exactly one doc per duplicate cluster (the min doc_id) plus
+    every unclustered doc. The components map is small → broadcast."""
+    return docs.join(F.broadcast(components), "doc_id", "left").where(
+        F.col("component_id").isNull() | (F.col("doc_id") == F.col("component_id"))
+    )
+
+
+#: DuckDB oracle: transitive closure by recursive CTE (fine at oracle
+#: scale; the Spark side is the one that must scale).
+DEDUP_COMPONENTS_SQL = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, n_chars,
+         list_sort(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS tokens
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM toks a JOIN toks b
+    ON a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+  WHERE (len(list_intersect(a.tokens, b.tokens)) * 10000)
+          // len(list_distinct(list_concat(a.tokens, b.tokens))) >= 3000
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT DISTINCT src, src AS dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, min(dst) AS component_id FROM reach GROUP BY src
+"""

@@ -1,0 +1,121 @@
+"""End-to-end corpus curation: the flagship training-data pipeline.
+
+Composes the pipeline a pre-training data team actually runs over raw
+web-scale text — quality gate → near-dup clustering → canonical-doc
+selection → deterministic content sampling → per-language accounting —
+as ONE declarative Spark plan:
+
+1. quality gate: ``text.quality_score`` ≥ threshold and a minimum token
+   count (map-only column expressions);
+2. dedup: near-dup clusters from ``components.duplicate_components``
+   (large-star/small-star connected components over Jaccard candidate
+   pairs); only the cluster's min doc_id survives;
+3. sampling: deterministic md5-keyed Bernoulli (reproducible across
+   runs and engines; identical texts sample together);
+4. accounting: per-language doc counts, token totals, integer mean
+   quality, distinct sources.
+
+Scale shape: steps 1 and 3 are map-only over the corpus; step 2's
+component map only contains docs that appear in a duplicate pair — a
+tiny fraction of the corpus — so the canonical filter is a BROADCAST
+left join (no corpus shuffle); step 4 is one map-side-combinable
+groupBy on a low-cardinality key. Net: the 100 TB table is shuffled
+exactly once (the final tiny aggregation), everything heavy is
+scan+filter.
+
+All ratios/means are integer basis points (cross-engine bit-stable; see
+``operators/text.py`` docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from khronus_spark.operators.components import (
+    DEDUP_COMPONENTS_SQL,
+    duplicate_components,
+)
+from khronus_spark.operators.text import QUALITY_SCORE_SQL, quality_score
+
+#: defaults for the registry entry — chosen so each stage visibly drops
+#: docs at sf0.01 (quality ~ keeps most, dedup drops ~180, sample ~20%).
+QUALITY_MIN_BP = 5000
+MIN_TOKENS = 10
+SAMPLE_PCT = 80
+JACCARD_THRESHOLD_BP = 3000
+
+
+def curated_docs(
+    docs: DataFrame,
+    quality_min_bp: int = QUALITY_MIN_BP,
+    min_tokens: int = MIN_TOKENS,
+    sample_pct: int = SAMPLE_PCT,
+    jaccard_threshold_bp: int = JACCARD_THRESHOLD_BP,
+) -> DataFrame:
+    """The surviving documents with their quality metrics attached."""
+    q = quality_score(docs).select("doc_id", "n_tokens", "quality_bp")
+    comps = duplicate_components(docs, jaccard_threshold_bp)
+    sample_threshold = (1 << 32) * sample_pct // 100
+    sample_key = F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10).cast("long")
+    return (
+        docs.join(q, "doc_id")
+        .where(
+            (F.col("quality_bp") >= quality_min_bp)
+            & (F.col("n_tokens") >= min_tokens)
+        )
+        .join(F.broadcast(comps), "doc_id", "left")
+        .where(
+            F.col("component_id").isNull()
+            | (F.col("doc_id") == F.col("component_id"))
+        )
+        .where(sample_key < sample_threshold)
+    )
+
+
+def curation_stats(docs: DataFrame, **kwargs) -> DataFrame:
+    """Per-language accounting of the curated corpus."""
+    kept = curated_docs(docs, **kwargs)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.expr("sum(quality_bp) div count(1)").alias("avg_quality_bp"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+def _components_cte() -> str:
+    """The recursive-CTE body of DEDUP_COMPONENTS_SQL, reusable inside a
+    larger WITH chain (strip the leading WITH RECURSIVE / final SELECT)."""
+    body = DEDUP_COMPONENTS_SQL.strip()
+    assert body.startswith("WITH RECURSIVE")
+    head, final = body.rsplit("SELECT src AS doc_id", 1)
+    return head[len("WITH RECURSIVE"):].rstrip().rstrip(",")
+
+
+_SAMPLE_THRESHOLD = (1 << 32) * SAMPLE_PCT // 100
+
+CURATION_STATS_SQL = rf"""
+WITH RECURSIVE {_components_cte()},
+comp AS (
+  SELECT src AS doc_id, min(dst) AS component_id FROM reach GROUP BY src
+),
+q AS ({QUALITY_SCORE_SQL}),
+kept AS (
+  SELECT d.lang, d.source, q.n_tokens, q.quality_bp
+  FROM documents d
+  JOIN q USING (doc_id)
+  LEFT JOIN comp USING (doc_id)
+  WHERE q.quality_bp >= {QUALITY_MIN_BP}
+    AND q.n_tokens >= {MIN_TOKENS}
+    AND (comp.component_id IS NULL OR comp.component_id = d.doc_id)
+    AND CAST(('0x' || substr(md5(d.text), 1, 8))::UINTEGER AS BIGINT) < {_SAMPLE_THRESHOLD}
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(sum(quality_bp) // count(*) AS BIGINT) AS avg_quality_bp,
+       count(DISTINCT source) AS n_sources
+FROM kept
+GROUP BY lang
+"""

@@ -184,3 +184,54 @@ SELECT doc_id,
                    (a, b) -> (a * 31 + b) % {ROLLING_MOD}) AS rolling_fp
 FROM documents
 """
+
+
+def repetition(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition signal: the share of a document occupied
+    by its single most frequent token (`top_tok_bp`, basis points), plus
+    the token itself (ties broken to the lexicographically smallest).
+
+    Shape: explode → partial-aggregated groupBy(doc, token) → per-doc
+    row_number — the word-count pattern, one shuffle keyed (doc_id,
+    token), skew-free because doc_id participates in the key. Per-doc
+    map-side alternatives (nested array scans) are O(n_tokens²) per row
+    and die on long documents; this stays O(n log n) at any doc length.
+    """
+    from pyspark.sql import Window
+
+    t = docs.select("doc_id", _tokens().alias("t"))
+    exploded = t.select(
+        "doc_id", F.size("t").alias("n_tokens"), F.explode("t").alias("tok")
+    )
+    counts = exploded.groupBy("doc_id", "n_tokens", "tok").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.col("tok").alias("top_token"),
+            F.expr("cnt * 10000L div n_tokens").alias("top_tok_bp"),
+        )
+    )
+
+
+REPETITION_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+),
+x AS (
+  SELECT doc_id, len(t) AS n_tokens, unnest(t) AS tok FROM t
+),
+g AS (
+  SELECT doc_id, n_tokens, tok, count(*) AS cnt
+  FROM x GROUP BY doc_id, n_tokens, tok
+)
+SELECT doc_id, n_tokens, tok AS top_token, (cnt * 10000) // n_tokens AS top_tok_bp
+FROM g
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, tok ASC) = 1
+"""

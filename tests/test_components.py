@@ -1,0 +1,103 @@
+"""Connected components (large-star/small-star) vs a Python union-find,
+plus the canonical-keep dedup filter and the curation pipeline's
+stage-by-stage row accounting."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from khronus_spark.operators.components import (
+    canonical_keep_filter,
+    connected_components,
+    duplicate_components,
+)
+from khronus_spark.operators.curation import curated_docs
+
+
+def _union_find(edges):
+    nodes = sorted({x for e in edges for x in e})
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps: dict[int, list[int]] = {}
+    for n in nodes:
+        comps.setdefault(find(n), []).append(n)
+    return {n: min(members) for members in comps.values() for n in members}
+
+
+CASES = {
+    # seeded random graph: mix of small components and singleton pairs
+    "random": [
+        (random.Random(7).randrange(200), random.Random(i).randrange(200))
+        for i in range(150)
+    ],
+    # path graph: worst case for plain min-propagation (diameter = n);
+    # large/small-star must still converge in O(log² n) rounds
+    "path": [(i, i + 1) for i in range(60)],
+    "two_cliques": [(i, j) for i in range(10) for j in range(i + 1, 10)]
+    + [(100 + i, 100 + j) for i in range(8) for j in range(i + 1, 8)],
+    "star_from_max": [(99, i) for i in range(40)],
+}
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_components_match_union_find(spark, name):
+    edges = [(a, b) for a, b in CASES[name] if a != b]
+    expected = _union_find(edges)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node_id"]: r["component_id"] for r in connected_components(df).collect()
+    }
+    assert got == expected
+
+
+def test_components_empty_edges(spark):
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(empty).count() == 0
+
+
+def test_canonical_keep_one_per_cluster(spark, oracle_sf_dir):
+    docs = spark.read.parquet(f"{oracle_sf_dir}/documents.parquet")
+    comps = duplicate_components(docs)
+    kept = canonical_keep_filter(docs, comps)
+
+    n_docs = docs.count()
+    n_clustered = comps.count()
+    n_clusters = comps.select("component_id").distinct().count()
+    assert n_clustered > n_clusters > 0  # the fixture really has clusters
+    # every clustered doc except one representative per cluster is dropped
+    assert kept.count() == n_docs - (n_clustered - n_clusters)
+    # each kept doc id appears once; each cluster keeps exactly its min
+    kept_in_clusters = kept.select("doc_id").join(comps, "doc_id")
+    assert kept_in_clusters.where(
+        F.col("doc_id") != F.col("component_id")
+    ).count() == 0
+    assert kept_in_clusters.count() == n_clusters
+
+
+def test_curation_stages_monotonic(spark, oracle_sf_dir):
+    """Each curation stage only removes rows, and the final corpus is a
+    subset of the quality-gated set."""
+    docs = spark.read.parquet(f"{oracle_sf_dir}/documents.parquet")
+    final = curated_docs(docs)
+    n_final = final.count()
+    assert 0 < n_final < docs.count()
+    # no duplicate survivors: every kept doc is unclustered or a root
+    assert final.where(
+        F.col("component_id").isNotNull()
+        & (F.col("doc_id") != F.col("component_id"))
+    ).count() == 0
+    # quality gate actually holds on the output
+    assert final.where(F.col("quality_bp") < 5000).count() == 0
