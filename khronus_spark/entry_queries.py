@@ -639,6 +639,105 @@ def tpch_q14_promo_revenue(spark, sf_dir):
 
 
 @register(
+    "tpch_q4_late_orders",
+    """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+""",
+)
+def tpch_q4_late_orders(spark, sf_dir):
+    """TPC-H Q4-style late-order counts: LEFT SEMI join with a
+    non-equi residual (ship date vs. order date + 60 days) on top of the
+    orderkey equi-condition. The quarter filter on orders pushes to its
+    scan; the semi join shuffles both sides on orderkey (the filtered
+    probe side is far smaller than lineitem — AQE may flip the build
+    side at runtime). l_commitdate/l_receiptdate don't exist in this
+    testdata, so lateness is restated against o_orderdate."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-07-01 00:00:00"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01 00:00:00"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@register(
+    "customer_lapsed_anti",
+    """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+""",
+)
+def customer_lapsed_anti(spark, sf_dir):
+    """Lapsed customers: LEFT ANTI join against the recent-order custkey
+    set. The date filter pushes to the orders scan; the anti join's
+    build side is the filtered key set, which AQE broadcasts when it is
+    small enough — unhinted on purpose, since at 100 TB a seven-month
+    custkey set may exceed broadcast limits."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2001-01-01 00:00:00"))
+        .select("o_custkey")
+    )
+    return cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+
+
+@register(
+    "tpch_q18_big_orders",
+    """
+SELECT c_name, o_orderkey, o_totalprice, sum_qty
+FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 150) t
+JOIN orders o ON o.o_orderkey = t.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+""",
+)
+def tpch_q18_big_orders(spark, sf_dir):
+    """TPC-H Q18-style large-volume-order drill-down: full-table groupBy
+    (map-side combinable, one shuffle on orderkey) → selective HAVING →
+    join back to orders and customer. The aggregated side is small after
+    the HAVING cut, so AQE converts both joins to broadcast at runtime;
+    unhinted because the cut's selectivity is data-dependent.
+    l_quantity values are integral doubles, so the sums are exact."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 150)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_name", "o_orderkey", "o_totalprice", "sum_qty")
+    )
+
+
+@register(
     "events_value_moving_avg_7d",
     """
 WITH daily AS (

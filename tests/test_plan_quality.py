@@ -72,3 +72,34 @@ def test_asof_join_is_single_shuffle_no_join(spark, oracle_sf_dir):
     # union + window carry-forward: no join operator at all
     assert "Join" not in plan or "BroadcastHashJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q4_semi_join_pushes_quarter_filter(spark, oracle_sf_dir):
+    plan = _plan(spark, oracle_sf_dir, "tpch_q4_late_orders")
+    assert "LeftSemi" in plan
+    assert "GreaterThanOrEqual(o_orderdate," in plan  # quarter at the scan
+    assert "l_extendedprice" not in plan  # lineitem pruned to 2 columns
+    assert "CartesianProduct" not in plan
+
+
+def test_lapsed_anti_join_pushes_date_filter(spark, oracle_sf_dir):
+    plan = _plan(spark, oracle_sf_dir, "customer_lapsed_anti")
+    assert "LeftAnti" in plan
+    assert "GreaterThanOrEqual(o_orderdate," in plan
+    assert "o_totalprice" not in plan  # orders pruned to the key
+
+
+def test_q18_partial_agg_before_joins(spark, oracle_sf_dir):
+    plan = _plan(spark, oracle_sf_dir, "tpch_q18_big_orders")
+    assert "partial_sum" in plan  # map-side combine on the big scan
+    assert "CartesianProduct" not in plan
+    assert "l_discount" not in plan  # lineitem pruned to 2 columns
+
+
+def test_curation_broadcasts_component_map(spark, oracle_sf_dir):
+    plan = _plan(spark, oracle_sf_dir, "corpus_curation")
+    # the tiny (doc_id → component) map must broadcast; the corpus side
+    # must never shuffle before the final per-language aggregation
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
