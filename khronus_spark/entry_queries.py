@@ -738,6 +738,172 @@ def tpch_q18_big_orders(spark, sf_dir):
 
 
 @register(
+    "events_rollup_type_daily",
+    """
+SELECT event_type,
+       CAST(ts AS DATE) AS day,
+       GROUPING(event_type, day) AS gid,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY ROLLUP (event_type, day)
+""",
+)
+def events_rollup_type_daily(spark, sf_dir):
+    """Hierarchical totals via GROUP BY ROLLUP — subtotal per event
+    type and a grand total in one pass. Spark expands grouping sets
+    inside a single aggregation (one shuffle, map-side combinable);
+    `grouping_id()` and DuckDB's `GROUPING(a, b)` share the same
+    bitmask convention (first column = MSB)."""
+    from khronus_spark.sources.tables import ns_to_date
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", ns_to_date(F.col("ts")).alias("day"), "value")
+        .rollup("event_type", "day")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+#: fixed pivot column set — explicit values keep the Spark plan static
+#: (no pre-pass distinct scan) and the two engines' column sets aligned.
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "events_pivot_type_daily",
+    "SELECT CAST(ts AS DATE) AS day,\n"
+    + ",\n".join(
+        f"       count(*) FILTER (WHERE event_type = '{t}') AS {t}"
+        for t in EVENT_TYPES
+    )
+    + "\nFROM events GROUP BY day",
+)
+def events_pivot_type_daily(spark, sf_dir):
+    """Daily event counts pivoted to one column per type. Passing the
+    value list to `pivot()` avoids Spark's extra distinct-scan job; the
+    pivot stays a single hash aggregation. Missing combinations are
+    coalesced to 0 to match SQL's `count(*) FILTER` semantics."""
+    from khronus_spark.sources.tables import ns_to_date
+
+    ev = load_table(spark, sf_dir, "events")
+    p = (
+        ev.select(ns_to_date(F.col("ts")).alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in EVENT_TYPES]
+    )
+
+
+@register(
+    "events_sliding_counts_10m_5m",
+    """
+WITH w AS (
+  SELECT unnest([ (epoch_us(ts) // 1000) // 300000 * 300000,
+                  (epoch_us(ts) // 1000) // 300000 * 300000 - 300000 ]) AS win_start_ms,
+         user_id, value
+  FROM events
+)
+SELECT win_start_ms,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM w
+GROUP BY win_start_ms
+""",
+)
+def events_sliding_counts_10m_5m(spark, sf_dir):
+    """Sliding-window analytics: 10-minute windows every 5 minutes
+    (each event lands in exactly 2 windows). Spark's `window(ts, dur,
+    slide)` replicates rows window-count times before one hash
+    aggregation — the same shape Structured Streaming uses, so this
+    plan lifts to a stream unchanged. Epoch-aligned starts mean the
+    oracle can restate windows with integer ms arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    ts = F.timestamp_micros(
+        F.call_function("div", F.col("ts"), F.lit(1000))
+    )
+    w = F.window(ts, "10 minutes", "5 minutes")
+    return (
+        ev.select(w.alias("w"), "user_id", "value")
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.unix_millis(F.col("w.start")).alias("win_start_ms"),
+            "n_events",
+            "n_users",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "user_segments_setops",
+    """
+WITH hs AS (SELECT user_id FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id HAVING sum(CAST(value AS DECIMAL(18,2))) > 700),
+     fc AS (SELECT user_id FROM events WHERE event_type = 'click'
+            GROUP BY user_id HAVING count(*) > 13)
+SELECT 'both' AS segment, count(*) AS n_users
+FROM (SELECT user_id FROM hs INTERSECT SELECT user_id FROM fc)
+UNION ALL
+SELECT 'high_spend_only', count(*)
+FROM (SELECT user_id FROM hs EXCEPT SELECT user_id FROM fc)
+UNION ALL
+SELECT 'frequent_click_only', count(*)
+FROM (SELECT user_id FROM fc EXCEPT SELECT user_id FROM hs)
+""",
+)
+def user_segments_setops(spark, sf_dir):
+    """Set operations over behavioral cohorts: INTERSECT / EXCEPT on
+    high-spender vs frequent-clicker user sets. Spark plans these as
+    hash semi/anti joins over already-aggregated (tiny) key sets —
+    the type filters push to the scans; the expensive part is the two
+    cohort aggregations, each one shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    hs = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("s"))
+        .where(F.col("s") > 700)
+        .select("user_id")
+    )
+    fc = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 13)
+        .select("user_id")
+    )
+
+    def seg(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(name).alias("segment"), "n_users"
+        )
+
+    return (
+        seg("both", hs.intersect(fc))
+        .union(seg("high_spend_only", hs.subtract(fc)))
+        .union(seg("frequent_click_only", fc.subtract(hs)))
+    )
+
+
+@register(
     "events_value_moving_avg_7d",
     """
 WITH daily AS (
