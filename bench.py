@@ -102,6 +102,15 @@ def main() -> None:
         "sessions_30m": lambda: run_df(q["events_sessions_30m"](spark, sf_dir)),
         # Arrow-batched multimodal feature extraction
         "media_features": lambda: run_df(q["media_features"](spark, sf_dir)),
+        # sliding-window analytics (the batch twin of the streaming shape)
+        "sliding_windows": lambda: run_df(
+            q["events_sliding_counts_10m_5m"](spark, sf_dir)
+        ),
+        # full-scan agg -> selective HAVING -> AQE-broadcast joins back
+        "tpch_q18": lambda: run_df(q["tpch_q18_big_orders"](spark, sf_dir)),
+        # flagship iterative pipeline: quality gate -> connected-components
+        # dedup (large-star/small-star) -> canonical keep -> sample -> stats
+        "corpus_curation": lambda: run_df(q["corpus_curation"](spark, sf_dir)),
     }
 
     timings: dict[str, float] = {}
