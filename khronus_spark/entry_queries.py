@@ -37,6 +37,7 @@ from khronus_spark.operators import components as components_ops
 from khronus_spark.operators import curation as curation_ops
 from khronus_spark.operators import dedup as dedup_ops
 from khronus_spark.operators import similarity as sim_ops
+from khronus_spark.operators import sketches as sketches_ops
 from khronus_spark.operators import text as text_ops
 from khronus_spark.operators.rollup import pregroup_raw
 from khronus_spark.sources.tables import (
@@ -1140,6 +1141,37 @@ def corpus_curation(spark, sf_dir):
     canonical keep → deterministic sample → per-language accounting."""
     docs = load_table(spark, sf_dir, "documents")
     return curation_ops.curation_stats(docs)
+
+
+@register(
+    "approx_distinct_users_hll",
+    sketches_ops.hll_distinct_sql("events", "event_type", "user_id"),
+)
+def approx_distinct_users_hll(spark, sf_dir):
+    """Deterministic cross-engine HyperLogLog (see operators/
+    sketches.py): both engines implement the same integer-arithmetic
+    spec, so the *estimate itself* hash-matches — unlike engine-native
+    approx_count_distinct, whose sketches differ."""
+    ev = load_table(spark, sf_dir, "events")
+    return sketches_ops.hll_distinct(ev, "event_type", "user_id")
+
+
+@register(
+    "reservoir_sample_per_lang", curation_ops.reservoir_sample_per_lang_sql()
+)
+def reservoir_sample_per_lang(spark, sf_dir):
+    """Deterministic fixed-k-per-stratum sample (smallest md5 order)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation_ops.reservoir_sample_per_lang(docs)
+
+
+@register(
+    "stratified_sample_by_lang", curation_ops.stratified_sample_by_lang_sql()
+)
+def stratified_sample_by_lang(spark, sf_dir):
+    """Per-language Bernoulli keep rates (corpus rebalancing)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation_ops.stratified_sample_by_lang(docs)
 
 
 @register("ann_cosine_topk", sim_ops.ANN_BRUTE_SQL)

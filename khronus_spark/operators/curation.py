@@ -119,3 +119,71 @@ SELECT lang,
 FROM kept
 GROUP BY lang
 """
+
+
+def reservoir_sample_per_lang(docs: DataFrame, k: int = 10) -> DataFrame:
+    """Deterministic fixed-size-per-stratum sample: the k docs per
+    language with the smallest md5(text) — a reproducible stand-in for
+    per-stratum reservoir sampling (uniform given the hash, stable
+    across runs/partitionings; identical texts rank adjacently).
+    One shuffle on the stratum key; the window sort is per-stratum.
+    At scale, replace row_number over huge strata with a two-phase
+    per-partition top-k + merge — Spark's window with a k-filter
+    already executes as a partial top-k under the hood."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.md5("text"), F.col("doc_id"))
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("doc_id", "lang", F.col("rk").alias("rank_in_lang"))
+    )
+
+
+def reservoir_sample_per_lang_sql(k: int = 10) -> str:
+    return f"""
+SELECT doc_id, lang,
+       row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rank_in_lang
+FROM documents
+QUALIFY rank_in_lang <= {k}
+"""
+
+
+#: per-language keep rates (percent) for corpus rebalancing: downsample
+#: the over-represented language, keep the rest.
+STRATA_RATES = {"en": 25}
+DEFAULT_RATE = 75
+
+
+def stratified_sample_by_lang(docs: DataFrame) -> DataFrame:
+    """Hash-keyed Bernoulli sampling with a per-stratum rate (corpus
+    rebalancing: downsample dominant languages). Map-only over the
+    corpus + one tiny groupBy on lang for the accounting output
+    (lang, n_total, n_kept)."""
+    rate = F.lit(DEFAULT_RATE)
+    for lang, pct in STRATA_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(rate)
+    key = F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10).cast("long")
+    kept = key * 100 < rate.cast("long") * (1 << 32)
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+    )
+
+
+def stratified_sample_by_lang_sql() -> str:
+    cases = " ".join(
+        f"WHEN lang = '{lang}' THEN {pct}" for lang, pct in STRATA_RATES.items()
+    )
+    return f"""
+WITH flagged AS (
+  SELECT lang,
+         CASE WHEN CAST(('0x' || substr(md5(text), 1, 8))::UINTEGER AS BIGINT) * 100
+                   < (CASE {cases} ELSE {DEFAULT_RATE} END) * {1 << 32}::BIGINT
+              THEN 1 ELSE 0 END AS kept
+  FROM documents
+)
+SELECT lang, count(*) AS n_total, CAST(sum(kept) AS BIGINT) AS n_kept
+FROM flagged
+GROUP BY lang
+"""

@@ -1,0 +1,107 @@
+"""Deterministic cross-engine HyperLogLog: a mergeable distinct-count
+sketch whose estimate is bit-identical on Spark and DuckDB.
+
+Engine-native HLL implementations (Spark `approx_count_distinct`,
+DuckDB `approx_count_distinct`) use different hash functions and
+register layouts, so their estimates can never hash-match across
+engines. This module instead *specifies* an HLL variant in pure integer
+arithmetic and implements that spec on both engines:
+
+- hash: first 60 bits of md5 (the repo's cross-engine hash family);
+- m = 64 registers (p = 6): bucket = top 6 bits, w = low 54 bits;
+- rho = leading-zero count of w within the 54-bit field + 1,
+  computed as `55 - length(bin(w))` — both engines' `bin()` renders
+  integers without leading zeros, so the string length IS the bit
+  length (w = 0 → rho = 55);
+- register r = min(max rho, 32) — the cap keeps every harmonic term
+  `2^(32-r)` an exact int64;
+- denominator D = Σ 2^(32-r) over present buckets
+  + (64 - #present) · 2^32 for empty registers;
+- estimate = (2^44 · 709) // (1000 · D) — α₆₄ ≈ 0.709 as the integer
+  ratio 709/1000; numerator ≈ 1.25e16 stays inside int64.
+
+No small-range (linear counting) correction: `ln` is not bit-stable
+across engines. Raw-HLL relative error at m = 64 is ~13%; the registry
+entry also returns the exact count so the error is visible, and
+`tests/test_sketches.py` asserts the tolerance.
+
+Why it matters at 100 TB: the register table is 64 rows per group —
+a map-side-combinable groupBy((group, bucket)).max(rho) then one tiny
+final fold, versus count(DISTINCT) whose exact shuffle carries every
+distinct key. The sketch is also mergeable (max of registers), so
+pre-aggregated register tables roll up across partitions/days for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+M = 64  # registers (p = 6)
+W_BITS = 54
+W_MOD = 1 << W_BITS  # 18014398509481984
+RHO_CAP = 32
+ALPHA_NUM = 709  # alpha_64 = 0.709 as 709/1000
+ALPHA_DEN = 1000
+EST_NUM = (M * M) << 32  # m^2 * 2^32 = 2^44
+
+
+def hll_distinct(df: DataFrame, group_col: str, key_expr: str) -> DataFrame:
+    """(group, est_distinct) — the deterministic HLL spec above.
+    `key_expr` is a Spark SQL string expression for the counted key."""
+    h = f"CAST(conv(substring(md5(CAST(({key_expr}) AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+    hashed = df.selectExpr(
+        f"{group_col} AS grp",
+        f"{h} div {W_MOD} AS bucket",
+        f"{h} % {W_MOD} AS w",
+    )
+    regs = (
+        hashed.withColumn(
+            "rho",
+            F.expr("CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END"),
+        )
+        .groupBy("grp", "bucket")
+        .agg(F.least(F.max("rho"), F.lit(RHO_CAP)).alias("r"))
+    )
+    return (
+        regs.groupBy("grp")
+        .agg(
+            (
+                F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {RHO_CAP} - r)"))
+                + (F.lit(M) - F.count(F.lit(1))) * F.lit(1 << RHO_CAP)
+            ).alias("D")
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            F.expr(
+                f"CAST({EST_NUM} AS BIGINT) * {ALPHA_NUM} div (D * {ALPHA_DEN})"
+            ).alias("est_distinct"),
+        )
+    )
+
+
+def hll_distinct_sql(table: str, group_col: str, key_expr: str) -> str:
+    """The identical spec as DuckDB SQL (same integer arithmetic)."""
+    h = f"(('0x' || substr(md5(CAST(({key_expr}) AS VARCHAR)), 1, 15))::UBIGINT)::BIGINT"
+    return f"""
+WITH hashed AS (
+  SELECT {group_col} AS grp,
+         {h} // {W_MOD} AS bucket,
+         {h} % {W_MOD} AS w
+  FROM {table}
+),
+regs AS (
+  SELECT grp, bucket,
+         least(max(CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END), {RHO_CAP}) AS r
+  FROM hashed GROUP BY grp, bucket
+),
+folded AS (
+  SELECT grp,
+         sum(CAST(1 AS BIGINT) << ({RHO_CAP} - r))
+           + ({M} - count(*)) * CAST({1 << RHO_CAP} AS BIGINT) AS D
+  FROM regs GROUP BY grp
+)
+SELECT grp AS {group_col},
+       CAST({EST_NUM} AS BIGINT) * {ALPHA_NUM} // (D * {ALPHA_DEN}) AS est_distinct
+FROM folded
+"""
