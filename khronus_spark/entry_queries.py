@@ -38,6 +38,7 @@ from khronus_spark.operators import curation as curation_ops
 from khronus_spark.operators import dedup as dedup_ops
 from khronus_spark.operators import similarity as sim_ops
 from khronus_spark.operators import sketches as sketches_ops
+from khronus_spark.operators import skew as skew_ops
 from khronus_spark.operators import text as text_ops
 from khronus_spark.operators.rollup import pregroup_raw
 from khronus_spark.sources.tables import (
@@ -824,33 +825,18 @@ GROUP BY win_start_ms
 )
 def events_sliding_counts_10m_5m(spark, sf_dir):
     """Sliding-window analytics: 10-minute windows every 5 minutes
-    (each event lands in exactly 2 windows). Spark's `window(ts, dur,
-    slide)` replicates rows window-count times before one hash
-    aggregation — the same shape Structured Streaming uses, so this
-    plan lifts to a stream unchanged. Epoch-aligned starts mean the
-    oracle can restate windows with integer ms arithmetic."""
+    (each event lands in exactly 2 windows). Built by the shared
+    batch/streaming builder (`operators/sliding.py`) — the identical
+    plan runs as a stream in tests/test_streaming.py. Epoch-aligned
+    starts mean the oracle can restate windows with integer ms
+    arithmetic."""
+    from khronus_spark.operators.sliding import (
+        sliding_event_counts,
+        sliding_event_frame,
+    )
+
     ev = load_table(spark, sf_dir, "events")
-    ts = F.timestamp_micros(
-        F.call_function("div", F.col("ts"), F.lit(1000))
-    )
-    w = F.window(ts, "10 minutes", "5 minutes")
-    return (
-        ev.select(w.alias("w"), "user_id", "value")
-        .groupBy("w")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.countDistinct("user_id").alias("n_users"),
-            F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("total_value"),
-        )
-        .select(
-            F.unix_millis(F.col("w.start")).alias("win_start_ms"),
-            "n_events",
-            "n_users",
-            "total_value",
-        )
-    )
+    return sliding_event_counts(sliding_event_frame(ev))
 
 
 @register(
@@ -1154,6 +1140,19 @@ def approx_distinct_users_hll(spark, sf_dir):
     approx_count_distinct, whose sketches differ."""
     ev = load_table(spark, sf_dir, "events")
     return sketches_ops.hll_distinct(ev, "event_type", "user_id")
+
+
+@register(
+    "events_distinct_users_salted",
+    skew_ops.salted_distinct_sql("events", "event_type", "user_id"),
+)
+def events_distinct_users_salted(spark, sf_dir):
+    """Exact COUNT(DISTINCT) via salting (two-phase re-key on
+    hash(key) % buckets — see operators/skew.py): identical result to
+    the plain distinct, but the hot group's key space is spread over
+    `buckets` reducers instead of one."""
+    ev = load_table(spark, sf_dir, "events")
+    return skew_ops.salted_distinct(ev, "event_type", "user_id")
 
 
 @register(

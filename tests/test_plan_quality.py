@@ -103,3 +103,10 @@ def test_curation_broadcasts_component_map(spark, oracle_sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_salted_distinct_is_two_phase(spark, oracle_sf_dir):
+    plan = _plan(spark, oracle_sf_dir, "events_distinct_users_salted")
+    assert "_salt" in plan  # partial phase re-keyed on (group, salt)
+    assert "xxhash64" in plan.lower()
+    assert "CartesianProduct" not in plan

@@ -121,3 +121,52 @@ def test_duplicate_deliveries_deduped(spark, staged):
         .collect()
     }
     assert got == expected, f"{got} != {expected}"
+
+
+def test_streaming_sliding_counts_match_batch(spark, sf_dir):
+    """The shared sliding-window builder (operators/sliding.py) run as a
+    watermarked stream must reproduce the batch result for every window
+    the final watermark has passed (append mode withholds trailing
+    windows)."""
+    import tempfile
+
+    from khronus_spark.operators.sliding import (
+        sliding_event_counts,
+        sliding_event_frame,
+    )
+    from khronus_spark.sources.tables import load_table
+
+    tmp = tempfile.mkdtemp(prefix="khronus_slide_")
+    ev = load_table(spark, sf_dir, "events")
+    frame = sliding_event_frame(ev)
+    frame.write.mode("overwrite").parquet(f"{tmp}/in")
+
+    stream = spark.readStream.schema(frame.schema).parquet(f"{tmp}/in")
+    q = (
+        sliding_event_counts(
+            stream.withWatermark("event_ts", "30 seconds"), with_users=False
+        )
+        .writeStream.format("parquet")
+        .option("path", f"{tmp}/out")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["win_start_ms"]: (r["n_events"], r["total_value"])
+        for r in spark.read.parquet(f"{tmp}/out").collect()
+    }
+    expected = {
+        r["win_start_ms"]: (r["n_events"], r["total_value"])
+        for r in sliding_event_counts(frame, with_users=False).collect()
+    }
+    assert got, "stream produced no windows"
+    # every emitted window matches batch exactly
+    for k, v in got.items():
+        assert expected[k] == v, f"window {k}: stream {v} != batch {expected[k]}"
+    # only trailing windows (overlapping the final watermark) may be held back
+    max_start = max(expected)
+    for k in set(expected) - set(got):
+        assert k >= max_start - 600_000, f"non-trailing window missing: {k}"
