@@ -1112,6 +1112,14 @@ def doc_repetition(spark, sf_dir):
     return text_ops.repetition(docs)
 
 
+@register("doc_top_terms_tfidf", text_ops.top_terms_tfidf_sql())
+def doc_top_terms_tfidf(spark, sf_dir):
+    """Top-3 characteristic terms per doc (deterministic integer
+    tf-idf variant; see operators/text.py::top_terms_tfidf)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.top_terms_tfidf(docs)
+
+
 @register("dedup_components", components_ops.DEDUP_COMPONENTS_SQL)
 def dedup_components(spark, sf_dir):
     """Near-dup clusters: Jaccard pairs → large-star/small-star

@@ -235,3 +235,65 @@ SELECT doc_id, n_tokens, tok AS top_token, (cnt * 10000) // n_tokens AS top_tok_
 FROM g
 QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, tok ASC) = 1
 """
+
+
+def top_terms_tfidf(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k characteristic terms per document by a deterministic
+    tf-idf variant: score = tf · ((N·1000) // df) — linear inverse
+    document frequency in integer arithmetic (log-idf needs `ln`,
+    which is not bit-stable across engines; the ranking this produces
+    is idf-monotone, which is what top-k consumes).
+
+    Shape at scale: two word-count aggregations (tf on (doc, term),
+    df on term — both map-side combinable), a BROADCAST of the tiny
+    (term, df) table back onto tf, and a per-doc top-k window. The
+    corpus-size scalar N rides along as a broadcast literal.
+    """
+    from pyspark.sql import Window
+
+    t = docs.select("doc_id", F.explode(F.array_distinct(_tokens())).alias("tok"))
+    tf = (
+        docs.select("doc_id", F.explode(_tokens()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_tbl = t.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_tbl), "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            F.expr("tf * ((n_docs * 1000) div df)").alias("score_x1000"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_x1000").desc(), F.col("tok").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("doc_id", F.col("tok").alias("term"), "score_x1000", F.col("rk").alias("rank"))
+    )
+
+
+def top_terms_tfidf_sql(k: int = 3) -> str:
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok
+),
+df_tbl AS (
+  SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, tok AS term,
+       tf * ((n_docs * 1000) // df) AS score_x1000,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tf * ((n_docs * 1000) // df) DESC, tok ASC) AS INTEGER) AS rank
+FROM tf JOIN df_tbl USING (tok) CROSS JOIN n
+QUALIFY rank <= {k}
+"""
