@@ -1129,6 +1129,16 @@ def dedup_components(spark, sf_dir):
     return components_ops.duplicate_components(docs)
 
 
+@register(
+    "dedup_components_minhash", components_ops.minhash_components_sql()
+)
+def dedup_components_minhash(spark, sf_dir):
+    """Clusters over the MinHash+LSH candidate graph — the scale path
+    (edge generation ~linear via banding, vs the blocked Jaccard join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return components_ops.minhash_duplicate_components(docs)
+
+
 @register("corpus_curation", curation_ops.CURATION_STATS_SQL)
 def corpus_curation(spark, sf_dir):
     """Flagship end-to-end pipeline: quality gate → dedup clusters →

@@ -174,3 +174,42 @@ reach AS (
 )
 SELECT src AS doc_id, min(dst) AS component_id FROM reach GROUP BY src
 """
+
+
+def minhash_duplicate_components(docs: DataFrame) -> DataFrame:
+    """Clusters over the MinHash+LSH candidate graph — the 100 TB dedup
+    path (banding keeps edge generation ~linear in corpus size, vs the
+    length-blocked Jaccard join). Same star-contraction core."""
+    from khronus_spark.operators.dedup import minhash_md5_pairs
+
+    pairs = minhash_md5_pairs(docs).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    return connected_components(pairs).select(
+        F.col("node_id").alias("doc_id"), "component_id"
+    )
+
+
+def minhash_components_sql() -> str:
+    """Oracle: the minhash pair CTE chain + recursive closure."""
+    from khronus_spark.operators.dedup import minhash_md5_pairs_sql
+
+    base = minhash_md5_pairs_sql().strip()
+    assert base.startswith("WITH ")
+    head, final = base.split("SELECT a.doc_id AS doc_a", 1)
+    ctes = head[len("WITH"):].strip().rstrip(",")
+    return f"""
+WITH RECURSIVE {ctes},
+mh AS (SELECT a.doc_id AS doc_a{final}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM mh
+  UNION ALL
+  SELECT doc_b, doc_a FROM mh
+),
+reach AS (
+  SELECT DISTINCT src, src AS dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, min(dst) AS component_id FROM reach GROUP BY src
+"""
