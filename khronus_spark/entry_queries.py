@@ -895,6 +895,41 @@ def events_sliding_counts_10m_5m(spark, sf_dir):
 
 
 @register(
+    "events_value_deciles",
+    """
+WITH d AS (
+  SELECT event_type, value,
+         ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS decile
+  FROM events
+)
+SELECT event_type, decile, count(*) AS n,
+       CAST(min(value) AS DOUBLE) AS lo,
+       CAST(max(value) AS DOUBLE) AS hi
+FROM d
+GROUP BY event_type, decile
+""",
+)
+def events_value_deciles(spark, sf_dir):
+    """Per-type value deciles via ntile(10) (deterministic: event_id
+    tie-break) + per-decile count/min/max — the ranked-window surface
+    (ntile shares its definition across engines: equal buckets,
+    remainder to the leading buckets)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    return (
+        ev.select("event_type", "value", F.ntile(10).over(w).alias("decile"))
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").cast("double").alias("lo"),
+            F.max("value").cast("double").alias("hi"),
+        )
+    )
+
+
+@register(
     "user_segments_setops",
     """
 WITH hs AS (SELECT user_id FROM events WHERE event_type = 'purchase'

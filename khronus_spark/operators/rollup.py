@@ -121,3 +121,49 @@ def apply_retention(
     rewrite; on a Delta-style sink it would be a partition drop."""
     df = read_summaries(spark, base_path, family, window_ms)
     return df.where(F.col("ts") >= F.lit(cutoff_ms))
+
+
+def compact_summaries(
+    spark: SparkSession,
+    base_path: str,
+    family: str,
+    window_ms: int,
+    target_bytes_per_file: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction for one summary partition — the
+    operational counterpart of micro-batch ingestion: every 30s trigger
+    appends a few files, and after a day a resolution directory holds
+    thousands of KB-sized files whose open/footer cost dominates scans.
+
+    Rewrites the directory to ceil(bytes / target_bytes_per_file) files
+    using repartitionByRange(metric, ts) + sortWithinPartitions — range
+    partitioning gives GLOBAL (metric, ts) order across files, so every
+    file covers a disjoint key span and parquet min/max skipping stays
+    maximally selective (tighter than the write path's hash-by-metric,
+    which interleaves ts ranges across files).
+
+    The swap is delete-then-rename via the Hadoop FileSystem API —
+    effectively atomic on HDFS renames, NOT transactional on object
+    stores; a production deployment on S3/GCS would compact through a
+    table format with commits (Delta/Iceberg — not in this container).
+    Returns the number of files written.
+    """
+    path = f"{base_path}/{family}_summary/{format_duration(window_ms)}"
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total_bytes = fs.getContentSummary(hpath).getLength()
+    n_files = max(1, -(-int(total_bytes) // target_bytes_per_file))
+
+    df = spark.read.parquet(path)
+    tmp = f"{path}._compacting"
+    (
+        df.repartitionByRange(n_files, "metric", "ts")
+        .sortWithinPartitions("metric", "ts")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    fs.delete(hpath, True)
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hpath):
+        raise RuntimeError(f"compaction rename failed for {path}")
+    return n_files
