@@ -895,6 +895,96 @@ def events_sliding_counts_10m_5m(spark, sf_dir):
 
 
 @register(
+    "user_funnel_vcp",
+    """
+WITH firsts AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT count(*) AS n_users,
+       count(t_view) AS n_view,
+       count(CASE WHEN t_view < t_click THEN 1 END) AS n_view_click,
+       count(CASE WHEN t_view < t_click AND t_click < t_purchase THEN 1 END) AS n_full_funnel
+FROM firsts
+""",
+)
+def user_funnel_vcp(spark, sf_dir):
+    """view → click → purchase conversion funnel on first-touch
+    ordering: one conditional-min aggregation per user (single shuffle,
+    map-side combinable) + a scalar fold — no joins, no window sorts."""
+    ev = load_table(spark, sf_dir, "events")
+    t = lambda et: F.min(F.when(F.col("event_type") == et, F.col("ts")))
+    firsts = ev.groupBy("user_id").agg(
+        t("view").alias("t_view"),
+        t("click").alias("t_click"),
+        t("purchase").alias("t_purchase"),
+    )
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("n_view"),
+        F.count(F.when(F.col("t_view") < F.col("t_click"), 1)).alias(
+            "n_view_click"
+        ),
+        F.count(
+            F.when(
+                (F.col("t_view") < F.col("t_click"))
+                & (F.col("t_click") < F.col("t_purchase")),
+                1,
+            )
+        ).alias("n_full_funnel"),
+    )
+
+
+@register(
+    "user_weekly_retention",
+    """
+WITH uw AS (
+  SELECT DISTINCT user_id, (epoch_us(ts) // 1000) // 604800000 AS week
+  FROM events WHERE event_type = 'purchase'
+),
+wk AS (SELECT week, count(*) AS active_users FROM uw GROUP BY week)
+SELECT a.week AS week, wk.active_users, count(b.user_id) AS retained_next_week
+FROM uw a
+JOIN wk ON wk.week = a.week
+LEFT JOIN uw b ON a.user_id = b.user_id AND b.week = a.week + 1
+GROUP BY a.week, wk.active_users
+""",
+)
+def user_weekly_retention(spark, sf_dir):
+    """Weekly purchaser retention cohorts: distinct (user, week) set,
+    self-joined against the following week. The (user, week) set is
+    tiny relative to the event log (one shuffle to build), so the
+    self-join is cheap; epoch-week arithmetic is integral on both
+    engines."""
+    ev = load_table(spark, sf_dir, "events")
+    uw = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.expr("ts div 1000000 div 604800000").alias("week"),
+        )
+        .distinct()
+    )
+    wk = uw.groupBy("week").agg(F.count(F.lit(1)).alias("active_users"))
+    a = uw.alias("a")
+    b = uw.alias("b")
+    return (
+        a.join(wk, "week")
+        .join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.week") == F.col("a.week") + 1),
+            "left",
+        )
+        .groupBy(F.col("a.week").alias("week"), "active_users")
+        .agg(F.count(F.col("b.user_id")).alias("retained_next_week"))
+    )
+
+
+@register(
     "events_value_deciles",
     """
 WITH d AS (
