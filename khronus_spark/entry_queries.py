@@ -1341,6 +1341,23 @@ def approx_distinct_users_hll(spark, sf_dir):
 
 
 @register(
+    "approx_distinct_users_hll_daily",
+    sketches_ops.windowed_hll_sql("events", 86_400_000, "user_id"),
+)
+def approx_distinct_users_hll_daily(spark, sf_dir):
+    """Daily approx-distinct users via the register-column HLL — the
+    SAME single-aggregation plan runs as a watermarked stream
+    (tests/test_streaming.py::test_streaming_windowed_hll_matches_batch);
+    this batch entry oracle-checks the estimates themselves."""
+    from khronus_spark.operators.sliding import sliding_event_frame
+
+    ev = load_table(spark, sf_dir, "events")
+    return sketches_ops.windowed_hll_distinct(
+        sliding_event_frame(ev), "1 day", "user_id"
+    )
+
+
+@register(
     "events_distinct_users_salted",
     skew_ops.salted_distinct_sql("events", "event_type", "user_id"),
 )

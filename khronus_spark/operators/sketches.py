@@ -105,3 +105,95 @@ SELECT grp AS {group_col},
        CAST({EST_NUM} AS BIGINT) * {ALPHA_NUM} // (D * {ALPHA_DEN}) AS est_distinct
 FROM folded
 """
+
+
+def _hash_cols(key_expr: str):
+    h = f"CAST(conv(substring(md5(CAST(({key_expr}) AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+    return F.expr(f"{h} div {W_MOD}").alias("bucket"), F.expr(
+        f"CASE WHEN {h} % {W_MOD} = 0 THEN 55 "
+        f"ELSE 55 - length(bin({h} % {W_MOD})) END"
+    ).alias("rho")
+
+
+def hll_register_aggs():
+    """64 conditional-max register columns — collapses the sketch to a
+    SINGLE aggregation (the tall form needs groupBy(grp, bucket) then
+    groupBy(grp), which Structured Streaming's append mode forbids).
+    Null register (bucket never hit) = empty."""
+    return [
+        F.max(F.when(F.col("bucket") == i, F.col("rho"))).alias(f"r{i}")
+        for i in range(M)
+    ]
+
+
+def hll_estimate_expr():
+    """Column expr: registers r0..r63 → the spec's integer estimate."""
+    # coalesce INSIDE least: Spark's least() ignores NULLs, so a NULL
+    # (never-hit) register must become 0 before the cap — r=0 then
+    # contributes the spec's 2^32 empty-register term.
+    terms = " + ".join(
+        f"shiftleft(CAST(1 AS BIGINT), {RHO_CAP} - least(coalesce(r{i}, 0), {RHO_CAP}))"
+        for i in range(M)
+    )
+    return F.expr(
+        f"CAST({EST_NUM} AS BIGINT) * {ALPHA_NUM} div (({terms}) * {ALPHA_DEN})"
+    )
+
+
+def hll_distinct_wide(df: DataFrame, group_col: str, key_expr: str) -> DataFrame:
+    """Single-aggregation form of ``hll_distinct`` — identical estimate
+    (same registers, same fold), streaming-safe. Used by the windowed
+    streaming distinct-count path (tests/test_streaming.py)."""
+    bucket, rho = _hash_cols(key_expr)
+    hashed = df.select(F.col(group_col).alias("grp"), bucket, rho)
+    regs = hashed.groupBy("grp").agg(*hll_register_aggs())
+    return regs.select(
+        F.col("grp").alias(group_col), hll_estimate_expr().alias("est_distinct")
+    )
+
+
+def windowed_hll_distinct(
+    frame: DataFrame, window_duration: str, key_expr: str
+) -> DataFrame:
+    """Approx distinct keys per event-time window — ONE aggregation
+    (register columns) + a stateless projection, so the identical plan
+    runs in Structured Streaming append mode (exact windowed distinct is
+    unbounded-state and forbidden there). `frame` needs an `event_ts`
+    timestamp column (watermarked by the streaming caller)."""
+    bucket, rho = _hash_cols(key_expr)
+    hashed = frame.select("event_ts", bucket, rho)
+    regs = hashed.groupBy(
+        F.window(F.col("event_ts"), window_duration).alias("w")
+    ).agg(*hll_register_aggs())
+    return regs.select(
+        F.unix_millis(F.col("w.start")).alias("win_start_ms"),
+        hll_estimate_expr().alias("est_distinct"),
+    )
+
+
+def windowed_hll_sql(table: str, window_ms: int, key_expr: str) -> str:
+    """DuckDB oracle for ``windowed_hll_distinct`` over epoch-aligned
+    tumbling windows (same integer spec, grouped by window start)."""
+    h = f"(('0x' || substr(md5(CAST(({key_expr}) AS VARCHAR)), 1, 15))::UBIGINT)::BIGINT"
+    return f"""
+WITH hashed AS (
+  SELECT (epoch_us(ts) // 1000) // {window_ms} * {window_ms} AS win_start_ms,
+         {h} // {W_MOD} AS bucket,
+         {h} % {W_MOD} AS w
+  FROM {table}
+),
+regs AS (
+  SELECT win_start_ms, bucket,
+         least(max(CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END), {RHO_CAP}) AS r
+  FROM hashed GROUP BY win_start_ms, bucket
+),
+folded AS (
+  SELECT win_start_ms,
+         sum(CAST(1 AS BIGINT) << ({RHO_CAP} - r))
+           + ({M} - count(*)) * CAST({1 << RHO_CAP} AS BIGINT) AS D
+  FROM regs GROUP BY win_start_ms
+)
+SELECT win_start_ms,
+       CAST({EST_NUM} AS BIGINT) * {ALPHA_NUM} // (D * {ALPHA_DEN}) AS est_distinct
+FROM folded
+"""

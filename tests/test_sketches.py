@@ -53,3 +53,16 @@ def test_hll_partition_invariant_and_pinned(spark, oracle_sf_dir):
     )
     assert a == b
     assert all(est == 135 for _, est in a)  # spec pin at sf0.01 (exact: 150)
+
+
+def test_hll_wide_equals_tall(spark, oracle_sf_dir):
+    """The single-aggregation (streaming-safe) register-column form must
+    produce the identical estimate to the two-level tall form."""
+    from khronus_spark.operators.sketches import hll_distinct_wide
+
+    ev = spark.read.parquet(f"{oracle_sf_dir}/events.parquet")
+    tall = sorted(tuple(r) for r in hll_distinct(ev, "event_type", "user_id").collect())
+    wide = sorted(
+        tuple(r) for r in hll_distinct_wide(ev, "event_type", "user_id").collect()
+    )
+    assert tall == wide

@@ -170,3 +170,47 @@ def test_streaming_sliding_counts_match_batch(spark, sf_dir):
     max_start = max(expected)
     for k in set(expected) - set(got):
         assert k >= max_start - 600_000, f"non-trailing window missing: {k}"
+
+
+def test_streaming_windowed_hll_matches_batch(spark, sf_dir):
+    """Windowed approx-distinct via the register-column HLL: the same
+    single-aggregation plan runs as a watermarked stream and must equal
+    the batch estimates for every closed window — the streaming answer
+    to exact distinct being unbounded-state."""
+    import tempfile
+
+    from khronus_spark.operators.sketches import windowed_hll_distinct
+    from khronus_spark.operators.sliding import sliding_event_frame
+    from khronus_spark.sources.tables import load_table
+
+    tmp = tempfile.mkdtemp(prefix="khronus_hllstream_")
+    frame = sliding_event_frame(load_table(spark, sf_dir, "events"))
+    frame.write.mode("overwrite").parquet(f"{tmp}/in")
+
+    stream = spark.readStream.schema(frame.schema).parquet(f"{tmp}/in")
+    q = (
+        windowed_hll_distinct(
+            stream.withWatermark("event_ts", "30 seconds"), "1 day", "user_id"
+        )
+        .writeStream.format("parquet")
+        .option("path", f"{tmp}/out")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["win_start_ms"]: r["est_distinct"]
+        for r in spark.read.parquet(f"{tmp}/out").collect()
+    }
+    expected = {
+        r["win_start_ms"]: r["est_distinct"]
+        for r in windowed_hll_distinct(frame, "1 day", "user_id").collect()
+    }
+    assert got, "stream produced no windows"
+    for k, v in got.items():
+        assert expected[k] == v, f"window {k}: stream {v} != batch {expected[k]}"
+    max_start = max(expected)
+    for k in set(expected) - set(got):
+        assert k >= max_start - 86_400_000, f"non-trailing window missing: {k}"
