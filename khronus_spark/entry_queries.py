@@ -1327,6 +1327,15 @@ def corpus_curation(spark, sf_dir):
     return curation_ops.curation_stats(docs)
 
 
+@register("training_batch_assembly", curation_ops.TRAINING_BATCH_SQL)
+def training_batch_assembly(spark, sf_dir):
+    """Curated corpus ⋈ embeddings → per-example training features
+    (the curation-to-training handoff; see curation.py::training_batch)."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return curation_ops.training_batch(docs, emb)
+
+
 @register(
     "approx_distinct_users_hll",
     sketches_ops.hll_distinct_sql("events", "event_type", "user_id"),

@@ -95,14 +95,17 @@ def _components_cte() -> str:
 
 _SAMPLE_THRESHOLD = (1 << 32) * SAMPLE_PCT // 100
 
-CURATION_STATS_SQL = rf"""
+#: shared WITH-chain ending in the `kept` CTE (the curated doc set) —
+#: reused by the per-language stats oracle and the training-batch
+#: assembly oracle.
+CURATION_KEPT_PREFIX = rf"""
 WITH RECURSIVE {_components_cte()},
 comp AS (
   SELECT src AS doc_id, min(dst) AS component_id FROM reach GROUP BY src
 ),
 q AS ({QUALITY_SCORE_SQL}),
 kept AS (
-  SELECT d.lang, d.source, q.n_tokens, q.quality_bp
+  SELECT d.doc_id, d.lang, d.source, q.n_tokens, q.quality_bp
   FROM documents d
   JOIN q USING (doc_id)
   LEFT JOIN comp USING (doc_id)
@@ -110,7 +113,11 @@ kept AS (
     AND q.n_tokens >= {MIN_TOKENS}
     AND (comp.component_id IS NULL OR comp.component_id = d.doc_id)
     AND CAST(('0x' || substr(md5(d.text), 1, 8))::UINTEGER AS BIGINT) < {_SAMPLE_THRESHOLD}
-)
+)"""
+
+CURATION_STATS_SQL = (
+    CURATION_KEPT_PREFIX
+    + """
 SELECT lang,
        count(*) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
@@ -119,6 +126,40 @@ SELECT lang,
 FROM kept
 GROUP BY lang
 """
+)
+
+TRAINING_BATCH_SQL = (
+    CURATION_KEPT_PREFIX
+    + """
+SELECT k.doc_id, k.lang, k.quality_bp,
+       len(e.embedding) AS n_dims,
+       round(list_sum(list_transform(range(1, 65),
+             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))), 6) AS norm2_r6
+FROM kept k JOIN embeddings e ON e.vec_id = k.doc_id
+"""
+)
+
+
+def training_batch(docs: DataFrame, embeddings: DataFrame) -> DataFrame:
+    """Training-batch assembly: the curated corpus joined to its
+    embedding vectors with per-example features attached — the handoff
+    point from data curation to model training. The join keys both
+    sides by doc id (at 100 TB: two co-partitionable scans — bucket
+    both tables by id at write time and this is exchange-free, see
+    tests/test_bucketed_join.py)."""
+    kept = curated_docs(docs).select("doc_id", "lang", "quality_bp")
+    emb = embeddings.select(F.col("vec_id").alias("doc_id"), "embedding")
+    norm2 = F.expr(
+        "aggregate(embedding, CAST(0.0 AS DOUBLE), "
+        "(a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+    )
+    return kept.join(emb, "doc_id").select(
+        "doc_id",
+        "lang",
+        "quality_bp",
+        F.size("embedding").alias("n_dims"),
+        F.round(norm2, 6).alias("norm2_r6"),
+    )
 
 
 def reservoir_sample_per_lang(docs: DataFrame, k: int = 10) -> DataFrame:
