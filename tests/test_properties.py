@@ -93,3 +93,53 @@ def test_encode_decode_roundtrip(pairs):
     # codec contract: values sorted ascending, distinct
     uniq = sorted({v: c for v, c in pairs}.items())
     assert decode_hist(encode_hist(uniq)) == uniq
+
+
+# ---- parser round-trip (generated queries) --------------------------------
+
+from khronus_spark.parser.parser import InfluxQueryParser  # noqa: E402
+
+_FNS = ["count", "min", "max", "mean", "cpm", "p50", "p95", "p999"]
+_IDENT = st.from_regex(r"[a-zA-Z][a-zA-Z0-9_]{0,20}", fullmatch=True).filter(
+    lambda s: s.lower() not in {"select", "from", "where", "group", "by", "time", "as", "fill", "scale", "limit", "order", "desc", "asc", "and", "now"}
+)
+
+
+@given(
+    fn=st.sampled_from(_FNS),
+    metric=_IDENT,
+    t_sec=st.integers(min_value=1, max_value=10**9),
+    w_min=st.integers(min_value=1, max_value=600),
+    fill=st.one_of(st.none(), st.integers(min_value=0, max_value=1000)),
+    scale=st.one_of(st.none(), st.integers(min_value=1, max_value=100)),
+    limit=st.one_of(st.none(), st.integers(min_value=1, max_value=700)),
+    desc=st.booleans(),
+)
+@settings(max_examples=300)
+def test_parser_roundtrip_generated_queries(
+    fn, metric, t_sec, w_min, fill, scale, limit, desc
+):
+    """Every structurally valid query built from the grammar must parse
+    back to exactly the components it was built from."""
+    q = f'select {fn} from "{metric}" where time > {t_sec}s group by time({w_min}m)'
+    if fill is not None:
+        q += f" fill({fill})"
+    if scale is not None:
+        q += f" scale({scale})"
+    if limit is not None:
+        q += f" limit {limit}"
+    if desc:
+        q += " order desc"
+    parsed = InfluxQueryParser(now_ms=0).parse(q)
+
+    assert len(parsed.projections) == 1
+    proj = parsed.projections[0]
+    assert proj.name == fn and proj.alias is None
+    assert parsed.tables[0].name == metric
+    tf = [f for f in parsed.filters if hasattr(f, "value_ms")]
+    assert tf[0].operator == ">" and tf[0].value_ms == t_sec * 1000
+    assert parsed.group_by.duration_ms == w_min * 60_000
+    assert parsed.fill == (float(fill) if fill is not None else None)
+    assert parsed.scale == (float(scale) if scale is not None else None)
+    assert parsed.limit == limit
+    assert parsed.order_asc == (not desc)
