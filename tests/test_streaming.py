@@ -214,3 +214,62 @@ def test_streaming_windowed_hll_matches_batch(spark, sf_dir):
     max_start = max(expected)
     for k in set(expected) - set(got):
         assert k >= max_start - 86_400_000, f"non-trailing window missing: {k}"
+
+
+def test_streaming_sessions_match_batch(spark, sf_dir):
+    """session_window in a watermarked stream: merged event-time
+    sessions emitted on close must equal the batch sessionization for
+    every session the final watermark has passed (T3 extension — the
+    reference has no session windows at all)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from khronus_spark.sources.tables import load_table
+
+    def sessionize(df):
+        sess = df.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.unix_micros(F.min("ts")).alias("_first_us"),
+        )
+        return sess.select(
+            "user_id",
+            F.expr("_first_us div 1000").alias("session_start_ms"),
+            "n_events",
+        )
+
+    tmp = tempfile.mkdtemp(prefix="khronus_sess_stream_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.timestamp_micros(F.expr("ts div 1000")).alias("ts")
+    )
+    ev.write.mode("overwrite").parquet(f"{tmp}/in")
+
+    stream = spark.readStream.schema(ev.schema).parquet(f"{tmp}/in")
+    q = (
+        sessionize(stream.withWatermark("ts", "30 seconds"))
+        .writeStream.format("parquet")
+        .option("path", f"{tmp}/out")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["user_id"], r["session_start_ms"]): r["n_events"]
+        for r in spark.read.parquet(f"{tmp}/out").collect()
+    }
+    expected = {
+        (r["user_id"], r["session_start_ms"]): r["n_events"]
+        for r in sessionize(ev).collect()
+    }
+    assert got, "stream produced no sessions"
+    for k, v in got.items():
+        assert expected[k] == v, f"session {k}: stream {v} != batch {expected[k]}"
+    # sessions still open at the final watermark may be withheld:
+    # anything missing must end within gap+watermark of the max event
+    max_ms = max(s for _, s in expected)
+    for user, start in set(expected) - set(got):
+        assert start >= max_ms - 2 * 1_800_000, f"non-trailing session missing: {(user, start)}"
