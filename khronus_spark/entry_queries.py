@@ -33,6 +33,7 @@ from khronus_spark.functions.summary import (
     histogram_summary,
     histogram_summary_sql,
 )
+from khronus_spark.operators import clustering as clustering_ops
 from khronus_spark.operators import components as components_ops
 from khronus_spark.operators import curation as curation_ops
 from khronus_spark.operators import dedup as dedup_ops
@@ -1325,6 +1326,17 @@ def corpus_curation(spark, sf_dir):
     canonical keep → deterministic sample → per-language accounting."""
     docs = load_table(spark, sf_dir, "documents")
     return curation_ops.curation_stats(docs)
+
+
+@register("kmeans_embeddings", clustering_ops.kmeans_sql())
+def kmeans_embeddings(spark, sf_dir):
+    """Bit-exact integer-quantized k-means over the embedding table
+    (operators/clustering.py): 2 Lloyd updates from deterministic seeds,
+    assignment under the final centroids — the oracle unrolls the
+    iterations into a CTE chain, so an ITERATIVE ML primitive sits
+    under the same value-hash gate as the SQL operators."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return clustering_ops.kmeans_assignments(emb)
 
 
 @register("training_batch_assembly", curation_ops.TRAINING_BATCH_SQL)

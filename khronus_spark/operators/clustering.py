@@ -1,0 +1,124 @@
+"""Bit-exact cross-engine k-means over embedding vectors.
+
+Float k-means can never hash-match across engines (mean computation is
+float summation, whose result depends on reduction order). This module
+instead specifies Lloyd's algorithm on an INTEGER-QUANTIZED domain, so
+every iteration — distances, argmin assignment, centroid update — is
+exact integer arithmetic that Spark and DuckDB reproduce bit-for-bit:
+
+- quantize: e_i = floor((x_i + 1.0) · 10⁶) — the +1 shift makes all
+  quantized values positive, so integer mean (`sum div count`) never
+  hits the negative-division corner, and `floor` (not CAST) avoids the
+  engines' different double→int rounding (Spark truncates, DuckDB
+  rounds half-even);
+- init: centroids = the embeddings of vec_id 0..k-1 (deterministic);
+- assign: argmin of Σ(e_i − c_i)² (≤ 64·(2·10⁶)² ≈ 2.6e14, inside
+  int64), ties to the smaller centroid id;
+- update: per-dimension integer mean — floor division, identical
+  truncation on both engines for positive sums;
+- output: assignment under the final centroids.
+
+The oracle unrolls the fixed iteration count into a CTE chain (assign →
+per-dim mean → rebuild centroid arrays, repeated), so the whole
+clustering is value-checked end-to-end — an iterative ML primitive
+under the same correctness gate as the SQL operators.
+
+Scale shape (the standard distributed Lloyd's): centroids are k×64
+longs → BROADCAST to the assignment pass (map-only over the corpus);
+the update is one map-side-combinable shuffle keyed (cluster, dim)
+emitting k·64 rows; per-iteration lineage is truncated with an eager
+localCheckpoint (components.py has the full rationale). Iteration
+count is a fixed hyperparameter, not data-dependent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+K = 4
+ITERS = 2
+DIMS = 64
+
+_QUANT = "transform(embedding, x -> floor((CAST(x AS DOUBLE) + 1.0D) * 1000000.0D))"
+_DIST = (
+    "aggregate(zip_with(e, c, (a, b) -> (a - b) * (a - b)), "
+    "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+)
+
+
+def kmeans_assignments(
+    embeddings: DataFrame, k: int = K, iters: int = ITERS
+) -> DataFrame:
+    """(vec_id, cluster, dist_q) after `iters` Lloyd updates."""
+    q = embeddings.select("vec_id", F.expr(_QUANT).alias("e"))
+    cents = q.where(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("c")
+    )
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        scored = q.crossJoin(F.broadcast(centroids)).withColumn("d", F.expr(_DIST))
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("d").asc(), F.col("cid").asc()
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    for _ in range(iters):
+        best = assign(cents).select("cid", "e")
+        ex = best.select("cid", F.posexplode("e").alias("dim", "v"))
+        means = ex.groupBy("cid", "dim").agg(
+            F.expr("sum(v) div count(1)").alias("m")
+        )
+        cents = means.groupBy("cid").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, m))), s -> s.m)"
+            ).alias("c")
+        ).localCheckpoint(eager=True)
+
+    return assign(cents).select(
+        "vec_id", F.col("cid").alias("cluster"), F.col("d").alias("dist_q")
+    )
+
+
+def kmeans_sql(k: int = K, iters: int = ITERS) -> str:
+    """The identical algorithm as DuckDB SQL — the fixed iteration count
+    unrolled into an assign/mean/rebuild CTE chain."""
+    quant = (
+        "list_transform(embedding, x -> "
+        "CAST(floor((CAST(x AS DOUBLE) + 1.0) * 1000000.0) AS BIGINT))"
+    )
+    dist = (
+        f"list_sum(list_transform(range(1, {DIMS + 1}), "
+        "i -> (q.e[i] - c.c[i]) * (q.e[i] - c.c[i])))"
+    )
+    parts = [
+        f"WITH q AS (\n  SELECT vec_id, {quant} AS e FROM embeddings\n),",
+        f"c0 AS (SELECT vec_id AS cid, e AS c FROM q WHERE vec_id < {k}),",
+    ]
+    for it in range(iters):
+        parts.append(
+            f"""a{it} AS (
+  SELECT q.vec_id, q.e, c.cid, {dist} AS d
+  FROM q CROSS JOIN c{it} c
+  QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY d ASC, cid ASC) = 1
+),
+m{it} AS (
+  SELECT cid, i, sum(e[i]) // count(*) AS m
+  FROM a{it} CROSS JOIN range(1, {DIMS + 1}) t(i)
+  GROUP BY cid, i
+),
+c{it + 1} AS (SELECT cid, list(m ORDER BY i) AS c FROM m{it} GROUP BY cid),"""
+        )
+    parts.append(
+        f"""final AS (
+  SELECT q.vec_id, c.cid, {dist} AS d
+  FROM q CROSS JOIN c{iters} c
+  QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY d ASC, cid ASC) = 1
+)
+SELECT vec_id, cid AS cluster, CAST(d AS BIGINT) AS dist_q FROM final"""
+    )
+    return "\n".join(parts)

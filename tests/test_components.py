@@ -101,3 +101,20 @@ def test_curation_stages_monotonic(spark, oracle_sf_dir):
     ).count() == 0
     # quality gate actually holds on the output
     assert final.where(F.col("quality_bp") < 5000).count() == 0
+
+
+def test_kmeans_deterministic_and_partition_invariant(spark, oracle_sf_dir):
+    """Integer k-means must be a pure function of the value set."""
+    from khronus_spark.operators.clustering import kmeans_assignments
+
+    emb = spark.read.parquet(f"{oracle_sf_dir}/embeddings.parquet")
+    a = sorted(tuple(r) for r in kmeans_assignments(emb).collect())
+    b = sorted(tuple(r) for r in kmeans_assignments(emb.repartition(7)).collect())
+    assert a == b
+    clusters = {c for _, c, _ in a}
+    assert clusters == {0, 1, 2, 3}  # no cluster collapsed
+    # Lloyd's with k=4 on 500 vectors: no degenerate giant cluster
+    from collections import Counter
+
+    sizes = Counter(c for _, c, _ in a)
+    assert max(sizes.values()) < 500 * 0.8
