@@ -110,3 +110,30 @@ def test_salted_distinct_is_two_phase(spark, oracle_sf_dir):
     assert "_salt" in plan  # partial phase re-keyed on (group, salt)
     assert "xxhash64" in plan.lower()
     assert "CartesianProduct" not in plan
+
+
+def test_funnel_is_pure_aggregation(spark, oracle_sf_dir):
+    plan = _plan(spark, oracle_sf_dir, "user_funnel_vcp")
+    assert "Join" not in plan  # conditional-min agg + scalar fold only
+    assert "partial_min" in plan or "partial_count" in plan
+
+
+def test_tfidf_broadcasts_term_frequencies(spark, oracle_sf_dir):
+    plan = _plan(spark, oracle_sf_dir, "doc_top_terms_tfidf")
+    assert "BroadcastHashJoin" in plan  # (term, df) table broadcast onto tf
+    assert "CartesianProduct" not in plan
+
+
+def test_hll_daily_single_aggregation_no_python(spark, oracle_sf_dir):
+    plan = _plan(spark, oracle_sf_dir, "approx_distinct_users_hll_daily")
+    # register-column form: one partial/final hash-agg pair, all JVM-side
+    assert plan.count("Exchange") == 2  # 1 exchange × 2 mentions (tree+detail)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kmeans_broadcasts_centroids(spark, oracle_sf_dir):
+    plan = _plan(spark, oracle_sf_dir, "kmeans_embeddings")
+    # the deliberate broadcast cross join against k tiny centroids —
+    # never a shuffle-side cartesian
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
