@@ -142,3 +142,76 @@ def dedupe_deliveries(
         .withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(list(id_cols))
     )
+
+
+def upsert_sink(store_path: str):
+    """foreachBatch MERGE emulation over parquet (T5's "Delta MERGE at
+    scale" slot, `SURVEY.md §7.4.4`): upsert each micro-batch's amended
+    (metric, bucket) summaries into a day-partitioned store.
+
+    Per batch: prune the store to the touched day partitions, anti-join
+    out the rows being replaced, union the new versions, and rewrite
+    ONLY those day partitions (dynamic partition overwrite). The merged
+    frame is materialized (localCheckpoint) before the overwrite so the
+    job never reads files it is deleting. On Delta/Iceberg this whole
+    function is `MERGE INTO ... WHEN MATCHED UPDATE`; the shape here
+    keeps the rewrite proportional to touched days, not store size.
+
+    Used with update-mode aggregation, this yields a summary store with
+    NO withheld trailing buckets (append mode holds a bucket back until
+    the watermark passes it) at the cost of rewriting a bucket's day
+    partition each time it is amended.
+    """
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.columns:
+            return
+        spark = batch_df.sparkSession
+        batch = batch_df.withColumn("day", F.expr("ts div 86400000"))
+        days = [r["day"] for r in batch.select("day").distinct().collect()]
+        if not days:
+            return
+        try:
+            existing = spark.read.parquet(store_path).where(F.col("day").isin(days))
+            keep = existing.join(
+                batch.select("metric", "ts").distinct(), ["metric", "ts"], "left_anti"
+            )
+            merged = keep.unionByName(batch)
+        except Exception:  # first batch: store does not exist yet
+            merged = batch
+        out = merged.localCheckpoint(eager=True)
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("day")
+            .parquet(store_path)
+        )
+
+    return merge
+
+
+def run_streaming_rollup_upsert(
+    measurements: DataFrame,
+    store_path: str,
+    checkpoint_path: str,
+    window_ms: int,
+    family: str,
+    watermark: str = "30 seconds",
+    trigger: dict | None = None,
+):
+    """Update-mode rollup → foreachBatch upsert store: every trigger
+    emits the buckets amended by new data and merges them by
+    (metric, ts) — the reference's idempotent set-upsert semantics
+    (`model/TimeWindowChain.scala:42-55`) without append mode's
+    watermark-delayed finalization."""
+    if family == "counter":
+        summaries = streaming_counter_summary(measurements, window_ms, watermark)
+    else:
+        summaries = streaming_histogram_summary(measurements, window_ms, watermark)
+    return (
+        summaries.writeStream.outputMode("update")
+        .foreachBatch(upsert_sink(store_path))
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )

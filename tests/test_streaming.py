@@ -273,3 +273,48 @@ def test_streaming_sessions_match_batch(spark, sf_dir):
     max_ms = max(s for _, s in expected)
     for user, start in set(expected) - set(got):
         assert start >= max_ms - 2 * 1_800_000, f"non-trailing session missing: {(user, start)}"
+
+
+def test_upsert_store_complete_and_idempotent(spark, staged):
+    """foreachBatch MERGE store (T5): update-mode rollup upserts every
+    amended bucket, so the final store equals the batch rollup EXACTLY
+    (no watermark-withheld trailing buckets, unlike append mode); and
+    replaying the entire stream from a fresh checkpoint leaves the
+    store unchanged (idempotent by (metric, ts))."""
+    import tempfile
+
+    from khronus_spark.streaming.ingest import run_streaming_rollup_upsert
+
+    tmp, schema, batch_m = staged
+    out = tempfile.mkdtemp(prefix="khronus_upsert_")
+
+    def run(ckpt):
+        stream = spark.readStream.schema(schema).parquet(f"{tmp}/in")
+        q = run_streaming_rollup_upsert(
+            stream.where(F.col("mtype") == "counter"),
+            store_path=f"{out}/store",
+            checkpoint_path=f"{out}/{ckpt}",
+            window_ms=300_000,
+            family="counter",
+        )
+        q.awaitTermination(120)
+
+    run("ckpt1")
+    got = {
+        (r["metric"], r["ts"]): r["count"]
+        for r in spark.read.parquet(f"{out}/store").collect()
+    }
+    expected = {
+        (r["metric"], r["ts"]): r["count"]
+        for r in counter_summary(
+            batch_m.where(F.col("mtype") == "counter"), 300_000
+        ).collect()
+    }
+    assert got == expected  # complete: trailing buckets included
+
+    run("ckpt2")  # full redelivery, fresh checkpoint
+    again = {
+        (r["metric"], r["ts"]): r["count"]
+        for r in spark.read.parquet(f"{out}/store").collect()
+    }
+    assert again == expected
