@@ -318,3 +318,42 @@ def test_upsert_store_complete_and_idempotent(spark, staged):
         for r in spark.read.parquet(f"{out}/store").collect()
     }
     assert again == expected
+
+
+def test_stream_to_store_to_influx_query(spark, staged):
+    """The full loop: streaming ingestion upserts the summary store,
+    then the InfluxQL engine answers a dashboard query FROM that store
+    with exactly the numbers the batch engine computes from raw."""
+    import tempfile
+
+    from khronus_spark.engine import KhronusEngine
+    from khronus_spark.streaming.ingest import run_streaming_rollup_upsert
+
+    tmp, schema, batch_m = staged
+    out = tempfile.mkdtemp(prefix="khronus_loop_")
+    stream = spark.readStream.schema(schema).parquet(f"{tmp}/in")
+    q = run_streaming_rollup_upsert(
+        stream.where(F.col("mtype") == "counter"),
+        store_path=f"{out}/counter_summary/5m",
+        checkpoint_path=f"{out}/ckpt",
+        window_ms=300_000,
+        family="counter",
+    )
+    q.awaitTermination(120)
+
+    now_ms = 1706659200000
+    influx = 'select count from "click" where time > now()-30d force group by time(5m)'
+    store_eng = KhronusEngine(
+        spark,
+        summary_base_path=out,
+        catalog=[("click", "counter")],
+        now_ms=now_ms,
+    )
+    raw_eng = KhronusEngine(spark, measurements=batch_m, now_ms=now_ms)
+    got = {
+        (r["time"]): r["value"] for r in store_eng.sql(influx)[0].df.collect()
+    }
+    expected = {
+        (r["time"]): r["value"] for r in raw_eng.sql(influx)[0].df.collect()
+    }
+    assert got == expected and got
