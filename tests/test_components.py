@@ -118,3 +118,26 @@ def test_kmeans_deterministic_and_partition_invariant(spark, oracle_sf_dir):
 
     sizes = Counter(c for _, c, _ in a)
     assert max(sizes.values()) < 500 * 0.8
+
+
+def test_empty_input_edge_cases(spark):
+    """New operators must degrade to empty outputs, not crash, on empty
+    inputs (the first thing a malformed upstream filter produces)."""
+    from khronus_spark.operators.curation import curated_docs, curation_stats
+    from khronus_spark.operators.sketches import hll_distinct, hll_distinct_wide
+    from khronus_spark.operators.skew import salted_distinct
+    from khronus_spark.operators.text import repetition, top_terms_tfidf
+
+    empty_docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    empty_events = spark.createDataFrame(
+        [], "event_id long, user_id long, event_type string, value double"
+    )
+    assert curated_docs(empty_docs).count() == 0
+    assert curation_stats(empty_docs).count() == 0
+    assert repetition(empty_docs).count() == 0
+    assert top_terms_tfidf(empty_docs).count() == 0
+    assert hll_distinct(empty_events, "event_type", "user_id").count() == 0
+    assert hll_distinct_wide(empty_events, "event_type", "user_id").count() == 0
+    assert salted_distinct(empty_events, "event_type", "user_id").count() == 0
