@@ -886,6 +886,59 @@ def events_rollup_type_daily(spark, sf_dir):
     )
 
 
+@register(
+    "events_cube_type_daily",
+    """
+SELECT event_type,
+       CAST(ts AS DATE) AS day,
+       GROUPING(event_type, day) AS gid,
+       count(*) AS n_events
+FROM events
+GROUP BY CUBE (event_type, day)
+""",
+)
+def events_cube_type_daily(spark, sf_dir):
+    """GROUP BY CUBE: all four grouping sets (full, per-type, per-day,
+    grand total) in one aggregation pass — completes the grouping-set
+    surface next to ROLLUP."""
+    from khronus_spark.sources.tables import ns_to_date
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", ns_to_date(F.col("ts")).alias("day"))
+        .cube("event_type", "day")
+        .agg(F.grouping_id().alias("gid"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@register(
+    "events_column_profile",
+    """
+SELECT 'user_id' AS col, count(*) - count(user_id) AS n_nulls,
+       count(DISTINCT user_id) AS n_distinct FROM events
+UNION ALL
+SELECT 'event_type', count(*) - count(event_type), count(DISTINCT event_type) FROM events
+UNION ALL
+SELECT 'value', count(*) - count(value), count(DISTINCT value) FROM events
+""",
+)
+def events_column_profile(spark, sf_dir):
+    """Data-profiling health check: per-column null and exact distinct
+    counts (the pre-flight a pipeline runs before trusting an input
+    drop). One aggregation per column over a shared cached scan; at
+    100 TB swap exact distincts for the HLL registers
+    (operators/sketches.py) to keep state bounded."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def prof(col: str) -> DataFrame:
+        return ev.agg(
+            (F.count(F.lit(1)) - F.count(col)).alias("n_nulls"),
+            F.countDistinct(col).alias("n_distinct"),
+        ).select(F.lit(col).alias("col"), "n_nulls", "n_distinct")
+
+    return prof("user_id").union(prof("event_type")).union(prof("value"))
+
+
 #: fixed pivot column set — explicit values keep the Spark plan static
 #: (no pre-pass distinct scan) and the two engines' column sets aligned.
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
