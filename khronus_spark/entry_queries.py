@@ -97,7 +97,7 @@ def _counter_buckets_sql(metric: str, window_ms: int) -> str:
     """All full-bucket counter summaries of one metric (counts are sums of
     measurement values — `model/CounterBucket.scala:5-13`)."""
     return f"""
-SELECT (ts_ms // {window_ms}) * {window_ms} AS ts, sum(value) AS count
+SELECT (ts_ms // {window_ms}) * {window_ms} AS ts, CAST(sum(value) AS BIGINT) AS count
 FROM ({MEASUREMENTS_SQL}) m WHERE metric = '{metric}'
 GROUP BY ts
 """
@@ -108,7 +108,7 @@ def _timer_buckets_sql(metric: str, window_ms: int) -> str:
     return f"""
 SELECT (ts_ms // {window_ms}) * {window_ms} AS ts,
        count(value) AS count, min(value) AS min, max(value) AS max,
-       sum(value) // count(value) AS mean
+       CAST(sum(value) // count(value) AS BIGINT) AS mean
 FROM ({MEASUREMENTS_SQL}) m WHERE metric = '{metric}'
 GROUP BY ts
 """
@@ -160,7 +160,7 @@ def ts_histogram_summary_1h(spark, sf_dir):
     "ts_pregroup_5s",
     f"""
 SELECT metric, mtype, (ts_ms // 5000) * 5000 AS ts,
-       count(value) AS n, sum(value) AS sum
+       count(value) AS n, CAST(sum(value) AS BIGINT) AS sum
 FROM ({MEASUREMENTS_SQL}) m
 GROUP BY metric, mtype, ts
 """,
@@ -856,7 +856,7 @@ def tpch_q10_returned_revenue(spark, sf_dir):
     "events_rollup_type_daily",
     """
 SELECT event_type,
-       CAST(ts AS DATE) AS day,
+       CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
        GROUPING(event_type, day) AS gid,
        count(*) AS n_events,
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
@@ -874,7 +874,13 @@ def events_rollup_type_daily(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events")
     return (
-        ev.select("event_type", ns_to_date(F.col("ts")).alias("day"), "value")
+        ev.select(
+            "event_type",
+            # string day, not DateType: the driver stringifies via pandas,
+            # where a DuckDB NULL DATE is NaT but a Spark null date is None
+            ns_to_date(F.col("ts")).cast("string").alias("day"),
+            "value",
+        )
         .rollup("event_type", "day")
         .agg(
             F.grouping_id().alias("gid"),
@@ -890,7 +896,7 @@ def events_rollup_type_daily(spark, sf_dir):
     "events_cube_type_daily",
     """
 SELECT event_type,
-       CAST(ts AS DATE) AS day,
+       CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
        GROUPING(event_type, day) AS gid,
        count(*) AS n_events
 FROM events
@@ -905,7 +911,9 @@ def events_cube_type_daily(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events")
     return (
-        ev.select("event_type", ns_to_date(F.col("ts")).alias("day"))
+        ev.select(
+            "event_type", ns_to_date(F.col("ts")).cast("string").alias("day")
+        )
         .cube("event_type", "day")
         .agg(F.grouping_id().alias("gid"), F.count(F.lit(1)).alias("n_events"))
     )
@@ -1593,7 +1601,7 @@ SELECT event_type,
        count(*) AS n,
        min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
        max(CAST(props->>'$.k' AS BIGINT)) AS max_k,
-       sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k
+       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k
 FROM events
 GROUP BY event_type
 """,
@@ -1621,7 +1629,7 @@ WITH g AS (
 SELECT user_id,
        count(gap_ms) AS n_gaps,
        max(gap_ms) AS max_gap_ms,
-       sum(gap_ms) AS total_gap_ms
+       CAST(sum(gap_ms) AS BIGINT) AS total_gap_ms
 FROM g
 WHERE gap_ms IS NOT NULL
 GROUP BY user_id
@@ -1650,17 +1658,20 @@ def events_user_gaps(spark, sf_dir):
 @register(
     "events_distinct_users_daily",
     """
-SELECT event_type, CAST(ts AS DATE) AS day, count(DISTINCT user_id) AS n_users
+SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+       count(DISTINCT user_id) AS n_users
 FROM events
 GROUP BY event_type, day
 """,
 )
 def events_distinct_users_daily(spark, sf_dir):
+    # string day on both engines: a DATE survives the driver's pandas
+    # stringify only by its midnight date-only formatting — fragile
     from khronus_spark.sources.tables import ns_to_date
 
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy(
-        "event_type", ns_to_date(F.col("ts")).alias("day")
+        "event_type", ns_to_date(F.col("ts")).cast("string").alias("day")
     ).agg(F.countDistinct("user_id").alias("n_users"))
 
 
@@ -1689,7 +1700,7 @@ def events_top_per_user(spark, sf_dir):
     """
 SELECT p_brand,
        count(*) AS n_parts,
-       sum(CAST(round(p_retailprice * 100, 0) AS BIGINT)) // count(*) AS avg_retail_cents,
+       CAST(sum(CAST(round(p_retailprice * 100, 0) AS BIGINT)) // count(*) AS BIGINT) AS avg_retail_cents,
        max(p_size) AS max_size
 FROM part
 GROUP BY p_brand
@@ -2088,7 +2099,7 @@ def _hdr_summary_sql(window_ms: int, convention: str = "engine") -> str:
 SELECT metric, (ts_ms // {window_ms}) * {window_ms} AS ts,
   {pct},
   min(q) AS min, max(q) AS max, count(q) AS count,
-  sum(q) // count(q) AS mean
+  CAST(sum(q) // count(q) AS BIGINT) AS mean
 FROM (SELECT metric, ts_ms, {q} AS q FROM ({MEASUREMENTS_SQL}) m WHERE mtype = 'timer') s
 GROUP BY metric, ts
 """

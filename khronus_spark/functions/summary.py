@@ -147,7 +147,7 @@ SELECT
   min(value) AS min,
   max(value) AS max,
   count(value) AS count,
-  sum(value) // count(value) AS mean
+  CAST(sum(value) // count(value) AS BIGINT) AS mean
 FROM ({measurements_sql}) m
 {where}
 GROUP BY metric, ts
@@ -156,7 +156,7 @@ GROUP BY metric, ts
 
 def counter_summary_sql(window_ms: int, where: str, measurements_sql: str) -> str:
     return f"""
-SELECT metric, (ts_ms // {window_ms}) * {window_ms} AS ts, sum(value) AS count
+SELECT metric, (ts_ms // {window_ms}) * {window_ms} AS ts, CAST(sum(value) AS BIGINT) AS count
 FROM ({measurements_sql}) m
 {where}
 GROUP BY metric, ts

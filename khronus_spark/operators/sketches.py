@@ -102,7 +102,9 @@ folded AS (
   FROM regs GROUP BY grp
 )
 SELECT grp AS {group_col},
-       CAST({EST_NUM} AS BIGINT) * {ALPHA_NUM} // (D * {ALPHA_DEN}) AS est_distinct
+       -- D comes from sum() (HUGEINT in DuckDB); cast the estimate back to
+       -- BIGINT so the cross-engine value hash sees "123", not "123.0"
+       CAST(CAST({EST_NUM} AS BIGINT) * {ALPHA_NUM} // (D * {ALPHA_DEN}) AS BIGINT) AS est_distinct
 FROM folded
 """
 
@@ -194,6 +196,6 @@ folded AS (
   FROM regs GROUP BY win_start_ms
 )
 SELECT win_start_ms,
-       CAST({EST_NUM} AS BIGINT) * {ALPHA_NUM} // (D * {ALPHA_DEN}) AS est_distinct
+       CAST(CAST({EST_NUM} AS BIGINT) * {ALPHA_NUM} // (D * {ALPHA_DEN}) AS BIGINT) AS est_distinct
 FROM folded
 """

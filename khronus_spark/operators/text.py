@@ -103,7 +103,7 @@ WITH t AS (
 SELECT doc_id,
        len(t) AS n_tokens,
        (len(list_filter(t, x -> x IN ({_sql_list(STOPWORDS)}))) * 10000) // len(t) AS stop_bp,
-       (list_sum(list_transform(t, x -> length(x))) * 100) // len(t) AS mean_tok_len_x100,
+       CAST((list_sum(list_transform(t, x -> length(x))) * 100) // len(t) AS BIGINT) AS mean_tok_len_x100,
        (40 * (least(len(t), 100) * 100)
       + 30 * ((len(list_filter(t, x -> x IN ({_sql_list(STOPWORDS)}))) * 10000) // len(t))
       + 30 * (least(n_chars, 500) * 20)) // 100 AS quality_bp
