@@ -72,12 +72,97 @@ def register(name: str, oracle: str | None):
     return deco
 
 
+#: The driver's correctness gate evaluates the first DRIVER_WINDOW
+#: registry entries in iteration order. Registration order follows the
+#: narrative build-up (timeseries → influx → TPC-H → LLM pipeline), so
+#: without reordering the flagship curation/HDR/HLL/ANN/streaming entries
+#: would all sit past the window and get no driver row. _PRIORITY pins
+#: one representative of every SURVEY §2 family and every LLM-pipeline
+#: operator inside the window; everything else keeps registration order
+#: in the tail (still exercised by tests/test_oracle_parity.py locally).
+DRIVER_WINDOW = 50
+
+_PRIORITY = [
+    # timeseries summaries (F1-F5, A1, A4-A5)
+    "ts_counter_summary_5m",
+    "ts_histogram_summary_1m",
+    "ts_gauge_summary_30s",
+    "ts_histogram_summary_1h",
+    "ts_pregroup_5s",
+    "ts_cpm_5m",
+    # influx query path (P/W/G/J families, S4-S10)
+    "influx_count_click_5m",
+    "influx_auto_resolution_click",
+    "influx_field_plus_literal",
+    "influx_from_materialized_store",
+    "influx_store_percentiles_1h",
+    "influx_percentiles_purchase_1h",
+    "influx_spread_error_1h",
+    "influx_fill_zero_view_10m",
+    "influx_scale_limit_desc_click_1m",
+    "influx_op_two_sources_30m",
+    "influx_star_click_5m",
+    "influx_regex_fanout_5m",
+    "influx_list_series",
+    "influx_relative_now_10m",
+    # catalog / retention (S3, S6)
+    "metric_catalog",
+    "summary_retention_5m",
+    # HDR cascade (A2-A3)
+    "ts_hdr_cascade_1h",
+    "ts_hdr_summary_5m",
+    # stateful streaming (T4; rows-only by design)
+    "streaming_stateful_hist_1h",
+    # dedup / text pipeline
+    "dedup_exact_docs",
+    "doc_fingerprint",
+    "minhash_md5_pairs",
+    "simhash_md5",
+    "token_stats",
+    "quality_score",
+    "lang_id",
+    "doc_repetition",
+    "doc_top_terms_tfidf",
+    # clustering / curation
+    "dedup_components_minhash",
+    "corpus_curation",
+    "kmeans_embeddings",
+    "training_batch_assembly",
+    # sketches / skew / sampling
+    "approx_distinct_users_hll",
+    "events_distinct_users_salted",
+    "reservoir_sample_per_lang",
+    "stratified_sample_by_lang",
+    # ANN / embeddings
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "embedding_near_dup",
+    # sessions / asof
+    "events_sessions_30m",
+    "events_asof_signup",
+    # multimodal
+    "media_features",
+    "media_frame_sample",
+]
+
+
+def _ordered_names() -> list[str]:
+    pri = [n for n in _PRIORITY if n in _registry]
+    tail = [n for n in _registry if n not in set(pri)]
+    return pri + tail
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: fn for name, (fn, _) in _registry.items()}
+    return {name: _registry[name][0] for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_, sql) in _registry.items() if sql is not None}
+    return {
+        name: _registry[name][1]
+        for name in _ordered_names()
+        if _registry[name][1] is not None
+    }
 
 
 def _engine(spark: SparkSession, sf_dir: str) -> KhronusEngine:
@@ -309,6 +394,48 @@ def influx_from_materialized_store(spark, sf_dir):
     )
 
 
+@register(
+    "influx_store_percentiles_1h",
+    None,  # oracle registered below, after _percentile_union_sql is defined
+)
+def influx_store_percentiles_1h(spark, sf_dir):
+    """The 100 TB dashboard read path (S5→S7): the rollup engine writes
+    the 1h histogram summary partition; a storage-backed engine (no raw
+    measurements) answers the percentile query by scanning ONLY that
+    resolution's partition with (metric, ts) pushed to parquet. Result
+    is identical to the on-the-fly path (`influx_percentiles_purchase_1h`)
+    — the reference's precompute-then-read contract
+    (`store/SummaryStore.scala:70-75`, `InfluxQueryResolver.scala:50-65`).
+    """
+    import tempfile
+
+    from khronus_spark.functions.summary import histogram_summary
+    from khronus_spark.operators.rollup import write_summaries
+
+    m = measurements_from_events(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="khronus_store_pct_")
+    write_summaries(
+        {
+            3_600_000: {
+                "histogram": histogram_summary(
+                    m.where(F.col("mtype").isin("timer", "gauge")), 3_600_000
+                )
+            }
+        },
+        tmp,
+    )
+    eng = KhronusEngine(
+        spark,
+        summary_base_path=tmp,
+        catalog=[("purchase", "timer"), ("error", "timer")],
+        now_ms=NOW_MS,
+    )
+    return eng.sql_union(
+        f'select percentiles(50 95 999) from "purchase" '
+        f"where time between {A_MS} and {B_MS} force group by time(1h)"
+    )
+
+
 def _percentile_union_sql(metric: str, names: list[str], window_ms: int) -> str:
     lo, hi = align_ceil(A_MS, window_ms), align_floor(B_MS, window_ms)
     parts = []
@@ -336,6 +463,13 @@ def influx_percentiles_purchase_1h(spark, sf_dir):
         f'select percentiles(50 95 999) from "purchase" '
         f"where time between {A_MS} and {B_MS} force group by time(1h)"
     )
+
+
+# same oracle for the store-backed twin (deferred: helper defined above)
+_registry["influx_store_percentiles_1h"] = (
+    _registry["influx_store_percentiles_1h"][0],
+    _percentile_union_sql("purchase", ["p50", "p95", "p999"], 3_600_000),
+)
 
 
 @register(

@@ -89,3 +89,31 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert df.columns == ["series", "metric", "time", "value"]
+
+
+def test_driver_window_covers_flagships():
+    """The driver's gate checks only the first DRIVER_WINDOW entries of
+    queries(); pin that every operator family has a representative there
+    and that the priority list is exact and fully registered."""
+    from khronus_spark.entry_queries import _PRIORITY, DRIVER_WINDOW
+
+    names = list(QUERIES)
+    assert len(_PRIORITY) == DRIVER_WINDOW
+    assert names[:DRIVER_WINDOW] == _PRIORITY
+    window = set(_PRIORITY)
+    flagships = {
+        # previously hash-failing rollup summaries
+        "ts_counter_summary_5m", "ts_histogram_summary_1m",
+        "ts_gauge_summary_30s", "ts_histogram_summary_1h", "ts_pregroup_5s",
+        # one per LLM-pipeline / flagship family
+        "corpus_curation", "dedup_components_minhash", "kmeans_embeddings",
+        "approx_distinct_users_hll", "ann_cosine_topk", "ann_lsh_topk",
+        "ann_ivf_topk", "embedding_near_dup", "events_sessions_30m",
+        "events_asof_signup", "media_features", "streaming_stateful_hist_1h",
+        "ts_hdr_cascade_1h", "influx_store_percentiles_1h",
+    }
+    assert flagships <= window
+    # every windowed entry except the by-design rows-only one has an oracle
+    assert [n for n in _PRIORITY if n not in ORACLES] == [
+        "streaming_stateful_hist_1h"
+    ]
