@@ -190,16 +190,16 @@ def minhash_duplicate_components(docs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_components_sql() -> str:
-    """Oracle: the minhash pair CTE chain + recursive closure."""
+def minhash_components_ctes() -> str:
+    """CTE chain (toks … reach) for the minhash component closure,
+    reusable inside a larger WITH RECURSIVE (see curation oracles)."""
     from khronus_spark.operators.dedup import minhash_md5_pairs_sql
 
     base = minhash_md5_pairs_sql().strip()
     assert base.startswith("WITH ")
     head, final = base.split("SELECT a.doc_id AS doc_a", 1)
     ctes = head[len("WITH"):].strip().rstrip(",")
-    return f"""
-WITH RECURSIVE {ctes},
+    return f"""{ctes},
 mh AS (SELECT a.doc_id AS doc_a{final}),
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM mh
@@ -210,6 +210,12 @@ reach AS (
   SELECT DISTINCT src, src AS dst FROM edges
   UNION
   SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-)
+)"""
+
+
+def minhash_components_sql() -> str:
+    """Oracle: the minhash pair CTE chain + recursive closure."""
+    return f"""
+WITH RECURSIVE {minhash_components_ctes()}
 SELECT src AS doc_id, min(dst) AS component_id FROM reach GROUP BY src
 """

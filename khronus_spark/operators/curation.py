@@ -7,9 +7,13 @@ as ONE declarative Spark plan:
 
 1. quality gate: ``text.quality_score`` ≥ threshold and a minimum token
    count (map-only column expressions);
-2. dedup: near-dup clusters from ``components.duplicate_components``
-   (large-star/small-star connected components over Jaccard candidate
-   pairs); only the cluster's min doc_id survives;
+2. dedup: near-dup clusters from large-star/small-star connected
+   components over MinHash+LSH banded candidate pairs by default
+   (``components.minhash_duplicate_components`` — edge generation is
+   ~linear in corpus size); the exact length-blocked Jaccard generator
+   stays available as ``edge_gen="jaccard"`` for baselining (its
+   within-block self-join is quadratic in block size — fine for
+   validation, wrong at 100 TB). Only the cluster's min doc_id survives;
 3. sampling: deterministic md5-keyed Bernoulli (reproducible across
    runs and engines; identical texts sample together);
 4. accounting: per-language doc counts, token totals, integer mean
@@ -21,7 +25,7 @@ tiny fraction of the corpus — so the canonical filter is a BROADCAST
 left join (no corpus shuffle); step 4 is one map-side-combinable
 groupBy on a low-cardinality key. Net: the 100 TB table is shuffled
 exactly once (the final tiny aggregation), everything heavy is
-scan+filter.
+scan+filter or the banded LSH equi-join (shuffle ∝ docs × bands).
 
 All ratios/means are integer basis points (cross-engine bit-stable; see
 ``operators/text.py`` docstring).
@@ -35,6 +39,8 @@ from pyspark.sql import functions as F
 from khronus_spark.operators.components import (
     DEDUP_COMPONENTS_SQL,
     duplicate_components,
+    minhash_components_ctes,
+    minhash_duplicate_components,
 )
 from khronus_spark.operators.text import QUALITY_SCORE_SQL, quality_score
 
@@ -52,10 +58,24 @@ def curated_docs(
     min_tokens: int = MIN_TOKENS,
     sample_pct: int = SAMPLE_PCT,
     jaccard_threshold_bp: int = JACCARD_THRESHOLD_BP,
+    edge_gen: str = "minhash",
 ) -> DataFrame:
-    """The surviving documents with their quality metrics attached."""
+    """The surviving documents with their quality metrics attached.
+
+    ``edge_gen`` picks the duplicate-candidate generator: "minhash"
+    (default — banded LSH, the 100 TB path), "jaccard" (exact
+    length-blocked baseline; quadratic within length blocks), or a
+    callable docs → (doc_id, component_id) DataFrame.
+    """
     q = quality_score(docs).select("doc_id", "n_tokens", "quality_bp")
-    comps = duplicate_components(docs, jaccard_threshold_bp)
+    if callable(edge_gen):
+        comps = edge_gen(docs)
+    elif edge_gen == "minhash":
+        comps = minhash_duplicate_components(docs)
+    elif edge_gen == "jaccard":
+        comps = duplicate_components(docs, jaccard_threshold_bp)
+    else:
+        raise ValueError(f"unknown edge_gen {edge_gen!r}")
     sample_threshold = (1 << 32) * sample_pct // 100
     sample_key = F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10).cast("long")
     return (
@@ -95,11 +115,12 @@ def _components_cte() -> str:
 
 _SAMPLE_THRESHOLD = (1 << 32) * SAMPLE_PCT // 100
 
-#: shared WITH-chain ending in the `kept` CTE (the curated doc set) —
-#: reused by the per-language stats oracle and the training-batch
-#: assembly oracle.
-CURATION_KEPT_PREFIX = rf"""
-WITH RECURSIVE {_components_cte()},
+
+def _kept_prefix(comp_ctes: str) -> str:
+    """WITH-chain ending in the `kept` CTE (the curated doc set) over a
+    given component-closure CTE chain (must end in a `reach` CTE)."""
+    return rf"""
+WITH RECURSIVE {comp_ctes},
 comp AS (
   SELECT src AS doc_id, min(dst) AS component_id FROM reach GROUP BY src
 ),
@@ -114,6 +135,12 @@ kept AS (
     AND (comp.component_id IS NULL OR comp.component_id = d.doc_id)
     AND CAST(('0x' || substr(md5(d.text), 1, 8))::UINTEGER AS BIGINT) < {_SAMPLE_THRESHOLD}
 )"""
+
+
+#: default oracle prefix — matches curated_docs(edge_gen="minhash");
+#: the Jaccard twin matches edge_gen="jaccard".
+CURATION_KEPT_PREFIX = _kept_prefix(minhash_components_ctes())
+CURATION_KEPT_PREFIX_JACCARD = _kept_prefix(_components_cte())
 
 CURATION_STATS_SQL = (
     CURATION_KEPT_PREFIX

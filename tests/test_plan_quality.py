@@ -105,6 +105,34 @@ def test_curation_broadcasts_component_map(spark, oracle_sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_curation_default_edge_gen_is_banded_lsh(spark, oracle_sf_dir, monkeypatch):
+    """curated_docs must default to the MinHash-LSH edge generator (the
+    ~linear 100 TB path), not the length-blocked Jaccard self-join
+    (quadratic within common-length blocks). The component loop eagerly
+    checkpoints, so the final plan can't show the edge join — pin the
+    wiring and the generator's own plan shape instead."""
+    import re
+
+    import khronus_spark.operators.curation as cur
+    from khronus_spark.operators.dedup import minhash_md5_pairs
+
+    used = []
+    real = cur.minhash_duplicate_components
+    monkeypatch.setattr(
+        cur,
+        "minhash_duplicate_components",
+        lambda docs: used.append(True) or real(docs),
+    )
+    docs = spark.read.parquet(f"{oracle_sf_dir}/documents.parquet")
+    cur.curated_docs(docs)
+    assert used, "default edge_gen did not route through MinHash-LSH"
+
+    # and the generator itself is the banded equi-join, no length blocking
+    pair_plan = minhash_md5_pairs(docs)._jdf.queryExecution().optimizedPlan().toString()
+    assert "band" in pair_plan and "bucket" in pair_plan
+    assert not re.search(r"n_chars#\d+L? = n_chars#", pair_plan)
+
+
 def test_salted_distinct_is_two_phase(spark, oracle_sf_dir):
     plan = _plan(spark, oracle_sf_dir, "events_distinct_users_salted")
     assert "_salt" in plan  # partial phase re-keyed on (group, salt)
