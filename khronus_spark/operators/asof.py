@@ -73,52 +73,51 @@ def asof_join(
     matching left rows as `{payload_prefix}{col}`. Ties (equal ts) match.
     """
     r_payload = [c for c in right.columns if c not in (by, ts)]
-    l_cols = [c for c in left.columns]
+    l_cols = [c for c in left.columns if c not in (by, ts)]
 
+    # The whole right row travels as ONE struct so every carried payload
+    # field comes from the same matched right row (independent per-column
+    # windows would stitch fields from different rows when payloads hold
+    # NULLs).
     r_tagged = right.select(
         F.col(by),
         F.col(ts),
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"{payload_prefix}{c}") for c in r_payload],
+        F.struct(
+            F.col(ts).alias(f"{payload_prefix}{ts}"),
+            *[F.col(c).alias(f"{payload_prefix}{c}") for c in r_payload],
+        ).alias("_r"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
-          for c in l_cols if c not in (by, ts)],
+          for c in l_cols],
     )
     l_tagged = left.select(
         F.col(by),
         F.col(ts),
         F.lit(1).alias("_side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{payload_prefix}{c}")
-          for c in r_payload],
-        *[F.col(c).alias(f"_l_{c}") for c in l_cols if c not in (by, ts)],
+        F.lit(None).cast(r_tagged.schema["_r"].dataType).alias("_r"),
+        *[F.col(c).alias(f"_l_{c}") for c in l_cols],
     )
     unioned = r_tagged.unionByName(l_tagged)
 
     # right rows (_side=0) sort before left rows at equal ts → "<=" ties
-    # match; the carried ts disambiguates which right row matched
+    # match; the struct itself is the tertiary key so equal-ts right rows
+    # order deterministically (field-wise struct comparison), making the
+    # matched row stable across runs.
     w = (
         Window.partitionBy(by)
-        .orderBy(F.col(ts), F.col("_side"))
+        .orderBy(F.col(ts), F.col("_side"), F.col("_r"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = [
-        F.last(F.when(F.col("_side") == 0, F.col(f"{payload_prefix}{c}")),
-               ignorenulls=True).over(w).alias(f"{payload_prefix}{c}")
-        for c in r_payload
-    ] + [
-        F.last(F.when(F.col("_side") == 0, F.col(ts)),
-               ignorenulls=True).over(w).alias(f"{payload_prefix}{ts}")
-    ]
     out = (
-        unioned.select(F.col(by), F.col(ts), F.col("_side"),
-                       *[F.col(f"_l_{c}") for c in l_cols if c not in (by, ts)],
-                       *carried)
+        unioned.withColumn("_m", F.last(F.col("_r"), ignorenulls=True).over(w))
         .where(F.col("_side") == 1)
-        .where(F.col(f"{payload_prefix}{ts}").isNotNull())
+        .where(F.col("_m").isNotNull())
     )
     return out.select(
         F.col(by),
         F.col(ts),
-        *[F.col(f"_l_{c}").alias(c) for c in l_cols if c not in (by, ts)],
-        *[F.col(f"{payload_prefix}{c}") for c in r_payload],
-        F.col(f"{payload_prefix}{ts}"),
+        *[F.col(f"_l_{c}").alias(c) for c in l_cols],
+        *[F.col("_m")[f"{payload_prefix}{c}"].alias(f"{payload_prefix}{c}")
+          for c in r_payload],
+        F.col("_m")[f"{payload_prefix}{ts}"].alias(f"{payload_prefix}{ts}"),
     )

@@ -171,13 +171,20 @@ def upsert_sink(store_path: str):
         days = [r["day"] for r in batch.select("day").distinct().collect()]
         if not days:
             return
-        try:
+        # Probe store existence explicitly — a transient read error must
+        # fail the batch (checkpoint retries it), NOT be mistaken for
+        # "first batch" and dynamic-overwrite away previously stored days.
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        hpath = jvm.org.apache.hadoop.fs.Path(store_path)
+        fs = hpath.getFileSystem(hconf)
+        if fs.exists(hpath):
             existing = spark.read.parquet(store_path).where(F.col("day").isin(days))
             keep = existing.join(
                 batch.select("metric", "ts").distinct(), ["metric", "ts"], "left_anti"
             )
             merged = keep.unionByName(batch)
-        except Exception:  # first batch: store does not exist yet
+        else:  # first batch: store does not exist yet
             merged = batch
         out = merged.localCheckpoint(eager=True)
         (

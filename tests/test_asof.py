@@ -35,6 +35,22 @@ def test_asof_join_edges(spark):
     assert "l_other_key" not in got
 
 
+def test_asof_join_null_payload_no_chimera(spark):
+    # A right row whose payload holds a NULL must be carried AS-IS — the
+    # NULL field must not be backfilled from an older right row.
+    left = spark.createDataFrame(
+        [(1, 350, "l")], "k long, ts_ms long, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, 100, 10, "old"), (1, 300, None, "new")],
+        "k long, ts_ms long, a long, b string",
+    )
+    [row] = asof_join(left, right, by="k").collect()
+    assert row["r_ts_ms"] == 300
+    assert row["r_b"] == "new"
+    assert row["r_a"] is None  # not 10 from the older row
+
+
 def test_bucketed_range_join_edges(spark):
     points = spark.createDataFrame(
         [
