@@ -1667,10 +1667,13 @@ def ann_cosine_topk(spark, sf_dir):
     return sim_ops.brute_force_topk(emb, probe_ids=list(range(5)), k=3)
 
 
-@register("ann_lsh_buckets", sim_ops.lsh_buckets_sql())
+@register("ann_lsh_buckets", sim_ops.lsh_band_buckets_sql(n_bands=4, planes_per_band=8))
 def ann_lsh_buckets(spark, sf_dir):
+    """Banded sign-random-projection LSH table: (vec_id, band, bucket).
+    4 bands x 8-bit codes here (sized for the 500-row test corpus); at
+    scale crank planes_per_band toward log2(N/bucket_target)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return sim_ops.lsh_bucket_assignments(emb)
+    return sim_ops.lsh_band_assignments(emb, n_bands=4, planes_per_band=8)
 
 
 # ---------------------------------------------------------------------------
@@ -1858,18 +1861,34 @@ def part_brand_stats(spark, sf_dir):
 # 7. embedding near-dup, LSH top-k, regex tokenizer
 # ---------------------------------------------------------------------------
 
-@register("embedding_near_dup", sim_ops.embedding_near_dup_sql(9000))
+@register(
+    "embedding_near_dup",
+    sim_ops.embedding_near_dup_sql(3500, n_bands=4, planes_per_band=8),
+)
 def embedding_near_dup(spark, sf_dir):
+    """Banded-LSH-blocked cosine near-dup pairs. The synthetic corpus
+    plants no true duplicates (max pairwise cosine ~0.51 at sf0.01), so
+    the registered threshold is 0.35 — low enough that the entry returns
+    rows and the oracle comparison has teeth; production corpora use the
+    0.90+ default."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return sim_ops.embedding_near_duplicates(emb, threshold_bp=9000)
+    return sim_ops.embedding_near_duplicates(
+        emb, threshold_bp=3500, n_bands=4, planes_per_band=8
+    )
 
 
-@register("ann_lsh_topk", sim_ops.lsh_topk_sql(list(range(5)), k=3))
+@register(
+    "ann_lsh_topk",
+    sim_ops.lsh_topk_sql(list(range(5)), k=3, n_bands=4, planes_per_band=8),
+)
 def ann_lsh_topk(spark, sf_dir):
-    """Bucketed ANN: exact rerank restricted to the probe's LSH bucket;
-    the oracle recomputes buckets from the shared hyperplane literals."""
+    """Banded ANN: exact rerank over vectors colliding with the probe in
+    any of the 4 LSH bands; the oracle recomputes band buckets from the
+    shared hyperplane literals."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return sim_ops.lsh_topk(emb, probe_ids=list(range(5)), k=3)
+    return sim_ops.lsh_topk(
+        emb, probe_ids=list(range(5)), k=3, n_bands=4, planes_per_band=8
+    )
 
 
 @register(

@@ -4,9 +4,14 @@
   side; the scan over the corpus is embarrassingly parallel; per-probe
   top-k via window row_number (TakeOrdered at scale: k × #probes rows
   survive the shuffle).
-- LSH (sign-random-projection) bucketing: the scale path — a candidate
-  set restricted to one bucket turns O(N) per probe into O(N/2^bits).
-  Hyperplanes are a fixed deterministic constant shared verbatim with
+- LSH (sign-random-projection) bucketing: the scale path — banded like
+  MinHash-LSH: `n_bands` independent hash tables of `planes_per_band`
+  bits each. Candidates must collide in at least one band, so per-band
+  buckets can be fine (2^planes) without losing recall — the OR over
+  bands recovers it (recall = 1-(1-p^planes)^bands for per-plane
+  agreement p). Per-probe scan cost is ~n_bands × N / 2^planes; crank
+  `planes_per_band` with corpus size (planes ≈ log2(N/target bucket)).
+  Hyperplanes are fixed deterministic constants shared verbatim with
   the oracle SQL.
 
 Cosine arithmetic is written identically on both engines (element
@@ -22,16 +27,21 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 DIM = 64
-N_PLANES = 8
+
+#: Scale defaults: 8 tables of 12-bit codes — 4096 buckets per band, so a
+#: 10^9-vector corpus scans ~8 × N/4096 ≈ N/500 per probe with ~92% recall
+#: at cosine 0.95. The registry entries use smaller explicit parameters
+#: sized for the 500-row test corpus (fine buckets there would leave every
+#: bucket a singleton and prove nothing).
+N_BANDS = 8
+PLANES_PER_BAND = 12
 
 
 def _hyperplane(j: int) -> list[float]:
     """Deterministic pseudo-random hyperplane: closed-form constants so
-    Spark and the oracle SQL share exact literals."""
+    Spark and the oracle SQL share exact literals. Bands use disjoint
+    global plane indices (band b, bit j → plane b*planes_per_band+j)."""
     return [round(math.sin(1.0 + 17.0 * j + 0.619 * i), 6) for i in range(DIM)]
-
-
-HYPERPLANES: list[list[float]] = [_hyperplane(j) for j in range(N_PLANES)]
 
 
 def _dot(a, b):
@@ -93,70 +103,125 @@ QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id 
 """
 
 
-def lsh_bucket_assignments(embeddings: DataFrame) -> DataFrame:
-    """(vec_id, bucket) — sign-random-projection LSH: bit j is
-    sign(dot(v, hyperplane_j)); bucket is the 8-bit code."""
-    bucket = None
-    for j, plane in enumerate(HYPERPLANES):
-        plane_col = F.array(*[F.lit(x) for x in plane])
-        bit = (
-            F.when(_dot(F.col("embedding"), plane_col) > 0, F.lit(1))
-            .otherwise(F.lit(0))
-            .cast("long")
+def lsh_band_assignments(
+    embeddings: DataFrame,
+    n_bands: int = N_BANDS,
+    planes_per_band: int = PLANES_PER_BAND,
+) -> DataFrame:
+    """(vec_id, band, bucket) — one row per band: bit j of band b is
+    sign(dot(v, hyperplane_{b*planes_per_band+j})); bucket is the
+    planes_per_band-bit code. All bands compute in one map pass
+    (array of structs + explode — no shuffle)."""
+    band_structs = []
+    for b in range(n_bands):
+        bucket = None
+        for j in range(planes_per_band):
+            plane = _hyperplane(b * planes_per_band + j)
+            plane_col = F.array(*[F.lit(x) for x in plane])
+            bit = (
+                F.when(_dot(F.col("embedding"), plane_col) > 0, F.lit(1))
+                .otherwise(F.lit(0))
+                .cast("long")
+            )
+            term = bit * F.lit(1 << j).cast("long")
+            bucket = term if bucket is None else bucket + term
+        band_structs.append(
+            F.struct(F.lit(b).cast("long").alias("band"), bucket.alias("bucket"))
         )
-        term = bit * F.lit(1 << j).cast("long")
-        bucket = term if bucket is None else bucket + term
-    return embeddings.select("vec_id", bucket.alias("bucket"))
+    return (
+        embeddings.select(
+            "vec_id", F.explode(F.array(*band_structs)).alias("_bb")
+        )
+        .select("vec_id", F.col("_bb.band").alias("band"),
+                F.col("_bb.bucket").alias("bucket"))
+    )
 
 
-def lsh_buckets_sql() -> str:
-    """Oracle SQL with the identical hyperplane literals."""
-    bits = []
-    for j, plane in enumerate(HYPERPLANES):
-        arr = "[" + ", ".join(f"{x!r}" for x in plane) + "]"
-        bits.append(
-            f"(CASE WHEN list_sum(list_transform(range(1, 65), "
-            f"i -> CAST(embedding[i] AS DOUBLE) * ({arr}::DOUBLE[])[i])) > 0 "
-            f"THEN {1 << j} ELSE 0 END)"
+def lsh_band_buckets_sql(
+    n_bands: int = N_BANDS, planes_per_band: int = PLANES_PER_BAND
+) -> str:
+    """Oracle SQL with the identical hyperplane literals: one SELECT per
+    band, UNION ALL."""
+    selects = []
+    for b in range(n_bands):
+        bits = []
+        for j in range(planes_per_band):
+            plane = _hyperplane(b * planes_per_band + j)
+            arr = "[" + ", ".join(f"{x!r}" for x in plane) + "]"
+            bits.append(
+                f"(CASE WHEN list_sum(list_transform(range(1, 65), "
+                f"i -> CAST(embedding[i] AS DOUBLE) * ({arr}::DOUBLE[])[i])) > 0 "
+                f"THEN {1 << j} ELSE 0 END)"
+            )
+        expr = " + ".join(bits)
+        selects.append(
+            f"SELECT vec_id, CAST({b} AS BIGINT) AS band, "
+            f"CAST({expr} AS BIGINT) AS bucket FROM embeddings"
         )
-    expr = " + ".join(bits)
-    return f"SELECT vec_id, CAST({expr} AS BIGINT) AS bucket FROM embeddings"
+    return "\nUNION ALL\n".join(selects)
+
+
+def _lsh_candidate_pairs(
+    embeddings: DataFrame, n_bands: int, planes_per_band: int
+) -> DataFrame:
+    """(vec_a, vec_b) distinct — pairs colliding in ≥1 band. The join
+    carries only (vec_id, band, bucket) rows (no vectors), so shuffle is
+    ~N×bands short rows; vectors are fetched after dedup for the exact
+    rerank."""
+    bb = lsh_band_assignments(embeddings, n_bands, planes_per_band)
+    a = bb.alias("a")
+    b = bb.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
 
 
 def embedding_near_duplicates(
-    embeddings: DataFrame, threshold_bp: int = 9000
+    embeddings: DataFrame,
+    threshold_bp: int = 9000,
+    n_bands: int = N_BANDS,
+    planes_per_band: int = PLANES_PER_BAND,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: (vec_a, vec_b, cosine_bp) with
     vec_a < vec_b and cosine ≥ threshold (basis points, floor — integer
     output is cross-engine bit-stable).
 
-    Blocking: candidates must share an LSH bucket (sign-random
-    projections), so the pair join is per-bucket — linear-ish in corpus
-    size at scale, exact cosine only on candidates."""
-    with_b = embeddings.join(lsh_bucket_assignments(embeddings), "vec_id")
-    a = with_b.alias("a")
-    b = with_b.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    Blocking: candidates must collide in ≥1 of `n_bands` independent LSH
+    band tables (fine 2^planes buckets each) — within-bucket pair cost
+    shrinks with 4^planes while the band OR keeps recall; exact cosine
+    only on the deduped candidates."""
+    cand = _lsh_candidate_pairs(embeddings, n_bands, planes_per_band)
+    ea = embeddings.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("_emb_a")
     )
-    sim = cosine_col(F.col("a.embedding"), F.col("b.embedding"))
+    eb = embeddings.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("_emb_b")
+    )
+    sim = cosine_col(F.col("_emb_a"), F.col("_emb_b"))
     cos_bp = F.floor(sim * 10000).cast("long")
     return (
-        pairs.select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cos_bp.alias("cosine_bp"),
-        )
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", cos_bp.alias("cosine_bp"))
         .where(F.col("cosine_bp") >= threshold_bp)
     )
 
 
-def embedding_near_dup_sql(threshold_bp: int = 9000) -> str:
-    """Oracle: same LSH blocking (identical hyperplane literals) + the
-    same left-to-right double cosine, floored to basis points."""
-    buckets = lsh_buckets_sql()
+def embedding_near_dup_sql(
+    threshold_bp: int = 9000,
+    n_bands: int = N_BANDS,
+    planes_per_band: int = PLANES_PER_BAND,
+) -> str:
+    """Oracle: same banded LSH blocking (identical hyperplane literals) +
+    the same left-to-right double cosine, floored to basis points."""
+    buckets = lsh_band_buckets_sql(n_bands, planes_per_band)
     dot = (
         "list_sum(list_transform(range(1, 65), "
         "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
@@ -167,10 +232,16 @@ def embedding_near_dup_sql(threshold_bp: int = 9000) -> str:
     )
     return f"""
 WITH bk AS ({buckets}),
-emb AS (SELECT e.vec_id, e.embedding, bk.bucket FROM embeddings e JOIN bk USING (vec_id))
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bk a JOIN bk b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT cand.vec_a, cand.vec_b,
        CAST(floor(({dot} / ({norm.format(s='a')} * {norm.format(s='b')})) * 10000) AS BIGINT) AS cosine_bp
-FROM emb a JOIN emb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+FROM cand
+JOIN embeddings a ON a.vec_id = cand.vec_a
+JOIN embeddings b ON b.vec_id = cand.vec_b
 WHERE CAST(floor(({dot} / ({norm.format(s='a')} * {norm.format(s='b')})) * 10000) AS BIGINT) >= {threshold_bp}
 """
 
@@ -290,24 +361,43 @@ def ivf_topk(
 
 
 def lsh_topk(
-    embeddings: DataFrame, probe_ids: list[int], k: int = 3
+    embeddings: DataFrame,
+    probe_ids: list[int],
+    k: int = 3,
+    n_bands: int = N_BANDS,
+    planes_per_band: int = PLANES_PER_BAND,
 ) -> DataFrame:
-    """Scale path: exact rerank restricted to the probe's LSH bucket."""
-    buckets = lsh_bucket_assignments(embeddings)
-    emb_b = embeddings.join(buckets, "vec_id")
-    probes = emb_b.where(F.col("vec_id").isin(probe_ids)).select(
+    """Scale path: exact rerank restricted to vectors colliding with the
+    probe in ≥1 LSH band (multi-band OR = multi-probe recall without
+    coarse buckets). Candidates dedup before the rerank, so each
+    neighbor is scored once regardless of how many bands it shares."""
+    bb = lsh_band_assignments(embeddings, n_bands, planes_per_band)
+    probe_bb = bb.where(F.col("vec_id").isin(probe_ids)).select(
         F.col("vec_id").alias("probe_id"),
-        F.col("embedding").alias("probe_vec"),
-        F.col("bucket").alias("probe_bucket"),
+        F.col("band").alias("_pband"),
+        F.col("bucket").alias("_pbucket"),
     )
-    pairs = emb_b.alias("e").join(
-        F.broadcast(probes),
-        (F.col("e.bucket") == F.col("probe_bucket"))
-        & (F.col("e.vec_id") != F.col("probe_id")),
+    cand = (
+        bb.join(
+            F.broadcast(probe_bb),
+            (F.col("band") == F.col("_pband"))
+            & (F.col("bucket") == F.col("_pbucket"))
+            & (F.col("vec_id") != F.col("probe_id")),
+        )
+        .select("probe_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
     )
-    sim = cosine_col(F.col("probe_vec"), F.col("e.embedding"))
-    scored = pairs.select(
-        F.col("probe_id"), F.col("e.vec_id").alias("neighbor_id"), sim.alias("_sim")
+    probes = embeddings.where(F.col("vec_id").isin(probe_ids)).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    neigh = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_nvec")
+    )
+    sim = cosine_col(F.col("probe_vec"), F.col("_nvec"))
+    scored = (
+        cand.join(neigh, "neighbor_id")
+        .join(F.broadcast(probes), "probe_id")
+        .select("probe_id", "neighbor_id", sim.alias("_sim"))
     )
     w = Window.partitionBy("probe_id").orderBy(
         F.col("_sim").desc(), F.col("neighbor_id").asc()
@@ -344,16 +434,33 @@ QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id 
 """, ids
 
 
-def lsh_topk_sql(probe_ids: list[int], k: int = 3) -> str:
-    """Oracle for lsh_topk: identical hyperplane literals, candidate set
-    restricted to the probe's bucket, same rerank."""
-    tail, ids = _topk_sql(probe_ids, k)
+def lsh_topk_sql(
+    probe_ids: list[int],
+    k: int = 3,
+    n_bands: int = N_BANDS,
+    planes_per_band: int = PLANES_PER_BAND,
+) -> str:
+    """Oracle for lsh_topk: identical hyperplane literals, candidates
+    colliding with the probe in any band (deduped), same rerank."""
+    ids = ", ".join(str(i) for i in probe_ids)
     return f"""
-WITH bk AS ({lsh_buckets_sql()}),
-emb AS (SELECT e.vec_id, e.embedding, bk.bucket AS _blk FROM embeddings e JOIN bk USING (vec_id)),
-probes AS (SELECT vec_id AS probe_id, embedding AS probe_vec, _blk AS _probe_blk
-           FROM emb WHERE vec_id IN ({ids})),
-{tail}
+WITH bk AS ({lsh_band_buckets_sql(n_bands, planes_per_band)}),
+cand AS (
+  SELECT DISTINCT p.vec_id AS probe_id, e.vec_id AS neighbor_id
+  FROM bk p JOIN bk e
+    ON p.band = e.band AND p.bucket = e.bucket AND e.vec_id <> p.vec_id
+  WHERE p.vec_id IN ({ids})
+),
+scored AS (
+  SELECT cand.probe_id, cand.neighbor_id,
+         {_dot_sql('p.embedding', 'e.embedding')}
+         / ({_norm_sql('p.embedding')} * {_norm_sql('e.embedding')}) AS sim
+  FROM cand
+  JOIN embeddings p ON p.vec_id = cand.probe_id
+  JOIN embeddings e ON e.vec_id = cand.neighbor_id
+)
+SELECT probe_id, neighbor_id, round(sim, 4) AS cosine FROM scored
+QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id ASC) <= {k}
 """
 
 

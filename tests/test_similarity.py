@@ -48,3 +48,40 @@ def test_nprobe_improves_or_preserves_recall(emb):
     recall2 = len(exact & ivf2) / len(exact)
     assert recall2 >= recall1
     assert len(ivf2) == len(PROBES) * K
+
+
+def test_lsh_band_tables_partition(emb):
+    bb = sim.lsh_band_assignments(emb, n_bands=4, planes_per_band=8)
+    n = emb.count()
+    assert bb.count() == 4 * n
+    # each vector appears exactly once per band
+    assert bb.groupBy("vec_id").count().where("count != 4").count() == 0
+    assert bb.select("band").distinct().count() == 4
+    # buckets stay inside the 8-bit code space
+    assert bb.where("bucket < 0 or bucket > 255").count() == 0
+
+
+def test_more_bands_improve_or_preserve_lsh_recall(emb):
+    # band b's planes are a prefix-disjoint slice, so the candidate set
+    # over 4 bands is a superset of the 2-band one; any exact top-k
+    # member present among candidates survives the rerank, hence recall
+    # is monotone in n_bands.
+    exact = _result_set(sim.brute_force_topk(emb, PROBES, K))
+    l2 = _result_set(sim.lsh_topk(emb, PROBES, K, n_bands=2, planes_per_band=8))
+    l4 = _result_set(sim.lsh_topk(emb, PROBES, K, n_bands=4, planes_per_band=8))
+    assert len(exact & l4) >= len(exact & l2)
+    # multi-band candidates dedup before the rerank: no repeated pairs
+    df4 = sim.lsh_topk(emb, PROBES, K, n_bands=4, planes_per_band=8)
+    assert df4.count() == df4.select("probe_id", "neighbor_id").distinct().count()
+
+
+def test_near_dup_pairs_verified_exact(emb):
+    # every emitted pair must actually clear the threshold under the
+    # exact cosine (blocking only prunes, never fabricates)
+    got = sim.embedding_near_duplicates(
+        emb, threshold_bp=3500, n_bands=4, planes_per_band=8
+    )
+    rows = got.collect()
+    assert len(rows) > 0  # fixture has teeth at this threshold
+    assert all(r["cosine_bp"] >= 3500 for r in rows)
+    assert all(r["vec_a"] < r["vec_b"] for r in rows)
