@@ -106,8 +106,15 @@ class InfluxQueryParser:
         return self._now_ms if self._now_ms is not None else int(_time.time() * 1000)
 
     def parse(self, query: str) -> ParsedQuery:
-        # Same pre-rewrite hack as the reference (InfluxQueryParser.scala:52).
-        q = query.replace("group by time", "group_by_time")
+        # Same pre-rewrite hack as the reference (InfluxQueryParser.scala:52),
+        # but restricted to text OUTSIDE quoted spans so a metric named
+        # e.g. "group by timers" survives intact (deliberate divergence:
+        # the reference mangles quoted names too).
+        q = re.sub(
+            r"""("[^"]*"|'[^']*')|group by time""",
+            lambda m: m.group(1) if m.group(1) else "group_by_time",
+            query,
+        )
         self.toks = tokenize(q)
         self.i = 0
         try:

@@ -83,7 +83,11 @@ def spread(df: DataFrame, max_partitions: int | None = None) -> DataFrame:
     """
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     target = min(parallelism, max_partitions) if max_partitions else parallelism
-    if df.rdd.getNumPartitions() < target:
+    # JVM-side partition count: planning-only, no job, and no Python RDD
+    # conversion stage (df.rdd would wrap the plan in a pickle-serializer
+    # pipeline just to ask for the count).
+    n_parts = df._jdf.queryExecution().toRdd().getNumPartitions()
+    if n_parts < target:
         return df.repartition(target)
     return df
 

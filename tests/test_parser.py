@@ -246,3 +246,78 @@ def test_bind_failures(query):
 def test_invalid_percentile_names_the_value():
     with pytest.raises(QueryParseError, match="invalid percentile 12"):
         parse('select percentiles(12) from "api.latency" group by time(30s)')
+
+
+# -- regex fan-out ordering (`InfluxQueryParserSpec.scala:329-398`) ---------
+
+FANOUT_CATALOG = [
+    ("counter-1", "counter"),
+    ("counter-2", "counter"),
+    ("timer-1", "timer"),
+    ("timer-2", "timer"),
+]
+
+
+def bind_fanout(q: str):
+    return build_criteria(parse(q), FANOUT_CATALOG)
+
+
+def test_star_over_regex_fanout_source_major_order():
+    # reference: projections expand source-major — (count, cpm) for
+    # counter-1, then counter-2 (`InfluxQueryParserSpec.scala:346-355`)
+    c = bind_fanout('select * from ".*counter.*" group by time(30s)')
+    assert [(f.name, f.table_id) for f in c.projections] == [
+        ("count", "counter-1"), ("cpm", "counter-1"),
+        ("count", "counter-2"), ("cpm", "counter-2"),
+    ]
+    assert [(s.metric, s.alias) for s in c.sources] == [
+        ("counter-1", None), ("counter-2", None),
+    ]
+
+
+def test_many_regex_projection_per_source_in_from_order():
+    # reference: one unqualified field binds once per matched source,
+    # FROM-clause order first (`InfluxQueryParserSpec.scala:357-398`)
+    c = bind_fanout('select count from ".*counter.*", ".*timer.*" group by time(30s)')
+    assert [(f.name, f.table_id) for f in c.projections] == [
+        ("count", "counter-1"), ("count", "counter-2"),
+        ("count", "timer-1"), ("count", "timer-2"),
+    ]
+    assert [s.metric for s in c.sources] == [
+        "counter-1", "counter-2", "timer-1", "timer-2",
+    ]
+
+
+# -- relative now() across comparison operators -----------------------------
+# (`InfluxQueryParserSpec.scala:462-492` pairs each unit with a different
+# operator; the operator must carry through unchanged)
+
+@pytest.mark.parametrize(
+    "op,expr,delta",
+    [
+        (">", "now()", 0),
+        ("<", "now() - 20s", 20_000),
+        ("<=", "now() - 5m", 300_000),
+        (">=", "now() - 3h", 3 * 3_600_000),
+        (">=", "now() - 10d", 10 * 86_400_000),
+        ("<=", "now() - 2w", 14 * 86_400_000),
+    ],
+)
+def test_relative_now_operator_carries(op, expr, delta):
+    p = parse(f'select mean(value) from "api.latency" where time {op} {expr} group by time(5m)')
+    assert p.filters == (TimeFilter(op, NOW - delta),)
+
+
+def test_counter_count_value_binds():
+    # `InfluxQueryParserSpec.scala:173-186`: count(value) is valid for a
+    # counter (only max/min/mean/percentiles are not)
+    c = bind('select count(value) from "cart.checkouts" group by time(1m)')
+    assert [f.name for f in c.projections] == ["count"]
+
+
+def test_group_by_time_inside_quoted_metric_name_survives():
+    # the pre-rewrite must not mangle quoted spans (divergence from the
+    # reference, which rewrites inside quotes too — InfluxQueryParser.scala:52)
+    p = parse('select count from "group by timers" group by time(30s)')
+    assert p.tables[0].name == "group by timers"
+    assert p.group_by.duration_ms == 30_000
