@@ -76,44 +76,48 @@ _RANK_SQL = {
 }
 
 
-def _pct_from_hist(frac: str, convention: str = "engine"):
-    """First value whose cumulative count reaches the rank: a fold over
-    the sorted entries (struct acc: remaining needed, found value)."""
-    rank = _RANK_SQL[convention].format(
-        f=frac, n="aggregate(hist, 0L, (a, e) -> a + e.c)"
-    )
-    return F.expr(
-        "aggregate(hist, "
-        "  named_struct('rem', CAST({rank} AS BIGINT), "
-        "               'val', CAST(NULL AS BIGINT)), "
-        "  (acc, e) -> IF(acc.val IS NOT NULL, acc, "
-        "                 IF(acc.rem <= e.c, named_struct('rem', 0L, 'val', e.v), "
-        "                    named_struct('rem', acc.rem - e.c, 'val', CAST(NULL AS BIGINT))))"
-        ").val".format(rank=rank)
-    )
-
-
 def state_summary(state: DataFrame, convention: str = "engine") -> DataFrame:
     """Histogram state → the 11-field summary (quantized domain: min/max/
     mean/percentiles are over highest-equivalent values, mirroring the
     reference's HdrHistogram getters). `convention='hdr'` switches the
     percentile rank to HdrHistogram's round-half-up for bit-parity with
-    `getValueAtPercentile`."""
-    total = F.expr("aggregate(hist, 0L, (a, e) -> a + e.c)")
-    vsum = F.expr("aggregate(hist, 0L, (a, e) -> a + e.v * e.c)")
-    cols = [F.col("metric"), F.col("ts")]
+    `getValueAtPercentile`.
+
+    All six percentiles come out of ONE cumulative walk over the sorted
+    entries (plus one fold each for count and the value sum) — per-row
+    expression cost is 3 array traversals, not one pair per percentile."""
+    names = list(PERCENTILE_FRACTIONS)
+    withn = state.withColumn(
+        "_n", F.expr("aggregate(hist, 0L, (a, e) -> a + e.c)")
+    )
     for name, frac in PERCENTILE_FRACTIONS.items():
-        cols.append(_pct_from_hist(frac, convention).alias(name))
+        rank = _RANK_SQL[convention].format(f=frac, n="_n")
+        withn = withn.withColumn(f"_r_{name}", F.expr(f"CAST({rank} AS BIGINT)"))
+    init = (
+        "named_struct('cum', 0L, "
+        + ", ".join(f"'{n}', CAST(NULL AS BIGINT)" for n in names)
+        + ")"
+    )
+    # value at rank r = first entry where cumulative count reaches r
+    steps = ", ".join(
+        f"'{n}', IF(acc.{n} IS NOT NULL, acc.{n}, "
+        f"IF(acc.cum + e.c >= _r_{n}, e.v, CAST(NULL AS BIGINT)))"
+        for n in names
+    )
+    walk = (
+        f"aggregate(hist, {init}, "
+        f"(acc, e) -> named_struct('cum', acc.cum + e.c, {steps}))"
+    )
+    withp = withn.withColumn("_p", F.expr(walk))
+    cols = [F.col("metric"), F.col("ts")]
+    cols += [F.col("_p")[n].alias(n) for n in names]
     cols += [
         F.element_at("hist", 1)["v"].alias("min"),
         F.element_at("hist", -1)["v"].alias("max"),
-        total.alias("count"),
-        F.expr(
-            "aggregate(hist, 0L, (a, e) -> a + e.v * e.c) div "
-            "aggregate(hist, 0L, (a, e) -> a + e.c)"
-        ).alias("mean"),
+        F.col("_n").alias("count"),
+        F.expr("aggregate(hist, 0L, (a, e) -> a + e.v * e.c) div _n").alias("mean"),
     ]
-    return state.select(*cols)
+    return withp.select(*cols)
 
 
 def hdr_cascade(
