@@ -158,32 +158,80 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
 
 def minhash_signatures(docs: DataFrame, num_hashes: int = 16, n: int = 3) -> DataFrame:
     """(doc_id, sig: array<long>) — minhash over word shingles; hash i is
-    min over shingles of xxhash64(shingle, seed=i).
+    min over shingles of xxhash64(xxhash64(shingle), i).
 
-    Computed **per row** with array expressions (shingle → hash → min
-    fold): zero shuffle, embarrassingly parallel — at 100 TB the whole
+    Computed **per row** with array expressions: each shingle STRING is
+    hashed exactly once; the i-th family member derives from that 64-bit
+    value (hashing a long, not re-walking the string), and all
+    `num_hashes` minima fill in one fold (zip_with over the accumulator
+    array). Zero shuffle, embarrassingly parallel — at 100 TB the whole
     signature stage is a map-only pass over the corpus. (Duplicate
     shingles need no dedup: min is idempotent.)"""
     toks = spread(docs).select("doc_id", _tokens().alias("t"))
     sh = toks.select("doc_id", shingle_array(n).alias("sh"))
-    sig = F.array(
-        *[
-            F.expr(
-                f"aggregate(sh, 9223372036854775807L, "
-                f"(acc, s) -> least(acc, xxhash64(s, {i})))"
-            )
-            for i in range(num_hashes)
-        ]
+    hs = sh.select("doc_id", F.expr("transform(sh, s -> xxhash64(s))").alias("hs"))
+    sig = F.expr(
+        f"aggregate(hs, "
+        f"  array_repeat(9223372036854775807L, {num_hashes}), "
+        f"  (acc, h) -> zip_with(acc, "
+        f"      transform(sequence(0, {num_hashes - 1}), i -> xxhash64(h, i)), "
+        f"      (a, b) -> least(a, b)))"
     )
-    return sh.select("doc_id", sig.alias("sig"))
+    return hs.select("doc_id", sig.alias("sig"))
+
+
+def bucket_pairs(
+    banded: DataFrame,
+    id_col: str = "doc_id",
+    out_a: str = "doc_a",
+    out_b: str = "doc_b",
+    count_col: str | None = "n_shared_bands",
+    star_cap: int = 10_000,
+) -> DataFrame:
+    """(id, band, bucket) rows → within-bucket candidate pairs (a < b),
+    optionally counting how many bands each pair shares.
+
+    One `groupBy(band, bucket)` + per-bucket array pair expansion — the
+    upstream signature computation runs ONCE and shuffles once (a
+    self-join formulation recomputes the whole signature subtree per
+    side; AQE's broadcast conversion defeats exchange reuse). Buckets
+    larger than `star_cap` emit star edges to the bucket minimum instead
+    of all pairs: component connectivity is preserved for downstream
+    clustering while output stays linear in bucket size — a mega-bucket
+    of B near-identical docs yields B-1 edges, not B²/2."""
+    ids_df = (
+        banded.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    all_pairs = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+        "y -> named_struct('a', x, 'b', y))))"
+    )
+    star = F.expr(
+        "transform(slice(ids, 2, size(ids) - 1), "
+        "y -> named_struct('a', ids[0], 'b', y))"
+    )
+    pairs = ids_df.select(
+        F.explode(
+            F.when(F.size("ids") > star_cap, star).otherwise(all_pairs)
+        ).alias("p")
+    )
+    grouped = pairs.groupBy(
+        F.col("p.a").alias(out_a), F.col("p.b").alias(out_b)
+    )
+    if count_col is None:
+        return grouped.agg(F.lit(1).alias("_one")).drop("_one")
+    return grouped.agg(F.count(F.lit(1)).alias(count_col))
 
 
 def minhash_lsh_candidates(
     docs: DataFrame, num_hashes: int = 16, bands: int = 4, n: int = 3
 ) -> DataFrame:
     """LSH banding: docs sharing ≥1 band bucket become candidate pairs.
-    Output: (doc_a, doc_b, n_shared_bands). The band join shuffles on
-    (band_idx, band_hash) — linear in corpus size."""
+    Output: (doc_a, doc_b, n_shared_bands). Signatures are map-only; the
+    only shuffle is the (band, bucket) groupBy — linear in corpus size."""
     rows = num_hashes // bands
     sig = minhash_signatures(docs, num_hashes, n)
     banded = sig.select(
@@ -195,20 +243,7 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
-    )
+    return bucket_pairs(banded)
 
 
 def simhash(docs: DataFrame) -> DataFrame:
@@ -274,18 +309,7 @@ def minhash_md5_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
-    )
+    return bucket_pairs(banded)
 
 
 def minhash_md5_pairs_sql(num_hashes: int = 8, bands: int = 2, n: int = 3) -> str:

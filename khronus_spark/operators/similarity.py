@@ -164,22 +164,15 @@ def lsh_band_buckets_sql(
 def _lsh_candidate_pairs(
     embeddings: DataFrame, n_bands: int, planes_per_band: int
 ) -> DataFrame:
-    """(vec_a, vec_b) distinct — pairs colliding in ≥1 band. The join
-    carries only (vec_id, band, bucket) rows (no vectors), so shuffle is
-    ~N×bands short rows; vectors are fetched after dedup for the exact
-    rerank."""
+    """(vec_a, vec_b) distinct — pairs colliding in ≥1 band. Band codes
+    compute once and shuffle once (groupBy bucket + in-bucket pair
+    expansion — see dedup.bucket_pairs); vectors are fetched after dedup
+    for the exact rerank."""
+    from khronus_spark.operators.dedup import bucket_pairs
+
     bb = lsh_band_assignments(embeddings, n_bands, planes_per_band)
-    a = bb.alias("a")
-    b = bb.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
-        .distinct()
+    return bucket_pairs(
+        bb, id_col="vec_id", out_a="vec_a", out_b="vec_b", count_col=None
     )
 
 
