@@ -2086,6 +2086,19 @@ def ann_ivf_assignments(spark, sf_dir):
     return sim_ops.ivf_assignments(emb)
 
 
+@register(
+    "ann_ivf_kmeans_topk",
+    sim_ops.ivf_kmeans_topk_sql(list(range(5)), k=3, nprobe=2),
+)
+def ann_ivf_kmeans_topk(spark, sf_dir):
+    """IVF search whose coarse quantizer is the TRAINED bit-exact integer
+    k-means (not the stride stand-in): centroids follow the data
+    distribution; probe lists, assignment, and the exact-cosine rerank
+    are value-checked end-to-end against the unrolled CTE-chain oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.ivf_kmeans_topk(emb, probe_ids=list(range(5)), k=3, nprobe=2)
+
+
 @register("ann_ivf_topk", sim_ops.ivf_topk_sql(list(range(5)), k=3, nprobe=2))
 def ann_ivf_topk(spark, sf_dir):
     """IVF multi-probe search; the oracle rebuilds the deterministic

@@ -47,28 +47,18 @@ _DIST = (
 )
 
 
-def kmeans_assignments(
+def _kmeans_state(
     embeddings: DataFrame, k: int = K, iters: int = ITERS
-) -> DataFrame:
-    """(vec_id, cluster, dist_q) after `iters` Lloyd updates."""
+) -> tuple[DataFrame, DataFrame]:
+    """(quantized vectors, final centroids) after `iters` Lloyd updates.
+    Centroids: (cid, c: array<long>)."""
     q = embeddings.select("vec_id", F.expr(_QUANT).alias("e"))
     cents = q.where(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("e").alias("c")
     )
 
-    def assign(centroids: DataFrame) -> DataFrame:
-        scored = q.crossJoin(F.broadcast(centroids)).withColumn("d", F.expr(_DIST))
-        w = Window.partitionBy("vec_id").orderBy(
-            F.col("d").asc(), F.col("cid").asc()
-        )
-        return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .drop("rn")
-        )
-
     for _ in range(iters):
-        best = assign(cents).select("cid", "e")
+        best = _assign(q, cents).select("cid", "e")
         ex = best.select("cid", F.posexplode("e").alias("dim", "v"))
         means = ex.groupBy("cid", "dim").agg(
             F.expr("sum(v) div count(1)").alias("m")
@@ -79,24 +69,56 @@ def kmeans_assignments(
             ).alias("c")
         ).localCheckpoint(eager=True)
 
-    return assign(cents).select(
+    return q, cents
+
+
+def _assign(q: DataFrame, centroids: DataFrame) -> DataFrame:
+    scored = q.crossJoin(F.broadcast(centroids)).withColumn("d", F.expr(_DIST))
+    w = Window.partitionBy("vec_id").orderBy(F.col("d").asc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def kmeans_centroids(
+    embeddings: DataFrame, k: int = K, iters: int = ITERS
+) -> DataFrame:
+    """(cid, c: array<long>) — final quantized centroids."""
+    return _kmeans_state(embeddings, k, iters)[1]
+
+
+def kmeans_assignments(
+    embeddings: DataFrame, k: int = K, iters: int = ITERS
+) -> DataFrame:
+    """(vec_id, cluster, dist_q) after `iters` Lloyd updates."""
+    q, cents = _kmeans_state(embeddings, k, iters)
+    return _assign(q, cents).select(
         "vec_id", F.col("cid").alias("cluster"), F.col("d").alias("dist_q")
     )
 
 
-def kmeans_sql(k: int = K, iters: int = ITERS) -> str:
-    """The identical algorithm as DuckDB SQL — the fixed iteration count
-    unrolled into an assign/mean/rebuild CTE chain."""
+#: quantized distance between q.e and c.c — shared by the CTE chain and
+#: the IVF-over-kmeans oracle
+KMEANS_DIST_SQL = (
+    f"list_sum(list_transform(range(1, {DIMS + 1}), "
+    "i -> (q.e[i] - c.c[i]) * (q.e[i] - c.c[i])))"
+)
+
+
+def kmeans_ctes(k: int = K, iters: int = ITERS) -> str:
+    """CTE chain `q, c0, a0, m0, …, c{iters}, final` (no leading WITH,
+    no trailing comma): `final` is the per-vector argmin assignment
+    under the last centroids, `c{iters}` the centroid arrays — reusable
+    inside larger oracles (IVF-over-kmeans)."""
     quant = (
         "list_transform(embedding, x -> "
         "CAST(floor((CAST(x AS DOUBLE) + 1.0) * 1000000.0) AS BIGINT))"
     )
-    dist = (
-        f"list_sum(list_transform(range(1, {DIMS + 1}), "
-        "i -> (q.e[i] - c.c[i]) * (q.e[i] - c.c[i])))"
-    )
+    dist = KMEANS_DIST_SQL
     parts = [
-        f"WITH q AS (\n  SELECT vec_id, {quant} AS e FROM embeddings\n),",
+        f"q AS (\n  SELECT vec_id, {quant} AS e FROM embeddings\n),",
         f"c0 AS (SELECT vec_id AS cid, e AS c FROM q WHERE vec_id < {k}),",
     ]
     for it in range(iters):
@@ -118,7 +140,15 @@ c{it + 1} AS (SELECT cid, list(m ORDER BY i) AS c FROM m{it} GROUP BY cid),"""
   SELECT q.vec_id, c.cid, {dist} AS d
   FROM q CROSS JOIN c{iters} c
   QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY d ASC, cid ASC) = 1
-)
-SELECT vec_id, cid AS cluster, CAST(d AS BIGINT) AS dist_q FROM final"""
+)"""
     )
     return "\n".join(parts)
+
+
+def kmeans_sql(k: int = K, iters: int = ITERS) -> str:
+    """The identical algorithm as DuckDB SQL — the fixed iteration count
+    unrolled into an assign/mean/rebuild CTE chain."""
+    return (
+        f"WITH {kmeans_ctes(k, iters)}\n"
+        "SELECT vec_id, cid AS cluster, CAST(d AS BIGINT) AS dist_q FROM final"
+    )

@@ -353,6 +353,107 @@ def ivf_topk(
     )
 
 
+def ivf_kmeans_topk(
+    embeddings: DataFrame,
+    probe_ids: list[int],
+    k: int = 3,
+    n_clusters: int | None = None,
+    iters: int | None = None,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF search over a TRAINED coarse quantizer: the bit-exact integer
+    k-means (operators/clustering.py) replaces the stride stand-in —
+    lists follow the data distribution, so per-list candidate counts are
+    balanced where `vec_id % stride` is arbitrary. Same knobs: nprobe
+    lists searched per probe, exact-cosine rerank on candidates.
+
+    At scale: centroids broadcast to the map-only assignment pass (built
+    once per index rebuild, amortized over queries); a probe scans
+    ~nprobe/n_clusters of the corpus."""
+    from khronus_spark.operators import clustering as km
+
+    n_clusters = n_clusters if n_clusters is not None else km.K
+    iters = iters if iters is not None else km.ITERS
+    q, cents = km._kmeans_state(embeddings, n_clusters, iters)
+    assign = km._assign(q, cents).select("vec_id", "cid")
+
+    probes_q = q.where(F.col("vec_id").isin(probe_ids))
+    scored_c = probes_q.crossJoin(F.broadcast(cents)).withColumn(
+        "d", F.expr(km._DIST)
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("d").asc(), F.col("cid").asc())
+    probe_lists = (
+        scored_c.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= nprobe)
+        .select(F.col("vec_id").alias("probe_id"), F.col("cid").alias("pcid"))
+    )
+    cand = assign.join(
+        F.broadcast(probe_lists),
+        (F.col("cid") == F.col("pcid")) & (F.col("vec_id") != F.col("probe_id")),
+    ).select("probe_id", F.col("vec_id").alias("neighbor_id"))
+
+    probes = embeddings.where(F.col("vec_id").isin(probe_ids)).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    neigh = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_nvec")
+    )
+    sim = cosine_col(F.col("probe_vec"), F.col("_nvec"))
+    scored = (
+        cand.join(neigh, "neighbor_id")
+        .join(F.broadcast(probes), "probe_id")
+        .select("probe_id", "neighbor_id", sim.alias("_sim"))
+    )
+    w2 = Window.partitionBy("probe_id").orderBy(
+        F.col("_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= k)
+        .select("probe_id", "neighbor_id", F.round(F.col("_sim"), 4).alias("cosine"))
+    )
+
+
+def ivf_kmeans_topk_sql(
+    probe_ids: list[int],
+    k: int = 3,
+    n_clusters: int | None = None,
+    iters: int | None = None,
+    nprobe: int = 2,
+) -> str:
+    """Oracle: the unrolled k-means CTE chain + nprobe probe lists under
+    the quantized distance + the shared exact-cosine rerank."""
+    from khronus_spark.operators import clustering as km
+
+    n_clusters = n_clusters if n_clusters is not None else km.K
+    iters = iters if iters is not None else km.ITERS
+    ids = ", ".join(str(i) for i in probe_ids)
+    return f"""
+WITH {km.kmeans_ctes(n_clusters, iters)},
+probes AS (
+  SELECT vec_id AS probe_id, cid AS pcid FROM (
+    SELECT q.vec_id, c.cid, {km.KMEANS_DIST_SQL} AS d
+    FROM q CROSS JOIN c{iters} c
+    WHERE q.vec_id IN ({ids})
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) <= {nprobe}
+),
+cand AS (
+  SELECT p.probe_id, f.vec_id AS neighbor_id
+  FROM probes p JOIN final f ON f.cid = p.pcid AND f.vec_id <> p.probe_id
+),
+scored AS (
+  SELECT cand.probe_id, cand.neighbor_id,
+         {_dot_sql('p.embedding', 'e.embedding')}
+         / ({_norm_sql('p.embedding')} * {_norm_sql('e.embedding')}) AS sim
+  FROM cand
+  JOIN embeddings p ON p.vec_id = cand.probe_id
+  JOIN embeddings e ON e.vec_id = cand.neighbor_id
+)
+SELECT probe_id, neighbor_id, round(sim, 4) AS cosine FROM scored
+QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id ASC) <= {k}
+"""
+
+
 def lsh_topk(
     embeddings: DataFrame,
     probe_ids: list[int],
