@@ -84,6 +84,8 @@ def main() -> None:
         "dedup_minhash_lsh": lambda: run_df(q["minhash_lsh_pairs"](spark, sf_dir)),
         "text_quality": lambda: run_df(q["quality_score"](spark, sf_dir)),
         "ann_cosine_topk": lambda: run_df(q["ann_cosine_topk"](spark, sf_dir)),
+        # banded-LSH ANN (the scale path: candidates from band collisions)
+        "ann_lsh_topk": lambda: run_df(q["ann_lsh_topk"](spark, sf_dir)),
         # HDR-compat mergeable-histogram path (bounded per-bucket state)
         "rollup_hdr_5m": lambda: run_df(q["ts_hdr_summary_5m"](spark, sf_dir)),
         # sketch path: mergeable percentile_approx (the streaming/scale mode)

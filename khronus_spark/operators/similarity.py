@@ -110,28 +110,35 @@ def lsh_band_assignments(
 ) -> DataFrame:
     """(vec_id, band, bucket) — one row per band: bit j of band b is
     sign(dot(v, hyperplane_{b*planes_per_band+j})); bucket is the
-    planes_per_band-bit code. All bands compute in one map pass
-    (array of structs + explode — no shuffle)."""
-    band_structs = []
-    for b in range(n_bands):
-        bucket = None
-        for j in range(planes_per_band):
-            plane = _hyperplane(b * planes_per_band + j)
-            plane_col = F.array(*[F.lit(x) for x in plane])
-            bit = (
-                F.when(_dot(F.col("embedding"), plane_col) > 0, F.lit(1))
-                .otherwise(F.lit(0))
-                .cast("long")
-            )
-            term = bit * F.lit(1 << j).cast("long")
-            bucket = term if bucket is None else bucket + term
-        band_structs.append(
-            F.struct(F.lit(b).cast("long").alias("band"), bucket.alias("bucket"))
-        )
+    planes_per_band-bit code. All bands compute in one map pass.
+
+    The planes travel as ONE 2D array literal and every bit/bucket falls
+    out of a single transform-over-planes expression — per-plane column
+    expressions would build an O(bands·planes·dim) codegen tree whose
+    compile time dwarfs the scan at test scale."""
+    n_planes = n_bands * planes_per_band
+    planes_lit = ", ".join(
+        "array(" + ", ".join(f"{x!r}D" for x in _hyperplane(j)) + ")"
+        for j in range(n_planes)
+    )
+    bits = (
+        f"transform(array({planes_lit}), p -> "
+        "IF(aggregate(zip_with(embedding, p, (x, y) -> CAST(x AS DOUBLE) * y), "
+        "0.0D, (a, x) -> a + x) > 0, 1L, 0L))"
+    )
+    bands = (
+        f"transform(sequence(0, {n_bands - 1}), b -> named_struct("
+        "'band', CAST(b AS BIGINT), "
+        f"'bucket', aggregate(zip_with(slice(_bits, b * {planes_per_band} + 1, "
+        f"{planes_per_band}), sequence(0, {planes_per_band - 1}), "
+        "(bit, j) -> bit * shiftleft(1L, j)), 0L, (a, x) -> a + x)))"
+    )
+    from khronus_spark.sources.tables import spread
+
     return (
-        embeddings.select(
-            "vec_id", F.explode(F.array(*band_structs)).alias("_bb")
-        )
+        spread(embeddings, max_partitions=8)
+        .select("vec_id", F.expr(bits).alias("_bits"))
+        .select("vec_id", F.explode(F.expr(bands)).alias("_bb"))
         .select("vec_id", F.col("_bb.band").alias("band"),
                 F.col("_bb.bucket").alias("bucket"))
     )
