@@ -61,9 +61,12 @@ def brute_force_topk(
 ) -> DataFrame:
     """(probe_id, neighbor_id, cosine) — exact top-k per probe, self
     excluded; ties broken by neighbor_id."""
+    from khronus_spark.sources.tables import spread
+
     probes = embeddings.where(F.col("vec_id").isin(probe_ids)).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
     )
+    embeddings = spread(embeddings, max_partitions=8)
     pairs = embeddings.alias("e").join(
         F.broadcast(probes), F.col("e.vec_id") != F.col("probe_id")
     )
@@ -256,10 +259,12 @@ def ivf_assignments(embeddings: DataFrame, stride: int = CENTROID_STRIDE) -> Dat
     """(vec_id, centroid_id) — assign each vector to its nearest centroid
     (cosine; ties → smaller centroid id). Centroids broadcast; the scan
     is map-only."""
+    from khronus_spark.sources.tables import spread
+
     centroids = embeddings.where(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
     )
-    pairs = embeddings.crossJoin(F.broadcast(centroids))
+    pairs = spread(embeddings, max_partitions=8).crossJoin(F.broadcast(centroids))
     sim = cosine_col(F.col("embedding"), F.col("cvec"))
     w = Window.partitionBy("vec_id").orderBy(
         F.col("_sim").desc(), F.col("centroid_id").asc()

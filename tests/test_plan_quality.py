@@ -165,3 +165,21 @@ def test_kmeans_broadcasts_centroids(spark, oracle_sf_dir):
     # never a shuffle-side cartesian
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_lsh_candidate_generation_has_no_join(spark, oracle_sf_dir):
+    """Candidate pairs (minhash + embedding LSH) must come from the
+    groupBy-bucket + in-bucket expansion — a self-join formulation
+    recomputes the signature subtree per side."""
+    from khronus_spark.operators.dedup import minhash_lsh_candidates, minhash_md5_pairs
+    from khronus_spark.operators.similarity import _lsh_candidate_pairs
+
+    docs = spark.read.parquet(f"{oracle_sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{oracle_sf_dir}/embeddings.parquet")
+    for df in (
+        minhash_lsh_candidates(docs),
+        minhash_md5_pairs(docs),
+        _lsh_candidate_pairs(emb, 4, 8),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan, plan[:2000]
