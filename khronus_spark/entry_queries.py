@@ -2308,6 +2308,45 @@ def streaming_stateful_hist_1h(spark, sf_dir):
     return spark.read.parquet(f"{tmp}/out")
 
 
+@register("streaming_dedup_components", components_ops.minhash_components_sql())
+def streaming_dedup_components(spark, sf_dir):
+    """ONLINE corpus dedup (streaming/dedup.py): documents stream in
+    micro-batches; per (band, bucket) state keeps the first-seen doc and
+    every later arrival emits a star edge immediately. Connected
+    components over the streamed edges equal the batch MinHash
+    clustering — the oracle is the SAME recursive component closure the
+    batch entry uses, so the whole streaming path is value-checked."""
+    import tempfile
+
+    from khronus_spark.operators.components import connected_components
+    from khronus_spark.streaming.dedup import run_streaming_dedup
+
+    tmp = tempfile.mkdtemp(prefix="khronus_sdedup_entry_")
+    docs = load_table(spark, sf_dir, "documents")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    span = (hi - lo) + 1
+    chunked = docs.withColumn(
+        "chunk", ((F.col("doc_id") - lo) * 4 / span).cast("int")
+    )
+    for i in range(4):
+        chunked.where(F.col("chunk") == i).drop("chunk").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/in/chunk={i}")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp}/in/*")
+    )
+    q = run_streaming_dedup(
+        stream, out_path=f"{tmp}/out", checkpoint_path=f"{tmp}/ckpt"
+    )
+    q.awaitTermination(300)
+    edges = spark.read.parquet(f"{tmp}/out")
+    return connected_components(
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    ).select(F.col("node_id").alias("doc_id"), "component_id")
+
+
 @register("ts_hdr_cascade_1h", _hdr_summary_sql(3_600_000))
 def ts_hdr_cascade_1h(spark, sf_dir):
     """The cascade itself, oracle-checked: 1h summaries produced by

@@ -226,15 +226,15 @@ def bucket_pairs(
     return grouped.agg(F.count(F.lit(1)).alias(count_col))
 
 
-def minhash_lsh_candidates(
+def minhash_banded(
     docs: DataFrame, num_hashes: int = 16, bands: int = 4, n: int = 3
 ) -> DataFrame:
-    """LSH banding: docs sharing ≥1 band bucket become candidate pairs.
-    Output: (doc_a, doc_b, n_shared_bands). Signatures are map-only; the
-    only shuffle is the (band, bucket) groupBy — linear in corpus size."""
+    """(doc_id, band, bucket) — xxhash64 minhash signatures split into
+    `bands` LSH band buckets. Pure column algebra (works unchanged on a
+    streaming DataFrame)."""
     rows = num_hashes // bands
     sig = minhash_signatures(docs, num_hashes, n)
-    banded = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.expr(
@@ -243,7 +243,15 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    return bucket_pairs(banded)
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame, num_hashes: int = 16, bands: int = 4, n: int = 3
+) -> DataFrame:
+    """LSH banding: docs sharing ≥1 band bucket become candidate pairs.
+    Output: (doc_a, doc_b, n_shared_bands). Signatures are map-only; the
+    only shuffle is the (band, bucket) groupBy — linear in corpus size."""
+    return bucket_pairs(minhash_banded(docs, num_hashes, bands, n))
 
 
 def simhash(docs: DataFrame) -> DataFrame:
@@ -278,14 +286,11 @@ def _md5_60(expr: str) -> str:
     return f"CAST(conv(substring(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
 
 
-def minhash_md5_pairs(
+def minhash_md5_banded(
     docs: DataFrame, num_hashes: int = 8, bands: int = 2, n: int = 3
 ) -> DataFrame:
-    """MinHash+LSH with an md5-derived hash family instead of xxhash64:
-    bit-identical in DuckDB, so the whole candidate-pair pipeline is
-    oracle-checkable. Same plan shape as minhash_lsh_candidates (map-only
-    signatures, band-bucket equi-join); xxhash64 stays the fast
-    production path."""
+    """(doc_id, band, bucket) — md5-family minhash band buckets
+    (bit-identical in DuckDB). Pure column algebra, streaming-safe."""
     rows = num_hashes // bands
     toks = spread(docs).select("doc_id", _tokens().alias("t"))
     sh = toks.select("doc_id", shingle_array(n).alias("sh"))
@@ -309,7 +314,18 @@ def minhash_md5_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    return bucket_pairs(banded)
+    return banded
+
+
+def minhash_md5_pairs(
+    docs: DataFrame, num_hashes: int = 8, bands: int = 2, n: int = 3
+) -> DataFrame:
+    """MinHash+LSH with an md5-derived hash family instead of xxhash64:
+    bit-identical in DuckDB, so the whole candidate-pair pipeline is
+    oracle-checkable. Same plan shape as minhash_lsh_candidates (map-only
+    signatures, one groupBy shuffle); xxhash64 stays the fast production
+    path."""
+    return bucket_pairs(minhash_md5_banded(docs, num_hashes, bands, n))
 
 
 def minhash_md5_pairs_sql(num_hashes: int = 8, bands: int = 2, n: int = 3) -> str:

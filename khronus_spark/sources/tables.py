@@ -81,6 +81,8 @@ def spread(df: DataFrame, max_partitions: int | None = None) -> DataFrame:
     shuffle at that size. At real scale (100 TB → thousands of splits)
     the guard makes this a no-op, so no large shuffle is ever introduced.
     """
+    if df.isStreaming:  # partition probe is illegal on streams; micro-
+        return df       # batch parallelism comes from the source/shuffle
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     target = min(parallelism, max_partitions) if max_partitions else parallelism
     # JVM-side partition count: planning-only, no job, and no Python RDD
