@@ -104,15 +104,16 @@ _PRIORITY = [
     "influx_star_click_5m",
     "influx_regex_fanout_5m",
     "influx_list_series",
-    "influx_relative_now_10m",
     # catalog / retention (S3, S6)
     "metric_catalog",
     "summary_retention_5m",
     # HDR cascade (A2-A3)
     "ts_hdr_cascade_1h",
     "ts_hdr_summary_5m",
-    # stateful streaming (T4; rows-only by design)
+    # stateful streaming (T4 rows-only by design; online dedup is
+    # value-checked against the batch component oracle)
     "streaming_stateful_hist_1h",
+    "streaming_dedup_components",
     # dedup / text pipeline
     "dedup_exact_docs",
     "doc_fingerprint",
@@ -137,13 +138,13 @@ _PRIORITY = [
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_ivf_kmeans_topk",
     "embedding_near_dup",
     # sessions / asof
     "events_sessions_30m",
     "events_asof_signup",
     # multimodal
     "media_features",
-    "media_frame_sample",
 ]
 
 
