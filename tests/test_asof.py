@@ -75,3 +75,20 @@ def test_bucketed_range_join_edges(spark):
     # the join must stay a hash join, never a nested loop
     plan = bucketed_range_join(points, intervals, by="k", bucket_ms=1000)._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_asof_join_equal_ts_right_rows_deterministic(spark):
+    # two right rows at the same timestamp: the match must be stable
+    # across runs/partitionings (struct-ordered tiebreaker), and all
+    # payload fields must come from that single row
+    left = spark.createDataFrame([(1, 300, "l")], "k long, ts_ms long, tag string")
+    right = spark.createDataFrame(
+        [(1, 200, 7, "x"), (1, 200, 7, "a"), (1, 200, 3, "z")],
+        "k long, ts_ms long, a long, b string",
+    )
+    results = set()
+    for n in (1, 4):
+        [row] = asof_join(left, right.repartition(n), by="k").collect()
+        results.add((row["r_a"], row["r_b"], row["r_ts_ms"]))
+    # struct order: ts, then a, then b → (7, 'x') is the largest struct
+    assert results == {(7, "x", 200)}

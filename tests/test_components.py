@@ -141,3 +141,29 @@ def test_empty_input_edge_cases(spark):
     assert hll_distinct(empty_events, "event_type", "user_id").count() == 0
     assert hll_distinct_wide(empty_events, "event_type", "user_id").count() == 0
     assert salted_distinct(empty_events, "event_type", "user_id").count() == 0
+
+
+def test_bucket_pairs_star_cap_preserves_components(spark):
+    """Over-cap buckets emit star edges instead of all pairs: fewer
+    edges, same connected components."""
+    from khronus_spark.operators.dedup import bucket_pairs
+
+    rows = [(d, 0, 7) for d in range(10)] + [(20, 0, 9), (21, 0, 9)]
+    banded = spark.createDataFrame(rows, "doc_id long, band long, bucket long")
+    full = bucket_pairs(banded, star_cap=10_000)
+    capped = bucket_pairs(banded, star_cap=5)
+    assert full.count() == 45 + 1   # C(10,2) + the pair bucket
+    assert capped.count() == 9 + 1  # star over the big bucket
+    cc_full = {
+        (r["node_id"], r["component_id"])
+        for r in connected_components(
+            full.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        ).collect()
+    }
+    cc_capped = {
+        (r["node_id"], r["component_id"])
+        for r in connected_components(
+            capped.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        ).collect()
+    }
+    assert cc_full == cc_capped
