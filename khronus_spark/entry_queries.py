@@ -37,6 +37,7 @@ from khronus_spark.operators import clustering as clustering_ops
 from khronus_spark.operators import components as components_ops
 from khronus_spark.operators import curation as curation_ops
 from khronus_spark.operators import dedup as dedup_ops
+from khronus_spark.operators import quantize as quant_ops
 from khronus_spark.operators import similarity as sim_ops
 from khronus_spark.operators import sketches as sketches_ops
 from khronus_spark.operators import skew as skew_ops
@@ -2085,6 +2086,23 @@ def summary_retention_5m(spark, sf_dir):
 def ann_ivf_assignments(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return sim_ops.ivf_assignments(emb)
+
+
+@register("embedding_quantize_stats", quant_ops.quantize_stats_sql())
+def embedding_quantize_stats(spark, sf_dir):
+    """Int8 symmetric quantization audit (operators/quantize.py): 4x
+    smaller embedding storage; per-vector scale + integer norm/sum/range
+    of the codes, bit-stable across engines (floor-based rounding)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quant_ops.quantize_stats(emb)
+
+
+@register("ann_quantized_topk", quant_ops.quantized_topk_sql(list(range(5)), k=3))
+def ann_quantized_topk(spark, sf_dir):
+    """Compressed-domain ANN: brute-force top-k under the int8-quantized
+    cosine (exact integer dots; the division is the only float step)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quant_ops.quantized_topk(emb, probe_ids=list(range(5)), k=3)
 
 
 @register(

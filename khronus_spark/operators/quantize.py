@@ -1,0 +1,145 @@
+"""Int8 embedding quantization — vector compression for 100 TB-scale
+embedding pipelines.
+
+A float32[64] embedding is 256 bytes; symmetric int8 quantization
+(per-vector absmax scale) stores 64 bytes + one scale — 4× smaller scan
+and shuffle volume for every downstream ANN/dedup pass, at a bounded
+cosine error (≤ ~1/127 per axis). The reference has no embedding
+surface at all; this extends the training-data side the same way the
+HDR path quantizes latencies into a bounded integer domain.
+
+Cross-engine determinism: quantized codes are produced with explicit
+`floor(x·127/scale + 0.5)` (round-half-up — floor is floor on both
+engines, unlike CAST whose double→int rounding differs), and every
+derived statistic (norms, dots) is exact int64 arithmetic, so the whole
+pipeline is oracle-checkable bit-for-bit. Cosine over codes divides two
+exact integers — the same double on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DIM = 64
+
+#: absmax scale (guarded against the zero vector), as a double column
+_SCALE = (
+    "greatest(aggregate(embedding, 0.0D, "
+    "(a, x) -> greatest(a, abs(CAST(x AS DOUBLE)))), 1e-30D)"
+)
+
+#: int8 codes in [-127, 127] (round-half-up via floor)
+_CODES = (
+    f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0D / {_SCALE}"
+    " + 0.5D) AS BIGINT))"
+)
+
+
+def quantized_embeddings(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, scale_q, q: array<long of int8 range>) — the stored form.
+    `scale_q` = floor(scale · 10⁹) (integer so the row is hashable
+    cross-engine)."""
+    return embeddings.select(
+        "vec_id",
+        F.expr(f"CAST(floor({_SCALE} * 1000000000.0D) AS BIGINT)").alias("scale_q"),
+        F.expr(_CODES).alias("q"),
+    )
+
+
+def quantize_stats(embeddings: DataFrame) -> DataFrame:
+    """Scalar per-vector audit row: (vec_id, scale_q, q_norm, q_sum,
+    q_min, q_max) — array-free so the cross-engine value hash is
+    byte-stable (pandas stringifies lists differently per engine)."""
+    qd = quantized_embeddings(embeddings)
+    return qd.select(
+        "vec_id",
+        "scale_q",
+        F.expr("aggregate(q, 0L, (a, x) -> a + x * x)").alias("q_norm"),
+        F.expr("aggregate(q, 0L, (a, x) -> a + x)").alias("q_sum"),
+        F.expr("array_min(q)").alias("q_min"),
+        F.expr("array_max(q)").alias("q_max"),
+    )
+
+
+QUANTIZE_STATS_SQL = f"""
+WITH qd AS (
+  SELECT vec_id,
+         CAST(floor({{scale}} * 1000000000.0) AS BIGINT) AS scale_q,
+         {{codes}} AS q
+  FROM embeddings
+)
+SELECT vec_id, scale_q,
+       CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS q_norm,
+       CAST(list_sum(q) AS BIGINT) AS q_sum,
+       list_min(q) AS q_min, list_max(q) AS q_max
+FROM qd
+"""
+
+
+def _duck_scale() -> str:
+    return (
+        "greatest(list_max(list_transform(embedding, "
+        "x -> abs(CAST(x AS DOUBLE)))), 1e-30)"
+    )
+
+
+def _duck_codes() -> str:
+    return (
+        "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / "
+        f"{_duck_scale()} + 0.5) AS BIGINT))"
+    )
+
+
+def quantize_stats_sql() -> str:
+    return QUANTIZE_STATS_SQL.format(scale=_duck_scale(), codes=_duck_codes())
+
+
+def quantized_topk(
+    embeddings: DataFrame, probe_ids: list[int], k: int = 3
+) -> DataFrame:
+    """Brute-force top-k under the QUANTIZED cosine: integer dot over
+    codes / integer norms — the compressed-domain search. Same output
+    shape as the float paths so recall is directly comparable."""
+    from khronus_spark.sources.tables import spread
+
+    qd = quantized_embeddings(embeddings)
+    probes = qd.where(F.col("vec_id").isin(probe_ids)).select(
+        F.col("vec_id").alias("probe_id"), F.col("q").alias("pq")
+    )
+    pairs = spread(qd, max_partitions=8).alias("e").join(
+        F.broadcast(probes), F.col("e.vec_id") != F.col("probe_id")
+    )
+    dot = F.expr("aggregate(zip_with(pq, q, (a, b) -> a * b), 0L, (a, x) -> a + x)")
+    n1 = F.expr("aggregate(pq, 0L, (a, x) -> a + x * x)")
+    n2 = F.expr("aggregate(q, 0L, (a, x) -> a + x * x)")
+    sim = dot / (F.sqrt(n1.cast("double")) * F.sqrt(n2.cast("double")))
+    scored = pairs.select(
+        "probe_id", F.col("e.vec_id").alias("neighbor_id"), sim.alias("_sim")
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("probe_id", "neighbor_id", F.round(F.col("_sim"), 4).alias("cosine_q"))
+    )
+
+
+def quantized_topk_sql(probe_ids: list[int], k: int = 3) -> str:
+    ids = ", ".join(str(i) for i in probe_ids)
+    return f"""
+WITH qd AS (SELECT vec_id, {_duck_codes()} AS q FROM embeddings),
+probes AS (SELECT vec_id AS probe_id, q AS pq FROM qd WHERE vec_id IN ({ids})),
+scored AS (
+  SELECT p.probe_id, e.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(1, {DIM + 1}),
+              i -> p.pq[i] * e.q[i])) AS BIGINT)
+         / (sqrt(CAST(list_sum(list_transform(p.pq, x -> x * x)) AS DOUBLE))
+          * sqrt(CAST(list_sum(list_transform(e.q, x -> x * x)) AS DOUBLE))) AS sim
+  FROM probes p JOIN qd e ON e.vec_id <> p.probe_id
+)
+SELECT probe_id, neighbor_id, round(sim, 4) AS cosine_q FROM scored
+QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id ASC) <= {k}
+"""

@@ -85,3 +85,24 @@ def test_near_dup_pairs_verified_exact(emb):
     assert len(rows) > 0  # fixture has teeth at this threshold
     assert all(r["cosine_bp"] >= 3500 for r in rows)
     assert all(r["vec_a"] < r["vec_b"] for r in rows)
+
+
+def test_quantized_topk_recall_vs_exact(emb):
+    # int8 symmetric quantization: per-axis error <= scale/254, so the
+    # compressed-domain top-k should essentially match the exact one
+    from khronus_spark.operators.quantize import quantized_topk
+
+    exact = _result_set(sim.brute_force_topk(emb, PROBES, K))
+    quant = _result_set(quantized_topk(emb, PROBES, K))
+    assert len(quant) == len(PROBES) * K
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.8, f"int8 recall {recall}"
+
+
+def test_quantized_codes_bounded(emb):
+    from khronus_spark.operators.quantize import quantize_stats
+
+    stats = quantize_stats(emb)
+    assert stats.where("q_min < -127 or q_max > 127").count() == 0
+    # every vector hits the absmax bound (|code| = 127 somewhere)
+    assert stats.where("q_max != 127 and q_min != -127").count() == 0
