@@ -2088,6 +2088,14 @@ def ann_ivf_assignments(spark, sf_dir):
     return sim_ops.ivf_assignments(emb)
 
 
+@register("corpus_vocabulary", text_ops.corpus_vocabulary_sql())
+def corpus_vocabulary(spark, sf_dir):
+    """Tokenizer-prep vocabulary: top-V terms with occurrence/document
+    frequency and cumulative corpus coverage (operators/text.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.corpus_vocabulary(docs)
+
+
 @register("embedding_quantize_stats", quant_ops.quantize_stats_sql())
 def embedding_quantize_stats(spark, sf_dir):
     """Int8 symmetric quantization audit (operators/quantize.py): 4x

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from khronus_spark.sources.tables import spread
+
 
 def _tokens():
     return F.split(F.trim(F.lower(F.col("text"))), r"\s+")
@@ -296,4 +298,81 @@ SELECT doc_id, tok AS term,
        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tf * ((n_docs * 1000) // df) DESC, tok ASC) AS INTEGER) AS rank
 FROM tf JOIN df_tbl USING (tok) CROSS JOIN n
 QUALIFY rank <= {k}
+"""
+
+
+def corpus_vocabulary(docs: DataFrame, top_v: int = 50) -> DataFrame:
+    """Corpus-level vocabulary statistics, BPE/tokenizer-prep style:
+    the `top_v` terms by occurrence count with their document frequency
+    and cumulative corpus coverage in basis points (ties broken by term
+    so the cut is deterministic).
+
+    Shape at scale: the canonical word count — explode + one
+    map-side-combinable groupBy(term). The global top-V cut is
+    two-phase so no full-vocabulary sort lands on one partition: a
+    per-partition rank prunes each shuffle partition to its local
+    top-V (any global top-V term is in its partition's top-V), then
+    the global window ranks only the <= V x P survivors. The running
+    coverage rides that same V-row window; corpus token total is a
+    scalar broadcast."""
+    from pyspark.sql import Window
+
+    toks = spread(docs).select("doc_id", F.explode(_tokens()).alias("tok"))
+    counts = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    order = (F.col("n_occ").desc(), F.col("tok").asc())
+    w_local = Window.partitionBy(F.spark_partition_id()).orderBy(*order)
+    survivors = (
+        counts.withColumn("_lr", F.row_number().over(w_local))
+        .where(F.col("_lr") <= top_v)
+        .drop("_lr")
+    )
+    w_rank = Window.orderBy(*order)
+    ranked = (
+        survivors.withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= top_v)
+    )
+    w_cum = (
+        Window.orderBy(F.col("rank"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            "rank",
+            "tok",
+            "n_occ",
+            "n_docs",
+            F.expr(
+                "CAST(sum(n_occ) OVER (ORDER BY rank ROWS BETWEEN UNBOUNDED "
+                "PRECEDING AND CURRENT ROW) * 10000 div n_total AS BIGINT)"
+            ).alias("coverage_bp"),
+        )
+    )
+
+
+def corpus_vocabulary_sql(top_v: int = 50) -> str:
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+),
+counts AS (
+  SELECT tok, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+  FROM toks GROUP BY tok
+),
+total AS (SELECT count(*) AS n_total FROM toks),
+ranked AS (
+  SELECT tok, n_occ, n_docs,
+         row_number() OVER (ORDER BY n_occ DESC, tok ASC) AS rank
+  FROM counts
+  QUALIFY rank <= {top_v}
+)
+SELECT rank, tok, n_occ, n_docs,
+       CAST(sum(n_occ) OVER (ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING
+            AND CURRENT ROW) * 10000 // n_total AS BIGINT) AS coverage_bp
+FROM ranked CROSS JOIN total
 """
