@@ -2096,6 +2096,15 @@ def corpus_vocabulary(spark, sf_dir):
     return text_ops.corpus_vocabulary(docs)
 
 
+@register("decontamination_scan", dedup_ops.decontamination_sql())
+def decontamination_scan(spark, sf_dir):
+    """Benchmark-decontamination: per-document n-gram overlap against a
+    held-out eval subset via a broadcast shingle join
+    (operators/dedup.py::decontamination)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_ops.decontamination(docs)
+
+
 @register("embedding_quantize_stats", quant_ops.quantize_stats_sql())
 def embedding_quantize_stats(spark, sf_dir):
     """Int8 symmetric quantization audit (operators/quantize.py): 4x

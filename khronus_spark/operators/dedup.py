@@ -409,3 +409,80 @@ hashed AS (
 )
 SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM hashed
 """
+
+
+def decontamination(
+    docs: DataFrame, eval_mod: int = 11, n: int = 3
+) -> DataFrame:
+    """Benchmark-decontamination scan: per corpus document, how many of
+    its distinct word n-gram shingles also appear in a held-out eval
+    set (here: `doc_id % eval_mod == 0`, standing in for a benchmark
+    suite). Output (doc_id, n_shingles, n_overlap, contamination_bp),
+    one row per non-eval document, overlap ratio in integer basis
+    points.
+
+    Shape at 100 TB: eval suites are tiny relative to the corpus
+    (~10^5-10^7 distinct n-grams), so the eval side is a **broadcast**
+    hash join — the corpus pass is map-side only, followed by one
+    partial-agg-collapsed shuffle of exactly one row per document.
+    No corpus self-join anywhere.
+    """
+    is_eval = F.col("doc_id") % eval_mod == 0
+    ev = (
+        docs.where(is_eval)
+        .select(_tokens().alias("t"))
+        .select(F.explode(F.array_distinct(shingle_array(n))).alias("shingle"))
+        .distinct()
+        .withColumn("_hit", F.lit(1).cast("long"))
+    )
+    corpus = (
+        spread(docs)
+        .where(~is_eval)
+        .select("doc_id", _tokens().alias("t"))
+        .select("doc_id", F.explode(F.array_distinct(shingle_array(n))).alias("shingle"))
+    )
+    return (
+        corpus.join(F.broadcast(ev), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_overlap"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_overlap",
+            F.expr("n_overlap * 10000L div n_shingles").alias("contamination_bp"),
+        )
+    )
+
+
+def decontamination_sql(eval_mod: int = 11, n: int = 3) -> str:
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(t) >= {n}
+              THEN list_transform(range(1, len(t) - {n - 2}), i -> array_to_string(t[i:i+{n - 1}], ' '))
+              ELSE [array_to_string(t, ' ')] END) AS sh
+  FROM toks
+),
+ev AS (
+  SELECT DISTINCT unnest(sh) AS shingle FROM sh WHERE doc_id % {eval_mod} = 0
+),
+corpus AS (
+  SELECT doc_id, unnest(sh) AS shingle FROM sh WHERE doc_id % {eval_mod} <> 0
+),
+agg AS (
+  SELECT c.doc_id,
+         count(*) AS n_shingles,
+         CAST(count(e.shingle) AS BIGINT) AS n_overlap
+  FROM corpus c LEFT JOIN ev e USING (shingle)
+  GROUP BY c.doc_id
+)
+SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles, n_overlap,
+       CAST(n_overlap * 10000 // n_shingles AS BIGINT) AS contamination_bp
+FROM agg
+"""

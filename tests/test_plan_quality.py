@@ -167,6 +167,12 @@ def test_kmeans_broadcasts_centroids(spark, oracle_sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_decontamination_broadcasts_eval_side(spark, oracle_sf_dir):
+    plan = _plan(spark, oracle_sf_dir, "decontamination_scan")
+    assert "BroadcastHashJoin" in plan  # eval shingles broadcast
+    assert "SortMergeJoin" not in plan  # never shuffles the corpus for the join
+
+
 def test_lsh_candidate_generation_has_no_join(spark, oracle_sf_dir):
     """Candidate pairs (minhash + embedding LSH) must come from the
     groupBy-bucket + in-bucket expansion — a self-join formulation
