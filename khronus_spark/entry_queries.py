@@ -2096,6 +2096,15 @@ def corpus_vocabulary(spark, sf_dir):
     return text_ops.corpus_vocabulary(docs)
 
 
+@register("pack_sequences_512", text_ops.pack_sequences_sql())
+def pack_sequences_512(spark, sf_dir):
+    """Concat-and-chunk sequence packing into 512-token training
+    sequences over 8 deterministic shards
+    (operators/text.py::pack_sequences)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.pack_sequences(docs)
+
+
 @register("decontamination_scan", dedup_ops.decontamination_sql())
 def decontamination_scan(spark, sf_dir):
     """Benchmark-decontamination: per-document n-gram overlap against a

@@ -376,3 +376,66 @@ SELECT rank, tok, n_occ, n_docs,
             AND CURRENT ROW) * 10000 // n_total AS BIGINT) AS coverage_bp
 FROM ranked CROSS JOIN total
 """
+
+
+def pack_sequences(
+    docs: DataFrame, budget: int = 512, n_shards: int = 8
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are deterministically
+    sharded (`doc_id % n_shards`), concatenated in doc_id order within
+    each shard, and the token stream chunked into fixed `budget`-token
+    training sequences. Output per document: its shard, token count,
+    starting token offset in the shard stream, and the first/last pack
+    (training sequence) it lands in.
+
+    Shape at 100 TB: one window cumsum **partitioned by shard** — each
+    shard's running offset computes independently, so parallelism = the
+    shard count you choose (thousands on a real corpus), with no global
+    sort and no single-partition window. Everything else is per-row
+    column algebra.
+    """
+    from pyspark.sql import Window
+
+    t = spread(docs).select(
+        "doc_id",
+        (F.col("doc_id") % n_shards).alias("shard"),
+        F.size(_tokens()).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t.withColumn("end_off", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "shard",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (F.col("end_off") - F.col("n_tokens")).cast("long").alias("offset"),
+            F.expr(f"(end_off - n_tokens) div {budget}").alias("pack_first"),
+            F.expr(f"(end_off - 1) div {budget}").alias("pack_last"),
+        )
+    )
+
+
+def pack_sequences_sql(budget: int = 512, n_shards: int = 8) -> str:
+    return rf"""
+WITH t AS (
+  SELECT doc_id, doc_id % {n_shards} AS shard,
+         len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS end_off
+  FROM t
+)
+SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(end_off - n_tokens AS BIGINT) AS offset,
+       CAST((end_off - n_tokens) // {budget} AS BIGINT) AS pack_first,
+       CAST((end_off - 1) // {budget} AS BIGINT) AS pack_last
+FROM c
+"""
