@@ -167,6 +167,25 @@ def test_kmeans_broadcasts_centroids(spark, oracle_sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_q8_all_dims_broadcast_single_fact_shuffle_join(spark, oracle_sf_dir):
+    plan = _plan(spark, oracle_sf_dir, "tpch_q8_market_share")
+    # part/supplier/customer/nation×2/region broadcast; only the
+    # lineitem↔orders fact join may shuffle.
+    assert plan.count("BroadcastHashJoin") >= 6
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+    assert "EqualTo(p_type,PROMO)" in plan  # pushed to the part scan
+    assert "GreaterThanOrEqual(o_orderdate" in plan  # pushed to orders scan
+
+
+def test_q15_single_lineitem_scan_max_broadcast_back(spark, oracle_sf_dir):
+    plan = _plan(spark, oracle_sf_dir, "tpch_q15_top_supplier")
+    # rev is checkpointed: the final plan joins the materialized
+    # aggregate (no lineitem rescan for the scalar-max branch).
+    assert plan.count("lineitem.parquet") == 0
+    assert "Scan ExistingRDD" in plan  # rev served from the checkpoint
+    assert "BroadcastHashJoin" in plan
+
+
 def test_decontamination_broadcasts_eval_side(spark, oracle_sf_dir):
     plan = _plan(spark, oracle_sf_dir, "decontamination_scan")
     assert "BroadcastHashJoin" in plan  # eval shingles broadcast
