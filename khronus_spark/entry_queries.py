@@ -2252,6 +2252,15 @@ def corpus_vocabulary(spark, sf_dir):
     return text_ops.corpus_vocabulary(docs)
 
 
+@register("domain_mixture_sqrt", curation_ops.DOMAIN_MIXTURE_SQL)
+def domain_mixture_sqrt(spark, sf_dir):
+    """Temperature (alpha=0.5) language-mixture weights for a training
+    mix — natural vs sqrt-tempered shares and per-domain boost
+    (operators/curation.py::domain_mixture)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation_ops.domain_mixture(docs)
+
+
 @register("pack_sequences_512", text_ops.pack_sequences_sql())
 def pack_sequences_512(spark, sf_dir):
     """Concat-and-chunk sequence packing into 512-token training

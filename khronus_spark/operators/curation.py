@@ -43,6 +43,8 @@ from khronus_spark.operators.components import (
     minhash_duplicate_components,
 )
 from khronus_spark.operators.text import QUALITY_SCORE_SQL, quality_score
+from khronus_spark.operators.text import _tokens as _mix_tokens
+from khronus_spark.sources.tables import spread
 
 #: defaults for the registry entry — chosen so each stage visibly drops
 #: docs at sf0.01 (quality ~ keeps most, dedup drops ~180, sample ~20%).
@@ -254,4 +256,74 @@ WITH flagged AS (
 SELECT lang, count(*) AS n_total, CAST(sum(kept) AS BIGINT) AS n_kept
 FROM flagged
 GROUP BY lang
+"""
+
+
+def domain_mixture(docs: DataFrame) -> DataFrame:
+    """Temperature-sampled domain (language) mixture for a training mix:
+    each language's sampling weight is sqrt of its token count (the
+    alpha=0.5 temperature that upweights low-resource domains), with
+    both the natural and the tempered shares reported in basis points,
+    plus the resulting per-domain boost (x100).
+
+    sqrt is the one power IEEE 754 requires correctly rounded, so
+    floor(sqrt(bigint)) is bit-identical on Spark and DuckDB — unlike
+    pow(x, alpha), which depends on libm. That makes the tempered mix
+    oracle-checkable end-to-end in integer space.
+
+    Shape at 100 TB: one map-side-combinable groupBy(lang) shrinks the
+    corpus to a handful of rows; the share normalization is a broadcast
+    of the 1-row total over those.
+    """
+    per_lang = spread(docs).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(_mix_tokens())).alias("n_tokens"),
+    ).select(
+        "lang",
+        "n_docs",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.floor(F.sqrt(F.col("n_tokens"))).cast("long").alias("w_sqrt"),
+    )
+    totals = per_lang.agg(
+        F.sum("n_tokens").alias("tot_tokens"), F.sum("w_sqrt").alias("tot_w")
+    )
+    return (
+        per_lang.crossJoin(F.broadcast(totals))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.expr("n_tokens * 10000L div tot_tokens").alias("natural_bp"),
+            F.expr("w_sqrt * 10000L div tot_w").alias("tempered_bp"),
+            F.expr(
+                "(w_sqrt * 10000L div tot_w) * 100 div (n_tokens * 10000L div tot_tokens)"
+            ).alias("boost_x100"),
+        )
+    )
+
+
+DOMAIN_MIXTURE_SQL = r"""
+WITH per_lang AS (
+  SELECT lang, count(*) AS n_docs,
+         CAST(sum(len(regexp_split_to_array(trim(lower(text)), '\s+'))) AS BIGINT)
+           AS n_tokens
+  FROM documents
+  GROUP BY lang
+),
+w AS (
+  SELECT lang, n_docs, n_tokens,
+         CAST(floor(sqrt(n_tokens)) AS BIGINT) AS w_sqrt
+  FROM per_lang
+),
+tot AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+         CAST(sum(w_sqrt) AS BIGINT) AS tot_w
+  FROM w
+)
+SELECT lang, n_docs, n_tokens,
+       CAST(n_tokens * 10000 // tot_tokens AS BIGINT) AS natural_bp,
+       CAST(w_sqrt * 10000 // tot_w AS BIGINT) AS tempered_bp,
+       CAST((w_sqrt * 10000 // tot_w) * 100 // (n_tokens * 10000 // tot_tokens)
+            AS BIGINT) AS boost_x100
+FROM w CROSS JOIN tot
 """
