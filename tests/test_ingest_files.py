@@ -1,0 +1,54 @@
+"""JSONL/CSV corpus ingestion: schema enforcement + corrupt-record
+quarantine (sources/ingest_files.py)."""
+
+from __future__ import annotations
+
+from khronus_spark.sources.ingest_files import (
+    read_documents_csv,
+    read_documents_jsonl,
+    split_quarantine,
+)
+
+GOOD = '{"doc_id": 1, "text": "hello world", "lang": "en", "source": "web", "n_chars": 11}'
+KEYLESS = '{"text": "no id here", "lang": "en", "source": "web", "n_chars": 10}'
+GARBAGE = '{"doc_id": oops not json'
+
+
+def test_jsonl_clean_and_quarantine(spark, tmp_path):
+    p = tmp_path / "drop.jsonl"
+    p.write_text("\n".join([GOOD, GARBAGE, KEYLESS]) + "\n")
+    clean, quarantine = split_quarantine(read_documents_jsonl(spark, str(p)))
+
+    rows = clean.collect()
+    assert len(rows) == 1
+    assert rows[0]["doc_id"] == 1 and rows[0]["text"] == "hello world"
+    assert "_corrupt_record" not in clean.columns
+
+    q = sorted(r["raw_line"] for r in quarantine.collect())
+    assert len(q) == 2
+    assert GARBAGE in q  # malformed line preserved verbatim for replay
+    assert any("no id here" in line for line in q)  # keyless row quarantined
+
+
+def test_jsonl_reader_declares_schema_no_inference_pass(spark, tmp_path):
+    p = tmp_path / "drop.jsonl"
+    p.write_text(GOOD + "\n")
+    df = read_documents_jsonl(spark, str(p))
+    # Explicit contract: typed columns + quarantine column, no sampling.
+    assert [f.name for f in df.schema.fields] == [
+        "doc_id", "text", "lang", "source", "n_chars", "_corrupt_record",
+    ]
+    assert df.schema["doc_id"].dataType.typeName() == "long"
+
+
+def test_csv_clean_and_type_mismatch_quarantined(spark, tmp_path):
+    p = tmp_path / "drop.csv"
+    p.write_text(
+        "doc_id,text,lang,source,n_chars\n"
+        "7,hi there,en,web,8\n"
+        "notanint,bad row,en,web,6\n"
+    )
+    clean, quarantine = split_quarantine(read_documents_csv(spark, str(p)))
+    rows = clean.collect()
+    assert len(rows) == 1 and rows[0]["doc_id"] == 7
+    assert quarantine.count() == 1
