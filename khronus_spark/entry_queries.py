@@ -2252,6 +2252,16 @@ def corpus_vocabulary(spark, sf_dir):
     return text_ops.corpus_vocabulary(docs)
 
 
+@register("pii_source_profile", text_ops.PII_SCAN_SQL)
+def pii_source_profile(spark, sf_dir):
+    """Per-source PII / structural-anomaly profile; the synthetic corpus
+    is PII-free, so the PII columns certify zero while the structural
+    columns vary (operators/text.py::pii_scan; detectors proven on
+    PII-laden fixtures in tests/test_pii_scan.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.pii_scan(docs)
+
+
 @register("domain_mixture_sqrt", curation_ops.DOMAIN_MIXTURE_SQL)
 def domain_mixture_sqrt(spark, sf_dir):
     """Temperature (alpha=0.5) language-mixture weights for a training

@@ -439,3 +439,107 @@ SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST((end_off - 1) // {budget} AS BIGINT) AS pack_last
 FROM c
 """
+
+
+#: Cross-engine PII detector patterns — restricted to the regex subset
+#: with identical semantics in Java regex (Spark) and RE2 (DuckDB):
+#: character classes, bounded repetition, alternation; no backrefs or
+#: lookaround.
+PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_URL = r"https?://[^ ]+"
+PII_PHONE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+
+
+def pii_scan(docs: DataFrame) -> DataFrame:
+    """Per-source PII / structural-anomaly profile: email, URL, and
+    phone-shaped hit counts plus structural signals (digit-bearing
+    tokens, long tokens) over each source's documents.
+
+    The driver testdata is a synthetic PII-free corpus, so the PII
+    columns are expected to be zero there — the registry entry asserts
+    that certification; the detectors themselves are proven on
+    PII-laden fixtures in tests/test_pii_scan.py.
+
+    Shape at 100 TB: per-row regex counts (JVM codegen, no Python),
+    collapsed by one map-side-combinable groupBy(source).
+
+    NOTE the patterns go through the `F.regexp_extract_all` column API,
+    never `F.expr` — a SQL string literal would re-process the regex
+    backslashes ('\\.' silently becomes 'any char')."""
+    def _count(pattern: str):
+        return F.size(F.regexp_extract_all(F.col("text"), F.lit(pattern), F.lit(0)))
+
+    t = spread(docs).select(
+        "source",
+        _tokens().alias("t"),
+        _count(PII_EMAIL).alias("e"),
+        _count(PII_URL).alias("u"),
+        _count(PII_PHONE).alias("p"),
+    )
+    return (
+        t.select(
+            "source",
+            "e",
+            "u",
+            "p",
+            F.size("t").alias("n_tok"),
+            F.size(F.filter(F.col("t"), lambda x: x.rlike("[0-9]"))).alias("dig"),
+            F.size(F.filter(F.col("t"), lambda x: F.length(x) >= 7)).alias("lng"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum("e").alias("n_email_hits"),
+            F.sum("u").alias("n_url_hits"),
+            F.sum("p").alias("n_phone_hits"),
+            F.sum("dig").alias("n_digit_tokens"),
+            F.sum("lng").alias("n_long_tokens"),
+        )
+    )
+
+
+PII_SCAN_SQL = rf"""
+WITH t AS (
+  SELECT source,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS t,
+         len(regexp_extract_all(text, '{PII_EMAIL}')) AS e,
+         len(regexp_extract_all(text, '{PII_URL}')) AS u,
+         len(regexp_extract_all(text, '{PII_PHONE}')) AS p
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(len(t)) AS BIGINT) AS n_tokens,
+       CAST(sum(e) AS BIGINT) AS n_email_hits,
+       CAST(sum(u) AS BIGINT) AS n_url_hits,
+       CAST(sum(p) AS BIGINT) AS n_phone_hits,
+       CAST(sum(len(list_filter(t, x -> regexp_matches(x, '[0-9]')))) AS BIGINT)
+         AS n_digit_tokens,
+       CAST(sum(len(list_filter(t, x -> length(x) >= 7))) AS BIGINT)
+         AS n_long_tokens
+FROM t
+GROUP BY source
+"""
+
+
+def pii_redact(docs: DataFrame) -> DataFrame:
+    """Redacted-text projection: email/URL/phone spans replaced with
+    typed placeholder tokens, plus the per-doc replacement count.
+    Map-only (regexp_replace chain, JVM codegen)."""
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"),
+            PII_URL,
+            "<URL>",
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    n_hits = (
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(PII_EMAIL), F.lit(0)))
+        + F.size(F.regexp_extract_all(F.col("text"), F.lit(PII_URL), F.lit(0)))
+        + F.size(F.regexp_extract_all(F.col("text"), F.lit(PII_PHONE), F.lit(0)))
+    )
+    return docs.select(
+        "doc_id", red.alias("text_redacted"), n_hits.cast("long").alias("n_redactions")
+    )
