@@ -44,6 +44,8 @@ class KhronusEngine:
         min_points: int = MIN_RESOLUTION_POINTS,
         max_points: int = MAX_RESOLUTION_POINTS,
         approx_percentiles: bool = False,
+        summary_read_limit: int | None = None,
+        bucket_read_limit: int | None = None,
     ):
         if measurements is None and summary_base_path is None:
             raise ValueError("need measurements or summary_base_path")
@@ -54,8 +56,23 @@ class KhronusEngine:
         self._now_ms = now_ms
         self.approx = approx_percentiles
         self._catalog = catalog
+        # Opt-in per-slice read caps. The reference's influx query path
+        # binds the QUERY limit (`InfluxQueryResolver.scala:138`,
+        # default Int.MaxValue — `InfluxAst.scala:30`), so queries are
+        # uncapped by default; the config caps (`reference.conf:30-33`)
+        # guard the ROLLUP read path (see operators/incremental.py) and
+        # other internal summary reads (`SummaryStore.scala:105-108`).
+        # A deployment can set these to bound hand-forced slices.
+        read_limit = (
+            summary_read_limit if summary_base_path is not None else bucket_read_limit
+        )
         self.executor = QueryExecutor(
-            spark, self._provide_summaries, windows_ms, min_points, max_points
+            spark,
+            self._provide_summaries,
+            windows_ms,
+            min_points,
+            max_points,
+            read_limit=read_limit,
         )
 
     # -- catalog (the meta snapshot, `store/Snapshot.scala:25-42`) ---------

@@ -80,6 +80,7 @@ def process_tick(
     catalog: dict[str, tuple[str, int]],
     now_ms: int,
     windows_ms: tuple[int, ...] = DEFAULT_WINDOWS_MS,
+    bucket_limit: int | None = None,
 ) -> tuple[dict[int, dict[str, DataFrame]], dict[str, tuple[str, int]]]:
     """One incremental rollup tick over all catalog metrics.
 
@@ -89,10 +90,20 @@ def process_tick(
     window covering every due metric, not a per-metric loop: the shuffle
     key (metric, bucket) spreads work across the cluster exactly like
     the reference's consistent-hash fan-out (T6), but scheduled by Spark.
+
+    `bucket_limit` bounds how many buckets one tick may aggregate per
+    window — the reference's `histogram.bucket-limit = 30000` bind on
+    its rollup slice read (`BucketStore.scala:77,131-136`, read at
+    `TimeWindow.scala:124`), which keeps a post-downtime catch-up from
+    reading an unbounded slice. Improvement over the reference: it
+    TRUNCATES the slice beyond the limit (those buckets are never
+    aggregated); here the watermark only advances to the capped end, so
+    the remainder is deferred to later ticks instead of lost.
     """
     tick = current_tick(now_ms, windows_ms)
     out: dict[int, dict[str, DataFrame]] = {}
     updated = dict(catalog)
+    capped_end_ms: int | None = None
 
     for w in sorted(windows_ms):
         # metrics for which this window is due, and the earliest slice
@@ -108,6 +119,13 @@ def process_tick(
             continue
         slice_start = align_floor(min(last for _, last in due_metrics.values()), w)
         slice_end = align_floor(tick.end_ms, w)  # exclusive
+        if bucket_limit is not None and slice_end - slice_start > bucket_limit * w:
+            slice_end = slice_start + bucket_limit * w
+            capped_end_ms = (
+                slice_end
+                if capped_end_ms is None
+                else min(capped_end_ms, slice_end)
+            )
         if slice_end <= slice_start:
             continue
         due = measurements.where(
@@ -121,6 +139,9 @@ def process_tick(
         fams["counter"] = counter_summary(ctr, w)
         out[w] = fams
 
+    # capped catch-up: the watermark holds at the capped end so deferred
+    # buckets are aggregated by later ticks (never silently dropped)
+    advance_to = tick.end_ms if capped_end_ms is None else capped_end_ms
     for m, (mtype, _) in catalog.items():
-        updated[m] = (mtype, tick.end_ms)
+        updated[m] = (mtype, advance_to)
     return out, updated

@@ -100,12 +100,20 @@ class QueryExecutor:
         windows_ms: tuple[int, ...] = DEFAULT_WINDOWS_MS,
         min_points: int = MIN_RESOLUTION_POINTS,
         max_points: int = MAX_RESOLUTION_POINTS,
+        read_limit: int | None = None,
     ):
         self.spark = spark
         self.summary_provider = summary_provider
         self.windows_ms = windows_ms
         self.min_points = min_points
         self.max_points = max_points
+        #: hard per-(metric, slice) read cap, the reference's Cassandra
+        #: `limit ?` bind (`SummaryStore.scala:80-88` summary-limit=1000;
+        #: `BucketStore.scala:77` bucket-limit=30000). Applied in ts
+        #: order (query direction), BEFORE spine join/post-processing —
+        #: compiles to TakeOrderedAndProject (per-partition top-n), so
+        #: a runaway slice never materializes unbounded rows.
+        self.read_limit = read_limit
 
     # -- public ------------------------------------------------------------
 
@@ -162,9 +170,10 @@ class QueryExecutor:
             (F.col("metric") == src.metric)
             & F.col("ts").between(slc.from_ms, slc.to_ms)
         )
-        if criteria.limit is not None:
+        limits = [n for n in (criteria.limit, self.read_limit) if n is not None]
+        if limits:
             order = F.col("ts").asc() if criteria.order_asc else F.col("ts").desc()
-            df = df.orderBy(order).limit(criteria.limit)
+            df = df.orderBy(order).limit(min(limits))
         return df
 
     def _spine(self, trange: TimeRange) -> DataFrame:

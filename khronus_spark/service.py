@@ -31,6 +31,10 @@ from khronus_spark.engine import KhronusEngine
 
 _SCHEMA = "metric STRING, mtype STRING, ts_ms LONG, value LONG"
 
+#: max ingest request body (wire bytes) — the reference's
+#: `request-chunk-aggregation-limit = 2m` (reference.conf:159).
+INGEST_BODY_LIMIT = 2 * 1024 * 1024
+
 
 def flatten_metric_batch(payload: dict, now_ms: int | None = None) -> list[tuple]:
     """MetricBatch JSON → measurement rows (one per value)."""
@@ -92,6 +96,12 @@ class KhronusHttpService:
                     self.send_error(404)
                     return
                 length = int(self.headers.get("Content-Length", 0))
+                if length > INGEST_BODY_LIMIT:
+                    # reference `request-chunk-aggregation-limit = 2m`
+                    # (reference.conf:159): oversized batches are refused
+                    # at the transport, not buffered.
+                    self.send_error(413)
+                    return
                 body = self.rfile.read(length)
                 if self.headers.get("Content-Encoding") == "gzip":
                     body = gzip.decompress(body)

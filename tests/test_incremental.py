@@ -83,3 +83,31 @@ def test_full_recompute_equals_incremental(spark):
         for r in counter_summary(m.where(f"ts_ms < {tick_end}"), S30).collect()
     }
     assert inc == full
+
+
+def test_bucket_limit_caps_catchup_and_defers_watermark(spark):
+    """Post-downtime catch-up bounded per tick (the reference's
+    bucket-limit bind, BucketStore.scala:77): with a 2-bucket cap on a
+    30s window, a 5-bucket backlog processes 2 buckets and holds the
+    watermark at the capped end so the rest is deferred, not dropped."""
+    from khronus_spark.operators.incremental import process_tick
+
+    rows = [("m", "counter", t * 1000, 1) for t in range(0, 150)]  # 150s of data
+    m = spark.createDataFrame(
+        rows, "metric STRING, mtype STRING, ts_ms LONG, value LONG"
+    )
+    catalog = {"m": ("counter", 0)}  # last processed: epoch 0 → 150s backlog
+    out, updated = process_tick(
+        m, catalog, now_ms=180_000, windows_ms=(30_000,), bucket_limit=2
+    )
+    buckets = sorted(r["ts"] for r in out[30_000]["counter"].collect())
+    assert buckets == [0, 30_000]  # first 2 buckets only
+    assert updated["m"] == ("counter", 60_000)  # watermark held at capped end
+
+    # the NEXT tick picks up exactly where the cap stopped
+    out2, updated2 = process_tick(
+        m, updated, now_ms=180_000, windows_ms=(30_000,), bucket_limit=2
+    )
+    buckets2 = sorted(r["ts"] for r in out2[30_000]["counter"].collect())
+    assert buckets2 == [60_000, 90_000]
+    assert updated2["m"] == ("counter", 120_000)

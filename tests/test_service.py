@@ -97,3 +97,26 @@ def test_query_error_is_400(service):
         raise AssertionError("expected HTTP error")
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_oversized_ingest_body_is_413(service):
+    import urllib.error
+
+    base = f"http://127.0.0.1:{service.port}"
+    big = b"x" * (2 * 1024 * 1024 + 1)  # 1 byte over the 2 MB cap
+    req = urllib.request.Request(
+        f"{base}/khronus/metrics", data=big, method="POST"
+    )
+    # The server refuses before draining the body (the point of the
+    # cap), so the client sees either the 413 or a reset mid-send.
+    try:
+        urllib.request.urlopen(req)
+        raise AssertionError("oversized body was accepted")
+    except urllib.error.HTTPError as exc:
+        assert exc.code == 413
+    except (urllib.error.URLError, ConnectionError):
+        pass  # transport-level refusal
+
+    # the server stays healthy for the next request
+    with urllib.request.urlopen(f"{base}/khronus/db/influx/series?q=list%20series") as r:
+        assert r.status == 200
