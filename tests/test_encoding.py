@@ -64,3 +64,33 @@ def test_blob_is_compact(spark, sf_dir):
     )
     assert stats["max_blob"] < 1000
     assert stats["avg_blob"] < stats["avg_naive"]
+
+
+def test_worst_case_state_stays_under_reference_blob_cap():
+    """The reference hard-caps serialized histogram blobs at 200 KB
+    (`store/HistogramBucketStore.scala:69-71`). Our quantized domain
+    bounds the state STRUCTURALLY: enumerate every representable
+    quantized value in [0, HIGHEST_TRACKABLE] with a worst-case
+    (maximally irregular) count per entry — the max-entropy state a
+    bucket can ever hold — and the encoded blob must stay far below
+    the cap."""
+    from khronus_spark.functions.encoding import decode_hist, encode_hist
+    from khronus_spark.functions.hdr import HIGHEST_TRACKABLE, SUB_BUCKET_COUNT
+
+    values = set()
+    v = 0
+    while v <= HIGHEST_TRACKABLE:
+        if v < SUB_BUCKET_COUNT:
+            q = v
+            step = 1
+        else:
+            rng = 1 << (v.bit_length() - 1 - 10)
+            q = (v // rng + 1) * rng - 1
+            step = rng
+        values.add(q)
+        v += step
+    entries = [(q, (q * 2654435761) % 10_000 + 1) for q in sorted(values)]
+    blob = encode_hist(entries)
+    assert len(entries) > 10_000  # genuinely the full domain
+    assert len(blob) < 200_000  # reference cap, with a wide margin
+    assert decode_hist(blob) == entries
