@@ -2252,6 +2252,15 @@ def corpus_vocabulary(spark, sf_dir):
     return text_ops.corpus_vocabulary(docs)
 
 
+@register("llm_corpus_prep", curation_ops.corpus_prep_sql())
+def llm_corpus_prep(spark, sf_dir):
+    """Composed training-corpus preparation: quality gate →
+    decontamination → exact-dup canonical keep → per-language token and
+    512-pack accounting (operators/curation.py::corpus_prep)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation_ops.corpus_prep(docs)
+
+
 @register("pii_source_profile", text_ops.PII_SCAN_SQL)
 def pii_source_profile(spark, sf_dir):
     """Per-source PII / structural-anomaly profile; the synthetic corpus

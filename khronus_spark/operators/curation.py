@@ -327,3 +327,110 @@ SELECT lang, n_docs, n_tokens,
             AS BIGINT) AS boost_x100
 FROM w CROSS JOIN tot
 """
+
+
+def corpus_prep(
+    docs: DataFrame,
+    eval_mod: int = 11,
+    quality_min_bp: int = 3000,
+    contamination_max_bp: int = 5000,
+    budget: int = 512,
+) -> DataFrame:
+    """End-to-end training-corpus preparation accounting — the composed
+    pipeline a data team runs before tokenization:
+
+      1. quality gate   (quality_bp >= quality_min_bp)
+      2. decontaminate  (n-gram overlap with the eval split below
+                         contamination_max_bp; eval docs excluded)
+      3. exact dedup    (canonical keep: min doc_id per md5(text))
+      4. accounting     per language: kept docs/tokens, tokens dropped
+                        by each gate, and the packed-sequence count at
+                        `budget` tokens.
+
+    Output: (lang, n_docs_kept, n_tokens_kept, n_docs_quality_drop,
+    n_docs_contaminated_drop, n_docs_dup_drop, n_packs).
+
+    Shape at 100 TB: quality is map-only; decontamination is a
+    broadcast join + one per-doc shuffle; the dedup canonical pick is
+    one window keyed md5(text) (skew-free: identical texts share a
+    hash, and pathological mega-groups are exactly the dup clusters
+    the gate removes); the final accounting collapses to one row per
+    language. No corpus self-join anywhere.
+    """
+    from khronus_spark.operators.dedup import decontamination
+    from khronus_spark.operators.text import _tokens, quality_score
+    from pyspark.sql import Window
+
+    base = spread(docs).where(F.col("doc_id") % eval_mod != 0)
+    q = quality_score(docs).select("doc_id", "quality_bp")
+    d = decontamination(docs, eval_mod).select("doc_id", "contamination_bp")
+    w = Window.partitionBy(F.md5(F.col("text")))
+    flagged = (
+        base.join(q, "doc_id")
+        .join(d, "doc_id")
+        .withColumn("keep_id", F.min("doc_id").over(w))
+        .select(
+            "doc_id",
+            "lang",
+            F.size(_tokens()).cast("long").alias("n_tokens"),
+            (F.col("quality_bp") < quality_min_bp).alias("q_drop"),
+            (F.col("contamination_bp") >= contamination_max_bp).alias("c_drop"),
+            (F.col("doc_id") != F.col("keep_id")).alias("dup_drop"),
+        )
+    )
+    kept = ~F.col("q_drop") & ~F.col("c_drop") & ~F.col("dup_drop")
+    return flagged.groupBy("lang").agg(
+        F.sum(kept.cast("long")).alias("n_docs_kept"),
+        F.sum(F.when(kept, F.col("n_tokens")).otherwise(0)).alias("n_tokens_kept"),
+        F.sum(F.col("q_drop").cast("long")).alias("n_docs_quality_drop"),
+        F.sum((~F.col("q_drop") & F.col("c_drop")).cast("long")).alias(
+            "n_docs_contaminated_drop"
+        ),
+        F.sum(
+            (~F.col("q_drop") & ~F.col("c_drop") & F.col("dup_drop")).cast("long")
+        ).alias("n_docs_dup_drop"),
+        F.expr(
+            f"CAST((sum(CASE WHEN q_drop OR c_drop OR dup_drop THEN 0 "
+            f"ELSE n_tokens END) + {budget} - 1) div {budget} AS BIGINT)"
+        ).alias("n_packs"),
+    )
+
+
+def corpus_prep_sql(
+    eval_mod: int = 11,
+    quality_min_bp: int = 3000,
+    contamination_max_bp: int = 5000,
+    budget: int = 512,
+) -> str:
+    from khronus_spark.operators.dedup import decontamination_sql
+    from khronus_spark.operators.text import QUALITY_SCORE_SQL
+
+    return rf"""
+WITH q AS (SELECT doc_id, quality_bp FROM ({QUALITY_SCORE_SQL}) qq),
+d AS (SELECT doc_id, contamination_bp FROM ({decontamination_sql(eval_mod)}) dd),
+flagged AS (
+  SELECT b.doc_id, b.lang,
+         CAST(len(regexp_split_to_array(trim(lower(b.text)), '\s+')) AS BIGINT)
+           AS n_tokens,
+         q.quality_bp < {quality_min_bp} AS q_drop,
+         d.contamination_bp >= {contamination_max_bp} AS c_drop,
+         b.doc_id <> min(b.doc_id) OVER (PARTITION BY md5(b.text)) AS dup_drop
+  FROM documents b JOIN q USING (doc_id) JOIN d USING (doc_id)
+  WHERE b.doc_id % {eval_mod} <> 0
+)
+SELECT lang,
+       CAST(sum(CASE WHEN NOT (q_drop OR c_drop OR dup_drop) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_kept,
+       CAST(sum(CASE WHEN NOT (q_drop OR c_drop OR dup_drop) THEN n_tokens ELSE 0 END) AS BIGINT)
+         AS n_tokens_kept,
+       CAST(sum(CASE WHEN q_drop THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_quality_drop,
+       CAST(sum(CASE WHEN NOT q_drop AND c_drop THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_contaminated_drop,
+       CAST(sum(CASE WHEN NOT q_drop AND NOT c_drop AND dup_drop THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_dup_drop,
+       CAST((sum(CASE WHEN q_drop OR c_drop OR dup_drop THEN 0 ELSE n_tokens END)
+             + {budget} - 1) // {budget} AS BIGINT) AS n_packs
+FROM flagged
+GROUP BY lang
+"""
