@@ -52,3 +52,40 @@ def test_csv_clean_and_type_mismatch_quarantined(spark, tmp_path):
     rows = clean.collect()
     assert len(rows) == 1 and rows[0]["doc_id"] == 7
     assert quarantine.count() == 1
+
+
+def test_jsonl_quarantine_works_in_streaming(spark, tmp_path):
+    """The same reader contract under Structured Streaming: a JSONL
+    drop directory consumed with readStream splits clean/quarantine
+    identically to batch (PERMISSIVE + corrupt column are
+    streaming-safe)."""
+    from khronus_spark.sources.ingest_files import (
+        CORRUPT_COL,
+        DOCUMENTS_SCHEMA,
+        _with_corrupt,
+        split_quarantine,
+    )
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    (drop / "a.jsonl").write_text(GOOD + "\n" + GARBAGE + "\n")
+    (drop / "b.jsonl").write_text(KEYLESS + "\n")
+
+    stream = (
+        spark.readStream.schema(_with_corrupt(DOCUMENTS_SCHEMA))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(str(drop))
+    )
+    clean, quarantine = split_quarantine(stream)
+    for name, df in (("ing_clean", clean), ("ing_quar", quarantine)):
+        q = (
+            df.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    assert spark.sql("select * from ing_clean").count() == 1
+    assert spark.sql("select * from ing_quar").count() == 2
