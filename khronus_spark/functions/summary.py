@@ -63,18 +63,43 @@ def histogram_summary(
     measurements: DataFrame,
     window_ms: int,
     approx: bool = False,
+    exact_counts: bool = False,
 ) -> DataFrame:
     """measurements(metric, ts_ms, value) → one summary row per
     (metric, bucket): the reference's 11-field HistogramSummary
     (`model/HistogramSummary.scala:21`, computed in
     `model/HistogramBucket.scala:28-48`).
 
-    Exact mode collects the bucket's values into a sorted array (bounded:
-    one metric × one bucket) — percentiles are discrete-exact. Approx mode
-    uses the mergeable `percentile_approx` sketch for unbounded buckets.
-    Aggregation is a single shuffle on (metric, bucket); partial
-    aggregation (map-side combine) applies to all non-array aggregates.
+    Three modes, identical schema:
+    - exact/array (default): collect the bucket's values into a sorted
+      array — discrete-exact percentiles; per-bucket state grows with
+      SAMPLE count, so it is the correctness baseline, not the scale
+      path.
+    - exact/counts (`exact_counts=True`): pre-aggregate to
+      (metric, bucket, value) counts, then run the HDR cumulative-rank
+      walk over the RAW (unquantized) value domain — bit-identical
+      output to the array mode, but per-bucket state is bounded by
+      DISTINCT values (the ingest domain, ≲ thousands) no matter how
+      many samples land in the bucket. One extra shuffle, unbounded-
+      safe: the exact path to run at 100 TB.
+    - approx (`approx=True`): mergeable `percentile_approx` sketch —
+      bounded state AND single shuffle, for streaming/latency-first.
     """
+    if exact_counts and not approx:
+        from khronus_spark.operators.hdr_rollup import state_summary
+
+        raw_state = (
+            measurements.select(
+                "metric", bucket_ts("ts_ms", window_ms), F.col("value").alias("v")
+            )
+            .groupBy("metric", "ts", "v")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("metric", "ts")
+            .agg(F.array_sort(F.collect_list(F.struct("v", "c"))).alias("hist"))
+        )
+        return state_summary(raw_state).select(
+            "metric", "ts", *ALL_PERCENTILES, "min", "max", "count", "mean"
+        )
     grouped = measurements.groupBy(
         F.col("metric"), bucket_ts("ts_ms", window_ms)
     )

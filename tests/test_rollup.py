@@ -149,3 +149,23 @@ def test_approx_mode_close_to_exact(spark, sf_dir):
     # sketch percentiles should be within a small relative error
     for k, v in exact.items():
         assert abs(approx[k] - v) <= max(2, 0.05 * v)
+
+
+def test_exact_counts_mode_bit_identical_to_array_mode(spark, sf_dir):
+    """The counts-mode exact path (bounded per-bucket state — the
+    100 TB exact path) must produce byte-for-byte the same summaries
+    as the collect+sort baseline, every field, every bucket."""
+    from khronus_spark.functions.summary import histogram_summary
+    from khronus_spark.sources.tables import measurements_from_events
+
+    m = measurements_from_events(spark, sf_dir).where(
+        F.col("mtype").isin("timer", "gauge")
+    )
+    a = histogram_summary(m, 30_000).orderBy("metric", "ts").collect()
+    b = (
+        histogram_summary(m, 30_000, exact_counts=True)
+        .orderBy("metric", "ts")
+        .collect()
+    )
+    assert len(a) == len(b) and len(a) > 50
+    assert a == b
