@@ -121,7 +121,13 @@ class KhronusEngine:
         m = self.measurements.where(cond)
         if family == "counter":
             return counter_summary(m, window_ms)
-        return histogram_summary(m, window_ms, approx=self.approx)
+        # counts-mode exact: bit-identical summaries with per-bucket
+        # state bounded by distinct values — the dense-bucket-safe form
+        # of the same exact percentiles (tests/test_rollup.py pins the
+        # equality)
+        return histogram_summary(
+            m, window_ms, approx=self.approx, exact_counts=not self.approx
+        )
 
     # -- query --------------------------------------------------------------
 
