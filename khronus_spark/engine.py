@@ -62,10 +62,26 @@ class KhronusEngine:
         # uncapped by default; the config caps (`reference.conf:30-33`)
         # guard the ROLLUP read path (see operators/incremental.py) and
         # other internal summary reads (`SummaryStore.scala:105-108`).
-        # A deployment can set these to bound hand-forced slices.
-        read_limit = (
-            summary_read_limit if summary_base_path is not None else bucket_read_limit
-        )
+        # A deployment can set these to bound hand-forced slices. Each
+        # cap belongs to one construction mode — reject the one that
+        # would be silently ignored instead of letting a deployment
+        # believe it is protected.
+        if summary_base_path is not None:
+            if bucket_read_limit is not None:
+                raise ValueError(
+                    "bucket_read_limit applies to measurements-backed engines "
+                    "(raw bucket reads); this engine reads a summary store — "
+                    "use summary_read_limit"
+                )
+            read_limit = summary_read_limit
+        else:
+            if summary_read_limit is not None:
+                raise ValueError(
+                    "summary_read_limit applies to summary-store engines; "
+                    "this engine computes from measurements — use "
+                    "bucket_read_limit"
+                )
+            read_limit = bucket_read_limit
         self.executor = QueryExecutor(
             spark,
             self._provide_summaries,

@@ -96,7 +96,6 @@ _PRIORITY = [
     "influx_auto_resolution_click",
     "influx_field_plus_literal",
     "influx_from_materialized_store",
-    "influx_store_percentiles_1h",
     "influx_percentiles_purchase_1h",
     "influx_spread_error_1h",
     "influx_fill_zero_view_10m",
@@ -110,16 +109,13 @@ _PRIORITY = [
     "summary_retention_5m",
     # HDR cascade (A2-A3)
     "ts_hdr_cascade_1h",
-    "ts_hdr_summary_5m",
     # stateful streaming (T4 rows-only by design; online dedup is
     # value-checked against the batch component oracle)
     "streaming_stateful_hist_1h",
     "streaming_dedup_components",
     # dedup / text pipeline
     "dedup_exact_docs",
-    "doc_fingerprint",
     "minhash_md5_pairs",
-    "simhash_md5",
     "token_stats",
     "quality_score",
     "lang_id",
@@ -134,11 +130,9 @@ _PRIORITY = [
     "approx_distinct_users_hll",
     "events_distinct_users_salted",
     "reservoir_sample_per_lang",
-    "stratified_sample_by_lang",
     # ANN / embeddings
     "ann_cosine_topk",
     "ann_lsh_topk",
-    "ann_ivf_topk",
     "ann_ivf_kmeans_topk",
     "embedding_near_dup",
     # sessions / asof
@@ -146,6 +140,13 @@ _PRIORITY = [
     "events_asof_signup",
     # multimodal
     "media_features",
+    # LLM-pipeline round-2 additions: composed prep + the ops it chains
+    "llm_corpus_prep",
+    "decontamination_scan",
+    "pack_sequences_512",
+    "domain_mixture_sqrt",
+    "corpus_vocabulary",
+    "pii_source_profile",
 ]
 
 
@@ -397,7 +398,6 @@ def influx_from_materialized_store(spark, sf_dir):
 
 
 @register(
-    "influx_store_percentiles_1h",
     None,  # oracle registered below, after _percentile_union_sql is defined
 )
 def influx_store_percentiles_1h(spark, sf_dir):
@@ -1116,13 +1116,18 @@ WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
 )
 def tpch_q15_top_supplier(spark, sf_dir):
     """TPC-H Q15-style top supplier: quarter revenue per supplier, then
-    the supplier(s) hitting the maximum. The revenue aggregate is
-    materialized once (localCheckpoint — one row per supplier, tiny
-    relative to lineitem) so the scalar-max branch and the join-back do
-    NOT rescan lineitem (without it, AQE's broadcast conversion defeats
-    exchange reuse and the fact table is read twice). The max equality
-    compares exact decimals, so ties are exact; the double cast happens
-    only on output."""
+    the supplier(s) hitting the maximum. The global max rides a window
+    over the ALREADY-AGGREGATED revenue (one row per supplier, ~6
+    orders of magnitude smaller than lineitem), so lineitem is scanned
+    exactly once and the plan stays lazy and fully recomputable — a
+    scalar-max subquery branch would rescan the fact table (AQE's
+    broadcast conversion defeats exchange reuse), and an eager
+    localCheckpoint would run a job at plan-construction time and pin
+    unreplicated executor blocks. The max equality compares exact
+    decimals, so ties are exact; the double cast happens only on
+    output."""
+    from pyspark.sql import Window
+
     li = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00"))
         & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00"))
@@ -1132,11 +1137,12 @@ def tpch_q15_top_supplier(spark, sf_dir):
             F.col("l_extendedprice").cast("decimal(12,2)")
             * (1 - F.col("l_discount").cast("decimal(4,2)"))
         ).alias("total_rev")
-    ).localCheckpoint()
-    top = rev.agg(F.max("total_rev").alias("max_rev"))
+    )
+    w = Window.partitionBy(F.lit(1))
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        rev.join(F.broadcast(top), rev.total_rev == top.max_rev)
+        rev.withColumn("max_rev", F.max("total_rev").over(w))
+        .where(F.col("total_rev") == F.col("max_rev"))
         .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
         .select(
             "s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue")

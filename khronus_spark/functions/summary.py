@@ -92,6 +92,10 @@ def histogram_summary(
             measurements.select(
                 "metric", bucket_ts("ts_ms", window_ms), F.col("value").alias("v")
             )
+            # array mode's count("value")/collect_list skip NULLs; the
+            # value-level groupBy would otherwise keep a NULL entry and
+            # inflate _n / null the fold results
+            .where(F.col("v").isNotNull())
             .groupBy("metric", "ts", "v")
             .agg(F.count(F.lit(1)).alias("c"))
             .groupBy("metric", "ts")

@@ -103,7 +103,11 @@ def process_tick(
     tick = current_tick(now_ms, windows_ms)
     out: dict[int, dict[str, DataFrame]] = {}
     updated = dict(catalog)
-    capped_end_ms: int | None = None
+    #: per-metric hold-back: metrics whose due window got capped keep
+    #: their watermark at the capped end; everyone else advances fully
+    #: (a global hold would re-aggregate already-processed buckets of
+    #: unrelated metrics on every later tick)
+    held: dict[str, int] = {}
 
     for w in sorted(windows_ms):
         # metrics for which this window is due, and the earliest slice
@@ -121,11 +125,8 @@ def process_tick(
         slice_end = align_floor(tick.end_ms, w)  # exclusive
         if bucket_limit is not None and slice_end - slice_start > bucket_limit * w:
             slice_end = slice_start + bucket_limit * w
-            capped_end_ms = (
-                slice_end
-                if capped_end_ms is None
-                else min(capped_end_ms, slice_end)
-            )
+            for m in due_metrics:
+                held[m] = min(held.get(m, slice_end), slice_end)
         if slice_end <= slice_start:
             continue
         due = measurements.where(
@@ -139,9 +140,14 @@ def process_tick(
         fams["counter"] = counter_summary(ctr, w)
         out[w] = fams
 
-    # capped catch-up: the watermark holds at the capped end so deferred
-    # buckets are aggregated by later ticks (never silently dropped)
-    advance_to = tick.end_ms if capped_end_ms is None else capped_end_ms
-    for m, (mtype, _) in catalog.items():
-        updated[m] = (mtype, advance_to)
+    # capped catch-up: a held metric's watermark stays at its capped end
+    # so deferred buckets are aggregated by later ticks (never silently
+    # dropped). Floor at the metric's OWN previous watermark: the shared
+    # per-window slice starts at the laggard, so a caught-up metric due
+    # in a capped window may have had none of its own range processed —
+    # it must neither regress (re-aggregating its done buckets forever)
+    # nor advance (skipping its unprocessed range).
+    for m, (mtype, last) in catalog.items():
+        advance = min(tick.end_ms, held.get(m, tick.end_ms))
+        updated[m] = (mtype, max(last, advance))
     return out, updated

@@ -322,7 +322,9 @@ def corpus_vocabulary(docs: DataFrame, top_v: int = 50) -> DataFrame:
         F.count(F.lit(1)).alias("n_occ"),
         F.countDistinct("doc_id").alias("n_docs"),
     )
-    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    # corpus token total from the vocabulary-sized aggregate — NOT a
+    # second explode over the corpus
+    total = counts.agg(F.sum("n_occ").alias("n_total"))
     order = (F.col("n_occ").desc(), F.col("tok").asc())
     w_local = Window.partitionBy(F.spark_partition_id()).orderBy(*order)
     survivors = (
@@ -443,10 +445,11 @@ FROM c
 
 #: Cross-engine PII detector patterns — restricted to the regex subset
 #: with identical semantics in Java regex (Spark) and RE2 (DuckDB):
-#: character classes, bounded repetition, alternation; no backrefs or
-#: lookaround.
-PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
-PII_URL = r"https?://[^ ]+"
+#: character classes, bounded repetition, alternation, the (?i) flag;
+#: no backrefs or lookaround. Case-insensitive because they run against
+#: RAW text (Jane.Doe@Example.COM must hit).
+PII_EMAIL = r"(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_URL = r"(?i)https?://[^ ]+"
 PII_PHONE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
 
 

@@ -19,6 +19,7 @@ is the thin edge a reference user would point their agents/Grafana at.
 from __future__ import annotations
 
 import gzip
+import zlib
 import json
 import threading
 import time
@@ -104,7 +105,15 @@ class KhronusHttpService:
                     return
                 body = self.rfile.read(length)
                 if self.headers.get("Content-Encoding") == "gzip":
-                    body = gzip.decompress(body)
+                    # bound the DECOMPRESSED size too — a ~2 MB gzip
+                    # bomb can expand ~1000×; decompress incrementally
+                    # and refuse once the output passes the cap instead
+                    # of materializing it
+                    d = zlib.decompressobj(wbits=31)
+                    body = d.decompress(body, INGEST_BODY_LIMIT + 1)
+                    if len(body) > INGEST_BODY_LIMIT or d.unconsumed_tail:
+                        self.send_error(413)
+                        return
                 try:
                     rows = flatten_metric_batch(json.loads(body))
                 except Exception:

@@ -111,3 +111,23 @@ def test_bucket_limit_caps_catchup_and_defers_watermark(spark):
     buckets2 = sorted(r["ts"] for r in out2[30_000]["counter"].collect())
     assert buckets2 == [60_000, 90_000]
     assert updated2["m"] == ("counter", 120_000)
+
+
+def test_bucket_limit_holds_only_the_lagging_metric(spark):
+    """A capped catch-up must not drag back the watermark of a metric
+    that is already caught up: only metrics due in the capped window
+    hold; the rest advance to the tick end."""
+    from khronus_spark.operators.incremental import process_tick
+
+    rows = [(m, "counter", t * 1000, 1) for m in ("lag", "ok") for t in range(0, 150)]
+    meas = spark.createDataFrame(
+        rows, "metric STRING, mtype STRING, ts_ms LONG, value LONG"
+    )
+    # 'ok' is current (watermark at 150s → nothing due in a 30s window
+    # beyond the tick); 'lag' has a 150s backlog
+    catalog = {"lag": ("counter", 0), "ok": ("counter", 150_000)}
+    out, updated = process_tick(
+        meas, catalog, now_ms=180_000, windows_ms=(30_000,), bucket_limit=2
+    )
+    assert updated["lag"] == ("counter", 60_000)  # held at the capped end
+    assert updated["ok"] == ("counter", 150_000)  # advanced, not dragged back

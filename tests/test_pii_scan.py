@@ -7,7 +7,7 @@ from __future__ import annotations
 from khronus_spark.operators.text import pii_redact, pii_scan
 
 DOCS = [
-    (1, "contact me at jane.doe@example.com or visit https://example.com/x", "en", "webA", 64),
+    (1, "contact me at Jane.Doe@Example.COM or visit HTTPS://Example.com/x", "en", "webA", 64),
     (2, "call +1 (555) 123-4567 tomorrow", "en", "webA", 31),
     (3, "nothing sensitive here just words", "en", "webB", 33),
 ]
@@ -28,7 +28,7 @@ def test_redact_replaces_spans_and_counts(spark):
     out = {r["doc_id"]: r.asDict() for r in pii_redact(spark.createDataFrame(DOCS, SCHEMA)).collect()}
     assert "<EMAIL>" in out[1]["text_redacted"]
     assert "<URL>" in out[1]["text_redacted"]
-    assert "jane.doe" not in out[1]["text_redacted"]
+    assert "Jane.Doe" not in out[1]["text_redacted"]  # mixed case caught
     assert out[1]["n_redactions"] == 2
     assert "<PHONE>" in out[2]["text_redacted"]
     assert out[2]["n_redactions"] == 1

@@ -177,13 +177,14 @@ def test_q8_all_dims_broadcast_single_fact_shuffle_join(spark, oracle_sf_dir):
     assert "GreaterThanOrEqual(o_orderdate" in plan  # pushed to orders scan
 
 
-def test_q15_single_lineitem_scan_max_broadcast_back(spark, oracle_sf_dir):
+def test_q15_single_lineitem_scan_window_max(spark, oracle_sf_dir):
     plan = _plan(spark, oracle_sf_dir, "tpch_q15_top_supplier")
-    # rev is checkpointed: the final plan joins the materialized
-    # aggregate (no lineitem rescan for the scalar-max branch).
-    assert plan.count("lineitem.parquet") == 0
-    assert "Scan ExistingRDD" in plan  # rev served from the checkpoint
+    # the global-max is a window over the per-supplier aggregate, so
+    # the fact table is scanned exactly once and the plan stays lazy
+    assert plan.count("lineitem.parquet") == 1
+    assert "Window" in plan
     assert "BroadcastHashJoin" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
 
 
 def test_decontamination_broadcasts_eval_side(spark, oracle_sf_dir):
