@@ -32,6 +32,20 @@ from khronus_spark.timegrid import (
 )
 
 
+def _ms_to_naive_dt(ms: int):
+    """Epoch-ms → TIMESTAMP_NTZ literal column (UTC wall clock).
+
+    Built as an explicit NTZ SQL literal so the comparison against the
+    raw NTZ source column needs no implicit cast — a plain
+    attribute-vs-literal predicate Catalyst pushes into the parquet
+    scan — and is independent of the session timezone (a naive Python
+    datetime lit would become TIMESTAMP_LTZ and re-interpret)."""
+    import datetime as _dt
+
+    base = _dt.datetime(1970, 1, 1) + _dt.timedelta(milliseconds=ms)
+    return F.expr(f"TIMESTAMP_NTZ '{base.strftime('%Y-%m-%d %H:%M:%S.%f')}'")
+
+
 class KhronusEngine:
     def __init__(
         self,
@@ -127,13 +141,19 @@ class KhronusEngine:
         lo = align_floor(slc.from_ms, window_ms)
         hi = align_floor(slc.to_ms, window_ms) + window_ms - 1
         cond = (F.col("metric") == src.metric) & F.col("ts_ms").between(lo, hi)
-        if "ts_ns" in self.measurements.columns:
+        dtypes = dict(self.measurements.dtypes)
+        if "ts_src" in dtypes:
             # equivalent predicate in the raw source domain: unlike the
-            # derived ts_ms (an integral-div expression), this one pushes
+            # derived ts_ms (a computed expression), this one pushes
             # into the parquet scan and prunes row groups by stats
-            cond = cond & F.col("ts_ns").between(
-                lo * 1_000_000, (hi + 1) * 1_000_000 - 1
-            )
+            if dtypes["ts_src"].startswith("timestamp"):
+                cond = cond & (
+                    F.col("ts_src") >= _ms_to_naive_dt(lo)
+                ) & (F.col("ts_src") < _ms_to_naive_dt(hi + 1))
+            else:  # legacy epoch-ns long encoding
+                cond = cond & F.col("ts_src").between(
+                    lo * 1_000_000, (hi + 1) * 1_000_000 - 1
+                )
         m = self.measurements.where(cond)
         if family == "counter":
             return counter_summary(m, window_ms)

@@ -398,6 +398,7 @@ def influx_from_materialized_store(spark, sf_dir):
 
 
 @register(
+    "influx_store_percentiles_1h",
     None,  # oracle registered below, after _percentile_union_sql is defined
 )
 def influx_store_percentiles_1h(spark, sf_dir):

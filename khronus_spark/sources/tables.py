@@ -1,11 +1,20 @@
 """Parquet sources for the engine and its test harness.
 
 The driver testdata (/root/testdata/sf*/) stores timestamps as parquet
-INT64 TIMESTAMP(NANOS), which Spark only reads with
-`spark.sql.legacy.parquet.nanosAsLong=true`. We standardize on that:
-every timestamp column arrives as an epoch-**nanosecond** long, which is
-timezone-unambiguous and identical across Spark and the DuckDB oracle.
-Helper expressions convert to the engine's epoch-millisecond domain.
+TIMESTAMP(MICROS) without UTC adjustment, which Spark reads as
+TIMESTAMP_NTZ and DuckDB as naive TIMESTAMP — the same wall-clock
+values on both engines, timezone-unambiguous. (Earlier driver builds
+wrote INT64 TIMESTAMP(NANOS); `_ensure_nanos_as_long` keeps those
+readable, arriving as epoch-ns longs.)
+
+The engine's internal time domain is the epoch-**nanosecond** long:
+`load_table` normalizes `events.ts` to it at the scan boundary
+(`_NS_LONG_COLUMNS`), so every downstream operator computes in pure
+integer arithmetic regardless of the source encoding. TPC-H date
+columns (`l_shipdate`, `o_orderdate`) stay native timestamps — their
+consumers use calendar functions and timestamp literals, which push
+down to the parquet scan as-is. Helper expressions convert ns longs to
+the engine's epoch-millisecond domain.
 
 The `measurements` view maps the driver's `events` table onto the
 reference's ingest record (`model/MetricMeasurement.scala:44-52`):
@@ -33,11 +42,11 @@ TABLE_NAMES = (
     "embeddings",
 )
 
-#: Timestamp (nanos-as-long) columns per table.
-_TS_COLUMNS = {
+#: Columns normalized to epoch-ns longs at the scan boundary. Only the
+#: engine's measurement time domain — TPC-H date columns stay native
+#: timestamps (calendar functions + literal predicates push down).
+_NS_LONG_COLUMNS = {
     "events": ("ts",),
-    "lineitem": ("l_shipdate",),
-    "orders": ("o_orderdate",),
 }
 
 #: Deterministic metric-type assignment for the events→measurements view.
@@ -61,10 +70,30 @@ def _ensure_nanos_as_long(spark: SparkSession) -> None:
         pass
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table; timestamp columns come back as epoch-ns longs."""
+def ntz_to_epoch_ns(col: Column) -> Column:
+    """TIMESTAMP_NTZ wall-clock → epoch-ns long, independent of the
+    session timezone: `to_utc_timestamp(ts, 'UTC')` pins the naive value
+    to UTC (a no-op shift) so `unix_micros` reads the exact stored
+    microseconds; ×1000 lands in the engine's ns domain."""
+    return F.unix_micros(F.to_utc_timestamp(col, "UTC")) * 1000
+
+
+def load_table_raw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table with its native parquet schema."""
     _ensure_nanos_as_long(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table; engine time columns come back as
+    epoch-ns longs (see `_NS_LONG_COLUMNS`) whether the source stored
+    TIMESTAMP(MICROS) or legacy INT64 nanos."""
+    df = load_table_raw(spark, sf_dir, name)
+    dtypes = dict(df.dtypes)
+    for c in _NS_LONG_COLUMNS.get(name, ()):
+        if dtypes.get(c, "").startswith("timestamp"):
+            df = df.withColumn(c, ntz_to_epoch_ns(F.col(c)))
+    return df
 
 
 def spread(df: DataFrame, max_partitions: int | None = None) -> DataFrame:
@@ -123,18 +152,22 @@ def measurements_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     `model/MetricMeasurement.scala:50-52`); negative values are skipped
     (`store/MetricMeasurementStore.scala:122-127`).
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table_raw(spark, sf_dir, "events")
+    ts_is_native = dict(ev.dtypes)["ts"].startswith("timestamp")
+    ts_ns = ntz_to_epoch_ns(F.col("ts")) if ts_is_native else F.col("ts")
     return (
         ev.where(F.col("value") >= 0)
         .select(
             F.col("event_type").alias("metric"),
             mtype_expr(F.col("event_type")).alias("mtype"),
-            ns_to_ms(F.col("ts")).alias("ts_ms"),
+            ns_to_ms(ts_ns).alias("ts_ms"),
             F.floor(F.col("value")).cast("long").alias("value"),
-            # raw source-domain timestamp: time-range predicates restated
-            # on this column reach the parquet scan (row-group pruning),
-            # which `ts div 1000000 >= x` never can
-            F.col("ts").alias("ts_ns"),
+            # raw source-domain timestamp (NTZ for current testdata, ns
+            # long for legacy): time-range predicates restated on this
+            # UNCOMPUTED column reach the parquet scan (row-group
+            # pruning), which a derived `unix_micros(...)//1000 >= x`
+            # never can
+            F.col("ts").alias("ts_src"),
         )
     )
 

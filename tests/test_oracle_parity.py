@@ -108,9 +108,12 @@ def test_driver_window_covers_flagships():
         # one per LLM-pipeline / flagship family
         "corpus_curation", "dedup_components_minhash", "kmeans_embeddings",
         "approx_distinct_users_hll", "ann_cosine_topk", "ann_lsh_topk",
-        "ann_ivf_topk", "embedding_near_dup", "events_sessions_30m",
+        "ann_ivf_kmeans_topk", "embedding_near_dup", "events_sessions_30m",
         "events_asof_signup", "media_features", "streaming_stateful_hist_1h",
-        "ts_hdr_cascade_1h", "influx_store_percentiles_1h",
+        "ts_hdr_cascade_1h", "influx_from_materialized_store",
+        # composed LLM corpus-prep pipeline + the ops it chains
+        "llm_corpus_prep", "decontamination_scan", "pack_sequences_512",
+        "domain_mixture_sqrt", "corpus_vocabulary", "pii_source_profile",
     }
     assert flagships <= window
     # every windowed entry except the by-design rows-only one has an oracle
