@@ -1152,6 +1152,126 @@ def tpch_q15_top_supplier(spark, sf_dir):
 
 
 @register(
+    "tpch_q17_small_qty_revenue",
+    """
+WITH li AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = 'Brand#1'
+), st AS (
+  SELECT l_quantity, l_extendedprice,
+         sum(l_quantity) OVER (PARTITION BY l_partkey) AS part_qty,
+         count(*) OVER (PARTITION BY l_partkey) AS part_cnt
+  FROM li
+)
+SELECT count(*) AS n_lines,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) / 7 AS DOUBLE), 4)
+         AS avg_yearly
+FROM st
+WHERE l_quantity * part_cnt * 5 < part_qty
+""",
+)
+def tpch_q17_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17-style small-quantity revenue: lineitems of one brand's
+    parts whose quantity is under 20% of that part's average order
+    quantity. The brand's part keys are a broadcast build side (the
+    dimension filter prunes ~1/25 of part), so lineitem never shuffles
+    for the join; the per-part average rides a window over the
+    ALREADY-FILTERED join output — one hash partition on l_partkey —
+    instead of the classic aggregate-then-rejoin (two shuffles of the
+    same data). The 20% threshold compares `qty * cnt * 5 < sum_qty`:
+    all integers-valued doubles, so the comparison is exact on both
+    engines (no FP-ordering hazard from a double `avg`).
+    p_container doesn't exist in this testdata, so the predicate is
+    brand-only. Reference has no TPC-H surface; this extends the
+    analytics family (SURVEY §2.12)."""
+    from pyspark.sql import Window
+
+    part_keys = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(F.broadcast(part_keys), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    w = Window.partitionBy("l_partkey")
+    st = li.select(
+        "l_quantity",
+        "l_extendedprice",
+        F.sum("l_quantity").over(w).alias("part_qty"),
+        F.count(F.lit(1)).over(w).alias("part_cnt"),
+    )
+    return st.where(
+        F.col("l_quantity") * F.col("part_cnt") * 5 < F.col("part_qty")
+    ).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(
+            (F.sum(F.col("l_extendedprice").cast("decimal(12,2)")) / 7).cast(
+                "double"
+            ),
+            4,
+        ).alias("avg_yearly"),
+    )
+
+
+@register(
+    "tpch_q22_idle_high_balance",
+    """
+WITH thr AS (
+  SELECT sum(CAST(c_acctbal AS DECIMAL(12,2))) AS bal_sum, count(*) AS bal_cnt
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_mktsegment, count(*) AS n_cust,
+       round(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE), 4)
+         AS total_bal
+FROM customer, thr
+WHERE CAST(c_acctbal AS DECIMAL(12,2)) * thr.bal_cnt > thr.bal_sum
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+GROUP BY c_mktsegment
+""",
+)
+def tpch_q22_idle_high_balance(spark, sf_dir):
+    """TPC-H Q22-style sales opportunity: customers whose balance beats
+    the positive-balance average but who placed no recent orders,
+    grouped by segment. The global average is a 1-row aggregate
+    cross-joined in (Catalyst broadcasts it — no shuffle of customer);
+    the threshold compares `bal * cnt > sum` in exact DECIMAL so both
+    engines agree at the boundary (a double `avg` would round). The
+    anti join's build side is the filtered recent-order custkey set.
+    c_phone doesn't exist in this testdata, so the original's
+    country-code grouping is restated over c_mktsegment and the
+    no-order predicate is time-bounded to keep the result non-empty."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("c_acctbal").cast("decimal(12,2)").alias("bal"),
+    )
+    thr = cust.where(F.col("bal") > 0).agg(
+        F.sum("bal").alias("bal_sum"), F.count(F.lit(1)).alias("bal_cnt")
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00"))
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(thr))
+        .where(F.col("bal") * F.col("bal_cnt") > F.col("bal_sum"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.sum("bal").cast("double"), 4).alias("total_bal"),
+        )
+    )
+
+
+@register(
     "events_rollup_type_daily",
     """
 SELECT event_type,
