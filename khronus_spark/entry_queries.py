@@ -1830,6 +1830,22 @@ def doc_repetition(spark, sf_dir):
     return text_ops.repetition(docs)
 
 
+@register("gopher_rules", text_ops.GOPHER_RULES_SQL)
+def gopher_rules(spark, sf_dir):
+    """Gopher-style quality-rule battery: per-rule booleans + keep
+    verdict, map-only (operators/text.py::gopher_rules)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.gopher_rules(docs)
+
+
+@register("dup_ngram_5", text_ops.dup_ngram_fraction_sql(5))
+def dup_ngram_5(spark, sf_dir):
+    """Cross-doc duplicated-5-gram share per document — boilerplate /
+    template-spam signal (operators/text.py::dup_ngram_fraction)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.dup_ngram_fraction(docs, n=5)
+
+
 @register("doc_top_terms_tfidf", text_ops.top_terms_tfidf_sql())
 def doc_top_terms_tfidf(spark, sf_dir):
     """Top-3 characteristic terms per doc (deterministic integer

@@ -239,6 +239,136 @@ QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, tok ASC) = 1
 """
 
 
+def gopher_rules(docs: DataFrame) -> DataFrame:
+    """Gopher-style quality-rule battery (Rae et al. 2021, table A1
+    adapted): per-document boolean flags plus the combined keep verdict,
+    so a pipeline can account for WHY documents drop, not just how many.
+
+    Rules (all integer arithmetic, thresholds in x100 / basis points):
+    - r_len: 5 ≤ n_tokens ≤ 100_000 (Gopher: 50..100k words; the lower
+      bound is scaled to this corpus' short synthetic docs)
+    - r_word_len: 250 ≤ mean token length ×100 ≤ 1000 (Gopher: 3..10)
+    - r_stop: ≥ 2 distinct stopwords present (Gopher's ≥2-of-list rule)
+    - r_alpha: ≥ 80% of tokens contain an alphabetic character
+
+    Pure column algebra over one projection — map-only, no shuffle, no
+    Python; at 100 TB this runs at scan speed and the keep flag prunes
+    before any downstream shuffle."""
+    in_list = ",".join(repr(w) for w in STOPWORDS)
+    t = docs.select("doc_id", _tokens().alias("t"))
+    return t.select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        F.expr(
+            "aggregate(t, 0L, (acc, x) -> acc + length(x)) * 100L div size(t)"
+        ).alias("mean_tok_len_x100"),
+        F.expr(f"size(array_distinct(filter(t, x -> x IN ({in_list}))))").alias(
+            "stop_hits"
+        ),
+        F.expr(
+            "size(filter(t, x -> x rlike '[a-z]')) * 10000L div size(t)"
+        ).alias("alpha_bp"),
+    ).select(
+        "*",
+        F.expr("n_tokens BETWEEN 5 AND 100000").alias("r_len"),
+        F.expr("mean_tok_len_x100 BETWEEN 250 AND 1000").alias("r_word_len"),
+        F.expr("stop_hits >= 2").alias("r_stop"),
+        F.expr("alpha_bp >= 8000").alias("r_alpha"),
+    ).withColumn(
+        "keep", F.expr("r_len AND r_word_len AND r_stop AND r_alpha")
+    )
+
+
+GOPHER_RULES_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(t) AS n_tokens,
+         CAST(list_sum(list_transform(t, x -> length(x))) * 100 // len(t) AS BIGINT)
+           AS mean_tok_len_x100,
+         len(list_distinct(list_filter(t, x -> x IN ({_sql_list(STOPWORDS)}))))
+           AS stop_hits,
+         len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) * 10000 // len(t)
+           AS alpha_bp
+  FROM t
+)
+SELECT *,
+       n_tokens BETWEEN 5 AND 100000 AS r_len,
+       mean_tok_len_x100 BETWEEN 250 AND 1000 AS r_word_len,
+       stop_hits >= 2 AS r_stop,
+       alpha_bp >= 8000 AS r_alpha,
+       (n_tokens BETWEEN 5 AND 100000)
+         AND (mean_tok_len_x100 BETWEEN 250 AND 1000)
+         AND stop_hits >= 2 AND alpha_bp >= 8000 AS keep
+FROM m
+"""
+
+
+def dup_ngram_fraction(docs: DataFrame, n: int = 5) -> DataFrame:
+    """Cross-document duplicated-n-gram fraction: for each document, the
+    share of its distinct word n-grams that also occur in at least one
+    OTHER document (basis points). The cross-doc analogue of Gopher's
+    within-doc dup-ngram filters — high dup_bp marks boilerplate and
+    template spam that exact/minhash dedup misses because the document
+    as a whole differs.
+
+    Shape: per-doc distinct grams (map-only explode) → global
+    document-frequency via a window keyed on the gram → per-doc
+    re-aggregate. Two shuffles total (gram key, then doc_id), each with
+    map-side partial work; no self-join of the corpus. Grams travel as
+    md5 hex (fixed 32 bytes) rather than raw strings, which both bounds
+    shuffle width and is computable identically in DuckDB — the same
+    cross-engine twin pattern as `minhash_md5_pairs`
+    (operators/dedup.py); a Spark-only deployment would swap xxhash64
+    for md5 and halve the key again. Documents with fewer than n tokens
+    have no n-gram and are excluded (dup_bp undefined)."""
+    from pyspark.sql import Window
+
+    t = docs.select("doc_id", _tokens().alias("t")).where(F.size("t") >= n)
+    grams = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"array_distinct(transform(sequence(1, size(t) - {n - 1}),"
+                f" i -> md5(concat_ws(' ', slice(t, i, {n})))))"
+            )
+        ).alias("g"),
+    )
+    w = Window.partitionBy("g")
+    return (
+        grams.withColumn("doc_freq", F.count(F.lit(1)).over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.expr("CAST(doc_freq > 1 AS LONG)")).alias("n_dup"),
+        )
+        .withColumn("dup_bp", F.expr("n_dup * 10000L div n_grams"))
+    )
+
+
+def dup_ngram_fraction_sql(n: int = 5) -> str:
+    return rf"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, len(t) - {n - 1}),
+           i -> md5(array_to_string(t[i:i+{n - 1}], ' '))))) AS g
+  FROM t WHERE len(t) >= {n}
+), df AS (
+  SELECT doc_id, count(*) OVER (PARTITION BY g) AS doc_freq FROM g
+)
+SELECT doc_id, count(*) AS n_grams,
+       sum(CAST(doc_freq > 1 AS BIGINT)) AS n_dup,
+       sum(CAST(doc_freq > 1 AS BIGINT)) * 10000 // count(*) AS dup_bp
+FROM df GROUP BY doc_id
+"""
+
+
 def top_terms_tfidf(docs: DataFrame, k: int = 3) -> DataFrame:
     """Top-k characteristic terms per document by a deterministic
     tf-idf variant: score = tf · ((N·1000) // df) — linear inverse
