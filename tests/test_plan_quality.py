@@ -209,3 +209,39 @@ def test_lsh_candidate_generation_has_no_join(spark, oracle_sf_dir):
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Join" not in plan, plan[:2000]
+
+
+def test_gopher_rules_is_map_only(spark, oracle_sf_dir):
+    """The rule battery must run at scan speed: one projection, no
+    shuffle, no Python stage — it is the pruning filter that runs
+    BEFORE every expensive corpus stage."""
+    plan = _plan(spark, oracle_sf_dir, "gopher_rules")
+    assert "Exchange" not in plan
+    for py in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert py not in plan
+
+
+def test_dup_ngram_no_corpus_self_join(spark, oracle_sf_dir):
+    """Cross-doc gram frequency comes from a gram-keyed window, never a
+    corpus self-join: two exchanges total (gram key, then doc_id)."""
+    plan = _plan(spark, oracle_sf_dir, "dup_ngram_5")
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 4  # 2 exchanges × 2 mentions
+
+
+def test_q17_broadcasts_parts_single_window(spark, oracle_sf_dir):
+    """lineitem must not shuffle for the brand join (broadcast part
+    keys) and the 20% threshold must ride ONE window over the filtered
+    join output, not an aggregate-then-rejoin."""
+    plan = _plan(spark, oracle_sf_dir, "tpch_q17_small_qty_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Window") == 2  # 1 window op × 2 mentions
+
+
+def test_q22_scalar_threshold_broadcast(spark, oracle_sf_dir):
+    """The global-average threshold is a 1-row broadcast cross (the
+    only acceptable nested-loop shape); the anti join must hash."""
+    plan = _plan(spark, oracle_sf_dir, "tpch_q22_idle_high_balance")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # the anti join
