@@ -1892,6 +1892,17 @@ def kmeans_embeddings(spark, sf_dir):
     return clustering_ops.kmeans_assignments(emb)
 
 
+@register("semantic_dedup", clustering_ops.semantic_dedup_sql())
+def semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic deduplication: within each k-means
+    cluster, drop every vector with a lower-id ε-close neighbor
+    (quantized squared-L2 ε, exact int64 on both engines) — keeps one
+    representative per semantic-duplicate neighborhood
+    (operators/clustering.py::semantic_dedup)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return clustering_ops.semantic_dedup(emb)
+
+
 @register("training_batch_assembly", curation_ops.TRAINING_BATCH_SQL)
 def training_batch_assembly(spark, sf_dir):
     """Curated corpus ⋈ embeddings → per-example training features
