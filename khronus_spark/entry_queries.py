@@ -2434,6 +2434,15 @@ def domain_mixture_sqrt(spark, sf_dir):
     return curation_ops.domain_mixture(docs)
 
 
+@register("curriculum_shards", curation_ops.curriculum_shards_sql())
+def curriculum_shards(spark, sf_dir):
+    """Deterministic shard assignment + quality-first curriculum rank
+    with running token totals per shard
+    (operators/curation.py::curriculum_shards)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation_ops.curriculum_shards(docs)
+
+
 @register("pack_sequences_512", text_ops.pack_sequences_sql())
 def pack_sequences_512(spark, sf_dir):
     """Concat-and-chunk sequence packing into 512-token training

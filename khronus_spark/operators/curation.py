@@ -434,3 +434,62 @@ SELECT lang,
 FROM flagged
 GROUP BY lang
 """
+
+
+def curriculum_shards(docs: DataFrame, n_shards: int = 8) -> DataFrame:
+    """Deterministic training-shard plan with quality curriculum: each
+    document hashes to a shard (md5 of doc_id — stable across runs,
+    engines, and partitionings), and within its shard is ranked
+    best-quality-first with a running token total, so a trainer can cut
+    any per-shard token budget at a rank boundary.
+
+    Scale shape: the hash is map-only; the ranking is ONE shuffle on
+    the shard key followed by a per-shard sort bounded by shard size
+    (N / n_shards). `n_shards` is the parallelism dial — a 100 TB run
+    uses thousands of shards, so no single sorted partition exceeds
+    executor memory; 8 here keeps the oracle's window tractable."""
+    from pyspark.sql import Window
+
+    q = quality_score(docs).select("doc_id", "n_tokens", "quality_bp")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % n_shards
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("quality_bp").desc(), F.col("doc_id").asc())
+    )
+    return (
+        q.withColumn("shard", shard)
+        .withColumn("curriculum_rank", F.row_number().over(w))
+        .withColumn(
+            "cum_tokens",
+            F.sum("n_tokens").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .select(
+            "doc_id", "shard", "quality_bp", "curriculum_rank", "cum_tokens"
+        )
+    )
+
+
+def curriculum_shards_sql(n_shards: int = 8) -> str:
+    return f"""
+WITH q AS ({QUALITY_SCORE_SQL}),
+s AS (
+  SELECT doc_id, n_tokens, quality_bp,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UINTEGER
+              AS BIGINT) % {n_shards} AS shard
+  FROM q
+)
+SELECT doc_id, shard, quality_bp,
+       row_number() OVER (PARTITION BY shard
+                          ORDER BY quality_bp DESC, doc_id ASC)
+         AS curriculum_rank,
+       sum(n_tokens) OVER (PARTITION BY shard
+                           ORDER BY quality_bp DESC, doc_id ASC
+                           ROWS UNBOUNDED PRECEDING)
+         AS cum_tokens
+FROM s
+"""
