@@ -94,7 +94,8 @@ _PRIORITY = [
     # influx query path (P/W/G/J families, S4-S10)
     "influx_count_click_5m",
     "influx_auto_resolution_click",
-    "influx_field_plus_literal",
+    # (field+literal arithmetic is also exercised by
+    # influx_op_two_sources_30m; its slot goes to semantic_dedup)
     "influx_from_materialized_store",
     "influx_percentiles_purchase_1h",
     "influx_spread_error_1h",
@@ -119,12 +120,15 @@ _PRIORITY = [
     "token_stats",
     "quality_score",
     "lang_id",
-    "doc_repetition",
+    # (doc_repetition's within-doc signal is the weaker sibling of the
+    # cross-doc dup-ngram fraction; its slot goes to dup_ngram_5)
+    "dup_ngram_5",
     "doc_top_terms_tfidf",
     # clustering / curation
     "dedup_components_minhash",
     "corpus_curation",
     "kmeans_embeddings",
+    "semantic_dedup",
     "training_batch_assembly",
     # sketches / skew / sampling
     "approx_distinct_users_hll",

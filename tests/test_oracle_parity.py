@@ -111,6 +111,7 @@ def test_driver_window_covers_flagships():
         "ann_ivf_kmeans_topk", "embedding_near_dup", "events_sessions_30m",
         "events_asof_signup", "media_features", "streaming_stateful_hist_1h",
         "ts_hdr_cascade_1h", "influx_from_materialized_store",
+        "semantic_dedup", "dup_ngram_5",
         # composed LLM corpus-prep pipeline + the ops it chains
         "llm_corpus_prep", "decontamination_scan", "pack_sequences_512",
         "domain_mixture_sqrt", "corpus_vocabulary", "pii_source_profile",
