@@ -123,6 +123,12 @@ def main() -> None:
         # flagship iterative pipeline: quality gate -> connected-components
         # dedup (large-star/small-star) -> canonical keep -> sample -> stats
         "corpus_curation": lambda: run_df(q["corpus_curation"](spark, sf_dir)),
+        # map-only quality-rule battery (scan-speed pruning filter)
+        "gopher_rules": lambda: run_df(q["gopher_rules"](spark, sf_dir)),
+        # cross-doc duplicated-5-gram fraction (gram window, no self-join)
+        "dup_ngram_5": lambda: run_df(q["dup_ngram_5"](spark, sf_dir)),
+        # SemDeDup: k-means clusters -> within-cluster eps-ball keep-one
+        "semantic_dedup": lambda: run_df(q["semantic_dedup"](spark, sf_dir)),
     }
 
     timings: dict[str, float] = {}

@@ -1,0 +1,125 @@
+"""Invariant tests for the corpus-prep operators added in round 2:
+gopher_rules, dup_ngram_fraction, semantic_dedup, curriculum_shards.
+Constructed micro-fixtures pin the semantic contracts the oracle-parity
+hash can't express (monotonicity, keep-at-least-one, exact-duplicate
+behavior)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from khronus_spark.operators.clustering import semantic_dedup
+from khronus_spark.operators.curation import curriculum_shards
+from khronus_spark.operators.text import dup_ngram_fraction, gopher_rules
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t, len(t)) for i, t in enumerate(texts)],
+        "doc_id LONG, text STRING, n_chars LONG",
+    )
+
+
+def test_gopher_keep_is_conjunction_and_bounds(spark, oracle_sf_dir):
+    from khronus_spark.sources.tables import load_table
+
+    out = gopher_rules(load_table(spark, oracle_sf_dir, "documents"))
+    bad = out.where(
+        F.col("keep")
+        != (
+            F.col("r_len")
+            & F.col("r_word_len")
+            & F.col("r_stop")
+            & F.col("r_alpha")
+        )
+    ).count()
+    assert bad == 0
+    assert out.where("alpha_bp < 0 OR alpha_bp > 10000").count() == 0
+
+
+def test_gopher_rules_discriminate(spark):
+    # too short / no stopwords / huge tokens / clean — one rule each
+    out = {
+        r["doc_id"]: r
+        for r in gopher_rules(
+            _docs(
+                spark,
+                [
+                    "the a",  # r_len fails (2 tokens)
+                    "zebra quokka wombat numbat dingo koala",  # r_stop fails
+                    "the a pneumonoultramicroscopicsilicovolcanoconiosis "
+                    "pseudopseudohypoparathyroidism floccinaucinihilipilification "
+                    "supercalifragilisticexpialidocious",  # r_word_len fails
+                    "the cat sat on a mat and the dog sat too",  # keeps
+                ],
+            )
+        ).collect()
+    }
+    assert not out[0]["r_len"] and not out[0]["keep"]
+    assert not out[1]["r_stop"] and not out[1]["keep"]
+    assert not out[2]["r_word_len"] and not out[2]["keep"]
+    assert out[3]["keep"]
+
+
+def test_dup_ngram_exact_copies_saturate(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    out = {
+        r["doc_id"]: r
+        for r in dup_ngram_fraction(
+            _docs(spark, [base, base, "one two three four five six seven"])
+        ).collect()
+    }
+    # verbatim copies: every gram shared -> 10000 bp on both
+    assert out[0]["dup_bp"] == 10000 and out[1]["dup_bp"] == 10000
+    # the unrelated doc shares nothing
+    assert out[2]["dup_bp"] == 0
+    for r in out.values():
+        assert 0 <= r["dup_bp"] <= 10000 and r["n_dup"] <= r["n_grams"]
+
+
+def test_semantic_dedup_keeps_one_per_cluster_and_dedups_identicals(spark):
+    # 8 vectors: ids 0..3 distinct seeds (also the k=4 init centroids),
+    # ids 4..7 exact copies of id 0..3 -> each copy must drop, every
+    # cluster keeps its lowest id.
+    import math
+
+    def vec(seed):
+        return [math.sin(seed * 17.0 + d) for d in range(64)]
+
+    rows = [(i, vec(i), 0) for i in range(4)] + [
+        (i + 4, vec(i), 0) for i in range(4)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
+    )
+    out = {r["vec_id"]: r for r in semantic_dedup(emb).collect()}
+    assert len(out) == 8
+    for i in range(4):
+        assert out[i]["kept"], i  # originals (lowest id in their ball)
+        assert not out[i + 4]["kept"], i + 4  # exact copies drop
+        assert out[i + 4]["cluster"] == out[i]["cluster"]
+
+
+def test_curriculum_ranks_contiguous_and_cumsum_monotone(spark, oracle_sf_dir):
+    from khronus_spark.sources.tables import load_table
+
+    out = curriculum_shards(load_table(spark, oracle_sf_dir, "documents"))
+    # ranks are 1..n per shard with no gaps; cum_tokens strictly grows
+    agg = out.groupBy("shard").agg(
+        F.count("*").alias("n"),
+        F.max("curriculum_rank").alias("max_rank"),
+        F.countDistinct("curriculum_rank").alias("distinct_ranks"),
+    )
+    assert agg.where("max_rank != n OR distinct_ranks != n").count() == 0
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy("curriculum_rank")
+    regress = out.withColumn("prev", F.lag("cum_tokens").over(w)).where(
+        "prev IS NOT NULL AND cum_tokens <= prev"
+    )
+    assert regress.count() == 0
+    # quality ordering: within a shard, quality_bp never increases with rank
+    qreg = out.withColumn("prevq", F.lag("quality_bp").over(w)).where(
+        "prevq IS NOT NULL AND quality_bp > prevq"
+    )
+    assert qreg.count() == 0
