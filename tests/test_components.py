@@ -142,6 +142,22 @@ def test_empty_input_edge_cases(spark):
     assert hll_distinct_wide(empty_events, "event_type", "user_id").count() == 0
     assert salted_distinct(empty_events, "event_type", "user_id").count() == 0
 
+    from khronus_spark.operators.curation import curriculum_shards
+    from khronus_spark.operators.text import dup_ngram_fraction, gopher_rules
+
+    assert gopher_rules(empty_docs).count() == 0
+    assert dup_ngram_fraction(empty_docs).count() == 0
+    assert curriculum_shards(empty_docs).count() == 0
+    # semantic_dedup needs >= k seed vectors by construction (centroids
+    # are vec_id 0..k-1) — pin the contract that an all-empty embedding
+    # table yields an empty result rather than a crash.
+    from khronus_spark.operators.clustering import semantic_dedup
+
+    empty_emb = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    )
+    assert semantic_dedup(empty_emb).count() == 0
+
 
 def test_bucket_pairs_star_cap_preserves_components(spark):
     """Over-cap buckets emit star edges instead of all pairs: fewer
