@@ -1613,6 +1613,72 @@ def user_segments_setops(spark, sf_dir):
 
 
 @register(
+    "events_anomaly_zscore",
+    """
+WITH x AS (
+  SELECT event_id, event_type, ts, CAST(floor(value) AS BIGINT) AS x
+  FROM events
+), s AS (
+  SELECT event_id, event_type, epoch_ms(ts) AS ts_ms, x,
+         count(*) OVER w AS win_n, sum(x) OVER w AS s, sum(x * x) OVER w AS q
+  FROM x
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, event_type AS metric, ts_ms, x AS value,
+       CAST(win_n AS BIGINT) AS win_n
+FROM s
+WHERE win_n >= 20 AND (win_n * x - s) * (win_n * x - s) > 9 * (win_n * q - s * s)
+""",
+)
+def events_anomaly_zscore(spark, sf_dir):
+    """Rolling 3σ anomaly detection per metric, EXACT in integers: a
+    trailing 100-event window carries (n, Σx, Σx²), and |z| > 3 is
+    evaluated as (n·x − Σx)² > 9·(n·Σx² − (Σx)²) — the z-score
+    inequality multiplied through by n², so no float mean/stddev ever
+    exists to disagree across engines (values ≤ ~560 keep every term
+    far inside int64). Warm-up rows (n < 20) are suppressed.
+
+    Scale shape: one shuffle on the metric key; the frame scan is a
+    single sorted pass with O(1) incremental state per row. A
+    production deployment would sub-partition the sort by day to bound
+    per-task sort size; semantics are unchanged because the frame is
+    row-bounded."""
+    from khronus_spark.sources.tables import ns_to_ms
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.floor("value").cast("long").alias("x"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-99, Window.currentRow)
+    )
+    s = ev.select(
+        "event_id",
+        F.col("event_type").alias("metric"),
+        ns_to_ms(F.col("ts")).alias("ts_ms"),
+        F.col("x"),
+        F.count(F.lit(1)).over(w).alias("win_n"),
+        F.sum("x").over(w).alias("s"),
+        F.sum(F.expr("x * x")).over(w).alias("q"),
+    )
+    return s.where(
+        (F.col("win_n") >= 20)
+        & (
+            (F.col("win_n") * F.col("x") - F.col("s"))
+            * (F.col("win_n") * F.col("x") - F.col("s"))
+            > 9 * (F.col("win_n") * F.col("q") - F.col("s") * F.col("s"))
+        )
+    ).select(
+        "event_id", "metric", "ts_ms", F.col("x").alias("value"), "win_n"
+    )
+
+
+@register(
     "events_value_moving_avg_7d",
     """
 WITH daily AS (
