@@ -2504,6 +2504,16 @@ def domain_mixture_sqrt(spark, sf_dir):
     return curation_ops.domain_mixture(docs)
 
 
+@register("source_cap_sample", curation_ops.source_cap_sample_sql(400))
+def source_cap_sample(spark, sf_dir):
+    """Per-source corpus quota (no source > 4% of docs — binding on
+    this corpus's uniform 5%-per-source layout) with
+    deterministic md5-ordered keeps — per-source accounting
+    (operators/curation.py::source_cap_sample)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation_ops.source_cap_sample(docs, cap_bp=400)
+
+
 @register("curriculum_shards", curation_ops.curriculum_shards_sql())
 def curriculum_shards(spark, sf_dir):
     """Deterministic shard assignment + quality-first curriculum rank

@@ -493,3 +493,53 @@ SELECT doc_id, shard, quality_bp,
          AS cum_tokens
 FROM s
 """
+
+
+def source_cap_sample(docs: DataFrame, cap_bp: int = 2000) -> DataFrame:
+    """Domain-domination control: no source may exceed `cap_bp` basis
+    points of the corpus. Each source keeps at most
+    floor(total · cap_bp / 10000) documents, chosen deterministically by
+    md5(text) order (stable across runs, engines, and partitionings —
+    and identical texts keep/drop together). Returns per-source
+    accounting: (source, n_docs, n_kept, capped).
+
+    Scale shape: the corpus total is a 1-row broadcast; ranking is one
+    shuffle on the source key with the per-source sort bounded by that
+    source's size — exactly the skew the cap then removes. The final
+    accounting is a map-side-combinable groupBy on the low-cardinality
+    source key."""
+    from pyspark.sql import Window
+
+    total = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    w = Window.partitionBy("source").orderBy(F.md5("text"), "doc_id")
+    ranked = (
+        docs.select("doc_id", "source", "text")
+        .crossJoin(F.broadcast(total))
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("budget", F.expr(f"n_total * {cap_bp} div 10000"))
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.expr("CAST(rk <= budget AS LONG)")).alias("n_kept"),
+        )
+        .withColumn("capped", F.expr("n_kept < n_docs"))
+    )
+
+
+def source_cap_sample_sql(cap_bp: int = 2000) -> str:
+    return f"""
+WITH t AS (SELECT count(*) AS n_total FROM documents),
+r AS (
+  SELECT doc_id, source, n_total,
+         row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id)
+           AS rk,
+         n_total * {cap_bp} // 10000 AS budget
+  FROM documents, t
+)
+SELECT source, count(*) AS n_docs,
+       sum(CAST(rk <= budget AS BIGINT)) AS n_kept,
+       sum(CAST(rk <= budget AS BIGINT)) < count(*) AS capped
+FROM r GROUP BY source
+"""
