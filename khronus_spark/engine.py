@@ -46,6 +46,17 @@ def _ms_to_naive_dt(ms: int):
     return F.expr(f"TIMESTAMP_NTZ '{base.strftime('%Y-%m-%d %H:%M:%S.%f')}'")
 
 
+def _ms_to_utc_instant(ms: int):
+    """Epoch-ms → TIMESTAMP (LTZ) literal column pinned with an explicit
+    +00:00 offset, so the instant is session-timezone-independent."""
+    import datetime as _dt
+
+    base = _dt.datetime(1970, 1, 1) + _dt.timedelta(milliseconds=ms)
+    return F.expr(
+        f"TIMESTAMP '{base.strftime('%Y-%m-%d %H:%M:%S.%f')}+00:00'"
+    )
+
+
 class KhronusEngine:
     def __init__(
         self,
@@ -146,10 +157,16 @@ class KhronusEngine:
             # equivalent predicate in the raw source domain: unlike the
             # derived ts_ms (a computed expression), this one pushes
             # into the parquet scan and prunes row groups by stats
-            if dtypes["ts_src"].startswith("timestamp"):
+            if dtypes["ts_src"] == "timestamp_ntz":
                 cond = cond & (
                     F.col("ts_src") >= _ms_to_naive_dt(lo)
                 ) & (F.col("ts_src") < _ms_to_naive_dt(hi + 1))
+            elif dtypes["ts_src"].startswith("timestamp"):
+                # LTZ source: pin the literal's offset so no implicit
+                # session-timezone cast enters the comparison
+                cond = cond & (
+                    F.col("ts_src") >= _ms_to_utc_instant(lo)
+                ) & (F.col("ts_src") < _ms_to_utc_instant(hi + 1))
             else:  # legacy epoch-ns long encoding
                 cond = cond & F.col("ts_src").between(
                     lo * 1_000_000, (hi + 1) * 1_000_000 - 1

@@ -487,9 +487,9 @@ SELECT doc_id, shard, quality_bp,
        row_number() OVER (PARTITION BY shard
                           ORDER BY quality_bp DESC, doc_id ASC)
          AS curriculum_rank,
-       sum(n_tokens) OVER (PARTITION BY shard
-                           ORDER BY quality_bp DESC, doc_id ASC
-                           ROWS UNBOUNDED PRECEDING)
+       CAST(sum(n_tokens) OVER (PARTITION BY shard
+                                ORDER BY quality_bp DESC, doc_id ASC
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
          AS cum_tokens
 FROM s
 """
@@ -539,7 +539,7 @@ r AS (
   FROM documents, t
 )
 SELECT source, count(*) AS n_docs,
-       sum(CAST(rk <= budget AS BIGINT)) AS n_kept,
+       CAST(sum(CAST(rk <= budget AS BIGINT)) AS BIGINT) AS n_kept,
        sum(CAST(rk <= budget AS BIGINT)) < count(*) AS capped
 FROM r GROUP BY source
 """

@@ -363,8 +363,9 @@ WITH t AS (
   SELECT doc_id, count(*) OVER (PARTITION BY g) AS doc_freq FROM g
 )
 SELECT doc_id, count(*) AS n_grams,
-       sum(CAST(doc_freq > 1 AS BIGINT)) AS n_dup,
-       sum(CAST(doc_freq > 1 AS BIGINT)) * 10000 // count(*) AS dup_bp
+       CAST(sum(CAST(doc_freq > 1 AS BIGINT)) AS BIGINT) AS n_dup,
+       CAST(sum(CAST(doc_freq > 1 AS BIGINT)) * 10000 // count(*) AS BIGINT)
+         AS dup_bp
 FROM df GROUP BY doc_id
 """
 

@@ -72,10 +72,23 @@ def _ensure_nanos_as_long(spark: SparkSession) -> None:
 
 def ntz_to_epoch_ns(col: Column) -> Column:
     """TIMESTAMP_NTZ wall-clock → epoch-ns long, independent of the
-    session timezone: `to_utc_timestamp(ts, 'UTC')` pins the naive value
-    to UTC (a no-op shift) so `unix_micros` reads the exact stored
-    microseconds; ×1000 lands in the engine's ns domain."""
-    return F.unix_micros(F.to_utc_timestamp(col, "UTC")) * 1000
+    session timezone.
+
+    `timestamp_diff(MICROSECOND, NTZ epoch, ts)` is pure naive-datetime
+    arithmetic — no cast through TIMESTAMP_LTZ, so the session timezone
+    never enters (and unlike offset-shift round-trips there is no DST
+    ambiguity). The earlier `to_utc_timestamp(ts, 'UTC')` form was NOT
+    tz-independent: Spark implicitly casts NTZ→LTZ via the session
+    timezone first and the 'UTC' shift is then a no-op, skewing every
+    epoch by the session offset in non-UTC sessions."""
+    epoch = F.to_timestamp_ntz(F.lit("1970-01-01 00:00:00"))
+    return F.timestamp_diff("MICROSECOND", epoch, col) * 1000
+
+
+def ltz_to_epoch_ns(col: Column) -> Column:
+    """TIMESTAMP (LTZ) instant → epoch-ns long. `unix_micros` reads the
+    internal epoch directly — already session-tz-independent."""
+    return F.unix_micros(col) * 1000
 
 
 def load_table_raw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -91,8 +104,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = load_table_raw(spark, sf_dir, name)
     dtypes = dict(df.dtypes)
     for c in _NS_LONG_COLUMNS.get(name, ()):
-        if dtypes.get(c, "").startswith("timestamp"):
+        dt = dtypes.get(c, "")
+        if dt == "timestamp_ntz":
             df = df.withColumn(c, ntz_to_epoch_ns(F.col(c)))
+        elif dt.startswith("timestamp"):
+            df = df.withColumn(c, ltz_to_epoch_ns(F.col(c)))
     return df
 
 
@@ -153,8 +169,13 @@ def measurements_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`store/MetricMeasurementStore.scala:122-127`).
     """
     ev = load_table_raw(spark, sf_dir, "events")
-    ts_is_native = dict(ev.dtypes)["ts"].startswith("timestamp")
-    ts_ns = ntz_to_epoch_ns(F.col("ts")) if ts_is_native else F.col("ts")
+    ts_dtype = dict(ev.dtypes)["ts"]
+    if ts_dtype == "timestamp_ntz":
+        ts_ns = ntz_to_epoch_ns(F.col("ts"))
+    elif ts_dtype.startswith("timestamp"):
+        ts_ns = ltz_to_epoch_ns(F.col("ts"))
+    else:
+        ts_ns = F.col("ts")
     return (
         ev.where(F.col("value") >= 0)
         .select(

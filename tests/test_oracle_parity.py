@@ -27,26 +27,72 @@ def _duck_con(sf_dir: str):
     return con
 
 
+#: DuckDB logical type → comparison tag. The driver hashes values after a
+#: pandas/Arrow conversion, where HUGEINT (un-cast sum(BIGINT)) degrades to
+#: float64 while Spark's BIGINT stays int64 — equal values, different
+#: hashes (the round-1 and round-2 red-row class). Tag HUGEINT-like types
+#: distinctly so the LOCAL gate goes red before the driver's does.
+_DUCK_TAGS = {
+    "TINYINT": "i", "SMALLINT": "i", "INTEGER": "i", "BIGINT": "i",
+    "UTINYINT": "i", "USMALLINT": "i", "UINTEGER": "i",
+    "HUGEINT": "int128", "UBIGINT": "uint64", "UHUGEINT": "int128",
+    "FLOAT": "f", "DOUBLE": "f",
+    "VARCHAR": "s", "BOOLEAN": "b", "DATE": "date",
+}
+
+
+def _duck_tag(typ: str) -> str:
+    base = typ.split("(")[0].strip()
+    if base.endswith("[]"):
+        return "list<" + _duck_tag(base[:-2]) + ">"
+    if base.startswith("DECIMAL"):
+        return "dec"
+    if base.startswith("TIMESTAMP"):
+        return "ts"
+    return _DUCK_TAGS.get(base, base)
+
+
+def _spark_tag(dtype: str) -> str:
+    if dtype.startswith("array<"):
+        return "list<" + _spark_tag(dtype[6:-1]) + ">"
+    if dtype.startswith("decimal"):
+        return "dec"
+    if dtype.startswith("timestamp"):
+        return "ts"
+    return {
+        "tinyint": "i", "smallint": "i", "int": "i", "bigint": "i",
+        "float": "f", "double": "f",
+        "string": "s", "boolean": "b", "date": "date",
+    }.get(dtype, dtype)
+
+
 def _normalize(rows, colnames):
-    """Sort columns by name, canonicalize values, return sorted rows."""
+    """Sort columns by name, canonicalize values TYPE-TAGGED, return
+    sorted rows. int and float canon differently (('i', 123) vs
+    ('f', 123.0)) mirroring the driver's typed value-hash, so a
+    numerically-equal-but-differently-typed result fails locally."""
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
 
     def canon(v):
+        if v is None:
+            return None
         if isinstance(v, bool):
-            return v
+            return ("b", v)
+        if isinstance(v, int):
+            return ("i", v)
         if isinstance(v, float):
             if math.isnan(v):
-                return "NaN"
-            return round(v, 9)
+                return ("f", "NaN")
+            return ("f", round(v, 9))
         if hasattr(v, "isoformat"):
-            return v.isoformat()
+            return ("ts", v.isoformat())
         if isinstance(v, (list, tuple)):
             return tuple(canon(x) for x in v)
         try:
             import decimal
 
             if isinstance(v, decimal.Decimal):
-                return round(float(v), 9)
+                return ("dec", round(float(v), 9))
         except Exception:
             pass
         return v
@@ -68,6 +114,7 @@ def test_query_matches_oracle(spark, oracle_sf_dir, name):
         return
 
     con = _duck_con(oracle_sf_dir)
+    duck_desc = con.execute(f"DESCRIBE ({ORACLES[name]})").fetchall()
     res = con.execute(ORACLES[name])
     duck_cols = [d[0] for d in res.description]
     duck_rows = res.fetchall()
@@ -75,6 +122,19 @@ def test_query_matches_oracle(spark, oracle_sf_dir, name):
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column mismatch {spark_cols} vs {duck_cols}"
     )
+    # Type-strict schema gate: the driver's value hash is typed (pandas /
+    # Arrow conversion), so an oracle emitting HUGEINT where Spark emits
+    # BIGINT red-flags at the driver even when every value is equal.
+    # Compare logical-type tags per column name so that class of bug
+    # fails HERE first.
+    spark_tags = {c: _spark_tag(t) for c, t in sdf.dtypes}
+    duck_tags = {d[0]: _duck_tag(d[1]) for d in duck_desc}
+    tag_mismatch = {
+        c: (spark_tags[c], duck_tags[c])
+        for c in spark_tags
+        if spark_tags[c] != duck_tags.get(c)
+    }
+    assert not tag_mismatch, f"{name}: column type mismatch {tag_mismatch}"
     assert len(spark_rows) == len(duck_rows), (
         f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
     )
@@ -82,6 +142,38 @@ def test_query_matches_oracle(spark, oracle_sf_dir, name):
     dn = _normalize(duck_rows, duck_cols)
     mismatches = [(a, b) for a, b in zip(sn, dn) if a != b]
     assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
+
+
+def test_uncast_hugeint_oracle_goes_red():
+    """Regression fixture for the round-1/round-2 red-row class: a DuckDB
+    oracle whose aggregate is left un-cast (sum(BIGINT) → HUGEINT) MUST
+    mismatch a Spark BIGINT column under the type-strict gate, even
+    though every value is numerically equal."""
+    con = duckdb.connect()
+    desc = con.execute(
+        "DESCRIBE (SELECT sum(x) AS s FROM (SELECT CAST(1 AS BIGINT) AS x))"
+    ).fetchall()
+    assert _duck_tag(desc[0][1]) == "int128"
+    assert _duck_tag(desc[0][1]) != _spark_tag("bigint")
+    # and the cast form is accepted
+    desc_ok = con.execute(
+        "DESCRIBE (SELECT CAST(sum(x) AS BIGINT) AS s"
+        " FROM (SELECT CAST(1 AS BIGINT) AS x))"
+    ).fetchall()
+    assert _duck_tag(desc_ok[0][1]) == _spark_tag("bigint")
+
+
+def test_all_oracles_free_of_hugeint(oracle_sf_dir):
+    """Static sweep: no registered oracle may emit a HUGEINT-class
+    column. This is the check the round-2 verdict ran by hand; run it
+    every time so un-cast sums can't ship."""
+    con = _duck_con(oracle_sf_dir)
+    offenders = []
+    for name, sql in sorted(ORACLES.items()):
+        for col, typ, *_ in con.execute(f"DESCRIBE ({sql})").fetchall():
+            if _duck_tag(typ) in ("int128", "uint64"):
+                offenders.append((name, col, typ))
+    assert not offenders, f"un-cast wide-integer oracle columns: {offenders}"
 
 
 def test_entry_smoke(spark):
