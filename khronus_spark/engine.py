@@ -71,6 +71,7 @@ class KhronusEngine:
         approx_percentiles: bool = False,
         summary_read_limit: int | None = None,
         bucket_read_limit: int | None = None,
+        exact_mode: str = "auto",
     ):
         if measurements is None and summary_base_path is None:
             raise ValueError("need measurements or summary_base_path")
@@ -80,6 +81,27 @@ class KhronusEngine:
         self.windows_ms = windows_ms
         self._now_ms = now_ms
         self.approx = approx_percentiles
+        # On-the-fly exact-percentile strategy (`_provide_summaries`):
+        #   'array'  — collect+sort each bucket's samples; ONE shuffle, but
+        #              per-bucket state grows with sample count.
+        #   'counts' — pre-aggregate to per-value counts first; state
+        #              bounded by DISTINCT values, at the cost of a second
+        #              shuffle — the unbounded-safe form.
+        #   'auto'   — array when the slice spans at most `max_points`
+        #              buckets (an interactive dashboard read, ≤700 points
+        #              by the reference's resolution clamp
+        #              `reference.conf:62-63`), counts beyond that (a
+        #              hand-forced wide slice, where dense buckets are the
+        #              risk). Both produce bit-identical summaries
+        #              (tests/test_rollup.py), so this is purely a
+        #              physical-plan choice. The true 100 TB dashboard
+        #              path remains the materialized store (O1,
+        #              `util/Setting.scala:99-103`) — on-the-fly exists
+        #              for exploratory reads over raw measurements.
+        if exact_mode not in ("auto", "array", "counts"):
+            raise ValueError(f"exact_mode must be auto|array|counts, got {exact_mode!r}")
+        self.exact_mode = exact_mode
+        self.max_points = max_points
         self._catalog = catalog
         # Opt-in per-slice read caps. The reference's influx query path
         # binds the QUERY limit (`InfluxQueryResolver.scala:138`,
@@ -174,12 +196,13 @@ class KhronusEngine:
         m = self.measurements.where(cond)
         if family == "counter":
             return counter_summary(m, window_ms)
-        # counts-mode exact: bit-identical summaries with per-bucket
-        # state bounded by distinct values — the dense-bucket-safe form
-        # of the same exact percentiles (tests/test_rollup.py pins the
-        # equality)
+        n_buckets = (hi + 1 - lo) // window_ms
+        use_counts = self.exact_mode == "counts" or (
+            self.exact_mode == "auto" and n_buckets > self.max_points
+        )
         return histogram_summary(
-            m, window_ms, approx=self.approx, exact_counts=not self.approx
+            m, window_ms, approx=self.approx,
+            exact_counts=use_counts and not self.approx,
         )
 
     # -- query --------------------------------------------------------------

@@ -1968,9 +1968,11 @@ def semantic_dedup(spark, sf_dir):
     cluster, drop every vector with a lower-id ε-close neighbor
     (quantized squared-L2 ε, exact int64 on both engines) — keeps one
     representative per semantic-duplicate neighborhood
-    (operators/clustering.py::semantic_dedup)."""
+    (operators/clustering.py::semantic_dedup). k is pinned to the
+    test-corpus constant so the unrolled oracle CTE chain stays
+    tractable; production defaults derive k ~ sqrt(N) instead."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return clustering_ops.semantic_dedup(emb)
+    return clustering_ops.semantic_dedup(emb, k=clustering_ops.K)
 
 
 @register("training_batch_assembly", curation_ops.TRAINING_BATCH_SQL)

@@ -113,9 +113,18 @@ _PAIR_D2 = (
 )
 
 
+def derive_k(n_vectors: int, floor_k: int = K) -> int:
+    """Cluster count for SemDeDup: k ≈ ⌈√N⌉ keeps the within-cluster
+    pair count ~N^1.5 total (N²/2k with k=√N) instead of quadratic —
+    the standard nlist heuristic. Never below the test-corpus floor."""
+    import math
+
+    return max(floor_k, math.isqrt(max(n_vectors, 1) - 1) + 1)
+
+
 def semantic_dedup(
     embeddings: DataFrame,
-    k: int = K,
+    k: int | None = None,
     iters: int = ITERS,
     d2_thresh: int = D2_DEDUP_THRESH,
 ) -> DataFrame:
@@ -125,14 +134,31 @@ def semantic_dedup(
     keep-one-representative rule, with vec_id as the deterministic
     priority). Returns (vec_id, cluster, kept).
 
-    Scale shape: the all-pairs comparison is confined to clusters —
-    with nlist ~ √N the per-cluster work is ~N rows per bucket side, so
-    the join shuffles on the cluster key instead of exploding N². The
-    assignment table is eagerly checkpointed first: the pair join reads
-    it twice, and without truncation each side would re-run the whole
-    Lloyd iteration subtree. The test corpus uses k=4 (oracle CTE size);
-    a 100 TB run raises k, which only SHRINKS the per-cluster
-    quadratic."""
+    Scale shape: the all-pairs comparison is confined to clusters.
+    `k=None` (the default) derives k ≈ ⌈√N⌉ from one cheap count, which
+    bounds expected per-cluster pairs at ~N^1.5/2 total — a FIXED k
+    would leave the per-cluster work N²/k, i.e. quadratic at any fixed
+    setting. Pass an explicit k only when the cluster count must be
+    reproducible independent of corpus size (the oracle-checked
+    registry entry pins k=4 to keep the DuckDB CTE chain tractable).
+    The assignment table is eagerly checkpointed first: the pair join
+    reads it twice, and without truncation each side would re-run the
+    whole Lloyd iteration subtree."""
+    import logging
+
+    if k is None:
+        n_vectors = embeddings.count()
+        k = derive_k(n_vectors)
+        exp_pairs = n_vectors * n_vectors // max(2 * k, 1)
+        logging.getLogger(__name__).info(
+            "semantic_dedup: N=%d -> k=%d, expected within-cluster pairs "
+            "~%d (N^2/2k)", n_vectors, k, exp_pairs,
+        )
+        if exp_pairs > 10_000_000_000:
+            logging.getLogger(__name__).warning(
+                "semantic_dedup: expected pair count %d exceeds 1e10; "
+                "raise k or pre-shard the corpus", exp_pairs,
+            )
     q, cents = _kmeans_state(embeddings, k, iters)
     a = (
         _assign(q, cents)

@@ -53,6 +53,15 @@ MIN_TOKENS = 10
 SAMPLE_PCT = 80
 JACCARD_THRESHOLD_BP = 3000
 
+#: Max duplicate-component map rows eligible for an explicit broadcast in
+#: `curated_docs`. (doc_id, component_id) is 16 bytes/row, so 10M rows is
+#: ~160 MB — comfortably inside executor/driver broadcast budgets. At
+#: web-crawl dup rates the map is a large fraction of the corpus
+#: (billions of rows at 100 TB): broadcasting it would OOM the driver,
+#: so past the threshold the hint is dropped and the join shuffles on
+#: doc_id (AQE may still pick broadcast if runtime stats allow).
+BROADCAST_COMPONENT_LIMIT = 10_000_000
+
 
 def curated_docs(
     docs: DataFrame,
@@ -61,6 +70,7 @@ def curated_docs(
     sample_pct: int = SAMPLE_PCT,
     jaccard_threshold_bp: int = JACCARD_THRESHOLD_BP,
     edge_gen: str = "minhash",
+    broadcast_component_limit: int = BROADCAST_COMPONENT_LIMIT,
 ) -> DataFrame:
     """The surviving documents with their quality metrics attached.
 
@@ -68,6 +78,12 @@ def curated_docs(
     (default — banded LSH, the 100 TB path), "jaccard" (exact
     length-blocked baseline; quadratic within length blocks), or a
     callable docs → (doc_id, component_id) DataFrame.
+
+    The component map joins back onto the corpus broadcast only while it
+    fits ``broadcast_component_limit`` rows (the count is cheap: the CC
+    loop ends localCheckpointed); beyond that the canonical-keep filter
+    becomes a shuffle join on doc_id — dup-heavy corpora must not ride
+    a driver-side broadcast.
     """
     q = quality_score(docs).select("doc_id", "n_tokens", "quality_bp")
     if callable(edge_gen):
@@ -78,6 +94,8 @@ def curated_docs(
         comps = duplicate_components(docs, jaccard_threshold_bp)
     else:
         raise ValueError(f"unknown edge_gen {edge_gen!r}")
+    if comps.count() <= broadcast_component_limit:
+        comps = F.broadcast(comps)
     sample_threshold = (1 << 32) * sample_pct // 100
     sample_key = F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10).cast("long")
     return (
@@ -86,7 +104,7 @@ def curated_docs(
             (F.col("quality_bp") >= quality_min_bp)
             & (F.col("n_tokens") >= min_tokens)
         )
-        .join(F.broadcast(comps), "doc_id", "left")
+        .join(comps, "doc_id", "left")
         .where(
             F.col("component_id").isNull()
             | (F.col("doc_id") == F.col("component_id"))

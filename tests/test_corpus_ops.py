@@ -123,3 +123,18 @@ def test_curriculum_ranks_contiguous_and_cumsum_monotone(spark, oracle_sf_dir):
         "prevq IS NOT NULL AND quality_bp > prevq"
     )
     assert qreg.count() == 0
+
+
+def test_semantic_dedup_derives_sqrt_k():
+    """Fixed k leaves the within-cluster pair count N^2/k (quadratic at
+    any setting); the default derives k ~ ceil(sqrt(N)) so total pair
+    work is ~N^1.5. The floor keeps tiny corpora on the oracle constant."""
+    from khronus_spark.operators.clustering import K, derive_k
+
+    assert derive_k(0) == K and derive_k(8) == K and derive_k(16) == K
+    assert derive_k(500) == 23  # ceil(sqrt(500)) = 23
+    assert derive_k(5000) == 71
+    assert derive_k(10**9) == 31623  # a 1e9-vector corpus
+    # sub-quadratic: 10x data -> ~31.6x pair work, not 100x
+    pairs = lambda n: n * n // (2 * derive_k(n))
+    assert pairs(5000) < 35 * pairs(500)

@@ -245,3 +245,60 @@ def test_q22_scalar_threshold_broadcast(spark, oracle_sf_dir):
     plan = _plan(spark, oracle_sf_dir, "tpch_q22_idle_high_balance")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan  # the anti join
+
+
+def test_percentile_mode_routing(spark, oracle_sf_dir):
+    """exact_mode='auto' (engine.py): an interactive dashboard slice
+    (<= max_points buckets, the reference's 700-point clamp) takes the
+    single-shuffle array mode; a hand-forced wide slice takes the
+    bounded-state counts mode. Both are bit-identical summaries; this
+    pins the PHYSICAL routing so the interactive path stays inside the
+    reference's 3 s query budget."""
+    from khronus_spark import KhronusEngine
+    from khronus_spark.entry_queries import A_MS, B_MS, NOW_MS
+    from khronus_spark.sources import measurements_from_events
+
+    m = measurements_from_events(spark, oracle_sf_dir)
+    eng = KhronusEngine(spark, measurements=m, now_ms=NOW_MS)
+    jvm = spark._jvm
+
+    def plan_of(q):
+        df = eng.sql_union(q)
+        return df._jdf.queryExecution().explainString(
+            jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+
+    dash = plan_of(
+        f'select p99 from "purchase" where time between {A_MS} and {B_MS} '
+        "force group by time(1h)"
+    )
+    assert "collect_list(value" in dash  # array mode: one agg shuffle
+    assert "collect_list(struct" not in dash
+
+    wide = plan_of(
+        f'select p99 from "purchase" where time between {A_MS} and {B_MS} '
+        "force group by time(30s)"
+    )
+    assert "collect_list(struct" in wide  # counts mode: bounded state
+    assert "collect_list(value" not in wide
+
+
+def test_curation_component_broadcast_is_size_guarded(spark, oracle_sf_dir):
+    """curated_docs broadcasts the duplicate-component map only while it
+    fits BROADCAST_COMPONENT_LIMIT rows. At web-crawl dup rates the map
+    is a large fraction of the corpus — an unconditional broadcast is a
+    driver OOM at 100 TB, so past the limit the canonical-keep filter
+    must become a shuffle join (no explicit broadcast hint)."""
+    from khronus_spark.operators.curation import curated_docs
+    from khronus_spark.sources.tables import load_table
+
+    docs = load_table(spark, oracle_sf_dir, "documents")
+    # fallback path: a zero threshold disqualifies any map
+    df = curated_docs(docs, broadcast_component_limit=0)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in logical  # no broadcast hint survives
+    # default path at test scale still broadcasts (see
+    # test_curation_broadcasts_component_map for the physical assert)
+    df2 = curated_docs(docs)
+    logical2 = df2._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" in logical2
