@@ -81,76 +81,82 @@ def register(name: str, oracle: str | None):
 #: one representative of every SURVEY §2 family and every LLM-pipeline
 #: operator inside the window; everything else keeps registration order
 #: in the tail (still exercised by tests/test_oracle_parity.py locally).
+#:
+#: Round-3 rotation policy: every entry that has never received a green
+#: driver row (33 entries as of round 2 — the round-2 additions plus the
+#: long tail) is pulled into the window, alongside dup_ngram_5 (red in
+#: round 2 on an oracle type bug, fixed — must be re-proven green) and a
+#: 16-entry refresh set re-checking one representative per family that
+#: round-3 engine changes touched (tz-independent time conversion,
+#: percentile-mode routing, curation broadcast guard). Entries green in
+#: CORRECTNESS_r01∪r02 and untouched this round wait in the tail —
+#: still locally oracle-checked every run by tests/test_oracle_parity.py.
+#: tests/test_oracle_parity.py::test_window_rotation_covers_unproven
+#: enforces the invariant "green before, or in the window".
 DRIVER_WINDOW = 50
 
 _PRIORITY = [
-    # timeseries summaries (F1-F5, A1, A4-A5)
+    # -- never driver-checked before round 3 -------------------------------
+    # influx tail (W3, W4, P4-adjacent)
+    "influx_store_percentiles_1h",
+    "influx_relative_now_10m",
+    "influx_string_filter_noop",
+    # TPC-H tail
+    "tpch_q8_market_share",
+    "tpch_q13_order_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q22_idle_high_balance",
+    # events analytics tail
+    "events_anomaly_zscore",
+    "events_json_props",
+    "events_user_gaps",
+    "events_distinct_users_daily",
+    "events_top_per_user",
+    "events_in_session_range_join",
+    "part_brand_stats",
+    # text / corpus tail
+    "doc_repetition",
+    "gopher_rules",
+    "token_count_bpe_regex",
+    "source_cap_sample",
+    "curriculum_shards",
+    "dedup_components",
+    # sketches / sampling tail
+    "approx_distinct_users_hll_daily",
+    "stratified_sample_by_lang",
+    # ANN / quantization tail
+    "ann_lsh_buckets",
+    "ann_ivf_assignments",
+    "ann_ivf_topk",
+    "ann_quantized_topk",
+    "embedding_quantize_stats",
+    # multimodal tail
+    "media_resize_plan",
+    "media_frame_sample",
+    # HDR tail
+    "ts_hdr_encoded_roundtrip_1h",
+    "ts_hdr_summary_5m",
+    "ts_hdr_summary_5m_hdrcompat",
+    # -- red in round 2 (oracle HUGEINT, fixed) — re-prove green -----------
+    "dup_ngram_5",
+    # -- refresh: representatives of families touched by round-3 changes --
+    "influx_percentiles_purchase_1h",  # percentile-mode routing
+    "influx_count_click_5m",           # tz fix + raw-ts pushdown
+    "influx_from_materialized_store",  # storage-backed read path
     "ts_counter_summary_5m",
     "ts_histogram_summary_1m",
-    "ts_gauge_summary_30s",
-    "ts_histogram_summary_1h",
-    "ts_pregroup_5s",
-    "ts_cpm_5m",
-    # influx query path (P/W/G/J families, S4-S10)
-    "influx_count_click_5m",
-    "influx_auto_resolution_click",
-    # (field+literal arithmetic is also exercised by
-    # influx_op_two_sources_30m; its slot goes to semantic_dedup)
-    "influx_from_materialized_store",
-    "influx_percentiles_purchase_1h",
-    "influx_spread_error_1h",
-    "influx_fill_zero_view_10m",
-    "influx_scale_limit_desc_click_1m",
-    "influx_op_two_sources_30m",
-    "influx_star_click_5m",
-    "influx_regex_fanout_5m",
-    "influx_list_series",
-    # catalog / retention (S3, S6)
-    "metric_catalog",
-    "summary_retention_5m",
-    # HDR cascade (A2-A3)
     "ts_hdr_cascade_1h",
-    # stateful streaming (T4 rows-only by design; online dedup is
-    # value-checked against the batch component oracle)
-    "streaming_stateful_hist_1h",
-    "streaming_dedup_components",
-    # dedup / text pipeline
-    "dedup_exact_docs",
-    "minhash_md5_pairs",
-    "token_stats",
-    "quality_score",
-    "lang_id",
-    # (doc_repetition's within-doc signal is the weaker sibling of the
-    # cross-doc dup-ngram fraction; its slot goes to dup_ngram_5)
-    "dup_ngram_5",
-    "doc_top_terms_tfidf",
-    # clustering / curation
-    "dedup_components_minhash",
-    "corpus_curation",
-    "kmeans_embeddings",
-    "semantic_dedup",
-    "training_batch_assembly",
-    # sketches / skew / sampling
-    "approx_distinct_users_hll",
-    "events_distinct_users_salted",
-    "reservoir_sample_per_lang",
-    # ANN / embeddings
-    "ann_cosine_topk",
-    "ann_lsh_topk",
-    "ann_ivf_kmeans_topk",
-    "embedding_near_dup",
-    # sessions / asof
-    "events_sessions_30m",
-    "events_asof_signup",
-    # multimodal
-    "media_features",
-    # LLM-pipeline round-2 additions: composed prep + the ops it chains
+    "corpus_curation",                 # broadcast size guard
     "llm_corpus_prep",
-    "decontamination_scan",
-    "pack_sequences_512",
-    "domain_mixture_sqrt",
-    "corpus_vocabulary",
-    "pii_source_profile",
+    "semantic_dedup",                  # k now derived (entry pins k=4)
+    "dedup_components_minhash",
+    "streaming_dedup_components",
+    "ann_lsh_topk",
+    "embedding_near_dup",
+    "events_asof_signup",
+    "media_features",
+    "approx_distinct_users_hll",
 ]
 
 

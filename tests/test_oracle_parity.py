@@ -183,33 +183,37 @@ def test_entry_smoke(spark):
     assert df.columns == ["series", "metric", "time", "value"]
 
 
-def test_driver_window_covers_flagships():
+def test_window_rotation_covers_unproven():
     """The driver's gate checks only the first DRIVER_WINDOW entries of
-    queries(); pin that every operator family has a representative there
-    and that the priority list is exact and fully registered."""
+    queries(). Rotation invariant: every registry entry must either
+    carry a green driver row from a past round (or a by-design
+    no_oracle rows-only row) or sit inside the CURRENT window — so a
+    newly added operator that never saw the driver cannot hide in the
+    tail, and a red row must stay in the window until proven green."""
+    import glob
+    import json
+    from pathlib import Path
+
     from khronus_spark.entry_queries import _PRIORITY, DRIVER_WINDOW
 
     names = list(QUERIES)
     assert len(_PRIORITY) == DRIVER_WINDOW
     assert names[:DRIVER_WINDOW] == _PRIORITY
+
+    repo = Path(__file__).resolve().parent.parent
+    proven: set[str] = set()
+    for path in sorted(glob.glob(str(repo / "CORRECTNESS_r*.json"))):
+        for name, row in json.loads(Path(path).read_text()).items():
+            if row.get("hash_match") or row.get("err") == "no_oracle":
+                proven.add(name)
     window = set(_PRIORITY)
-    flagships = {
-        # previously hash-failing rollup summaries
-        "ts_counter_summary_5m", "ts_histogram_summary_1m",
-        "ts_gauge_summary_30s", "ts_histogram_summary_1h", "ts_pregroup_5s",
-        # one per LLM-pipeline / flagship family
-        "corpus_curation", "dedup_components_minhash", "kmeans_embeddings",
-        "approx_distinct_users_hll", "ann_cosine_topk", "ann_lsh_topk",
-        "ann_ivf_kmeans_topk", "embedding_near_dup", "events_sessions_30m",
-        "events_asof_signup", "media_features", "streaming_stateful_hist_1h",
-        "ts_hdr_cascade_1h", "influx_from_materialized_store",
-        "semantic_dedup", "dup_ngram_5",
-        # composed LLM corpus-prep pipeline + the ops it chains
-        "llm_corpus_prep", "decontamination_scan", "pack_sequences_512",
-        "domain_mixture_sqrt", "corpus_vocabulary", "pii_source_profile",
-    }
-    assert flagships <= window
-    # every windowed entry except the by-design rows-only one has an oracle
-    assert [n for n in _PRIORITY if n not in ORACLES] == [
-        "streaming_stateful_hist_1h"
-    ]
+    uncovered = [n for n in names if n not in proven and n not in window]
+    assert not uncovered, (
+        f"{len(uncovered)} entries have no green driver row and are "
+        f"outside the window: {uncovered}"
+    )
+    # every windowed entry must be hash-checkable (an oracle exists) —
+    # rows-only entries prove themselves via stream==batch tests instead
+    # and keep their past no_oracle row
+    missing_oracle = [n for n in _PRIORITY if n not in ORACLES]
+    assert not missing_oracle, missing_oracle

@@ -45,9 +45,19 @@ def test_tpch_q5_all_dims_broadcast(spark, oracle_sf_dir):
 def test_dashboard_query_pushes_time_range_raw(spark, oracle_sf_dir):
     plan = _plan(spark, oracle_sf_dir, "influx_count_click_5m")
     assert "EqualTo(event_type,click)" in plan
-    # the ms-domain slice must be restated on the raw ns column so
-    # parquet row-group stats can prune
-    assert "GreaterThanOrEqual(ts," in plan
+    # the ms-domain slice must be restated on the raw source column
+    # (TIMESTAMP_NTZ literals vs the NTZ scan column — no cast) and
+    # BOTH bounds must land in the scan's PushedFilters line, where
+    # parquet row-group stats prune; a derived-expression predicate
+    # never gets there
+    pushed = [
+        ln for ln in plan.splitlines() if "PushedFilters" in ln and "ts" in ln
+    ]
+    assert pushed, "no PushedFilters line mentioning ts"
+    assert any(
+        "GreaterThanOrEqual(ts," in ln and "LessThan(ts," in ln
+        for ln in pushed
+    ), pushed
     assert "BroadcastHashJoin" in plan  # spine join broadcasts
     assert "props" not in plan  # unused events columns pruned
 
