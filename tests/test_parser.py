@@ -1,7 +1,47 @@
 """Language conformance suite — the case list ported from the reference's
 parser spec (`InfluxQueryParserSpec.scala:40-780`, behaviors, not code)
 plus binder validations (`InfluxCriteriaBuilder.scala:24-117`).
-Pure Python: no Spark session needed."""
+Pure Python: no Spark session needed.
+
+Spec-case ledger (all 42 reference cases → local test):
+
+| reference spec case | here |
+|---|---|
+| basic Influx query | test_basic_query |
+| select with many projections | test_many_projections |
+| select * for a timer | test_star_timer_expansion |
+| select * for a counter | test_star_counter_expansion |
+| Select fields for a timer | test_all_timer_fields |
+| Select fields for a counter (`count(value)`) | test_counter_count_value_binds |
+| All Percentiles function | test_percentiles_all_and_selected |
+| Some Percentiles (listed order kept) | test_percentiles_all_and_selected |
+| Counts per minute | test_cpm |
+| Operations from single metric | test_operations_single_metric |
+| Operations from different metrics | test_operation_two_metrics |
+| Scalar projection (+/-/decimal) | test_scalar_projections |
+| Select from regex matching metrics | test_regex_fanout, test_star_over_regex_fanout_source_major_order |
+| Select with many regex | test_many_regex_tables, test_many_regex_projection_per_source_in_from_order |
+| Where clause | test_full_query (string filter kept parsed-only, W4) |
+| Where clause with and | test_time_filters_and |
+| Where with time suffix | test_time_suffix |
+| now() - N<unit> | test_relative_now, test_relative_now_operator_carries |
+| Between clause | test_between |
+| Group by any window | test_group_by_windows |
+| fill / limit / scale / order | test_fill_scale_limit_order |
+| Full Influx query | test_full_query |
+| inexistent metric throws | test_bind_failures (no metric match) |
+| no projection / no from / no table | test_parse_failures |
+| alias that doesn't exist | test_bind_failures (undeclared alias) |
+| unclosed string literal / parenthesis | test_parse_failures |
+| invalid time now expression | test_parse_failures (bad suffix) |
+| * with other projection | test_parse_failures |
+| invalid field for a counter | test_bind_failures |
+| invalid operator / op without operator | test_parse_failures |
+| unknown order | test_parse_failures |
+| invalid percentile function | test_parse_failures, test_invalid_percentile_names_the_value |
+| repeating table alias | test_bind_failures (dup alias) |
+| projection/operation with inexistent alias | test_bind_failures (3 permutations) |
+"""
 
 from __future__ import annotations
 
