@@ -140,23 +140,24 @@ _PRIORITY = [
     "ts_hdr_summary_5m_hdrcompat",
     # -- red in round 2 (oracle HUGEINT, fixed) — re-prove green -----------
     "dup_ngram_5",
+    # -- new in round 3 (never driver-checked, by definition) --------------
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_suppliers",
+    "tpch_q12_ship_priority",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_part_family_share",
+    "tpch_q21_sole_late_supplier",
     # -- refresh: representatives of families touched by round-3 changes --
     "influx_percentiles_purchase_1h",  # percentile-mode routing
     "influx_count_click_5m",           # tz fix + raw-ts pushdown
     "influx_from_materialized_store",  # storage-backed read path
-    "ts_counter_summary_5m",
     "ts_histogram_summary_1m",
-    "ts_hdr_cascade_1h",
     "corpus_curation",                 # broadcast size guard
     "llm_corpus_prep",
     "semantic_dedup",                  # k now derived (entry pins k=4)
-    "dedup_components_minhash",
     "streaming_dedup_components",
-    "ann_lsh_topk",
-    "embedding_near_dup",
-    "events_asof_signup",
-    "media_features",
-    "approx_distinct_users_hll",
 ]
 
 
@@ -1278,6 +1279,467 @@ def tpch_q22_idle_high_balance(spark, sf_dir):
             F.count(F.lit(1)).alias("n_cust"),
             F.round(F.sum("bal").cast("double"), 4).alias("total_bal"),
         )
+    )
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS tot_price,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS tot_qty
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), r AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(tot_price AS DOUBLE) / tot_qty AS unit_cost,
+         row_number() OVER (PARTITION BY l_partkey
+                            ORDER BY CAST(tot_price AS DOUBLE) / tot_qty ASC,
+                                     l_suppkey ASC) AS rk
+  FROM ps
+)
+SELECT p.p_partkey, p.p_name, s.s_name, n.n_name AS nation,
+       round(r.unit_cost, 4) AS unit_cost
+FROM r
+JOIN part p ON p.p_partkey = r.l_partkey
+JOIN supplier s ON s.s_suppkey = r.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE r.rk = 1 AND p.p_size = 15 AND p.p_type = 'STANDARD'
+""",
+)
+def tpch_q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2-style minimum-cost supplier: for every STANDARD part of
+    one size, the supplier with the lowest observed unit price. The
+    testdata has no partsupp table, so supply cost is restated as
+    shipped unit price (exact-decimal total price / integer total
+    quantity — one IEEE division on identical operands, deterministic
+    across engines; ties break on suppkey). The argmin rides a window
+    over the ALREADY-AGGREGATED (part, supplier) rows — lineitem is
+    scanned and shuffled once; part/supplier/nation are broadcast
+    dimensions. Reference has no TPC-H surface; extends the analytics
+    family (SURVEY §2.12)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).alias("tot_price"),
+        F.sum(F.col("l_quantity").cast("long")).alias("tot_qty"),
+    )
+    unit = F.col("tot_price").cast("double") / F.col("tot_qty")
+    w = Window.partitionBy("l_partkey").orderBy(
+        unit.asc(), F.col("l_suppkey").asc()
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .where((F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"))
+        .select("p_partkey", "p_name")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    return (
+        ps.withColumn("unit_cost", unit)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "p_partkey", "p_name", "s_name", "nation",
+            F.round("unit_cost", 4).alias("unit_cost"),
+        )
+    )
+
+
+@register(
+    "tpch_q9_product_profit",
+    """
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS INT) AS o_year,
+       round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE), 4)
+         AS profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE 'red%'
+GROUP BY nation, o_year
+""",
+)
+def tpch_q9_product_profit(spark, sf_dir):
+    """TPC-H Q9-style product-line profit by supplier nation and order
+    year (adapted: no partsupp, so the supplycost term is dropped and
+    profit is discounted revenue; the part family is the 'red%' name
+    prefix). The name filter prunes part to ~1/8 before broadcast, so
+    lineitem joins three broadcast dimensions and shuffles only for the
+    final (nation, year) aggregation — map-side combinable."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    amount = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        1 - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(F.round(F.sum(amount).cast("double"), 4).alias("profit"))
+    )
+
+
+@register(
+    "tpch_q11_important_suppliers",
+    """
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS supp_rev
+  FROM lineitem GROUP BY l_suppkey
+), tot AS (SELECT sum(supp_rev) AS total_rev FROM rev)
+SELECT r.l_suppkey AS s_suppkey,
+       round(CAST(r.supp_rev AS DOUBLE), 4) AS value
+FROM rev r, tot
+WHERE r.supp_rev * 10000 > tot.total_rev * 105
+""",
+)
+def tpch_q11_important_suppliers(spark, sf_dir):
+    """TPC-H Q11-style important stock (adapted: no partsupp, so
+    importance is revenue share): suppliers holding more than 1.05% of
+    total revenue (the testdata spreads revenue near-uniformly over 100
+    suppliers, so the threshold sits just above the uniform share and
+    selects the meaningful top tail). The global total is a second
+    aggregation of the ALREADY-AGGREGATED per-supplier rows (100 rows),
+    cross-joined back as a 1-row broadcast; the share test multiplies
+    exact decimals (supp_rev * 10000 > total * 105) so the threshold
+    boundary is exact on both engines — the Q22 scalar-threshold shape
+    over a Q15-style single-scan aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (1 - F.col("l_discount").cast("decimal(4,2)"))
+        ).alias("supp_rev")
+    )
+    tot = rev.agg(F.sum("supp_rev").alias("total_rev"))
+    return (
+        rev.crossJoin(F.broadcast(tot))
+        .where(F.col("supp_rev") * 10000 > F.col("total_rev") * 105)
+        .select(
+            F.col("l_suppkey").alias("s_suppkey"),
+            F.round(F.col("supp_rev").cast("double"), 4).alias("value"),
+        )
+    )
+
+
+@register(
+    "tpch_q12_ship_priority",
+    """
+SELECT CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY THEN 'late'
+            WHEN l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY THEN 'slow'
+            ELSE 'prompt' END AS ship_class,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY ship_class
+""",
+)
+def tpch_q12_ship_priority(spark, sf_dir):
+    """TPC-H Q12-style shipping-priority audit (adapted: no l_shipmode
+    or receipt/commit dates, so lines bucket by ship delay vs order
+    date — prompt/slow/late). Counts high- vs low-priority lines per
+    delay class: the Q12 conditional-aggregation shape; the year filter
+    pushes to the lineitem scan, the join shuffles on orderkey, and the
+    3-class groupBy is map-side combinable."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00"))
+    ).select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    ship_class = (
+        F.when(
+            F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 90 DAY"),
+            F.lit("late"),
+        )
+        .when(
+            F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 30 DAY"),
+            F.lit("slow"),
+        )
+        .otherwise(F.lit("prompt"))
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(ship_class.alias("ship_class"))
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q16_supplier_part_counts",
+    """
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND s.s_acctbal >= 0.0
+GROUP BY p.p_brand, p.p_type, p.p_size
+""",
+)
+def tpch_q16_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16-style part/supplier relationship (adapted: supplier
+    participation comes from lineitem instead of partsupp, and the
+    complaint exclusion is restated as negative account balance). The
+    COUNT(DISTINCT supplier) per (brand, type, size) shape: both
+    dimension filters broadcast, the distinct-aggregate expands to the
+    two-phase distinct plan on the (attrs, suppkey) key — no row
+    explosion beyond the filtered join."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = (
+        load_table(spark, sf_dir, "part")
+        .where(
+            (F.col("p_brand") != "Brand#1")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    ok_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") >= 0.0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(ok_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q19_disjunctive_revenue",
+    """
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+       round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE), 4)
+         AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 1 AND 15)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 11 AND 25
+       AND l.l_quantity BETWEEN 10 AND 30)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 26 AND 50
+       AND l.l_quantity BETWEEN 20 AND 50)
+""",
+)
+def tpch_q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19-style discounted revenue under a 3-arm disjunctive
+    brand/size/quantity predicate (adapted: no p_container or
+    l_shipmode, so the arms discriminate on size and quantity bands).
+    The part side pre-filters to the union of brands before broadcast
+    (Catalyst pushes the brand disjunction into the dimension scan);
+    the mixed part×lineitem arms evaluate post-join as a single OR
+    filter — the classic test that disjunctions neither block pushdown
+    of their common conjuncts nor degenerate the join."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    qty = F.col("l_quantity")
+    arm = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & qty.between(1, 15)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(11, 25)
+            & qty.between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(26, 50)
+            & qty.between(20, 50)
+        )
+    )
+    amount = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        1 - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .where(arm)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(amount).cast("double"), 4).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "tpch_q20_part_family_share",
+    """
+WITH sq AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS supp_qty
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_name LIKE 'small%'
+    AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l.l_partkey, l.l_suppkey
+), sh AS (
+  SELECT l_suppkey, supp_qty,
+         sum(supp_qty) OVER (PARTITION BY l_partkey) AS part_qty
+  FROM sq
+)
+SELECT DISTINCT s.s_suppkey, s.s_name, n.n_name AS nation
+FROM sh
+JOIN supplier s ON s.s_suppkey = sh.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE sh.supp_qty * 5 > sh.part_qty
+""",
+)
+def tpch_q20_part_family_share(spark, sf_dir):
+    """TPC-H Q20-style dominant suppliers of a part family (adapted: no
+    partsupp availability, so the excess-stock test becomes a share
+    test — suppliers who shipped over 20% of a 'small%' part's 1997
+    volume). The per-part total rides a window over the ALREADY-
+    AGGREGATED (part, supplier) quantities — the Q17 single-window
+    shape — and the qualifying supplier set dedups before the broadcast
+    joins to supplier/nation. Integer share test (qty*5 > total), exact
+    on both engines."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00"))
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    sq = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("supp_qty")
+    )
+    w = Window.partitionBy("l_partkey")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    return (
+        sq.withColumn("part_qty", F.sum("supp_qty").over(w))
+        .where(F.col("supp_qty") * 5 > F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "nation")
+    )
+
+
+@register(
+    "tpch_q21_sole_late_supplier",
+    """
+WITH ls AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 120 DAY
+                  THEN 1 ELSE 0 END) AS was_late
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+  GROUP BY l.l_orderkey, l.l_suppkey
+), agg AS (
+  SELECT l_orderkey, l_suppkey, was_late,
+         count(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+         sum(was_late) OVER (PARTITION BY l_orderkey) AS n_late
+  FROM ls
+)
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM agg
+JOIN supplier s ON s.s_suppkey = agg.l_suppkey
+WHERE agg.was_late = 1 AND agg.n_late = 1 AND agg.n_supp >= 2
+GROUP BY s.s_name
+""",
+)
+def tpch_q21_sole_late_supplier(spark, sf_dir):
+    """TPC-H Q21-style suppliers who kept orders waiting: in finished
+    multi-supplier orders, the supplier who was the ONLY late one
+    (adapted: no receipt/commit dates, so late = shipped over 120 days
+    after the order date). The classic double-correlated EXISTS /
+    NOT EXISTS pair is restated as two window aggregates over the
+    per-(order, supplier) lateness table — one shuffle on orderkey
+    instead of three correlated rescans of lineitem; the supplier
+    dimension broadcasts for the final name rollup."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = F.when(
+        F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 120 DAY"), 1
+    ).otherwise(0)
+    ls = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("was_late"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        ls.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_late", F.sum("was_late").over(w))
+        .where(
+            (F.col("was_late") == 1)
+            & (F.col("n_late") == 1)
+            & (F.col("n_supp") >= 2)
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
     )
 
 

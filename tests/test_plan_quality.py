@@ -312,3 +312,24 @@ def test_curation_component_broadcast_is_size_guarded(spark, oracle_sf_dir):
     df2 = curated_docs(docs)
     logical2 = df2._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" in logical2
+
+
+def test_q19_disjunction_pushes_and_broadcasts(spark, oracle_sf_dir):
+    """The 3-arm brand/size/quantity disjunction must not defeat the
+    dimension broadcast, and its part-side conjuncts (brand IN plus the
+    full OR over brand/size) must reach the part scan's PushedFilters."""
+    plan = _plan(spark, oracle_sf_dir, "tpch_q19_disjunctive_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "In(p_brand, [Brand#1,Brand#2,Brand#3])" in plan
+    assert "Or(Or(And(EqualTo(p_brand" in plan  # arm filter at the scan
+
+
+def test_q21_windows_replace_correlated_exists(spark, oracle_sf_dir):
+    """Q21's EXISTS / NOT EXISTS pair is restated as two window
+    aggregates over one per-(order, supplier) table: exactly one Window
+    operator (both aggregates share the orderkey partitioning) and no
+    extra lineitem rescan via sort-merge."""
+    plan = _plan(spark, oracle_sf_dir, "tpch_q21_sole_late_supplier")
+    assert plan.count("Window") == 2  # 1 Window op x 2 mentions
+    assert "SortMergeJoin" not in plan
