@@ -128,7 +128,20 @@ def main() -> None:
         # cross-doc duplicated-5-gram fraction (gram window, no self-join)
         "dup_ngram_5": lambda: run_df(q["dup_ngram_5"](spark, sf_dir)),
         # SemDeDup: k-means clusters -> within-cluster eps-ball keep-one
+        # (registry entry: k=4 pinned for the unrolled oracle CTE)
         "semantic_dedup": lambda: run_df(q["semantic_dedup"](spark, sf_dir)),
+        # the production default: k derived ~ sqrt(N) from a corpus count,
+        # bounding within-cluster pair work at ~N^1.5
+        "semantic_dedup_auto": lambda: run_df(
+            __import__(
+                "khronus_spark.operators.clustering", fromlist=["semantic_dedup"]
+            ).semantic_dedup(load_table(spark, sf_dir, "embeddings"))
+        ),
+        # the reference's real dashboard path (O1): percentiles answered
+        # from the materialized summary store, never from raw
+        "influx_store_percentiles": lambda: run_df(
+            q["influx_store_percentiles_1h"](spark, sf_dir)
+        ),
     }
 
     # Median-of-N per query: the shared host shows 2-5x contention

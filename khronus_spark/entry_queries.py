@@ -149,10 +149,13 @@ _PRIORITY = [
     "tpch_q19_disjunctive_revenue",
     "tpch_q20_part_family_share",
     "tpch_q21_sole_late_supplier",
+    "quality_classifier_score",
     # -- refresh: representatives of families touched by round-3 changes --
+    # (the storage-backed read path is re-proven by the never-checked
+    # influx_store_percentiles_1h above, freeing the
+    # influx_from_materialized_store slot)
     "influx_percentiles_purchase_1h",  # percentile-mode routing
     "influx_count_click_5m",           # tz fix + raw-ts pushdown
-    "influx_from_materialized_store",  # storage-backed read path
     "ts_histogram_summary_1m",
     "corpus_curation",                 # broadcast size guard
     "llm_corpus_prep",
@@ -2374,6 +2377,18 @@ def gopher_rules(spark, sf_dir):
     verdict, map-only (operators/text.py::gopher_rules)."""
     docs = load_table(spark, sf_dir, "documents")
     return text_ops.gopher_rules(docs)
+
+
+@register(
+    "quality_classifier_score", text_ops.quality_classifier_score_sql()
+)
+def quality_classifier_score(spark, sf_dir):
+    """Model-based quality filtering: hashed bag-of-words linear scorer
+    with a broadcast weight table — the fastText/logistic-regression
+    stage of curation pipelines, in exact integer arithmetic
+    (operators/text.py::quality_classifier_score)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.quality_classifier_score(docs)
 
 
 @register("dup_ngram_5", text_ops.dup_ngram_fraction_sql(5))

@@ -677,3 +677,91 @@ def pii_redact(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id", red.alias("text_redacted"), n_hits.cast("long").alias("n_redactions")
     )
+
+
+# ---- hashed linear quality classifier ------------------------------------
+
+#: hashed-feature dimension for the linear quality classifier.
+CLASSIFIER_DIM = 1024
+
+
+def classifier_weights(spark) -> DataFrame:
+    """The classifier's weight vector as a D-row (bucket, w) table.
+
+    Weights are a fixed deterministic function of the bucket id
+    (md5-derived integers in [-1000, 1000]) so both engines materialize
+    the identical model without shipping a binary artifact — the
+    plumbing is exactly what a trained fastText/logistic-regression
+    quality filter needs at scale: the model is a SMALL broadcast
+    dimension table, the corpus never shuffles for scoring. Swapping in
+    real trained weights is a one-line change (read the table from
+    parquet instead of deriving it)."""
+    return spark.range(CLASSIFIER_DIM).select(
+        F.col("id").cast("int").alias("bucket"),
+        (
+            F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 4), 16, 10)
+            .cast("long")
+            % 2001
+            - 1000
+        ).cast("long").alias("w"),
+    )
+
+
+def quality_classifier_score(docs: DataFrame, threshold_x100: int = 0) -> DataFrame:
+    """Model-based quality filtering (the fastText / logistic-regression
+    stage of Dolma/NeMo-style curation pipelines), restated as exact
+    integer arithmetic: tokens hash into CLASSIFIER_DIM buckets
+    (md5-derived, engine-portable), each bucket carries a fixed integer
+    weight, and a document's score is the token-weight mean scaled by
+    100 (`score_x100 = sum(w) * 100 div n_tokens`). Returns
+    (doc_id, n_tokens, score_x100, keep).
+
+    Scale shape: explode to one row per token (map-only), join the
+    D-row broadcast weight table, and re-aggregate per doc — one
+    map-side-combinable shuffle on doc_id. The weight table is the
+    model; a real trained model swaps the derivation for a parquet read
+    with no plan change."""
+    toks = docs.select("doc_id", F.explode(_tokens()).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+        % CLASSIFIER_DIM
+    ).cast("int")
+    w = classifier_weights(docs.sparkSession)
+    return (
+        toks.withColumn("bucket", bucket)
+        .join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.expr("sum(w) * 100 div count(1)").alias("score_x100"),
+        )
+        .withColumn("keep", F.col("score_x100") >= threshold_x100)
+    )
+
+
+def quality_classifier_score_sql(threshold_x100: int = 0) -> str:
+    return rf"""
+WITH wtab AS (
+  SELECT CAST(b AS INT) AS bucket,
+         CAST(('0x' || substr(md5(CAST(b AS VARCHAR)), 1, 4))::UINTEGER
+              % 2001 AS BIGINT) - 1000 AS w
+  FROM range(0, {CLASSIFIER_DIM}) t(b)
+), toks AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 8))::UBIGINT % {CLASSIFIER_DIM}
+              AS INT) AS bucket
+  FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(w.w) * 100 // count(*) AS BIGINT) AS score_x100,
+       CAST(sum(w.w) * 100 // count(*) AS BIGINT) >= {threshold_x100} AS keep
+FROM toks t JOIN wtab w ON w.bucket = t.bucket
+GROUP BY t.doc_id
+"""

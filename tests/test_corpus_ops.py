@@ -138,3 +138,27 @@ def test_semantic_dedup_derives_sqrt_k():
     # sub-quadratic: 10x data -> ~31.6x pair work, not 100x
     pairs = lambda n: n * n // (2 * derive_k(n))
     assert pairs(5000) < 35 * pairs(500)
+
+
+def test_quality_classifier_deterministic_and_bounded(spark):
+    """Weights live in [-1000, 1000]; identical texts score identically;
+    empty docs drop (no tokens, no row)."""
+    from khronus_spark.operators.text import (
+        classifier_weights,
+        quality_classifier_score,
+    )
+
+    w = classifier_weights(spark)
+    stats = w.agg(
+        F.min("w").alias("lo"), F.max("w").alias("hi"), F.count("*").alias("n")
+    ).collect()[0]
+    assert stats["n"] == 1024 and -1000 <= stats["lo"] and stats["hi"] <= 1000
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "the quick brown fox"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in quality_classifier_score(docs).collect()}
+    assert out[1]["score_x100"] == out[2]["score_x100"]
+    assert out[1]["n_tokens"] == 4
+    assert 3 not in out  # empty text has no tokens -> no row

@@ -333,3 +333,15 @@ def test_q21_windows_replace_correlated_exists(spark, oracle_sf_dir):
     plan = _plan(spark, oracle_sf_dir, "tpch_q21_sole_late_supplier")
     assert plan.count("Window") == 2  # 1 Window op x 2 mentions
     assert "SortMergeJoin" not in plan
+
+
+def test_quality_classifier_broadcasts_model(spark, oracle_sf_dir):
+    """The linear quality classifier must score at scan speed: the
+    D-row weight table (the model) broadcasts onto the exploded tokens,
+    the corpus shuffles once for the per-doc re-aggregation, and no
+    Python stage appears — the plumbing a real trained filter needs."""
+    plan = _plan(spark, oracle_sf_dir, "quality_classifier_score")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    for py in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert py not in plan
