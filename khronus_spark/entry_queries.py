@@ -150,13 +150,15 @@ _PRIORITY = [
     "tpch_q20_part_family_share",
     "tpch_q21_sole_late_supplier",
     "quality_classifier_score",
+    "decontamination_fuzzy",
     # -- refresh: representatives of families touched by round-3 changes --
     # (the storage-backed read path is re-proven by the never-checked
     # influx_store_percentiles_1h above, freeing the
-    # influx_from_materialized_store slot)
+    # influx_from_materialized_store slot; ts summaries and the rollup
+    # family are behaviorally unchanged this round — their r1/r2 green
+    # rows stand)
     "influx_percentiles_purchase_1h",  # percentile-mode routing
     "influx_count_click_5m",           # tz fix + raw-ts pushdown
-    "ts_histogram_summary_1m",
     "corpus_curation",                 # broadcast size guard
     "llm_corpus_prep",
     "semantic_dedup",                  # k now derived (entry pins k=4)
@@ -3024,6 +3026,16 @@ def decontamination_scan(spark, sf_dir):
     (operators/dedup.py::decontamination)."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup_ops.decontamination(docs)
+
+
+@register("decontamination_fuzzy", dedup_ops.decontamination_fuzzy_sql())
+def decontamination_fuzzy(spark, sf_dir):
+    """Fuzzy decontamination: corpus docs that NEAR-duplicate an eval
+    doc, via MinHash band-bucket collision against a broadcast eval
+    bucket set — catches paraphrased contamination the exact n-gram
+    scan misses (operators/dedup.py::decontamination_fuzzy)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_ops.decontamination_fuzzy(docs)
 
 
 @register("embedding_quantize_stats", quant_ops.quantize_stats_sql())

@@ -486,3 +486,91 @@ SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles, n_overlap,
        CAST(n_overlap * 10000 // n_shingles AS BIGINT) AS contamination_bp
 FROM agg
 """
+
+
+def decontamination_fuzzy(
+    docs: DataFrame,
+    eval_mod: int = 11,
+    num_hashes: int = 8,
+    bands: int = 2,
+    n: int = 3,
+) -> DataFrame:
+    """Fuzzy benchmark decontamination: corpus documents that are
+    NEAR-duplicates of a held-out eval document, caught via MinHash
+    band-bucket collision — paraphrased or lightly-edited contamination
+    that the exact n-gram overlap scan (`decontamination`) undercounts.
+    Output (doc_id, n_hit_bands, flagged), one row per non-eval doc;
+    `flagged` marks any band collision with the eval set.
+
+    Shape at 100 TB: the eval set's (band, bucket) table is tiny
+    relative to the corpus → **broadcast** semi-style join onto the
+    corpus's band assignments (map-only signatures, `bands` rows per
+    doc), then one partial-agg-collapsed shuffle of one row per doc —
+    the same no-self-join discipline as the exact scan, reusing the
+    oracle-checkable md5 hash family (`minhash_md5_banded`)."""
+    is_eval = F.col("doc_id") % eval_mod == 0
+    banded = minhash_md5_banded(docs, num_hashes, bands, n)
+    ev_buckets = (
+        banded.where(is_eval).select("band", "bucket").distinct()
+        .withColumn("_hit", F.lit(1).cast("long"))
+    )
+    corpus = banded.where(~is_eval)
+    hits = (
+        corpus.join(F.broadcast(ev_buckets), ["band", "bucket"], "left")
+        .groupBy("doc_id")
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hit_bands"))
+    )
+    return hits.select(
+        "doc_id", "n_hit_bands", (F.col("n_hit_bands") >= 1).alias("flagged")
+    )
+
+
+def decontamination_fuzzy_sql(
+    eval_mod: int = 11, num_hashes: int = 8, bands: int = 2, n: int = 3
+) -> str:
+    rows = num_hashes // bands
+    h60 = "(('0x' || substr(md5({x}), 1, 15))::UBIGINT::BIGINT)"
+    sig_items = ", ".join(
+        "list_min(list_transform(sh, s -> " + h60.format(x=f"s || '#{i}'") + "))"
+        for i in range(num_hashes)
+    )
+    band_items = ", ".join(
+        "struct_pack(band := %d, bucket := %s)"
+        % (
+            b,
+            h60.format(
+                x=(
+                    "array_to_string(list_transform(sig[%d:%d], v -> CAST(v AS VARCHAR)), ',')"
+                    % (b * rows + 1, (b + 1) * rows)
+                )
+            ),
+        )
+        for b in range(bands)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= {n}
+              THEN list_transform(range(1, len(t) - {n - 2}), i -> array_to_string(t[i:i+{n - 1}], ' '))
+              ELSE [array_to_string(t, ' ')] END AS sh
+  FROM toks
+),
+sigs AS (SELECT doc_id, [{sig_items}] AS sig FROM sh),
+banded AS (
+  SELECT doc_id, u.band AS band, u.bucket AS bucket
+  FROM sigs, unnest([{band_items}]) AS r(u)
+),
+ev AS (
+  SELECT DISTINCT band, bucket FROM banded WHERE doc_id % {eval_mod} = 0
+)
+SELECT b.doc_id,
+       CAST(sum(CASE WHEN e.band IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_hit_bands,
+       sum(CASE WHEN e.band IS NULL THEN 0 ELSE 1 END) >= 1 AS flagged
+FROM banded b LEFT JOIN ev e ON e.band = b.band AND e.bucket = b.bucket
+WHERE b.doc_id % {eval_mod} <> 0
+GROUP BY b.doc_id
+"""

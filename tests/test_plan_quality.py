@@ -345,3 +345,12 @@ def test_quality_classifier_broadcasts_model(spark, oracle_sf_dir):
     assert "SortMergeJoin" not in plan
     for py in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert py not in plan
+
+
+def test_fuzzy_decontamination_broadcasts_eval_buckets(spark, oracle_sf_dir):
+    """The eval (band, bucket) set must broadcast onto the corpus band
+    assignments — never a corpus self-join or shuffle of both sides."""
+    plan = _plan(spark, oracle_sf_dir, "decontamination_fuzzy")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
