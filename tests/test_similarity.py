@@ -106,3 +106,40 @@ def test_quantized_codes_bounded(emb):
     assert stats.where("q_min < -127 or q_max > 127").count() == 0
     # every vector hits the absmax bound (|code| = 127 somewhere)
     assert stats.where("q_max != 127 and q_min != -127").count() == 0
+
+
+def test_lsh_recall_high_on_structured_corpus(spark):
+    """Sign-LSH recall depends on neighbor angle: on a corpus with REAL
+    neighbor structure (clustered vectors, within-cluster cosine ~0.97)
+    banded LSH must recover nearly all true top-k. The driver's uniform
+    test corpus has no such structure (top-10 cosines ~0.4), so this is
+    the quality gate the oracle-parity entries cannot provide."""
+    import math
+    import random
+
+    from khronus_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    rng = random.Random(7)
+    rows = []
+    vid = 0
+    for c in range(10):
+        center = [math.sin(c * 13.7 + i * 0.71) for i in range(64)]
+        for _ in range(30):
+            rows.append(
+                (vid, [x + rng.gauss(0.0, 0.12) for x in center], c)
+            )
+            vid += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    probes = [0, 30, 60, 90, 120]  # one per first five clusters
+    k = 5
+
+    def key(df):
+        nid = "neighbor_id" if "neighbor_id" in df.columns else "vec_id"
+        return {(r["probe_id"], r[nid]) for r in df.collect()}
+
+    exact = key(brute_force_topk(emb, probes, k))
+    got = key(lsh_topk(emb, probes, k, n_bands=8, planes_per_band=4))
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.9, f"structured-corpus LSH recall {recall}"
