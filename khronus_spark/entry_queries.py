@@ -151,14 +151,14 @@ _PRIORITY = [
     "tpch_q21_sole_late_supplier",
     "quality_classifier_score",
     "decontamination_fuzzy",
+    "duplicate_spans",
     # -- refresh: representatives of families touched by round-3 changes --
     # (the storage-backed read path is re-proven by the never-checked
     # influx_store_percentiles_1h above, freeing the
-    # influx_from_materialized_store slot; ts summaries and the rollup
-    # family are behaviorally unchanged this round — their r1/r2 green
-    # rows stand)
+    # influx_from_materialized_store slot; ts summaries, the rollup
+    # family, and the tz-fix entries are behaviorally unchanged under
+    # the driver's UTC session — their r1/r2 green rows stand)
     "influx_percentiles_purchase_1h",  # percentile-mode routing
-    "influx_count_click_5m",           # tz fix + raw-ts pushdown
     "corpus_curation",                 # broadcast size guard
     "llm_corpus_prep",
     "semantic_dedup",                  # k now derived (entry pins k=4)
@@ -2379,6 +2379,16 @@ def gopher_rules(spark, sf_dir):
     verdict, map-only (operators/text.py::gopher_rules)."""
     docs = load_table(spark, sf_dir, "documents")
     return text_ops.gopher_rules(docs)
+
+
+@register("duplicate_spans", text_ops.duplicate_spans_sql())
+def duplicate_spans(spark, sf_dir):
+    """Exact-substring dedup at span granularity (ExactSubstr, Lee et
+    al. 2022): per doc, the maximal token spans whose every 5-gram also
+    occurs in another document — the spans a cleaning pass would cut
+    (operators/text.py::duplicate_spans)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.duplicate_spans(docs)
 
 
 @register(

@@ -765,3 +765,99 @@ SELECT t.doc_id,
 FROM toks t JOIN wtab w ON w.bucket = t.bucket
 GROUP BY t.doc_id
 """
+
+
+# ---- exact-substring duplicate spans -------------------------------------
+
+
+def duplicate_spans(docs: DataFrame, n: int = 5, min_tokens: int = 8) -> DataFrame:
+    """Exact-substring dedup, span-level (the ExactSubstr operation of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better", restated Spark-first): for each document, the maximal token
+    spans whose every length-n gram also occurs in at least one OTHER
+    document. Where `dup_ngram_fraction` reports HOW MUCH of a doc is
+    boilerplate, this reports WHERE — the spans a cleaning pass would
+    actually cut. Returns (doc_id, span_start, span_end, span_tokens),
+    1-indexed inclusive token positions, spans ≥ `min_tokens` only.
+
+    Shape: positions explode map-only; cross-doc gram frequency is the
+    same distinct-grams → gram-key window as dup_ngram_fraction (no
+    corpus self-join); duplicated positions then merge into maximal
+    runs with the gaps-and-islands trick (pos − row_number is constant
+    within a consecutive run), one window + one groupBy on the doc key.
+    Everything is key-partitioned shuffles; suffix arrays (the paper's
+    single-machine structure) are replaced by gram hashing, which is
+    what distributes."""
+    from pyspark.sql import Window
+
+    t = docs.select("doc_id", _tokens().alias("t")).where(F.size("t") >= n)
+    pos_grams = t.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {n - 1}),"
+                f" i -> md5(concat_ws(' ', slice(t, i, {n}))))"
+            )
+        ).alias("pos0", "g"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
+
+    per_doc_gram = pos_grams.select("doc_id", "g").distinct()
+    w_g = Window.partitionBy("g")
+    gram_freq = per_doc_gram.withColumn(
+        "doc_freq", F.count(F.lit(1)).over(w_g)
+    )
+    dup_pos = (
+        pos_grams.join(gram_freq, ["doc_id", "g"])
+        .where(F.col("doc_freq") > 1)
+        .select("doc_id", "pos")
+        .distinct()
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    islands = dup_pos.withColumn(
+        "island", F.col("pos") - F.row_number().over(w_doc)
+    )
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (n - 1)).alias("span_end"),
+        )
+        .withColumn(
+            "span_tokens", F.col("span_end") - F.col("span_start") + 1
+        )
+        .where(F.col("span_tokens") >= min_tokens)
+        .select("doc_id", "span_start", "span_end", "span_tokens")
+    )
+
+
+def duplicate_spans_sql(n: int = 5, min_tokens: int = 8) -> str:
+    return rf"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+), pg AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(t[i:i+{n - 1}], ' ')) AS g
+  FROM t, unnest(range(1, len(t) - {n - 2})) AS r(i)
+  WHERE len(t) >= {n}
+), pdg AS (
+  SELECT DISTINCT doc_id, g FROM pg
+), gf AS (
+  SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS doc_freq FROM pdg
+), dp AS (
+  SELECT DISTINCT pg.doc_id, pg.pos
+  FROM pg JOIN gf ON gf.doc_id = pg.doc_id AND gf.g = pg.g
+  WHERE gf.doc_freq > 1
+), isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM dp
+)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {n - 1} AS BIGINT) AS span_end,
+       CAST(max(pos) + {n - 1} - min(pos) + 1 AS BIGINT) AS span_tokens
+FROM isl
+GROUP BY doc_id, island
+HAVING max(pos) + {n - 1} - min(pos) + 1 >= {min_tokens}
+"""

@@ -162,3 +162,40 @@ def test_quality_classifier_deterministic_and_bounded(spark):
     assert out[1]["score_x100"] == out[2]["score_x100"]
     assert out[1]["n_tokens"] == 4
     assert 3 not in out  # empty text has no tokens -> no row
+
+
+def test_duplicate_spans_finds_shared_run_with_exact_bounds(spark):
+    """Two docs share a 10-token run (>= min span) embedded at different
+    offsets; the detected span must cover exactly that run in each doc,
+    and a doc with no cross-doc 5-grams must produce no span."""
+    from khronus_spark.operators.text import duplicate_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    d1 = "unique1 unique2 " + shared + " tail1 tail2"
+    d2 = "other opening words here " + shared
+    d3 = "totally unrelated content with no overlap at all whatsoever now"
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in duplicate_spans(docs, n=5, min_tokens=8).collect()}
+    assert 3 not in out
+    # d1: shared run occupies token positions 3..12 (1-indexed)
+    assert (out[1]["span_start"], out[1]["span_end"]) == (3, 12)
+    assert out[1]["span_tokens"] == 10
+    # d2: run occupies positions 5..14
+    assert (out[2]["span_start"], out[2]["span_end"]) == (5, 14)
+
+
+def test_duplicate_spans_merges_adjacent_grams_single_span(spark):
+    """Consecutive duplicated grams must merge into ONE maximal span,
+    not one span per gram."""
+    from khronus_spark.operators.text import duplicate_spans
+
+    text = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    )
+    rows = duplicate_spans(docs, n=5, min_tokens=8).collect()
+    assert len(rows) == 2  # exactly one span per doc
+    for r in rows:
+        assert (r["span_start"], r["span_end"], r["span_tokens"]) == (1, 10, 10)

@@ -354,3 +354,12 @@ def test_fuzzy_decontamination_broadcasts_eval_buckets(spark, oracle_sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_duplicate_spans_no_corpus_self_join(spark, oracle_sf_dir):
+    """Span detection must reuse the gram-key window discipline: joins
+    only re-key positions against per-doc gram frequencies (doc_id in
+    every join key) — never a corpus-level self-join or cartesian."""
+    plan = _plan(spark, oracle_sf_dir, "duplicate_spans")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
