@@ -357,3 +357,46 @@ def test_stream_to_store_to_influx_query(spark, staged):
         (r["time"]): r["value"] for r in raw_eng.sql(influx)[0].df.collect()
     }
     assert got == expected and got
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir):
+    """Stream-static dimension enrichment (streaming/enrich.py): the
+    watermarked stream joined to a broadcast type dimension must equal
+    the batch join row-for-row, including the default for event types
+    absent from the dimension."""
+    import tempfile
+
+    from khronus_spark.sources.tables import EVENT_TYPE_MTYPE, load_table
+    from khronus_spark.streaming.enrich import typed_events
+
+    tmp = tempfile.mkdtemp(prefix="khronus_enrich_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    ev.write.mode("overwrite").parquet(f"{tmp}/in")
+    # dimension deliberately missing one type -> exercises the default
+    dim = spark.createDataFrame(
+        [(k, v) for k, v in EVENT_TYPE_MTYPE.items() if k != "error"],
+        "event_type string, mtype string",
+    )
+
+    batch = typed_events(spark.read.parquet(f"{tmp}/in"), dim)
+
+    stream_in = spark.readStream.schema(ev.schema).parquet(f"{tmp}/in")
+    q = (
+        typed_events(stream_in, dim)
+        .writeStream.format("parquet")
+        .option("path", f"{tmp}/out")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(f"{tmp}/out")
+    assert got.count() == batch.count()
+    assert (
+        got.exceptAll(batch).count() == 0 and batch.exceptAll(got).count() == 0
+    )
+    # the defaulted type actually occurred
+    assert got.where("event_type = 'error' AND mtype = 'timer'").count() > 0
