@@ -120,3 +120,24 @@ def test_oversized_ingest_body_is_413(service):
     # the server stays healthy for the next request
     with urllib.request.urlopen(f"{base}/khronus/db/influx/series?q=list%20series") as r:
         assert r.status == 200
+
+
+def test_stress_batch_shape_and_determinism():
+    """scripts/stress.py (the khronus-stress analogue) must emit
+    reference-shaped MetricBatch JSON deterministically per worker."""
+    import random
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    from stress import make_batch
+
+    a = make_batch(random.Random(7), 3, 4)
+    b = make_batch(random.Random(7), 3, 4)
+    assert a["metrics"][0]["name"] == b["metrics"][0]["name"]
+    m = a["metrics"][0]
+    assert m["mtype"] == "timer" and len(m["measurements"]) == 3
+    assert all(len(x["values"]) == 4 for x in m["measurements"])
+    assert all(0 <= v < 2000 for x in m["measurements"] for v in x["values"])
+    rows = flatten_metric_batch(a)
+    assert len(rows) == 12
