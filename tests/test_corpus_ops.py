@@ -199,3 +199,55 @@ def test_duplicate_spans_merges_adjacent_grams_single_span(spark):
     assert len(rows) == 2  # exactly one span per doc
     for r in rows:
         assert (r["span_start"], r["span_end"], r["span_tokens"]) == (1, 10, 10)
+
+
+def test_spans_consistent_with_dup_ngram_fraction(spark):
+    """Cross-operator invariant on random-ish corpora: a document has a
+    duplicate span (min_tokens=n) iff its cross-doc duplicated-gram
+    count is non-zero, spans are disjoint, in-bounds, and each span of
+    length L contains exactly L-n+1 gram positions — so the per-doc sum
+    of (L-n+1) equals that doc's count of duplicated POSITIONS, which
+    is >= its n_dup (distinct duplicated grams)."""
+    import random
+
+    from khronus_spark.operators.text import (
+        dup_ngram_fraction,
+        duplicate_spans,
+        token_stats,
+    )
+
+    rng = random.Random(42)
+    vocab = [f"w{j}" for j in range(30)]
+    shared_phrase = "p1 p2 p3 p4 p5 p6 p7"
+    texts = []
+    for i in range(20):
+        words = [vocab[rng.randrange(len(vocab))] for _ in range(rng.randrange(6, 25))]
+        if i % 4 == 0:  # a quarter of docs embed the shared phrase
+            at = rng.randrange(len(words))
+            words[at:at] = shared_phrase.split()
+        texts.append((i, " ".join(words)))
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+
+    n = 5
+    frac = {r["doc_id"]: r for r in dup_ngram_fraction(docs, n=n).collect()}
+    spans = {}
+    for r in duplicate_spans(docs, n=n, min_tokens=n).collect():
+        spans.setdefault(r["doc_id"], []).append(r)
+    ntok = {r["doc_id"]: r["n_tokens"] for r in token_stats(docs).collect()}
+
+    for doc_id, f in frac.items():
+        has_span = doc_id in spans
+        assert (f["n_dup"] > 0) == has_span, (doc_id, f["n_dup"], has_span)
+        if not has_span:
+            continue
+        ss = sorted(spans[doc_id], key=lambda r: r["span_start"])
+        # disjoint (maximal runs can't touch: adjacency would merge)
+        for a, b in zip(ss, ss[1:]):
+            assert a["span_end"] < b["span_start"]
+        dup_positions = 0
+        for s in ss:
+            assert 1 <= s["span_start"] <= s["span_end"] <= ntok[doc_id]
+            assert s["span_tokens"] == s["span_end"] - s["span_start"] + 1
+            dup_positions += s["span_tokens"] - n + 1
+        # duplicated positions >= distinct duplicated grams
+        assert dup_positions >= f["n_dup"], (doc_id, dup_positions, f["n_dup"])

@@ -104,3 +104,32 @@ def test_engine_query_rows_survive_non_utc_session(spark, sf_dir, tz):
     with session_tz(spark, tz):
         shifted = run()
     assert base == shifted
+
+
+@pytest.mark.parametrize(
+    "entry",
+    [
+        "ts_counter_summary_5m",      # measurements view (ns-long domain)
+        "influx_count_click_5m",      # engine dual-predicate pushdown
+        "tpch_q1_pricing",            # native NTZ date column filters
+        "events_sessions_30m",        # session windows over ns longs
+    ],
+)
+def test_registry_entries_session_tz_independent(spark, sf_dir, entry):
+    """Representative registry entries from every time-handling family
+    must return identical rows under a non-UTC session timezone — the
+    engine's whole time domain is either epoch-ns longs or TIMESTAMP_NTZ
+    compared against NTZ literals, so no result may shift with the
+    driver session's zone."""
+    import __spark_entry__ as entry_mod
+
+    fn = entry_mod.queries()[entry]
+
+    def run():
+        return sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+
+    base = run()
+    assert base, f"{entry}: fixture selected no rows"
+    with session_tz(spark, "Asia/Kolkata"):
+        shifted = run()
+    assert base == shifted, f"{entry}: rows differ under Asia/Kolkata"
