@@ -152,6 +152,7 @@ _PRIORITY = [
     "quality_classifier_score",
     "decontamination_fuzzy",
     "duplicate_spans",
+    "bpe_merges_6",
     # -- refresh: representatives of families touched by round-3 changes --
     # (the storage-backed read path is re-proven by the never-checked
     # influx_store_percentiles_1h above, freeing the
@@ -162,7 +163,8 @@ _PRIORITY = [
     "corpus_curation",                 # broadcast size guard
     "llm_corpus_prep",
     "semantic_dedup",                  # k now derived (entry pins k=4)
-    "streaming_dedup_components",
+    # (streaming_dedup_components is behaviorally unchanged this round;
+    # its r2 green row stands — slot goes to bpe_merges_6)
 ]
 
 
@@ -2379,6 +2381,17 @@ def gopher_rules(spark, sf_dir):
     verdict, map-only (operators/text.py::gopher_rules)."""
     docs = load_table(spark, sf_dir, "documents")
     return text_ops.gopher_rules(docs)
+
+
+@register("bpe_merges_6", text_ops.bpe_merges_sql(6))
+def bpe_merges_6(spark, sf_dir):
+    """Distributed BPE merge training: the top-6 byte-pair merges over
+    the corpus's distinct-word frequency table, deterministic tie-break
+    — an iterative tokenizer-training primitive under the same
+    correctness gate as the SQL operators, like k-means
+    (operators/text.py::bpe_merges; oracle unrolls the iterations)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.bpe_merges(docs, k=6)
 
 
 @register("duplicate_spans", text_ops.duplicate_spans_sql())

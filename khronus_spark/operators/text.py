@@ -861,3 +861,127 @@ FROM isl
 GROUP BY doc_id, island
 HAVING max(pos) + {n - 1} - min(pos) + 1 >= {min_tokens}
 """
+
+
+# ---- BPE merge training ---------------------------------------------------
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _merge_fold_expr(col: str, left: str, right: str) -> str:
+    """Spark SQL: apply one BPE merge (left, right) -> left||right over a
+    symbol array, greedy left-to-right (overlaps consume leftmost first:
+    [a,a,a] under (a,a) -> [aa, a])."""
+    l, r, m = _sql_quote(left), _sql_quote(right), _sql_quote(left + right)
+    return (
+        f"aggregate({col}, cast(array() as array<string>), (acc, x) -> "
+        f"IF(size(acc) > 0 AND element_at(acc, -1) = {l} AND x = {r}, "
+        f"concat(slice(acc, 1, size(acc) - 1), array({m})), "
+        "concat(acc, array(x))))"
+    )
+
+
+def bpe_merges(docs: DataFrame, k: int = 6) -> DataFrame:
+    """Distributed BPE merge training (Sennrich et al. 2016), the
+    tokenizer-training primitive: learn the top-k byte-pair merges over
+    the corpus. Returns (rank, left, right, pair_count) — one row per
+    learned merge in training order.
+
+    Trains on the distinct-word frequency table (the classical
+    formulation, and the shape that distributes): one corpus-wide word
+    count, then every iteration touches only the distinct-word symbol
+    table — at web scale ~10^7 rows against ~10^11 corpus tokens.
+    Per iteration: weighted adjacent-pair counts (one map-side-
+    combinable shuffle on the pair key), a global argmax (k tiny driver
+    rows total; ties break on count desc, then (left, right) asc so
+    training is deterministic), and a map-only greedy fold applying the
+    merge. Simplification vs production BPE, documented: symbols are
+    characters within words with no end-of-word marker."""
+    words = (
+        docs.select(F.explode(_tokens()).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    seqs = words.select("cnt", F.split("w", "").alias("sym")).localCheckpoint(
+        eager=True
+    )
+    merges = []
+    for rank in range(1, k + 1):
+        pairs = (
+            seqs.where(F.size("sym") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(sym) - 1), "
+                        "i -> struct(element_at(sym, i) AS l, "
+                        "element_at(sym, i + 1) AS r))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("cnt").alias("pair_count"))
+        )
+        top = pairs.orderBy(
+            F.col("pair_count").desc(), F.col("l").asc(), F.col("r").asc()
+        ).limit(1).collect()
+        if not top:
+            break
+        l, r, cnt = top[0]["l"], top[0]["r"], top[0]["pair_count"]
+        merges.append((rank, l, r, int(cnt)))
+        seqs = seqs.select(
+            "cnt", F.expr(_merge_fold_expr("sym", l, r)).alias("sym")
+        ).localCheckpoint(eager=True)
+    return docs.sparkSession.createDataFrame(
+        merges, "rank LONG, left STRING, right STRING, pair_count LONG"
+    )
+
+
+def bpe_merges_sql(k: int = 6) -> str:
+    """The identical training loop unrolled into DuckDB CTEs. The merge
+    fold is list_reduce over singleton-wrapped symbols (acc type must
+    equal element type in DuckDB); the per-iteration top pair is a
+    1-row CTE cross-joined into the next apply step."""
+    parts = [
+        r"""w AS (
+  SELECT w, count(*) AS cnt FROM (
+    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+    FROM documents
+  ) WHERE w <> '' GROUP BY w
+),
+s0 AS (SELECT cnt, string_split(w, '') AS sym FROM w)"""
+    ]
+    for i in range(k):
+        parts.append(
+            f"""p{i} AS (
+  SELECT sym[i] AS l, sym[i + 1] AS r, CAST(sum(cnt) AS BIGINT) AS pair_count
+  FROM s{i}, unnest(range(1, len(sym))) AS t(i)
+  WHERE len(sym) >= 2
+  GROUP BY l, r
+),
+t{i} AS (
+  SELECT l, r, pair_count FROM p{i}
+  ORDER BY pair_count DESC, l ASC, r ASC LIMIT 1
+),
+s{i + 1} AS (
+  SELECT cnt,
+         CASE WHEN len(sym) < 2 THEN sym
+              ELSE list_reduce(
+                list_transform(sym, s -> [s]),
+                (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = t.l
+                                  AND x[1] = t.r
+                            THEN list_slice(acc, 1, len(acc) - 1) || [t.l || t.r]
+                            ELSE acc || x END)
+         END AS sym
+  FROM s{i}, t{i} t
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({i + 1} AS BIGINT) AS rank, l AS left, r AS right, "
+        f"pair_count FROM t{i}"
+        for i in range(k)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + union + "\nORDER BY rank"

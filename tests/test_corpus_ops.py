@@ -251,3 +251,28 @@ def test_spans_consistent_with_dup_ngram_fraction(spark):
             dup_positions += s["span_tokens"] - n + 1
         # duplicated positions >= distinct duplicated grams
         assert dup_positions >= f["n_dup"], (doc_id, dup_positions, f["n_dup"])
+
+
+def test_bpe_merges_greedy_order_and_application(spark):
+    """Handcrafted corpus: 'aaab' x3 + 'ab' x2. Pair counts at step 1
+    (weighted, greedy-left within a word): (a,a)=6, (a,b)=5 -> first
+    merge (a,a). After applying it, 'aaab' -> [aa, a, b], so step 2
+    counts (aa,a)=3, (a,b)=5 -> second merge (a,b)."""
+    from khronus_spark.operators.text import bpe_merges
+
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab aaab ab ab")], "doc_id long, text string"
+    )
+    out = [tuple(r) for r in bpe_merges(docs, k=2).collect()]
+    assert out == [(1, "a", "a", 6), (2, "a", "b", 5)]
+
+
+def test_bpe_merges_deterministic_tiebreak(spark):
+    """Equal-count pairs must resolve (left, right) lexicographically."""
+    from khronus_spark.operators.text import bpe_merges
+
+    docs = spark.createDataFrame(
+        [(1, "xy xy za za")], "doc_id long, text string"
+    )
+    out = [tuple(r) for r in bpe_merges(docs, k=1).collect()]
+    assert out == [(1, "x", "y", 2)]  # (x,y) < (z,a) at count 2
