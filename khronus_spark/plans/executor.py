@@ -73,8 +73,11 @@ class InfluxSeriesResult:
 
 
 def build_slice(filters, now_ms: int) -> Slice:
-    """`buildSlice` (InfluxQueryResolver.scala:67-85)."""
-    from_ms, to_ms = 1, now_ms
+    """`buildSlice` (InfluxQueryResolver.scala:67-85). The missing-from
+    sentinel must be None, not a magic epoch value: `time > 0` legally
+    produces from_ms = 1, which a value sentinel would misread as
+    "no lower bound given"."""
+    from_ms, to_ms = None, now_ms
     for f in filters:
         op = getattr(f, "operator", None)
         if not hasattr(f, "value_ms"):
@@ -87,7 +90,7 @@ def build_slice(filters, now_ms: int) -> Slice:
             to_ms = f.value_ms - 1
         elif op == "<=":
             to_ms = f.value_ms
-    if from_ms == 1:
+    if from_ms is None:
         raise QueryExecutionError("From clause required")
     return Slice(from_ms, to_ms)
 

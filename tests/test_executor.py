@@ -191,3 +191,23 @@ def test_read_limit_caps_slice_in_query_order(spark):
     pts2 = sorted(r["time"] for r in res2[0].df.where("value is not null").collect())
     # descending reads keep the LAST 3 buckets (SummaryStore's desc select)
     assert pts2 == [480_000, 540_000, 600_000]
+
+
+def test_time_gt_zero_is_a_valid_from_bound():
+    """`time > 0` produces from_ms = 1, which must NOT be mistaken for
+    the missing-from sentinel; `time >= 0` likewise. Only a query with
+    no lower time bound at all raises."""
+    from khronus_spark.parser.ast import TimeFilter
+    from khronus_spark.plans.executor import (
+        QueryExecutionError,
+        build_slice,
+    )
+
+    s = build_slice((TimeFilter(">", 0),), now_ms=10_000)
+    assert (s.from_ms, s.to_ms) == (1, 10_000)
+    s2 = build_slice((TimeFilter(">=", 0),), now_ms=10_000)
+    assert (s2.from_ms, s2.to_ms) == (0, 10_000)
+    import pytest as _pytest
+
+    with _pytest.raises(QueryExecutionError):
+        build_slice((TimeFilter("<", 5_000),), now_ms=10_000)
