@@ -142,6 +142,10 @@ def main() -> None:
         "influx_store_percentiles": lambda: run_df(
             q["influx_store_percentiles_1h"](spark, sf_dir)
         ),
+        # span-level ExactSubstr (gaps-and-islands over gram positions)
+        "duplicate_spans": lambda: run_df(q["duplicate_spans"](spark, sf_dir)),
+        # iterative BPE merge training over the word-frequency table
+        "bpe_merges": lambda: run_df(q["bpe_merges_6"](spark, sf_dir)),
     }
 
     # Median-of-N per query: the shared host shows 2-5x contention
