@@ -276,3 +276,27 @@ def test_bpe_merges_deterministic_tiebreak(spark):
     )
     out = [tuple(r) for r in bpe_merges(docs, k=1).collect()]
     assert out == [(1, "x", "y", 2)]  # (x,y) < (z,a) at count 2
+
+
+def test_bpe_merge_counts_non_increasing(spark):
+    """Greedy BPE invariant on random corpora: the argmax at step i
+    bounds every later pair count (a merge can only create pairs whose
+    occurrences are a subset of an existing pair's), so pair_count is
+    non-increasing in rank; every merge's symbol is left||right
+    (implicitly: applying it can never raise a count above it)."""
+    import random
+
+    rng = random.Random(99)
+    for trial in range(3):
+        words = [
+            "".join(rng.choice("abcd") for _ in range(rng.randrange(2, 7)))
+            for _ in range(rng.randrange(10, 25))
+        ]
+        docs = spark.createDataFrame(
+            [(1, " ".join(words))], "doc_id long, text string"
+        )
+        from khronus_spark.operators.text import bpe_merges
+
+        out = bpe_merges(docs, k=5).collect()
+        counts = [r["pair_count"] for r in sorted(out, key=lambda r: r["rank"])]
+        assert counts == sorted(counts, reverse=True), (trial, counts)
