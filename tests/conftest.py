@@ -7,6 +7,9 @@ from pyspark.sql import SparkSession
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 SF_DIR_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+#: Override to validate session-timezone independence suite-wide, e.g.
+#: SPARK_GRAFT_SESSION_TZ=Asia/Kolkata python -m pytest tests/test_oracle_parity.py
+SESSION_TZ = os.environ.get("SPARK_GRAFT_SESSION_TZ", "UTC")
 
 
 @pytest.fixture(scope="session")
@@ -17,7 +20,7 @@ def spark():
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.session.timeZone", SESSION_TZ)
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "4g")
         .getOrCreate()
