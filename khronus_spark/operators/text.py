@@ -791,12 +791,17 @@ def duplicate_spans(docs: DataFrame, n: int = 5, min_tokens: int = 8) -> DataFra
     from pyspark.sql import Window
 
     t = docs.select("doc_id", _tokens().alias("t")).where(F.size("t") >= n)
+    # grams travel as the 60-bit md5 prefix (8-byte long), not hex text:
+    # the gram key crosses two shuffles, so key width is shuffle width;
+    # the same integer is computable in DuckDB so the oracle still twins
     pos_grams = t.select(
         "doc_id",
         F.posexplode(
             F.expr(
                 f"transform(sequence(1, size(t) - {n - 1}),"
-                f" i -> md5(concat_ws(' ', slice(t, i, {n}))))"
+                " i -> CAST(conv(substring("
+                f"md5(concat_ws(' ', slice(t, i, {n}))), 1, 15), 16, 10)"
+                " AS BIGINT))"
             )
         ).alias("pos0", "g"),
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
@@ -837,7 +842,8 @@ WITH t AS (
   FROM documents
 ), pg AS (
   SELECT doc_id, i AS pos,
-         md5(array_to_string(t[i:i+{n - 1}], ' ')) AS g
+         (('0x' || substr(md5(array_to_string(t[i:i+{n - 1}], ' ')), 1, 15))
+          ::UBIGINT::BIGINT) AS g
   FROM t, unnest(range(1, len(t) - {n - 2})) AS r(i)
   WHERE len(t) >= {n}
 ), pdg AS (
