@@ -44,6 +44,9 @@ def main() -> None:
 
     from khronus_spark import entry_queries as eq
     from khronus_spark.functions.summary import histogram_summary
+    from khronus_spark.operators.clustering import (
+        semantic_dedup as semantic_dedup_derived_k,
+    )
     from khronus_spark.sources.tables import load_table, measurements_from_events
 
     def run_df(df):
@@ -133,9 +136,7 @@ def main() -> None:
         # the production default: k derived ~ sqrt(N) from a corpus count,
         # bounding within-cluster pair work at ~N^1.5
         "semantic_dedup_auto": lambda: run_df(
-            __import__(
-                "khronus_spark.operators.clustering", fromlist=["semantic_dedup"]
-            ).semantic_dedup(load_table(spark, sf_dir, "embeddings"))
+            semantic_dedup_derived_k(load_table(spark, sf_dir, "embeddings"))
         ),
         # the reference's real dashboard path (O1): percentiles answered
         # from the materialized summary store, never from raw
@@ -153,7 +154,7 @@ def main() -> None:
     # with scheduler noise. Interleave full passes (not N back-to-back
     # runs of one query) so a contention burst cannot bias one query's
     # every sample; report the median plus the observed spread.
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     samples: dict[str, list[float]] = {name: [] for name in bench}
     for _ in range(n_runs):
         for name, fn in bench.items():

@@ -42,16 +42,33 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
 
     if args.summary_store:
-        def engine_factory() -> KhronusEngine:
-            return KhronusEngine(spark, summary_base_path=args.summary_store)
-    else:
+        from khronus_spark.operators.rollup import (
+            catalog_from_store,
+            windows_from_store,
+        )
+
+        # the store is the system of record: derive the catalog AND the
+        # available resolutions from it once at boot (a store-backed
+        # engine has no measurements to auto-register from, and routing
+        # to a never-materialized resolution would fail at scan time)
+        catalog = catalog_from_store(spark, args.summary_store)
+        windows = windows_from_store(spark, args.summary_store)
+        if not catalog or not windows:
+            raise SystemExit(
+                f"--summary-store {args.summary_store} holds no "
+                "<family>_summary/<resolution> partitions"
+            )
+
         def engine_factory() -> KhronusEngine:
             return KhronusEngine(
                 spark,
-                measurements=spark.read.schema(
-                    "metric STRING, mtype STRING, ts_ms LONG, value LONG"
-                ).parquet(args.landing),
+                summary_base_path=args.summary_store,
+                catalog=catalog,
+                windows_ms=windows,
             )
+    else:
+        # None → the service's own _default_engine (one schema source)
+        engine_factory = None
 
     svc = KhronusHttpService(
         spark, args.landing, engine_factory=engine_factory, port=args.port

@@ -87,7 +87,11 @@ def curated_docs(
     """
     q = quality_score(docs).select("doc_id", "n_tokens", "quality_bp")
     if callable(edge_gen):
-        comps = edge_gen(docs)
+        # the built-in generators end localCheckpointed (their CC loop
+        # requires it), so the size-guard count below is a cheap read; a
+        # caller-supplied plan would be recomputed for the count AND the
+        # join — truncate it once here so the guard stays one-pass
+        comps = edge_gen(docs).localCheckpoint(eager=True)
     elif edge_gen == "minhash":
         comps = minhash_duplicate_components(docs)
     elif edge_gen == "jaccard":

@@ -167,3 +167,54 @@ def compact_summaries(
     if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hpath):
         raise RuntimeError(f"compaction rename failed for {path}")
     return n_files
+
+
+def catalog_from_store(spark: SparkSession, base_path: str) -> list[tuple[str, str]]:
+    """Derive the metric catalog from a materialized summary store: the
+    store's own content is the system of record when no raw
+    measurements are attached (a store-backed engine must not need a
+    side-channel catalog to answer `list series` or bind FROM regexes).
+    Counter-family metrics register as 'counter'; histogram-family as
+    'timer' (timers and gauges share one summary family and one valid
+    function set, `InfluxCriteriaBuilder.scala:113-117`). Reads ONE
+    resolution per family — every resolution holds the same metric set."""
+    from pathlib import Path
+
+    entries: set[tuple[str, str]] = set()
+    for family, mtype in (("counter", "counter"), ("histogram", "timer")):
+        fam_dir = Path(base_path) / f"{family}_summary"
+        if not fam_dir.is_dir():
+            continue
+        resolutions = sorted(p for p in fam_dir.iterdir() if p.is_dir())
+        if not resolutions:
+            continue
+        rows = (
+            spark.read.parquet(str(resolutions[0]))
+            .select("metric")
+            .distinct()
+            .collect()
+        )
+        entries.update((r["metric"], mtype) for r in rows)
+    return sorted(entries)
+
+
+def windows_from_store(spark: SparkSession, base_path: str) -> tuple[int, ...]:
+    """The resolutions a summary store actually materialized, parsed
+    from its partition directory names. A store-backed engine must
+    constrain resolution adjustment to these — the reference always
+    materializes every configured window, but a partially-built store
+    would otherwise route a query to a resolution that was never
+    written and fail at scan time."""
+    from pathlib import Path
+
+    from khronus_spark.timegrid import parse_duration_ms
+
+    windows: set[int] = set()
+    for family in ("counter", "histogram"):
+        fam_dir = Path(base_path) / f"{family}_summary"
+        if not fam_dir.is_dir():
+            continue
+        for p in fam_dir.iterdir():
+            if p.is_dir():
+                windows.add(parse_duration_ms(p.name))
+    return tuple(sorted(windows))

@@ -773,21 +773,25 @@ GROUP BY t.doc_id
 def duplicate_spans(docs: DataFrame, n: int = 5, min_tokens: int = 8) -> DataFrame:
     """Exact-substring dedup, span-level (the ExactSubstr operation of
     Lee et al. 2022, "Deduplicating Training Data Makes Language Models
-    Better", restated Spark-first): for each document, the maximal token
-    spans whose every length-n gram also occurs in at least one OTHER
-    document. Where `dup_ngram_fraction` reports HOW MUCH of a doc is
-    boilerplate, this reports WHERE — the spans a cleaning pass would
-    actually cut. Returns (doc_id, span_start, span_end, span_tokens),
-    1-indexed inclusive token positions, spans ≥ `min_tokens` only.
+    Better", restated Spark-first): for each document, the maximal
+    contiguous token regions COVERED by length-n grams that also occur
+    in at least one OTHER document (the union of every duplicated
+    gram's [pos, pos+n-1] interval). Where `dup_ngram_fraction` reports
+    HOW MUCH of a doc is boilerplate, this reports WHERE — the spans a
+    cleaning pass would actually cut. Returns (doc_id, span_start,
+    span_end, span_tokens), 1-indexed inclusive token positions,
+    spans ≥ `min_tokens` only; spans are disjoint with at least one
+    uncovered token between them.
 
     Shape: positions explode map-only; cross-doc gram frequency is the
     same distinct-grams → gram-key window as dup_ngram_fraction (no
-    corpus self-join); duplicated positions then merge into maximal
-    runs with the gaps-and-islands trick (pos − row_number is constant
-    within a consecutive run), one window + one groupBy on the doc key.
-    Everything is key-partitioned shuffles; suffix arrays (the paper's
-    single-machine structure) are replaced by gram hashing, which is
-    what distributes."""
+    corpus self-join); duplicated positions then merge by interval
+    union with a threshold gaps-and-islands (new island when the
+    position gap exceeds n — smaller gaps leave no uncovered token),
+    two windows + one groupBy on the doc key. Everything is
+    key-partitioned shuffles; suffix arrays (the paper's single-machine
+    structure) are replaced by gram hashing, which is what
+    distributes."""
     from pyspark.sql import Window
 
     t = docs.select("doc_id", _tokens().alias("t")).where(F.size("t") >= n)
@@ -817,9 +821,23 @@ def duplicate_spans(docs: DataFrame, n: int = 5, min_tokens: int = 8) -> DataFra
         .select("doc_id", "pos")
         .distinct()
     )
+    # interval-union islands: a duplicated gram at position p covers
+    # tokens [p, p+n-1], so positions p < q belong to one contiguous
+    # covered region iff q - p <= n (q = p+n touches with no hole); a
+    # plain pos - row_number() trick would merge only gap-1 positions
+    # and emit OVERLAPPING spans for gaps 2..n-1
     w_doc = Window.partitionBy("doc_id").orderBy("pos")
     islands = dup_pos.withColumn(
-        "island", F.col("pos") - F.row_number().over(w_doc)
+        "island",
+        F.sum(
+            F.when(
+                F.coalesce(
+                    F.col("pos") - F.lag("pos").over(w_doc), F.lit(n + 1)
+                )
+                > n,
+                1,
+            ).otherwise(0)
+        ).over(w_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
     )
     return (
         islands.groupBy("doc_id", "island")
@@ -854,10 +872,16 @@ WITH t AS (
   SELECT DISTINCT pg.doc_id, pg.pos
   FROM pg JOIN gf ON gf.doc_id = pg.doc_id AND gf.g = pg.g
   WHERE gf.doc_freq > 1
+), lagged AS (
+  SELECT doc_id, pos,
+         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM dp
 ), isl AS (
   SELECT doc_id, pos,
-         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
-  FROM dp
+         sum(CASE WHEN prev IS NULL OR pos - prev > {n} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS island
+  FROM lagged
 )
 SELECT doc_id,
        CAST(min(pos) AS BIGINT) AS span_start,

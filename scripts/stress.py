@@ -74,9 +74,12 @@ def worker(
 ):
     rng = random.Random(1000 + wid)  # deterministic per worker
     ok = err = 0
+    posted: set[str] = set()
     t0 = time.perf_counter()
     for i in range(n_requests):
-        body = json.dumps(make_batch(rng, n_measurements, n_values)).encode()
+        batch = make_batch(rng, n_measurements, n_values)
+        posted.update(m["name"] for m in batch["metrics"])
+        body = json.dumps(batch).encode()
         headers = {"Content-Type": "application/json"}
         if use_gzip:
             body = gzip_mod.compress(body)
@@ -91,6 +94,7 @@ def worker(
     out[wid] = {
         "ok": ok,
         "err": err,
+        "posted": posted,
         "sec": round(time.perf_counter() - t0, 3),
     }
 
@@ -114,7 +118,6 @@ def main() -> None:
     if base is None:
         from pyspark.sql import SparkSession
 
-        from khronus_spark.engine import KhronusEngine
         from khronus_spark.service import KhronusHttpService
 
         spark = (
@@ -125,16 +128,9 @@ def main() -> None:
         )
         spark.sparkContext.setLogLevel("ERROR")
         landing = tempfile.mkdtemp(prefix="khronus_stress_") + "/in"
-        svc = KhronusHttpService(
-            spark,
-            landing,
-            engine_factory=lambda: KhronusEngine(
-                spark,
-                measurements=spark.read.schema(
-                    "metric STRING, mtype STRING, ts_ms LONG, value LONG"
-                ).parquet(landing),
-            ),
-        )
+        # engine_factory=None → the service's own _default_engine, the
+        # single source of truth for the measurements schema
+        svc = KhronusHttpService(spark, landing)
         svc.start()
         base = f"http://127.0.0.1:{svc.port}"
 
@@ -171,9 +167,10 @@ def main() -> None:
             svc.wait_idle(timeout=300.0)
         elif args.settle:
             time.sleep(args.settle)
-        for m in range(8):
+        posted = sorted(set().union(*(r["posted"] for r in results.values())))
+        for name in posted:
             q = (
-                f'select count from "stress.timer-{m}" '
+                f'select count from "{name}" '
                 "where time > now() - 1h group by time(1m)"
             )
             url = f"{base}/khronus/db/influx/series?q=" + urllib.parse.quote(q)

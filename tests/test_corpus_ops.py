@@ -241,16 +241,17 @@ def test_spans_consistent_with_dup_ngram_fraction(spark):
         if not has_span:
             continue
         ss = sorted(spans[doc_id], key=lambda r: r["span_start"])
-        # disjoint (maximal runs can't touch: adjacency would merge)
+        covered = 0
         for a, b in zip(ss, ss[1:]):
-            assert a["span_end"] < b["span_start"]
-        dup_positions = 0
+            # interval-union semantics: spans are disjoint with at
+            # least one uncovered token between them
+            assert a["span_end"] + 1 < b["span_start"], (doc_id, a, b)
         for s in ss:
             assert 1 <= s["span_start"] <= s["span_end"] <= ntok[doc_id]
             assert s["span_tokens"] == s["span_end"] - s["span_start"] + 1
-            dup_positions += s["span_tokens"] - n + 1
-        # duplicated positions >= distinct duplicated grams
-        assert dup_positions >= f["n_dup"], (doc_id, dup_positions, f["n_dup"])
+            assert s["span_tokens"] >= n
+            covered += s["span_tokens"]
+        assert covered <= ntok[doc_id]
 
 
 def test_bpe_merges_greedy_order_and_application(spark):
@@ -300,3 +301,25 @@ def test_bpe_merge_counts_non_increasing(spark):
         out = bpe_merges(docs, k=5).collect()
         counts = [r["pair_count"] for r in sorted(out, key=lambda r: r["rank"])]
         assert counts == sorted(counts, reverse=True), (trial, counts)
+
+
+def test_duplicate_spans_interval_union_no_overlap(spark):
+    """Duplicated gram positions 1 and 3 (gap 2 < n) cover overlapping
+    token intervals [1,5] and [3,7]; they must merge into ONE span
+    [1,7] — emitting both as separate overlapping spans would
+    double-count tokens for any consumer cutting them."""
+    from khronus_spark.operators.text import duplicate_spans
+
+    d1 = "t1 t2 t3 t4 t5 t6 t7"
+    d2 = "t1 t2 t3 t4 t5"      # duplicates d1's gram at position 1
+    d3 = "t3 t4 t5 t6 t7"      # duplicates d1's gram at position 3
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], "doc_id long, text string"
+    )
+    out = {}
+    for r in duplicate_spans(docs, n=5, min_tokens=5).collect():
+        out.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"], r["span_tokens"])
+        )
+    assert out[1] == [(1, 7, 7)]
+    assert out[2] == [(1, 5, 5)] and out[3] == [(1, 5, 5)]

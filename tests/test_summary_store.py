@@ -74,3 +74,60 @@ def test_slice_pushdown_on_the_fly(spark, store):
     plan = series[0].df._jdf.queryExecution().optimizedPlan().toString()
     # the ts_ms range filter must sit below the aggregate
     assert re.search(r"ts_ms#\d+L >= \d+", plan), plan
+
+
+def test_store_backed_engine_self_describes(spark, sf_dir):
+    """A store-backed engine (no measurements attached) must be able to
+    derive its catalog and resolution set from the store itself —
+    `python -m khronus_spark --summary-store` boots exactly this way.
+    Regression: the CLI previously constructed the engine with neither
+    measurements nor catalog and crashed on every query."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from khronus_spark.engine import KhronusEngine
+    from khronus_spark.functions.summary import (
+        counter_summary,
+        histogram_summary,
+    )
+    from khronus_spark.operators.rollup import (
+        catalog_from_store,
+        windows_from_store,
+        write_summaries,
+    )
+    from khronus_spark.sources.tables import measurements_from_events
+
+    m = measurements_from_events(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="khronus_storecat_")
+    write_summaries(
+        {
+            300_000: {
+                "counter": counter_summary(
+                    m.where(F.col("mtype") == "counter"), 300_000
+                ),
+                "histogram": histogram_summary(
+                    m.where(F.col("mtype") != "counter"), 300_000
+                ),
+            }
+        },
+        tmp,
+    )
+    cat = catalog_from_store(spark, tmp)
+    assert ("click", "counter") in cat and ("purchase", "timer") in cat
+    win = windows_from_store(spark, tmp)
+    assert win == (300_000,)
+
+    eng = KhronusEngine(
+        spark,
+        summary_base_path=tmp,
+        catalog=cat,
+        windows_ms=win,
+        now_ms=1706659200000,
+    )
+    r = eng.sql('select count from "click" where time > now()-6h group by time(5m)')
+    assert r[0].df.count() > 0
+    r2 = eng.sql('select p99 from "purchase" where time > now()-6h group by time(5m)')
+    assert r2[0].df.count() > 0
+    names = {row["name"] for row in eng.list_series().collect()}
+    assert names == {"click", "view", "signup", "purchase", "error"}
