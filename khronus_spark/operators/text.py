@@ -315,17 +315,19 @@ def dup_ngram_fraction(docs: DataFrame, n: int = 5) -> DataFrame:
     as a whole differs.
 
     Shape: per-doc distinct grams (map-only explode) → global
-    document-frequency via a window keyed on the gram → per-doc
-    re-aggregate. Two shuffles total (gram key, then doc_id), each with
-    map-side partial work; no self-join of the corpus. Grams travel as
+    document-frequency via groupBy(gram) + an equi-join back on the
+    gram key → per-doc re-aggregate. The frequency is deliberately an
+    AGGREGATE-then-join, not a window over the gram key: a window puts
+    every row of a hot gram (boilerplate present in most documents)
+    into ONE task with no map-side combine — the skew AQE cannot split
+    — while the aggregation partials map-side and the join is
+    AQE-skew-splittable. No self-join of the corpus. Grams travel as
     md5 hex (fixed 32 bytes) rather than raw strings, which both bounds
     shuffle width and is computable identically in DuckDB — the same
     cross-engine twin pattern as `minhash_md5_pairs`
     (operators/dedup.py); a Spark-only deployment would swap xxhash64
     for md5 and halve the key again. Documents with fewer than n tokens
     have no n-gram and are excluded (dup_bp undefined)."""
-    from pyspark.sql import Window
-
     t = docs.select("doc_id", _tokens().alias("t")).where(F.size("t") >= n)
     grams = t.select(
         "doc_id",
@@ -336,9 +338,9 @@ def dup_ngram_fraction(docs: DataFrame, n: int = 5) -> DataFrame:
             )
         ).alias("g"),
     )
-    w = Window.partitionBy("g")
+    freq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("doc_freq"))
     return (
-        grams.withColumn("doc_freq", F.count(F.lit(1)).over(w))
+        grams.join(freq, "g")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
@@ -810,14 +812,20 @@ def duplicate_spans(docs: DataFrame, n: int = 5, min_tokens: int = 8) -> DataFra
         ).alias("pos0", "g"),
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
 
-    per_doc_gram = pos_grams.select("doc_id", "g").distinct()
-    w_g = Window.partitionBy("g")
-    gram_freq = per_doc_gram.withColumn(
-        "doc_freq", F.count(F.lit(1)).over(w_g)
+    # duplicated grams as an aggregate (map-side combinable, and the
+    # join back on g is AQE-skew-splittable — a window over the gram
+    # key would serialize every occurrence of a hot boilerplate gram
+    # into one task)
+    dup_grams = (
+        pos_grams.select("doc_id", "g")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .where(F.col("doc_freq") > 1)
+        .select("g")
     )
     dup_pos = (
-        pos_grams.join(gram_freq, ["doc_id", "g"])
-        .where(F.col("doc_freq") > 1)
+        pos_grams.join(dup_grams, "g")
         .select("doc_id", "pos")
         .distinct()
     )

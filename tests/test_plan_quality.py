@@ -231,12 +231,18 @@ def test_gopher_rules_is_map_only(spark, oracle_sf_dir):
         assert py not in plan
 
 
-def test_dup_ngram_no_corpus_self_join(spark, oracle_sf_dir):
-    """Cross-doc gram frequency comes from a gram-keyed window, never a
-    corpus self-join: two exchanges total (gram key, then doc_id)."""
+def test_dup_ngram_skew_safe_freq_no_corpus_self_join(spark, oracle_sf_dir):
+    """Cross-doc gram frequency must be an AGGREGATE joined back on the
+    gram key — map-side combinable, and the join AQE-skew-splits on a
+    hot boilerplate gram — never a window over the gram key (one task
+    per hot gram, unsplittable) and never a corpus self-join."""
     plan = _plan(spark, oracle_sf_dir, "dup_ngram_5")
-    assert "Join" not in plan
-    assert plan.count("Exchange") <= 4  # 2 exchanges × 2 mentions
+    assert "Window" not in plan           # no gram-keyed window
+    assert "partial_count" in plan        # freq combines map-side
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan    # freq table broadcasts here;
+    #                                       at scale AQE picks the
+    #                                       skew-splittable shuffle join
 
 
 def test_q17_broadcasts_parts_single_window(spark, oracle_sf_dir):
