@@ -33,7 +33,7 @@ count is a fixed hyperparameter, not data-dependent.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 K = 4
@@ -73,12 +73,24 @@ def _kmeans_state(
 
 
 def _assign(q: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment as a map-side-combinable aggregate.
+
+    The broadcast cross join expands each vector to k scored rows, but
+    the argmin is taken with ``min_by`` keyed on the ``(d, cid)`` struct
+    (distance first, ties to the smaller centroid id — bit-identical to
+    the former ``row_number`` window). A hash aggregate combines the k
+    rows per vector map-side BEFORE the exchange, so the shuffle carries
+    ≤N rows — a window argmin would shuffle the full N×k expansion,
+    which at SemDeDup's derived k=⌈√N⌉ is an N^1.5-row exchange."""
     scored = q.crossJoin(F.broadcast(centroids)).withColumn("d", F.expr(_DIST))
-    w = Window.partitionBy("vec_id").orderBy(F.col("d").asc(), F.col("cid").asc())
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .drop("rn")
+    best = scored.groupBy("vec_id").agg(
+        F.min_by(F.struct("cid", "d", "e"), F.struct("d", "cid")).alias("b")
+    )
+    return best.select(
+        "vec_id",
+        F.col("b.e").alias("e"),
+        F.col("b.cid").alias("cid"),
+        F.col("b.d").alias("d"),
     )
 
 

@@ -266,13 +266,18 @@ def ivf_assignments(embeddings: DataFrame, stride: int = CENTROID_STRIDE) -> Dat
     )
     pairs = spread(embeddings, max_partitions=8).crossJoin(F.broadcast(centroids))
     sim = cosine_col(F.col("embedding"), F.col("cvec"))
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("_sim").desc(), F.col("centroid_id").asc()
-    )
+    # argmax as a map-side-combinable aggregate (ties -> smaller centroid
+    # id via the negated id in the ordering struct): the k scored rows per
+    # vector combine to one BEFORE the exchange, so the shuffle carries ≤N
+    # rows — a window argmax would shuffle the whole N×nlist expansion.
     return (
         pairs.select("vec_id", "centroid_id", sim.alias("_sim"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "centroid_id", F.struct(F.col("_sim"), -F.col("centroid_id"))
+            ).alias("centroid_id")
+        )
         .select("vec_id", "centroid_id")
     )
 

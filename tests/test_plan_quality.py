@@ -177,6 +177,26 @@ def test_kmeans_broadcasts_centroids(spark, oracle_sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_kmeans_assignment_argmin_never_shuffles_expansion(spark, oracle_sf_dir):
+    """The nearest-centroid argmin must be a map-side-combinable
+    aggregate (partial_min_by BEFORE the exchange), never a window over
+    vec_id: a window shuffles the full N×k scored expansion, which at
+    SemDeDup's derived k=⌈√N⌉ is an N^1.5-row exchange — the assignment
+    stage may shuffle at most the ≤N combined rows."""
+    plan = _plan(spark, oracle_sf_dir, "kmeans_embeddings")
+    assert "Window" not in plan
+    assert "partial_min_by" in plan  # k rows/vector combine map-side
+
+
+def test_ivf_assignment_argmax_never_shuffles_expansion(spark, oracle_sf_dir):
+    """Same discipline for the IVF coarse quantizer: argmax-by-cosine as
+    a partial_max_by aggregate, not a window over the N×nlist scored
+    expansion."""
+    plan = _plan(spark, oracle_sf_dir, "ann_ivf_assignments")
+    assert "Window" not in plan
+    assert "partial_max_by" in plan
+
+
 def test_q8_all_dims_broadcast_single_fact_shuffle_join(spark, oracle_sf_dir):
     plan = _plan(spark, oracle_sf_dir, "tpch_q8_market_share")
     # part/supplier/customer/nation×2/region broadcast; only the
