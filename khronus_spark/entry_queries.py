@@ -3162,19 +3162,53 @@ _MEDIA_KIND_SQL = (
 @register(
     "media_features",
     f"""
-SELECT doc_id AS media_id,
-       {_MEDIA_KIND_SQL} AS kind,
-       octet_length(encode(text)) AS n_bytes,
-       substr(sha256(text), 1, 16) AS checksum,
-       'feat_' || substr(sha256(text), 2, 1) AS feature
-FROM documents
+WITH m AS (
+  SELECT doc_id, text,
+         {_MEDIA_KIND_SQL} AS kind,
+         doc_id % 8 + 2 AS w, doc_id % 5 + 2 AS h,
+         doc_id % 200 AS r1, doc_id * 7 % 200 AS g1, doc_id * 13 % 200 AS b1
+  FROM documents
+),
+g AS (SELECT *, w * h AS npix, w * h // 2 AS n_a FROM m),
+hx AS (
+  SELECT *,
+    CASE WHEN kind = 'image' THEN
+      hex(encode('P6' || chr(10) || w || ' ' || h || chr(10) || '255' || chr(10)))
+      || repeat(lpad(hex(r1), 2, '0') || lpad(hex(g1), 2, '0')
+                || lpad(hex(b1), 2, '0'), n_a)
+      || repeat(lpad(hex(r1 + 40), 2, '0') || lpad(hex(g1 + 40), 2, '0')
+                || lpad(hex(b1 + 40), 2, '0'), npix - n_a)
+    ELSE hex(encode(text)) END AS ph
+  FROM g
+)
+SELECT doc_id AS media_id, kind,
+       CAST(length(ph) // 2 AS INT) AS n_bytes,
+       substr(sha256(ph), 1, 16) AS checksum,
+       'feat_' || substr(sha256(ph), 2, 1) AS feature,
+       CASE WHEN kind = 'image' THEN CAST(w AS INT) END AS img_width,
+       CASE WHEN kind = 'image' THEN CAST(h AS INT) END AS img_height,
+       CASE WHEN kind = 'image' THEN
+         CAST((n_a * r1 + (npix - n_a) * (r1 + 40)) // npix AS INT) END AS mean_r,
+       CASE WHEN kind = 'image' THEN
+         CAST((n_a * g1 + (npix - n_a) * (g1 + 40)) // npix AS INT) END AS mean_g,
+       CASE WHEN kind = 'image' THEN
+         CAST((n_a * b1 + (npix - n_a) * (b1 + 40)) // npix AS INT) END AS mean_b,
+       CASE WHEN kind = 'image' THEN
+         CAST(greatest(r1, g1, b1) + 40 AS INT) END AS max_channel
+FROM hx
 """,
 )
 def media_features(spark, sf_dir):
-    """Arrow-batched feature extraction over opaque media payloads
-    (mapInPandas; decode stubbed as sha256 — operators/multimodal.py).
-    The oracle recomputes the stub codec in SQL: checksum = first 16 hex
-    chars of sha256(payload); feature id = low nibble of byte 0."""
+    """Arrow-batched feature extraction over media payloads (mapInPandas,
+    operators/multimodal.py). Image payloads are REAL binary PPMs (two-
+    tone, geometry/colors derived from doc_id) decoded by the pure-Python
+    P6/BMP parser — width/height and integer per-channel means come from
+    actually summing every pixel. The oracle rebuilds the byte-identical
+    payload hex in SQL and recomputes the stats from the generator's
+    closed form; checksum = first 16 hex chars of sha256(hex(payload))
+    (DuckDB's sha256 is VARCHAR-only); feature id = low nibble of digest
+    byte 0. Opaque payloads (audio/video) take the checksum-only path
+    with NULL image stats."""
     from khronus_spark.operators.multimodal import extract_features, synthesize_media
 
     docs = load_table(spark, sf_dir, "documents")

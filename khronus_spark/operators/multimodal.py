@@ -2,11 +2,19 @@
 
 The Spark-side plumbing is real and tested — schema, Arrow-batched
 `mapInPandas` UDF signatures, batch shapes, partition-preserving
-transforms. The actual codec work (JPEG decode, audio resample, video
-frame extraction) is stubbed behind `_decode_payload`: the container has
-no image/audio libraries, so the stub produces a deterministic fake
-"decoded" representation from the bytes; swap `_decode_payload` for a
-PIL/ffmpeg call in a real deployment and nothing else changes.
+transforms. Image decode is REAL for two uncompressed formats, parsed
+byte-by-byte in pure Python inside the Arrow batch (no codec deps):
+
+- binary PPM (P6): magic + whitespace/comment-tolerant header
+  (width, height, maxval ≤ 255) + raw RGB triples;
+- uncompressed 24-bit BMP (BITMAPINFOHEADER, bottom-up or top-down,
+  4-byte row padding, BGR order).
+
+Payloads that are neither (plus audio/video codecs — JPEG, ffmpeg and
+friends are absent from this container) fall back to checksum-only
+features: `_decode_image` returns None and the image stat columns are
+NULL. Swap/extend `_decode_image` for PIL/ffmpeg in a real deployment
+and nothing else changes.
 
 Design for 100 TB: media rows are large, so every operator is
 `mapInPandas` (Arrow batches, streaming per-partition, no collect);
@@ -52,7 +60,14 @@ FEATURE_SCHEMA = StructType(
         StructField("kind", StringType()),
         StructField("n_bytes", IntegerType()),
         StructField("checksum", StringType()),
-        StructField("feature", StringType()),  # stub feature vector id
+        StructField("feature", StringType()),  # coarse feature-bucket id
+        # real decode results — NULL when the payload is not PPM/BMP
+        StructField("img_width", IntegerType()),
+        StructField("img_height", IntegerType()),
+        StructField("mean_r", IntegerType()),
+        StructField("mean_g", IntegerType()),
+        StructField("mean_b", IntegerType()),
+        StructField("max_channel", IntegerType()),
     ]
 )
 
@@ -65,45 +80,166 @@ FRAME_SCHEMA = StructType(
 )
 
 
+#: two-tone synthetic PPM geometry/colors, all derived from doc_id so
+#: the DuckDB oracle can rebuild the byte-identical payload in SQL
+_PPM_W = "(doc_id % 8 + 2)"
+_PPM_H = "(doc_id % 5 + 2)"
+_PPM_R = "(doc_id % 200)"
+_PPM_G = "(doc_id * 7 % 200)"
+_PPM_B = "(doc_id * 13 % 200)"
+
+#: hex string of the full P6 payload: header, then the first half of the
+#: pixels in color (r, g, b), the rest in (r+40, g+40, b+40) — pixel
+#: values DIFFER within one image, so a decoder that fails to sum every
+#: pixel cannot reproduce the channel means.
+_PPM_HEX = f"""
+concat(
+  hex(encode(concat('P6\\n', CAST({_PPM_W} AS STRING), ' ',
+                    CAST({_PPM_H} AS STRING), '\\n255\\n'), 'UTF-8')),
+  repeat(concat(lpad(hex({_PPM_R}), 2, '0'), lpad(hex({_PPM_G}), 2, '0'),
+                lpad(hex({_PPM_B}), 2, '0')),
+         CAST({_PPM_W} * {_PPM_H} DIV 2 AS INT)),
+  repeat(concat(lpad(hex({_PPM_R} + 40), 2, '0'), lpad(hex({_PPM_G} + 40), 2, '0'),
+                lpad(hex({_PPM_B} + 40), 2, '0')),
+         CAST({_PPM_W} * {_PPM_H} - {_PPM_W} * {_PPM_H} DIV 2 AS INT))
+)
+"""
+
+
 def synthesize_media(docs: DataFrame) -> DataFrame:
-    """Deterministic fake media table from the documents fixture: the
-    text bytes play the payload; metadata derived from doc stats."""
+    """Deterministic fake media table from the documents fixture.
+
+    Image rows (doc_id % 3 == 0) carry a REAL binary PPM payload — a
+    two-tone w×h P6 image whose geometry and colors derive from doc_id
+    (built engine-side with hex/repeat/unhex, so it stays in codegen
+    and the oracle can rebuild it bit-for-bit). Audio/video rows keep
+    the text bytes as an opaque stand-in payload. The width/height
+    METADATA columns stay doc-stat-derived for every row — they model
+    upstream-supplied metadata, which real pipelines must treat as
+    untrusted until decode confirms it."""
     kinds = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
         (F.col("doc_id") % 3 + 1).cast("int"),
     )
+    payload = F.when(
+        F.col("doc_id") % 3 == 0, F.unhex(F.expr(_PPM_HEX))
+    ).otherwise(F.encode(F.col("text"), "UTF-8"))
     return docs.select(
         F.col("doc_id").alias("media_id"),
         kinds.alias("kind"),
-        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        payload.alias("payload"),
         (F.col("n_chars") % 640 + 1).cast("int").alias("width"),
         (F.col("n_chars") % 480 + 1).cast("int").alias("height"),
         (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
     )
 
 
-def _decode_payload(payload: bytes) -> bytes:
-    """STUB: stands in for the real codec (PIL.Image.open / ffmpeg).
-    Deterministic so tests are stable. Raises like a codec would on
-    empty input."""
+def _ppm_tokens(payload: bytes) -> list[int] | None:
+    """P6 header fields (w, h, maxval) + pixel-data offset, or None.
+    Whitespace- and comment-tolerant per the Netpbm spec."""
+    if not payload.startswith(b"P6"):
+        return None
+    fields: list[int] = []
+    i, n = 2, len(payload)
+    while len(fields) < 3 and i < n:
+        c = payload[i : i + 1]
+        if c.isspace():
+            i += 1
+        elif c == b"#":
+            while i < n and payload[i : i + 1] != b"\n":
+                i += 1
+        elif c.isdigit():
+            j = i
+            while j < n and payload[j : j + 1].isdigit():
+                j += 1
+            fields.append(int(payload[i:j]))
+            i = j
+        else:
+            return None
+    if len(fields) < 3 or i >= n or not payload[i : i + 1].isspace():
+        return None
+    return fields + [i + 1]  # exactly one whitespace after maxval
+
+
+def _decode_image(payload: bytes) -> tuple[int, int, int, int, int, int] | None:
+    """Parse a binary PPM (P6) or an uncompressed 24-bit BMP and return
+    (width, height, mean_r, mean_g, mean_b, max_channel) with integer
+    floor-division means — None if the payload is neither format (the
+    checksum-only fallback path). Pure Python over bytes: no codec
+    libraries exist in this container, and these two formats need none."""
+    head = _ppm_tokens(payload)
+    if head is not None:
+        w, h, maxval, off = head
+        if maxval > 255 or len(payload) < off + 3 * w * h:
+            return None
+        px = memoryview(payload)[off : off + 3 * w * h]
+        rows = [px[i::3] for i in range(3)]  # r, g, b planes
+    elif payload[:2] == b"BM" and len(payload) >= 54:
+        data_off = int.from_bytes(payload[10:14], "little")
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = int.from_bytes(payload[22:26], "little", signed=True)
+        bpp = int.from_bytes(payload[28:30], "little")
+        compression = int.from_bytes(payload[30:34], "little")
+        if bpp != 24 or compression != 0 or w <= 0 or h == 0:
+            return None
+        nrows = abs(h)
+        stride = (w * 3 + 3) // 4 * 4
+        if len(payload) < data_off + stride * nrows:
+            return None
+        r_plane = bytearray()
+        g_plane = bytearray()
+        b_plane = bytearray()
+        for row in range(nrows):
+            base = data_off + row * stride
+            line = payload[base : base + w * 3]
+            b_plane += line[0::3]
+            g_plane += line[1::3]
+            r_plane += line[2::3]
+        rows = [r_plane, g_plane, b_plane]
+        h = nrows
+    else:
+        return None
+    npix = w * h
+    if npix == 0:
+        return None
+    means = [sum(p) // npix for p in rows]
+    return (w, h, means[0], means[1], means[2], max(max(p) for p in rows))
+
+
+def _checksum_digest(payload: bytes) -> bytes:
+    """Digest over the UPPERCASE-hex encoding of the payload — the form
+    both engines can hash (DuckDB's sha256 only takes VARCHAR, and
+    hex() is uppercase on both). Raises like a codec would on empty."""
     if not payload:
-        raise ValueError("empty media payload")  # NotImplementedError stand-in
-    return hashlib.sha256(payload).digest()
+        raise ValueError("empty media payload")
+    return hashlib.sha256(payload.hex().upper().encode("ascii")).digest()
 
 
 def extract_features(media: DataFrame) -> DataFrame:
-    """Arrow-batched feature extraction over payloads (mapInPandas)."""
+    """Arrow-batched feature extraction over payloads (mapInPandas):
+    checksum features for every payload + real PPM/BMP decode stats
+    (NULL columns for undecodable/opaque payloads)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = pdf["payload"].map(_decode_payload)
+            digests = pdf["payload"].map(_checksum_digest)
+            decoded = pdf["payload"].map(_decode_image)
+            stat = lambda i: decoded.map(  # noqa: E731
+                lambda d, i=i: d[i] if d is not None else None
+            ).astype("Int32")
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "n_bytes": pdf["payload"].map(len).astype("int32"),
-                    "checksum": decoded.map(lambda d: d.hex()[:16]),
-                    "feature": decoded.map(lambda d: f"feat_{d[0] % 16:x}"),
+                    "checksum": digests.map(lambda d: d.hex()[:16]),
+                    "feature": digests.map(lambda d: f"feat_{d[0] % 16:x}"),
+                    "img_width": stat(0),
+                    "img_height": stat(1),
+                    "mean_r": stat(2),
+                    "mean_g": stat(3),
+                    "mean_b": stat(4),
+                    "max_channel": stat(5),
                 }
             )
 
