@@ -2394,6 +2394,19 @@ def bpe_merges_6(spark, sf_dir):
     return text_ops.bpe_merges(docs, k=6)
 
 
+@register("bpe_merges_batched", text_ops.bpe_merges_sql(12))
+def bpe_merges_batched(spark, sf_dir):
+    """Multi-merge-per-pass BPE training, bit-identical to the
+    sequential trainer (the oracle is the UNROLLED k=12 sequential CTE
+    chain, so the hash proves the equivalence cross-engine). Batch
+    selection: maximal candidate prefix whose counts are provably
+    unchanged by earlier batch members — the scale path that cuts a
+    32 k-merge training from 32 k driver round-trips to ~k/batch
+    (operators/text.py::bpe_merges_batched has the safety argument)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.bpe_merges_batched(docs, k=12)
+
+
 @register("duplicate_spans", text_ops.duplicate_spans_sql())
 def duplicate_spans(spark, sf_dir):
     """Exact-substring dedup at span granularity (ExactSubstr, Lee et

@@ -904,21 +904,22 @@ HAVING max(pos) + {n - 1} - min(pos) + 1 >= {min_tokens}
 # ---- BPE merge training ---------------------------------------------------
 
 
-def _sql_quote(s: str) -> str:
-    return "'" + s.replace("'", "''") + "'"
-
-
-def _merge_fold_expr(col: str, left: str, right: str) -> str:
-    """Spark SQL: apply one BPE merge (left, right) -> left||right over a
+def _merge_fold(col, left: str, right: str):
+    """Column: apply one BPE merge (left, right) -> left||right over a
     symbol array, greedy left-to-right (overlaps consume leftmost first:
-    [a,a,a] under (a,a) -> [aa, a])."""
-    l, r, m = _sql_quote(left), _sql_quote(right), _sql_quote(left + right)
-    return (
-        f"aggregate({col}, cast(array() as array<string>), (acc, x) -> "
-        f"IF(size(acc) > 0 AND element_at(acc, -1) = {l} AND x = {r}, "
-        f"concat(slice(acc, 1, size(acc) - 1), array({m})), "
-        "concat(acc, array(x))))"
-    )
+    [a,a,a] under (a,a) -> [aa, a]). The merge symbols are bound as
+    Column LITERALS, never interpolated into SQL text — a learned symbol
+    containing a quote or backslash (code-heavy corpora) can neither
+    break the expression nor change its value."""
+    l, r, m = F.lit(left), F.lit(right), F.lit(left + right)
+
+    def step(acc, x):
+        hit = (F.size(acc) > 0) & (F.element_at(acc, -1) == l) & (x == r)
+        return F.when(
+            hit, F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(m))
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return F.aggregate(col, F.array().cast("array<string>"), step)
 
 
 def bpe_merges(docs: DataFrame, k: int = 6) -> DataFrame:
@@ -971,8 +972,172 @@ def bpe_merges(docs: DataFrame, k: int = 6) -> DataFrame:
         l, r, cnt = top[0]["l"], top[0]["r"], top[0]["pair_count"]
         merges.append((rank, l, r, int(cnt)))
         seqs = seqs.select(
-            "cnt", F.expr(_merge_fold_expr("sym", l, r)).alias("sym")
+            "cnt", _merge_fold(F.col("sym"), l, r).alias("sym")
         ).localCheckpoint(eager=True)
+    return docs.sparkSession.createDataFrame(
+        merges, "rank LONG, left STRING, right STRING, pair_count LONG"
+    )
+
+
+def _pair_counts(seqs: DataFrame) -> DataFrame:
+    """Weighted adjacent-pair counts over the distinct-word symbol table
+    — one map-side-combinable shuffle on the (l, r) key."""
+    return (
+        seqs.where(F.size("sym") >= 2)
+        .select(
+            "cnt",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(sym) - 1), "
+                    "i -> struct(element_at(sym, i) AS l, "
+                    "element_at(sym, i + 1) AS r))"
+                )
+            ).alias("p"),
+        )
+        .groupBy("p.l", "p.r")
+        .agg(F.sum("cnt").alias("pair_count"))
+    )
+
+
+def _truncate_ties(batch: list, cand: list, c_stop: int, window_full: bool) -> list:
+    """Keep the longest safe prefix of `batch` given the stopping count.
+
+    Candidates with count > c_stop are unconditionally safe (no changed
+    or created pair can reach their count). A candidate TYING c_stop is
+    threatened only by a same-count descendant pair winning the (l, r)
+    tie-break at its sequential step — and every descendant's ancestry
+    bottoms out in an UNTAKEN window pair of count >= c_stop that
+    conflicts with an EARLIER kept merge (created pairs inherit at most
+    their destroyed ancestor's count; original pairs never threaten,
+    since equal-count originals rank lexicographically after the
+    accepted prefix by construction). So a tie candidate survives iff no
+    such conflicting ancestor exists; a full window whose tail still
+    ties c_stop may hide unseen ancestors, so ties are dropped then."""
+    kept: list = []
+    accepted_keys = {(r["l"], r["r"]) for r in batch}
+    for row in batch:
+        if int(row["pair_count"]) > c_stop:
+            kept.append(row)
+            continue
+        if window_full and int(cand[-1]["pair_count"]) >= c_stop:
+            break
+        threat = False
+        for w in cand:
+            if int(w["pair_count"]) < c_stop:
+                break  # sorted: no further ancestor can tie
+            if (w["l"], w["r"]) in accepted_keys:
+                continue
+            for e in kept:
+                left, right = e["l"], e["r"]
+                merged = left + right
+                if (
+                    w["l"] in (right, merged)
+                    or w["r"] in (left, merged)
+                    or (w["l"], w["r"]) == (left, right)
+                ):
+                    threat = True
+                    break
+            if threat:
+                break
+        if threat:
+            break  # batch must stay a prefix: drop this and the rest
+        kept.append(row)
+    return kept
+
+
+def bpe_merges_batched(
+    docs: DataFrame,
+    k: int = 12,
+    max_batch: int = 8,
+    stats: dict | None = None,
+) -> DataFrame:
+    """BPE merge training with multiple merges learned per corpus pass —
+    bit-identical to `bpe_merges(docs, k)` — the scale path: a 32 k-merge
+    tokenizer at one driver round-trip per merge means 32 k sequential
+    Spark jobs; batching cuts passes to ~k/batch.
+
+    Safety argument for bit-equality with the sequential trainer:
+    candidates are taken in global (count desc, l, r) order, and a batch
+    is the maximal PREFIX in which no candidate CONFLICTS with an earlier
+    accepted merge (L, R, M=L||R). Applying that merge changes the count
+    of pair (p, q) iff the p occurrence can be absorbed leftward (p = R),
+    the q occurrence rightward (q = L), the pair is the merge itself, or
+    a symbol literally equals the created string M (string-BPE symbol
+    collision) — merely sharing L as a left or R as a right member leaves
+    every adjacency intact, so (a,l) and (a,s) batch together. Each
+    accepted candidate's count is therefore bit-unchanged at its
+    sequential step; every pair a merge changes or creates ((x,M),(M,y))
+    has count bounded by a CONFLICTING pair's original count, which, by
+    the prefix rule, ranks at or below the stopping candidate. Truncating
+    the batch to counts STRICTLY above the stopping count guarantees no
+    changed/created pair can outrank — or tie into, under the (l, r)
+    tie-break — any accepted merge. When truncation empties the batch
+    (top count equals the stop count), the pass falls back to the
+    sequential single merge, which is trivially exact.
+
+    `stats`, when given, records {"passes": n} — the measured pass count
+    (≪ k on natural text, where top merges rarely share symbols)."""
+    words = (
+        docs.select(F.explode(_tokens()).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    seqs = words.select("cnt", F.split("w", "").alias("sym")).localCheckpoint(
+        eager=True
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    passes = 0
+    window = max_batch * 4 + 8
+    while len(merges) < k:
+        cand = (
+            _pair_counts(seqs)
+            .orderBy(F.col("pair_count").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(window)
+            .collect()
+        )
+        if not cand:
+            break
+        passes += 1
+        cap = min(max_batch, k - len(merges))
+        batch: list = []
+        rights: set[str] = set()  # {R_i} ∪ {M_i}: conflict as p
+        lefts: set[str] = set()  # {L_i} ∪ {M_i}: conflict as q
+        pairs_in: set[tuple[str, str]] = set()
+        c_stop: int | None = None
+        for row in cand:
+            p, q = row["l"], row["r"]
+            if (
+                p in rights
+                or q in lefts
+                or (p, q) in pairs_in
+                or len(batch) >= cap
+            ):
+                c_stop = int(row["pair_count"])
+                break
+            batch.append(row)
+            m = p + q
+            rights |= {q, m}
+            lefts |= {p, m}
+            pairs_in.add((p, q))
+        else:
+            # ran off the collected window: anything unseen counts <= the
+            # window's tail; a complete (< window) list has no overlap
+            # candidates left at all, so every accepted merge is safe
+            c_stop = int(cand[-1]["pair_count"]) if len(cand) == window else None
+        if c_stop is not None:
+            batch = _truncate_ties(batch, cand, c_stop, len(cand) == window)
+        if not batch:
+            batch = cand[:1]  # sequential single-merge fallback
+        sym = F.col("sym")
+        for row in batch:
+            merges.append(
+                (len(merges) + 1, row["l"], row["r"], int(row["pair_count"]))
+            )
+            sym = _merge_fold(sym, row["l"], row["r"])
+        seqs = seqs.select("cnt", sym.alias("sym")).localCheckpoint(eager=True)
+    if stats is not None:
+        stats["passes"] = passes
     return docs.sparkSession.createDataFrame(
         merges, "rank LONG, left STRING, right STRING, pair_count LONG"
     )

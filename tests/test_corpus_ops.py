@@ -303,6 +303,63 @@ def test_bpe_merge_counts_non_increasing(spark):
         assert counts == sorted(counts, reverse=True), (trial, counts)
 
 
+def test_bpe_merges_safe_on_backslash_and_quote_symbols(spark):
+    """Merge symbols are bound as Column literals, never interpolated
+    into SQL text: a learned symbol containing a backslash or quote
+    (code-heavy corpora) must neither crash the fold nor change its
+    value. One corpus of 'a\\b' x2 + \"it's\" x2: every pair ties at 2,
+    so the (l, r) tie-break walks ASCII order — quote (0x27) first, then
+    backslash (0x5C) — and each must apply cleanly."""
+    from khronus_spark.operators.text import bpe_merges, bpe_merges_batched
+
+    docs = spark.createDataFrame(
+        [(1, "a\\b a\\b"), (2, "it's it's")], "doc_id long, text string"
+    )
+    out = [tuple(r) for r in bpe_merges(docs, k=2).collect()]
+    assert out[0] == (1, "'", "s", 2)  # quote symbol merges cleanly
+    assert out[1] == (2, "\\", "b", 2)  # backslash neither breaks nor escapes
+    assert out == [tuple(r) for r in bpe_merges_batched(docs, k=2).collect()]
+
+
+def test_bpe_batched_bit_matches_sequential_random_corpora(spark):
+    """The batched trainer must reproduce the sequential merge list
+    bit-for-bit — ranks, symbols, counts — including under ties and
+    merge-created pairs (the descendant hazard the strict-count
+    truncation exists for). Random small-alphabet corpora maximize
+    symbol collisions between top candidates."""
+    import random
+
+    from khronus_spark.operators.text import bpe_merges, bpe_merges_batched
+
+    rng = random.Random(7)
+    for trial in range(3):
+        words = [
+            "".join(rng.choice("abc") for _ in range(rng.randrange(2, 6)))
+            for _ in range(rng.randrange(12, 30))
+        ]
+        docs = spark.createDataFrame(
+            [(1, " ".join(words))], "doc_id long, text string"
+        )
+        seq = [tuple(r) for r in bpe_merges(docs, k=8).collect()]
+        bat = [tuple(r) for r in bpe_merges_batched(docs, k=8).collect()]
+        assert seq == bat, (trial, seq, bat)
+
+
+def test_bpe_batched_fewer_passes_on_documents(spark, sf_dir):
+    """On natural-ish text the top candidates rarely share symbols, so
+    the pass count must come in well under k (the 32 k-merge scale
+    argument) while the merge list stays bit-identical."""
+    from khronus_spark.operators.text import bpe_merges, bpe_merges_batched
+    from khronus_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats: dict = {}
+    bat = [tuple(r) for r in bpe_merges_batched(docs, k=12, stats=stats).collect()]
+    seq = [tuple(r) for r in bpe_merges(docs, k=12).collect()]
+    assert bat == seq
+    assert stats["passes"] <= 6, stats  # >= 2 merges per pass on average
+
+
 def test_duplicate_spans_interval_union_no_overlap(spark):
     """Duplicated gram positions 1 and 3 (gap 2 < n) cover overlapping
     token intervals [1,5] and [3,7]; they must merge into ONE span
