@@ -178,24 +178,51 @@ def catalog_from_store(spark: SparkSession, base_path: str) -> list[tuple[str, s
     'timer' (timers and gauges share one summary family and one valid
     function set, `InfluxCriteriaBuilder.scala:113-117`). Reads ONE
     resolution per family — every resolution holds the same metric set."""
-    from pathlib import Path
-
     entries: set[tuple[str, str]] = set()
     for family, mtype in (("counter", "counter"), ("histogram", "timer")):
-        fam_dir = Path(base_path) / f"{family}_summary"
-        if not fam_dir.is_dir():
-            continue
-        resolutions = sorted(p for p in fam_dir.iterdir() if p.is_dir())
+        resolutions = sorted(
+            p for _, p in _store_resolution_dirs(spark, base_path, family)
+        )
         if not resolutions:
             continue
         rows = (
-            spark.read.parquet(str(resolutions[0]))
+            spark.read.parquet(resolutions[0])
             .select("metric")
             .distinct()
             .collect()
         )
         entries.update((r["metric"], mtype) for r in rows)
     return sorted(entries)
+
+
+def _store_resolution_dirs(
+    spark: SparkSession, base_path: str, family: str
+) -> list[tuple[int, str]]:
+    """(window_ms, path) for every VALID resolution directory under a
+    summary family — listed through the Hadoop FileSystem API, so store
+    introspection works on hdfs/s3 paths, not just local ones. Entries
+    whose names don't parse as durations are skipped: an interrupted
+    `compact_summaries` leaves a sibling '<res>._compacting' temp dir,
+    which must neither abort store-backed boot (ValueError) nor be
+    mistaken for the store's first resolution."""
+    from khronus_spark.timegrid import parse_duration_ms
+
+    jvm = spark._jvm
+    fam_path = jvm.org.apache.hadoop.fs.Path(f"{base_path}/{family}_summary")
+    fs = fam_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(fam_path):
+        return []
+    out: list[tuple[int, str]] = []
+    for status in fs.listStatus(fam_path):
+        if not status.isDirectory():
+            continue
+        name = status.getPath().getName()
+        try:
+            window_ms = parse_duration_ms(name)
+        except ValueError:
+            continue
+        out.append((window_ms, f"{base_path}/{family}_summary/{name}"))
+    return out
 
 
 def windows_from_store(spark: SparkSession, base_path: str) -> tuple[int, ...]:
@@ -205,16 +232,7 @@ def windows_from_store(spark: SparkSession, base_path: str) -> tuple[int, ...]:
     materializes every configured window, but a partially-built store
     would otherwise route a query to a resolution that was never
     written and fail at scan time."""
-    from pathlib import Path
-
-    from khronus_spark.timegrid import parse_duration_ms
-
     windows: set[int] = set()
     for family in ("counter", "histogram"):
-        fam_dir = Path(base_path) / f"{family}_summary"
-        if not fam_dir.is_dir():
-            continue
-        for p in fam_dir.iterdir():
-            if p.is_dir():
-                windows.add(parse_duration_ms(p.name))
+        windows.update(w for w, _ in _store_resolution_dirs(spark, base_path, family))
     return tuple(sorted(windows))

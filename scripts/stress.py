@@ -88,7 +88,8 @@ def worker(
             f"{base}/khronus/metrics", data=body, method="POST", headers=headers
         )
         try:
-            ok += urllib.request.urlopen(req, timeout=30).status == 200
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                ok += resp.status == 200
         except Exception:
             err += 1
     out[wid] = {
@@ -175,7 +176,8 @@ def main() -> None:
             )
             url = f"{base}/khronus/db/influx/series?q=" + urllib.parse.quote(q)
             try:
-                urllib.request.urlopen(url, timeout=120).read()
+                with urllib.request.urlopen(url, timeout=120) as resp:
+                    resp.read()
                 total_q += 1
             except Exception:
                 total_qerr += 1

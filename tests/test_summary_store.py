@@ -127,6 +127,20 @@ def test_store_backed_engine_self_describes(spark, sf_dir):
     )
     r = eng.sql('select count from "click" where time > now()-6h group by time(5m)')
     assert r[0].df.count() > 0
+
+    # a leftover '<res>._compacting' sibling from an interrupted
+    # compact_summaries must neither abort boot-time introspection
+    # (parse ValueError) nor be mistaken for the store's first
+    # resolution by catalog_from_store's sorted(...)[0]
+    import pathlib
+
+    # '1m._compacting' sorts BEFORE the real '5m' dir, so it would win
+    # the sorted(...)[0] pick if not filtered
+    stale = pathlib.Path(tmp) / "counter_summary" / "1m._compacting"
+    stale.mkdir()
+    (stale / "junk.txt").write_text("not parquet")
+    assert windows_from_store(spark, tmp) == (300_000,)
+    assert catalog_from_store(spark, tmp) == cat
     r2 = eng.sql('select p99 from "purchase" where time > now()-6h group by time(5m)')
     assert r2[0].df.count() > 0
     names = {row["name"] for row in eng.list_series().collect()}
