@@ -306,6 +306,13 @@ FROM m
 """
 
 
+#: salt buckets for the gram-key joins: a hot boilerplate gram's probe
+#: rows spread over this many tasks regardless of optimizer behavior;
+#: the cost is the duplicated-gram build side replicated S× (small —
+#: unique grams, the long tail, never enter the join).
+_GRAM_SALT = 16
+
+
 def dup_ngram_fraction(docs: DataFrame, n: int = 5) -> DataFrame:
     """Cross-document duplicated-n-gram fraction: for each document, the
     share of its distinct word n-grams that also occur in at least one
@@ -315,19 +322,35 @@ def dup_ngram_fraction(docs: DataFrame, n: int = 5) -> DataFrame:
     as a whole differs.
 
     Shape: per-doc distinct grams (map-only explode) → global
-    document-frequency via groupBy(gram) + an equi-join back on the
-    gram key → per-doc re-aggregate. The frequency is deliberately an
-    AGGREGATE-then-join, not a window over the gram key: a window puts
-    every row of a hot gram (boilerplate present in most documents)
-    into ONE task with no map-side combine — the skew AQE cannot split
-    — while the aggregation partials map-side and the join is
-    AQE-skew-splittable. No self-join of the corpus. Grams travel as
-    md5 hex (fixed 32 bytes) rather than raw strings, which both bounds
-    shuffle width and is computable identically in DuckDB — the same
-    cross-engine twin pattern as `minhash_md5_pairs`
-    (operators/dedup.py); a Spark-only deployment would swap xxhash64
-    for md5 and halve the key again. Documents with fewer than n tokens
-    have no n-gram and are excluded (dup_bp undefined)."""
+    document-frequency via groupBy(gram), filtered to the DUPLICATED
+    grams only, then a left join back on the gram key → per-doc
+    re-aggregate. The frequency is deliberately an AGGREGATE-then-join,
+    not a window over the gram key: a window puts every row of a hot
+    gram (boilerplate present in most documents) into ONE task with no
+    map-side combine. Two refinements make the join itself skew-proof:
+
+    - only grams with doc_freq > 1 enter the join's build side — the
+      long tail of corpus-unique grams (most of a web corpus) never
+      shuffles twice, and unmatched probe rows are counted via the
+      left join's NULL;
+    - the join is SALTED (`_GRAM_SALT` buckets): the probe side keys on
+      (g, doc_id % S) and the small duplicated-gram build side explodes
+      to all S salts, so a hot boilerplate gram's probe rows spread
+      over S tasks STRUCTURALLY. AQE's OptimizeSkewedJoin cannot save
+      this shape — it requires both join children to be bare shuffle
+      stages, and the build side's final HashAggregate fuses between
+      its shuffle and the join, blocking the rule (verified empirically;
+      an explicit repartition to break the fusion is itself removed as
+      redundant by the optimizer) — so the salt is load-bearing, not
+      belt-and-braces. Hot-gram fixture gated in test_plan_quality.py.
+
+    No self-join of the corpus. Grams travel as md5 hex (fixed 32
+    bytes) rather than raw strings, which both bounds shuffle width and
+    is computable identically in DuckDB — the same cross-engine twin
+    pattern as `minhash_md5_pairs` (operators/dedup.py); a Spark-only
+    deployment would swap xxhash64 for md5 and halve the key again.
+    Documents with fewer than n tokens have no n-gram and are excluded
+    (dup_bp undefined)."""
     t = docs.select("doc_id", _tokens().alias("t")).where(F.size("t") >= n)
     grams = t.select(
         "doc_id",
@@ -338,13 +361,26 @@ def dup_ngram_fraction(docs: DataFrame, n: int = 5) -> DataFrame:
             )
         ).alias("g"),
     )
-    freq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("doc_freq"))
+    dup_grams = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .where(F.col("doc_freq") > 1)
+        .select("g", F.lit(1).alias("is_dup"))
+    )
+    salted = grams.withColumn(
+        "_salt", (F.col("doc_id") % _GRAM_SALT).cast("int")
+    )
+    dup_salted = dup_grams.select(
+        "g",
+        "is_dup",
+        F.explode(F.sequence(F.lit(0), F.lit(_GRAM_SALT - 1))).alias("_salt"),
+    )
     return (
-        grams.join(freq, "g")
+        salted.join(dup_salted, ["g", "_salt"], "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
-            F.sum(F.expr("CAST(doc_freq > 1 AS LONG)")).alias("n_dup"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0)).cast("long")).alias("n_dup"),
         )
         .withColumn("dup_bp", F.expr("n_dup * 10000L div n_grams"))
     )
@@ -812,20 +848,26 @@ def duplicate_spans(docs: DataFrame, n: int = 5, min_tokens: int = 8) -> DataFra
         ).alias("pos0", "g"),
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
 
-    # duplicated grams as an aggregate (map-side combinable, and the
-    # join back on g is AQE-skew-splittable — a window over the gram
-    # key would serialize every occurrence of a hot boilerplate gram
-    # into one task)
+    # duplicated grams as an aggregate (map-side combinable — a window
+    # over the gram key would serialize every occurrence of a hot
+    # boilerplate gram into one task), joined back SALTED on
+    # (g, doc_id % S): structural skew spreading, since AQE's skew rule
+    # cannot split a join fused against a final aggregate (see
+    # dup_ngram_fraction for the full note)
     dup_grams = (
         pos_grams.select("doc_id", "g")
         .distinct()
         .groupBy("g")
         .agg(F.count(F.lit(1)).alias("doc_freq"))
         .where(F.col("doc_freq") > 1)
-        .select("g")
+        .select(
+            "g",
+            F.explode(F.sequence(F.lit(0), F.lit(_GRAM_SALT - 1))).alias("_salt"),
+        )
     )
     dup_pos = (
-        pos_grams.join(dup_grams, "g")
+        pos_grams.withColumn("_salt", (F.col("doc_id") % _GRAM_SALT).cast("int"))
+        .join(dup_grams, ["g", "_salt"])
         .select("doc_id", "pos")
         .distinct()
     )

@@ -252,17 +252,71 @@ def test_gopher_rules_is_map_only(spark, oracle_sf_dir):
 
 
 def test_dup_ngram_skew_safe_freq_no_corpus_self_join(spark, oracle_sf_dir):
-    """Cross-doc gram frequency must be an AGGREGATE joined back on the
-    gram key — map-side combinable, and the join AQE-skew-splits on a
-    hot boilerplate gram — never a window over the gram key (one task
-    per hot gram, unsplittable) and never a corpus self-join."""
+    """Cross-doc gram frequency must be an AGGREGATE joined back on a
+    SALTED gram key — map-side combinable and structurally skew-spread —
+    never a window over the gram key (one task per hot gram,
+    unsplittable) and never a corpus self-join."""
     plan = _plan(spark, oracle_sf_dir, "dup_ngram_5")
     assert "Window" not in plan           # no gram-keyed window
     assert "partial_count" in plan        # freq combines map-side
+    assert "_salt" in plan                # hot grams spread structurally
     assert "CartesianProduct" not in plan
-    assert "SortMergeJoin" not in plan    # freq table broadcasts here;
-    #                                       at scale AQE picks the
-    #                                       skew-splittable shuffle join
+    assert "SortMergeJoin" not in plan    # dup-gram table broadcasts here
+
+
+def _hot_gram_corpus(spark, n_hot=40000, n_cold=500):
+    """One 5-gram shared by ~99% of docs — the boilerplate-header skew
+    case; cold docs carry only corpus-unique grams."""
+    hot = "alpha beta gamma delta epsilon"
+    rows = [(i, hot) for i in range(n_hot)]
+    rows += [
+        (i, f"u{i}a u{i}b u{i}c u{i}d u{i}e") for i in range(n_hot, n_hot + n_cold)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_gram_join_hot_gram_is_salted_and_correct(spark):
+    """Skew regression fixture (round-4 directive 7). The gram-frequency
+    join CANNOT rely on AQE skew splitting: OptimizeSkewedJoin requires
+    both join children to be bare shuffle stages, and the build side's
+    final HashAggregate fuses between its shuffle and the join, blocking
+    the rule (verified empirically; an explicit repartition to break the
+    fusion is removed as redundant by the optimizer). So the salt must
+    carry the load: with broadcast disabled (forcing the shuffle join a
+    100 TB corpus would take), the hot gram's probe rows key on
+    (g, doc_id % S) — S join-key groups instead of one unsplittable
+    task — and both operators stay correct."""
+    from khronus_spark.operators.text import (
+        _GRAM_SALT,
+        dup_ngram_fraction,
+        duplicate_spans,
+    )
+
+    docs = _hot_gram_corpus(spark)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = dup_ngram_fraction(docs)
+        res = df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the shuffle join keys on (g, _salt): the hot gram occupies
+        # _GRAM_SALT join-key groups, never one unsplittable task
+        assert "_salt" in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        hot = [r for r in res if r["doc_id"] < 40000]
+        cold = [r for r in res if r["doc_id"] >= 40000]
+        assert len(res) == 40500 and _GRAM_SALT >= 8
+        assert all(r["dup_bp"] == 10000 for r in hot)
+        assert all(r["dup_bp"] == 0 for r in cold)
+
+        spans = duplicate_spans(docs, min_tokens=5).collect()
+        # every hot doc is one full 5-token duplicated span; cold none
+        assert len(spans) == 40000
+        assert all(
+            r["doc_id"] < 40000 and r["span_tokens"] == 5 for r in spans
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
 def test_q17_broadcasts_parts_single_window(spark, oracle_sf_dir):
