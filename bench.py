@@ -147,6 +147,9 @@ def main() -> None:
         "duplicate_spans": lambda: run_df(q["duplicate_spans"](spark, sf_dir)),
         # iterative BPE merge training over the word-frequency table
         "bpe_merges": lambda: run_df(q["bpe_merges_6"](spark, sf_dir)),
+        # batched trainer: same result bit-for-bit at 2x the merges in
+        # fewer corpus passes (k=12 in ~5 passes vs 12 driver round-trips)
+        "bpe_merges_batched": lambda: run_df(q["bpe_merges_batched"](spark, sf_dir)),
     }
 
     # Median-of-N per query: the shared host shows 2-5x contention

@@ -82,89 +82,76 @@ def register(name: str, oracle: str | None):
 #: operator inside the window; everything else keeps registration order
 #: in the tail (still exercised by tests/test_oracle_parity.py locally).
 #:
-#: Round-3 rotation policy: every entry that has never received a green
-#: driver row (33 entries as of round 2 — the round-2 additions plus the
-#: long tail) is pulled into the window, alongside dup_ngram_5 (red in
-#: round 2 on an oracle type bug, fixed — must be re-proven green) and a
-#: 16-entry refresh set re-checking one representative per family that
-#: round-3 engine changes touched (tz-independent time conversion,
-#: percentile-mode routing, curation broadcast guard). Entries green in
-#: CORRECTNESS_r01∪r02 and untouched this round wait in the tail —
-#: still locally oracle-checked every run by tests/test_oracle_parity.py.
+#: Round-4 rotation policy: after r1∪r2∪r3 proved all 125 prior entries
+#: (122 oracle-green + 3 no_oracle by design), the window re-proves
+#: every entry whose ENGINE PATH changed in round 4 — the kmeans/IVF
+#: family (window-argmin → map-side min_by/max_by), the media family
+#: (real PPM payloads + decoder), the BPE family (Column-bound fold;
+#: new batched trainer), and the gram joins (salted, left-join
+#: restructure) — plus the longest-unchecked tail: every oracle-backed
+#: entry whose only green row is round 1, then round-2-only entries
+#: until the window is full. Rows-only entries (xxhash64 signatures)
+#: stay out — the window accepts only hash-checkable entries, and their
+#: md5 twins are inside. Everything else is still locally oracle-checked
+#: every run by tests/test_oracle_parity.py.
 #: tests/test_oracle_parity.py::test_window_rotation_covers_unproven
 #: enforces the invariant "green before, or in the window".
 DRIVER_WINDOW = 50
 
 _PRIORITY = [
-    # -- never driver-checked before round 3 -------------------------------
-    # influx tail (W3, W4, P4-adjacent)
-    "influx_store_percentiles_1h",
-    "influx_relative_now_10m",
-    "influx_string_filter_noop",
-    # TPC-H tail
-    "tpch_q8_market_share",
-    "tpch_q13_order_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q22_idle_high_balance",
-    # events analytics tail
-    "events_anomaly_zscore",
-    "events_json_props",
-    "events_user_gaps",
-    "events_distinct_users_daily",
-    "events_top_per_user",
-    "events_in_session_range_join",
-    "part_brand_stats",
-    # text / corpus tail
-    "doc_repetition",
-    "gopher_rules",
-    "token_count_bpe_regex",
-    "source_cap_sample",
-    "curriculum_shards",
-    "dedup_components",
-    # sketches / sampling tail
-    "approx_distinct_users_hll_daily",
-    "stratified_sample_by_lang",
-    # ANN / quantization tail
-    "ann_lsh_buckets",
+    # -- engine path changed in round 4: must re-prove -------------------
+    "kmeans_embeddings",
+    "semantic_dedup",
     "ann_ivf_assignments",
     "ann_ivf_topk",
-    "ann_quantized_topk",
-    "embedding_quantize_stats",
-    # multimodal tail
-    "media_resize_plan",
+    "ann_ivf_kmeans_topk",
+    "media_features",
     "media_frame_sample",
-    # HDR tail
-    "ts_hdr_encoded_roundtrip_1h",
-    "ts_hdr_summary_5m",
-    "ts_hdr_summary_5m_hdrcompat",
-    # -- red in round 2 (oracle HUGEINT, fixed) — re-prove green -----------
-    "dup_ngram_5",
-    # -- new in round 3 (never driver-checked, by definition) --------------
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_suppliers",
-    "tpch_q12_ship_priority",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q20_part_family_share",
-    "tpch_q21_sole_late_supplier",
-    "quality_classifier_score",
-    "decontamination_fuzzy",
-    "duplicate_spans",
+    "media_resize_plan",
     "bpe_merges_6",
-    # -- refresh: representatives of families touched by round-3 changes --
-    # (the storage-backed read path is re-proven by the never-checked
-    # influx_store_percentiles_1h above, freeing the
-    # influx_from_materialized_store slot; ts summaries, the rollup
-    # family, and the tz-fix entries are behaviorally unchanged under
-    # the driver's UTC session — their r1/r2 green rows stand)
-    "influx_percentiles_purchase_1h",  # percentile-mode routing
-    "corpus_curation",                 # broadcast size guard
-    "llm_corpus_prep",
-    "semantic_dedup",                  # k now derived (entry pins k=4)
-    # (streaming_dedup_components is behaviorally unchanged this round;
-    # its r2 green row stands — slot goes to bpe_merges_6)
+    "bpe_merges_batched",  # new in round 4, never driver-checked
+    "bpe_encode_6",  # new in round 4, never driver-checked
+    "dup_ngram_5",
+    "duplicate_spans",
+    # -- longest unchecked: green only in round 1 ------------------------
+    "influx_field_plus_literal",
+    "tpch_q1_pricing",
+    "tpch_q3_top_orders",
+    "tpch_q6_forecast_revenue",
+    "tpch_q14_promo_revenue",
+    "tpch_q4_late_orders",
+    "customer_lapsed_anti",
+    "tpch_q18_big_orders",
+    "tpch_q7_volume_shipping",
+    "tpch_q10_returned_revenue",
+    "events_rollup_type_daily",
+    "events_cube_type_daily",
+    "events_column_profile",
+    "events_pivot_type_daily",
+    "events_sliding_counts_10m_5m",
+    "user_funnel_vcp",
+    "user_weekly_retention",
+    "events_value_deciles",
+    "user_segments_setops",
+    "events_value_moving_avg_7d",
+    "tpch_q5_regional_revenue",
+    "events_user_daily",
+    "events_top_users",
+    "doc_fingerprint",
+    "near_dup_jaccard",
+    "simhash_md5",
+    "doc_content_sample_25",
+    "doc_rolling_fingerprint",
+    "quality_score",
+    "lang_id",
+    "doc_top_terms_tfidf",
+    "dedup_components_minhash",
+    "training_batch_assembly",
+    "approx_distinct_users_hll",
+    "events_distinct_users_salted",
+    # -- next-longest unchecked: green only in round 2 -------------------
+    "reservoir_sample_per_lang",
+    "ann_cosine_topk",
 ]
 
 
@@ -2405,6 +2392,18 @@ def bpe_merges_batched(spark, sf_dir):
     (operators/text.py::bpe_merges_batched has the safety argument)."""
     docs = load_table(spark, sf_dir, "documents")
     return text_ops.bpe_merges_batched(docs, k=12)
+
+
+@register("bpe_encode_6", text_ops.bpe_encode_sql(6))
+def bpe_encode_6(spark, sf_dir):
+    """The tokenizer loop's other half: train 6 BPE merges (batched,
+    bit-identical to sequential) and ENCODE the corpus under them —
+    per-doc whitespace-word and BPE-token counts, the accounting a
+    training pipeline bills by. Distinct-word fold + per-(doc, word)
+    pre-aggregation + doc-salted join (hot stop words cannot hotspot;
+    operators/text.py::bpe_encode)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.bpe_encode(docs, k=6)
 
 
 @register("duplicate_spans", text_ops.duplicate_spans_sql())

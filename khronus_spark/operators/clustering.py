@@ -47,8 +47,16 @@ _DIST = (
 )
 
 
+#: default assignment implementation: 'arrow' computes every distance
+#: as one exact int64 matmul per Arrow batch — zero row expansion, zero
+#: shuffle; 'sql' is the pure-JVM expression path (broadcast cross +
+#: map-side min_by), the DuckDB oracle's structural twin. Both are
+#: bit-identical (equality-tested); the driver verifies the default.
+ASSIGN_MODE = "arrow"
+
+
 def _kmeans_state(
-    embeddings: DataFrame, k: int = K, iters: int = ITERS
+    embeddings: DataFrame, k: int = K, iters: int = ITERS, mode: str = ASSIGN_MODE
 ) -> tuple[DataFrame, DataFrame]:
     """(quantized vectors, final centroids) after `iters` Lloyd updates.
     Centroids: (cid, c: array<long>)."""
@@ -58,7 +66,7 @@ def _kmeans_state(
     )
 
     for _ in range(iters):
-        best = _assign(q, cents).select("cid", "e")
+        best = _assign(q, cents, mode).select("cid", "e")
         ex = best.select("cid", F.posexplode("e").alias("dim", "v"))
         means = ex.groupBy("cid", "dim").agg(
             F.expr("sum(v) div count(1)").alias("m")
@@ -72,8 +80,15 @@ def _kmeans_state(
     return q, cents
 
 
-def _assign(q: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment as a map-side-combinable aggregate.
+def _assign(q: DataFrame, centroids: DataFrame, mode: str = ASSIGN_MODE) -> DataFrame:
+    """Nearest-centroid assignment, (vec_id, e, cid, d) — ties to the
+    smaller centroid id, identical in both modes (equality-tested in
+    tests/test_components.py)."""
+    return _assign_arrow(q, centroids) if mode == "arrow" else _assign_sql(q, centroids)
+
+
+def _assign_sql(q: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Expression-path assignment as a map-side-combinable aggregate.
 
     The broadcast cross join expands each vector to k scored rows, but
     the argmin is taken with ``min_by`` keyed on the ``(d, cid)`` struct
@@ -94,19 +109,68 @@ def _assign(q: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
+def _assign_arrow(q: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Vectorized assignment: ZERO row expansion and ZERO shuffle.
+
+    The centroid table collects once per iteration (k×DIMS int64 — at
+    the derived k=⌈√N⌉ that is ~16 MB for 10⁹ vectors) and ships in the
+    task closure; each Arrow batch then scores all its vectors against
+    all centroids with one exact int64 matmul (d = |e|² − 2·E·Cᵀ + |c|²
+    — every intermediate ≤ 64·(2·10⁶)² ≈ 2.6e14, inside int64, so numpy
+    integer arithmetic reproduces the SQL path bit-for-bit) and takes
+    the row-wise argmin (first minimum over cid-ascending columns = the
+    ties-to-smaller-cid rule). Why this beats the expression path: the
+    SQL distance runs Catalyst's interpreted higher-order lambdas over
+    the N×k expansion — measured 301 s for N=100 k, k=317 on local[32]
+    vs ~2 s here (scripts/semdedup_sweep.py) — and the argmin aggregate
+    still shuffles N rows, where this path shuffles none."""
+    import numpy as np
+    import pandas as pd
+
+    rows = centroids.orderBy("cid").collect()
+    out_schema = "vec_id long, e array<long>, cid long, d long"
+    if not rows:
+        return q.sparkSession.createDataFrame([], out_schema)
+    cids = np.array([r["cid"] for r in rows], dtype=np.int64)
+    cmat = np.array([list(r["c"]) for r in rows], dtype=np.int64)
+    c_sq = (cmat * cmat).sum(axis=1)
+
+    def run(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            emat = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["e"]])
+            d = (
+                (emat * emat).sum(axis=1, keepdims=True)
+                - 2 * (emat @ cmat.T)
+                + c_sq[None, :]
+            )
+            idx = d.argmin(axis=1)  # first min → smallest cid (sorted)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "e": pdf["e"],
+                    "cid": cids[idx],
+                    "d": d[np.arange(len(idx)), idx],
+                }
+            )
+
+    return q.mapInPandas(run, out_schema)
+
+
 def kmeans_centroids(
-    embeddings: DataFrame, k: int = K, iters: int = ITERS
+    embeddings: DataFrame, k: int = K, iters: int = ITERS, mode: str = ASSIGN_MODE
 ) -> DataFrame:
     """(cid, c: array<long>) — final quantized centroids."""
-    return _kmeans_state(embeddings, k, iters)[1]
+    return _kmeans_state(embeddings, k, iters, mode)[1]
 
 
 def kmeans_assignments(
-    embeddings: DataFrame, k: int = K, iters: int = ITERS
+    embeddings: DataFrame, k: int = K, iters: int = ITERS, mode: str = ASSIGN_MODE
 ) -> DataFrame:
     """(vec_id, cluster, dist_q) after `iters` Lloyd updates."""
-    q, cents = _kmeans_state(embeddings, k, iters)
-    return _assign(q, cents).select(
+    q, cents = _kmeans_state(embeddings, k, iters, mode)
+    return _assign(q, cents, mode).select(
         "vec_id", F.col("cid").alias("cluster"), F.col("d").alias("dist_q")
     )
 
@@ -139,6 +203,7 @@ def semantic_dedup(
     k: int | None = None,
     iters: int = ITERS,
     d2_thresh: int = D2_DEDUP_THRESH,
+    mode: str = ASSIGN_MODE,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): Lloyd
     cluster the corpus, compare pairs only WITHIN a cluster, and drop
@@ -155,7 +220,13 @@ def semantic_dedup(
     registry entry pins k=4 to keep the DuckDB CTE chain tractable).
     The assignment table is eagerly checkpointed first: the pair join
     reads it twice, and without truncation each side would re-run the
-    whole Lloyd iteration subtree."""
+    whole Lloyd iteration subtree.
+
+    `mode='arrow'` (default) runs both stages vectorized — assignment
+    as zero-shuffle batch matmuls, the pair search as per-cluster
+    blocked int64 matmuls under one cluster-key shuffle
+    (_dedup_within_clusters_arrow); `mode='sql'` is the pure-expression
+    twin of the DuckDB oracle. Bit-identical, equality-tested."""
     import logging
 
     if k is None:
@@ -171,12 +242,14 @@ def semantic_dedup(
                 "semantic_dedup: expected pair count %d exceeds 1e10; "
                 "raise k or pre-shard the corpus", exp_pairs,
             )
-    q, cents = _kmeans_state(embeddings, k, iters)
+    q, cents = _kmeans_state(embeddings, k, iters, mode)
     a = (
-        _assign(q, cents)
+        _assign(q, cents, mode)
         .select("vec_id", "e", F.col("cid").alias("cluster"))
         .localCheckpoint(eager=True)
     )
+    if mode == "arrow":
+        return _dedup_within_clusters_arrow(a, d2_thresh)
     left = a.select(F.col("vec_id").alias("a_id"), F.col("e").alias("ae"), "cluster")
     right = a.select(F.col("vec_id").alias("b_id"), F.col("e").alias("be"), "cluster")
     dropped = (
@@ -189,6 +262,46 @@ def semantic_dedup(
     )
     return a.join(dropped, "vec_id", "left").select(
         "vec_id", "cluster", F.col("is_dup").isNull().alias("kept")
+    )
+
+
+def _dedup_within_clusters_arrow(a: DataFrame, d2_thresh: int) -> DataFrame:
+    """Within-cluster ε-ball keep-one as a grouped Arrow computation:
+    one shuffle on the cluster key (same as the SQL pair join), then
+    each cluster's pairwise distances run as blocked exact-int64 numpy
+    matmuls instead of ~(cluster size)²/2 interpreted higher-order
+    expressions. A vector drops iff ANY lower-id cluster-mate is within
+    ε — compared against all predecessors, dropped or not, exactly like
+    the SQL path's a_id < b_id join. Row blocks bound peak memory at
+    ~block × cluster_size int64s; at the derived k=⌈√N⌉ a cluster is
+    ~√N rows, so the per-task group stays small (~31 k rows at 10⁹)."""
+    import numpy as np
+    import pandas as pd
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        m = len(pdf)
+        emat = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["e"]])
+        sq = (emat * emat).sum(axis=1)
+        dropped = np.zeros(m, dtype=bool)
+        block = 256
+        for s in range(1, m, block):
+            e_end = min(s + block, m)
+            d = (
+                sq[s:e_end, None]
+                - 2 * (emat[s:e_end] @ emat[:e_end].T)
+                + sq[None, :e_end]
+            )
+            for off in range(e_end - s):
+                i = s + off
+                if (d[off, :i] <= d2_thresh).any():
+                    dropped[i] = True
+        return pd.DataFrame(
+            {"vec_id": pdf["vec_id"], "cluster": pdf["cluster"], "kept": ~dropped}
+        )
+
+    return a.select("vec_id", "e", "cluster").groupBy("cluster").applyInPandas(
+        lambda _, pdf: run(pdf), "vec_id long, cluster long, kept boolean"
     )
 
 

@@ -1185,6 +1185,117 @@ def bpe_merges_batched(
     )
 
 
+def bpe_encode(
+    docs: DataFrame, k: int = 6, max_batch: int = 8
+) -> DataFrame:
+    """Apply the k learned BPE merges back to the corpus — the other
+    half of the tokenizer loop (train with `bpe_merges_batched`, which
+    is bit-identical to the sequential trainer, then encode). Returns
+    (doc_id, n_words, n_bpe_tokens): per-document whitespace-word and
+    BPE-token counts under the trained merges — the numbers a training-
+    data pipeline bills by (tokens per doc, compression vs raw words).
+
+    Scale shape: the merges collect to the driver (k tiny rows); the
+    fold applies to the DISTINCT-word table only (~10⁷ rows at web
+    scale, never the ~10¹¹ corpus tokens); occurrence counts aggregate
+    per (doc_id, word) first — doc_id in the key, so hot words like
+    'the' cannot hotspot the aggregation — and the join of those counts
+    against the encoded word table is SALTED on doc_id % S, the same
+    structural skew spreading as the gram joins (a stop word lands in
+    most documents; an unsalted word-key join serializes it into one
+    task, and AQE cannot split a join fused against this aggregate)."""
+    merge_rows = sorted(
+        bpe_merges_batched(docs, k, max_batch).collect(), key=lambda r: r["rank"]
+    )
+    words = (
+        docs.select(F.explode(_tokens()).alias("w"))
+        .where(F.col("w") != "")
+        .distinct()
+    )
+    sym = F.split("w", "")
+    for r in merge_rows:
+        sym = _merge_fold(sym, r["left"], r["right"])
+    encoded = words.select("w", F.size(sym).alias("n_sym"))
+    enc_salted = encoded.select(
+        "w",
+        "n_sym",
+        F.explode(F.sequence(F.lit(0), F.lit(_GRAM_SALT - 1))).alias("_salt"),
+    )
+    doc_words = (
+        docs.select("doc_id", F.explode(_tokens()).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("_salt", (F.col("doc_id") % _GRAM_SALT).cast("int"))
+    )
+    return (
+        doc_words.join(enc_salted, ["w", "_salt"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_sym")).alias("n_bpe_tokens"),
+        )
+    )
+
+
+def bpe_encode_sql(k: int = 6) -> str:
+    """Train-and-encode unrolled for DuckDB: the bpe_merges chain with
+    the word string carried through every fold step, then per-doc
+    occurrence counts joined against the encoded word table."""
+    parts = [
+        r"""w AS (
+  SELECT w, count(*) AS cnt FROM (
+    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+    FROM documents
+  ) WHERE w <> '' GROUP BY w
+),
+s0 AS (SELECT w, cnt, string_split(w, '') AS sym FROM w)"""
+    ]
+    for i in range(k):
+        parts.append(
+            f"""p{i} AS (
+  SELECT sym[i] AS l, sym[i + 1] AS r, CAST(sum(cnt) AS BIGINT) AS pair_count
+  FROM s{i}, unnest(range(1, len(sym))) AS t(i)
+  WHERE len(sym) >= 2
+  GROUP BY l, r
+),
+t{i} AS (
+  SELECT l, r, pair_count FROM p{i}
+  ORDER BY pair_count DESC, l ASC, r ASC LIMIT 1
+),
+s{i + 1} AS (
+  SELECT w, cnt,
+         CASE WHEN len(sym) < 2 THEN sym
+              ELSE list_reduce(
+                list_transform(sym, s -> [s]),
+                (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = t.l
+                                  AND x[1] = t.r
+                            THEN list_slice(acc, 1, len(acc) - 1) || [t.l || t.r]
+                            ELSE acc || x END)
+         END AS sym
+  FROM s{i}, t{i} t
+)"""
+        )
+    parts.append(
+        rf"""dwc AS (
+  SELECT doc_id, w, count(*) AS cnt FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+    FROM documents
+  ) WHERE w <> '' GROUP BY doc_id, w
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT doc_id,
+       CAST(sum(dwc.cnt) AS BIGINT) AS n_words,
+       CAST(sum(dwc.cnt * len(s.sym)) AS BIGINT) AS n_bpe_tokens
+FROM dwc JOIN s{k} s USING (w)
+GROUP BY doc_id"""
+    )
+
+
 def bpe_merges_sql(k: int = 6) -> str:
     """The identical training loop unrolled into DuckDB CTEs. The merge
     fold is list_reduce over singleton-wrapped symbols (acc type must

@@ -147,7 +147,10 @@ def main() -> None:
         cents = cents.localCheckpoint(eager=True)
 
         t0 = time.perf_counter()
-        rec_minby = shuffle_records(spark, _assign(q, cents))
+        rec_arrow = shuffle_records(spark, _assign(q, cents, mode="arrow"))
+        t_arrow = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        rec_minby = shuffle_records(spark, _assign(q, cents, mode="sql"))
         t_minby = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
         rec_window = shuffle_records(spark, legacy_window_assign(q, cents))
@@ -164,9 +167,11 @@ def main() -> None:
                 {
                     "n": n,
                     "k": k,
+                    "assign_shuffle_rows_arrow": rec_arrow,
                     "assign_shuffle_rows_min_by": rec_minby,
                     "assign_shuffle_rows_window": rec_window,
                     "expansion_rows_nk": n * k,
+                    "assign_wall_arrow_sec": t_arrow,
                     "assign_wall_min_by_sec": t_minby,
                     "assign_wall_window_sec": t_window,
                     "semantic_dedup_wall_sec": wall,

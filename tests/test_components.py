@@ -120,6 +120,28 @@ def test_kmeans_deterministic_and_partition_invariant(spark, oracle_sf_dir):
     assert max(sizes.values()) < 500 * 0.8
 
 
+def test_kmeans_arrow_and_sql_assignments_bit_identical(spark, oracle_sf_dir):
+    """The vectorized (numpy int64 matmul, zero-shuffle) assignment and
+    the pure-expression path must agree on every (vec_id, cluster,
+    dist_q) — including distance VALUES and argmin tie-breaks. Both run
+    the full Lloyd loop, so a single divergent iteration would cascade
+    into different centroids and fail loudly."""
+    from khronus_spark.operators.clustering import (
+        kmeans_assignments,
+        semantic_dedup,
+    )
+
+    emb = spark.read.parquet(f"{oracle_sf_dir}/embeddings.parquet")
+    arrow = sorted(tuple(r) for r in kmeans_assignments(emb, mode="arrow").collect())
+    sql = sorted(tuple(r) for r in kmeans_assignments(emb, mode="sql").collect())
+    assert arrow == sql
+    sd_arrow = sorted(
+        tuple(r) for r in semantic_dedup(emb, k=4, mode="arrow").collect()
+    )
+    sd_sql = sorted(tuple(r) for r in semantic_dedup(emb, k=4, mode="sql").collect())
+    assert sd_arrow == sd_sql
+
+
 def test_empty_input_edge_cases(spark):
     """New operators must degrade to empty outputs, not crash, on empty
     inputs (the first thing a malformed upstream filter produces)."""

@@ -360,6 +360,20 @@ def test_bpe_batched_fewer_passes_on_documents(spark, sf_dir):
     assert stats["passes"] <= 6, stats  # >= 2 merges per pass on average
 
 
+def test_bpe_encode_token_accounting(spark):
+    """Handcrafted corpus 'aaab' x3 + 'ab' x2: training learns (a,a),
+    (a,b), then (aa,ab) and exhausts — 'aaab' encodes to ONE token,
+    'ab' to one. Accounting: 5 words, 5 BPE tokens; k beyond the
+    learnable merges must not crash the fold."""
+    from khronus_spark.operators.text import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab aaab ab ab")], "doc_id long, text string"
+    )
+    out = [tuple(r) for r in bpe_encode(docs, k=6).collect()]
+    assert out == [(1, 5, 5)]
+
+
 def test_duplicate_spans_interval_union_no_overlap(spark):
     """Duplicated gram positions 1 and 3 (gap 2 < n) cover overlapping
     token intervals [1,5] and [3,7]; they must merge into ONE span
