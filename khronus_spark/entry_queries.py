@@ -111,6 +111,7 @@ _PRIORITY = [
     "bpe_merges_6",
     "bpe_merges_batched",  # new in round 4, never driver-checked
     "bpe_encode_6",  # new in round 4, never driver-checked
+    "cms_heavy_users",  # new in round 4, never driver-checked
     "dup_ngram_5",
     "duplicate_spans",
     # -- longest unchecked: green only in round 1 ------------------------
@@ -151,7 +152,6 @@ _PRIORITY = [
     "events_distinct_users_salted",
     # -- next-longest unchecked: green only in round 2 -------------------
     "reservoir_sample_per_lang",
-    "ann_cosine_topk",
 ]
 
 
@@ -2392,6 +2392,32 @@ def bpe_merges_batched(spark, sf_dir):
     (operators/text.py::bpe_merges_batched has the safety argument)."""
     docs = load_table(spark, sf_dir, "documents")
     return text_ops.bpe_merges_batched(docs, k=12)
+
+
+@register(
+    "cms_heavy_users",
+    None,  # set just below: builder needs the table name
+)
+def cms_heavy_users(spark, sf_dir):
+    """Count-Min heavy hitters: users whose ESTIMATED event count
+    reaches 75 under the d=4 × w=256 integer-spec sketch — est ≥ true
+    always, so no true heavy hitter is missed; the cell table is
+    map-side-combinable, mergeable by cellwise sum, and ≤ 1 024 rows
+    regardless of stream size (operators/sketches.py::cms_heavy_hitters,
+    the streaming-compatible frequency twin of the HLL entry)."""
+    from khronus_spark.operators.sketches import cms_heavy_hitters
+
+    ev = load_table(spark, sf_dir, "events")
+    return cms_heavy_hitters(ev, "user_id", 75)
+
+
+def _cms_oracle() -> str:
+    from khronus_spark.operators.sketches import cms_heavy_hitters_sql
+
+    return cms_heavy_hitters_sql("events", "user_id", 75)
+
+
+_registry["cms_heavy_users"] = (_registry["cms_heavy_users"][0], _cms_oracle())
 
 
 @register("bpe_encode_6", text_ops.bpe_encode_sql(6))

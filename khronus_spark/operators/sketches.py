@@ -173,6 +173,126 @@ def windowed_hll_distinct(
     )
 
 
+# ---------------------------------------------------------------------------
+# Count-Min sketch: mergeable frequency estimation / heavy hitters
+# ---------------------------------------------------------------------------
+
+#: d independent hash rows × w columns. Like the HLL above, the sketch
+#: is SPECIFIED in integer arithmetic over the md5 hash family so Spark
+#: and DuckDB produce bit-identical cells and estimates. Width 256 /
+#: depth 4 ⇒ ε ≈ e/256 ≈ 1.1% of the stream per cell (overestimate
+#: only), failure prob ≈ e^-4. 1 024 cells per group total.
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def _cms_bucket(j: int, key_expr: str) -> str:
+    """Row-j bucket of a key: first 60 bits of md5('<j>:'||key) mod w —
+    independent rows via the salt prefix, same hash family both engines."""
+    return (
+        f"CAST(conv(substring(md5(concat('{j}', ':', "
+        f"CAST(({key_expr}) AS STRING))), 1, 15), 16, 10) AS BIGINT) % {CMS_WIDTH}"
+    )
+
+
+def cms_sketch(df: DataFrame, key_expr: str) -> DataFrame:
+    """(j, bucket, c) — the Count-Min cell table: c = how many stream
+    items hashed into (row j, bucket). One map-side-combinable
+    aggregation; partials collapse to ≤ d·w rows per partition no
+    matter the stream size, and two sketches MERGE by cellwise sum —
+    the property that lets per-day / per-partition sketches roll up
+    without touching raw data again (tests pin both)."""
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.expr(_cms_bucket(j, key_expr)).alias("bucket"),
+                    )
+                    for j in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("p")
+    )
+    return pairs.groupBy("p.j", "p.bucket").agg(F.count(F.lit(1)).alias("c"))
+
+
+def cms_estimates(df: DataFrame, key_expr: str, keys: DataFrame) -> DataFrame:
+    """(key, est) — point estimates for the candidate `keys` (column
+    `key`): est = min over rows j of cell(j, h_j(key)). The sketch is
+    ≤ d·w rows, so it BROADCASTS onto the candidate set; est ≥ true
+    count always (collisions only add)."""
+    sketch = cms_sketch(df, key_expr)
+    probes = keys.select(
+        "key",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.expr(_cms_bucket(j, "key")).alias("bucket"),
+                    )
+                    for j in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("p"),
+    ).select("key", "p.j", "p.bucket")
+    return (
+        probes.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("key")
+        .agg(F.min("c").alias("est"))
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame, key_expr: str, threshold: int
+) -> DataFrame:
+    """(key, est) for every distinct key whose ESTIMATE reaches the
+    threshold — est ≥ true count, so no true heavy hitter is missed
+    (classic CMS guarantee; false positives possible and bounded by
+    ε·stream). Candidates here are the stream's own distinct keys; a
+    streaming deployment would instead keep a small candidate heap
+    beside the mergeable cell table."""
+    keys = df.selectExpr(f"{key_expr} AS key").distinct()
+    return cms_estimates(df, key_expr, keys).where(F.col("est") >= threshold)
+
+
+def cms_heavy_hitters_sql(table: str, key_expr: str, threshold: int) -> str:
+    """The identical spec in DuckDB SQL."""
+
+    def bucket(j: int, kexpr: str) -> str:
+        return (
+            f"(('0x' || substr(md5('{j}' || ':' || "
+            f"CAST(({kexpr}) AS VARCHAR)), 1, 15))::UBIGINT % {CMS_WIDTH})::BIGINT"
+        )
+
+    pair_rows = "\nUNION ALL\n".join(
+        f"SELECT {j} AS j, {bucket(j, key_expr)} AS bucket FROM {table}"
+        for j in range(CMS_DEPTH)
+    )
+    probe_rows = "\nUNION ALL\n".join(
+        f"SELECT key, {j} AS j, {bucket(j, 'key')} AS bucket FROM keys"
+        for j in range(CMS_DEPTH)
+    )
+    return f"""
+WITH pairs AS (
+{pair_rows}
+),
+sketch AS (
+  SELECT j, bucket, CAST(count(*) AS BIGINT) AS c FROM pairs GROUP BY j, bucket
+),
+keys AS (SELECT DISTINCT {key_expr} AS key FROM {table}),
+probes AS (
+{probe_rows}
+)
+SELECT key, CAST(min(c) AS BIGINT) AS est
+FROM probes JOIN sketch USING (j, bucket)
+GROUP BY key
+HAVING min(c) >= {threshold}
+"""
+
+
 def windowed_hll_sql(table: str, window_ms: int, key_expr: str) -> str:
     """DuckDB oracle for ``windowed_hll_distinct`` over epoch-aligned
     tumbling windows (same integer spec, grouped by window start)."""

@@ -66,3 +66,45 @@ def test_hll_wide_equals_tall(spark, oracle_sf_dir):
         tuple(r) for r in hll_distinct_wide(ev, "event_type", "user_id").collect()
     )
     assert tall == wide
+
+
+def test_cms_never_underestimates_and_ranks_heavies(spark, oracle_sf_dir):
+    """CMS guarantee: est >= true count for EVERY key (collisions only
+    add), and every true heavy hitter clears any threshold its true
+    count clears."""
+    from khronus_spark.operators.sketches import cms_estimates
+
+    ev = spark.read.parquet(f"{oracle_sf_dir}/events.parquet")
+    keys = ev.selectExpr("user_id AS key").distinct()
+    est = {r["key"]: r["est"] for r in cms_estimates(ev, "user_id", keys).collect()}
+    true = {
+        r["user_id"]: r["cnt"]
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert set(est) == set(true)
+    assert all(est[k] >= true[k] for k in true)
+    # classical CMS bound: extra <= e*N/w (~106 on this 10k-row stream)
+    n_stream = sum(true.values())
+    bound = 3 * n_stream // 256
+    assert all(est[k] - true[k] <= bound for k in true)
+
+
+def test_cms_sketches_merge_by_cellwise_sum(spark, oracle_sf_dir):
+    """The whole point of the cell table: sketch(A union B) must equal
+    the cellwise sum of sketch(A) and sketch(B) — per-day/partition
+    sketches roll up without re-reading raw data."""
+    from khronus_spark.operators.sketches import cms_sketch
+
+    ev = spark.read.parquet(f"{oracle_sf_dir}/events.parquet")
+    a = ev.where("event_id % 2 = 0")
+    b = ev.where("event_id % 2 = 1")
+    whole = {
+        (r["j"], r["bucket"]): r["c"] for r in cms_sketch(ev, "user_id").collect()
+    }
+    sa = {(r["j"], r["bucket"]): r["c"] for r in cms_sketch(a, "user_id").collect()}
+    sb = {(r["j"], r["bucket"]): r["c"] for r in cms_sketch(b, "user_id").collect()}
+    merged: dict = {}
+    for part in (sa, sb):
+        for cell, c in part.items():
+            merged[cell] = merged.get(cell, 0) + c
+    assert merged == whole
