@@ -258,6 +258,44 @@ def cms_heavy_hitters(
     return cms_estimates(df, key_expr, keys).where(F.col("est") >= threshold)
 
 
+def windowed_cms_sketch(
+    frame: DataFrame, window_duration: str, key_expr: str
+) -> DataFrame:
+    """(win_start_ms, j, bucket, c) — the Count-Min cell table per
+    event-time tumbling window, as ONE aggregation so the identical
+    plan runs in Structured Streaming append mode (the cell table is
+    the bounded-state object a streaming top-talkers pipeline stores;
+    heavy-hitter extraction then reads the stored cells batch-side).
+    `frame` needs an `event_ts` timestamp column (watermarked by the
+    streaming caller); windows merge with later windows' cells by
+    cellwise sum like any other CMS."""
+    pairs = frame.select(
+        "event_ts",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.expr(_cms_bucket(j, key_expr)).alias("bucket"),
+                    )
+                    for j in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("p"),
+    )
+    return (
+        pairs.groupBy(
+            F.window(F.col("event_ts"), window_duration).alias("w"),
+            F.col("p.j").alias("j"),
+            F.col("p.bucket").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            F.unix_millis(F.col("w.start")).alias("win_start_ms"), "j", "bucket", "c"
+        )
+    )
+
+
 def cms_heavy_hitters_sql(table: str, key_expr: str, threshold: int) -> str:
     """The identical spec in DuckDB SQL."""
 

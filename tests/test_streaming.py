@@ -400,3 +400,48 @@ def test_stream_static_enrichment_matches_batch(spark, sf_dir):
     )
     # the defaulted type actually occurred
     assert got.where("event_type = 'error' AND mtype = 'timer'").count() > 0
+
+
+def test_streaming_windowed_cms_matches_batch(spark, sf_dir):
+    """Windowed Count-Min cell table as a watermarked stream: one
+    aggregation (streaming append mode legal), cells equal the batch
+    sketch for every closed window — the bounded-state object a
+    streaming top-talkers pipeline checkpoints, where exact per-key
+    counts would be unbounded state."""
+    import tempfile
+
+    from khronus_spark.operators.sketches import windowed_cms_sketch
+    from khronus_spark.operators.sliding import sliding_event_frame
+    from khronus_spark.sources.tables import load_table
+
+    tmp = tempfile.mkdtemp(prefix="khronus_cmsstream_")
+    frame = sliding_event_frame(load_table(spark, sf_dir, "events"))
+    frame.write.mode("overwrite").parquet(f"{tmp}/in")
+
+    stream = spark.readStream.schema(frame.schema).parquet(f"{tmp}/in")
+    q = (
+        windowed_cms_sketch(
+            stream.withWatermark("event_ts", "30 seconds"), "1 day", "user_id"
+        )
+        .writeStream.format("parquet")
+        .option("path", f"{tmp}/out")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["win_start_ms"], r["j"], r["bucket"]): r["c"]
+        for r in spark.read.parquet(f"{tmp}/out").collect()
+    }
+    expected = {
+        (r["win_start_ms"], r["j"], r["bucket"]): r["c"]
+        for r in windowed_cms_sketch(frame, "1 day", "user_id").collect()
+    }
+    assert got, "stream produced no cells"
+    for k, v in got.items():
+        assert expected[k] == v, f"cell {k}: stream {v} != batch {expected[k]}"
+    max_start = max(s for s, _, _ in expected)
+    for s, _, _ in set(expected) - set(got):
+        assert s >= max_start - 86_400_000, f"non-trailing window missing: {s}"
