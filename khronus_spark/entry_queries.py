@@ -112,6 +112,7 @@ _PRIORITY = [
     "bpe_merges_batched",  # new in round 4, never driver-checked
     "bpe_encode_6",  # new in round 4, never driver-checked
     "cms_heavy_users",  # new in round 4, never driver-checked
+    "decontamination_bloom",  # new in round 4, never driver-checked
     "dup_ngram_5",
     "duplicate_spans",
     # -- longest unchecked: green only in round 1 ------------------------
@@ -3097,6 +3098,19 @@ def decontamination_fuzzy(spark, sf_dir):
     scan misses (operators/dedup.py::decontamination_fuzzy)."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup_ops.decontamination_fuzzy(docs)
+
+
+@register("decontamination_bloom", dedup_ops.bloom_decontamination_sql())
+def decontamination_bloom(spark, sf_dir):
+    """Decontamination through a 2^16-bit Bloom filter: eval shingles
+    fold into a CONSTANT ≤ 8 KB bitmap (mergeable by bit_or), corpus
+    shingles test with k = 4 broadcast word-lookups — replaces the
+    broadcast of the full eval shingle set when the suite outgrows it;
+    hits overcount but never undercount the exact scan
+    (operators/dedup.py::bloom_decontamination,
+    operators/sketches.py::bloom_build/bloom_probe)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_ops.bloom_decontamination(docs)
 
 
 @register("embedding_quantize_stats", quant_ops.quantize_stats_sql())

@@ -574,3 +574,123 @@ FROM banded b LEFT JOIN ev e ON e.band = b.band AND e.bucket = b.bucket
 WHERE b.doc_id % {eval_mod} <> 0
 GROUP BY b.doc_id
 """
+
+
+def bloom_decontamination(
+    docs: DataFrame, eval_mod: int = 11, n: int = 3
+) -> DataFrame:
+    """Benchmark decontamination through a Bloom filter instead of a
+    direct shingle join: the eval set's n-gram shingles are folded into
+    a fixed 2^16-bit bitmap (≤ 2 048 BIGINT words — ~8 KB — no matter
+    how large the eval suite grows), and every corpus shingle is tested
+    with k = 4 broadcast word-lookups. Output (doc_id, n_shingles,
+    n_bloom_hits, bloom_bp), one row per non-eval document.
+
+    Versus `decontamination` (the exact broadcast join): hits are an
+    OVERCOUNT — the Bloom filter admits false positives but never false
+    negatives, so n_bloom_hits ≥ the exact n_overlap for every document
+    (tests pin the invariant). The trade at 100 TB: the exact path must
+    broadcast every distinct eval shingle (10^5-10^7 strings); the
+    Bloom path broadcasts a CONSTANT 8 KB regardless, and the filter
+    merges across eval suites by cellwise bit_or
+    (operators/sketches.py::bloom_build/bloom_probe).
+    """
+    from khronus_spark.operators.sketches import bloom_build, bloom_probe
+
+    is_eval = F.col("doc_id") % eval_mod == 0
+    ev_shingles = (
+        docs.where(is_eval)
+        .select(_tokens().alias("t"))
+        .select(F.explode(F.array_distinct(shingle_array(n))).alias("key"))
+        .distinct()
+    )
+    bloom = bloom_build(ev_shingles, "key")
+    corpus = (
+        spread(docs)
+        .where(~is_eval)
+        .select("doc_id", _tokens().alias("t"))
+        .select("doc_id", F.explode(F.array_distinct(shingle_array(n))).alias("key"))
+    )
+    return (
+        bloom_probe(corpus, bloom)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.col("maybe_present").cast("long")).alias("n_bloom_hits"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_bloom_hits",
+            F.expr("n_bloom_hits * 10000L div n_shingles").alias("bloom_bp"),
+        )
+    )
+
+
+def bloom_decontamination_sql(eval_mod: int = 11, n: int = 3) -> str:
+    """The identical Bloom spec in DuckDB SQL."""
+    from khronus_spark.operators.sketches import (
+        BLOOM_BITS,
+        BLOOM_K,
+        BLOOM_WORD,
+        _bloom_bit_duck,
+    )
+
+    bit_rows = "\nUNION ALL\n".join(
+        f"SELECT {_bloom_bit_duck(j, 'key')} AS bit FROM ev"
+        for j in range(BLOOM_K)
+    )
+    probe_bits = ",\n         ".join(
+        f"{_bloom_bit_duck(j, 'key')} AS b{j}" for j in range(BLOOM_K)
+    )
+    joins = "\n  ".join(
+        f"LEFT JOIN bloom w{j} ON w{j}.word_idx = p.b{j} // {BLOOM_WORD}"
+        for j in range(BLOOM_K)
+    )
+    hit = " AND ".join(
+        f"(w{j}.word IS NOT NULL AND "
+        f"(w{j}.word & (1::BIGINT << CAST(p.b{j} % {BLOOM_WORD} AS INT))) <> 0)"
+        for j in range(BLOOM_K)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(t) >= {n}
+              THEN list_transform(range(1, len(t) - {n - 2}), i -> array_to_string(t[i:i+{n - 1}], ' '))
+              ELSE [array_to_string(t, ' ')] END) AS sh
+  FROM toks
+),
+ev AS (
+  SELECT DISTINCT unnest(sh) AS key FROM sh WHERE doc_id % {eval_mod} = 0
+),
+bits AS (
+{bit_rows}
+),
+bloom AS (
+  SELECT bit // {BLOOM_WORD} AS word_idx,
+         bit_or(1::BIGINT << CAST(bit % {BLOOM_WORD} AS INT)) AS word
+  FROM bits GROUP BY 1
+),
+corpus AS (
+  SELECT doc_id, unnest(sh) AS key FROM sh WHERE doc_id % {eval_mod} <> 0
+),
+p AS (
+  SELECT doc_id, key,
+         {probe_bits}
+  FROM corpus
+),
+flags AS (
+  SELECT p.doc_id, ({hit}) AS hit
+  FROM p
+  {joins}
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+       CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS bloom_bp
+FROM flags
+GROUP BY doc_id
+"""

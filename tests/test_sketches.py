@@ -108,3 +108,88 @@ def test_cms_sketches_merge_by_cellwise_sum(spark, oracle_sf_dir):
         for cell, c in part.items():
             merged[cell] = merged.get(cell, 0) + c
     assert merged == whole
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_bounded_size(spark):
+    from khronus_spark.operators.sketches import (
+        BLOOM_BITS,
+        BLOOM_WORD,
+        bloom_build,
+        bloom_probe,
+    )
+
+    members = spark.range(2_000).selectExpr("CAST(id AS STRING) AS key")
+    bloom = bloom_build(members, "key")
+    words = bloom.collect()
+    # fixed-size: never more rows than the bitmap has words
+    assert len(words) <= BLOOM_BITS // BLOOM_WORD
+    # every mask fits the 32-bit word (positive, below 2^32)
+    assert all(0 < r["word"] < (1 << BLOOM_WORD) for r in words)
+    probed = bloom_probe(
+        spark.range(4_000).selectExpr("CAST(id AS STRING) AS key"), bloom
+    )
+    flags = {r["key"]: r["maybe_present"] for r in probed.collect()}
+    # no false negatives: every inserted key reports present
+    assert all(flags[str(i)] for i in range(2_000))
+    # false-positive rate at this density (k=4, n=2000, m=65536) is
+    # (1 - e^(-4*2000/65536))^4 ~ 1.6e-4 — allow a loose 2% bound
+    fp = sum(flags[str(i)] for i in range(2_000, 4_000))
+    assert fp <= 40, fp
+
+
+def test_bloom_merge_is_union(spark):
+    from khronus_spark.operators.sketches import bloom_build, bloom_merge
+
+    a = spark.range(0, 500).selectExpr("CAST(id AS STRING) AS key")
+    b = spark.range(400, 900).selectExpr("CAST(id AS STRING) AS key")
+    merged = {
+        r["word_idx"]: r["word"]
+        for r in bloom_merge(bloom_build(a, "key"), bloom_build(b, "key")).collect()
+    }
+    direct = {
+        r["word_idx"]: r["word"]
+        for r in bloom_build(a.unionByName(b), "key").collect()
+    }
+    assert merged == direct
+
+
+def test_bloom_decontamination_overcounts_exact_never_undercounts(spark, oracle_sf_dir):
+    from khronus_spark.operators.dedup import bloom_decontamination, decontamination
+
+    docs = spark.read.parquet(f"{oracle_sf_dir}/documents.parquet")
+    exact = {
+        r["doc_id"]: (r["n_shingles"], r["n_overlap"])
+        for r in decontamination(docs).collect()
+    }
+    bloomed = {
+        r["doc_id"]: (r["n_shingles"], r["n_bloom_hits"])
+        for r in bloom_decontamination(docs).collect()
+    }
+    assert set(exact) == set(bloomed)
+    for doc_id, (n_sh, n_ov) in exact.items():
+        b_sh, b_hits = bloomed[doc_id]
+        assert b_sh == n_sh
+        # Bloom admits false positives, never false negatives
+        assert b_hits >= n_ov, (doc_id, b_hits, n_ov)
+
+
+def test_bloom_probe_joins_are_broadcast(spark):
+    """The probe side must never shuffle: all k word-lookups are
+    broadcast hash joins against the ≤2048-row filter."""
+    from khronus_spark.operators.sketches import bloom_build, bloom_probe
+
+    members = spark.range(100).selectExpr("CAST(id AS STRING) AS key")
+    probes = spark.range(1_000).selectExpr("CAST(id AS STRING) AS key")
+    plan = (
+        bloom_probe(probes, bloom_build(members, "key"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
