@@ -113,6 +113,7 @@ _PRIORITY = [
     "bpe_encode_6",  # new in round 4, never driver-checked
     "cms_heavy_users",  # new in round 4, never driver-checked
     "decontamination_bloom",  # new in round 4, never driver-checked
+    "c4_span_removal",  # new in round 4, never driver-checked
     "dup_ngram_5",
     "duplicate_spans",
     # -- longest unchecked: green only in round 1 ------------------------
@@ -3098,6 +3099,18 @@ def decontamination_fuzzy(spark, sf_dir):
     scan misses (operators/dedup.py::decontamination_fuzzy)."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup_ops.decontamination_fuzzy(docs)
+
+
+@register("c4_span_removal", text_ops.c4_span_removal_sql())
+def c4_span_removal(spark, sf_dir):
+    """C4-style duplicate-span removal: every repeated 10-word span
+    survives only at its first corpus occurrence and each document is
+    re-assembled from its surviving spans (clean_md5 proves byte-exact
+    reassembly cross-engine). Keeper table is one map-side-combinable
+    aggregate; the join back is salted like the gram joins
+    (operators/text.py::c4_span_removal)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.c4_span_removal(docs)
 
 
 @register("decontamination_bloom", dedup_ops.bloom_decontamination_sql())

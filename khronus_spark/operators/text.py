@@ -1341,3 +1341,121 @@ s{i + 1} AS (
         for i in range(k)
     )
     return "WITH " + ",\n".join(parts) + "\n" + union + "\nORDER BY rank"
+
+
+def c4_span_removal(docs: DataFrame, chunk_words: int = 10) -> DataFrame:
+    """C4-style duplicate-span REMOVAL — the transform counterpart of
+    `duplicate_spans`: the corpus is cut into non-overlapping
+    `chunk_words`-word spans, any span occurring more than once
+    corpus-wide is kept only at its FIRST occurrence (lexicographic min
+    of (doc_id, span index) — C4 keeps one copy of every repeated
+    three-sentence span; the word-window stand-in matches the synthetic
+    corpus, which has no sentence boundaries), and every document is
+    re-assembled from its surviving spans. Output per document:
+    (doc_id, n_chunks, n_removed, clean_words, clean_md5) — the md5 of
+    the re-assembled text proves byte-exact reassembly cross-engine
+    without shipping the text itself.
+
+    Shape at 100 TB (same skew discipline as `dup_ngram_fraction`):
+    spans explode map-only; the keeper table is ONE map-side-combinable
+    aggregate over the span hash (count + min composite key); only
+    DUPLICATED spans enter the join's build side (the corpus-unique
+    long tail never shuffles twice); the join back is SALTED on
+    (g, doc_id % S) because AQE's skew rule cannot split this
+    agg-fused-build shape. Reassembly is a per-document
+    collect-sort-concat whose state is bounded by a single document's
+    size."""
+    c = chunk_words
+    #: composite (doc_id, chunk_idx) key: chunk index fits 2^20 for any
+    #: document under ~10M words at c>=10, so the packing is exact
+    ck = 1 << 20
+    t = docs.select("doc_id", _tokens().alias("t"))
+    chunks = t.select(
+        "doc_id",
+        F.size("t").alias("n_tok"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, (size(t) - 1) div {c}),"
+                f" i -> concat_ws(' ', slice(t, i * {c} + 1, {c})))"
+            )
+        ).alias("ci", "chunk"),
+    ).select(
+        "doc_id",
+        "ci",
+        "chunk",
+        F.md5("chunk").alias("g"),
+        F.least(F.lit(c), F.col("n_tok") - F.col("ci") * c).alias("cw"),
+        (F.col("doc_id") * ck + F.col("ci")).alias("pos_key"),
+    )
+    keepers = (
+        chunks.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_occ"), F.min("pos_key").alias("keep_key"))
+        .where(F.col("n_occ") > 1)
+        .select("g", "keep_key")
+    )
+    salted = chunks.withColumn("_salt", (F.col("doc_id") % _GRAM_SALT).cast("int"))
+    keep_salted = keepers.select(
+        "g",
+        "keep_key",
+        F.explode(F.sequence(F.lit(0), F.lit(_GRAM_SALT - 1))).alias("_salt"),
+    )
+    flagged = salted.join(keep_salted, ["g", "_salt"], "left").withColumn(
+        "removed",
+        F.col("keep_key").isNotNull() & (F.col("pos_key") != F.col("keep_key")),
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.col("removed").cast("long")).alias("n_removed"),
+            F.sum(F.when(~F.col("removed"), F.col("cw")).otherwise(F.lit(0))).alias(
+                "clean_words"
+            ),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.expr(
+                        "transform(array_sort(collect_list("
+                        "CASE WHEN NOT removed THEN struct(ci, chunk) END)),"
+                        " x -> x.chunk)"
+                    ),
+                )
+            ).alias("clean_md5"),
+        )
+    )
+
+
+def c4_span_removal_sql(chunk_words: int = 10) -> str:
+    c = chunk_words
+    ck = 1 << 20
+    return rf"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+),
+ch AS (
+  SELECT doc_id,
+         i - 1 AS ci,
+         array_to_string(t[(i - 1) * {c} + 1 : i * {c}], ' ') AS chunk,
+         least({c}, len(t) - (i - 1) * {c}) AS cw,
+         doc_id * {ck} + (i - 1) AS pos_key
+  FROM t, unnest(generate_series(1, (len(t) + {c - 1}) // {c})) AS s(i)
+),
+g AS (SELECT doc_id, ci, chunk, cw, pos_key, md5(chunk) AS g FROM ch),
+k AS (
+  SELECT g, min(pos_key) AS keep_key
+  FROM g GROUP BY g HAVING count(*) > 1
+),
+f AS (
+  SELECT g.doc_id, g.ci, g.chunk, g.cw,
+         (k.keep_key IS NOT NULL AND g.pos_key <> k.keep_key) AS removed
+  FROM g LEFT JOIN k USING (g)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(sum(CASE WHEN removed THEN 0 ELSE cw END) AS BIGINT) AS clean_words,
+       md5(coalesce(string_agg(CASE WHEN NOT removed THEN chunk END, ' ' ORDER BY ci), '')) AS clean_md5
+FROM f
+GROUP BY doc_id
+"""

@@ -394,3 +394,52 @@ def test_duplicate_spans_interval_union_no_overlap(spark):
         )
     assert out[1] == [(1, 7, 7)]
     assert out[2] == [(1, 5, 5)] and out[3] == [(1, 5, 5)]
+
+
+def test_c4_span_removal_keep_first_and_reassembly(spark):
+    """Repeated spans survive only at their lexicographically-first
+    (doc_id, span index) occurrence; clean_md5 is the md5 of the
+    re-assembled surviving text."""
+    import hashlib
+
+    from khronus_spark.operators.text import c4_span_removal
+
+    # chunk_words=3: doc 1 = [A][B], doc 2 = [B][C], doc 3 = [A]
+    a, b, c = "a1 a2 a3", "b1 b2 b3", "c1 c2"
+    docs = spark.createDataFrame(
+        [(1, f"{a} {b}"), (2, f"{b} {c}"), (3, a)],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r for r in c4_span_removal(docs, chunk_words=3).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    # doc 1 keeps both spans (first occurrence of A and of B)
+    assert (rows[1]["n_chunks"], rows[1]["n_removed"]) == (2, 0)
+    assert rows[1]["clean_md5"] == md5(f"{a} {b}")
+    assert rows[1]["clean_words"] == 6
+    # doc 2 loses B (kept in doc 1), keeps C
+    assert (rows[2]["n_chunks"], rows[2]["n_removed"]) == (2, 1)
+    assert rows[2]["clean_md5"] == md5(c)
+    assert rows[2]["clean_words"] == 2
+    # doc 3 loses its only span (A kept in doc 1) -> empty text
+    assert (rows[3]["n_chunks"], rows[3]["n_removed"]) == (1, 1)
+    assert rows[3]["clean_md5"] == md5("")
+    assert rows[3]["clean_words"] == 0
+
+
+def test_c4_span_removal_join_is_salted(spark):
+    """The keeper join must carry the structural salt (same skew
+    argument as the gram joins — AQE cannot split this shape)."""
+    from khronus_spark.operators.text import c4_span_removal
+
+    docs = spark.createDataFrame(
+        [(i, "w1 w2 w3 w4 w5") for i in range(6)], "doc_id long, text string"
+    )
+    plan = (
+        c4_span_removal(docs)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "_salt" in plan
