@@ -150,6 +150,13 @@ def main() -> None:
         # batched trainer: same result bit-for-bit at 2x the merges in
         # fewer corpus passes (k=12 in ~5 passes vs 12 driver round-trips)
         "bpe_merges_batched": lambda: run_df(q["bpe_merges_batched"](spark, sf_dir)),
+        # constant-size membership sketch: eval shingles -> 8 KB bitmap,
+        # corpus probed with k=4 broadcast word-lookups (never shuffles)
+        "decontamination_bloom": lambda: run_df(
+            q["decontamination_bloom"](spark, sf_dir)
+        ),
+        # C4 keep-first span removal + byte-exact document reassembly
+        "c4_span_removal": lambda: run_df(q["c4_span_removal"](spark, sf_dir)),
     }
 
     # Median-of-N per query: the shared host shows 2-5x contention

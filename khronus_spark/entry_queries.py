@@ -114,6 +114,7 @@ _PRIORITY = [
     "cms_heavy_users",  # new in round 4, never driver-checked
     "decontamination_bloom",  # new in round 4, never driver-checked
     "c4_span_removal",  # new in round 4, never driver-checked
+    "leakage_safe_split",  # new in round 4, never driver-checked
     "dup_ngram_5",
     "duplicate_spans",
     # -- longest unchecked: green only in round 1 ------------------------
@@ -3052,6 +3053,17 @@ def domain_mixture_sqrt(spark, sf_dir):
     (operators/curation.py::domain_mixture)."""
     docs = load_table(spark, sf_dir, "documents")
     return curation_ops.domain_mixture(docs)
+
+
+@register("leakage_safe_split", curation_ops.leakage_safe_split_sql())
+def leakage_safe_split(spark, sf_dir):
+    """Contamination-proof train/validation/test split: assignment is
+    per MinHash near-dup COMPONENT (singletons = themselves), hashed
+    through the md5-60-bit family into percent buckets — a test doc can
+    never have a near-duplicate in train
+    (operators/curation.py::leakage_safe_split)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation_ops.leakage_safe_split(docs)
 
 
 @register("source_cap_sample", curation_ops.source_cap_sample_sql(400))

@@ -565,3 +565,69 @@ SELECT source, count(*) AS n_docs,
        sum(CAST(rk <= budget AS BIGINT)) < count(*) AS capped
 FROM r GROUP BY source
 """
+
+
+def leakage_safe_split(
+    docs: DataFrame, test_pct: int = 10, val_pct: int = 10
+) -> DataFrame:
+    """Train/validation/test split with NO near-duplicate leakage: the
+    split is decided per CONNECTED COMPONENT of the MinHash near-dup
+    graph, not per document, so a test document can never have a
+    near-duplicate sitting in train (the classic contamination path a
+    per-doc random split leaves open — Lee et al. 2022 measure the
+    resulting eval inflation). Documents outside any dup component are
+    their own singleton component. Assignment hashes the component id
+    through the repo's md5-60-bit family into percent buckets —
+    deterministic, reproducible, and independent of both row order and
+    partitioning. Output: (doc_id, component_id, bucket, split).
+
+    Shape at 100 TB: the component map covers only near-dup members
+    (typically a few % of a web corpus); the corpus joins it once on
+    doc_id (equi-join, AQE-broadcastable when small) and everything
+    else is map-side column algebra. The split fractions apply at
+    component granularity; mega-components skew realized fractions by
+    design — leakage-safety is the invariant, and the bucket column
+    lets a caller audit the realized split sizes."""
+    comp = minhash_duplicate_components(docs)
+    out = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .withColumn("component_id", F.coalesce("component_id", F.col("doc_id")))
+        .withColumn(
+            "bucket",
+            F.expr(
+                "CAST(conv(substring(md5(CAST(component_id AS STRING)), 1, 15),"
+                " 16, 10) AS BIGINT) % 100"
+            ),
+        )
+    )
+    return out.withColumn(
+        "split",
+        F.when(F.col("bucket") < test_pct, F.lit("test"))
+        .when(F.col("bucket") < test_pct + val_pct, F.lit("validation"))
+        .otherwise(F.lit("train")),
+    )
+
+
+def leakage_safe_split_sql(test_pct: int = 10, val_pct: int = 10) -> str:
+    return f"""
+WITH RECURSIVE {minhash_components_ctes()},
+comp AS (
+  SELECT src AS doc_id, min(dst) AS component_id FROM reach GROUP BY src
+),
+assigned AS (
+  SELECT d.doc_id,
+         coalesce(c.component_id, d.doc_id) AS component_id
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+),
+b AS (
+  SELECT doc_id, component_id,
+         (('0x' || substr(md5(CAST(component_id AS VARCHAR)), 1, 15))::UBIGINT % 100)::BIGINT AS bucket
+  FROM assigned
+)
+SELECT doc_id, component_id, bucket,
+       CASE WHEN bucket < {test_pct} THEN 'test'
+            WHEN bucket < {test_pct + val_pct} THEN 'validation'
+            ELSE 'train' END AS split
+FROM b
+"""
