@@ -115,6 +115,7 @@ _PRIORITY = [
     "decontamination_bloom",  # new in round 4, never driver-checked
     "c4_span_removal",  # new in round 4, never driver-checked
     "leakage_safe_split",  # new in round 4, never driver-checked
+    "source_overlap_matrix",  # new in round 4, never driver-checked
     "dup_ngram_5",
     "duplicate_spans",
     # -- longest unchecked: green only in round 1 ------------------------
@@ -3053,6 +3054,16 @@ def domain_mixture_sqrt(spark, sf_dir):
     (operators/curation.py::domain_mixture)."""
     docs = load_table(spark, sf_dir, "documents")
     return curation_ops.domain_mixture(docs)
+
+
+@register("source_overlap_matrix", curation_ops.source_overlap_matrix_sql())
+def source_overlap_matrix(spark, sf_dir):
+    """Cross-source duplication matrix over the MinHash candidate
+    graph: which crawls/dumps duplicate each other (off-diagonal) or
+    themselves (diagonal) — the drop-this-dump diagnostic
+    (operators/curation.py::source_overlap_matrix)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation_ops.source_overlap_matrix(docs)
 
 
 @register("leakage_safe_split", curation_ops.leakage_safe_split_sql())

@@ -631,3 +631,75 @@ SELECT doc_id, component_id, bucket,
             ELSE 'train' END AS split
 FROM b
 """
+
+
+def source_overlap_matrix(docs: DataFrame) -> DataFrame:
+    """Cross-source duplication matrix — the curation diagnostic that
+    decides which crawls/dumps to drop wholesale: for every unordered
+    source pair, how many MinHash near-dup candidate pairs straddle it
+    (diagonal = within-source duplication). A dump that is mostly dups
+    OF ANOTHER dump shows up as an off-diagonal hotspot here long
+    before per-doc dedup runs. Output: (source_a, source_b, n_pairs,
+    n_docs_a) with source_a <= source_b.
+
+    Shape at 100 TB: the pair graph is the already-linear banded-LSH
+    candidate set; the two doc_id→source lookups are equi-joins against
+    a (doc_id, source) projection — AQE broadcasts them when the doc
+    map fits, else they shuffle on doc_id, never on the hot source key;
+    the final matrix aggregate is map-side-combinable over at most
+    |sources|² cells."""
+    from khronus_spark.operators.dedup import minhash_md5_pairs
+
+    pairs = minhash_md5_pairs(docs)
+    src = docs.select("doc_id", "source")
+    labeled = (
+        pairs.join(src.withColumnRenamed("source", "src_a"), pairs.doc_a == src.doc_id)
+        .drop("doc_id")
+        .join(
+            src.select(
+                F.col("doc_id").alias("_did"), F.col("source").alias("src_b")
+            ),
+            F.col("doc_b") == F.col("_did"),
+        )
+        .select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+    )
+    counts = labeled.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    sizes = docs.groupBy(F.col("source").alias("source_a")).agg(
+        F.count(F.lit(1)).alias("n_docs_a")
+    )
+    return counts.join(sizes, "source_a")
+
+
+def source_overlap_matrix_sql() -> str:
+    from khronus_spark.operators.dedup import minhash_md5_pairs_sql
+
+    base = minhash_md5_pairs_sql().strip()
+    assert base.startswith("WITH ")
+    head, final = base.split("SELECT a.doc_id AS doc_a", 1)
+    ctes = head[len("WITH"):].strip().rstrip(",")
+    return f"""
+WITH {ctes},
+mh AS (SELECT a.doc_id AS doc_a{final}),
+labeled AS (
+  SELECT least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b
+  FROM mh
+  JOIN documents da ON mh.doc_a = da.doc_id
+  JOIN documents db ON mh.doc_b = db.doc_id
+),
+counts AS (
+  SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+  FROM labeled GROUP BY source_a, source_b
+),
+sizes AS (
+  SELECT source AS source_a, CAST(count(*) AS BIGINT) AS n_docs_a
+  FROM documents GROUP BY source
+)
+SELECT source_a, source_b, n_pairs, n_docs_a
+FROM counts JOIN sizes USING (source_a)
+"""

@@ -481,3 +481,15 @@ def test_leakage_safe_split_deterministic_under_repartition(spark):
         for r in leakage_safe_split(docs.repartition(7)).collect()
     )
     assert a == b
+
+
+def test_source_overlap_matrix_accounts_every_pair(spark, oracle_sf_dir):
+    from khronus_spark.operators.curation import source_overlap_matrix
+    from khronus_spark.operators.dedup import minhash_md5_pairs
+
+    docs = spark.read.parquet(f"{oracle_sf_dir}/documents.parquet")
+    m = source_overlap_matrix(docs).collect()
+    assert all(r["source_a"] <= r["source_b"] for r in m)
+    # every candidate pair lands in exactly one unordered cell
+    assert sum(r["n_pairs"] for r in m) == minhash_md5_pairs(docs).count()
+    assert all(r["n_docs_a"] > 0 for r in m)
