@@ -577,7 +577,7 @@ GROUP BY b.doc_id
 
 
 def bloom_decontamination(
-    docs: DataFrame, eval_mod: int = 11, n: int = 3
+    docs: DataFrame, eval_mod: int = 11, n: int = 3, bits: int = 1 << 20
 ) -> DataFrame:
     """Benchmark decontamination through a Bloom filter instead of a
     direct shingle join: the eval set's n-gram shingles are folded into
@@ -591,9 +591,13 @@ def bloom_decontamination(
     negatives, so n_bloom_hits ≥ the exact n_overlap for every document
     (tests pin the invariant). The trade at 100 TB: the exact path must
     broadcast every distinct eval shingle (10^5-10^7 strings); the
-    Bloom path broadcasts a CONSTANT 8 KB regardless, and the filter
-    merges across eval suites by cellwise bit_or
-    (operators/sketches.py::bloom_build/bloom_probe).
+    Bloom path broadcasts bits/8 BYTES regardless of how many shingles
+    went in, and the filter merges across eval suites by cellwise
+    bit_or (operators/sketches.py::bloom_build/bloom_probe). Size the
+    bitmap to the suite — m ≈ 16·n keys keeps FP ≈ 1e-4, and the filter
+    SATURATES (FP → 1, still never-false-negative) once n approaches
+    m/4 (measured: scripts/bloom_sweep.py). The 2^20 default (256 KB
+    broadcast) covers eval suites to ~65 k distinct shingles.
     """
     from khronus_spark.operators.sketches import bloom_build, bloom_probe
 
@@ -604,7 +608,7 @@ def bloom_decontamination(
         .select(F.explode(F.array_distinct(shingle_array(n))).alias("key"))
         .distinct()
     )
-    bloom = bloom_build(ev_shingles, "key")
+    bloom = bloom_build(ev_shingles, "key", bits)
     corpus = (
         spread(docs)
         .where(~is_eval)
@@ -612,7 +616,7 @@ def bloom_decontamination(
         .select("doc_id", F.explode(F.array_distinct(shingle_array(n))).alias("key"))
     )
     return (
-        bloom_probe(corpus, bloom)
+        bloom_probe(corpus, bloom, bits=bits)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
@@ -627,21 +631,22 @@ def bloom_decontamination(
     )
 
 
-def bloom_decontamination_sql(eval_mod: int = 11, n: int = 3) -> str:
+def bloom_decontamination_sql(
+    eval_mod: int = 11, n: int = 3, bits: int = 1 << 20
+) -> str:
     """The identical Bloom spec in DuckDB SQL."""
     from khronus_spark.operators.sketches import (
-        BLOOM_BITS,
         BLOOM_K,
         BLOOM_WORD,
         _bloom_bit_duck,
     )
 
     bit_rows = "\nUNION ALL\n".join(
-        f"SELECT {_bloom_bit_duck(j, 'key')} AS bit FROM ev"
+        f"SELECT {_bloom_bit_duck(j, 'key', bits)} AS bit FROM ev"
         for j in range(BLOOM_K)
     )
     probe_bits = ",\n         ".join(
-        f"{_bloom_bit_duck(j, 'key')} AS b{j}" for j in range(BLOOM_K)
+        f"{_bloom_bit_duck(j, 'key', bits)} AS b{j}" for j in range(BLOOM_K)
     )
     joins = "\n  ".join(
         f"LEFT JOIN bloom w{j} ON w{j}.word_idx = p.b{j} // {BLOOM_WORD}"

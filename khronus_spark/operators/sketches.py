@@ -363,51 +363,55 @@ FROM folded
 # Bloom filter — fixed-size mergeable membership sketch
 # ---------------------------------------------------------------------------
 
-#: 2^16 bits packed into 32-bit words (stored in BIGINT so every mask is
-#: positive on both engines), k = 4 hash probes. Same cross-engine
-#: integer spec discipline as the HLL/CMS above: bit_j(key) =
-#: md5-first-60-bits('<j>:' || key) mod 2^16, so Spark and DuckDB build
-#: bit-identical word tables. False-positive rate at n eval keys:
-#: (1 - e^(-k·n/m))^k — ~2.4e-5 at n = 1 000, ~1.2% at n = 10 000.
-#: Why it matters at 100 TB: the filter is AT MOST 2 048 rows (8 KB of
-#: set bits) no matter how many keys were inserted, so membership
-#: against a huge corpus is k broadcast hash joins — map-side only,
-#: cheaper than broadcasting the eval keys themselves once the eval set
-#: outgrows the bitmap. Two filters over the same spec MERGE by
-#: cellwise bit_or (tests pin it), so per-shard/per-day builds roll up
-#: without revisiting raw data.
+#: Bitmap bits are a PARAMETER (default 2^16), packed into 32-bit words
+#: (stored in BIGINT so every mask is positive on both engines), k = 4
+#: hash probes. Same cross-engine integer spec discipline as the
+#: HLL/CMS above: bit_j(key) = md5-first-60-bits('<j>:' || key) mod m,
+#: so Spark and DuckDB build bit-identical word tables for any m.
+#:
+#: SIZING RULE (measured in scripts/bloom_sweep.py): FP rate at n
+#: inserted keys is (1 - e^(-k·n/m))^k — at k = 4 that is ~1% at
+#: m ≈ 14·n and saturates (FP → 1) once n approaches m/4. Pick
+#: m = next power of two ≥ 16·n; the word table is m/32 rows — 2^20
+#: bits is 32 768 rows ≈ 256 KB, still a trivial broadcast, and covers
+#: n ≈ 65 k at ~1e-4 FP. The filter's value at 100 TB: the broadcast is
+#: m/8 BYTES no matter how many keys were inserted, so membership
+#: against a huge corpus stays k broadcast word-lookups even when the
+#: eval key set itself would no longer broadcast. Two filters built
+#: with the same m MERGE by cellwise bit_or (tests pin it), so
+#: per-shard/per-day builds roll up without revisiting raw data.
 BLOOM_BITS = 1 << 16
 BLOOM_WORD = 32
 BLOOM_K = 4
 
 
-def _bloom_bit(j: int, key_expr: str) -> str:
+def _bloom_bit(j: int, key_expr: str, bits: int = BLOOM_BITS) -> str:
     """Probe-j bit index of a key (Spark SQL expression string)."""
     return (
         f"CAST(conv(substring(md5(concat('{j}', ':', "
-        f"CAST(({key_expr}) AS STRING))), 1, 15), 16, 10) AS BIGINT) % {BLOOM_BITS}"
+        f"CAST(({key_expr}) AS STRING))), 1, 15), 16, 10) AS BIGINT) % {bits}"
     )
 
 
-def _bloom_bit_duck(j: int, key_expr: str) -> str:
+def _bloom_bit_duck(j: int, key_expr: str, bits: int = BLOOM_BITS) -> str:
     """The identical probe-j bit index in DuckDB SQL."""
     return (
         f"((('0x' || substr(md5('{j}' || ':' || "
-        f"CAST(({key_expr}) AS VARCHAR)), 1, 15))::UBIGINT % {BLOOM_BITS})::BIGINT)"
+        f"CAST(({key_expr}) AS VARCHAR)), 1, 15))::UBIGINT % {bits})::BIGINT)"
     )
 
 
-def bloom_build(df: DataFrame, key_expr: str) -> DataFrame:
+def bloom_build(df: DataFrame, key_expr: str, bits: int = BLOOM_BITS) -> DataFrame:
     """(word_idx, word) — the packed bitmap of the key set, only
     non-empty words materialized. One map-side-combinable aggregation
-    (bit_or partials collapse to ≤ 2 048 rows per partition)."""
-    bits = df.select(
+    (bit_or partials collapse to ≤ bits/32 rows per partition)."""
+    bit_rows = df.select(
         F.explode(
-            F.array(*[F.expr(_bloom_bit(j, key_expr)) for j in range(BLOOM_K)])
+            F.array(*[F.expr(_bloom_bit(j, key_expr, bits)) for j in range(BLOOM_K)])
         ).alias("bit")
     )
     return (
-        bits.withColumn("word_idx", F.expr(f"bit div {BLOOM_WORD}"))
+        bit_rows.withColumn("word_idx", F.expr(f"bit div {BLOOM_WORD}"))
         .withColumn(
             "mask", F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(bit % {BLOOM_WORD} AS INT))")
         )
@@ -423,16 +427,22 @@ def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     )
 
 
-def bloom_probe(keys: DataFrame, bloom: DataFrame, key_expr: str = "key") -> DataFrame:
+def bloom_probe(
+    keys: DataFrame,
+    bloom: DataFrame,
+    key_expr: str = "key",
+    bits: int = BLOOM_BITS,
+) -> DataFrame:
     """Append `maybe_present` to `keys`: true iff all k probe bits are
-    set — possibly a false positive, NEVER a false negative. The filter
-    joins as k broadcast hash joins on word_idx (≤ 2 048 build rows
-    each), so the probe side never shuffles."""
+    set — possibly a false positive, NEVER a false negative. `bits`
+    must match the build. The filter joins as k broadcast hash joins on
+    word_idx (≤ bits/32 build rows each), so the probe side never
+    shuffles."""
     out = keys
     hit_cols = []
     for j in range(BLOOM_K):
         out = (
-            out.withColumn(f"_b{j}", F.expr(_bloom_bit(j, key_expr)))
+            out.withColumn(f"_b{j}", F.expr(_bloom_bit(j, key_expr, bits)))
             .join(
                 F.broadcast(
                     bloom.select(
