@@ -116,6 +116,7 @@ _PRIORITY = [
     "c4_span_removal",  # new in round 4, never driver-checked
     "leakage_safe_split",  # new in round 4, never driver-checked
     "source_overlap_matrix",  # new in round 4, never driver-checked
+    "unigram_surprisal",  # new in round 4, never driver-checked
     "dup_ngram_5",
     "duplicate_spans",
     # -- longest unchecked: green only in round 1 ------------------------
@@ -2456,6 +2457,17 @@ def quality_classifier_score(spark, sf_dir):
     (operators/text.py::quality_classifier_score)."""
     docs = load_table(spark, sf_dir, "documents")
     return text_ops.quality_classifier_score(docs)
+
+
+@register("unigram_surprisal", text_ops.unigram_surprisal_sql())
+def unigram_surprisal(spark, sf_dir):
+    """LM-style quality filter, integer-exact: per-doc unigram
+    surprisal under the corpus's own distribution, with floor-log2
+    (bit length) standing in for log2 so no float enters either
+    engine's plan — the CCNet perplexity filter's role
+    (operators/text.py::unigram_surprisal)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.unigram_surprisal(docs)
 
 
 @register("dup_ngram_5", text_ops.dup_ngram_fraction_sql(5))

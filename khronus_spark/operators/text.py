@@ -1459,3 +1459,83 @@ SELECT doc_id,
 FROM f
 GROUP BY doc_id
 """
+
+
+def unigram_surprisal(docs: DataFrame) -> DataFrame:
+    """Language-model quality filtering, integer-exact: per document,
+    the total and mean unigram surprisal of its tokens under the
+    corpus's own unigram distribution — the CCNet/Wikipedia-LM
+    perplexity filter's role (docs whose tokens are globally rare score
+    high = "surprising"; boilerplate scores low), with floor-log2
+    standing in for log2 so both engines agree BIT-EXACTLY:
+
+        surprisal(tok) ≈ bitlen(N_tokens) - bitlen(count(tok))
+
+    where bitlen(x) = length(bin(x)) is the integer bit length (both
+    engines render bin() without leading zeros — the same trick as the
+    HLL rho). Each term is within 1 bit of -log2(count/N) ± 1, which is
+    ample for a keep/drop threshold, and no float ever enters the
+    plan. Output: (doc_id, n_tokens, surprisal_bits, mean_surprisal_mbits)
+    — mean in milli-bits (integer div, ×1000).
+
+    Shape at 100 TB: token counts are one map-side-combinable groupBy
+    (hot stop words pre-fold in every partition); the corpus total is a
+    broadcast scalar; the count join back is doc-salted exactly like
+    the gram joins (a stop word appears in every document — the
+    unsalted join would serialize it into one task)."""
+    toks = docs.select("doc_id", F.explode(_tokens()).alias("w"))
+    occ = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("k"))
+    counts = occ.groupBy("w").agg(F.sum("k").alias("c"))
+    total = counts.agg(F.sum("c").alias("n")).select(
+        F.lit(1).alias("_one"), "n"
+    )
+    salted = occ.withColumn("_salt", (F.col("doc_id") % _GRAM_SALT).cast("int"))
+    counts_salted = counts.select(
+        "w",
+        "c",
+        F.explode(F.sequence(F.lit(0), F.lit(_GRAM_SALT - 1))).alias("_salt"),
+    )
+    return (
+        salted.join(counts_salted, ["w", "_salt"])
+        .withColumn("_one", F.lit(1))
+        .join(F.broadcast(total), "_one")
+        .withColumn(
+            "bits", F.expr("length(bin(n)) - length(bin(c))")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_tokens"),
+            F.sum(F.expr("k * CAST(bits AS BIGINT)")).alias("surprisal_bits"),
+        )
+        .withColumn(
+            "mean_surprisal_mbits",
+            F.expr("surprisal_bits * 1000L div n_tokens"),
+        )
+    )
+
+
+def unigram_surprisal_sql() -> str:
+    return r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS k FROM toks GROUP BY doc_id, w
+),
+counts AS (
+  SELECT w, CAST(sum(k) AS BIGINT) AS c FROM occ GROUP BY w
+),
+total AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM counts),
+scored AS (
+  SELECT occ.doc_id, occ.k,
+         length(bin(total.n)) - length(bin(counts.c)) AS bits
+  FROM occ JOIN counts USING (w) CROSS JOIN total
+)
+SELECT doc_id,
+       CAST(sum(k) AS BIGINT) AS n_tokens,
+       CAST(sum(k * bits) AS BIGINT) AS surprisal_bits,
+       CAST(sum(k * bits) * 1000 // sum(k) AS BIGINT) AS mean_surprisal_mbits
+FROM scored
+GROUP BY doc_id
+"""

@@ -493,3 +493,31 @@ def test_source_overlap_matrix_accounts_every_pair(spark, oracle_sf_dir):
     # every candidate pair lands in exactly one unordered cell
     assert sum(r["n_pairs"] for r in m) == minhash_md5_pairs(docs).count()
     assert all(r["n_docs_a"] > 0 for r in m)
+
+
+def test_unigram_surprisal_rare_tokens_score_higher(spark):
+    from khronus_spark.operators.text import unigram_surprisal
+
+    common = " ".join(["the"] * 20)
+    docs = spark.createDataFrame(
+        [(1, common), (2, common), (3, common), (4, "zq1 zq2 zq3 zq4 zq5")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in unigram_surprisal(docs).collect()}
+    # the all-boilerplate docs score low; the all-rare doc scores high
+    assert rows[4]["mean_surprisal_mbits"] > rows[1]["mean_surprisal_mbits"]
+    # bit-exact floor-log2 check: N=65, 'the' count=60 -> 7-6=1 bit/token
+    assert rows[1]["surprisal_bits"] == 20
+    # rare tokens: count=1 -> bitlen(65)-bitlen(1) = 7-1 = 6 bits each
+    assert rows[4]["surprisal_bits"] == 5 * 6
+    assert rows[4]["n_tokens"] == 5
+
+
+def test_unigram_surprisal_count_join_is_salted(spark):
+    from khronus_spark.operators.text import unigram_surprisal
+
+    docs = spark.createDataFrame(
+        [(i, "the the quick fox") for i in range(5)], "doc_id long, text string"
+    )
+    plan = unigram_surprisal(docs)._jdf.queryExecution().optimizedPlan().toString()
+    assert "_salt" in plan
