@@ -117,6 +117,7 @@ _PRIORITY = [
     "leakage_safe_split",  # new in round 4, never driver-checked
     "source_overlap_matrix",  # new in round 4, never driver-checked
     "unigram_surprisal",  # new in round 4, never driver-checked
+    "kmeans_inertia",  # new in round 4, never driver-checked
     "dup_ngram_5",
     "duplicate_spans",
     # -- longest unchecked: green only in round 1 ------------------------
@@ -2511,6 +2512,16 @@ def corpus_curation(spark, sf_dir):
     canonical keep → deterministic sample → per-language accounting."""
     docs = load_table(spark, sf_dir, "documents")
     return curation_ops.curation_stats(docs)
+
+
+@register("kmeans_inertia", clustering_ops.kmeans_inertia_sql())
+def kmeans_inertia(spark, sf_dir):
+    """Cluster-quality audit: per-cluster population + exact integer
+    inertia (sum/mean/max quantized d²) — the watch-numbers that
+    validate k before SemDeDup's pair stage
+    (operators/clustering.py::kmeans_inertia)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return clustering_ops.kmeans_inertia(emb)
 
 
 @register("kmeans_embeddings", clustering_ops.kmeans_sql())

@@ -379,3 +379,39 @@ def kmeans_sql(k: int = K, iters: int = ITERS) -> str:
         f"WITH {kmeans_ctes(k, iters)}\n"
         "SELECT vec_id, cid AS cluster, CAST(d AS BIGINT) AS dist_q FROM final"
     )
+
+
+def kmeans_inertia(
+    embeddings: DataFrame, k: int = K, iters: int = ITERS, mode: str = ASSIGN_MODE
+) -> DataFrame:
+    """Cluster-quality audit: per final cluster, its population and the
+    exact integer inertia (sum / mean / max of the quantized squared L2
+    distance to the centroid). The numbers a pipeline watches to decide
+    whether k or the iteration budget is adequate before trusting
+    SemDeDup's within-cluster pair stage — an oversized max_d flags a
+    catch-all cluster whose pair stage will blow past the ~N^1.5 bound.
+
+    Shape at 100 TB: one map-side-combinable aggregation over the
+    assignment output (≤ k rows out); inherits the zero-expansion Arrow
+    assignment, so nothing here shuffles more than N rows."""
+    a = kmeans_assignments(embeddings, k, iters, mode)
+    return (
+        a.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("dist_q").alias("inertia_q"),
+            F.max("dist_q").alias("max_d_q"),
+        )
+        .withColumn("mean_d_q", F.expr("inertia_q div n_vectors"))
+    )
+
+
+def kmeans_inertia_sql(k: int = K, iters: int = ITERS) -> str:
+    return (
+        f"WITH {kmeans_ctes(k, iters)}\n"
+        "SELECT cid AS cluster, CAST(count(*) AS BIGINT) AS n_vectors,\n"
+        "       CAST(sum(d) AS BIGINT) AS inertia_q,\n"
+        "       CAST(max(d) AS BIGINT) AS max_d_q,\n"
+        "       CAST(sum(d) // count(*) AS BIGINT) AS mean_d_q\n"
+        "FROM final GROUP BY cid"
+    )
