@@ -37,6 +37,7 @@ from khronus_spark.operators import clustering as clustering_ops
 from khronus_spark.operators import components as components_ops
 from khronus_spark.operators import curation as curation_ops
 from khronus_spark.operators import dedup as dedup_ops
+from khronus_spark.operators import projection as proj_ops
 from khronus_spark.operators import quantize as quant_ops
 from khronus_spark.operators import similarity as sim_ops
 from khronus_spark.operators import sketches as sketches_ops
@@ -118,6 +119,11 @@ _PRIORITY = [
     "source_overlap_matrix",  # new in round 4, never driver-checked
     "unigram_surprisal",  # new in round 4, never driver-checked
     "kmeans_inertia",  # new in round 4, never driver-checked
+    "embedding_rp_project",  # new in round 4, never driver-checked
+    "ann_rp_topk",  # new in round 4, never driver-checked
+    "bigram_surprisal",  # new in round 4, never driver-checked
+    "minhash_calibration",  # new in round 4, never driver-checked
+    "dedup_cluster_sizes",  # new in round 4, never driver-checked
     "dup_ngram_5",
     "duplicate_spans",
     # -- longest unchecked: green only in round 1 ------------------------
@@ -146,18 +152,6 @@ _PRIORITY = [
     "events_top_users",
     "doc_fingerprint",
     "near_dup_jaccard",
-    "simhash_md5",
-    "doc_content_sample_25",
-    "doc_rolling_fingerprint",
-    "quality_score",
-    "lang_id",
-    "doc_top_terms_tfidf",
-    "dedup_components_minhash",
-    "training_batch_assembly",
-    "approx_distinct_users_hll",
-    "events_distinct_users_salted",
-    # -- next-longest unchecked: green only in round 2 -------------------
-    "reservoir_sample_per_lang",
 ]
 
 
@@ -3538,3 +3532,60 @@ def ts_hdr_summary_5m(spark, sf_dir):
 
     m = measurements_from_events(spark, sf_dir).where(F.col("mtype") == "timer")
     return state_summary(histogram_state(m, 300_000))
+
+
+# ---------------------------------------------------------------- round 4b:
+# random projection, LM-quality, and dedup-audit operators
+
+
+@register("embedding_rp_project", proj_ops.rp_project_sql())
+def embedding_rp_project(spark, sf_dir):
+    """Johnson-Lindenstrauss random projection (operators/projection.py):
+    64-dim embeddings to 16 dims through an in-engine md5-derived +/-1
+    Rademacher matrix, exact int64 — the standard pre-pass that cuts
+    every downstream distance computation 4x. Map-only, zero shuffle;
+    both engines derive the same matrix independently from the hash
+    spec (nothing shipped as literals)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return proj_ops.rp_project(emb)
+
+
+@register("ann_rp_topk", proj_ops.rp_topk_sql(list(range(5)), k=3, n_candidates=20))
+def ann_rp_topk(spark, sf_dir):
+    """Two-stage retrieval over the JL projection: candidate generation
+    in 16-dim projected space (4x cheaper scan), exact 64-dim integer-L2
+    rerank of the survivors. Recall vs the exact top-k is measured in
+    tests (test_similarity.py), not assumed."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return proj_ops.rp_topk(emb, probe_ids=list(range(5)), k=3, n_candidates=20)
+
+
+@register("bigram_surprisal", text_ops.bigram_surprisal_sql())
+def bigram_surprisal(spark, sf_dir):
+    """Conditional bigram LM quality filter (operators/text.py) — the
+    CCNet-style perplexity filter one order up from unigram_surprisal,
+    in exact integer bit-length arithmetic; both count joins salted
+    (stop-word prefixes and hot bigrams would serialize an unsalted
+    join into one task)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.bigram_surprisal(docs)
+
+
+@register("minhash_calibration", dedup_ops.minhash_calibration_sql())
+def minhash_calibration(spark, sf_dir):
+    """Estimator audit for the MinHash pipeline (operators/dedup.py):
+    per LSH candidate pair, estimated signature Jaccard next to the
+    exact shingle Jaccard — the table that sets the dedup threshold
+    from measurement instead of the 1/sqrt(k) textbook bound."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_ops.minhash_calibration(docs)
+
+
+@register("dedup_cluster_sizes", components_ops.component_size_profile_sql())
+def dedup_cluster_sizes(spark, sf_dir):
+    """Near-dup cluster size histogram (operators/components.py): the
+    curation diagnostic that predicts how much dedup will shrink the
+    corpus and flags boilerplate-dominated sources before canonical
+    filtering."""
+    docs = load_table(spark, sf_dir, "documents")
+    return components_ops.component_size_profile(docs)

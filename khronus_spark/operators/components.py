@@ -219,3 +219,44 @@ def minhash_components_sql() -> str:
 WITH RECURSIVE {minhash_components_ctes()}
 SELECT src AS doc_id, min(dst) AS component_id FROM reach GROUP BY src
 """
+
+
+def component_size_profile(docs: DataFrame) -> DataFrame:
+    """Duplicate-cluster size histogram over the MinHash near-dup graph:
+    (cluster_size, n_clusters, n_docs). The curation diagnostic read
+    before deduplicating — a power-law tail of huge clusters means
+    boilerplate/mirror content dominates (dedup will shrink the corpus
+    far more than the pair count suggests), while all-size-2 clusters
+    mean simple copies. Singleton docs never enter an edge list, so the
+    profile covers clustered docs only (size ≥ 2 by construction).
+
+    Scale shape: inherits the star-contraction component map (O(log² n)
+    rounds, edges never collected); both rollups here are map-side-
+    combinable groupBys whose output is bounded by the number of
+    DISTINCT cluster sizes — tiny at any corpus scale."""
+    comps = minhash_duplicate_components(docs)
+    sizes = comps.groupBy("component_id").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        sizes.groupBy("sz")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("sz").alias("n_docs"),
+        )
+        .select(
+            F.col("sz").alias("cluster_size"),
+            "n_clusters",
+            "n_docs",
+        )
+    )
+
+
+def component_size_profile_sql() -> str:
+    return f"""
+WITH RECURSIVE {minhash_components_ctes()},
+comp AS (SELECT src AS doc_id, min(dst) AS component_id FROM reach GROUP BY src),
+sizes AS (SELECT component_id, count(*) AS sz FROM comp GROUP BY component_id)
+SELECT CAST(sz AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(sz) AS BIGINT) AS n_docs
+FROM sizes GROUP BY sz
+"""

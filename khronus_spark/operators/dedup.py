@@ -699,3 +699,109 @@ SELECT doc_id,
 FROM flags
 GROUP BY doc_id
 """
+
+
+def _minhash_md5_sig_sets(
+    docs: DataFrame, num_hashes: int = 8, n: int = 3
+) -> DataFrame:
+    """(doc_id, sig: array<long>, shset: sorted distinct shingles) — the
+    md5-family signature plus the exact shingle set, one map pass."""
+    from khronus_spark.sources.tables import spread
+
+    toks = spread(docs).select("doc_id", _tokens().alias("t"))
+    sh = toks.select("doc_id", shingle_array(n).alias("sh"))
+    sig = F.array(
+        *[
+            F.expr(
+                "aggregate(sh, 9223372036854775807L, "
+                "(acc, s) -> least(acc, %s))" % _md5_60("concat(s, '#%d')" % i)
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return sh.select(
+        "doc_id",
+        sig.alias("sig"),
+        F.array_sort(F.array_distinct("sh")).alias("shset"),
+    )
+
+
+def minhash_calibration(
+    docs: DataFrame, num_hashes: int = 8, bands: int = 2, n: int = 3
+) -> DataFrame:
+    """Measure-don't-guess audit for the MinHash pipeline: for every LSH
+    candidate pair, the ESTIMATED Jaccard (fraction of agreeing
+    signature components, per-mille floor) next to the EXACT shingle
+    Jaccard — (doc_a, doc_b, n_shared_bands, est_jaccard_pm,
+    exact_jaccard_pm). This is the table a curation pipeline reads to
+    pick its keep/drop threshold: it shows the estimator's bias and
+    spread at the operating point instead of trusting the 1/√k
+    textbook bound, and exposes band-collision false positives (low
+    exact, nonzero est) before they delete real documents.
+
+    Scale shape: signatures and shingle sets are one map-only pass; the
+    candidate set is the banded join's output (linear, not all-pairs);
+    the two joins back are doc_id equi-joins against unique keys; the
+    per-pair exact Jaccard intersects two bounded-by-doc-length sorted
+    arrays — no corpus self-join anywhere."""
+    pairs = minhash_md5_pairs(docs, num_hashes, bands, n)
+    s = _minhash_md5_sig_sets(docs, num_hashes, n)
+    sa = s.select(
+        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa"),
+        F.col("shset").alias("sha"),
+    )
+    sb = s.select(
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb"),
+        F.col("shset").alias("shb"),
+    )
+    matches_sql = (
+        "aggregate(zip_with(sa, sb, (x, y) -> IF(x = y, 1L, 0L)), "
+        "0L, (acc, v) -> acc + v)"
+    )
+    inter = F.size(F.array_intersect("sha", "shb")).cast("long")
+    uni = (F.size("sha") + F.size("shb")).cast("long") - inter
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared_bands",
+            F.expr(f"({matches_sql}) * 1000L div {num_hashes}").alias(
+                "est_jaccard_pm"
+            ),
+            (inter * F.lit(1000)).alias("_in1000"),
+            uni.alias("_uni"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared_bands",
+            "est_jaccard_pm",
+            F.expr("_in1000 div _uni").alias("exact_jaccard_pm"),
+        )
+    )
+
+
+def minhash_calibration_sql(num_hashes: int = 8, bands: int = 2, n: int = 3) -> str:
+    base = minhash_md5_pairs_sql(num_hashes, bands, n).strip()
+    assert base.startswith("WITH ")
+    head, final = base.split("SELECT a.doc_id AS doc_a", 1)
+    ctes = head[len("WITH"):].strip().rstrip(",").rstrip()
+    inter = "len(list_intersect(xa.shset, xb.shset))"
+    return f"""
+WITH {ctes},
+mh AS (SELECT a.doc_id AS doc_a{final}),
+shd AS (SELECT doc_id, list_sort(list_distinct(sh)) AS shset FROM sh)
+SELECT mh.doc_a, mh.doc_b, mh.n_shared_bands,
+       CAST(list_sum(list_transform(range(1, {num_hashes + 1}),
+            i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
+            * 1000 // {num_hashes} AS BIGINT) AS est_jaccard_pm,
+       CAST({inter} * 1000 //
+            (len(xa.shset) + len(xb.shset) - {inter}) AS BIGINT) AS exact_jaccard_pm
+FROM mh
+JOIN sigs sa ON sa.doc_id = mh.doc_a
+JOIN sigs sb ON sb.doc_id = mh.doc_b
+JOIN shd xa ON xa.doc_id = mh.doc_a
+JOIN shd xb ON xb.doc_id = mh.doc_b
+"""

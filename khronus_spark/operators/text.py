@@ -1539,3 +1539,123 @@ SELECT doc_id,
 FROM scored
 GROUP BY doc_id
 """
+
+
+def bigram_surprisal(docs: DataFrame) -> DataFrame:
+    """Conditional (bigram) LM quality filter, integer-exact — the
+    next-order refinement of ``unigram_surprisal``: per document, the
+    total and mean CONDITIONAL surprisal of each token given its
+    predecessor, under the corpus's own bigram distribution:
+
+        surprisal(w2 | w1) ≈ bitlen(c(w1·)) − bitlen(c(w1 w2))
+
+    with bitlen(x) = length(bin(x)) (the same floor-log2 trick as the
+    unigram filter and the HLL rho), where c(w1·) is the count of
+    bigrams starting with w1 and c(w1 w2) the bigram count. Repetitive
+    or templated text has highly-predictable continuations (low bits);
+    incoherent token soup scores high — the two-sided filter the CCNet
+    pipeline applies with a real LM, in exact integer arithmetic that
+    both engines reproduce bit-for-bit.
+
+    Output: (doc_id, n_bigrams, surprisal_bits, mean_surprisal_mbits) —
+    one row per document; docs with fewer than 2 tokens get 0 bigrams
+    and a NULL mean.
+
+    Shape at 100 TB: bigram counts are one map-side-combinable groupBy;
+    the prefix-count table derives from the (already aggregated) bigram
+    table, never from the corpus; BOTH joins back are salted — the
+    prefix join keys on a stop word for a huge fraction of distinct
+    bigrams, and the count join keys on hot bigrams ("of the") that an
+    unsalted join would serialize into one task (the same AQE-can't-
+    split-agg-fused-shapes finding as the gram joins, text.py:336)."""
+    bg_expr = (
+        "CASE WHEN size(t) >= 2 THEN transform(sequence(1, size(t) - 1), "
+        "i -> concat(element_at(t, i), ' ', element_at(t, i + 1))) "
+        "ELSE array() END"
+    )
+    toks = docs.select("doc_id", _tokens().alias("t"))
+    bgs = toks.select("doc_id", F.explode(F.expr(bg_expr)).alias("bg"))
+    occ = bgs.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("k"))
+    c2 = occ.groupBy("bg").agg(F.sum("k").alias("c12"))
+    # prefix counts from the aggregated bigram table (never the corpus)
+    c1 = (
+        c2.select(F.expr("split(bg, ' ')[0]").alias("w1"), "c12")
+        .groupBy("w1")
+        .agg(F.sum("c12").alias("c1"))
+    )
+    # salted prefix join: probe = distinct bigrams keyed by first word
+    c2_salted = c2.withColumn(
+        "_salt", F.pmod(F.xxhash64("bg"), F.lit(_GRAM_SALT)).cast("int")
+    ).withColumn("w1", F.expr("split(bg, ' ')[0]"))
+    c1_salted = c1.select(
+        "w1",
+        "c1",
+        F.explode(F.sequence(F.lit(0), F.lit(_GRAM_SALT - 1))).alias("_salt"),
+    )
+    bits = (
+        c2_salted.join(c1_salted, ["w1", "_salt"])
+        .select("bg", F.expr("length(bin(c1)) - length(bin(c12))").alias("bits"))
+    )
+    # salted count join back onto per-doc occurrences (house pattern)
+    occ_salted = occ.withColumn("_salt", (F.col("doc_id") % _GRAM_SALT).cast("int"))
+    bits_salted = bits.select(
+        "bg",
+        "bits",
+        F.explode(F.sequence(F.lit(0), F.lit(_GRAM_SALT - 1))).alias("_salt"),
+    )
+    agg = (
+        occ_salted.join(bits_salted, ["bg", "_salt"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("nb"),
+            F.sum(F.expr("k * CAST(bits AS BIGINT)")).alias("sb"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("nb"), F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce(F.col("sb"), F.lit(0)).cast("long").alias("surprisal_bits"),
+            F.expr(
+                "CASE WHEN coalesce(nb, 0L) > 0 THEN sb * 1000L div nb END"
+            ).alias("mean_surprisal_mbits"),
+        )
+    )
+
+
+def bigram_surprisal_sql() -> str:
+    return r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS bg
+  FROM toks, unnest(generate_series(1, len(t) - 1)) s(i)
+),
+occ AS (
+  SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS k FROM bg GROUP BY doc_id, bg
+),
+c2 AS (SELECT bg, CAST(sum(k) AS BIGINT) AS c12 FROM occ GROUP BY bg),
+c1 AS (
+  SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(c12) AS BIGINT) AS c1
+  FROM c2 GROUP BY 1
+),
+bits AS (
+  SELECT c2.bg, length(bin(c1.c1)) - length(bin(c2.c12)) AS bits
+  FROM c2 JOIN c1 ON split_part(c2.bg, ' ', 1) = c1.w1
+),
+agg AS (
+  SELECT occ.doc_id, sum(occ.k) AS nb, sum(occ.k * bits.bits) AS sb
+  FROM occ JOIN bits USING (bg)
+  GROUP BY occ.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(agg.nb, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(agg.sb, 0) AS BIGINT) AS surprisal_bits,
+       CAST(CASE WHEN coalesce(agg.nb, 0) > 0 THEN agg.sb * 1000 // agg.nb END
+            AS BIGINT) AS mean_surprisal_mbits
+FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+"""

@@ -1,0 +1,206 @@
+"""Random-projection (JL) operator tests: determinism, planted-neighbor
+recall, plan shape — plus unit tests for the round-4b audit operators
+(bigram surprisal, minhash calibration, component size profile)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from khronus_spark.operators import projection as proj
+from khronus_spark.operators.components import (
+    component_size_profile,
+    minhash_duplicate_components,
+)
+from khronus_spark.operators.dedup import minhash_calibration
+from khronus_spark.operators.text import bigram_surprisal
+from khronus_spark.sources.tables import load_table
+
+
+def _py_sign(i: int, j: int) -> int:
+    """Reference sign derivation — hashlib, independent of both engines."""
+    h = hashlib.md5(f"rp:{i}:{j}".encode()).hexdigest()
+    return (int(h[:15], 16) & 1) * 2 - 1
+
+
+def test_rp_sign_matrix_matches_hashlib(spark):
+    """The in-engine md5 sign matrix must equal the spec computed with
+    hashlib — pinning the derivation, not just cross-engine agreement."""
+    row = spark.range(1).select(F.expr(proj._sign_matrix_expr())).first()[0]
+    for j in range(proj.DIM_OUT):
+        for i in range(proj.DIM_IN):
+            assert row[j][i] == _py_sign(i, j), (i, j)
+
+
+def test_rp_project_is_linear_in_difference(spark, sf_dir):
+    """P(a) - P(b) must equal P over the element difference — the property
+    JL distance preservation rests on (the +1 quantization offset cancels
+    in pairwise differences)."""
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 4)
+    rows = proj.rp_project(emb).collect()
+    by_vec = {}
+    for r in rows:
+        by_vec.setdefault(r.vec_id, {})[r.j] = r.p
+    q = emb.select(
+        "vec_id", F.expr(proj._QUANT).alias("e")
+    ).collect()
+    qs = {r.vec_id: list(r.e) for r in q}
+    for a in (0, 1):
+        for b in (2, 3):
+            diff = [qs[a][i] - qs[b][i] for i in range(proj.DIM_IN)]
+            for j in range(proj.DIM_OUT):
+                pd = sum(diff[i] * _py_sign(i, j) for i in range(proj.DIM_IN))
+                assert by_vec[a][j] - by_vec[b][j] == pd
+
+
+def test_rp_project_plan_is_map_only(spark, oracle_sf_dir):
+    """The projection must be a broadcast-joined map pass: no hash
+    exchange anywhere (the only Exchange is the one-row sign-matrix
+    broadcast)."""
+    emb = load_table(spark, oracle_sf_dir, "embeddings")
+    plan = proj.rp_project(emb)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "Exchange hashpartitioning" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rp_topk_planted_near_neighbor_recall(spark, oracle_sf_dir):
+    """Two-stage retrieval must find PLANTED near neighbors (the
+    near-duplicate regime RP retrieval exists for) at recall 1.0 with a
+    small candidate budget. Uniform top-k over concentrated random
+    distances is NOT the operating envelope — the measured uniform
+    recall curve is recorded in ROUND4_NOTES.md."""
+    emb = load_table(spark, oracle_sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") < 10)
+    pert = base.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> "
+            "x + 0.001 * (CAST(vec_id + i AS DOUBLE) % 7.0 - 3.0) / 3.0)"
+        ).alias("embedding"),
+        "label",
+    )
+    corpus = emb.unionByName(pert)
+    probes = [10000 + v for v in range(10)]
+    got = proj.rp_topk(corpus, probes, k=1, n_candidates=10).collect()
+    assert len(got) == 10
+    for r in got:
+        assert r.neighbor_id == r.probe_id - 10000, r
+
+
+def test_rp_topk_matches_exact_when_candidates_cover(spark, sf_dir):
+    """With n_candidates = corpus size the two-stage result must equal
+    the exact integer-L2 top-k (rerank over everything)."""
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 60)
+    probes = [0, 1, 2]
+    full = proj.rp_topk(emb, probes, k=3, n_candidates=100).collect()
+    exact = proj.exact_l2_topk(emb, probes, k=3).collect()
+    key = lambda r: (r.probe_id, r.neighbor_id, r.d2)  # noqa: E731
+    assert sorted(map(key, full)) == sorted(map(key, exact))
+
+
+# ------------------------------------------------------------- bigram LM
+
+
+def test_bigram_surprisal_hand_case(spark):
+    """Tiny corpus checked by hand: bits(w2|w1) = bitlen(c1) - bitlen(c12)."""
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b c"), (2, "x")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in bigram_surprisal(docs).collect()}
+    # bigrams: doc0: "a b","b a","a b"; doc1: "a b","b c"; doc2: none
+    # c12: "a b"->3, "b a"->1, "b c"->1 ; c1: a->3, b->2
+    # bits: "a b": bitlen(3)-bitlen(3)=0; "b a": bitlen(2)-bitlen(1)=1
+    #       "b c": bitlen(2)-bitlen(1)=1
+    assert rows[0].n_bigrams == 3 and rows[0].surprisal_bits == 1
+    assert rows[1].n_bigrams == 2 and rows[1].surprisal_bits == 1
+    assert rows[1].mean_surprisal_mbits == 500
+    assert rows[2].n_bigrams == 0 and rows[2].surprisal_bits == 0
+    assert rows[2].mean_surprisal_mbits is None
+
+
+def test_bigram_surprisal_flags_predictable_text(spark):
+    """A doc that repeats one bigram is maximally predictable (every
+    prefix has one continuation → 0 bits); a doc whose shared prefix
+    fans out to many continuations must score strictly higher."""
+    docs = spark.createDataFrame(
+        [
+            (0, " ".join(["ping pong"] * 30)),
+            (1, "a b a c a d a e a f a g a h a i a j a k"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in bigram_surprisal(docs).collect()}
+    assert rows[0].mean_surprisal_mbits < rows[1].mean_surprisal_mbits
+
+
+def test_bigram_joins_are_salted(spark, oracle_sf_dir):
+    docs = load_table(spark, oracle_sf_dir, "documents")
+    plan = bigram_surprisal(docs)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "_salt" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+
+
+# ------------------------------------------------------- minhash calibration
+
+
+def test_minhash_calibration_bounds_and_identity(spark):
+    """Estimates and exact values live in [0, 1000]; an exact duplicate
+    pair must show est = exact = 1000."""
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog again"),
+            (1, "the quick brown fox jumps over the lazy dog again"),
+            (2, "entirely different words appear in this other document here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = minhash_calibration(docs).collect()
+    pair = {(r.doc_a, r.doc_b): r for r in rows}
+    assert (0, 1) in pair
+    assert pair[(0, 1)].est_jaccard_pm == 1000
+    assert pair[(0, 1)].exact_jaccard_pm == 1000
+    for r in rows:
+        assert 0 <= r.est_jaccard_pm <= 1000
+        assert 0 <= r.exact_jaccard_pm <= 1000
+
+
+def test_minhash_calibration_covers_all_candidates(spark, sf_dir):
+    """One calibration row per LSH candidate pair — the audit must not
+    drop or duplicate pairs."""
+    from khronus_spark.operators.dedup import minhash_md5_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_pairs = minhash_md5_pairs(docs).count()
+    cal = minhash_calibration(docs)
+    assert cal.count() == n_pairs
+    assert cal.select("doc_a", "doc_b").distinct().count() == n_pairs
+
+
+# --------------------------------------------------- component size profile
+
+
+def test_component_size_profile_consistency(spark, sf_dir):
+    """The histogram must tile the component map exactly: sizes >= 2,
+    n_docs = size * n_clusters per row, totals match the map."""
+    docs = load_table(spark, sf_dir, "documents")
+    comps = minhash_duplicate_components(docs)
+    prof = component_size_profile(docs).collect()
+    assert all(r.cluster_size >= 2 for r in prof)
+    assert all(r.n_docs == r.cluster_size * r.n_clusters for r in prof)
+    assert sum(r.n_docs for r in prof) == comps.count()
+    assert (
+        sum(r.n_clusters for r in prof)
+        == comps.select("component_id").distinct().count()
+    )
