@@ -124,6 +124,8 @@ _PRIORITY = [
     "bigram_surprisal",  # new in round 4, never driver-checked
     "minhash_calibration",  # new in round 4, never driver-checked
     "dedup_cluster_sizes",  # new in round 4, never driver-checked
+    "dedup_incremental_batch",  # new in round 4, never driver-checked
+    "vocab_oov_by_source",  # new in round 4, never driver-checked
     "dup_ngram_5",
     "duplicate_spans",
     # -- longest unchecked: green only in round 1 ------------------------
@@ -150,8 +152,6 @@ _PRIORITY = [
     "tpch_q5_regional_revenue",
     "events_user_daily",
     "events_top_users",
-    "doc_fingerprint",
-    "near_dup_jaccard",
 ]
 
 
@@ -3589,3 +3589,28 @@ def dedup_cluster_sizes(spark, sf_dir):
     filtering."""
     docs = load_table(spark, sf_dir, "documents")
     return components_ops.component_size_profile(docs)
+
+
+@register("dedup_incremental_batch", dedup_ops.incremental_dedup_sql())
+def dedup_incremental_batch(spark, sf_dir):
+    """Incremental batch-vs-corpus dedup (operators/dedup.py): the new
+    crawl (doc_id % 5 == 0 here) is checked against the persisted
+    banded MinHash index of the existing corpus — pre-aggregated to one
+    row per (band, bucket), so a mega-bucket costs 1 probe row — and
+    within itself. The corpus itself is never re-scanned."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    index = dedup_ops.minhash_md5_banded(corpus)
+    return dedup_ops.incremental_dedup(index, batch)
+
+
+@register("vocab_oov_by_source", text_ops.vocab_oov_profile_sql(top_v=12))
+def vocab_oov_by_source(spark, sf_dir):
+    """Per-source OOV audit against the corpus top-V vocabulary
+    (operators/text.py): the tokenizer-prep outlier detector — a dump
+    whose OOV rate spikes is in a different register than the vocab.
+    Vocabulary is the two-phase top-V, broadcast; the probe is one
+    map-side-combinable (source, term) groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.vocab_oov_profile(docs, top_v=12)

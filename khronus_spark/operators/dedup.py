@@ -805,3 +805,100 @@ JOIN sigs sb ON sb.doc_id = mh.doc_b
 JOIN shd xa ON xa.doc_id = mh.doc_a
 JOIN shd xb ON xb.doc_id = mh.doc_b
 """
+
+
+def incremental_dedup(
+    corpus_index: DataFrame,
+    new_docs: DataFrame,
+    num_hashes: int = 8,
+    bands: int = 2,
+    n: int = 3,
+) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING corpus without touching the
+    corpus again — the production shape for a continuously-crawled
+    100 TB store: the corpus is represented only by its persisted banded
+    MinHash index (doc_id, band, bucket), and each incoming batch is
+    checked (a) against that index and (b) within itself.
+
+    Output: one row per new doc — (doc_id, dup_of, dup_src) where
+    dup_of is the smallest duplicate partner (corpus doc or smaller-id
+    batch doc; NULL when unique) and dup_src ∈ {'corpus', 'batch',
+    NULL}.
+
+    Scale shape — the key observation: for presence + canonical
+    attribution the probe side never needs the full index, only the
+    PER-BUCKET MINIMUM doc id. The index pre-aggregates to one row per
+    (band, bucket) — a map-side-combinable min — so the new-vs-old join
+    probes a UNIQUE-key table and a mega-bucket of B corpus docs costs
+    1 row instead of B (no explosion, no skew, broadcastable when the
+    touched-bucket set is small). New-vs-new runs the standard
+    within-bucket pair expansion, bounded by batch size, with the
+    star-cap guard. Batch signatures are map-only."""
+    new_banded = minhash_md5_banded(new_docs, num_hashes, bands, n)
+    bucket_min = corpus_index.groupBy("band", "bucket").agg(
+        F.min("doc_id").alias("_m")
+    )
+    vs_old = (
+        new_banded.join(bucket_min, ["band", "bucket"])
+        .groupBy("doc_id")
+        .agg(F.min("_m").alias("o"))
+    )
+    pairs = bucket_pairs(new_banded, count_col=None)
+    vs_new = pairs.groupBy(F.col("doc_b").alias("doc_id")).agg(
+        F.min("doc_a").alias("p")
+    )
+    return (
+        new_docs.select("doc_id")
+        .join(vs_old, "doc_id", "left")
+        .join(vs_new, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.expr(
+                "CASE WHEN o IS NULL THEN p WHEN p IS NULL THEN o "
+                "WHEN o < p THEN o ELSE p END"
+            ).alias("dup_of"),
+            F.expr(
+                "CASE WHEN o IS NULL AND p IS NULL THEN NULL "
+                "WHEN p IS NULL OR (o IS NOT NULL AND o < p) THEN 'corpus' "
+                "ELSE 'batch' END"
+            ).alias("dup_src"),
+        )
+    )
+
+
+def incremental_dedup_sql(
+    batch_mod: int = 5, num_hashes: int = 8, bands: int = 2, n: int = 3
+) -> str:
+    """Oracle for the registry entry's split: docs with
+    doc_id % batch_mod = 0 are the incoming batch, the rest the indexed
+    corpus. The banded CTE chain is shared (bucketing is per-doc)."""
+    base = minhash_md5_pairs_sql(num_hashes, bands, n).strip()
+    assert base.startswith("WITH ")
+    head, _ = base.split("SELECT a.doc_id AS doc_a", 1)
+    ctes = head[len("WITH"):].strip().rstrip(",").rstrip()
+    return f"""
+WITH {ctes},
+old_b AS (SELECT * FROM banded WHERE doc_id % {batch_mod} <> 0),
+new_b AS (SELECT * FROM banded WHERE doc_id % {batch_mod} = 0),
+bmin AS (SELECT band, bucket, min(doc_id) AS m FROM old_b GROUP BY band, bucket),
+vs_old AS (
+  SELECT nb.doc_id, min(bm.m) AS o
+  FROM new_b nb JOIN bmin bm USING (band, bucket)
+  GROUP BY nb.doc_id
+),
+vs_new AS (
+  SELECT b.doc_id, min(a.doc_id) AS p
+  FROM new_b a JOIN new_b b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+  GROUP BY b.doc_id
+)
+SELECT d.doc_id,
+       CAST(CASE WHEN vo.o IS NULL THEN vn.p WHEN vn.p IS NULL THEN vo.o
+                 WHEN vo.o < vn.p THEN vo.o ELSE vn.p END AS BIGINT) AS dup_of,
+       CASE WHEN vo.o IS NULL AND vn.p IS NULL THEN NULL
+            WHEN vn.p IS NULL OR (vo.o IS NOT NULL AND vo.o < vn.p)
+            THEN 'corpus' ELSE 'batch' END AS dup_src
+FROM (SELECT DISTINCT doc_id FROM new_b) d
+LEFT JOIN vs_old vo ON vo.doc_id = d.doc_id
+LEFT JOIN vs_new vn ON vn.doc_id = d.doc_id
+"""

@@ -1659,3 +1659,58 @@ SELECT d.doc_id,
             AS BIGINT) AS mean_surprisal_mbits
 FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
 """
+
+
+def vocab_oov_profile(docs: DataFrame, top_v: int = 50) -> DataFrame:
+    """Tokenizer-prep OOV audit: per source, how much of its token
+    stream falls outside the corpus's top-V vocabulary — (source,
+    n_tokens, oov_tokens, n_terms, oov_terms, oov_pm). The number a
+    pipeline checks per dump before fixing a vocabulary or tokenizer:
+    a source whose OOV rate is an outlier is in a different register
+    (code, another language, OCR noise) than the vocab was built for.
+
+    Shape at 100 TB: the vocabulary is exactly ``corpus_vocabulary``'s
+    two-phase top-V (no full-vocab sort on one partition) and is V rows
+    — broadcast to the probe side; per-(source, term) counts are one
+    map-side-combinable groupBy (hot stop words pre-fold in every
+    partition before the exchange), so the only corpus-sized shuffle
+    carries one row per distinct (source, term)."""
+    vocab = corpus_vocabulary(docs, top_v).select("tok", F.lit(1).alias("_inv"))
+    toks = docs.select("source", F.explode(_tokens()).alias("tok"))
+    occ = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("k"))
+    j = occ.join(F.broadcast(vocab), "tok", "left")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.sum("k").alias("n_tokens"),
+            F.sum(F.expr("CASE WHEN _inv IS NULL THEN k ELSE 0L END")).alias(
+                "oov_tokens"
+            ),
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum(F.expr("CASE WHEN _inv IS NULL THEN 1L ELSE 0L END")).alias(
+                "oov_terms"
+            ),
+        )
+        .withColumn("oov_pm", F.expr("oov_tokens * 1000L div n_tokens"))
+    )
+
+
+def vocab_oov_profile_sql(top_v: int = 50) -> str:
+    return rf"""
+WITH toks AS (
+  SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+),
+counts AS (SELECT tok, count(*) AS n_occ FROM toks GROUP BY tok),
+vocab AS (SELECT tok FROM counts ORDER BY n_occ DESC, tok ASC LIMIT {top_v}),
+occ AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS k FROM toks GROUP BY source, tok)
+SELECT occ.source,
+       CAST(sum(occ.k) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.tok IS NULL THEN occ.k ELSE 0 END) AS BIGINT) AS oov_tokens,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_terms,
+       CAST(sum(CASE WHEN v.tok IS NULL THEN occ.k ELSE 0 END) * 1000 // sum(occ.k)
+            AS BIGINT) AS oov_pm
+FROM occ LEFT JOIN vocab v ON v.tok = occ.tok
+GROUP BY occ.source
+"""

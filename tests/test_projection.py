@@ -204,3 +204,131 @@ def test_component_size_profile_consistency(spark, sf_dir):
         sum(r.n_clusters for r in prof)
         == comps.select("component_id").distinct().count()
     )
+
+
+# ------------------------------------------------------ incremental dedup
+
+
+def test_incremental_dedup_sources_and_uniques(spark):
+    """Corpus-duplicate, batch-duplicate, and unique new docs must each
+    classify correctly, with dup_of = the smallest partner."""
+    from khronus_spark.operators.dedup import incremental_dedup, minhash_md5_banded
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely unrelated corpus text about spark planning"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog today"),  # corpus dup
+            (11, "fresh new content that matches nothing else at all"),
+            (12, "fresh new content that matches nothing else at all"),  # batch dup of 11
+            (13, "another singleton document entirely of its own words"),
+        ],
+        "doc_id long, text string",
+    )
+    index = minhash_md5_banded(corpus)
+    rows = {r.doc_id: r for r in incremental_dedup(index, batch).collect()}
+    assert rows[10].dup_of == 1 and rows[10].dup_src == "corpus"
+    assert rows[11].dup_of is None and rows[11].dup_src is None
+    assert rows[12].dup_of == 11 and rows[12].dup_src == "batch"
+    assert rows[13].dup_of is None and rows[13].dup_src is None
+
+
+def test_incremental_dedup_matches_full_pair_scan(spark, sf_dir):
+    """Batch-vs-index results must agree with the full-corpus pair scan
+    restricted to (new, old) and (new, smaller-id new) partners."""
+    from pyspark.sql import functions as F
+
+    from khronus_spark.operators.dedup import (
+        incremental_dedup,
+        minhash_md5_banded,
+        minhash_md5_pairs,
+    )
+
+    docs = load_docs(spark, sf_dir)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    got = {
+        r.doc_id: r.dup_of
+        for r in incremental_dedup(minhash_md5_banded(corpus), batch).collect()
+    }
+    pairs = minhash_md5_pairs(docs).collect()
+    partners: dict[int, set[int]] = {}
+    for r in pairs:
+        for d, other in ((r.doc_a, r.doc_b), (r.doc_b, r.doc_a)):
+            if d % 5 == 0 and (other % 5 != 0 or other < d):
+                partners.setdefault(d, set()).add(other)
+    expect = {d: (min(ps) if ps else None) for d, ps in partners.items()}
+    for d, dup in got.items():
+        assert dup == expect.get(d), (d, dup, expect.get(d))
+
+
+def test_incremental_dedup_index_preaggregates(spark, sf_dir):
+    """The new-vs-old probe must join a per-bucket MINIMUM (unique-key
+    build side, partial_min in plan) — never the raw index rows."""
+    from pyspark.sql import functions as F
+
+    from khronus_spark.operators.dedup import incremental_dedup, minhash_md5_banded
+
+    docs = load_docs(spark, sf_dir)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    plan = (
+        incremental_dedup(minhash_md5_banded(corpus), batch)
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    assert "partial_min" in plan
+    assert "CartesianProduct" not in plan
+
+
+def load_docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+# ------------------------------------------------------------ vocab OOV
+
+
+def test_vocab_oov_hand_case(spark):
+    """top_v=1 vocabulary is the most frequent token; everything else is
+    OOV, counted per source."""
+    from khronus_spark.operators.text import vocab_oov_profile
+
+    docs = spark.createDataFrame(
+        [
+            (0, "x x x y", "en", "s1", 7),
+            (1, "x z", "en", "s2", 3),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {r.source: r for r in vocab_oov_profile(docs, top_v=1).collect()}
+    # vocab = {x}; s1: 4 tokens, 1 oov (y); s2: 2 tokens, 1 oov (z)
+    assert rows["s1"].n_tokens == 4 and rows["s1"].oov_tokens == 1
+    assert rows["s1"].oov_pm == 250
+    assert rows["s2"].n_tokens == 2 and rows["s2"].oov_tokens == 1
+    assert rows["s2"].oov_pm == 500
+    assert rows["s1"].n_terms == 2 and rows["s1"].oov_terms == 1
+
+
+def test_vocab_oov_vocab_broadcasts(spark, oracle_sf_dir):
+    """The vocabulary probe must be a broadcast join (V rows), never a
+    shuffle of the corpus-side term table against it."""
+    from khronus_spark.operators.text import vocab_oov_profile
+
+    docs = load_docs(spark, oracle_sf_dir)
+    plan = vocab_oov_profile(docs)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
