@@ -8,9 +8,12 @@ byte-by-byte in pure Python inside the Arrow batch (no codec deps):
 - binary PPM (P6): magic + whitespace/comment-tolerant header
   (width, height, maxval ≤ 255) + raw RGB triples;
 - uncompressed 24-bit BMP (BITMAPINFOHEADER, bottom-up or top-down,
-  4-byte row padding, BGR order).
+  4-byte row padding, BGR order);
+- 8-bit RGB PNG (color type 2, non-interlaced): real zlib inflate of
+  the IDAT stream + full scanline defiltering (None/Sub/Up/Average/
+  Paeth) — stdlib zlib, no codec package.
 
-Payloads that are neither (plus audio/video codecs — JPEG, ffmpeg and
+Payloads that are none of these (plus audio/video codecs — JPEG, ffmpeg and
 friends are absent from this container) fall back to checksum-only
 features: `_decode_image` returns None and the image stat columns are
 NULL. Swap/extend `_decode_image` for PIL/ffmpeg in a real deployment
@@ -161,14 +164,96 @@ def _ppm_tokens(payload: bytes) -> list[int] | None:
     return fields + [i + 1]  # exactly one whitespace after maxval
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_planes(payload: bytes) -> tuple[int, int, list[bytes]] | None:
+    """Decode an 8-bit RGB (color type 2, non-interlaced) PNG into
+    (w, h, [r, g, b] planes) — real inflate (zlib) + full scanline
+    defiltering (None/Sub/Up/Average/Paeth). Pure Python + stdlib zlib;
+    anything else (palette, alpha, 16-bit, interlace) returns None for
+    the checksum-only fallback."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        return None
+    i, n = 8, len(payload)
+    w = h = 0
+    idat = bytearray()
+    while i + 8 <= n:
+        length = int.from_bytes(payload[i : i + 4], "big")
+        typ = payload[i + 4 : i + 8]
+        data = payload[i + 8 : i + 8 + length]
+        if len(data) < length:
+            return None
+        if typ == b"IHDR":
+            if length != 13:
+                return None
+            w, h = struct.unpack(">II", data[:8])
+            bit_depth, color_type, comp, filt, interlace = data[8:13]
+            if (bit_depth, color_type, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                return None
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        i += 12 + length  # chunk header + data + CRC
+    if not w or not h or not idat:
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = w * 3
+    if len(raw) != h * (stride + 1):
+        return None
+    prev = bytearray(stride)
+    out = bytearray()
+    pos = 0
+    for _ in range(h):
+        ft = raw[pos]
+        pos += 1
+        line = bytearray(raw[pos : pos + stride])
+        pos += stride
+        if ft == 1:  # Sub
+            for x in range(3, stride):
+                line[x] = (line[x] + line[x - 3]) & 255
+        elif ft == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 255
+        elif ft == 3:  # Average
+            for x in range(stride):
+                a = line[x - 3] if x >= 3 else 0
+                line[x] = (line[x] + (a + prev[x]) // 2) & 255
+        elif ft == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - 3] if x >= 3 else 0
+                b = prev[x]
+                c = prev[x - 3] if x >= 3 else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (line[x] + pr) & 255
+        elif ft != 0:
+            return None
+        out += line
+        prev = line
+    return w, h, [bytes(out[0::3]), bytes(out[1::3]), bytes(out[2::3])]
+
+
 def _decode_image(payload: bytes) -> tuple[int, int, int, int, int, int] | None:
-    """Parse a binary PPM (P6) or an uncompressed 24-bit BMP and return
-    (width, height, mean_r, mean_g, mean_b, max_channel) with integer
-    floor-division means — None if the payload is neither format (the
-    checksum-only fallback path). Pure Python over bytes: no codec
-    libraries exist in this container, and these two formats need none."""
+    """Parse a binary PPM (P6), an uncompressed 24-bit BMP, or an 8-bit
+    RGB PNG and return (width, height, mean_r, mean_g, mean_b,
+    max_channel) with integer floor-division means — None if the payload
+    is none of the three (the checksum-only fallback path). Pure Python
+    over bytes + stdlib zlib: no codec libraries exist in this
+    container, and these formats need none."""
+    png = _png_planes(payload)
     head = _ppm_tokens(payload)
-    if head is not None:
+    if png is not None:
+        w, h, rows = png
+    elif head is not None:
         w, h, maxval, off = head
         if maxval > 255 or len(payload) < off + 3 * w * h:
             return None

@@ -171,3 +171,122 @@ def test_metadata_predicate_prunes_payload(spark, media, tmp_path):
     df = spark.read.parquet(p).where("kind = 'image'").select("media_id", "width")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "payload" not in plan
+
+
+# ------------------------------------------------------------- PNG decode
+
+
+def _png_bytes(w, h, pixels, filters=None, color_type=2, bit_depth=8):
+    """Build a real PNG: pixels is [[(r,g,b)...] per row]; filters picks
+    the per-row filter byte (values are ENCODED accordingly, so decode
+    must invert them)."""
+    import struct
+    import zlib
+
+    filters = filters or [0] * h
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    raw = bytearray()
+    prev = bytearray(w * 3)
+    for y in range(h):
+        line = bytearray()
+        for px in pixels[y]:
+            line += bytes(px)
+        ft = filters[y]
+        enc = bytearray(line)
+        if ft == 1:  # Sub
+            for x in range(len(line) - 1, 2, -1):
+                enc[x] = (line[x] - line[x - 3]) & 255
+        elif ft == 2:  # Up
+            for x in range(len(line)):
+                enc[x] = (line[x] - prev[x]) & 255
+        elif ft == 3:  # Average
+            for x in range(len(line)):
+                a = line[x - 3] if x >= 3 else 0
+                enc[x] = (line[x] - (a + prev[x]) // 2) & 255
+        elif ft == 4:  # Paeth
+            for x in range(len(line)):
+                a = line[x - 3] if x >= 3 else 0
+                b = prev[x]
+                c = prev[x - 3] if x >= 3 else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[x] = (line[x] - pr) & 255
+        raw += bytes([ft]) + enc
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _expected_stats(w, h, pixels):
+    rs = [p[0] for row in pixels for p in row]
+    gs = [p[1] for row in pixels for p in row]
+    bs = [p[2] for row in pixels for p in row]
+    n = w * h
+    return (w, h, sum(rs) // n, sum(gs) // n, sum(bs) // n, max(rs + gs + bs))
+
+
+def test_png_decode_all_filters():
+    """Each PNG filter type (None/Sub/Up/Average/Paeth) must round-trip
+    through encode-with-filter → decode to the same pixel stats."""
+    from khronus_spark.operators.multimodal import _decode_image
+
+    w, h = 5, 4
+    pixels = [
+        [((x * 37 + y * 11) % 256, (x * 5) % 256, (y * 91) % 256) for x in range(w)]
+        for y in range(h)
+    ]
+    expect = _expected_stats(w, h, pixels)
+    for ft in range(5):
+        payload = _png_bytes(w, h, pixels, filters=[ft] * h)
+        assert _decode_image(payload) == expect, f"filter {ft}"
+    # mixed filters per row (the common real-encoder case)
+    payload = _png_bytes(w, h, pixels, filters=[0, 1, 2, 4])
+    assert _decode_image(payload) == expect
+
+
+def test_png_decode_rejects_unsupported():
+    from khronus_spark.operators.multimodal import _decode_image
+
+    pixels = [[(1, 2, 3)]]
+    good = _png_bytes(1, 1, pixels)
+    assert _decode_image(good) == (1, 1, 1, 2, 3, 3)
+    # palette color type
+    assert _decode_image(_png_bytes(1, 1, pixels, color_type=3)) is None
+    # 16-bit depth
+    assert _decode_image(_png_bytes(1, 1, pixels, bit_depth=16)) is None
+    # truncated IDAT
+    assert _decode_image(good[:-20]) is None
+    # corrupt zlib stream
+    bad = bytearray(good)
+    bad[41] ^= 0xFF
+    assert _decode_image(bytes(bad)) is None
+
+
+def test_png_features_through_arrow(spark):
+    """A PNG payload flowing through extract_features' mapInPandas must
+    land with decoded stats beside checksum features."""
+    from khronus_spark.operators.multimodal import MEDIA_SCHEMA, extract_features
+
+    w, h = 3, 2
+    pixels = [[(10, 20, 30)] * w, [(50, 60, 70)] * w]
+    payload = _png_bytes(w, h, pixels, filters=[2, 4])
+    rows = [(1, "image", bytearray(payload), w, h, 0)]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = extract_features(media).collect()[0]
+    assert (out.img_width, out.img_height) == (w, h)
+    assert (out.mean_r, out.mean_g, out.mean_b) == (30, 40, 50)
+    assert out.max_channel == 70
