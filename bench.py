@@ -157,6 +157,14 @@ def main() -> None:
         ),
         # C4 keep-first span removal + byte-exact document reassembly
         "c4_span_removal": lambda: run_df(q["c4_span_removal"](spark, sf_dir)),
+        # JL projection: zero-shuffle map pass (broadcast sign matrix)
+        "rp_project": lambda: run_df(q["embedding_rp_project"](spark, sf_dir)),
+        # conditional bigram LM filter: two salted joins over aggregates
+        "bigram_surprisal": lambda: run_df(q["bigram_surprisal"](spark, sf_dir)),
+        # new-batch dedup against the pre-aggregated corpus bucket index
+        "dedup_incremental": lambda: run_df(
+            q["dedup_incremental_batch"](spark, sf_dir)
+        ),
     }
 
     # Median-of-N per query: the shared host shows 2-5x contention

@@ -126,6 +126,7 @@ _PRIORITY = [
     "dedup_cluster_sizes",  # new in round 4, never driver-checked
     "dedup_incremental_batch",  # new in round 4, never driver-checked
     "vocab_oov_by_source",  # new in round 4, never driver-checked
+    "approx_distinct_users_weekly_cascade",  # new in round 4, never driver-checked
     "dup_ngram_5",
     "duplicate_spans",
     # -- longest unchecked: green only in round 1 ------------------------
@@ -151,7 +152,6 @@ _PRIORITY = [
     "events_value_moving_avg_7d",
     "tpch_q5_regional_revenue",
     "events_user_daily",
-    "events_top_users",
 ]
 
 
@@ -3614,3 +3614,24 @@ def vocab_oov_by_source(spark, sf_dir):
     map-side-combinable (source, term) groupBy."""
     docs = load_table(spark, sf_dir, "documents")
     return text_ops.vocab_oov_profile(docs, top_v=12)
+
+
+@register(
+    "approx_distinct_users_weekly_cascade",
+    sketches_ops.windowed_hll_sql("events", 604_800_000, "user_id"),
+)
+def approx_distinct_users_weekly_cascade(spark, sf_dir):
+    """Sketch rollup cascade (operators/sketches.py): weekly distinct
+    users computed by MERGING the persisted daily HLL register tables
+    (per-bucket max — 64 rows/day), never re-reading raw events. The
+    oracle computes the weekly estimate DIRECTLY from raw, so the hash
+    match proves the daily->weekly merge is lossless — the sketch
+    analogue of the reference's resolution cascade (TimeWindow.scala:
+    each window aggregates the previous window's buckets)."""
+    from khronus_spark.operators.sliding import sliding_event_frame
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = sketches_ops.windowed_hll_registers(
+        sliding_event_frame(ev), "1 day", "user_id"
+    )
+    return sketches_ops.hll_cascade_estimate(daily, 604_800_000)

@@ -173,6 +173,62 @@ def windowed_hll_distinct(
     )
 
 
+def windowed_hll_registers(
+    frame: DataFrame, window_duration: str, key_expr: str
+) -> DataFrame:
+    """(win_start_ms, bucket, r) — the PERSISTABLE tall register table
+    per tumbling window: what a 100 TB pipeline stores per day so any
+    coarser period rolls up from 64 rows/day instead of raw events.
+    One map-side-combinable groupBy((window, bucket)).max(rho)."""
+    bucket, rho = _hash_cols(key_expr)
+    hashed = frame.select("event_ts", bucket, rho)
+    return (
+        hashed.groupBy(
+            F.window(F.col("event_ts"), window_duration).alias("w"), F.col("bucket")
+        )
+        .agg(F.least(F.max("rho"), F.lit(RHO_CAP)).alias("r"))
+        .select(F.unix_millis(F.col("w.start")).alias("win_start_ms"), "bucket", "r")
+    )
+
+
+def hll_cascade_estimate(regs: DataFrame, coarse_ms: int) -> DataFrame:
+    """Merge fine-window register tables into coarser windows and
+    estimate — the sketch analogue of the reference's rollup cascade
+    (TimeWindow.scala: coarse resolutions aggregate the PREVIOUS
+    window's buckets, never raw). HLL registers merge by per-bucket
+    max, which is exactly lossless: the registry entry's oracle
+    computes the coarse estimate DIRECTLY from raw events, so the
+    cross-engine hash match proves the cascade loses nothing.
+
+    Input windows must nest into `coarse_ms` on the epoch grid (e.g.
+    1 day -> 7 days). Both steps are map-side-combinable aggregations
+    over 64 rows per fine window."""
+    merged = (
+        regs.groupBy(
+            F.expr(f"win_start_ms div {coarse_ms} * {coarse_ms}").alias(
+                "win_start_ms"
+            ),
+            F.col("bucket"),
+        )
+        .agg(F.least(F.max("r"), F.lit(RHO_CAP)).alias("r"))
+    )
+    return (
+        merged.groupBy("win_start_ms")
+        .agg(
+            (
+                F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {RHO_CAP} - r)"))
+                + (F.lit(M) - F.count(F.lit(1))) * F.lit(1 << RHO_CAP)
+            ).alias("D")
+        )
+        .select(
+            "win_start_ms",
+            F.expr(
+                f"CAST({EST_NUM} AS BIGINT) * {ALPHA_NUM} div (D * {ALPHA_DEN})"
+            ).alias("est_distinct"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Count-Min sketch: mergeable frequency estimation / heavy hitters
 # ---------------------------------------------------------------------------

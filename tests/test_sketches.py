@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from khronus_spark.operators.sketches import hll_distinct
+from khronus_spark.sources.tables import load_table
 
 
 def test_hll_accuracy_low_and_high_cardinality(spark, oracle_sf_dir):
@@ -193,3 +194,58 @@ def test_bloom_probe_joins_are_broadcast(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_hll_cascade_weekly_equals_direct(spark, sf_dir):
+    """Daily register tables merged to weekly must give the IDENTICAL
+    estimate as computing weekly registers straight from events — the
+    max-merge is lossless because day windows nest into the epoch-
+    aligned week grid."""
+    from khronus_spark.operators.sketches import (
+        hll_cascade_estimate,
+        windowed_hll_distinct,
+        windowed_hll_registers,
+    )
+    from khronus_spark.operators.sliding import sliding_event_frame
+
+    ev = sliding_event_frame(load_table(spark, sf_dir, "events"))
+    daily = windowed_hll_registers(ev, "1 day", "user_id")
+    cascade = {
+        r.win_start_ms: r.est_distinct
+        for r in hll_cascade_estimate(daily, 604_800_000).collect()
+    }
+    direct = {
+        r.win_start_ms: r.est_distinct
+        for r in windowed_hll_distinct(ev, "7 days", "user_id").collect()
+    }
+    assert cascade == direct and cascade
+
+
+def test_hll_register_tables_merge_across_shards(spark, sf_dir):
+    """Registers built per shard (odd/even event ids) and max-merged
+    must equal registers built once over the union — the property that
+    lets per-day/per-shard sketch tables roll up without raw data."""
+    from pyspark.sql import functions as F
+
+    from khronus_spark.operators.sketches import (
+        hll_cascade_estimate,
+        windowed_hll_registers,
+    )
+    from khronus_spark.operators.sliding import sliding_event_frame
+
+    ev = sliding_event_frame(load_table(spark, sf_dir, "events"))
+    whole = windowed_hll_registers(ev, "1 day", "user_id")
+    parts = windowed_hll_registers(
+        ev.where(F.col("event_id") % 2 == 0), "1 day", "user_id"
+    ).unionByName(
+        windowed_hll_registers(ev.where(F.col("event_id") % 2 == 1), "1 day", "user_id")
+    )
+    est_whole = {
+        r.win_start_ms: r.est_distinct
+        for r in hll_cascade_estimate(whole, 86_400_000).collect()
+    }
+    est_parts = {
+        r.win_start_ms: r.est_distinct
+        for r in hll_cascade_estimate(parts, 86_400_000).collect()
+    }
+    assert est_whole == est_parts and est_whole
