@@ -37,6 +37,7 @@ from khronus_spark.operators import clustering as clustering_ops
 from khronus_spark.operators import components as components_ops
 from khronus_spark.operators import curation as curation_ops
 from khronus_spark.operators import dedup as dedup_ops
+from khronus_spark.operators import multimodal as mm_ops
 from khronus_spark.operators import projection as proj_ops
 from khronus_spark.operators import quantize as quant_ops
 from khronus_spark.operators import similarity as sim_ops
@@ -3264,6 +3265,19 @@ _MEDIA_KIND_SQL = (
 )
 
 
+#: DuckDB twins of the WAV generator's variable-length fields
+_WAV_ABS_DUCK = "abs((doc_id * 31 + k * 997) % 20001 - 10000)"
+_WAV_HEX_DUCK = (
+    f"'{mm_ops._WAV_PRE}' || {mm_ops._le_hex_sql('36 + 2 * nw', 4, div='//')} || "
+    f"'{mm_ops._WAV_MID}' || {mm_ops._le_hex_sql('2 * nw', 4, div='//')} || "
+    "array_to_string(list_transform(range(0, nw), k -> "
+    + mm_ops._le_hex_sql(
+        "((doc_id * 31 + k * 997) % 20001 - 10000 + 65536) % 65536", 2, div="//"
+    )
+    + "), '')"
+)
+
+
 @register(
     "media_features",
     f"""
@@ -3271,6 +3285,7 @@ WITH m AS (
   SELECT doc_id, text,
          {_MEDIA_KIND_SQL} AS kind,
          doc_id % 8 + 2 AS w, doc_id % 5 + 2 AS h,
+         doc_id % 5 + 2 AS nw,
          doc_id % 200 AS r1, doc_id * 7 % 200 AS g1, doc_id * 13 % 200 AS b1
   FROM documents
 ),
@@ -3283,6 +3298,7 @@ hx AS (
                 || lpad(hex(b1), 2, '0'), n_a)
       || repeat(lpad(hex(r1 + 40), 2, '0') || lpad(hex(g1 + 40), 2, '0')
                 || lpad(hex(b1 + 40), 2, '0'), npix - n_a)
+    WHEN kind = 'audio' THEN {_WAV_HEX_DUCK}
     ELSE hex(encode(text)) END AS ph
   FROM g
 )
@@ -3299,7 +3315,14 @@ SELECT doc_id AS media_id, kind,
        CASE WHEN kind = 'image' THEN
          CAST((n_a * b1 + (npix - n_a) * (b1 + 40)) // npix AS INT) END AS mean_b,
        CASE WHEN kind = 'image' THEN
-         CAST(greatest(r1, g1, b1) + 40 AS INT) END AS max_channel
+         CAST(greatest(r1, g1, b1) + 40 AS INT) END AS max_channel,
+       CASE WHEN kind = 'audio' THEN CAST(nw AS INT) END AS n_samples,
+       CASE WHEN kind = 'audio' THEN
+         CAST(list_max(list_transform(range(0, nw), k -> {_WAV_ABS_DUCK})) AS INT)
+       END AS peak_amp,
+       CASE WHEN kind = 'audio' THEN
+         CAST(list_sum(list_transform(range(0, nw), k -> {_WAV_ABS_DUCK})) AS BIGINT)
+       END AS sum_abs_amp
 FROM hx
 """,
 )

@@ -13,11 +13,14 @@ byte-by-byte in pure Python inside the Arrow batch (no codec deps):
   the IDAT stream + full scanline defiltering (None/Sub/Up/Average/
   Paeth) — stdlib zlib, no codec package.
 
-Payloads that are none of these (plus audio/video codecs — JPEG, ffmpeg and
-friends are absent from this container) fall back to checksum-only
-features: `_decode_image` returns None and the image stat columns are
-NULL. Swap/extend `_decode_image` for PIL/ffmpeg in a real deployment
-and nothing else changes.
+Audio decode is REAL for PCM 16-bit mono RIFF/WAVE (`_decode_audio`):
+chunk walk, format validation, every sample read for peak/abs-sum.
+
+Payloads that are none of these (plus compressed codecs — JPEG, ffmpeg
+and friends are absent from this container) fall back to checksum-only
+features: the decoders return None and the stat columns are NULL.
+Swap/extend `_decode_image`/`_decode_audio` for PIL/ffmpeg in a real
+deployment and nothing else changes.
 
 Design for 100 TB: media rows are large, so every operator is
 `mapInPandas` (Arrow batches, streaming per-partition, no collect);
@@ -64,13 +67,18 @@ FEATURE_SCHEMA = StructType(
         StructField("n_bytes", IntegerType()),
         StructField("checksum", StringType()),
         StructField("feature", StringType()),  # coarse feature-bucket id
-        # real decode results — NULL when the payload is not PPM/BMP
+        # real decode results — NULL when the payload is not PPM/BMP/PNG
         StructField("img_width", IntegerType()),
         StructField("img_height", IntegerType()),
         StructField("mean_r", IntegerType()),
         StructField("mean_g", IntegerType()),
         StructField("mean_b", IntegerType()),
         StructField("max_channel", IntegerType()),
+        # real audio decode results — NULL when the payload is not
+        # PCM-16 mono WAV
+        StructField("n_samples", IntegerType()),
+        StructField("peak_amp", IntegerType()),
+        StructField("sum_abs_amp", LongType()),
     ]
 )
 
@@ -109,14 +117,60 @@ concat(
 """
 
 
+#: synthetic WAV geometry: n 16-bit mono PCM samples at 8 kHz, sample k
+#: = (doc_id·31 + k·997) % 20001 − 10000 ∈ [−10000, 10000] — closed
+#: form from doc_id so the oracle rebuilds payload AND stats in SQL
+_WAV_N = "(doc_id % 5 + 2)"
+_WAV_SAMPLE = "((doc_id * 31 + {k} * 997) % 20001 - 10000)"
+
+
+def _le_hex_sql(expr: str, nbytes: int, div: str = "div") -> str:
+    """SQL: little-endian hex of a non-negative integer expression."""
+    parts = [
+        f"lpad(hex(({expr}) {div} {256 ** i} % 256), 2, '0')" for i in range(nbytes)
+    ]
+    return "concat(" + ", ".join(parts) + ")"
+
+
+def _wav_const_hex() -> tuple[str, str]:
+    """(header-before-riff-size, header-after-riff-size) constant hex of
+    a PCM-16 mono 8 kHz WAV — everything except the two length fields."""
+    import struct
+
+    fmt = struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+    return (
+        b"RIFF".hex().upper(),
+        (b"WAVE" + b"fmt " + fmt + b"data").hex().upper(),
+    )
+
+
+_WAV_PRE, _WAV_MID = _wav_const_hex()
+
+#: full WAV payload as hex (Spark SQL) — RIFF size = 36 + 2n, data
+#: size = 2n, then n little-endian two's-complement samples
+_WAV_HEX = f"""
+concat(
+  '{_WAV_PRE}',
+  {_le_hex_sql(f"36 + 2 * {_WAV_N}", 4)},
+  '{_WAV_MID}',
+  {_le_hex_sql(f"2 * {_WAV_N}", 4)},
+  array_join(transform(sequence(0, {_WAV_N} - 1), k ->
+    {_le_hex_sql("(" + _WAV_SAMPLE.format(k="k") + " + 65536) % 65536", 2)}), '')
+)
+"""
+
+
 def synthesize_media(docs: DataFrame) -> DataFrame:
     """Deterministic fake media table from the documents fixture.
 
     Image rows (doc_id % 3 == 0) carry a REAL binary PPM payload — a
     two-tone w×h P6 image whose geometry and colors derive from doc_id
     (built engine-side with hex/repeat/unhex, so it stays in codegen
-    and the oracle can rebuild it bit-for-bit). Audio/video rows keep
-    the text bytes as an opaque stand-in payload. The width/height
+    and the oracle can rebuild it bit-for-bit). Audio rows (doc_id % 3
+    == 1) carry a REAL PCM-16 mono 8 kHz WAV whose samples derive from
+    doc_id the same way. Video rows keep the text bytes as an opaque
+    stand-in payload (no uncompressed video container is practical to
+    synthesize per-row). The width/height
     METADATA columns stay doc-stat-derived for every row — they model
     upstream-supplied metadata, which real pipelines must treat as
     untrusted until decode confirms it."""
@@ -124,9 +178,11 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
         (F.col("doc_id") % 3 + 1).cast("int"),
     )
-    payload = F.when(
-        F.col("doc_id") % 3 == 0, F.unhex(F.expr(_PPM_HEX))
-    ).otherwise(F.encode(F.col("text"), "UTF-8"))
+    payload = (
+        F.when(F.col("doc_id") % 3 == 0, F.unhex(F.expr(_PPM_HEX)))
+        .when(F.col("doc_id") % 3 == 1, F.unhex(F.expr(_WAV_HEX)))
+        .otherwise(F.encode(F.col("text"), "UTF-8"))
+    )
     return docs.select(
         F.col("doc_id").alias("media_id"),
         kinds.alias("kind"),
@@ -291,6 +347,46 @@ def _decode_image(payload: bytes) -> tuple[int, int, int, int, int, int] | None:
     return (w, h, means[0], means[1], means[2], max(max(p) for p in rows))
 
 
+def _decode_audio(payload: bytes) -> tuple[int, int, int] | None:
+    """Parse a PCM 16-bit mono RIFF/WAVE payload and return
+    (n_samples, peak_amp, sum_abs_amp) from actually reading every
+    sample — None for anything else (compressed codecs, stereo,
+    non-16-bit: the checksum-only fallback). Pure Python over bytes."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    i, n = 12, len(payload)
+    fmt_ok = False
+    data: bytes | None = None
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        size = int.from_bytes(payload[i + 4 : i + 8], "little")
+        body = payload[i + 8 : i + 8 + size]
+        if len(body) < size:
+            return None
+        if cid == b"fmt ":
+            if size < 16:
+                return None
+            audio_fmt = int.from_bytes(body[0:2], "little")
+            channels = int.from_bytes(body[2:4], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            fmt_ok = (audio_fmt, channels, bits) == (1, 1, 16)
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if not fmt_ok or data is None or len(data) % 2:
+        return None
+    peak = 0
+    total = 0
+    count = len(data) // 2
+    for s in range(count):
+        v = int.from_bytes(data[2 * s : 2 * s + 2], "little", signed=True)
+        a = -v if v < 0 else v
+        if a > peak:
+            peak = a
+        total += a
+    return (count, peak, total)
+
+
 def _checksum_digest(payload: bytes) -> bytes:
     """Digest over the UPPERCASE-hex encoding of the payload — the form
     both engines can hash (DuckDB's sha256 only takes VARCHAR, and
@@ -309,9 +405,10 @@ def extract_features(media: DataFrame) -> DataFrame:
         for pdf in batches:
             digests = pdf["payload"].map(_checksum_digest)
             decoded = pdf["payload"].map(_decode_image)
-            stat = lambda i: decoded.map(  # noqa: E731
+            audio = pdf["payload"].map(_decode_audio)
+            stat = lambda ser, i, dt="Int32": ser.map(  # noqa: E731
                 lambda d, i=i: d[i] if d is not None else None
-            ).astype("Int32")
+            ).astype(dt)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -319,12 +416,15 @@ def extract_features(media: DataFrame) -> DataFrame:
                     "n_bytes": pdf["payload"].map(len).astype("int32"),
                     "checksum": digests.map(lambda d: d.hex()[:16]),
                     "feature": digests.map(lambda d: f"feat_{d[0] % 16:x}"),
-                    "img_width": stat(0),
-                    "img_height": stat(1),
-                    "mean_r": stat(2),
-                    "mean_g": stat(3),
-                    "mean_b": stat(4),
-                    "max_channel": stat(5),
+                    "img_width": stat(decoded, 0),
+                    "img_height": stat(decoded, 1),
+                    "mean_r": stat(decoded, 2),
+                    "mean_g": stat(decoded, 3),
+                    "mean_b": stat(decoded, 4),
+                    "max_channel": stat(decoded, 5),
+                    "n_samples": stat(audio, 0),
+                    "peak_amp": stat(audio, 1),
+                    "sum_abs_amp": stat(audio, 2, "Int64"),
                 }
             )
 

@@ -290,3 +290,59 @@ def test_png_features_through_arrow(spark):
     assert (out.img_width, out.img_height) == (w, h)
     assert (out.mean_r, out.mean_g, out.mean_b) == (30, 40, 50)
     assert out.max_channel == 70
+
+
+# ------------------------------------------------------------- WAV decode
+
+
+def _wav_bytes(samples, channels=1, bits=16, fmt=1, pad_junk_chunk=False):
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt_body = struct.pack(
+        "<HHIIHH", fmt, channels, 8000, 8000 * channels * bits // 8,
+        channels * bits // 8, bits,
+    )
+    chunks = b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+    if pad_junk_chunk:  # odd-size chunk exercises word alignment
+        chunks += b"JUNK" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_wav_decode_roundtrip_and_alignment():
+    from khronus_spark.operators.multimodal import _decode_audio
+
+    samples = [0, 1000, -1000, 32767, -32768, 7]
+    expect = (6, 32768, sum(abs(s) for s in samples))
+    assert _decode_audio(_wav_bytes(samples)) == expect
+    assert _decode_audio(_wav_bytes(samples, pad_junk_chunk=True)) == expect
+
+
+def test_wav_decode_rejects_unsupported():
+    from khronus_spark.operators.multimodal import _decode_audio
+
+    s = [1, 2, 3]
+    assert _decode_audio(_wav_bytes(s, channels=2)) is None
+    assert _decode_audio(_wav_bytes(s, bits=8)) is None
+    assert _decode_audio(_wav_bytes(s, fmt=3)) is None  # IEEE float
+    assert _decode_audio(_wav_bytes(s)[:-4]) is None  # truncated data
+    assert _decode_audio(b"RIFFxxxxNOPE") is None
+
+
+def test_synthesized_audio_rows_decode_to_closed_form(spark):
+    """synthesize_media's WAV payloads must decode to the generator's
+    closed-form stats — and match what the DuckDB oracle recomputes."""
+    from khronus_spark.operators.multimodal import extract_features, synthesize_media
+
+    docs = spark.createDataFrame(
+        [(i, f"t {i}", "en", "s", 5) for i in (1, 4, 10, 13)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    feats = {r.media_id: r for r in extract_features(synthesize_media(docs)).collect()}
+    for d in (1, 4, 10, 13):
+        n = d % 5 + 2
+        vals = [(d * 31 + k * 997) % 20001 - 10000 for k in range(n)]
+        assert feats[d].n_samples == n
+        assert feats[d].peak_amp == max(abs(v) for v in vals)
+        assert feats[d].sum_abs_amp == sum(abs(v) for v in vals)

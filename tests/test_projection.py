@@ -332,3 +332,49 @@ def test_vocab_oov_vocab_broadcasts(spark, oracle_sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "partial_count" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bigram_surprisal_matches_python_reference_random_corpora(spark):
+    """Seeded random small-alphabet corpora (maximum bigram-collision
+    pressure) checked against an independent pure-Python computation of
+    the spec: bits(w2|w1) = bitlen(c(w1 prefix)) - bitlen(c(w1 w2))."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(1234)
+    for _ in range(3):
+        docs = [
+            (
+                i,
+                " ".join(
+                    rng.choice("ab cd ef gh".split())
+                    for _ in range(rng.randrange(1, 12))
+                ),
+            )
+            for i in range(rng.randrange(3, 8))
+        ]
+        toks = {i: t.split() for i, t in docs}
+        bigrams = {
+            i: [f"{w[x]} {w[x+1]}" for x in range(len(w) - 1)]
+            for i, w in toks.items()
+        }
+        c12 = Counter(b for bs in bigrams.values() for b in bs)
+        c1 = Counter()
+        for bg, c in c12.items():
+            c1[bg.split(" ")[0]] += c
+        expect = {}
+        for i, bs in bigrams.items():
+            total = sum(
+                c1[b.split(" ")[0]].bit_length() - c12[b].bit_length() for b in bs
+            )
+            expect[i] = (
+                len(bs),
+                total,
+                (total * 1000) // len(bs) if bs else None,
+            )
+        sdf = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_bigrams, r.surprisal_bits, r.mean_surprisal_mbits)
+            for r in bigram_surprisal(sdf).collect()
+        }
+        assert got == expect
