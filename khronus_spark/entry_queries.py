@@ -128,6 +128,7 @@ _PRIORITY = [
     "dedup_incremental_batch",  # new in round 4, never driver-checked
     "vocab_oov_by_source",  # new in round 4, never driver-checked
     "approx_distinct_users_weekly_cascade",  # new in round 4, never driver-checked
+    "cms_heavy_users_weekly_cascade",  # new in round 4, never driver-checked
     "dup_ngram_5",
     "duplicate_spans",
     # -- longest unchecked: green only in round 1 ------------------------
@@ -152,7 +153,6 @@ _PRIORITY = [
     "user_segments_setops",
     "events_value_moving_avg_7d",
     "tpch_q5_regional_revenue",
-    "events_user_daily",
 ]
 
 
@@ -3658,3 +3658,24 @@ def approx_distinct_users_weekly_cascade(spark, sf_dir):
         sliding_event_frame(ev), "1 day", "user_id"
     )
     return sketches_ops.hll_cascade_estimate(daily, 604_800_000)
+
+
+@register(
+    "cms_heavy_users_weekly_cascade",
+    sketches_ops.windowed_cms_heavy_hitters_sql("events", 604_800_000, "user_id", 20),
+)
+def cms_heavy_users_weekly_cascade(spark, sf_dir):
+    """Frequency-sketch rollup cascade (operators/sketches.py): weekly
+    heavy users from the persisted DAILY Count-Min cell tables merged by
+    cellwise sum (<= 1024 rows/day), never re-counting raw events. The
+    oracle computes the weekly sketch DIRECTLY from raw, so the hash
+    match proves the merge lossless — the frequency twin of
+    approx_distinct_users_weekly_cascade."""
+    from khronus_spark.operators.sliding import sliding_event_frame
+
+    ev = load_table(spark, sf_dir, "events")
+    frame = sliding_event_frame(ev)
+    daily = sketches_ops.windowed_cms_sketch(frame, "1 day", "user_id")
+    return sketches_ops.windowed_cms_heavy_hitters(
+        frame, daily, 604_800_000, "user_id", 20
+    )

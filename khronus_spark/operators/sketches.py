@@ -352,6 +352,103 @@ def windowed_cms_sketch(
     )
 
 
+def cms_merge_windows(cells: DataFrame, coarse_ms: int) -> DataFrame:
+    """Merge fine-window CMS cell tables into coarser windows by
+    CELLWISE SUM — exactly lossless (counts partition over nested
+    windows), the frequency twin of hll_cascade_estimate. Input windows
+    must nest into `coarse_ms` on the epoch grid."""
+    return (
+        cells.groupBy(
+            F.expr(f"win_start_ms div {coarse_ms} * {coarse_ms}").alias(
+                "win_start_ms"
+            ),
+            "j",
+            "bucket",
+        )
+        .agg(F.sum("c").alias("c"))
+    )
+
+
+def windowed_cms_heavy_hitters(
+    frame: DataFrame, cells: DataFrame, coarse_ms: int, key_expr: str, threshold: int
+) -> DataFrame:
+    """(win_start_ms, key, est) — per coarse window, every candidate key
+    whose CMS estimate reaches `threshold`, probing a MERGED cell table
+    (`cells` at any finer nesting resolution). The cell table is
+    ≤ d·w rows per window → broadcast; candidates are the window's own
+    distinct keys (a streaming deployment keeps a candidate heap)."""
+    merged = cms_merge_windows(cells, coarse_ms)
+    cand = frame.select(
+        F.expr(
+            f"unix_millis(event_ts) div {coarse_ms} * {coarse_ms}"
+        ).alias("win_start_ms"),
+        F.expr(key_expr).alias("key"),
+    ).distinct()
+    probes = cand.select(
+        "win_start_ms",
+        "key",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.expr(_cms_bucket(j, "key")).alias("bucket"),
+                    )
+                    for j in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("p"),
+    ).select("win_start_ms", "key", "p.j", "p.bucket")
+    return (
+        probes.join(F.broadcast(merged), ["win_start_ms", "j", "bucket"])
+        .groupBy("win_start_ms", "key")
+        .agg(F.min("c").alias("est"))
+        .where(F.col("est") >= threshold)
+    )
+
+
+def windowed_cms_heavy_hitters_sql(
+    table: str, window_ms: int, key_expr: str, threshold: int
+) -> str:
+    """Oracle: the coarse-window heavy hitters computed DIRECTLY from
+    raw rows — a hash match against the Spark cascade (fine cells
+    merged by cellwise sum) proves the merge is lossless."""
+
+    def bucket(j: int, kexpr: str) -> str:
+        return (
+            f"(('0x' || substr(md5('{j}' || ':' || "
+            f"CAST(({kexpr}) AS VARCHAR)), 1, 15))::UBIGINT % {CMS_WIDTH})::BIGINT"
+        )
+
+    win = f"(epoch_us(ts) // 1000) // {window_ms} * {window_ms}"
+    pair_rows = "\nUNION ALL\n".join(
+        f"SELECT {win} AS win_start_ms, {j} AS j, {bucket(j, key_expr)} AS bucket "
+        f"FROM {table}"
+        for j in range(CMS_DEPTH)
+    )
+    probe_rows = "\nUNION ALL\n".join(
+        f"SELECT win_start_ms, key, {j} AS j, {bucket(j, 'key')} AS bucket FROM keys"
+        for j in range(CMS_DEPTH)
+    )
+    return f"""
+WITH pairs AS (
+{pair_rows}
+),
+sketch AS (
+  SELECT win_start_ms, j, bucket, CAST(count(*) AS BIGINT) AS c
+  FROM pairs GROUP BY win_start_ms, j, bucket
+),
+keys AS (SELECT DISTINCT {win} AS win_start_ms, {key_expr} AS key FROM {table}),
+probes AS (
+{probe_rows}
+)
+SELECT win_start_ms, key, CAST(min(c) AS BIGINT) AS est
+FROM probes JOIN sketch USING (win_start_ms, j, bucket)
+GROUP BY win_start_ms, key
+HAVING min(c) >= {threshold}
+"""
+
+
 def cms_heavy_hitters_sql(table: str, key_expr: str, threshold: int) -> str:
     """The identical spec in DuckDB SQL."""
 

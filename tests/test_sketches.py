@@ -249,3 +249,24 @@ def test_hll_register_tables_merge_across_shards(spark, sf_dir):
         for r in hll_cascade_estimate(parts, 86_400_000).collect()
     }
     assert est_whole == est_parts and est_whole
+
+
+def test_cms_cascade_weekly_equals_direct(spark, sf_dir):
+    """Daily CMS cell tables merged by cellwise sum must equal the cell
+    table built directly at the weekly grid — counts partition exactly
+    over nested windows."""
+    from khronus_spark.operators.sketches import (
+        cms_merge_windows,
+        windowed_cms_sketch,
+    )
+    from khronus_spark.operators.sliding import sliding_event_frame
+
+    ev = sliding_event_frame(load_table(spark, sf_dir, "events"))
+    daily = windowed_cms_sketch(ev, "1 day", "user_id")
+    merged = sorted(
+        tuple(r) for r in cms_merge_windows(daily, 604_800_000).collect()
+    )
+    direct = sorted(
+        tuple(r) for r in windowed_cms_sketch(ev, "7 days", "user_id").collect()
+    )
+    assert merged == direct and merged
