@@ -3578,7 +3578,7 @@ def ann_rp_topk(spark, sf_dir):
     """Two-stage retrieval over the JL projection: candidate generation
     in 16-dim projected space (4x cheaper scan), exact 64-dim integer-L2
     rerank of the survivors. Recall vs the exact top-k is measured in
-    tests (test_similarity.py), not assumed."""
+    tests (test_projection.py), not assumed."""
     emb = load_table(spark, sf_dir, "embeddings")
     return proj_ops.rp_topk(emb, probe_ids=list(range(5)), k=3, n_candidates=20)
 

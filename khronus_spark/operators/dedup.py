@@ -286,15 +286,12 @@ def _md5_60(expr: str) -> str:
     return f"CAST(conv(substring(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
 
 
-def minhash_md5_banded(
-    docs: DataFrame, num_hashes: int = 8, bands: int = 2, n: int = 3
-) -> DataFrame:
-    """(doc_id, band, bucket) — md5-family minhash band buckets
-    (bit-identical in DuckDB). Pure column algebra, streaming-safe."""
-    rows = num_hashes // bands
-    toks = spread(docs).select("doc_id", _tokens().alias("t"))
-    sh = toks.select("doc_id", shingle_array(n).alias("sh"))
-    sig = F.array(
+def _md5_sig_col(num_hashes: int):
+    """Column: md5-family minhash signature over the `sh` shingle array
+    — THE single definition of the cross-engine signature spec (member
+    i = min over shingles of md5_60(shingle || '#i')); every md5
+    minhash consumer (banding, pair audit) must build from this."""
+    return F.array(
         *[
             F.expr(
                 "aggregate(sh, 9223372036854775807L, "
@@ -303,18 +300,38 @@ def minhash_md5_banded(
             for i in range(num_hashes)
         ]
     )
-    banded = sh.select("doc_id", sig.alias("sig")).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}), "
-                f"b -> struct(b AS band, "
-                + _md5_60("concat_ws(',', slice(sig, b * %d + 1, %d))" % (rows, rows))
-                + " AS bucket))"
-            )
-        ).alias("bb"),
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    return banded
+
+
+def _md5_band_col(num_hashes: int, bands: int):
+    """Column: (band, bucket) struct array over the `sig` column —
+    bucket b = md5_60 of the comma-joined band slice."""
+    rows = num_hashes // bands
+    return F.expr(
+        f"transform(sequence(0, {bands - 1}), "
+        f"b -> struct(b AS band, "
+        + _md5_60("concat_ws(',', slice(sig, b * %d + 1, %d))" % (rows, rows))
+        + " AS bucket))"
+    )
+
+
+def _band_rows(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(doc_id, band, bucket) rows from a (doc_id, sig, ...) frame."""
+    return sigs.select(
+        "doc_id", F.explode(_md5_band_col(num_hashes, bands)).alias("bb")
+    ).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def minhash_md5_banded(
+    docs: DataFrame, num_hashes: int = 8, bands: int = 2, n: int = 3
+) -> DataFrame:
+    """(doc_id, band, bucket) — md5-family minhash band buckets
+    (bit-identical in DuckDB). Pure column algebra, streaming-safe."""
+    toks = spread(docs).select("doc_id", _tokens().alias("t"))
+    sh = toks.select("doc_id", shingle_array(n).alias("sh"))
+    sigs = sh.select("doc_id", _md5_sig_col(num_hashes).alias("sig"))
+    return _band_rows(sigs, num_hashes, bands)
 
 
 def minhash_md5_pairs(
@@ -705,23 +722,13 @@ def _minhash_md5_sig_sets(
     docs: DataFrame, num_hashes: int = 8, n: int = 3
 ) -> DataFrame:
     """(doc_id, sig: array<long>, shset: sorted distinct shingles) — the
-    md5-family signature plus the exact shingle set, one map pass."""
-    from khronus_spark.sources.tables import spread
-
+    md5-family signature (shared spec: _md5_sig_col) plus the exact
+    shingle set, one map pass."""
     toks = spread(docs).select("doc_id", _tokens().alias("t"))
     sh = toks.select("doc_id", shingle_array(n).alias("sh"))
-    sig = F.array(
-        *[
-            F.expr(
-                "aggregate(sh, 9223372036854775807L, "
-                "(acc, s) -> least(acc, %s))" % _md5_60("concat(s, '#%d')" % i)
-            )
-            for i in range(num_hashes)
-        ]
-    )
     return sh.select(
         "doc_id",
-        sig.alias("sig"),
+        _md5_sig_col(num_hashes).alias("sig"),
         F.array_sort(F.array_distinct("sh")).alias("shset"),
     )
 
@@ -739,13 +746,15 @@ def minhash_calibration(
     textbook bound, and exposes band-collision false positives (low
     exact, nonzero est) before they delete real documents.
 
-    Scale shape: signatures and shingle sets are one map-only pass; the
-    candidate set is the banded join's output (linear, not all-pairs);
-    the two joins back are doc_id equi-joins against unique keys; the
-    per-pair exact Jaccard intersects two bounded-by-doc-length sorted
-    arrays — no corpus self-join anywhere."""
-    pairs = minhash_md5_pairs(docs, num_hashes, bands, n)
-    s = _minhash_md5_sig_sets(docs, num_hashes, n)
+    Scale shape: signatures and shingle sets are ONE map-only pass (the
+    banded candidate rows derive from the same signature frame, not a
+    second corpus scan); the candidate set is the banded join's output
+    (linear, not all-pairs); the two joins back are doc_id equi-joins
+    against unique keys; the per-pair exact Jaccard intersects two
+    bounded-by-doc-length sorted arrays — no corpus self-join
+    anywhere."""
+    s = _minhash_md5_sig_sets(docs, num_hashes, n).localCheckpoint(eager=False)
+    pairs = bucket_pairs(_band_rows(s, num_hashes, bands))
     sa = s.select(
         F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa"),
         F.col("shset").alias("sha"),

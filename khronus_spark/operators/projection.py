@@ -26,7 +26,9 @@ pass — zero shuffle, zero row expansion, embarrassingly parallel.
 in the 16-dim projected space (4× cheaper scan), exact rerank of the
 surviving candidates in the full 64-dim quantized space. Recall of the
 two-stage path vs the exact integer-L2 top-k is measured, not guessed
-(tests/test_similarity.py::test_rp_topk_recall_vs_exact).
+(tests/test_projection.py::test_rp_topk_planted_near_neighbor_recall,
+::test_rp_topk_matches_exact_when_candidates_cover; the uniform-data
+recall curve is in ROUND4_NOTES.md).
 """
 
 from __future__ import annotations
@@ -75,6 +77,28 @@ def _smat(embeddings: DataFrame) -> DataFrame:
     )
 
 
+#: p = E·Sᵀ as one fold per output dim — THE single projection spec;
+#: both surfaces (rp_project, rp_topk) build from _rp_vectors
+_PROJ = (
+    "transform(smat, srow -> aggregate(zip_with(e, srow, (a, s) -> a * s), "
+    "CAST(0 AS BIGINT), (acc, v) -> acc + v))"
+)
+
+
+def _rp_vectors(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, e: array<long>[64], p: array<long>[16]) — quantized full
+    vector plus its projection, one map pass (broadcast one-row sign
+    matrix, no shuffle)."""
+    from khronus_spark.sources.tables import spread
+
+    q = spread(embeddings, max_partitions=8).select(
+        "vec_id", F.expr(_QUANT).alias("e")
+    )
+    return q.crossJoin(F.broadcast(_smat(embeddings))).select(
+        "vec_id", "e", F.expr(_PROJ).alias("p")
+    )
+
+
 def rp_project(embeddings: DataFrame) -> DataFrame:
     """(vec_id, j, p) — the 16 projected coordinates per vector, long
     format (exploded; array columns don't value-hash stably across the
@@ -82,36 +106,10 @@ def rp_project(embeddings: DataFrame) -> DataFrame:
 
     Plan shape: broadcast the one-row sign matrix, then a single
     map-only projection — no shuffle anywhere."""
-    from khronus_spark.sources.tables import spread
-
-    q = spread(embeddings, max_partitions=8).select(
-        "vec_id", F.expr(_QUANT).alias("e")
-    )
-    proj = (
-        "transform(smat, srow -> aggregate(zip_with(e, srow, (a, s) -> a * s), "
-        "CAST(0 AS BIGINT), (acc, v) -> acc + v))"
-    )
     return (
-        q.crossJoin(F.broadcast(_smat(embeddings)))
-        .select("vec_id", F.posexplode(F.expr(proj)).alias("j", "p"))
+        _rp_vectors(embeddings)
+        .select("vec_id", F.posexplode("p").alias("j", "p"))
         .select("vec_id", F.col("j").cast("long").alias("j"), "p")
-    )
-
-
-def _rp_vectors(embeddings: DataFrame) -> DataFrame:
-    """(vec_id, e: array<long>[64], p: array<long>[16]) — quantized full
-    vector plus its projection, one map pass."""
-    from khronus_spark.sources.tables import spread
-
-    q = spread(embeddings, max_partitions=8).select(
-        "vec_id", F.expr(_QUANT).alias("e")
-    )
-    proj = (
-        "transform(smat, srow -> aggregate(zip_with(e, srow, (a, s) -> a * s), "
-        "CAST(0 AS BIGINT), (acc, v) -> acc + v))"
-    )
-    return q.crossJoin(F.broadcast(_smat(embeddings))).select(
-        "vec_id", "e", F.expr(proj).alias("p")
     )
 
 

@@ -13,8 +13,10 @@ size N:
 
   - wall time of the full incremental_dedup over a FIXED 200-doc batch
     (reading the persisted index);
-  - the join's probe-side input rows after pre-aggregation (from
-    SQLMetrics), which must stay ~bands x distinct buckets;
+  - the size of the pre-aggregated build side (computed as
+    index.groupBy(band, bucket).count() — the same aggregate the
+    operator's bucket_min builds), which must stay ~bands x distinct
+    buckets;
   - the CONTROL: rows produced by joining the batch's banded rows
     against the RAW index (what a naive implementation shuffles) —
     grows ~ N x colliding batch rows (capped at N=100k; at 1M the
