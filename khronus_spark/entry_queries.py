@@ -129,6 +129,7 @@ _PRIORITY = [
     "vocab_oov_by_source",  # new in round 4, never driver-checked
     "approx_distinct_users_weekly_cascade",  # new in round 4, never driver-checked
     "cms_heavy_users_weekly_cascade",  # new in round 4, never driver-checked
+    "tokenizer_fertility_by_lang",  # new in round 4, never driver-checked
     "dup_ngram_5",
     "duplicate_spans",
     # -- longest unchecked: green only in round 1 ------------------------
@@ -152,7 +153,6 @@ _PRIORITY = [
     "events_value_deciles",
     "user_segments_setops",
     "events_value_moving_avg_7d",
-    "tpch_q5_regional_revenue",
 ]
 
 
@@ -3679,3 +3679,14 @@ def cms_heavy_users_weekly_cascade(spark, sf_dir):
     return sketches_ops.windowed_cms_heavy_hitters(
         frame, daily, 604_800_000, "user_id", 20
     )
+
+
+@register("tokenizer_fertility_by_lang", text_ops.tokenizer_fertility_sql())
+def tokenizer_fertility_by_lang(spark, sf_dir):
+    """Per-language fertility (milli-tokens-per-word) under the trained
+    BPE merges (operators/text.py) — the tokenizer-quality metric that
+    flags languages the vocab shreds into char pieces. Train + encode
+    inherit the batched trainer and doc-salted joins; the rollup is one
+    broadcast lang join + a per-lang aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.tokenizer_fertility(docs)

@@ -1714,3 +1714,49 @@ SELECT occ.source,
 FROM occ LEFT JOIN vocab v ON v.tok = occ.tok
 GROUP BY occ.source
 """
+
+
+def tokenizer_fertility(
+    docs: DataFrame, k: int = 6, max_batch: int = 8
+) -> DataFrame:
+    """Per-language tokenizer fertility under the trained BPE merges:
+    (lang, n_docs, n_words, n_bpe_tokens, fertility_mpt) with fertility
+    in milli-tokens-per-word (integer). THE per-language tokenizer-
+    quality metric: a language whose fertility is far above the
+    corpus's dominant language is being shredded into char-level pieces
+    — the signal to retrain the vocab or re-balance the mixture before
+    paying 2-3x the training compute per useful token.
+
+    Scale shape: inherits bpe_encode end-to-end (distinct-word fold,
+    doc-salted count join); this rollup adds one broadcast-size
+    doc→lang join and a ≤|langs|-row aggregation."""
+    enc = bpe_encode(docs, k, max_batch)
+    return (
+        enc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_bpe_tokens").alias("n_bpe_tokens"),
+        )
+        .withColumn(
+            "fertility_mpt", F.expr("n_bpe_tokens * 1000L div n_words")
+        )
+    )
+
+
+def tokenizer_fertility_sql(k: int = 6) -> str:
+    """The bpe_encode oracle chain with the final per-doc select swapped
+    for the per-language rollup."""
+    base = bpe_encode_sql(k)
+    head, _ = base.rsplit("SELECT doc_id,", 1)
+    return (
+        head
+        + f"""SELECT d.lang,
+       CAST(count(DISTINCT dwc.doc_id) AS BIGINT) AS n_docs,
+       CAST(sum(dwc.cnt) AS BIGINT) AS n_words,
+       CAST(sum(dwc.cnt * len(s.sym)) AS BIGINT) AS n_bpe_tokens,
+       CAST(sum(dwc.cnt * len(s.sym)) * 1000 // sum(dwc.cnt) AS BIGINT) AS fertility_mpt
+FROM dwc JOIN s{k} s USING (w) JOIN documents d USING (doc_id)
+GROUP BY d.lang"""
+    )

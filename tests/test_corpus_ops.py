@@ -521,3 +521,37 @@ def test_unigram_surprisal_count_join_is_salted(spark):
     )
     plan = unigram_surprisal(docs)._jdf.queryExecution().optimizedPlan().toString()
     assert "_salt" in plan
+
+
+def test_tokenizer_fertility_consistent_with_encode_and_ranks_langs(spark):
+    """The per-lang rollup must tile bpe_encode's per-doc counts, and a
+    language the trained merges compress (its words ARE the top pairs)
+    must show strictly lower fertility than one the vocab shreds."""
+    from pyspark.sql import functions as F
+
+    from khronus_spark.operators.text import bpe_encode, tokenizer_fertility
+
+    rows = []
+    for i in range(6):  # dominant lang: all words built from 'ab'
+        rows.append((i, "abab abab ababab abab", "aa", "s", 20))
+    for i in range(6, 9):  # minority lang: diverse chars, no shared pairs
+        rows.append((i, "xq zw vk pj", "zz", "s", 11))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    fert = {r.lang: r for r in tokenizer_fertility(docs, k=3).collect()}
+    enc = bpe_encode(docs, k=3).join(docs.select("doc_id", "lang"), "doc_id")
+    manual = {
+        r.lang: (r.n_docs, r.n_words, r.n_bpe)
+        for r in enc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_bpe_tokens").alias("n_bpe"),
+        )
+        .collect()
+    }
+    for lang, r in fert.items():
+        assert (r.n_docs, r.n_words, r.n_bpe_tokens) == manual[lang]
+        assert r.fertility_mpt == r.n_bpe_tokens * 1000 // r.n_words
+    assert fert["aa"].fertility_mpt < fert["zz"].fertility_mpt

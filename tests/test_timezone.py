@@ -113,6 +113,10 @@ def test_engine_query_rows_survive_non_utc_session(spark, sf_dir, tz):
         "influx_count_click_5m",      # engine dual-predicate pushdown
         "tpch_q1_pricing",            # native NTZ date column filters
         "events_sessions_30m",        # session windows over ns longs
+        # round-4b: F.window day grids + unix_millis week buckets must
+        # not shift under a non-UTC session zone
+        "approx_distinct_users_weekly_cascade",
+        "cms_heavy_users_weekly_cascade",
     ],
 )
 def test_registry_entries_session_tz_independent(spark, sf_dir, entry):
