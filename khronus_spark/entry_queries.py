@@ -130,6 +130,7 @@ _PRIORITY = [
     "approx_distinct_users_weekly_cascade",  # new in round 4, never driver-checked
     "cms_heavy_users_weekly_cascade",  # new in round 4, never driver-checked
     "tokenizer_fertility_by_lang",  # new in round 4, never driver-checked
+    "lang_confusion_matrix",  # new in round 4, never driver-checked
     "dup_ngram_5",
     "duplicate_spans",
     # -- longest unchecked: green only in round 1 ------------------------
@@ -152,7 +153,6 @@ _PRIORITY = [
     "user_weekly_retention",
     "events_value_deciles",
     "user_segments_setops",
-    "events_value_moving_avg_7d",
 ]
 
 
@@ -3690,3 +3690,14 @@ def tokenizer_fertility_by_lang(spark, sf_dir):
     broadcast lang join + a per-lang aggregate."""
     docs = load_table(spark, sf_dir, "documents")
     return text_ops.tokenizer_fertility(docs)
+
+
+@register("lang_confusion_matrix", text_ops.LANG_CONFUSION_SQL)
+def lang_confusion_matrix(spark, sf_dir):
+    """Declared-vs-predicted language confusion matrix
+    (operators/text.py) — the label-trust audit run before mixture /
+    curriculum stages consume self-reported lang tags. Map-only
+    prediction + two aggregations bounded by the number of language
+    pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.lang_confusion_matrix(docs)

@@ -1760,3 +1760,46 @@ def tokenizer_fertility_sql(k: int = 6) -> str:
 FROM dwc JOIN s{k} s USING (w) JOIN documents d USING (doc_id)
 GROUP BY d.lang"""
     )
+
+
+def lang_confusion_matrix(docs: DataFrame) -> DataFrame:
+    """Language-ID audit: the (declared lang × predicted lang) confusion
+    matrix with per-cell doc counts and the share of the declared
+    language's docs in per-mille — the table that says whether a
+    source's self-reported language labels can be trusted before the
+    mixture/curriculum stages consume them (a hot off-diagonal cell =
+    mislabeled dump or a marker profile gap).
+
+    Scale shape: lang_id is map-only column algebra; the matrix is one
+    map-side-combinable groupBy bounded by |langs|²; the per-declared
+    totals ride a second aggregation over those ≤|langs|² rows."""
+    pred = lang_id(docs).select("actual_lang", "pred_lang")
+    cells = pred.groupBy("actual_lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    totals = cells.groupBy("actual_lang").agg(F.sum("n_docs").alias("_tot"))
+    return (
+        cells.join(totals, "actual_lang")
+        .select(
+            "actual_lang",
+            "pred_lang",
+            "n_docs",
+            F.expr("n_docs * 1000L div _tot").alias("share_pm"),
+        )
+    )
+
+
+LANG_CONFUSION_SQL = f"""
+WITH pred AS ({LANG_ID_SQL}),
+cells AS (
+  SELECT actual_lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+  FROM pred GROUP BY actual_lang, pred_lang
+),
+totals AS (
+  SELECT actual_lang, CAST(sum(n_docs) AS BIGINT) AS tot
+  FROM cells GROUP BY actual_lang
+)
+SELECT c.actual_lang, c.pred_lang, c.n_docs,
+       CAST(c.n_docs * 1000 // t.tot AS BIGINT) AS share_pm
+FROM cells c JOIN totals t USING (actual_lang)
+"""

@@ -555,3 +555,28 @@ def test_tokenizer_fertility_consistent_with_encode_and_ranks_langs(spark):
         assert (r.n_docs, r.n_words, r.n_bpe_tokens) == manual[lang]
         assert r.fertility_mpt == r.n_bpe_tokens * 1000 // r.n_words
     assert fert["aa"].fertility_mpt < fert["zz"].fertility_mpt
+
+
+def test_lang_confusion_matrix_tiles_and_catches_mislabels(spark):
+    """Per declared language the shares must sum to ~1000 (integer
+    floor), and a deliberately mislabeled doc must land off-diagonal."""
+    from khronus_spark.operators.text import lang_confusion_matrix
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the and of the with that", "en", "s", 10),
+            (1, "the and of this that with", "en", "s", 10),
+            (2, "el la los las una este", "es", "s", 10),
+            (3, "the and of the that", "es", "s", 10),  # mislabeled es -> en
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = lang_confusion_matrix(docs).collect()
+    cells = {(r.actual_lang, r.pred_lang): r for r in rows}
+    assert cells[("en", "en")].n_docs == 2
+    assert cells[("es", "es")].n_docs == 1
+    assert cells[("es", "en")].n_docs == 1  # the mislabel surfaces
+    assert cells[("es", "en")].share_pm == 500
+    for lang in ("en", "es"):
+        total = sum(r.share_pm for (a, _), r in cells.items() if a == lang)
+        assert 1000 - len([1 for (a, _) in cells if a == lang]) < total <= 1000
