@@ -131,6 +131,8 @@ _PRIORITY = [
     "cms_heavy_users_weekly_cascade",  # new in round 4, never driver-checked
     "tokenizer_fertility_by_lang",  # new in round 4, never driver-checked
     "lang_confusion_matrix",  # new in round 4, never driver-checked
+    "pq_codes",  # new in round 4, never driver-checked
+    "ann_pq_topk",  # new in round 4, never driver-checked
     "dup_ngram_5",
     "duplicate_spans",
     # -- longest unchecked: green only in round 1 ------------------------
@@ -151,8 +153,6 @@ _PRIORITY = [
     "events_sliding_counts_10m_5m",
     "user_funnel_vcp",
     "user_weekly_retention",
-    "events_value_deciles",
-    "user_segments_setops",
 ]
 
 
@@ -3701,3 +3701,29 @@ def lang_confusion_matrix(spark, sf_dir):
     pairs."""
     docs = load_table(spark, sf_dir, "documents")
     return text_ops.lang_confusion_matrix(docs)
+
+
+from khronus_spark.operators import pq as pq_ops  # noqa: E402
+
+
+@register("pq_codes", pq_ops.pq_codes_sql(sub=4, k=8, iters=1))
+def pq_codes_entry(spark, sf_dir):
+    """Product-Quantization index (operators/pq.py): per-subspace
+    bit-exact integer k-means codebooks; each vector stores ONE packed
+    BIGINT code (64x compression at the production sub=8/k=16; the
+    entry pins sub=4/k=8/iters=1 so the unrolled per-subspace CTE
+    oracle stays tractable, like the k-means entry pins k=4)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_ops.pq_codes(emb, sub=4, k=8, iters=1)
+
+
+@register("ann_pq_topk", pq_ops.pq_topk_sql(list(range(5)), 3, sub=4, k=8, iters=1))
+def ann_pq_topk(spark, sf_dir):
+    """ADC search over the PQ codes: per probe a sub x k lookup table of
+    exact int64 subspace distances (broadcast), then every corpus code
+    scores with `sub` table adds — the compressed-domain ANN that scans
+    8-byte codes instead of 256-byte vectors. Oracle restates the LUT
+    relationally (probe-subvector to assigned-centroid distances summed
+    per subspace)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_ops.pq_topk(emb, list(range(5)), 3, sub=4, k=8, iters=1)

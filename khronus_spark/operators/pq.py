@@ -1,0 +1,264 @@
+"""Product Quantization (PQ) — the classic 100 TB ANN compression
+(Jégou et al., "Product Quantization for Nearest Neighbor Search",
+TPAMI 2011), built on the repo's bit-exact integer k-means.
+
+The embedding space splits into `sub` contiguous subspaces; each
+subspace trains its own k-centroid codebook with the SAME quantized
+integer Lloyd's as operators/clustering.py (so every codebook is
+bit-identical on Spark and DuckDB); a vector's code packs its `sub`
+nearest-centroid ids into one BIGINT (code = Σ_s cid_s · k^s). Search
+uses Asymmetric Distance Computation: per probe, a `sub`×`k` lookup
+table of exact int64 subspace distances to every centroid, then each
+corpus vector scores with `sub` table adds instead of a full-dimension
+distance — at the module defaults (sub=8, k=16) a 64-dim vector
+compresses 64× (8 B of float32s worth of information in a 32-bit code)
+and scoring drops from 64 multiplies to 8 adds.
+
+Scale shape:
+- training: per subspace, the zero-shuffle Arrow assignment + one
+  map-side-combinable (cluster, dim) mean shuffle — inherited from
+  clustering._kmeans_state on a sliced embedding frame;
+- codes: `sub` assignment passes combined by one map-side-combinable
+  groupBy(vec_id) sum — the stored index is ONE BIGINT per vector;
+- search: the codebooks (sub·k rows) and the per-probe LUTs broadcast;
+  scoring is a map-only pass over the code table; the per-probe top-k
+  row_number window is bounded map-side by Spark 4's WindowGroupLimit.
+
+The registry entry pins small parameters (sub=4, k=8, iters=1) to keep
+the unrolled per-subspace CTE oracle tractable, exactly like the
+k-means entry pins k=4; the module defaults are the production sizing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from khronus_spark.operators.clustering import _assign, _kmeans_state
+
+DIMS = 64
+SUB = 8
+K = 16
+ITERS = 2
+
+_QUANT = "transform(embedding, x -> floor((CAST(x AS DOUBLE) + 1.0D) * 1000000.0D))"
+
+#: int64-exact squared L2 between two equal-length long arrays
+_D2 = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+    "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+)
+
+
+def _sub_frame(embeddings: DataFrame, s: int, subdim: int) -> DataFrame:
+    """(vec_id, embedding) with the subspace-s float slice as the
+    embedding column — _kmeans_state quantizes it exactly like the
+    full-space path."""
+    return embeddings.select(
+        "vec_id", F.expr(f"slice(embedding, {s * subdim + 1}, {subdim})").alias(
+            "embedding"
+        )
+    )
+
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    sub: int = SUB,
+    k: int = K,
+    iters: int = ITERS,
+    mode: str | None = None,
+) -> DataFrame:
+    """(s, cid, c: array<long>[subdim]) — one trained integer codebook
+    per subspace (init: centroids = the subvectors of vec_id 0..k-1,
+    the same deterministic rule as the full-space k-means)."""
+    subdim = DIMS // sub
+    parts = []
+    for s in range(sub):
+        kw = {} if mode is None else {"mode": mode}
+        cents = _kmeans_state(_sub_frame(embeddings, s, subdim), k, iters, **kw)[1]
+        parts.append(cents.select(F.lit(s).cast("long").alias("s"), "cid", "c"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def pq_codes(
+    embeddings: DataFrame,
+    sub: int = SUB,
+    k: int = K,
+    iters: int = ITERS,
+    mode: str | None = None,
+) -> DataFrame:
+    """(vec_id, pq_code) — the packed PQ index: code = Σ_s cid_s · k^s.
+    `sub` assignment passes (each ≤N-row or zero shuffle, per the
+    clustering module) combined by one map-side-combinable sum."""
+    subdim = DIMS // sub
+    parts = []
+    for s in range(sub):
+        frame = _sub_frame(embeddings, s, subdim)
+        kw = {} if mode is None else {"mode": mode}
+        q, cents = _kmeans_state(frame, k, iters, **kw)
+        a = _assign(q, cents, **kw) if kw else _assign(q, cents)
+        parts.append(
+            a.select(
+                "vec_id", (F.col("cid") * F.lit(k**s).cast("long")).alias("term")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("vec_id").agg(F.sum("term").alias("pq_code"))
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    probe_ids: list[int],
+    n_neighbors: int = 3,
+    sub: int = SUB,
+    k: int = K,
+    iters: int = ITERS,
+    mode: str | None = None,
+) -> DataFrame:
+    """(probe_id, neighbor_id, d2_adc) — ADC search over the packed
+    codes: per probe a sub×k LUT of exact int64 subspace distances to
+    every centroid (built in-engine from the broadcast codebooks), then
+    every corpus code scores with `sub` lookups. Ties break to the
+    smaller neighbor id; probes are excluded from their own results."""
+    subdim = DIMS // sub
+    books = pq_codebooks(embeddings, sub, k, iters, mode)
+    codes = pq_codes(embeddings, sub, k, iters, mode)
+    probes = embeddings.where(F.col("vec_id").isin(probe_ids)).select(
+        F.col("vec_id").alias("probe_id"), F.expr(_QUANT).alias("pe")
+    )
+    pd2 = _D2.format(a=f"slice(pe, s * {subdim} + 1, {subdim})", b="c")
+    per_cent = probes.crossJoin(F.broadcast(books)).select(
+        "probe_id", "s", "cid", F.expr(pd2).alias("d")
+    )
+    per_sub = per_cent.groupBy("probe_id", "s").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(cid, d))), x -> x.d)"
+        ).alias("row")
+    )
+    luts = per_sub.groupBy("probe_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(s, row))), x -> x.row)"
+        ).alias("lut")
+    )
+    score = (
+        f"aggregate(sequence(0, {sub - 1}), CAST(0 AS BIGINT), (acc, s) -> "
+        f"acc + element_at(element_at(lut, s + 1), "
+        f"CAST(pq_code div CAST(pow({k}, s) AS BIGINT) % {k} AS INT) + 1))"
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("d2_adc").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        codes.select(F.col("vec_id").alias("neighbor_id"), "pq_code")
+        .join(F.broadcast(luts), F.col("neighbor_id") != F.col("probe_id"))
+        .withColumn("d2_adc", F.expr(score))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= n_neighbors)
+        .select("probe_id", "neighbor_id", "d2_adc")
+    )
+
+
+# ---------------------------------------------------------------- oracles
+
+_QUANT_DUCK = (
+    "list_transform(embedding, x -> "
+    "CAST(floor((CAST(x AS DOUBLE) + 1.0) * 1000000.0) AS BIGINT))"
+)
+
+
+def _sub_ctes(s: int, subdim: int, k: int, iters: int) -> str:
+    """Per-subspace CTE chain `p{s}_q, p{s}_c0, …, p{s}_final` — the
+    clustering.kmeans_ctes structure on the subspace slice."""
+    lo, hi = s * subdim + 1, (s + 1) * subdim
+    dist = (
+        f"list_sum(list_transform(range(1, {subdim + 1}), "
+        "i -> (q.e[i] - c.c[i]) * (q.e[i] - c.c[i])))"
+    )
+    parts = [
+        f"p{s}_q AS (SELECT vec_id, ({_QUANT_DUCK})[{lo}:{hi}] AS e FROM embeddings),",
+        f"p{s}_c0 AS (SELECT vec_id AS cid, e AS c FROM p{s}_q WHERE vec_id < {k}),",
+    ]
+    for it in range(iters):
+        parts.append(
+            f"""p{s}_a{it} AS (
+  SELECT q.vec_id, q.e, c.cid, {dist} AS d
+  FROM p{s}_q q CROSS JOIN p{s}_c{it} c
+  QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY d ASC, cid ASC) = 1
+),
+p{s}_m{it} AS (
+  SELECT cid, i, sum(e[i]) // count(*) AS m
+  FROM p{s}_a{it} CROSS JOIN range(1, {subdim + 1}) t(i)
+  GROUP BY cid, i
+),
+p{s}_c{it + 1} AS (SELECT cid, list(m ORDER BY i) AS c FROM p{s}_m{it} GROUP BY cid),"""
+        )
+    parts.append(
+        f"""p{s}_final AS (
+  SELECT q.vec_id, c.cid, {dist} AS d
+  FROM p{s}_q q CROSS JOIN p{s}_c{iters} c
+  QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY d ASC, cid ASC) = 1
+)"""
+    )
+    return "\n".join(parts)
+
+
+def pq_codes_sql(sub: int = SUB, k: int = K, iters: int = ITERS) -> str:
+    subdim = DIMS // sub
+    chains = ",\n".join(_sub_ctes(s, subdim, k, iters) for s in range(sub))
+    terms = " + ".join(f"p{s}_final.cid * {k ** s}" for s in range(sub))
+    joins = "\n".join(
+        f"JOIN p{s}_final ON p{s}_final.vec_id = p0_final.vec_id"
+        for s in range(1, sub)
+    )
+    return f"""
+WITH {chains}
+SELECT p0_final.vec_id, CAST({terms} AS BIGINT) AS pq_code
+FROM p0_final
+{joins}
+"""
+
+
+def pq_topk_sql(
+    probe_ids: list[int],
+    n_neighbors: int = 3,
+    sub: int = SUB,
+    k: int = K,
+    iters: int = ITERS,
+) -> str:
+    """ADC restated relationally: per subspace, the distance from each
+    probe's subvector to every NEIGHBOR's assigned centroid, summed
+    over subspaces — term-for-term the LUT computation."""
+    subdim = DIMS // sub
+    ids = ", ".join(str(i) for i in probe_ids)
+    chains = ",\n".join(_sub_ctes(s, subdim, k, iters) for s in range(sub))
+    pd2 = (
+        f"list_sum(list_transform(range(1, {subdim + 1}), "
+        "i -> (pr.e[i] - c.c[i]) * (pr.e[i] - c.c[i])))"
+    )
+    part_selects = "\nUNION ALL\n".join(
+        f"""SELECT pr.vec_id AS probe_id, f.vec_id AS neighbor_id, {pd2} AS d
+FROM p{s}_q pr, p{s}_final f
+JOIN p{s}_c{iters} c ON c.cid = f.cid
+WHERE pr.vec_id IN ({ids})"""
+        for s in range(sub)
+    )
+    return f"""
+WITH {chains},
+parts AS (
+{part_selects}
+),
+score AS (
+  SELECT probe_id, neighbor_id, CAST(sum(d) AS BIGINT) AS d2_adc
+  FROM parts WHERE probe_id <> neighbor_id
+  GROUP BY probe_id, neighbor_id
+)
+SELECT probe_id, neighbor_id, d2_adc
+FROM score
+QUALIFY row_number() OVER (
+    PARTITION BY probe_id ORDER BY d2_adc ASC, neighbor_id ASC) <= {n_neighbors}
+"""

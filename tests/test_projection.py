@@ -378,3 +378,83 @@ def test_bigram_surprisal_matches_python_reference_random_corpora(spark):
             for r in bigram_surprisal(sdf).collect()
         }
         assert got == expect
+
+
+# -------------------------------------------------------- product quantization
+
+
+def test_pq_codes_pack_and_modes_agree(spark, sf_dir):
+    """Codes live in [0, k^sub); the Arrow and SQL assignment paths must
+    produce bit-identical codes (inherited from the clustering module's
+    dual-mode contract)."""
+    from khronus_spark.operators.pq import pq_codes
+
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 80)
+    arrow = {r.vec_id: r.pq_code for r in pq_codes(emb, 4, 8, 1, "arrow").collect()}
+    sql = {r.vec_id: r.pq_code for r in pq_codes(emb, 4, 8, 1, "sql").collect()}
+    assert arrow == sql
+    assert all(0 <= c < 8**4 for c in arrow.values())
+    assert len(arrow) == 80
+
+
+def test_pq_identical_vectors_share_codes_and_rank_first(spark, sf_dir):
+    """An exact copy of a vector must receive the same packed code, and
+    ADC must rank it at distance == the probe's own quantization error
+    (the minimum possible) — the planted-duplicate retrieval case."""
+    from khronus_spark.operators.pq import pq_codes, pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 60)
+    copies = emb.where(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(copies)
+    codes = {r.vec_id: r.pq_code for r in pq_codes(corpus, 4, 8, 1).collect()}
+    for v in range(5):
+        assert codes[v] == codes[v + 1000]
+    top1 = {
+        r.probe_id: r
+        for r in pq_topk(corpus, [1000 + v for v in range(5)], 1, 4, 8, 1).collect()
+    }
+    got = pq_topk(corpus, [1000 + v for v in range(5)], 60, 4, 8, 1)
+    by_probe = {}
+    for r in got.collect():
+        by_probe.setdefault(r.probe_id, {})[r.neighbor_id] = r.d2_adc
+    for v in range(5):
+        p = 1000 + v
+        # the original is tied for the minimum ADC distance (same code)
+        assert by_probe[p][v] == min(by_probe[p].values())
+        assert top1[p].d2_adc == by_probe[p][v]
+
+
+def test_pq_adc_equals_lut_free_restatement(spark, sf_dir):
+    """The broadcast-LUT scoring must equal the relational restatement
+    (probe-subvector to assigned-centroid distance summed per subspace)
+    computed independently in Python."""
+    from khronus_spark.operators.pq import _QUANT, pq_codebooks, pq_codes, pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 40)
+    sub, k, iters = 4, 8, 1
+    subdim = 64 // sub
+    books = {
+        (r.s, r.cid): list(r.c) for r in pq_codebooks(emb, sub, k, iters).collect()
+    }
+    codes = {r.vec_id: r.pq_code for r in pq_codes(emb, sub, k, iters).collect()}
+    qvecs = {
+        r.vec_id: list(r.e)
+        for r in emb.select("vec_id", F.expr(_QUANT).alias("e")).collect()
+    }
+    probes = [0, 1]
+    got = {}
+    for r in pq_topk(emb, probes, 39, sub, k, iters).collect():
+        got[(r.probe_id, r.neighbor_id)] = r.d2_adc
+    for p in probes:
+        for n, code in codes.items():
+            if n == p:
+                continue
+            expect = 0
+            for s in range(sub):
+                cid = (code // (k**s)) % k
+                c = books[(s, cid)]
+                pe = qvecs[p][s * subdim : (s + 1) * subdim]
+                expect += sum((a - b) * (a - b) for a, b in zip(pe, c))
+            assert got[(p, n)] == expect, (p, n)
