@@ -165,6 +165,8 @@ def main() -> None:
         "dedup_incremental": lambda: run_df(
             q["dedup_incremental_batch"](spark, sf_dir)
         ),
+        # PQ train + pack + ADC search (compressed-domain ANN)
+        "ann_pq_topk": lambda: run_df(q["ann_pq_topk"](spark, sf_dir)),
     }
 
     # Median-of-N per query: the shared host shows 2-5x contention

@@ -61,6 +61,44 @@ def _sub_frame(embeddings: DataFrame, s: int, subdim: int) -> DataFrame:
     )
 
 
+def _pq_state(
+    embeddings: DataFrame,
+    sub: int,
+    k: int,
+    iters: int,
+    mode: str | None,
+) -> list[tuple[DataFrame, DataFrame]]:
+    """Per subspace: (quantized subvectors, trained centroids). Each
+    subspace trains ONCE; codebooks, codes, and search all derive from
+    this state."""
+    subdim = DIMS // sub
+    kw = {} if mode is None else {"mode": mode}
+    return [
+        _kmeans_state(_sub_frame(embeddings, s, subdim), k, iters, **kw)
+        for s in range(sub)
+    ]
+
+
+def _books_from_state(state) -> DataFrame:
+    out = None
+    for s, (_, cents) in enumerate(state):
+        part = cents.select(F.lit(s).cast("long").alias("s"), "cid", "c")
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def _codes_from_state(state, k: int, mode: str | None) -> DataFrame:
+    kw = {} if mode is None else {"mode": mode}
+    out = None
+    for s, (q, cents) in enumerate(state):
+        a = _assign(q, cents, **kw)
+        part = a.select(
+            "vec_id", (F.col("cid") * F.lit(k**s).cast("long")).alias("term")
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.groupBy("vec_id").agg(F.sum("term").alias("pq_code"))
+
+
 def pq_codebooks(
     embeddings: DataFrame,
     sub: int = SUB,
@@ -71,16 +109,7 @@ def pq_codebooks(
     """(s, cid, c: array<long>[subdim]) — one trained integer codebook
     per subspace (init: centroids = the subvectors of vec_id 0..k-1,
     the same deterministic rule as the full-space k-means)."""
-    subdim = DIMS // sub
-    parts = []
-    for s in range(sub):
-        kw = {} if mode is None else {"mode": mode}
-        cents = _kmeans_state(_sub_frame(embeddings, s, subdim), k, iters, **kw)[1]
-        parts.append(cents.select(F.lit(s).cast("long").alias("s"), "cid", "c"))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return _books_from_state(_pq_state(embeddings, sub, k, iters, mode))
 
 
 def pq_codes(
@@ -93,22 +122,7 @@ def pq_codes(
     """(vec_id, pq_code) — the packed PQ index: code = Σ_s cid_s · k^s.
     `sub` assignment passes (each ≤N-row or zero shuffle, per the
     clustering module) combined by one map-side-combinable sum."""
-    subdim = DIMS // sub
-    parts = []
-    for s in range(sub):
-        frame = _sub_frame(embeddings, s, subdim)
-        kw = {} if mode is None else {"mode": mode}
-        q, cents = _kmeans_state(frame, k, iters, **kw)
-        a = _assign(q, cents, **kw) if kw else _assign(q, cents)
-        parts.append(
-            a.select(
-                "vec_id", (F.col("cid") * F.lit(k**s).cast("long")).alias("term")
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.groupBy("vec_id").agg(F.sum("term").alias("pq_code"))
+    return _codes_from_state(_pq_state(embeddings, sub, k, iters, mode), k, mode)
 
 
 def pq_topk(
@@ -126,8 +140,9 @@ def pq_topk(
     every corpus code scores with `sub` lookups. Ties break to the
     smaller neighbor id; probes are excluded from their own results."""
     subdim = DIMS // sub
-    books = pq_codebooks(embeddings, sub, k, iters, mode)
-    codes = pq_codes(embeddings, sub, k, iters, mode)
+    state = _pq_state(embeddings, sub, k, iters, mode)
+    books = _books_from_state(state)
+    codes = _codes_from_state(state, k, mode)
     probes = embeddings.where(F.col("vec_id").isin(probe_ids)).select(
         F.col("vec_id").alias("probe_id"), F.expr(_QUANT).alias("pe")
     )
