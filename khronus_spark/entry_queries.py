@@ -133,6 +133,7 @@ _PRIORITY = [
     "lang_confusion_matrix",  # new in round 4, never driver-checked
     "pq_codes",  # new in round 4, never driver-checked
     "ann_pq_topk",  # new in round 4, never driver-checked
+    "ann_ivfpq_topk",  # new in round 4, never driver-checked
     "dup_ngram_5",
     "duplicate_spans",
     # -- longest unchecked: green only in round 1 ------------------------
@@ -152,7 +153,6 @@ _PRIORITY = [
     "events_pivot_type_daily",
     "events_sliding_counts_10m_5m",
     "user_funnel_vcp",
-    "user_weekly_retention",
 ]
 
 
@@ -3727,3 +3727,19 @@ def ann_pq_topk(spark, sf_dir):
     per subspace)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return pq_ops.pq_topk(emb, list(range(5)), 3, sub=4, k=8, iters=1)
+
+
+@register(
+    "ann_ivfpq_topk",
+    pq_ops.ivf_pq_topk_sql(list(range(5)), 3, stride=50, nprobe=2, sub=4, k=8, iters=1),
+)
+def ann_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ (operators/pq.py): the canonical billion-scale index —
+    IVF inverted lists restrict each probe to ~nprobe/nlist of the
+    corpus, and candidates score from packed PQ codes via broadcast ADC
+    lookup tables. Completes the ANN arc: brute -> LSH -> IVF ->
+    IVF-kmeans -> int8 -> RP two-stage -> PQ -> IVF-PQ."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_ops.ivf_pq_topk(
+        emb, list(range(5)), 3, stride=50, nprobe=2, sub=4, k=8, iters=1
+    )

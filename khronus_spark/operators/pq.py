@@ -277,3 +277,173 @@ FROM score
 QUALIFY row_number() OVER (
     PARTITION BY probe_id ORDER BY d2_adc ASC, neighbor_id ASC) <= {n_neighbors}
 """
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    probe_ids: list[int],
+    n_neighbors: int = 3,
+    stride: int = 50,
+    nprobe: int = 2,
+    sub: int = SUB,
+    k: int = K,
+    iters: int = ITERS,
+    mode: str | None = None,
+) -> DataFrame:
+    """IVF-PQ — the canonical billion-scale index (FAISS's IVFPQ, minus
+    the optional residual encoding): the IVF coarse quantizer restricts
+    each probe to `nprobe` inverted lists (~nprobe/nlist of the
+    corpus), and the candidates score from their 8-byte PQ codes via
+    the broadcast ADC lookup tables instead of full vectors. Output:
+    (probe_id, neighbor_id, d2_adc), ties to the smaller neighbor id.
+
+    Scale shape: coarse assignment and probe lists reuse the IVF
+    module's map-only broadcast passes; codes are the ONE-BIGINT-per-
+    vector table; the candidate join keys on the centroid id against a
+    broadcast probe-list table; scoring is `sub` table adds per
+    candidate; the per-probe top-k window is over the candidate subset
+    only."""
+    from khronus_spark.operators.similarity import ivf_assignments, ivf_probe_lists
+
+    subdim = DIMS // sub
+    state = _pq_state(embeddings, sub, k, iters, mode)
+    books = _books_from_state(state)
+    codes = _codes_from_state(state, k, mode)
+    probe_lists = ivf_probe_lists(embeddings, probe_ids, nprobe, stride)
+    pvec = probe_lists.select("probe_id", "probe_vec").distinct().select(
+        "probe_id",
+        F.expr(
+            "transform(probe_vec, x -> floor((CAST(x AS DOUBLE) + 1.0D) * 1000000.0D))"
+        ).alias("pe"),
+    )
+    pd2 = _D2.format(a=f"slice(pe, s * {subdim} + 1, {subdim})", b="c")
+    per_cent = pvec.crossJoin(F.broadcast(books)).select(
+        "probe_id", "s", "cid", F.expr(pd2).alias("d")
+    )
+    per_sub = per_cent.groupBy("probe_id", "s").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(cid, d))), x -> x.d)"
+        ).alias("row")
+    )
+    luts = per_sub.groupBy("probe_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(s, row))), x -> x.row)"
+        ).alias("lut")
+    )
+    assign = ivf_assignments(embeddings, stride)
+    cand = (
+        codes.join(assign, "vec_id")
+        .select(
+            F.col("vec_id").alias("neighbor_id"), "pq_code", "centroid_id"
+        )
+        .join(
+            F.broadcast(probe_lists.select("probe_id", "probe_centroid")),
+            F.col("centroid_id") == F.col("probe_centroid"),
+        )
+        .where(F.col("neighbor_id") != F.col("probe_id"))
+    )
+    score = (
+        f"aggregate(sequence(0, {sub - 1}), CAST(0 AS BIGINT), (acc, s) -> "
+        f"acc + element_at(element_at(lut, s + 1), "
+        f"CAST(pq_code div CAST(pow({k}, s) AS BIGINT) % {k} AS INT) + 1))"
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("d2_adc").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.join(F.broadcast(luts), "probe_id")
+        .withColumn("d2_adc", F.expr(score))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= n_neighbors)
+        .select("probe_id", "neighbor_id", "d2_adc")
+    )
+
+
+def ivf_pq_topk_sql(
+    probe_ids: list[int],
+    n_neighbors: int = 3,
+    stride: int = 50,
+    nprobe: int = 2,
+    sub: int = SUB,
+    k: int = K,
+    iters: int = ITERS,
+) -> str:
+    """Oracle: IVF candidate restriction (same cosine coarse quantizer
+    as the similarity module) + the relational ADC restatement."""
+    subdim = DIMS // sub
+    ids = ", ".join(str(i) for i in probe_ids)
+    chains = ",\n".join(_sub_ctes(s, subdim, k, iters) for s in range(sub))
+    dot = (
+        "list_sum(list_transform(range(1, 65), "
+        "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+    norm = (
+        "sqrt(list_sum(list_transform(range(1, 65), "
+        "i -> CAST({v}[i] AS DOUBLE) * CAST({v}[i] AS DOUBLE))))"
+    )
+    cos_ec = (
+        dot.format(a="e.embedding", b="c.cvec")
+        + " / ("
+        + norm.format(v="e.embedding")
+        + " * "
+        + norm.format(v="c.cvec")
+        + ")"
+    )
+    cos_pc = (
+        dot.format(a="p.embedding", b="c.cvec")
+        + " / ("
+        + norm.format(v="p.embedding")
+        + " * "
+        + norm.format(v="c.cvec")
+        + ")"
+    )
+    pd2 = (
+        f"list_sum(list_transform(range(1, {subdim + 1}), "
+        "i -> (pr.e[i] - cc.c[i]) * (pr.e[i] - cc.c[i])))"
+    )
+    part_selects = "\nUNION ALL\n".join(
+        f"""SELECT cand.probe_id, cand.neighbor_id, {pd2} AS d
+FROM cand
+JOIN p{s}_q pr ON pr.vec_id = cand.probe_id
+JOIN p{s}_final f ON f.vec_id = cand.neighbor_id
+JOIN p{s}_c{iters} cc ON cc.cid = f.cid"""
+        for s in range(sub)
+    )
+    return f"""
+WITH {chains},
+cv AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec
+  FROM embeddings WHERE vec_id % {stride} = 0
+),
+ivf AS (
+  SELECT vec_id, centroid_id
+  FROM (
+    SELECT e.vec_id, c.centroid_id, {cos_ec} AS sim
+    FROM embeddings e CROSS JOIN cv c
+  )
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) = 1
+),
+pl AS (
+  SELECT p.vec_id AS probe_id, c.centroid_id AS probe_centroid
+  FROM embeddings p CROSS JOIN cv c
+  WHERE p.vec_id IN ({ids})
+  QUALIFY row_number() OVER (
+      PARTITION BY p.vec_id ORDER BY {cos_pc} DESC, c.centroid_id ASC) <= {nprobe}
+),
+cand AS (
+  SELECT pl.probe_id, i.vec_id AS neighbor_id
+  FROM pl JOIN ivf i ON i.centroid_id = pl.probe_centroid
+  WHERE i.vec_id <> pl.probe_id
+),
+parts AS (
+{part_selects}
+),
+score AS (
+  SELECT probe_id, neighbor_id, CAST(sum(d) AS BIGINT) AS d2_adc
+  FROM parts GROUP BY probe_id, neighbor_id
+)
+SELECT probe_id, neighbor_id, d2_adc
+FROM score
+QUALIFY row_number() OVER (
+    PARTITION BY probe_id ORDER BY d2_adc ASC, neighbor_id ASC) <= {n_neighbors}
+"""

@@ -458,3 +458,29 @@ def test_pq_adc_equals_lut_free_restatement(spark, sf_dir):
                 pe = qvecs[p][s * subdim : (s + 1) * subdim]
                 expect += sum((a - b) * (a - b) for a, b in zip(pe, c))
             assert got[(p, n)] == expect, (p, n)
+
+
+def test_ivfpq_is_subset_of_full_adc_ranking(spark, sf_dir):
+    """Every IVF-PQ result must carry the same ADC distance the full
+    PQ scan assigns to that (probe, neighbor) pair — the IVF stage only
+    restricts candidates, never changes scores — and results only come
+    from the probed lists."""
+    from khronus_spark.operators.pq import ivf_pq_topk, pq_topk
+    from khronus_spark.operators.similarity import ivf_assignments, ivf_probe_lists
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = [0, 1, 2]
+    full = {
+        (r.probe_id, r.neighbor_id): r.d2_adc
+        for r in pq_topk(emb, probes, 500, 4, 8, 1).collect()
+    }
+    ivf = ivf_pq_topk(emb, probes, 3, stride=50, nprobe=2, sub=4, k=8, iters=1)
+    lists = {}
+    for r in ivf_probe_lists(emb, probes, 2, 50).collect():
+        lists.setdefault(r.probe_id, set()).add(r.probe_centroid)
+    assign = {r.vec_id: r.centroid_id for r in ivf_assignments(emb, 50).collect()}
+    rows = ivf.collect()
+    assert rows
+    for r in rows:
+        assert full[(r.probe_id, r.neighbor_id)] == r.d2_adc
+        assert assign[r.neighbor_id] in lists[r.probe_id]
