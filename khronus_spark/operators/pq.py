@@ -447,3 +447,46 @@ FROM score
 QUALIFY row_number() OVER (
     PARTITION BY probe_id ORDER BY d2_adc ASC, neighbor_id ASC) <= {n_neighbors}
 """
+
+
+def pq_rerank_topk(
+    embeddings: DataFrame,
+    probe_ids: list[int],
+    n_neighbors: int = 3,
+    n_candidates: int = 30,
+    sub: int = SUB,
+    k: int = K,
+    iters: int = ITERS,
+    mode: str | None = None,
+) -> DataFrame:
+    """Two-stage PQ retrieval: ADC over the packed codes keeps the
+    `n_candidates` best per probe, then ONLY those candidates fetch
+    their full vectors for an exact integer-L2 rerank — the standard
+    production recipe that buys back the quantization error for
+    `n_candidates`/N of the full-scan cost (same shape the JL
+    two-stage entry `ann_rp_topk` proves against its oracle).
+
+    Output (probe_id, neighbor_id, d2) with exact full-space distances.
+    Measured envelope on the UNIFORM test corpus (ROUND4_NOTES.md):
+    direct ADC recall@3 is 0.23 at sub=8/k=16 (distances concentrate in
+    random high-dim data) but the exact rerank recovers every exact
+    neighbor whose candidate survives — 0.70 at C=30 — and planted
+    near-duplicates (identical codes) are recalled at 1.0."""
+    cands = pq_topk(embeddings, probe_ids, n_candidates, sub, k, iters, mode)
+    vecs = embeddings.select("vec_id", F.expr(_QUANT).alias("e"))
+    pv = vecs.where(F.col("vec_id").isin(probe_ids)).select(
+        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe")
+    )
+    nv = vecs.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ne"))
+    d2 = _D2.format(a="pe", b="ne")
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cands.join(F.broadcast(pv), "probe_id")
+        .join(nv, "neighbor_id")
+        .withColumn("d2", F.expr(d2))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= n_neighbors)
+        .select("probe_id", "neighbor_id", "d2")
+    )

@@ -484,3 +484,28 @@ def test_ivfpq_is_subset_of_full_adc_ranking(spark, sf_dir):
     for r in rows:
         assert full[(r.probe_id, r.neighbor_id)] == r.d2_adc
         assert assign[r.neighbor_id] in lists[r.probe_id]
+
+
+def test_pq_rerank_recovers_exact_when_candidates_cover(spark, sf_dir):
+    """With n_candidates = corpus size the two-stage PQ result must
+    equal the exact integer-L2 top-k, and planted identical vectors
+    must come back at distance 0 rank 1."""
+    from khronus_spark.operators.pq import pq_rerank_topk
+    from khronus_spark.operators.projection import exact_l2_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 50)
+    probes = [0, 1]
+    full = pq_rerank_topk(emb, probes, 3, 100, 4, 8, 1).collect()
+    exact = exact_l2_topk(emb, probes, 3).collect()
+    key = lambda r: (r.probe_id, r.neighbor_id, r.d2)  # noqa: E731
+    assert sorted(map(key, full)) == sorted(map(key, exact))
+
+    copies = emb.where(F.col("vec_id") < 2).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(copies)
+    top1 = {
+        r.probe_id: r for r in pq_rerank_topk(corpus, [1000, 1001], 1, 10, 4, 8, 1).collect()
+    }
+    assert top1[1000].neighbor_id == 0 and top1[1000].d2 == 0
+    assert top1[1001].neighbor_id == 1 and top1[1001].d2 == 0
