@@ -134,6 +134,7 @@ _PRIORITY = [
     "pq_codes",  # new in round 4, never driver-checked
     "ann_pq_topk",  # new in round 4, never driver-checked
     "ann_ivfpq_topk",  # new in round 4, never driver-checked
+    "source_health_report",  # new in round 4, never driver-checked
     "dup_ngram_5",
     "duplicate_spans",
     # -- longest unchecked: green only in round 1 ------------------------
@@ -152,7 +153,6 @@ _PRIORITY = [
     "events_column_profile",
     "events_pivot_type_daily",
     "events_sliding_counts_10m_5m",
-    "user_funnel_vcp",
 ]
 
 
@@ -3743,3 +3743,14 @@ def ann_ivfpq_topk(spark, sf_dir):
     return pq_ops.ivf_pq_topk(
         emb, list(range(5)), 3, stride=50, nprobe=2, sub=4, k=8, iters=1
     )
+
+
+@register("source_health_report", curation_ops.source_health_report_sql())
+def source_health_report(spark, sf_dir):
+    """Per-dump health dashboard (operators/curation.py): gopher pass
+    rate, mean quality, byte-exact dup share vs the whole corpus, and
+    OOV rate per source — the go/no-go table read before admitting a
+    dump. Composes the checked per-doc signals; the oracle embeds each
+    signal's own SQL verbatim (no parallel spec)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation_ops.source_health_report(docs)

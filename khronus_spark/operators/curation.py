@@ -703,3 +703,98 @@ sizes AS (
 SELECT source_a, source_b, n_pairs, n_docs_a
 FROM counts JOIN sizes USING (source_a)
 """
+
+
+def source_health_report(docs: DataFrame, top_v: int = 12) -> DataFrame:
+    """The per-dump health dashboard a curation team reads before
+    admitting a source: (source, n_docs, gopher_keep_pm,
+    mean_quality_bp, exact_dup_pm, oov_pm) — rule-battery pass rate,
+    mean heuristic quality, share of byte-exact duplicates (against the
+    WHOLE corpus, so mirrored dumps light up), and OOV rate vs the
+    corpus top-V vocabulary. Composes the existing per-doc signals; no
+    new spec is introduced (the oracle embeds each signal's own checked
+    SQL verbatim).
+
+    Shape at 100 TB: every per-doc signal is map-only (gopher, quality,
+    md5); the dup flag joins only the DUPLICATED hashes (long tail of
+    unique texts never enters the join) and is salted like the gram
+    joins; the final rollup is one map-side-combinable groupBy(source)
+    plus a |sources|-row join with the OOV profile."""
+    from khronus_spark.operators.text import (
+        gopher_rules,
+        vocab_oov_profile,
+    )
+
+    salt = 16
+    g = gopher_rules(docs).select("doc_id", "keep")
+    qs = quality_score(docs).select("doc_id", "quality_bp")
+    oov = vocab_oov_profile(docs, top_v).select("source", "oov_pm")
+    hashed = docs.select("doc_id", "source", F.md5("text").alias("h"))
+    dup_h = (
+        hashed.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+        .select(
+            "h",
+            F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("_salt"),
+        )
+    )
+    flags = (
+        hashed.withColumn("_salt", (F.col("doc_id") % salt).cast("int"))
+        .join(dup_h.withColumn("_hit", F.lit(1)), ["h", "_salt"], "left")
+        .select("doc_id", "source", F.col("_hit").isNotNull().alias("is_dup"))
+    )
+    per = (
+        flags.join(g, "doc_id")
+        .join(qs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("_keeps"),
+            F.sum("quality_bp").alias("_qsum"),
+            F.sum(F.col("is_dup").cast("long")).alias("_dups"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.expr("_keeps * 1000L div n_docs").alias("gopher_keep_pm"),
+            F.expr("_qsum div n_docs").alias("mean_quality_bp"),
+            F.expr("_dups * 1000L div n_docs").alias("exact_dup_pm"),
+        )
+    )
+    return per.join(oov, "source")
+
+
+def source_health_report_sql(top_v: int = 12) -> str:
+    """Embeds the gopher, quality, and OOV oracles VERBATIM as
+    subqueries — the composition introduces no parallel spec."""
+    from khronus_spark.operators.text import (
+        GOPHER_RULES_SQL,
+        vocab_oov_profile_sql,
+    )
+
+    return f"""
+WITH g AS (SELECT doc_id, keep FROM ({GOPHER_RULES_SQL}) _g),
+q AS (SELECT doc_id, quality_bp FROM ({QUALITY_SCORE_SQL}) _q),
+oov AS (SELECT source, oov_pm FROM ({vocab_oov_profile_sql(top_v)}) _o),
+hashed AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+dup_h AS (SELECT h FROM hashed GROUP BY h HAVING count(*) > 1),
+flags AS (
+  SELECT hashed.doc_id, hashed.source, dup_h.h IS NOT NULL AS is_dup
+  FROM hashed LEFT JOIN dup_h USING (h)
+),
+per AS (
+  SELECT f.source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN g.keep THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT)
+           AS gopher_keep_pm,
+         CAST(sum(q.quality_bp) // count(*) AS BIGINT) AS mean_quality_bp,
+         CAST(sum(CASE WHEN f.is_dup THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT)
+           AS exact_dup_pm
+  FROM flags f JOIN g ON g.doc_id = f.doc_id JOIN q ON q.doc_id = f.doc_id
+  GROUP BY f.source
+)
+SELECT per.source, per.n_docs, per.gopher_keep_pm, per.mean_quality_bp,
+       per.exact_dup_pm, oov.oov_pm
+FROM per JOIN oov USING (source)
+"""

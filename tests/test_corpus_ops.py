@@ -580,3 +580,25 @@ def test_lang_confusion_matrix_tiles_and_catches_mislabels(spark):
     for lang in ("en", "es"):
         total = sum(r.share_pm for (a, _), r in cells.items() if a == lang)
         assert 1000 - len([1 for (a, _) in cells if a == lang]) < total <= 1000
+
+
+def test_source_health_report_flags_the_bad_dump(spark):
+    """A mirrored (duplicate-heavy) source must show a high exact_dup_pm
+    while the clean source stays at 0; counts tile per source."""
+    from khronus_spark.operators.curation import source_health_report
+
+    rows = []
+    for i in range(4):  # clean source: unique texts
+        rows.append((i, f"the quick brown fox number {i} jumps over dogs", "en", "clean", 40))
+    for i in range(4, 10):  # mirror: one text repeated
+        rows.append((i, "identical mirrored boilerplate page content here", "en", "mirror", 48))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    rep = {r.source: r for r in source_health_report(docs, top_v=3).collect()}
+    assert rep["clean"].n_docs == 4 and rep["mirror"].n_docs == 6
+    assert rep["clean"].exact_dup_pm == 0
+    assert rep["mirror"].exact_dup_pm == 1000  # every doc is a duplicate
+    for r in rep.values():
+        assert 0 <= r.gopher_keep_pm <= 1000
+        assert 0 <= r.oov_pm <= 1000
