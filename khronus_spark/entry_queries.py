@@ -135,6 +135,7 @@ _PRIORITY = [
     "ann_pq_topk",  # new in round 4, never driver-checked
     "ann_ivfpq_topk",  # new in round 4, never driver-checked
     "source_health_report",  # new in round 4, never driver-checked
+    "embedding_knn_graph",  # new in round 4, never driver-checked
     "dup_ngram_5",
     "duplicate_spans",
     # -- longest unchecked: green only in round 1 ------------------------
@@ -152,7 +153,6 @@ _PRIORITY = [
     "events_cube_type_daily",
     "events_column_profile",
     "events_pivot_type_daily",
-    "events_sliding_counts_10m_5m",
 ]
 
 
@@ -3754,3 +3754,18 @@ def source_health_report(spark, sf_dir):
     signal's own SQL verbatim (no parallel spec)."""
     docs = load_table(spark, sf_dir, "documents")
     return curation_ops.source_health_report(docs)
+
+
+@register(
+    "embedding_knn_graph",
+    sim_ops.knn_graph_sql(3, n_bands=4, planes_per_band=8),
+)
+def embedding_knn_graph(spark, sf_dir):
+    """Approximate corpus-wide k-NN graph (operators/similarity.py):
+    every vector's top-3 cosine neighbors among its banded-LSH
+    candidates — the building block under graph ANN indexes and
+    graph-side dedup audits. Candidates stay linear (band collisions),
+    exact cosine only on candidates, per-vector top-k windows bounded
+    by candidate counts."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.knn_graph(emb, 3, n_bands=4, planes_per_band=8)

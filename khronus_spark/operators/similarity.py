@@ -602,3 +602,88 @@ emb AS (SELECT e.vec_id, e.embedding, a.centroid_id AS _blk
         FROM embeddings e JOIN assign a USING (vec_id)),
 {tail}
 """
+
+
+def knn_graph(
+    embeddings: DataFrame,
+    k: int = 3,
+    n_bands: int = N_BANDS,
+    planes_per_band: int = PLANES_PER_BAND,
+) -> DataFrame:
+    """Approximate k-NN graph over the whole corpus: for EVERY vector,
+    its `k` most-cosine-similar neighbors among its banded-LSH
+    candidates — (vec_id, neighbor_id, cosine_bp, rank). The building
+    block under graph-based ANN indexes and graph-side dedup/dedup-
+    audit passes; vectors whose candidate set is smaller than `k`
+    return fewer rows (the bands found no collisions — at production
+    band sizing that means nothing is close).
+
+    Scale shape: candidate generation is the banded bucket join
+    (linear, never all-pairs); the pair set symmetrizes by a map-only
+    union; exact cosine runs only on candidates; the per-vector top-k
+    window partitions are bounded by per-vector candidate counts (the
+    same bounded-window argument as the per-probe rerank windows)."""
+    cand = _lsh_candidate_pairs(embeddings, n_bands, planes_per_band)
+    sym = cand.unionByName(
+        cand.select(F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b"))
+    )
+    ea = embeddings.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("_emb_a")
+    )
+    eb = embeddings.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("_emb_b")
+    )
+    cos_bp = F.floor(cosine_col(F.col("_emb_a"), F.col("_emb_b")) * 10000).cast(
+        "long"
+    )
+    w = Window.partitionBy("vec_a").orderBy(
+        F.col("cosine_bp").desc(), F.col("vec_b").asc()
+    )
+    return (
+        sym.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", cos_bp.alias("cosine_bp"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("vec_a").alias("vec_id"),
+            F.col("vec_b").alias("neighbor_id"),
+            "cosine_bp",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def knn_graph_sql(
+    k: int = 3, n_bands: int = N_BANDS, planes_per_band: int = PLANES_PER_BAND
+) -> str:
+    buckets = lsh_band_buckets_sql(n_bands, planes_per_band)
+    dot = (
+        "list_sum(list_transform(range(1, 65), "
+        "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+    )
+    norm = (
+        "sqrt(list_sum(list_transform(range(1, 65), "
+        "i -> CAST({s}.embedding[i] AS DOUBLE) * CAST({s}.embedding[i] AS DOUBLE))))"
+    )
+    return f"""
+WITH bk AS ({buckets}),
+cand AS (
+  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM bk x JOIN bk y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id <> y.vec_id
+),
+scored AS (
+  SELECT cand.vec_a, cand.vec_b,
+         CAST(floor(({dot} / ({norm.format(s='a')} * {norm.format(s='b')})) * 10000)
+              AS BIGINT) AS cosine_bp
+  FROM cand
+  JOIN embeddings a ON a.vec_id = cand.vec_a
+  JOIN embeddings b ON b.vec_id = cand.vec_b
+)
+SELECT vec_a AS vec_id, vec_b AS neighbor_id, cosine_bp,
+       CAST(row_number() OVER (
+           PARTITION BY vec_a ORDER BY cosine_bp DESC, vec_b ASC) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= {k}
+"""

@@ -143,3 +143,26 @@ def test_lsh_recall_high_on_structured_corpus(spark):
     got = key(lsh_topk(emb, probes, k, n_bands=8, planes_per_band=4))
     recall = len(exact & got) / len(exact)
     assert recall >= 0.9, f"structured-corpus LSH recall {recall}"
+
+
+def test_knn_graph_symmetric_candidates_and_ranked(spark, sf_dir):
+    """Every (a -> b) edge implies b was a's LSH candidate AND a was
+    b's (the candidate relation is symmetric), ranks are dense from 1,
+    and each neighbor list is sorted by (cosine desc, id asc)."""
+    from khronus_spark.operators.similarity import knn_graph
+    from khronus_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = knn_graph(emb, 3, n_bands=4, planes_per_band=8).collect()
+    assert rows
+    by_vec: dict = {}
+    for r in rows:
+        by_vec.setdefault(r.vec_id, []).append(r)
+    edges = {(r.vec_id, r.neighbor_id) for r in rows}
+    assert all(v != n for v, n in edges)
+    for v, lst in by_vec.items():
+        lst.sort(key=lambda r: r.rank)
+        assert [r.rank for r in lst] == list(range(1, len(lst) + 1))
+        keys = [(-r.cosine_bp, r.neighbor_id) for r in lst]
+        assert keys == sorted(keys)
+        assert len(lst) <= 3
