@@ -41,7 +41,8 @@ SUB = 8
 K = 16
 ITERS = 2
 
-_QUANT = "transform(embedding, x -> floor((CAST(x AS DOUBLE) + 1.0D) * 1000000.0D))"
+_QUANT_COL = "transform({c}, x -> floor((CAST(x AS DOUBLE) + 1.0D) * 1000000.0D))"
+_QUANT = _QUANT_COL.format(c="embedding")
 
 #: int64-exact squared L2 between two equal-length long arrays
 _D2 = (
@@ -125,6 +126,36 @@ def pq_codes(
     return _codes_from_state(_pq_state(embeddings, sub, k, iters, mode), k, mode)
 
 
+def _adc_luts(pvec: DataFrame, books: DataFrame, sub: int, k: int) -> DataFrame:
+    """(probe_id, lut: map<int, long>) — the ADC lookup table keyed by
+    s·k + cid. A MAP (not a positional array) because the trained
+    codebook's cids need not be dense: a cluster emptied by a mean
+    update (or duplicate init points) leaves a cid gap, and positional
+    indexing would silently read the next centroid's distance for every
+    cid above the gap. Codes only ever contain surviving cids, so every
+    lookup key is present. `pvec` is (probe_id, pe) with the quantized
+    full vector."""
+    subdim = DIMS // sub
+    pd2 = _D2.format(a=f"slice(pe, s * {subdim} + 1, {subdim})", b="c")
+    per_cent = pvec.crossJoin(F.broadcast(books)).select(
+        "probe_id",
+        (F.col("s") * k + F.col("cid")).cast("int").alias("key"),
+        F.expr(pd2).alias("d"),
+    )
+    return per_cent.groupBy("probe_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("key", "d"))).alias("lut")
+    )
+
+
+def _adc_score_expr(sub: int, k: int) -> str:
+    """Score expression over columns (lut, pq_code): Σ_s lut[s·k+cid_s]."""
+    return (
+        f"aggregate(sequence(0, {sub - 1}), CAST(0 AS BIGINT), (acc, s) -> "
+        f"acc + element_at(lut, CAST(s * {k} + "
+        f"pq_code div CAST(pow({k}, s) AS BIGINT) % {k} AS INT)))"
+    )
+
+
 def pq_topk(
     embeddings: DataFrame,
     probe_ids: list[int],
@@ -139,39 +170,20 @@ def pq_topk(
     every centroid (built in-engine from the broadcast codebooks), then
     every corpus code scores with `sub` lookups. Ties break to the
     smaller neighbor id; probes are excluded from their own results."""
-    subdim = DIMS // sub
     state = _pq_state(embeddings, sub, k, iters, mode)
     books = _books_from_state(state)
     codes = _codes_from_state(state, k, mode)
-    probes = embeddings.where(F.col("vec_id").isin(probe_ids)).select(
+    pvec = embeddings.where(F.col("vec_id").isin(probe_ids)).select(
         F.col("vec_id").alias("probe_id"), F.expr(_QUANT).alias("pe")
     )
-    pd2 = _D2.format(a=f"slice(pe, s * {subdim} + 1, {subdim})", b="c")
-    per_cent = probes.crossJoin(F.broadcast(books)).select(
-        "probe_id", "s", "cid", F.expr(pd2).alias("d")
-    )
-    per_sub = per_cent.groupBy("probe_id", "s").agg(
-        F.expr(
-            "transform(array_sort(collect_list(struct(cid, d))), x -> x.d)"
-        ).alias("row")
-    )
-    luts = per_sub.groupBy("probe_id").agg(
-        F.expr(
-            "transform(array_sort(collect_list(struct(s, row))), x -> x.row)"
-        ).alias("lut")
-    )
-    score = (
-        f"aggregate(sequence(0, {sub - 1}), CAST(0 AS BIGINT), (acc, s) -> "
-        f"acc + element_at(element_at(lut, s + 1), "
-        f"CAST(pq_code div CAST(pow({k}, s) AS BIGINT) % {k} AS INT) + 1))"
-    )
+    luts = _adc_luts(pvec, books, sub, k)
     w = Window.partitionBy("probe_id").orderBy(
         F.col("d2_adc").asc(), F.col("neighbor_id").asc()
     )
     return (
         codes.select(F.col("vec_id").alias("neighbor_id"), "pq_code")
         .join(F.broadcast(luts), F.col("neighbor_id") != F.col("probe_id"))
-        .withColumn("d2_adc", F.expr(score))
+        .withColumn("d2_adc", F.expr(_adc_score_expr(sub, k)))
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= n_neighbors)
         .select("probe_id", "neighbor_id", "d2_adc")
@@ -305,31 +317,14 @@ def ivf_pq_topk(
     only."""
     from khronus_spark.operators.similarity import ivf_assignments, ivf_probe_lists
 
-    subdim = DIMS // sub
     state = _pq_state(embeddings, sub, k, iters, mode)
     books = _books_from_state(state)
     codes = _codes_from_state(state, k, mode)
     probe_lists = ivf_probe_lists(embeddings, probe_ids, nprobe, stride)
     pvec = probe_lists.select("probe_id", "probe_vec").distinct().select(
-        "probe_id",
-        F.expr(
-            "transform(probe_vec, x -> floor((CAST(x AS DOUBLE) + 1.0D) * 1000000.0D))"
-        ).alias("pe"),
+        "probe_id", F.expr(_QUANT_COL.format(c="probe_vec")).alias("pe")
     )
-    pd2 = _D2.format(a=f"slice(pe, s * {subdim} + 1, {subdim})", b="c")
-    per_cent = pvec.crossJoin(F.broadcast(books)).select(
-        "probe_id", "s", "cid", F.expr(pd2).alias("d")
-    )
-    per_sub = per_cent.groupBy("probe_id", "s").agg(
-        F.expr(
-            "transform(array_sort(collect_list(struct(cid, d))), x -> x.d)"
-        ).alias("row")
-    )
-    luts = per_sub.groupBy("probe_id").agg(
-        F.expr(
-            "transform(array_sort(collect_list(struct(s, row))), x -> x.row)"
-        ).alias("lut")
-    )
+    luts = _adc_luts(pvec, books, sub, k)
     assign = ivf_assignments(embeddings, stride)
     cand = (
         codes.join(assign, "vec_id")
@@ -342,17 +337,12 @@ def ivf_pq_topk(
         )
         .where(F.col("neighbor_id") != F.col("probe_id"))
     )
-    score = (
-        f"aggregate(sequence(0, {sub - 1}), CAST(0 AS BIGINT), (acc, s) -> "
-        f"acc + element_at(element_at(lut, s + 1), "
-        f"CAST(pq_code div CAST(pow({k}, s) AS BIGINT) % {k} AS INT) + 1))"
-    )
     w = Window.partitionBy("probe_id").orderBy(
         F.col("d2_adc").asc(), F.col("neighbor_id").asc()
     )
     return (
         cand.join(F.broadcast(luts), "probe_id")
-        .withColumn("d2_adc", F.expr(score))
+        .withColumn("d2_adc", F.expr(_adc_score_expr(sub, k)))
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= n_neighbors)
         .select("probe_id", "neighbor_id", "d2_adc")

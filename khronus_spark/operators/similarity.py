@@ -624,9 +624,6 @@ def knn_graph(
     window partitions are bounded by per-vector candidate counts (the
     same bounded-window argument as the per-probe rerank windows)."""
     cand = _lsh_candidate_pairs(embeddings, n_bands, planes_per_band)
-    sym = cand.unionByName(
-        cand.select(F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b"))
-    )
     ea = embeddings.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("_emb_a")
     )
@@ -636,14 +633,26 @@ def knn_graph(
     cos_bp = F.floor(cosine_col(F.col("_emb_a"), F.col("_emb_b")) * 10000).cast(
         "long"
     )
+    # score each undirected pair ONCE (cosine is symmetric), then emit
+    # both directions — half the cosine evaluations and join traffic of
+    # scoring a symmetrized pair set
+    scored = (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", cos_bp.alias("cosine_bp"))
+    )
+    sym = scored.unionByName(
+        scored.select(
+            F.col("vec_b").alias("vec_a"),
+            F.col("vec_a").alias("vec_b"),
+            "cosine_bp",
+        )
+    )
     w = Window.partitionBy("vec_a").orderBy(
         F.col("cosine_bp").desc(), F.col("vec_b").asc()
     )
     return (
-        sym.join(ea, "vec_a")
-        .join(eb, "vec_b")
-        .select("vec_a", "vec_b", cos_bp.alias("cosine_bp"))
-        .withColumn("rank", F.row_number().over(w))
+        sym.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(
             F.col("vec_a").alias("vec_id"),

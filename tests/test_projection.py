@@ -509,3 +509,52 @@ def test_pq_rerank_recovers_exact_when_candidates_cover(spark, sf_dir):
     }
     assert top1[1000].neighbor_id == 0 and top1[1000].d2 == 0
     assert top1[1001].neighbor_id == 1 and top1[1001].d2 == 0
+
+
+def test_pq_adc_correct_with_non_dense_codebook(spark, sf_dir):
+    """Regression for the positional-LUT bug: duplicate initial points
+    (vec 0 == vec 1) make cluster 1 lose every member at the first
+    assignment (ties go to the smaller cid), so after a mean update the
+    codebook has a cid GAP. ADC must still return distances identical
+    to an independent Python restatement keyed BY CID — a positional
+    lookup table would shift every row above the gap (or throw on the
+    top surviving cid)."""
+    from khronus_spark.operators.pq import _QUANT, pq_codebooks, pq_codes, pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 30)
+    dup0 = emb.where(F.col("vec_id") == 0).select(
+        F.lit(1).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.where(F.col("vec_id") != 1).unionByName(dup0)
+    sub, k, iters = 4, 4, 2
+    books = {
+        (r.s, r.cid): list(r.c) for r in pq_codebooks(corpus, sub, k, iters).collect()
+    }
+    cids_per_sub = {
+        s: sorted(c for (ss, c) in books if ss == s) for s in range(sub)
+    }
+    assert any(
+        cids != list(range(len(cids))) or len(cids) < k
+        for cids in cids_per_sub.values()
+    ), f"fixture no longer produces a cid gap: {cids_per_sub}"
+    codes = {r.vec_id: r.pq_code for r in pq_codes(corpus, sub, k, iters).collect()}
+    qvecs = {
+        r.vec_id: list(r.e)
+        for r in corpus.select("vec_id", F.expr(_QUANT).alias("e")).collect()
+    }
+    subdim = 64 // sub
+    got = {
+        (r.probe_id, r.neighbor_id): r.d2_adc
+        for r in pq_topk(corpus, [0, 2], 40, sub, k, iters).collect()
+    }
+    for p in (0, 2):
+        for n, code in codes.items():
+            if n == p:
+                continue
+            expect = 0
+            for s in range(sub):
+                cid = (code // (k**s)) % k
+                c = books[(s, cid)]
+                pe = qvecs[p][s * subdim : (s + 1) * subdim]
+                expect += sum((a - b) * (a - b) for a, b in zip(pe, c))
+            assert got[(p, n)] == expect, (p, n)
