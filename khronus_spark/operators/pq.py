@@ -148,11 +148,14 @@ def _adc_luts(pvec: DataFrame, books: DataFrame, sub: int, k: int) -> DataFrame:
 
 
 def _adc_score_expr(sub: int, k: int) -> str:
-    """Score expression over columns (lut, pq_code): Σ_s lut[s·k+cid_s]."""
+    """Score expression over columns (lut, pq_code): Σ_s lut[s·k+cid_s].
+    The k^s divisors are a precomputed integer literal array — a
+    per-row float pow() would dominate the (otherwise add-only) scan."""
+    powers = ", ".join(str(k**s) + "L" for s in range(sub))
     return (
         f"aggregate(sequence(0, {sub - 1}), CAST(0 AS BIGINT), (acc, s) -> "
         f"acc + element_at(lut, CAST(s * {k} + "
-        f"pq_code div CAST(pow({k}, s) AS BIGINT) % {k} AS INT)))"
+        f"pq_code div element_at(array({powers}), s + 1) % {k} AS INT)))"
     )
 
 
