@@ -136,6 +136,7 @@ _PRIORITY = [
     "ann_ivfpq_topk",  # new in round 4, never driver-checked
     "source_health_report",  # new in round 4, never driver-checked
     "embedding_knn_graph",  # new in round 4, never driver-checked
+    "dedup_graph_pagerank",  # new in round 4, never driver-checked
     "dup_ngram_5",
     "duplicate_spans",
     # -- longest unchecked: green only in round 1 ------------------------
@@ -152,7 +153,6 @@ _PRIORITY = [
     "events_rollup_type_daily",
     "events_cube_type_daily",
     "events_column_profile",
-    "events_pivot_type_daily",
 ]
 
 
@@ -3769,3 +3769,15 @@ def embedding_knn_graph(spark, sf_dir):
     by candidate counts."""
     emb = load_table(spark, sf_dir, "embeddings")
     return sim_ops.knn_graph(emb, 3, n_bands=4, planes_per_band=8)
+
+
+@register("dedup_graph_pagerank", components_ops.dedup_graph_pagerank_sql())
+def dedup_graph_pagerank(spark, sf_dir):
+    """Integer-exact PageRank over the MinHash near-dup graph
+    (operators/components.py) — the centrality-based canonical-pick
+    policy and template-hub detector; mass in ppm ints, floor
+    divisions, fixed iterations unrolled into the oracle CTE chain
+    like the k-means family. O(|E|) map-side-combinable shuffle per
+    iteration."""
+    docs = load_table(spark, sf_dir, "documents")
+    return components_ops.dedup_graph_pagerank(docs)

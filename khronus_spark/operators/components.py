@@ -260,3 +260,116 @@ SELECT CAST(sz AS BIGINT) AS cluster_size,
        CAST(sum(sz) AS BIGINT) AS n_docs
 FROM sizes GROUP BY sz
 """
+
+
+#: PageRank constants: damping in per-mille, mass scale in ppm-per-node
+#: (unnormalized — scores are comparable within a graph), iterations
+#: fixed so the oracle can unroll them like the k-means CTE chain.
+PR_DAMPING_PM = 850
+PR_SCALE = 1_000_000
+PR_ITERS = 2
+
+
+def dedup_graph_pagerank(docs: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+    """Integer-exact PageRank over the MinHash near-dup graph:
+    (doc_id, degree, pr_ppm) for every doc that appears in a candidate
+    pair. The centrality-based canonical-pick policy — inside a dup
+    cluster the best-connected doc is the natural representative (the
+    min-doc_id rule is arbitrary; a hub that near-matches every copy is
+    the template original) — and a boilerplate detector (hub scores
+    spike on template pages).
+
+    Bit-exact cross-engine by the same discipline as k-means: all mass
+    in integer ppm units, pr₀ = 10⁶ per node, and
+
+        pr_{t+1}(v) = (10⁶·(1000−d) + d·Σ_{u~v} (pr_t(u) div deg(u)))
+                      div 1000
+
+    with d = 850‰ and floor divisions ordered identically on both
+    engines; the oracle unrolls the fixed iteration count into a CTE
+    chain.
+
+    Scale shape: edges come from the banded LSH join (linear, never
+    all-pairs); each iteration is ONE map-side-combinable
+    groupBy(neighbor).sum over the edge list plus a broadcast-size
+    join of the ≤|nodes| score table — O(|E|) shuffle per iteration,
+    the textbook distributed PageRank."""
+    from khronus_spark.operators.dedup import minhash_md5_pairs
+
+    pairs = minhash_md5_pairs(docs).select("doc_a", "doc_b")
+    sym = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    pr = deg.select(F.col("src").alias("node"), F.lit(PR_SCALE).cast("long").alias("pr"))
+    base = PR_SCALE * (1000 - PR_DAMPING_PM)
+    for _ in range(iters):
+        outflow = (
+            sym.join(pr, sym.src == pr.node)
+            .join(deg, "src")
+            .select("dst", F.expr("pr div deg").alias("share"))
+        )
+        inflow = outflow.groupBy("dst").agg(F.sum("share").alias("mass"))
+        pr = (
+            deg.select(F.col("src").alias("node"))
+            .join(inflow, F.col("node") == F.col("dst"), "left")
+            .select(
+                "node",
+                F.expr(
+                    f"CAST(({base} + {PR_DAMPING_PM} * coalesce(mass, 0L)) "
+                    "div 1000 AS BIGINT)"
+                ).alias("pr"),
+            )
+        )
+    return (
+        pr.join(deg, pr.node == deg.src)
+        .select(F.col("node").alias("doc_id"), "deg", F.col("pr").alias("pr_ppm"))
+        .withColumnRenamed("deg", "degree")
+    )
+
+
+def dedup_graph_pagerank_sql(iters: int = PR_ITERS) -> str:
+    """The identical integer recurrence unrolled as CTEs over the
+    minhash pair graph."""
+    from khronus_spark.operators.dedup import minhash_md5_pairs_sql
+
+    basep = minhash_md5_pairs_sql().strip()
+    assert basep.startswith("WITH ")
+    head, final = basep.split("SELECT a.doc_id AS doc_a", 1)
+    ctes = head[len("WITH"):].strip().rstrip(",")
+    base = PR_SCALE * (1000 - PR_DAMPING_PM)
+    parts = [
+        f"""{ctes},
+mh AS (SELECT a.doc_id AS doc_a{final}),
+sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM mh
+  UNION ALL
+  SELECT doc_b, doc_a FROM mh
+),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY src),
+pr0 AS (SELECT src AS node, CAST({PR_SCALE} AS BIGINT) AS pr FROM deg)"""
+    ]
+    for t in range(iters):
+        parts.append(
+            f"""m{t} AS (
+  SELECT sym.dst, CAST(sum(p.pr // d.deg) AS BIGINT) AS mass
+  FROM sym JOIN pr{t} p ON p.node = sym.src JOIN deg d ON d.src = sym.src
+  GROUP BY sym.dst
+),
+pr{t + 1} AS (
+  SELECT deg.src AS node,
+         CAST(({base} + {PR_DAMPING_PM} * coalesce(m{t}.mass, 0))
+              // 1000 AS BIGINT) AS pr
+  FROM deg LEFT JOIN m{t} ON m{t}.dst = deg.src
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT p.node AS doc_id, d.deg AS degree, p.pr AS pr_ppm
+FROM pr{iters} p JOIN deg d ON d.src = p.node
+"""
+    )

