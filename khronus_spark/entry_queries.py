@@ -137,6 +137,7 @@ _PRIORITY = [
     "source_health_report",  # new in round 4, never driver-checked
     "embedding_knn_graph",  # new in round 4, never driver-checked
     "dedup_graph_pagerank",  # new in round 4, never driver-checked
+    "ann_pq_rerank_topk",  # new in round 4, never driver-checked
     "dup_ngram_5",
     "duplicate_spans",
     # -- longest unchecked: green only in round 1 ------------------------
@@ -152,7 +153,6 @@ _PRIORITY = [
     "tpch_q10_returned_revenue",
     "events_rollup_type_daily",
     "events_cube_type_daily",
-    "events_column_profile",
 ]
 
 
@@ -3781,3 +3781,20 @@ def dedup_graph_pagerank(spark, sf_dir):
     iteration."""
     docs = load_table(spark, sf_dir, "documents")
     return components_ops.dedup_graph_pagerank(docs)
+
+
+@register(
+    "ann_pq_rerank_topk",
+    pq_ops.pq_rerank_topk_sql(
+        list(range(5)), 3, n_candidates=30, sub=4, k=8, iters=1
+    ),
+)
+def ann_pq_rerank_topk(spark, sf_dir):
+    """Two-stage PQ retrieval (operators/pq.py): ADC keeps the 30 best
+    codes per probe, then only those candidates fetch full vectors for
+    an exact integer-L2 rerank — the production recipe that buys back
+    quantization error for n_candidates/N of the full-scan cost."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_ops.pq_rerank_topk(
+        emb, list(range(5)), 3, n_candidates=30, sub=4, k=8, iters=1
+    )

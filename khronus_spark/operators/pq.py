@@ -253,16 +253,10 @@ FROM p0_final
 """
 
 
-def pq_topk_sql(
-    probe_ids: list[int],
-    n_neighbors: int = 3,
-    sub: int = SUB,
-    k: int = K,
-    iters: int = ITERS,
-) -> str:
-    """ADC restated relationally: per subspace, the distance from each
-    probe's subvector to every NEIGHBOR's assigned centroid, summed
-    over subspaces — term-for-term the LUT computation."""
+def _adc_score_ctes(probe_ids: list[int], sub: int, k: int, iters: int) -> str:
+    """Shared oracle text: the per-subspace training chains plus
+    `parts` and `score` CTEs — (probe_id, neighbor_id, d2_adc) for
+    every probe × corpus pair, term-for-term the LUT computation."""
     subdim = DIMS // sub
     ids = ", ".join(str(i) for i in probe_ids)
     chains = ",\n".join(_sub_ctes(s, subdim, k, iters) for s in range(sub))
@@ -277,8 +271,7 @@ JOIN p{s}_c{iters} c ON c.cid = f.cid
 WHERE pr.vec_id IN ({ids})"""
         for s in range(sub)
     )
-    return f"""
-WITH {chains},
+    return f"""{chains},
 parts AS (
 {part_selects}
 ),
@@ -286,11 +279,61 @@ score AS (
   SELECT probe_id, neighbor_id, CAST(sum(d) AS BIGINT) AS d2_adc
   FROM parts WHERE probe_id <> neighbor_id
   GROUP BY probe_id, neighbor_id
-)
+)"""
+
+
+def pq_topk_sql(
+    probe_ids: list[int],
+    n_neighbors: int = 3,
+    sub: int = SUB,
+    k: int = K,
+    iters: int = ITERS,
+) -> str:
+    """ADC restated relationally: per subspace, the distance from each
+    probe's subvector to every NEIGHBOR's assigned centroid, summed
+    over subspaces — term-for-term the LUT computation."""
+    return f"""
+WITH {_adc_score_ctes(probe_ids, sub, k, iters)}
 SELECT probe_id, neighbor_id, d2_adc
 FROM score
 QUALIFY row_number() OVER (
     PARTITION BY probe_id ORDER BY d2_adc ASC, neighbor_id ASC) <= {n_neighbors}
+"""
+
+
+def pq_rerank_topk_sql(
+    probe_ids: list[int],
+    n_neighbors: int = 3,
+    n_candidates: int = 30,
+    sub: int = SUB,
+    k: int = K,
+    iters: int = ITERS,
+) -> str:
+    """Two-stage oracle: ADC candidate cut (same score CTEs) followed by
+    the exact full-space integer-L2 rerank on the survivors."""
+    d2 = (
+        f"list_sum(list_transform(range(1, {DIMS + 1}), "
+        "i -> (pq.e[i] - nq.e[i]) * (pq.e[i] - nq.e[i])))"
+    )
+    return f"""
+WITH {_adc_score_ctes(probe_ids, sub, k, iters)},
+cand AS (
+  SELECT probe_id, neighbor_id
+  FROM score
+  QUALIFY row_number() OVER (
+      PARTITION BY probe_id ORDER BY d2_adc ASC, neighbor_id ASC) <= {n_candidates}
+),
+fullq AS (SELECT vec_id, {_QUANT_DUCK} AS e FROM embeddings),
+rr AS (
+  SELECT cand.probe_id, cand.neighbor_id, CAST({d2} AS BIGINT) AS d2
+  FROM cand
+  JOIN fullq pq ON pq.vec_id = cand.probe_id
+  JOIN fullq nq ON nq.vec_id = cand.neighbor_id
+)
+SELECT probe_id, neighbor_id, d2
+FROM rr
+QUALIFY row_number() OVER (
+    PARTITION BY probe_id ORDER BY d2 ASC, neighbor_id ASC) <= {n_neighbors}
 """
 
 
