@@ -526,3 +526,46 @@ def pq_rerank_topk(
         .where(F.col("rn") <= n_neighbors)
         .select("probe_id", "neighbor_id", "d2")
     )
+
+
+def ivf_pq_rerank_topk(
+    embeddings: DataFrame,
+    probe_ids: list[int],
+    n_neighbors: int = 3,
+    n_candidates: int = 30,
+    stride: int = 50,
+    nprobe: int = 2,
+    sub: int = SUB,
+    k: int = K,
+    iters: int = ITERS,
+    mode: str | None = None,
+) -> DataFrame:
+    """The full production composition — IVF inverted lists → ADC over
+    packed codes → exact rerank of the ADC survivors: each probe scans
+    ~nprobe/nlist of the corpus as 8-byte codes and touches full
+    vectors only for `n_candidates` rows. Output (probe_id,
+    neighbor_id, d2) with exact full-space integer distances.
+
+    Equivalence contract (test-pinned): identical to pq_rerank_topk
+    with its candidate stage restricted to the probed lists — the IVF
+    and rerank stages only restrict candidates, never change scores."""
+    cands = ivf_pq_topk(
+        embeddings, probe_ids, n_candidates, stride, nprobe, sub, k, iters, mode
+    )
+    vecs = embeddings.select("vec_id", F.expr(_QUANT).alias("e"))
+    pv = vecs.where(F.col("vec_id").isin(probe_ids)).select(
+        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe")
+    )
+    nv = vecs.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ne"))
+    d2 = _D2.format(a="pe", b="ne")
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cands.join(F.broadcast(pv), "probe_id")
+        .join(nv, "neighbor_id")
+        .withColumn("d2", F.expr(d2))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= n_neighbors)
+        .select("probe_id", "neighbor_id", "d2")
+    )

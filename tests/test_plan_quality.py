@@ -482,3 +482,12 @@ def test_ivfpq_candidate_join_is_broadcast(spark, oracle_sf_dir):
     plan = _plan(spark, oracle_sf_dir, "ann_ivfpq_topk")
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pagerank_iterations_are_map_side_combinable(spark, oracle_sf_dir):
+    """Each PageRank iteration must be a partial-agg sum over the edge
+    list (O(|E|) shuffle), never a window or cartesian."""
+    plan = _plan(spark, oracle_sf_dir, "dedup_graph_pagerank")
+    assert "partial_sum" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan

@@ -558,3 +558,41 @@ def test_pq_adc_correct_with_non_dense_codebook(spark, sf_dir):
                 pe = qvecs[p][s * subdim : (s + 1) * subdim]
                 expect += sum((a - b) * (a - b) for a, b in zip(pe, c))
             assert got[(p, n)] == expect, (p, n)
+
+
+def test_ivfpq_rerank_exact_distances_within_probed_lists(spark, sf_dir):
+    """The full IVF->ADC->rerank composition must return EXACT full-
+    space distances, each neighbor must come from a probed list, and
+    with the candidate budget covering all listed vectors it must equal
+    the exact top-k restricted to those lists."""
+    from khronus_spark.operators.pq import ivf_pq_rerank_topk
+    from khronus_spark.operators.projection import exact_l2_topk
+    from khronus_spark.operators.similarity import ivf_assignments, ivf_probe_lists
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = [0, 1, 2]
+    got = ivf_pq_rerank_topk(
+        emb, probes, 3, n_candidates=10_000, stride=50, nprobe=2,
+        sub=4, k=8, iters=1,
+    ).collect()
+    assert got
+    lists = {}
+    for r in ivf_probe_lists(emb, probes, 2, 50).collect():
+        lists.setdefault(r.probe_id, set()).add(r.probe_centroid)
+    assign = {r.vec_id: r.centroid_id for r in ivf_assignments(emb, 50).collect()}
+    exact = {
+        (r.probe_id, r.neighbor_id): r.d2
+        for r in exact_l2_topk(emb, probes, 10_000).collect()
+    }
+    by_probe: dict = {}
+    for r in got:
+        assert assign[r.neighbor_id] in lists[r.probe_id]
+        assert exact[(r.probe_id, r.neighbor_id)] == r.d2
+        by_probe.setdefault(r.probe_id, []).append(r)
+    # top-3 of the listed candidates by exact distance
+    for p, rows in by_probe.items():
+        listed = sorted(
+            (d, n) for (pp, n), d in exact.items()
+            if pp == p and assign[n] in lists[p]
+        )[:3]
+        assert sorted((r.d2, r.neighbor_id) for r in rows) == listed
