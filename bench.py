@@ -167,7 +167,32 @@ def main() -> None:
         ),
         # PQ train + pack + ADC search (compressed-domain ANN)
         "ann_pq_topk": lambda: run_df(q["ann_pq_topk"](spark, sf_dir)),
+        # the build/query split: index built+persisted ONCE (timed as the
+        # build entry), then the query only reads the parquet index —
+        # the amortized per-query latency the round-4 verdict asked for
+        "ann_pq_index_build": lambda: _pq_build(),
+        "ann_pq_topk_indexed": lambda: _pq_query(),
     }
+
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from khronus_spark.operators import pq as pq_ops
+
+    _pq_dir = tempfile.mkdtemp(prefix="bench_pq_index_")
+
+    def _pq_build():
+        emb = load_table(spark, sf_dir, "embeddings")
+        books, codes = pq_ops.pq_build_index(emb, sub=4, k=8, iters=1)
+        pq_ops.write_pq_index(books, codes, _pq_dir)
+
+    def _pq_query():
+        emb = load_table(spark, sf_dir, "embeddings")
+        books, codes = pq_ops.read_pq_index(spark, _pq_dir)
+        probes = emb.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("probe_id"), "embedding"
+        )
+        run_df(pq_ops.pq_topk_indexed(books, codes, probes, 3, sub=4, k=8))
 
     # Median-of-N per query: the shared host shows 2-5x contention
     # variance between rounds, so a single sample conflates plan cost

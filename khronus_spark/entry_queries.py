@@ -84,75 +84,81 @@ def register(name: str, oracle: str | None):
 #: operator inside the window; everything else keeps registration order
 #: in the tail (still exercised by tests/test_oracle_parity.py locally).
 #:
-#: Round-4 rotation policy: after r1∪r2∪r3 proved all 125 prior entries
-#: (122 oracle-green + 3 no_oracle by design), the window re-proves
-#: every entry whose ENGINE PATH changed in round 4 — the kmeans/IVF
-#: family (window-argmin → map-side min_by/max_by), the media family
-#: (real PPM payloads + decoder), the BPE family (Column-bound fold;
-#: new batched trainer), and the gram joins (salted, left-join
-#: restructure) — plus the longest-unchecked tail: every oracle-backed
-#: entry whose only green row is round 1, then round-2-only entries
-#: until the window is full. Rows-only entries (xxhash64 signatures)
-#: stay out — the window accepts only hash-checkable entries, and their
-#: md5 twins are inside. Everything else is still locally oracle-checked
-#: every run by tests/test_oracle_parity.py.
+#: Round-5 rotation policy (same invariant as rounds 2-4): the window
+#: holds (a) the entries NEW this round (never driver-checked), (b)
+#: every entry whose ENGINE PATH changed this round — the bucket_pairs
+#: memory hardening (stats-first aggregates + map-side star edges)
+#: touches every banded-LSH pair consumer, and near_duplicates_jaccard
+#: was rewired from the length-blocked self-join onto LSH candidates
+#: (dedup_components' edges with it) — then (c) the longest-unchecked
+#: tail: every oracle-backed entry whose newest green row is round 1,
+#: then round-2-only entries in registration order until the window is
+#: full (the rest of the r2 tail rotates forward in round 6). Rows-only
+#: entries (xxhash64 signatures) stay out — the window accepts only
+#: hash-checkable entries, and their md5 twins are inside. Everything
+#: else is still locally oracle-checked every run by
+#: tests/test_oracle_parity.py.
 #: tests/test_oracle_parity.py::test_window_rotation_covers_unproven
 #: enforces the invariant "green before, or in the window".
 DRIVER_WINDOW = 50
 
 _PRIORITY = [
-    # -- engine path changed in round 4: must re-prove -------------------
-    "kmeans_embeddings",
-    "semantic_dedup",
-    "ann_ivf_assignments",
-    "ann_ivf_topk",
-    "ann_ivf_kmeans_topk",
-    "media_features",
-    "media_frame_sample",
-    "media_resize_plan",
-    "bpe_merges_6",
-    "bpe_merges_batched",  # new in round 4, never driver-checked
-    "bpe_encode_6",  # new in round 4, never driver-checked
-    "cms_heavy_users",  # new in round 4, never driver-checked
-    "decontamination_bloom",  # new in round 4, never driver-checked
-    "c4_span_removal",  # new in round 4, never driver-checked
-    "leakage_safe_split",  # new in round 4, never driver-checked
-    "source_overlap_matrix",  # new in round 4, never driver-checked
-    "unigram_surprisal",  # new in round 4, never driver-checked
-    "kmeans_inertia",  # new in round 4, never driver-checked
-    "embedding_rp_project",  # new in round 4, never driver-checked
-    "ann_rp_topk",  # new in round 4, never driver-checked
-    "bigram_surprisal",  # new in round 4, never driver-checked
-    "minhash_calibration",  # new in round 4, never driver-checked
-    "dedup_cluster_sizes",  # new in round 4, never driver-checked
-    "dedup_incremental_batch",  # new in round 4, never driver-checked
-    "vocab_oov_by_source",  # new in round 4, never driver-checked
-    "approx_distinct_users_weekly_cascade",  # new in round 4, never driver-checked
-    "cms_heavy_users_weekly_cascade",  # new in round 4, never driver-checked
-    "tokenizer_fertility_by_lang",  # new in round 4, never driver-checked
-    "lang_confusion_matrix",  # new in round 4, never driver-checked
-    "pq_codes",  # new in round 4, never driver-checked
-    "ann_pq_topk",  # new in round 4, never driver-checked
-    "ann_ivfpq_topk",  # new in round 4, never driver-checked
-    "source_health_report",  # new in round 4, never driver-checked
-    "embedding_knn_graph",  # new in round 4, never driver-checked
-    "dedup_graph_pagerank",  # new in round 4, never driver-checked
-    "ann_pq_rerank_topk",  # new in round 4, never driver-checked
-    "dup_ngram_5",
-    "duplicate_spans",
-    # -- longest unchecked: green only in round 1 ------------------------
-    "influx_field_plus_literal",
-    "tpch_q1_pricing",
-    "tpch_q3_top_orders",
-    "tpch_q6_forecast_revenue",
-    "tpch_q14_promo_revenue",
-    "tpch_q4_late_orders",
-    "customer_lapsed_anti",
-    "tpch_q18_big_orders",
-    "tpch_q7_volume_shipping",
-    "tpch_q10_returned_revenue",
-    "events_rollup_type_daily",
-    "events_cube_type_daily",
+    # -- new in round 5: never driver-checked ----------------------------
+    "near_dup_jaccard_lsh",
+    "ann_pq_topk_indexed",
+    # -- engine path changed in round 5 (bucket_pairs hardening and/or
+    #    candidate-bounded jaccard): must re-prove -----------------------
+    "minhash_md5_pairs",
+    "dedup_components",
+    "dedup_components_minhash",
+    "corpus_curation",
+    "embedding_near_dup",
+    "embedding_knn_graph",
+    "dedup_graph_pagerank",
+    "dedup_cluster_sizes",
+    "minhash_calibration",
+    "dedup_incremental_batch",
+    "source_overlap_matrix",
+    "leakage_safe_split",
+    # -- longest unchecked: newest green row is round 1 ------------------
+    "events_column_profile",
+    "events_pivot_type_daily",
+    "events_sliding_counts_10m_5m",
+    "user_funnel_vcp",
+    "user_weekly_retention",
+    "events_value_deciles",
+    "user_segments_setops",
+    "events_value_moving_avg_7d",
+    "tpch_q5_regional_revenue",
+    "events_user_daily",
+    "events_top_users",
+    "doc_fingerprint",
+    "simhash_md5",
+    "doc_content_sample_25",
+    "doc_rolling_fingerprint",
+    # -- next-oldest: newest green row is round 2 (fill to 50; the
+    #    remaining r2 tail rotates in round 6) ---------------------------
+    "ts_counter_summary_5m",
+    "ts_histogram_summary_1m",
+    "ts_gauge_summary_30s",
+    "ts_histogram_summary_1h",
+    "ts_pregroup_5s",
+    "ts_cpm_5m",
+    "influx_count_click_5m",
+    "influx_auto_resolution_click",
+    "influx_from_materialized_store",
+    "influx_spread_error_1h",
+    "influx_fill_zero_view_10m",
+    "influx_scale_limit_desc_click_1m",
+    "influx_op_two_sources_30m",
+    "influx_star_click_5m",
+    "influx_regex_fanout_5m",
+    "influx_list_series",
+    "dedup_exact_docs",
+    "token_stats",
+    "quality_score",
+    "lang_id",
+    "doc_top_terms_tfidf",
 ]
 
 
@@ -2288,8 +2294,16 @@ def doc_fingerprint(spark, sf_dir):
     return dedup_ops.fingerprints(docs)
 
 
-@register("near_dup_jaccard", dedup_ops.NEAR_DUP_JACCARD_SQL)
-def near_dup_jaccard(spark, sf_dir):
+@register("near_dup_jaccard_lsh", dedup_ops.near_dup_jaccard_sql())
+def near_dup_jaccard_lsh(spark, sf_dir):
+    """Candidate-bounded exact Jaccard near-dup (operators/dedup.py):
+    pairs from the star-capped banded-MinHash LSH join, exact token-set
+    Jaccard only on candidates — replaces the round-1 char-length-
+    blocked self-join, whose common-length classes grew toward B²/2
+    pairs (the one super-linear join graph in the repo; killed per the
+    round-4 verdict). The oracle shares the banded CTE chain with
+    minhash_md5_pairs_sql, so both engines bound candidates
+    identically."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup_ops.near_duplicates_jaccard(docs)
 
@@ -3727,6 +3741,30 @@ def ann_pq_topk(spark, sf_dir):
     per subspace)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return pq_ops.pq_topk(emb, list(range(5)), 3, sub=4, k=8, iters=1)
+
+
+@register(
+    "ann_pq_topk_indexed", pq_ops.pq_topk_sql(list(range(5)), 3, sub=4, k=8, iters=1)
+)
+def ann_pq_topk_indexed(spark, sf_dir):
+    """The build/query split the round-4 verdict prescribed: the PQ
+    index (codebooks + packed codes) is BUILT ONCE, persisted as
+    parquet tables, and the query only READS them — no k-means inside
+    the query (operators/pq.py::pq_build_index / pq_topk_indexed; the
+    FAISS train/add/search separation, and the reference's materialized
+    summary-store read path, `store/BucketStore.scala`). Same oracle as
+    ann_pq_topk — the split must not change a single value."""
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="pq_index_")
+    books, codes = pq_ops.pq_build_index(emb, sub=4, k=8, iters=1)
+    pq_ops.write_pq_index(books, codes, path)
+    books, codes = pq_ops.read_pq_index(spark, path)
+    probes = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    return pq_ops.pq_topk_indexed(books, codes, probes, 3, sub=4, k=8)
 
 
 @register(

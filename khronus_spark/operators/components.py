@@ -128,9 +128,16 @@ def connected_components(edges: DataFrame) -> DataFrame:
 
 
 def duplicate_components(docs: DataFrame, threshold_bp: int = 3000) -> DataFrame:
-    """Cluster near-duplicate documents: Jaccard candidate pairs →
+    """Cluster near-duplicate documents: exact-Jaccard-verified pairs →
     connected components. Output (doc_id, component_id); only docs that
-    participate in at least one duplicate pair appear."""
+    participate in at least one duplicate pair appear.
+
+    Edges are the candidate-bounded `near_duplicates_jaccard` (banded
+    LSH candidates, exact Jaccard ≥ threshold on candidates only) — the
+    MinHash-then-verify recipe; vs `minhash_duplicate_components`,
+    which clusters the UNVERIFIED band-collision graph, this drops
+    band-collision false positives at the cost of the token-set
+    intersection per candidate."""
     pairs = near_duplicates_jaccard(docs, threshold_bp).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
@@ -147,21 +154,24 @@ def canonical_keep_filter(docs: DataFrame, components: DataFrame) -> DataFrame:
     )
 
 
-#: DuckDB oracle: transitive closure by recursive CTE (fine at oracle
-#: scale; the Spark side is the one that must scale).
-DEDUP_COMPONENTS_SQL = r"""
-WITH RECURSIVE toks AS (
-  SELECT doc_id, n_chars,
-         list_sort(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS tokens
-  FROM documents
-),
-pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM toks a JOIN toks b
-    ON a.n_chars = b.n_chars AND a.doc_id < b.doc_id
-  WHERE (len(list_intersect(a.tokens, b.tokens)) * 10000)
-          // len(list_distinct(list_concat(a.tokens, b.tokens))) >= 3000
-),
+def _jaccard_pairs_ctes(threshold_bp: int = 3000) -> str:
+    """CTE chain ending in `jp` (candidate pairs with exact jaccard_bp)
+    — shared verbatim with the near_dup_jaccard oracle."""
+    from khronus_spark.operators.dedup import near_dup_jaccard_sql
+
+    base = near_dup_jaccard_sql(threshold_bp).strip()
+    assert base.startswith("WITH ")
+    head, _ = base.rsplit("SELECT doc_a, doc_b, jaccard_bp FROM jp", 1)
+    return head[len("WITH"):].strip().rstrip(",").rstrip()
+
+
+#: DuckDB oracle: the candidate-bounded Jaccard pair chain (banded-LSH
+#: candidates + exact-Jaccard filter, shared with near_dup_jaccard_sql)
+#: + transitive closure by recursive CTE (fine at oracle scale; the
+#: Spark side is the one that must scale).
+DEDUP_COMPONENTS_SQL = f"""
+WITH RECURSIVE {_jaccard_pairs_ctes()},
+pairs AS (SELECT doc_a, doc_b FROM jp WHERE jaccard_bp >= 3000),
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION ALL

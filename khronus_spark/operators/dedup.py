@@ -6,9 +6,10 @@ Python row loops) designed for 100 TB inputs:
 - exact dedup: md5 hash → groupBy — one shuffle on a short hash key.
 - fingerprint dedup: md5 over the sorted distinct token set (bag-of-words
   normalization) — catches re-ordered/duplicated-word copies.
-- n-gram Jaccard near-dup: candidate pairs bucketed by exact char-length
-  (cheap blocking) then exact token-set Jaccard — the oracle-checkable
-  baseline for similarity dedup.
+- n-gram Jaccard near-dup: candidates from the star-capped banded-LSH
+  join, then exact token-set Jaccard on candidates only — the
+  MinHash-then-verify recipe (the former char-length blocking was a
+  super-linear self-join; removed in round 5).
 - MinHash + LSH: shingle → 16 minhash values via xxhash64 with per-
   permutation seeds → 4 bands × 4 rows → candidates join on band bucket.
   Shuffles scale with #docs × #bands, never #docs².
@@ -71,50 +72,78 @@ FROM documents
 """
 
 
-def near_duplicates_jaccard(docs: DataFrame, threshold_bp: int = 3000) -> DataFrame:
-    """Exact token-set Jaccard over candidate pairs blocked by identical
-    char length. Output: (doc_a, doc_b, jaccard_bp) with doc_a < doc_b;
-    jaccard in integer basis points (cross-engine bit-stable)."""
+def near_duplicates_jaccard(
+    docs: DataFrame,
+    threshold_bp: int = 3000,
+    num_hashes: int = 8,
+    bands: int = 2,
+    n: int = 3,
+) -> DataFrame:
+    """Exact token-set Jaccard, CANDIDATE-BOUNDED: pairs come from the
+    banded-MinHash LSH join (star-capped — never all-pairs), then only
+    those candidates pay the exact intersection/union. Output: (doc_a,
+    doc_b, jaccard_bp) with doc_a < doc_b; jaccard in integer basis
+    points (cross-engine bit-stable).
+
+    Until round 5 this blocked candidates on identical char length — a
+    self-join whose common-length classes (short docs) grow toward
+    B²/2 pairs per block, the one super-linear join graph in the repo.
+    The LSH path is the `minhash_calibration` shape: map-only
+    signatures, one (band, bucket) groupBy, candidate count linear in
+    corpus size; recall follows the banding curve (near-identical docs
+    collide in some band with probability → 1), measured — not guessed
+    — by the `minhash_calibration` registry entry on the same family.
+    A plan gate (tests/test_plan_quality.py) pins the absence of any
+    n_chars-keyed self-join."""
+    cand = bucket_pairs(
+        minhash_md5_banded(docs, num_hashes, bands, n), count_col=None
+    )
     toks = spread(docs).select(
-        "doc_id",
-        F.col("n_chars"),
-        F.array_sort(F.array_distinct(_tokens())).alias("tokens"),
+        "doc_id", F.array_sort(F.array_distinct(_tokens())).alias("tokens")
     )
-    a = toks.alias("a")
-    b = toks.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.n_chars") == F.col("b.n_chars"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    )
+    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("tokens").alias("_ta"))
+    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("tokens").alias("_tb"))
     jaccard_bp = F.expr(
-        "size(array_intersect(a.tokens, b.tokens)) * 10000L "
-        "div size(array_union(a.tokens, b.tokens))"
+        "size(array_intersect(_ta, _tb)) * 10000L "
+        "div size(array_union(_ta, _tb))"
     )
     return (
-        pairs.select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            jaccard_bp.alias("jaccard_bp"),
-        )
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select("doc_a", "doc_b", jaccard_bp.alias("jaccard_bp"))
         .where(F.col("jaccard_bp") >= threshold_bp)
     )
 
 
-NEAR_DUP_JACCARD_SQL = r"""
-WITH toks AS (
-  SELECT doc_id, n_chars,
+def near_dup_jaccard_sql(
+    threshold_bp: int = 3000, num_hashes: int = 8, bands: int = 2, n: int = 3
+) -> str:
+    """Oracle: the SAME candidate bound (md5 banded-LSH CTE chain,
+    shared verbatim with minhash_md5_pairs_sql) + the exact token-set
+    Jaccard on candidates only."""
+    base = minhash_md5_pairs_sql(num_hashes, bands, n).strip()
+    assert base.startswith("WITH ")
+    head, final = base.split("SELECT a.doc_id AS doc_a", 1)
+    ctes = head[len("WITH"):].strip().rstrip(",").rstrip()
+    jac = (
+        "(len(list_intersect(a.tokens, b.tokens)) * 10000)"
+        " // len(list_distinct(list_concat(a.tokens, b.tokens)))"
+    )
+    return rf"""
+WITH {ctes},
+mh AS (SELECT a.doc_id AS doc_a{final}),
+tk AS (
+  SELECT doc_id,
          list_sort(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS tokens
   FROM documents
 ),
-pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         (len(list_intersect(a.tokens, b.tokens)) * 10000)
-           // len(list_distinct(list_concat(a.tokens, b.tokens))) AS jaccard_bp
-  FROM toks a JOIN toks b
-    ON a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+jp AS (
+  SELECT mh.doc_a, mh.doc_b, {jac} AS jaccard_bp
+  FROM mh
+  JOIN tk a ON a.doc_id = mh.doc_a
+  JOIN tk b ON b.doc_id = mh.doc_b
 )
-SELECT doc_a, doc_b, jaccard_bp FROM pairs WHERE jaccard_bp >= 3000
+SELECT doc_a, doc_b, jaccard_bp FROM jp WHERE jaccard_bp >= {threshold_bp}
 """
 
 
@@ -191,36 +220,50 @@ def bucket_pairs(
     """(id, band, bucket) rows → within-bucket candidate pairs (a < b),
     optionally counting how many bands each pair shares.
 
-    One `groupBy(band, bucket)` + per-bucket array pair expansion — the
-    upstream signature computation runs ONCE and shuffles once (a
-    self-join formulation recomputes the whole signature subtree per
-    side; AQE's broadcast conversion defeats exchange reuse). Buckets
-    larger than `star_cap` emit star edges to the bucket minimum instead
-    of all pairs: component connectivity is preserved for downstream
-    clustering while output stays linear in bucket size — a mega-bucket
-    of B near-identical docs yields B-1 edges, not B²/2."""
-    ids_df = (
+    Buckets larger than `star_cap` emit star edges to the bucket
+    minimum instead of all pairs: component connectivity is preserved
+    for downstream clustering while output stays linear in bucket size
+    — a mega-bucket of B near-identical docs yields B-1 edges, not
+    B²/2.
+
+    Memory shape (the 100 TB hardening): bucket size and minimum come
+    from PLAIN map-side-combinable aggregates first (short rows); pair
+    enumeration is then a co-partitioned equi-join on (band, bucket)
+    whose LEFT side keeps, per bucket, either every row (under-cap) or
+    ONLY the bucket-minimum row (over-cap) — so a mega-bucket of B docs
+    streams one probe row against B spill-safe buffered rows and emits
+    its B-1 star edges without any aggregation buffer ever holding the
+    bucket. The previous single-pass `collect_list` formulation built a
+    B-element array row (~80 MB on one task for a 10M-doc boilerplate
+    bucket) BEFORE the cap branch could discard it; this one has no
+    collect_list anywhere (plan-gated), and the join's per-key buffer
+    is Spark's spillable row array, not an agg buffer. (A two-branch
+    union formulation was rejected: unioned pair branches poison
+    constraint propagation through downstream checkpointed self-unions
+    — Spark's UnionBase.rewriteConstraints throws NoSuchElementException
+    on the star-contraction loop — so both pair classes emit from the
+    ONE join.) The banded frame feeds the stats aggregate and both join
+    sides, so it materializes ONCE (lazy localCheckpoint — the
+    minhash_calibration pattern; on a cluster this would be a durable
+    checkpoint): the expensive upstream signature map pass is never
+    recomputed per consumer."""
+    banded = banded.localCheckpoint(eager=False)
+    stats = (
         banded.groupBy("band", "bucket")
-        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
-        .where(F.size("ids") > 1)
+        .agg(F.count(F.lit(1)).alias("_n"), F.min(id_col).alias("_min_id"))
+        .where(F.col("_n") > 1)
     )
-    all_pairs = F.expr(
-        "flatten(transform(ids, (x, i) -> "
-        "transform(slice(ids, i + 2, size(ids) - i - 1), "
-        "y -> named_struct('a', x, 'b', y))))"
+    tagged = banded.join(stats, ["band", "bucket"])
+    a_side = tagged.where(
+        (F.col("_n") <= star_cap) | (F.col(id_col) == F.col("_min_id"))
+    ).select("band", "bucket", F.col(id_col).alias(out_a))
+    b_side = tagged.select("band", "bucket", F.col(id_col).alias(out_b))
+    pairs = (
+        a_side.join(b_side, ["band", "bucket"])
+        .where(F.col(out_a) < F.col(out_b))
+        .select(out_a, out_b)
     )
-    star = F.expr(
-        "transform(slice(ids, 2, size(ids) - 1), "
-        "y -> named_struct('a', ids[0], 'b', y))"
-    )
-    pairs = ids_df.select(
-        F.explode(
-            F.when(F.size("ids") > star_cap, star).otherwise(all_pairs)
-        ).alias("p")
-    )
-    grouped = pairs.groupBy(
-        F.col("p.a").alias(out_a), F.col("p.b").alias(out_b)
-    )
+    grouped = pairs.groupBy(out_a, out_b)
     if count_col is None:
         return grouped.agg(F.lit(1).alias("_one")).drop("_one")
     return grouped.agg(F.count(F.lit(1)).alias(count_col))

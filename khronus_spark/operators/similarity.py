@@ -387,14 +387,46 @@ def ivf_kmeans_topk(
     At scale: centroids broadcast to the map-only assignment pass (built
     once per index rebuild, amortized over queries); a probe scans
     ~nprobe/n_clusters of the corpus."""
+    cents, assign = ivf_kmeans_build_index(embeddings, n_clusters, iters)
+    return ivf_kmeans_topk_indexed(embeddings, cents, assign, probe_ids, k, nprobe)
+
+
+def ivf_kmeans_build_index(
+    embeddings: DataFrame,
+    n_clusters: int | None = None,
+    iters: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the trained-IVF index ONCE — (centroids (cid, c), inverted
+    lists (vec_id, cid)) — so queries never run Lloyd's: persist both
+    tables and query with `ivf_kmeans_topk_indexed` (the same
+    build/query split as `pq.pq_build_index`; an index retrained per
+    query is a non-starter at 100 TB)."""
     from khronus_spark.operators import clustering as km
 
     n_clusters = n_clusters if n_clusters is not None else km.K
     iters = iters if iters is not None else km.ITERS
     q, cents = km._kmeans_state(embeddings, n_clusters, iters)
     assign = km._assign(q, cents).select("vec_id", "cid")
+    return cents, assign
 
-    probes_q = q.where(F.col("vec_id").isin(probe_ids))
+
+def ivf_kmeans_topk_indexed(
+    embeddings: DataFrame,
+    cents: DataFrame,
+    assign: DataFrame,
+    probe_ids: list[int],
+    k: int = 3,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Query half of the trained-IVF split: probe lists from the
+    broadcast PREBUILT centroids, candidates from the PREBUILT inverted
+    lists, exact-cosine rerank on candidates only. No training inside
+    the query (identical results to `ivf_kmeans_topk`, test-pinned)."""
+    from khronus_spark.operators import clustering as km
+
+    probes_q = embeddings.where(F.col("vec_id").isin(probe_ids)).select(
+        "vec_id", F.expr(km._QUANT).alias("e")
+    )
     scored_c = probes_q.crossJoin(F.broadcast(cents)).withColumn(
         "d", F.expr(km._DIST)
     )

@@ -207,6 +207,102 @@ def test_bucket_pairs_star_cap_preserves_components(spark):
     assert cc_full == cc_capped
 
 
+def test_bucket_pairs_mega_bucket_bounded_memory(spark):
+    """Round-4 verdict directive 3 worst case: ONE synthetic bucket with
+    1M ids. The hardened bucket_pairs must (a) emit exactly the B-1
+    star edges from the bucket minimum, (b) never build a B-element
+    aggregation buffer — there is no collect_list anywhere in the plan
+    (pair enumeration is a co-partitioned join whose per-key buffer is
+    Spark's spillable row array), and the probe side of the join keeps
+    only the bucket-min row for the over-cap bucket."""
+    from khronus_spark.operators.dedup import bucket_pairs
+
+    n = 1_000_000
+    banded = spark.range(n).select(
+        F.lit(0).cast("long").alias("band"),
+        F.lit(7).cast("long").alias("bucket"),
+        (F.col("id") + 5).alias("doc_id"),
+    )
+    pairs = bucket_pairs(banded, star_cap=10_000)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan
+    assert pairs.count() == n - 1
+    agg = pairs.agg(
+        F.min("doc_a"), F.max("doc_a"), F.min("doc_b"), F.max("doc_b")
+    ).first()
+    assert tuple(agg) == (5, 5, 6, n + 4)  # every edge from the min id
+
+
+def test_bucket_pairs_mixed_buckets_match_reference_semantics(spark):
+    """Under-cap buckets still yield ALL pairs with exact shared-band
+    counts; an over-cap bucket in the same frame yields star edges —
+    the pair SET must equal the pre-hardening formulation's."""
+    from khronus_spark.operators.dedup import bucket_pairs
+
+    rows = (
+        [(d, 0, 7) for d in range(50)]      # over-cap at star_cap=10
+        + [(100, 0, 9), (101, 0, 9)]        # pair bucket
+        + [(100, 1, 3), (101, 1, 3), (102, 1, 3)]  # triangle bucket
+        + [(200, 1, 4)]                      # singleton: no pairs
+    )
+    banded = spark.createDataFrame(rows, "doc_id long, band long, bucket long")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_shared_bands"]
+        for r in bucket_pairs(banded, star_cap=10).collect()
+    }
+    expect = {(0, d): 1 for d in range(1, 50)}  # star over the big bucket
+    expect[(100, 101)] = 2  # shares the pair bucket AND the triangle
+    expect[(100, 102)] = 1
+    expect[(101, 102)] = 1
+    assert got == expect
+
+
+def test_near_dup_jaccard_lsh_is_candidate_bounded_and_exact(spark):
+    """The rewired near_duplicates_jaccard: (a) every emitted pair's
+    jaccard_bp equals the brute-force token-set Jaccard, (b) planted
+    near-identical docs (one token changed) are all found, (c) the
+    output is a subset of the brute-force above-threshold pair set
+    (LSH bounds candidates; it never invents pairs). Banding here is
+    8 bands × 1 row — the high-recall end of the curve (collision
+    probability 1-(1-J)^8 ≈ 0.998 at the twins' shingle J ≈ 0.54), so
+    every planted twin must surface; the registry entry's 2×4 default
+    targets near-identical docs and its measured recall curve lives in
+    the minhash_calibration entry."""
+    from khronus_spark.operators.dedup import near_duplicates_jaccard
+
+    texts = {}
+    for i in range(8):
+        base = " ".join(f"w{i}t{j}" for j in range(12))
+        texts[2 * i] = base
+        texts[2 * i + 1] = base.replace(f"w{i}t3", "CHANGED")  # near-dup twin
+    docs = spark.createDataFrame(
+        [(d, t, "en", "s", len(t)) for d, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_bp"]
+        for r in near_duplicates_jaccard(
+            docs, threshold_bp=3000, num_hashes=8, bands=8
+        ).collect()
+    }
+
+    def jac_bp(a, b):
+        sa, sb = set(texts[a].lower().split()), set(texts[b].lower().split())
+        return len(sa & sb) * 10000 // len(sa | sb)
+
+    brute = {
+        (a, b): jac_bp(a, b)
+        for a in texts
+        for b in texts
+        if a < b and jac_bp(a, b) >= 3000
+    }
+    for pair, bp in got.items():
+        assert brute[pair] == bp, pair  # exact value on every emitted pair
+    for i in range(8):  # every planted twin found
+        assert (2 * i, 2 * i + 1) in got, i
+    assert set(got) <= set(brute)
+
+
 def test_pagerank_matches_python_recurrence_and_ranks_hubs(spark):
     """The engine's PageRank must equal a pure-Python evaluation of the
     integer recurrence over the same edge set, and members of the

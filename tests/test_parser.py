@@ -41,6 +41,15 @@ Spec-case ledger (all 42 reference cases → local test):
 | invalid percentile function | test_parse_failures, test_invalid_percentile_names_the_value |
 | repeating table alias | test_bind_failures (dup alias) |
 | projection/operation with inexistent alias | test_bind_failures (3 permutations) |
+
+Round-5 re-diff against the spec's 42 `test(...)` blocks (lines 40-727):
+every case above remains mapped; the details the reference asserts
+INSIDE cases that the explicit-form tests here didn't pin — default
+limit/order/fill/scale and the empty filter list without WHERE, the
+sequential fill→scale→limit→order clause grammar, the optional trailing
+semicolon — are pinned by test_default_modifiers_match_reference,
+test_modifier_clauses_are_order_sensitive, and
+test_trailing_semicolon_and_no_where_limit_case.
 """
 
 from __future__ import annotations
@@ -353,6 +362,44 @@ def test_counter_count_value_binds():
     # counter (only max/min/mean/percentiles are not)
     c = bind('select count(value) from "cart.checkouts" group by time(1m)')
     assert [f.name for f in c.projections] == ["count"]
+
+
+def test_default_modifiers_match_reference():
+    # the reference's WHERE/limit cases assert the DEFAULTS, not just
+    # the explicit forms: limit -> Int.MaxValue (here: None = unbounded),
+    # order -> asc (`order.getOrElse(true)`), fill/scale -> None, and a
+    # query with no WHERE has an empty filter list
+    # (`InfluxQueryParserSpec.scala:398-422,563-583`;
+    # `InfluxQueryParser.scala:61-63`)
+    p = parse('select p50(value) from "api.latency" group by time(1m)')
+    assert p.filters == ()
+    assert p.fill is None and p.scale is None
+    assert p.limit is None
+    assert p.order_asc is True
+
+
+def test_modifier_clauses_are_order_sensitive():
+    # the reference grammar is sequential — fill, then scale, then
+    # limit, then order (`InfluxQueryParser.scala:61`): a modifier out
+    # of order is a parse error, not a reordering
+    with pytest.raises(QueryParseError):
+        parse('select mean from "api.latency" group by time(1m) scale(2) fill(0)')
+    with pytest.raises(QueryParseError):
+        parse('select mean from "api.latency" group by time(1m) order asc limit 5')
+    # the canonical order parses
+    p = parse(
+        'select mean from "api.latency" group by time(1m) '
+        "fill(0) scale(2) limit 5 order desc"
+    )
+    assert (p.fill, p.scale, p.limit, p.order_asc) == (0.0, 2.0, 5, False)
+
+
+def test_trailing_semicolon_and_no_where_limit_case():
+    # `InfluxQueryParserSpec.scala:563-583`: limit without a WHERE —
+    # filters must be empty, limit taken; the optional trailing ";"
+    # parses (`opt(";")`)
+    p = parse('select p50(value) from "api.latency" group by time(1m) limit 10;')
+    assert p.filters == () and p.limit == 10
 
 
 def test_group_by_time_inside_quoted_metric_name_survives():

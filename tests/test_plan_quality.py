@@ -70,7 +70,7 @@ def test_rollup_single_shuffle(spark, oracle_sf_dir):
 
 
 def test_no_accidental_cartesian_products(spark, oracle_sf_dir):
-    for name in ("minhash_lsh_pairs", "near_dup_jaccard", "events_asof_signup",
+    for name in ("minhash_lsh_pairs", "near_dup_jaccard_lsh", "events_asof_signup",
                  "tpch_q3_top_orders", "influx_op_two_sources_30m"):
         plan = _plan(spark, oracle_sf_dir, name)
         assert "CartesianProduct" not in plan, name
@@ -241,10 +241,15 @@ def test_decontamination_broadcasts_eval_side(spark, oracle_sf_dir):
     assert "SortMergeJoin" not in plan  # never shuffles the corpus for the join
 
 
-def test_lsh_candidate_generation_has_no_join(spark, oracle_sf_dir):
-    """Candidate pairs (minhash + embedding LSH) must come from the
-    groupBy-bucket + in-bucket expansion — a self-join formulation
-    recomputes the signature subtree per side."""
+def test_lsh_candidate_generation_single_signature_pass(spark, oracle_sf_dir):
+    """Candidate pairs (minhash + embedding LSH) must compute the
+    expensive signature subtree exactly ONCE: bucket_pairs checkpoints
+    the banded frame, so the executed plan reads the materialized rows
+    (Scan ExistingRDD) and the corpus parquet appears in NO join branch
+    (zero parquet scans in the pair plan). The pair enumeration itself
+    is a co-partitioned (band, bucket) equi-join with spill-safe
+    buffers — never a cartesian/nested-loop, and never a per-bucket
+    collect_list array (the round-5 memory hardening)."""
     from khronus_spark.operators.dedup import minhash_lsh_candidates, minhash_md5_pairs
     from khronus_spark.operators.similarity import _lsh_candidate_pairs
 
@@ -256,7 +261,11 @@ def test_lsh_candidate_generation_has_no_join(spark, oracle_sf_dir):
         _lsh_candidate_pairs(emb, 4, 8),
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
-        assert "Join" not in plan, plan[:2000]
+        assert "Scan parquet" not in plan, plan[:2000]
+        assert "Scan ExistingRDD" in plan, plan[:2000]
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "collect_list" not in plan
 
 
 def test_gopher_rules_is_map_only(spark, oracle_sf_dir):
@@ -491,3 +500,71 @@ def test_pagerank_iterations_are_map_side_combinable(spark, oracle_sf_dir):
     assert "partial_sum" in plan
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_near_dup_jaccard_lsh_no_length_blocked_self_join(spark, oracle_sf_dir):
+    """Round-4 verdict directive 1: the near-dup Jaccard path must be
+    candidate-bounded — no char-length-keyed self-join survives
+    anywhere in the plan (n_chars must not even be READ: the scan
+    prunes it), no cartesian, and the pair generation must not build
+    per-bucket arrays (no collect_list — the bucket_pairs hardening)."""
+    plan = _plan(spark, oracle_sf_dir, "near_dup_jaccard_lsh")
+    assert "n_chars" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "collect_list" not in plan
+
+
+def test_bucket_pairs_consumers_never_collect_buckets(spark, oracle_sf_dir):
+    """The bucket_pairs memory hardening (round-4 verdict directive 3)
+    must hold for every banded-LSH consumer: no plan may aggregate a
+    bucket into an array row (a 10M-doc boilerplate bucket would be one
+    ~80 MB aggregation buffer on one task)."""
+    for name in (
+        "minhash_md5_pairs",
+        "dedup_components_minhash",
+        "dedup_incremental_batch",
+        "embedding_knn_graph",
+    ):
+        plan = _plan(spark, oracle_sf_dir, name)
+        assert "collect_list" not in plan, name
+
+
+def test_ann_topk_windows_have_group_limit(spark, oracle_sf_dir):
+    """Round-4 verdict directive 5: every per-probe top-k row_number
+    window in the ANN family must be rewritten by Spark's
+    InferWindowGroupLimit into a WindowGroupLimit pair (partial below
+    the exchange, final above), so only ~k rows per probe survive the
+    shuffle instead of the full candidate expansion. The rule is a
+    silent pattern-match (the round-4 sweep showed it can fail to fire
+    without any error) — this gate makes a regression loud."""
+    for name in (
+        "ann_cosine_topk",
+        "ann_lsh_topk",
+        "ann_ivf_topk",
+        "ann_ivf_kmeans_topk",
+        "ann_pq_topk",
+        "ann_pq_topk_indexed",
+        "ann_ivfpq_topk",
+        "ann_pq_rerank_topk",
+        "ann_rp_topk",
+        "ann_quantized_topk",
+        "embedding_knn_graph",
+    ):
+        plan = _plan(spark, oracle_sf_dir, name)
+        assert plan.count("WindowGroupLimit") >= 2, (
+            f"{name}: window group limit did not fire "
+            f"(count={plan.count('WindowGroupLimit')})"
+        )
+
+
+def test_pq_indexed_query_has_no_training(spark, oracle_sf_dir):
+    """The indexed PQ query must READ the persisted index, not rebuild
+    it: the plan scans the books/codes parquet and contains no k-means
+    machinery (no centroid-mean aggregation, no posexplode of the
+    embedding table into (cid, dim) rows, no localCheckpoint barrier
+    from the Lloyd loop)."""
+    plan = _plan(spark, oracle_sf_dir, "ann_pq_topk_indexed")
+    assert "posexplode" not in plan
+    assert "books" in plan and "codes" in plan  # parquet index scans
+    assert "Scan ExistingRDD" not in plan       # no Lloyd checkpoint residue

@@ -596,3 +596,104 @@ def test_ivfpq_rerank_exact_distances_within_probed_lists(spark, sf_dir):
             if pp == p and assign[n] in lists[p]
         )[:3]
         assert sorted((r.d2, r.neighbor_id) for r in rows) == listed
+
+
+# ------------------------------------------------- PQ/IVF build-query split
+
+
+def test_pq_indexed_query_equals_inline_after_persist_roundtrip(spark, sf_dir, tmp_path):
+    """The build/query split must not change a single value: build the
+    index, write it to parquet, read it back, query — identical rows to
+    the inline pq_topk (which trains per call)."""
+    from khronus_spark.operators.pq import (
+        pq_build_index,
+        pq_topk,
+        pq_topk_indexed,
+        read_pq_index,
+        write_pq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 80)
+    books, codes = pq_build_index(emb, sub=4, k=8, iters=1)
+    write_pq_index(books, codes, str(tmp_path / "pqidx"))
+    books2, codes2 = read_pq_index(spark, str(tmp_path / "pqidx"))
+    probes = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    got = {
+        (r.probe_id, r.neighbor_id): r.d2_adc
+        for r in pq_topk_indexed(books2, codes2, probes, 3, sub=4, k=8).collect()
+    }
+    expect = {
+        (r.probe_id, r.neighbor_id): r.d2_adc
+        for r in pq_topk(emb, [0, 1, 2, 3, 4], 3, sub=4, k=8, iters=1).collect()
+    }
+    assert got == expect
+
+
+def test_pq_encode_new_vectors_into_existing_index(spark, sf_dir):
+    """pq_encode against a FIXED codebook is the incremental-ingest
+    path: vectors added after training must receive the same code as
+    identical vectors encoded at build time — and the codebook must not
+    shift (books are an input, not retrained)."""
+    from khronus_spark.operators.pq import pq_build_index, pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 60)
+    books, codes = pq_build_index(emb, sub=4, k=8, iters=1)
+    base = {r.vec_id: r.pq_code for r in codes.collect()}
+    newcomers = emb.where(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 7000).alias("vec_id"), "embedding"
+    )
+    got = {r.vec_id: r.pq_code for r in pq_encode(newcomers, books, 4, 8).collect()}
+    for v in range(5):
+        assert got[7000 + v] == base[v]
+
+
+def test_pq_sample_trained_index_bounds_training_and_stays_valid(spark, sf_dir):
+    """train_sample_mod trains codebooks on the deterministic slice
+    vec_id % mod == 0 but must still encode EVERY vector; planted exact
+    copies still collide to the same code and retrieve at the minimum
+    ADC distance (training-set membership must not matter for encode)."""
+    from khronus_spark.operators.pq import pq_build_index, pq_topk_indexed
+
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 80)
+    copies = emb.where(F.col("vec_id").isin([1, 3])).select(
+        (F.col("vec_id") + 2000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(copies)
+    books, codes = pq_build_index(corpus, sub=4, k=8, iters=1, train_sample_mod=4)
+    by_id = {r.vec_id: r.pq_code for r in codes.collect()}
+    assert len(by_id) == 82  # every vector encoded, not just the sample
+    assert by_id[2001] == by_id[1] and by_id[2003] == by_id[3]
+    probes = corpus.where(F.col("vec_id").isin([2001, 2003])).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    top1 = {
+        r.probe_id: r.neighbor_id
+        for r in pq_topk_indexed(books, codes, probes, 1, sub=4, k=8).collect()
+    }
+    # identical codes -> the original is the (tie-min) nearest neighbor
+    assert top1[2001] == 1 and top1[2003] == 3
+
+
+def test_ivf_kmeans_indexed_equals_inline(spark, sf_dir):
+    """The trained-IVF split: build (centroids + inverted lists) once,
+    query through ivf_kmeans_topk_indexed — identical to the inline
+    ivf_kmeans_topk that trains per call."""
+    from khronus_spark.operators.similarity import (
+        ivf_kmeans_build_index,
+        ivf_kmeans_topk,
+        ivf_kmeans_topk_indexed,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 120)
+    cents, assign = ivf_kmeans_build_index(emb)
+    got = {
+        (r.probe_id, r.neighbor_id): r.cosine
+        for r in ivf_kmeans_topk_indexed(emb, cents, assign, [0, 1, 2], 3).collect()
+    }
+    expect = {
+        (r.probe_id, r.neighbor_id): r.cosine
+        for r in ivf_kmeans_topk(emb, [0, 1, 2], 3).collect()
+    }
+    assert got == expect
