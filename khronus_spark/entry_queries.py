@@ -106,6 +106,7 @@ _PRIORITY = [
     # -- new in round 5: never driver-checked ----------------------------
     "near_dup_jaccard_lsh",
     "ann_pq_topk_indexed",
+    "bm25_eval_topk",
     # -- engine path changed in round 5 (bucket_pairs hardening and/or
     #    candidate-bounded jaccard): must re-prove -----------------------
     "minhash_md5_pairs",
@@ -158,7 +159,6 @@ _PRIORITY = [
     "token_stats",
     "quality_score",
     "lang_id",
-    "doc_top_terms_tfidf",
 ]
 
 
@@ -3704,6 +3704,20 @@ def tokenizer_fertility_by_lang(spark, sf_dir):
     broadcast lang join + a per-lang aggregate."""
     docs = load_table(spark, sf_dir, "documents")
     return text_ops.tokenizer_fertility(docs)
+
+
+@register("bm25_eval_topk", text_ops.bm25_rank_sql())
+def bm25_eval_topk(spark, sf_dir):
+    """Integer-exact BM25 ranked retrieval (operators/text.py): docs
+    with doc_id % 97 == 0 are the query set, every other doc is corpus;
+    top-5 per query under floor-log2 idf + per-mille tf saturation —
+    the sparse-retrieval twin of the ANN arc (dedup-by-retrieval /
+    decontamination-by-retrieval / RAG-curation primitive). Postings
+    and doc lengths are single map-side-combinable shuffles; query
+    terms broadcast onto the postings scan; per-query top-k is
+    WindowGroupLimit-bounded (plan-gated)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.bm25_rank(docs)
 
 
 @register("lang_confusion_matrix", text_ops.LANG_CONFUSION_SQL)

@@ -1803,3 +1803,138 @@ SELECT c.actual_lang, c.pred_lang, c.n_docs,
        CAST(c.n_docs * 1000 // t.tot AS BIGINT) AS share_pm
 FROM cells c JOIN totals t USING (actual_lang)
 """
+
+
+def bm25_rank(
+    docs: DataFrame,
+    eval_mod: int = 97,
+    k: int = 5,
+    k1_pm: int = 1200,
+    b_pm: int = 750,
+) -> DataFrame:
+    """Integer-exact BM25 ranked retrieval over the corpus — the sparse
+    twin of the ANN arc, and the retrieval primitive under
+    dedup-by-retrieval, decontamination-by-retrieval, and RAG-style
+    curation audits. Documents with ``doc_id % eval_mod == 0`` act as
+    the query set (their DISTINCT tokens are the query terms — query
+    tf is ignored, the standard web-query convention); every other
+    document is corpus. Output: (query_id, doc_id, score, rank) — the
+    top `k` corpus docs per query.
+
+    Scoring is Robertson/Spärck Jones BM25 with the repo's integer
+    discipline (the unigram_surprisal device): idf is the floor-log2
+    stand-in ``bitlen(N div df)`` — within 1 bit of log2(N/df) + 1,
+    monotone, and BIT-EXACT on both engines — and the tf saturation
+    term is evaluated in per-mille fixed point (k1 = 1.2 → 1200‰,
+    b = 0.75 → 750‰, avgdl in milli-tokens):
+
+        denom_m  = 1000·tf + k1_pm·(1000 − b_pm + b_pm·1000·dl div avgdl_m) div 1000
+        tf_micro = 1000·(1000 + k1_pm)·tf div denom_m
+        score    = Σ_terms bitlen(N div df) · tf_micro
+
+    Every per-term score is a BIGINT, so the per-(query, doc) SUM is
+    order-free — no float ever enters the plan, and the cross-engine
+    hash is exact (a real-log BM25 would differ in the last ulp between
+    JVM and C libm and flip floor/round at boundaries).
+
+    Shape at 100 TB: postings (doc, term, tf) and doc lengths are one
+    map-side-combinable shuffle each; df is a short-key aggregate; N
+    and avgdl are broadcast scalars; the query-term table is tiny and
+    BROADCASTS onto the postings scan (map-side — hot query terms like
+    stop words cannot skew a broadcast probe); the only post-join
+    shuffle carries one row per (query, doc) pair sharing ≥1 term; the
+    per-query top-k window is map-side-bounded by WindowGroupLimit
+    (plan-gated with the ANN family)."""
+    corpus = docs.where(F.col("doc_id") % eval_mod != 0)
+    queries = docs.where(F.col("doc_id") % eval_mod == 0)
+    tf = (
+        corpus.select("doc_id", F.explode(_tokens()).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    df_t = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("sum(dl) * 1000L div count(1)").alias("avgdl_m"),
+    ).withColumn("_one", F.lit(1))
+    qterms = queries.select(
+        F.col("doc_id").alias("query_id"), F.explode(_tokens()).alias("w")
+    ).distinct()
+    scored = (
+        tf.join(F.broadcast(qterms), "w")
+        .join(df_t, "w")
+        .join(dl, "doc_id")
+        .withColumn("_one", F.lit(1))
+        .join(F.broadcast(stats), "_one")
+        .withColumn("idf_bits", F.expr("CAST(length(bin(n_docs div df)) AS BIGINT)"))
+        .withColumn(
+            "denom_m",
+            F.expr(
+                f"1000L * tf + {k1_pm}L * "
+                f"(1000L - {b_pm} + {b_pm}L * 1000L * dl div avgdl_m) div 1000L"
+            ),
+        )
+        .withColumn(
+            "tf_micro",
+            F.expr(f"1000L * (1000 + {k1_pm}) * tf div denom_m"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.expr("idf_bits * tf_micro")).alias("score"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.select("query_id", "doc_id", "score")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def bm25_rank_sql(
+    eval_mod: int = 97, k: int = 5, k1_pm: int = 1200, b_pm: int = 750
+) -> str:
+    return rf"""
+WITH tf AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+  FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+    FROM documents WHERE doc_id % {eval_mod} <> 0
+  ) GROUP BY doc_id, w
+),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+df_t AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) * 1000 // count(*) AS BIGINT) AS avgdl_m
+  FROM dl
+),
+qterms AS (
+  SELECT DISTINCT doc_id AS query_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+  FROM documents WHERE doc_id % {eval_mod} = 0
+),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         CAST(sum(
+           length(bin(s.n_docs // df_t.df)) *
+           (1000 * (1000 + {k1_pm}) * tf.tf //
+            (1000 * tf.tf + {k1_pm} *
+             (1000 - {b_pm} + {b_pm} * 1000 * dl.dl // s.avgdl_m) // 1000))
+         ) AS BIGINT) AS score
+  FROM tf
+  JOIN qterms q USING (w)
+  JOIN df_t USING (w)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+)
+SELECT query_id, doc_id, score,
+       CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= {k}
+"""

@@ -211,9 +211,11 @@ def main() -> None:
     stats_hist = batch_stats(q_hist)
 
     # wire-contract query check against the same landing data
+    # group-by windows accept ms|s|m|h only (reference parity:
+    # `InfluxQueryParser.scala:210` — d/w are for now() offsets)
     q = (
         'select count from "click" where time between '
-        f"{min_ts} and {max_ts} group by time(1d)"
+        f"{min_ts} and {max_ts} group by time(2h)"
     )
     url = (
         f"http://127.0.0.1:{service.port}/khronus/db/influx/series?q="

@@ -602,3 +602,64 @@ def test_source_health_report_flags_the_bad_dump(spark):
     for r in rep.values():
         assert 0 <= r.gopher_keep_pm <= 1000
         assert 0 <= r.oov_pm <= 1000
+
+
+# ------------------------------------------------------------- BM25 retrieval
+
+
+def _bm25_docs(spark, rows):
+    return spark.createDataFrame(
+        [(d, t, "en", "s", len(t)) for d, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_bm25_exact_copy_ranks_first_and_k_bounds(spark):
+    """A corpus doc that is an exact copy of the query must rank 1 (it
+    matches every query term at full tf); output is bounded at k per
+    query and ranks are dense from 1."""
+    from khronus_spark.operators.text import bm25_rank
+
+    q = "alpha beta gamma delta epsilon"
+    rows = [(0, q)]  # 0 % 97 == 0 -> query
+    rows += [(1, q)]  # exact copy in the corpus
+    rows += [(i, f"alpha filler{i} x{i} y{i} z{i}") for i in range(2, 10)]
+    got = bm25_rank(_bm25_docs(spark, rows), k=3).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.doc_id, r.score))
+    ranked = sorted(by_q[0])
+    assert [r for r, _, _ in ranked] == [1, 2, 3]  # dense, k-bounded
+    assert ranked[0][1] == 1  # the exact copy wins
+    assert ranked[0][2] > ranked[1][2]
+
+
+def test_bm25_rare_term_outscores_common_term(spark):
+    """idf discrimination: a doc matching the query's RARE term must
+    outscore a doc matching only the term every corpus doc shares."""
+    from khronus_spark.operators.text import bm25_rank
+
+    rows = [(0, "common rareterm")]
+    rows += [(i, f"common junk{i} pad{i}") for i in range(1, 9)]
+    rows += [(9, "rareterm junk9 pad9")]
+    got = {
+        r.doc_id: r.score
+        for r in bm25_rank(_bm25_docs(spark, rows), k=9).collect()
+    }
+    assert got[9] > max(v for d, v in got.items() if d != 9)
+
+
+def test_bm25_length_normalization_prefers_shorter_doc(spark):
+    """b > 0 length normalization: equal tf of the query term in a
+    short vs a long doc must score the short doc higher."""
+    from khronus_spark.operators.text import bm25_rank
+
+    rows = [(0, "needle")]
+    rows += [(1, "needle " + " ".join(f"pad{i}" for i in range(30)))]
+    rows += [(2, "needle short")]
+    rows += [(i, f"other{i} stuff{i}") for i in range(3, 8)]
+    got = {
+        r.doc_id: r.score
+        for r in bm25_rank(_bm25_docs(spark, rows), k=8).collect()
+    }
+    assert got[2] > got[1]

@@ -550,6 +550,7 @@ def test_ann_topk_windows_have_group_limit(spark, oracle_sf_dir):
         "ann_rp_topk",
         "ann_quantized_topk",
         "embedding_knn_graph",
+        "bm25_eval_topk",
     ):
         plan = _plan(spark, oracle_sf_dir, name)
         assert plan.count("WindowGroupLimit") >= 2, (
