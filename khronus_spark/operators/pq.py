@@ -155,6 +155,71 @@ def pq_encode(
     return out.groupBy("vec_id").agg(F.sum("term").alias("pq_code"))
 
 
+def pq_encode_fused(
+    embeddings: DataFrame,
+    books: DataFrame,
+    sub: int = SUB,
+    k: int = K,
+) -> DataFrame:
+    """Map-only PQ encode: all `sub` subspace argmins score in ONE
+    Arrow pass against the collected codebooks (sub·k short rows ship
+    in the task closure, the clustering module's `_assign_arrow`
+    device) and the packed code assembles in the same pass — ZERO
+    shuffle and no aggregation state, so the SAME plan runs unchanged
+    on a STREAMING DataFrame: this is the index "add" path at ingest —
+    new vectors encode against the persisted books as they arrive
+    (stream==batch pinned in tests). Bit-identical to `pq_encode`
+    (which spends one map-side-combinable shuffle combining per-
+    subspace passes): the float→double cast, the ×10⁶ floor
+    quantization, the exact int64 |e|²−2·E·Cᵀ+|c|² distance, and the
+    ties-to-smaller-cid argmin all mirror the SQL spec, every
+    intermediate inside int64."""
+    import numpy as np
+    import pandas as pd
+
+    subdim = DIMS // sub
+    rows = books.orderBy("s", "cid").collect()
+    by_s: dict[int, list] = {}
+    for r in rows:
+        by_s.setdefault(int(r["s"]), []).append((int(r["cid"]), list(r["c"])))
+    assert sorted(by_s) == list(range(sub)), "codebooks must cover every subspace"
+    cids_l, cmats, csqs = [], [], []
+    for s in range(sub):
+        entries = by_s[s]
+        cids = np.array([c for c, _ in entries], dtype=np.int64)
+        cmat = np.array([v for _, v in entries], dtype=np.int64).reshape(
+            len(entries), subdim
+        )
+        cids_l.append(cids)
+        cmats.append(cmat)
+        csqs.append((cmat * cmat).sum(axis=1))
+    powers = [k**s for s in range(sub)]
+
+    def run(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            emat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            q = np.floor((emat + 1.0) * 1000000.0).astype(np.int64)
+            code = np.zeros(len(pdf), dtype=np.int64)
+            for s in range(sub):
+                sl = q[:, s * subdim : (s + 1) * subdim]
+                d = (
+                    (sl * sl).sum(axis=1, keepdims=True)
+                    - 2 * (sl @ cmats[s].T)
+                    + csqs[s][None, :]
+                )
+                # first min over cid-ascending columns = ties to smaller cid
+                code += cids_l[s][d.argmin(axis=1)] * powers[s]
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "pq_code": code})
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        run, "vec_id long, pq_code long"
+    )
+
+
 def pq_build_index(
     embeddings: DataFrame,
     sub: int = SUB,

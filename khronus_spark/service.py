@@ -157,8 +157,42 @@ class KhronusHttpService:
         self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
 
     def _append(self, rows: list[tuple]) -> None:
-        df = self.spark.createDataFrame(rows, _SCHEMA)
-        df.write.mode("append").parquet(self.landing_path)
+        # Direct pyarrow write + atomic rename, NOT a Spark append job:
+        # 1. concurrent `df.write.mode("append")` jobs share the output
+        #    path's `_temporary` committer dir, so one job's commitJob
+        #    deletes another's staged task files — under back-to-back
+        #    POSTs this silently LOSES acked batches (measured: ~60% of
+        #    rows gone at the round-5 HTTP soak's 2x rate); a lock would
+        #    fix safety but serialize the edge through the Spark driver;
+        # 2. one right-sized file per <= 2 MB acked batch (the Spark
+        #    write scattered each into ~32 tiny files, bloating every
+        #    per-trigger file listing and overflowing maxFilesPerTrigger
+        #    so stragglers deferred a trigger);
+        # 3. the dot-prefixed staging name is invisible to Spark's file
+        #    listing, and rename is atomic on the same filesystem, so
+        #    readers only ever see complete files.
+        # At cluster scale this is the standard edge shape: ingest nodes
+        # write self-contained files/objects; the engine only reads.
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as papq
+
+        table = pa.table(
+            {
+                "metric": pa.array([r[0] for r in rows], pa.string()),
+                "mtype": pa.array([r[1] for r in rows], pa.string()),
+                "ts_ms": pa.array([r[2] for r in rows], pa.int64()),
+                "value": pa.array([r[3] for r in rows], pa.int64()),
+            }
+        )
+        import os
+
+        os.makedirs(self.landing_path, exist_ok=True)
+        name = uuid.uuid4().hex
+        staged = f"{self.landing_path}/.staged-{name}.parquet"
+        papq.write_table(table, staged)
+        os.rename(staged, f"{self.landing_path}/part-{name}.parquet")
 
     def _default_engine(self) -> KhronusEngine:
         measurements = self.spark.read.schema(_SCHEMA).parquet(self.landing_path)

@@ -697,3 +697,49 @@ def test_ivf_kmeans_indexed_equals_inline(spark, sf_dir):
         for r in ivf_kmeans_topk(emb, [0, 1, 2], 3).collect()
     }
     assert got == expect
+
+
+def test_pq_encode_fused_bit_matches_shuffled_encode(spark, sf_dir):
+    """The zero-shuffle fused encode must produce bit-identical codes
+    to pq_encode (the per-subspace + groupBy-sum path), and its plan
+    must be map-only: no exchange, no aggregate."""
+    from khronus_spark.operators.pq import pq_build_index, pq_encode, pq_encode_fused
+
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 80)
+    books, _ = pq_build_index(emb, sub=4, k=8, iters=1)
+    shuffled = {r.vec_id: r.pq_code for r in pq_encode(emb, books, 4, 8).collect()}
+    fused_df = pq_encode_fused(emb, books, 4, 8)
+    fused = {r.vec_id: r.pq_code for r in fused_df.collect()}
+    assert fused == shuffled
+    plan = fused_df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Aggregate" not in plan
+
+
+def test_pq_encode_fused_streaming_matches_batch(spark, sf_dir, tmp_path):
+    """The fused encode is the streaming index 'add' path: running the
+    SAME plan over a file stream of arriving vectors must emit exactly
+    the batch codes (stream == batch)."""
+    from khronus_spark.operators.pq import pq_build_index, pq_encode_fused
+
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 60)
+    books, _ = pq_build_index(emb, sub=4, k=8, iters=1)
+    batch = {r.vec_id: r.pq_code for r in pq_encode_fused(emb, books, 4, 8).collect()}
+
+    src = str(tmp_path / "arriving")
+    emb.select("vec_id", "embedding").write.parquet(src)
+    stream = spark.readStream.schema("vec_id long, embedding array<float>").parquet(
+        src
+    )
+    out = str(tmp_path / "codes")
+    q = (
+        pq_encode_fused(stream, books, 4, 8)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.vec_id: r.pq_code for r in spark.read.parquet(out).collect()}
+    assert got == batch

@@ -141,3 +141,70 @@ def test_stress_batch_shape_and_determinism():
     assert all(0 <= v < 2000 for x in m["measurements"] for v in x["values"])
     rows = flatten_metric_batch(a)
     assert len(rows) == 12
+
+
+def test_concurrent_posts_lose_nothing(spark):
+    """Regression for the round-5 soak finding: back-to-back POSTs used
+    to race inside `df.write.mode("append")` — concurrent Spark append
+    jobs share the output path's `_temporary` committer dir, and one
+    job's commit deletes another's staged task files (measured ~60% of
+    acked rows silently lost at 2x soak rate). The pyarrow
+    write-then-atomic-rename edge must land EVERY acked row under a
+    16-thread POST storm."""
+    import threading
+
+    landing = tempfile.mkdtemp(prefix="khronus_landing_conc_") + "/in"
+    svc = KhronusHttpService(spark, landing)
+    svc.start()
+    try:
+        base = f"http://127.0.0.1:{svc.port}"
+        n_threads, posts_per_thread, rows_per_post = 16, 6, 50
+        errors = []
+
+        def hammer(t):
+            for p in range(posts_per_thread):
+                batch = {
+                    "metrics": [
+                        {
+                            "name": f"m{t}",
+                            "mtype": "counter",
+                            "measurements": [
+                                {
+                                    "ts": 60_000 + p,
+                                    "values": list(range(rows_per_post)),
+                                }
+                            ],
+                        }
+                    ]
+                }
+                req = urllib.request.Request(
+                    f"{base}/khronus/metrics",
+                    data=json.dumps(batch).encode(),
+                    method="POST",
+                )
+                try:
+                    with urllib.request.urlopen(req, timeout=30) as r:
+                        assert r.status == 200
+                except Exception as e:  # pragma: no cover
+                    errors.append(e)
+
+        threads = [
+            threading.Thread(target=hammer, args=(t,)) for t in range(n_threads)
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        svc.wait_idle(timeout=120)
+        assert not errors
+        landed = spark.read.schema(
+            "metric STRING, mtype STRING, ts_ms LONG, value LONG"
+        ).parquet(landing)
+        assert landed.count() == n_threads * posts_per_thread * rows_per_post
+        # and per-metric counts are intact (no partial batches)
+        per_metric = {r["metric"]: r["n"] for r in
+                      landed.groupBy("metric").count().withColumnRenamed("count", "n").collect()}
+        assert all(v == posts_per_thread * rows_per_post for v in per_metric.values())
+        assert len(per_metric) == n_threads
+    finally:
+        svc.stop()
