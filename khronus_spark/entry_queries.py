@@ -53,6 +53,37 @@ from khronus_spark.sources.tables import (
 from khronus_spark.timegrid import align_ceil, align_floor
 
 # ---------------------------------------------------------------------------
+# shared helpers
+# ---------------------------------------------------------------------------
+
+
+def _scratch_dir(name: str) -> str:
+    """Scratch directory for entries that materialize a store/index and
+    read it back (the build/query split). One STABLE path per
+    (process, entry name): a re-invocation wipes and reuses it instead
+    of leaking a fresh mkdtemp per driver check / bench iteration, and
+    the whole tree is removed at interpreter exit. The path must
+    outlive the entry function (the returned DataFrame is collected by
+    the caller), so cleanup is deferred to reuse-or-exit rather than
+    happening inside the entry."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"khronus_entry_scratch_{os.getpid()}"
+    )
+    if not getattr(_scratch_dir, "_registered", False):
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+        _scratch_dir._registered = True
+    path = os.path.join(base, name)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
+    return path
+
+
+# ---------------------------------------------------------------------------
 # shared constants
 # ---------------------------------------------------------------------------
 
@@ -380,13 +411,11 @@ def influx_from_materialized_store(spark, sf_dir):
     writes the partitioned summary store, a storage-backed engine (no
     raw measurements) answers the dashboard query from it — identical
     result to the on-the-fly path (`influx_count_click_5m`)."""
-    import tempfile
-
     from khronus_spark.functions.summary import counter_summary
     from khronus_spark.operators.rollup import write_summaries
 
     m = measurements_from_events(spark, sf_dir)
-    tmp = tempfile.mkdtemp(prefix="khronus_store_entry_")
+    tmp = _scratch_dir("store_entry")
     write_summaries(
         {
             300_000: {
@@ -422,13 +451,11 @@ def influx_store_percentiles_1h(spark, sf_dir):
     — the reference's precompute-then-read contract
     (`store/SummaryStore.scala:70-75`, `InfluxQueryResolver.scala:50-65`).
     """
-    import tempfile
-
     from khronus_spark.functions.summary import histogram_summary
     from khronus_spark.operators.rollup import write_summaries
 
     m = measurements_from_events(spark, sf_dir)
-    tmp = tempfile.mkdtemp(prefix="khronus_store_pct_")
+    tmp = _scratch_dir("store_pct")
     write_summaries(
         {
             3_600_000: {
@@ -3031,15 +3058,13 @@ def summary_retention_5m(spark, sf_dir):
     (partitioned parquet, sorted by metric/ts like the reference's
     PK(metric, timestamp)), then age out buckets older than the cutoff
     (`reference.conf:25-28`, `store/SummaryStore.scala:70-75`)."""
-    import tempfile
-
     from khronus_spark.functions.summary import counter_summary
     from khronus_spark.operators.rollup import apply_retention, write_summaries
 
     m = measurements_from_events(spark, sf_dir).where(
         (F.col("mtype") == "counter") & (F.col("metric") == "click")
     )
-    tmp = tempfile.mkdtemp(prefix="khronus_retention_")
+    tmp = _scratch_dir("retention")
     write_summaries({300_000: {"counter": counter_summary(m, 300_000)}}, tmp)
     return apply_retention(
         spark, tmp, "counter", 300_000, cutoff_ms=_RETENTION_CUTOFF_MS
@@ -3448,11 +3473,9 @@ def streaming_stateful_hist_1h(spark, sf_dir):
     event-time-timeout finalization (streaming/stateful.py): the
     reference's bucket cache + tick processing (`store/BucketCache.
     scala:21-186`, `model/Tick.scala:12-19`) as one stateful operator."""
-    import tempfile
-
     from khronus_spark.streaming.stateful import run_stateful_rollup
 
-    tmp = tempfile.mkdtemp(prefix="khronus_stateful_entry_")
+    tmp = _scratch_dir("stateful_entry")
     m = measurements_from_events(spark, sf_dir).where(F.col("mtype") == "timer")
     lo, hi = m.agg(F.min("ts_ms"), F.max("ts_ms")).first()
     span = (hi - lo) + 1
@@ -3484,12 +3507,10 @@ def streaming_dedup_components(spark, sf_dir):
     components over the streamed edges equal the batch MinHash
     clustering — the oracle is the SAME recursive component closure the
     batch entry uses, so the whole streaming path is value-checked."""
-    import tempfile
-
     from khronus_spark.operators.components import connected_components
     from khronus_spark.streaming.dedup import run_streaming_dedup
 
-    tmp = tempfile.mkdtemp(prefix="khronus_sdedup_entry_")
+    tmp = _scratch_dir("sdedup_entry")
     docs = load_table(spark, sf_dir, "documents")
     lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
     span = (hi - lo) + 1
@@ -3768,10 +3789,8 @@ def ann_pq_topk_indexed(spark, sf_dir):
     FAISS train/add/search separation, and the reference's materialized
     summary-store read path, `store/BucketStore.scala`). Same oracle as
     ann_pq_topk — the split must not change a single value."""
-    import tempfile
-
     emb = load_table(spark, sf_dir, "embeddings")
-    path = tempfile.mkdtemp(prefix="pq_index_")
+    path = _scratch_dir("pq_index")
     books, codes = pq_ops.pq_build_index(emb, sub=4, k=8, iters=1)
     pq_ops.write_pq_index(books, codes, path)
     books, codes = pq_ops.read_pq_index(spark, path)

@@ -1811,6 +1811,7 @@ def bm25_rank(
     k: int = 5,
     k1_pm: int = 1200,
     b_pm: int = 750,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Integer-exact BM25 ranked retrieval over the corpus — the sparse
     twin of the ANN arc, and the retrieval primitive under
@@ -1839,12 +1840,20 @@ def bm25_rank(
 
     Shape at 100 TB: postings (doc, term, tf) and doc lengths are one
     map-side-combinable shuffle each; df is a short-key aggregate; N
-    and avgdl are broadcast scalars; the query-term table is tiny and
-    BROADCASTS onto the postings scan (map-side — hot query terms like
-    stop words cannot skew a broadcast probe); the only post-join
-    shuffle carries one row per (query, doc) pair sharing ≥1 term; the
-    per-query top-k window is map-side-bounded by WindowGroupLimit
-    (plan-gated with the ANN family)."""
+    and avgdl are broadcast scalars. The query-side join strategy is
+    the `broadcast_queries` knob: True (default) pins a broadcast of
+    the (query_id, term) table onto the postings scan — map-side, so
+    hot query terms like stop words cannot skew the probe — and is
+    right when the query set is a benchmark/eval split whose exploded
+    term table fits an executor (up to millions of rows). When the
+    query set scales WITH the corpus (eval_mod carves out ~1/mod of a
+    100 TB corpus → a terabyte-class term table), a forced broadcast
+    would OOM the build side: pass broadcast_queries=False and the
+    join falls back to a shuffle hash join on the term key, which AQE
+    sizes at runtime. Either way the only post-join shuffle carries
+    one row per (query, doc) pair sharing ≥1 term; the per-query
+    top-k window is map-side-bounded by WindowGroupLimit (plan-gated
+    with the ANN family)."""
     corpus = docs.where(F.col("doc_id") % eval_mod != 0)
     queries = docs.where(F.col("doc_id") % eval_mod == 0)
     tf = (
@@ -1861,8 +1870,10 @@ def bm25_rank(
     qterms = queries.select(
         F.col("doc_id").alias("query_id"), F.explode(_tokens()).alias("w")
     ).distinct()
+    if broadcast_queries:
+        qterms = F.broadcast(qterms)
     scored = (
-        tf.join(F.broadcast(qterms), "w")
+        tf.join(qterms, "w")
         .join(df_t, "w")
         .join(dl, "doc_id")
         .withColumn("_one", F.lit(1))

@@ -119,19 +119,28 @@ class KhronusHttpService:
                 except Exception:
                     self.send_error(400)
                     return
-                # respond immediately (fire-and-forget, like the reference),
-                # then append — upgraded to at-least-once by the sink
+                # WRITE BEFORE ACK: the 200 means the batch is durably
+                # in the landing dir (file renamed into place), so a
+                # client that retries on non-200 gets at-least-once.
+                # (The reference acks fire-and-forget,
+                # `service/KhronusEnpoint.scala:34-46`; acking only
+                # after the local parquet rename costs ~ms and turns a
+                # disk-full/pyarrow failure into a visible 500 instead
+                # of a silently dropped acked batch.)
                 with service._lock:
                     service._inflight += 1
-                self.send_response(200)
-                self.end_headers()
                 try:
                     if rows:
                         service._append(rows)
+                except Exception:
+                    self.send_error(500)
+                    return
                 finally:
                     with service._lock:
                         service._inflight -= 1
                         service._idle.notify_all()
+                self.send_response(200)
+                self.end_headers()
 
             def do_GET(self):
                 url = urlparse(self.path)
