@@ -137,8 +137,18 @@ def duplicate_components(docs: DataFrame, threshold_bp: int = 3000) -> DataFrame
     MinHash-then-verify recipe; vs `minhash_duplicate_components`,
     which clusters the UNVERIFIED band-collision graph, this drops
     band-collision false positives at the cost of the token-set
-    intersection per candidate."""
-    pairs = near_duplicates_jaccard(docs, threshold_bp).select(
+    intersection per candidate. `keep_star=True` exempts over-cap
+    buckets' star-only edges from the Jaccard threshold: in a
+    >star_cap bucket only (min, x) edges exist, and filtering them
+    would disconnect genuine near-dup pairs that fail the threshold
+    against the bucket minimum — connectivity beats precision for the
+    clustering use (an over-cap bucket is near-certain boilerplate
+    anyway, and `minhash_duplicate_components` clusters the fully
+    unverified graph). Unreachable at oracle scale (no sf0.01 bucket
+    nears the cap), so the DuckDB oracle needs no cap branch; the
+    behavior is pinned by the tiny-star_cap fixture in
+    tests/test_components.py instead."""
+    pairs = near_duplicates_jaccard(docs, threshold_bp, keep_star=True).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     return connected_components(pairs).select(

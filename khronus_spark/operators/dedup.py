@@ -78,6 +78,8 @@ def near_duplicates_jaccard(
     num_hashes: int = 8,
     bands: int = 2,
     n: int = 3,
+    star_cap: int = 10_000,
+    keep_star: bool = False,
 ) -> DataFrame:
     """Exact token-set Jaccard, CANDIDATE-BOUNDED: pairs come from the
     banded-MinHash LSH join (star-capped — never all-pairs), then only
@@ -94,9 +96,24 @@ def near_duplicates_jaccard(
     collide in some band with probability → 1), measured — not guessed
     — by the `minhash_calibration` registry entry on the same family.
     A plan gate (tests/test_plan_quality.py) pins the absence of any
-    n_chars-keyed self-join."""
+    n_chars-keyed self-join.
+
+    Over-cap buckets (see `bucket_pairs.star_cap`) contribute only
+    star edges to the bucket minimum, and with the default
+    `keep_star=False` a star edge whose exact Jaccard falls below the
+    threshold is DROPPED — two genuine near-dups b, c in a >star_cap
+    bucket can lose their connecting edge if neither clears the
+    threshold against the bucket minimum. That recall loss is the
+    price of linear output on mega-buckets; pass `keep_star=True`
+    (what `duplicate_components` does) to exempt star-only edges from
+    the threshold so component connectivity survives verification —
+    those rows still report their exact `jaccard_bp`, so callers can
+    tell a verified pair from a connectivity-only star edge."""
     cand = bucket_pairs(
-        minhash_md5_banded(docs, num_hashes, bands, n), count_col=None
+        minhash_md5_banded(docs, num_hashes, bands, n),
+        count_col=None,
+        star_cap=star_cap,
+        star_col="_star" if keep_star else None,
     )
     toks = spread(docs).select(
         "doc_id", F.array_sort(F.array_distinct(_tokens())).alias("tokens")
@@ -107,12 +124,17 @@ def near_duplicates_jaccard(
         "size(array_intersect(_ta, _tb)) * 10000L "
         "div size(array_union(_ta, _tb))"
     )
-    return (
+    scored = (
         cand.join(ta, "doc_a")
         .join(tb, "doc_b")
-        .select("doc_a", "doc_b", jaccard_bp.alias("jaccard_bp"))
-        .where(F.col("jaccard_bp") >= threshold_bp)
+        .withColumn("jaccard_bp", jaccard_bp)
     )
+    passed = (
+        F.col("jaccard_bp") >= threshold_bp
+        if not keep_star
+        else (F.col("jaccard_bp") >= threshold_bp) | F.col("_star")
+    )
+    return scored.where(passed).select("doc_a", "doc_b", "jaccard_bp")
 
 
 def near_dup_jaccard_sql(
@@ -216,6 +238,7 @@ def bucket_pairs(
     out_b: str = "doc_b",
     count_col: str | None = "n_shared_bands",
     star_cap: int = 10_000,
+    star_col: str | None = None,
 ) -> DataFrame:
     """(id, band, bucket) rows → within-bucket candidate pairs (a < b),
     optionally counting how many bands each pair shares.
@@ -225,6 +248,18 @@ def bucket_pairs(
     for downstream clustering while output stays linear in bucket size
     — a mega-bucket of B near-identical docs yields B-1 edges, not
     B²/2.
+
+    RECALL CONTRACT for over-cap buckets: the "connectivity preserved"
+    claim holds for the RAW pair graph. A downstream verifier that
+    FILTERS pairs (e.g. exact-Jaccard thresholding) can break it — a
+    star edge (min, x) may fail verification even though x has an
+    above-threshold partner elsewhere in the bucket, silently dropping
+    a genuine near-dup pair/edge. Consumers that verify candidates must
+    either exempt star edges from the filter (pass `star_col` to get a
+    per-pair marker: True iff the pair survives ONLY via star
+    contraction, i.e. every bucket it met in was over-cap) or accept
+    the documented recall loss (`near_duplicates_jaccard(keep_star=)`
+    makes the choice explicit; `duplicate_components` exempts).
 
     Memory shape (the 100 TB hardening): bucket size and minimum come
     from PLAIN map-side-combinable aggregates first (short rows); pair
@@ -256,17 +291,29 @@ def bucket_pairs(
     tagged = banded.join(stats, ["band", "bucket"])
     a_side = tagged.where(
         (F.col("_n") <= star_cap) | (F.col(id_col) == F.col("_min_id"))
-    ).select("band", "bucket", F.col(id_col).alias(out_a))
+    ).select(
+        "band",
+        "bucket",
+        F.col(id_col).alias(out_a),
+        (F.col("_n") > star_cap).cast("int").alias("_over"),
+    )
     b_side = tagged.select("band", "bucket", F.col(id_col).alias(out_b))
     pairs = (
         a_side.join(b_side, ["band", "bucket"])
         .where(F.col(out_a) < F.col(out_b))
-        .select(out_a, out_b)
+        .select(out_a, out_b, "_over")
     )
     grouped = pairs.groupBy(out_a, out_b)
-    if count_col is None:
-        return grouped.agg(F.lit(1).alias("_one")).drop("_one")
-    return grouped.agg(F.count(F.lit(1)).alias(count_col))
+    aggs = [
+        F.count(F.lit(1)).alias(count_col)
+        if count_col is not None
+        else F.lit(1).alias("_one")
+    ]
+    if star_col is not None:
+        # star-only iff every bucket this pair met in was over-cap
+        aggs.append((F.min("_over") == 1).alias(star_col))
+    out = grouped.agg(*aggs)
+    return out if count_col is not None else out.drop("_one")
 
 
 def minhash_banded(

@@ -356,3 +356,40 @@ def test_pagerank_varies_on_irregular_corpus_graph(spark, sf_dir):
     assert rows
     prs = [r.pr_ppm for r in rows]
     assert min(prs) < max(prs)
+
+
+def test_keep_star_preserves_connectivity_under_verification(spark):
+    """ADVICE r5: in an over-cap bucket only (min, x) star edges become
+    candidates, and Jaccard verification can drop every one of them —
+    disconnecting genuine exact duplicates that never get a direct
+    pair. keep_star=True (the duplicate_components setting) exempts
+    star-only edges from the threshold so the cluster survives; the
+    default pair-listing path keeps the strict threshold and the
+    documented recall loss."""
+    from khronus_spark.operators.dedup import near_duplicates_jaccard
+
+    base = " ".join(f"tok{j}" for j in range(12))
+    clone = base.replace("tok11", "CHANGED")  # J = 11/13 ≈ 8461 bp
+    texts = {0: base, 1: clone, 2: clone, 3: clone, 4: clone}
+    docs = spark.createDataFrame(
+        [(d, t, "en", "s", len(t)) for d, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    kw = dict(threshold_bp=9000, num_hashes=8, bands=8, star_cap=2)
+
+    strict = {
+        (r["doc_a"], r["doc_b"]) for r in near_duplicates_jaccard(docs, **kw).collect()
+    }
+    # every (0, x) star edge fails the 9000 threshold and is dropped
+    assert not any(a == 0 for a, _ in strict)
+
+    kept = near_duplicates_jaccard(docs, keep_star=True, **kw)
+    rows = {(r["doc_a"], r["doc_b"]): r["jaccard_bp"] for r in kept.collect()}
+    # star-only edges survive AND report their true (sub-threshold) value
+    assert any(a == 0 and bp < 9000 for (a, _), bp in rows.items()), rows
+    comp = connected_components(
+        kept.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    comps = {r["node_id"]: r["component_id"] for r in comp.collect()}
+    assert set(comps) | {min(comps.values())} >= {0, 1, 2, 3, 4}
+    assert len(set(comps.values())) == 1  # one cluster, rooted at the min
