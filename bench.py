@@ -161,10 +161,12 @@ def main() -> None:
         "rp_project": lambda: run_df(q["embedding_rp_project"](spark, sf_dir)),
         # conditional bigram LM filter: two salted joins over aggregates
         "bigram_surprisal": lambda: run_df(q["bigram_surprisal"](spark, sf_dir)),
-        # new-batch dedup against the pre-aggregated corpus bucket index
-        "dedup_incremental": lambda: run_df(
-            q["dedup_incremental_batch"](spark, sf_dir)
-        ),
+        # the incremental-dedup build/probe split: the corpus bucket
+        # index (band, bucket, n_docs, min_doc_id) is built + persisted
+        # ONCE (timed as the build entry); the probe pays only batch
+        # signatures + two joins — no aggregate over the corpus index
+        "dedup_index_build": lambda: _dedup_build(),
+        "dedup_incremental": lambda: _dedup_probe(),
         # PQ train + pack + ADC search (compressed-domain ANN)
         "ann_pq_topk": lambda: run_df(q["ann_pq_topk"](spark, sf_dir)),
         # the build/query split: index built+persisted ONCE (timed as the
@@ -180,6 +182,23 @@ def main() -> None:
     from khronus_spark.operators import pq as pq_ops
 
     _pq_dir = tempfile.mkdtemp(prefix="bench_pq_index_")
+    _dedup_dir = tempfile.mkdtemp(prefix="bench_dedup_index_")
+
+    from khronus_spark.operators import dedup as dedup_ops
+
+    def _dedup_build():
+        docs = load_table(spark, sf_dir, "documents")
+        corpus = docs.where(F.col("doc_id") % 5 != 0)
+        dedup_ops.write_dedup_index(dedup_ops.build_dedup_index(corpus), _dedup_dir)
+
+    def _dedup_probe():
+        docs = load_table(spark, sf_dir, "documents")
+        batch = docs.where(F.col("doc_id") % 5 == 0)
+        run_df(
+            dedup_ops.incremental_dedup(
+                dedup_ops.read_dedup_index(spark, _dedup_dir), batch
+            )
+        )
 
     def _pq_build():
         emb = load_table(spark, sf_dir, "embeddings")

@@ -3652,15 +3652,22 @@ def dedup_cluster_sizes(spark, sf_dir):
 @register("dedup_incremental_batch", dedup_ops.incremental_dedup_sql())
 def dedup_incremental_batch(spark, sf_dir):
     """Incremental batch-vs-corpus dedup (operators/dedup.py): the new
-    crawl (doc_id % 5 == 0 here) is checked against the persisted
-    banded MinHash index of the existing corpus — pre-aggregated to one
-    row per (band, bucket), so a mega-bucket costs 1 probe row — and
-    within itself. The corpus itself is never re-scanned."""
+    crawl (doc_id % 5 == 0 here) is checked against the PERSISTED
+    bucket index of the existing corpus and within itself. The index
+    (`build_dedup_index`) carries (band, bucket, n_docs, min_doc_id)
+    pre-aggregated at build time and round-trips through parquet here,
+    so the probe plan is pure joins — no per-batch aggregate over the
+    corpus index (plan-gated), and the corpus itself is never
+    re-scanned. Same oracle as the raw-index formulation: the
+    pre-aggregation is exactly the oracle's bmin CTE."""
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.where(F.col("doc_id") % 5 != 0)
     batch = docs.where(F.col("doc_id") % 5 == 0)
-    index = dedup_ops.minhash_md5_banded(corpus)
-    return dedup_ops.incremental_dedup(index, batch)
+    path = _scratch_dir("dedup_index")
+    dedup_ops.write_dedup_index(dedup_ops.build_dedup_index(corpus), path)
+    return dedup_ops.incremental_dedup(
+        dedup_ops.read_dedup_index(spark, path), batch
+    )
 
 
 @register("vocab_oov_by_source", text_ops.vocab_oov_profile_sql(top_v=12))

@@ -569,3 +569,24 @@ def test_pq_indexed_query_has_no_training(spark, oracle_sf_dir):
     assert "posexplode" not in plan
     assert "books" in plan and "codes" in plan  # parquet index scans
     assert "Scan ExistingRDD" not in plan       # no Lloyd checkpoint residue
+
+
+def test_incremental_dedup_probe_reads_prebuilt_index(spark, oracle_sf_dir):
+    """Round-5 verdict directive 2: the incremental-dedup PROBE must
+    read the persisted (band, bucket, n_docs, min_doc_id) index, not
+    re-derive bucket stats from the corpus per batch. The plan gets the
+    bucket minimum from the index scan (min_doc_id in its ReadSchema,
+    never re-aggregated) and the corpus documents are not scanned at
+    all — the only documents scans are the new batch's two reads
+    (signatures + result spine)."""
+    plan = _plan(spark, oracle_sf_dir, "dedup_incremental_batch")
+    lines = plan.splitlines()
+    idx_scans = [
+        ln for ln in lines if "Location" in ln and "dedup_index" in ln
+    ]
+    assert len(idx_scans) == 1, idx_scans
+    assert "min(min_doc_id)" not in plan  # index consumed as-is
+    doc_scans = [
+        ln for ln in lines if "Location" in ln and "documents" in ln
+    ]
+    assert len(doc_scans) == 2, doc_scans  # batch only; corpus untouched
