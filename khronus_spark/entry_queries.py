@@ -3876,3 +3876,58 @@ def ann_pq_rerank_topk(spark, sf_dir):
     return pq_ops.pq_rerank_topk(
         emb, list(range(5)), 3, n_candidates=30, sub=4, k=8, iters=1
     )
+
+
+@register(
+    "ann_ivfpq_topk_indexed",
+    pq_ops.ivf_pq_topk_sql(list(range(5)), 3, stride=50, nprobe=2, sub=4, k=8, iters=1),
+)
+def ann_ivfpq_topk_indexed(spark, sf_dir):
+    """IVF-PQ behind the build/query split (operators/pq.py::
+    ivf_pq_build_index / ivf_pq_topk_indexed): codebooks, coded
+    inverted lists (vec_id, pq_code, centroid_id — co-located by list)
+    and the centroid router table are built ONCE and persisted as
+    parquet; the query broadcasts centroids to route each probe to its
+    nprobe lists, restricts candidates by join key on the coded table,
+    and scores via broadcast ADC LUTs. No training in the query plan
+    (plan-gated). Same oracle as ann_ivfpq_topk — the split must not
+    change a value."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _scratch_dir("ivfpq_index")
+    books, coded, cents = pq_ops.ivf_pq_build_index(
+        emb, stride=50, sub=4, k=8, iters=1
+    )
+    pq_ops.write_ivf_pq_index(books, coded, cents, path)
+    books, coded, cents = pq_ops.read_ivf_pq_index(spark, path)
+    probes = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    return pq_ops.ivf_pq_topk_indexed(
+        books, coded, cents, probes, 3, nprobe=2, sub=4, k=8
+    )
+
+
+@register(
+    "ann_pq_rerank_topk_indexed",
+    pq_ops.pq_rerank_topk_sql(
+        list(range(5)), 3, n_candidates=30, sub=4, k=8, iters=1
+    ),
+)
+def ann_pq_rerank_topk_indexed(spark, sf_dir):
+    """Two-stage PQ retrieval behind the build/query split
+    (operators/pq.py::pq_rerank_topk_indexed): the ADC candidate cut
+    reads the persisted books+codes (no training in the query plan —
+    plan-gated); only the ~n_candidates survivors per probe fetch full
+    vectors for the exact integer-L2 rerank, which is the stage's
+    recall contract, not a scan. Same oracle as ann_pq_rerank_topk."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _scratch_dir("pq_rerank_index")
+    books, codes = pq_ops.pq_build_index(emb, sub=4, k=8, iters=1)
+    pq_ops.write_pq_index(books, codes, path)
+    books, codes = pq_ops.read_pq_index(spark, path)
+    probes = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    return pq_ops.pq_rerank_topk_indexed(
+        books, codes, probes, emb, 3, n_candidates=30, sub=4, k=8
+    )

@@ -737,3 +737,169 @@ def ivf_pq_rerank_topk(
         .where(F.col("rn") <= n_neighbors)
         .select("probe_id", "neighbor_id", "d2")
     )
+
+
+# ------------------------------------------------------- indexed variants
+
+
+def ivf_pq_build_index(
+    embeddings: DataFrame,
+    stride: int = 50,
+    sub: int = SUB,
+    k: int = K,
+    iters: int = ITERS,
+    mode: str | None = None,
+    train_sample_mod: int | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Build the IVF-PQ index ONCE — (books, coded inverted lists,
+    centroids) — the round-5 verdict's remaining inline-training
+    family: `ivf_pq_topk` retrains both quantizers inside every query,
+    which is a non-starter at 100 TB. Persist all three with
+    `write_ivf_pq_index`; query with `ivf_pq_topk_indexed`, whose plan
+    contains no training (plan-gated).
+
+    `coded` is the physical IVFPQ layout: one row per vector carrying
+    its packed BIGINT PQ code AND its coarse list id (vec_id, pq_code,
+    centroid_id) — the inverted-list restriction becomes a join-key
+    filter on this single table, no full-vector access. `centroids`
+    (centroid_id, cvec) is the small table queries broadcast to route
+    probes. `train_sample_mod` bounds codebook training exactly as in
+    `pq_build_index`."""
+    from khronus_spark.operators.similarity import ivf_assignments
+
+    train = (
+        embeddings
+        if train_sample_mod is None
+        else embeddings.where(F.col("vec_id") % train_sample_mod == 0)
+    )
+    books = _books_from_state(_pq_state(train, sub, k, iters, mode))
+    codes = pq_encode(embeddings, books, sub, k, mode)
+    coded = codes.join(ivf_assignments(embeddings, stride), "vec_id")
+    centroids = embeddings.where(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    return books, coded, centroids
+
+
+def write_ivf_pq_index(
+    books: DataFrame, coded: DataFrame, centroids: DataFrame, path: str
+) -> None:
+    """Persist the IVF-PQ index as three parquet tables. `coded` is
+    repartitioned by centroid_id so each inverted list is physically
+    co-located — at scale a probe's nprobe lists map to a bounded set
+    of files instead of touching every partition."""
+    books.write.mode("overwrite").parquet(f"{path}/books")
+    coded.repartition("centroid_id").write.mode("overwrite").parquet(
+        f"{path}/coded"
+    )
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def read_ivf_pq_index(
+    spark, path: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    return (
+        spark.read.parquet(f"{path}/books"),
+        spark.read.parquet(f"{path}/coded"),
+        spark.read.parquet(f"{path}/centroids"),
+    )
+
+
+def ivf_pq_topk_indexed(
+    books: DataFrame,
+    coded: DataFrame,
+    centroids: DataFrame,
+    probe_vecs: DataFrame,
+    n_neighbors: int = 3,
+    nprobe: int = 2,
+    sub: int = SUB,
+    k: int = K,
+) -> DataFrame:
+    """Query half of the IVF-PQ split: probes route to their `nprobe`
+    nearest lists via the BROADCAST prebuilt centroid table (identical
+    cosine/tie semantics to `similarity.ivf_probe_lists`, so results
+    match `ivf_pq_topk` exactly when the index trained on the full
+    corpus — test-pinned, same oracle); candidates come from the
+    prebuilt coded lists by a join-key restriction; scoring is `sub`
+    broadcast-LUT adds per candidate. No k-means anywhere in the plan.
+    `probe_vecs` is (probe_id, embedding)."""
+    from khronus_spark.operators.similarity import cosine_col
+
+    sim = cosine_col(F.col("embedding"), F.col("cvec"))
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("_sim").desc(), F.col("probe_centroid").asc()
+    )
+    probe_lists = (
+        probe_vecs.crossJoin(F.broadcast(centroids))
+        .select(
+            "probe_id",
+            F.col("centroid_id").alias("probe_centroid"),
+            sim.alias("_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= nprobe)
+        .select("probe_id", "probe_centroid")
+    )
+    pvec = probe_vecs.select(
+        "probe_id", F.expr(_QUANT_COL.format(c="embedding")).alias("pe")
+    )
+    luts = _adc_luts(pvec, books, sub, k)
+    cand = (
+        coded.select(
+            F.col("vec_id").alias("neighbor_id"), "pq_code", "centroid_id"
+        )
+        .join(
+            F.broadcast(probe_lists),
+            F.col("centroid_id") == F.col("probe_centroid"),
+        )
+        .where(F.col("neighbor_id") != F.col("probe_id"))
+    )
+    w2 = Window.partitionBy("probe_id").orderBy(
+        F.col("d2_adc").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.join(F.broadcast(luts), "probe_id")
+        .withColumn("d2_adc", F.expr(_adc_score_expr(sub, k)))
+        .withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= n_neighbors)
+        .select("probe_id", "neighbor_id", "d2_adc")
+    )
+
+
+def pq_rerank_topk_indexed(
+    books: DataFrame,
+    codes: DataFrame,
+    probe_vecs: DataFrame,
+    vectors: DataFrame,
+    n_neighbors: int = 3,
+    n_candidates: int = 30,
+    sub: int = SUB,
+    k: int = K,
+) -> DataFrame:
+    """Query half of the two-stage PQ retrieval split: ADC over the
+    PREBUILT `books`/`codes` keeps `n_candidates` per probe (no
+    training in the plan), then only those candidates fetch their full
+    vectors from `vectors` (vec_id, embedding — the primary store; the
+    rerank stage reads full vectors BY DESIGN, that is its recall
+    contract) for the exact integer-L2 rerank. Results identical to
+    `pq_rerank_topk` when the index trained on the full corpus
+    (test-pinned, same oracle)."""
+    cands = pq_topk_indexed(books, codes, probe_vecs, n_candidates, sub, k)
+    pv = probe_vecs.select(
+        "probe_id", F.expr(_QUANT_COL.format(c="embedding")).alias("pe")
+    )
+    nv = vectors.select(
+        F.col("vec_id").alias("neighbor_id"), F.expr(_QUANT).alias("ne")
+    )
+    d2 = _D2.format(a="pe", b="ne")
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cands.join(F.broadcast(pv), "probe_id")
+        .join(nv, "neighbor_id")
+        .withColumn("d2", F.expr(d2))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= n_neighbors)
+        .select("probe_id", "neighbor_id", "d2")
+    )

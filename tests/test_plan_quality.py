@@ -546,7 +546,9 @@ def test_ann_topk_windows_have_group_limit(spark, oracle_sf_dir):
         "ann_pq_topk",
         "ann_pq_topk_indexed",
         "ann_ivfpq_topk",
+        "ann_ivfpq_topk_indexed",
         "ann_pq_rerank_topk",
+        "ann_pq_rerank_topk_indexed",
         "ann_rp_topk",
         "ann_quantized_topk",
         "embedding_knn_graph",
@@ -590,3 +592,21 @@ def test_incremental_dedup_probe_reads_prebuilt_index(spark, oracle_sf_dir):
         ln for ln in lines if "Location" in ln and "documents" in ln
     ]
     assert len(doc_scans) == 2, doc_scans  # batch only; corpus untouched
+
+
+def test_ivfpq_and_rerank_indexed_queries_have_no_training(spark, oracle_sf_dir):
+    """Round-5 verdict directive 3: the remaining inline-training ANN
+    families get indexed faces. Both query plans must READ the
+    persisted index tables and contain no k-means machinery (no
+    posexplode of embeddings into (cid, dim) rows, no Lloyd
+    localCheckpoint residue); the IVF-PQ plan routes probes via the
+    persisted centroid table and scans the coded inverted lists."""
+    plan = _plan(spark, oracle_sf_dir, "ann_ivfpq_topk_indexed")
+    assert "posexplode" not in plan
+    assert "Scan ExistingRDD" not in plan
+    assert "books" in plan and "coded" in plan and "centroids" in plan
+
+    plan = _plan(spark, oracle_sf_dir, "ann_pq_rerank_topk_indexed")
+    assert "posexplode" not in plan
+    assert "Scan ExistingRDD" not in plan
+    assert "books" in plan and "codes" in plan
