@@ -197,9 +197,10 @@ SELECT src AS doc_id, min(dst) AS component_id FROM reach GROUP BY src
 
 
 def minhash_duplicate_components(docs: DataFrame) -> DataFrame:
-    """Clusters over the MinHash+LSH candidate graph — the 100 TB dedup
-    path (banding keeps edge generation ~linear in corpus size, vs the
-    length-blocked Jaccard join). Same star-contraction core."""
+    """Clusters over the UNVERIFIED MinHash+LSH collision graph —
+    banding keeps edge generation ~linear in corpus size; vs
+    `duplicate_components`, which verifies the same candidates with
+    exact Jaccard first. Same star-contraction core."""
     from khronus_spark.operators.dedup import minhash_md5_pairs
 
     pairs = minhash_md5_pairs(docs).select(

@@ -10,10 +10,11 @@ as ONE declarative Spark plan:
 2. dedup: near-dup clusters from large-star/small-star connected
    components over MinHash+LSH banded candidate pairs by default
    (``components.minhash_duplicate_components`` — edge generation is
-   ~linear in corpus size); the exact length-blocked Jaccard generator
-   stays available as ``edge_gen="jaccard"`` for baselining (its
-   within-block self-join is quadratic in block size — fine for
-   validation, wrong at 100 TB). Only the cluster's min doc_id survives;
+   ~linear in corpus size); ``edge_gen="jaccard"`` routes to the
+   candidate-bounded ``duplicate_components`` (same banded-LSH
+   candidates, exact-Jaccard verification on candidates only — the
+   round-1 length-blocked self-join was deleted in round 5, both
+   generators are ~linear now). Only the cluster's min doc_id survives;
 3. sampling: deterministic md5-keyed Bernoulli (reproducible across
    runs and engines; identical texts sample together);
 4. accounting: per-language doc counts, token totals, integer mean
@@ -75,8 +76,9 @@ def curated_docs(
     """The surviving documents with their quality metrics attached.
 
     ``edge_gen`` picks the duplicate-candidate generator: "minhash"
-    (default — banded LSH, the 100 TB path), "jaccard" (exact
-    length-blocked baseline; quadratic within length blocks), or a
+    (default — the unverified banded-LSH collision graph), "jaccard"
+    (the same banded-LSH candidates with exact-Jaccard verification,
+    ``components.duplicate_components`` — both ~linear), or a
     callable docs → (doc_id, component_id) DataFrame.
 
     The component map joins back onto the corpus broadcast only while it

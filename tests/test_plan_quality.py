@@ -116,11 +116,12 @@ def test_curation_broadcasts_component_map(spark, oracle_sf_dir):
 
 
 def test_curation_default_edge_gen_is_banded_lsh(spark, oracle_sf_dir, monkeypatch):
-    """curated_docs must default to the MinHash-LSH edge generator (the
-    ~linear 100 TB path), not the length-blocked Jaccard self-join
-    (quadratic within common-length blocks). The component loop eagerly
-    checkpoints, so the final plan can't show the edge join — pin the
-    wiring and the generator's own plan shape instead."""
+    """curated_docs must default to the MinHash-LSH edge generator and
+    the generator's plan must stay the banded equi-join (the round-1
+    length-blocked self-join is deleted; this gate keeps it from
+    coming back). The component loop eagerly checkpoints, so the final
+    plan can't show the edge join — pin the wiring and the generator's
+    own plan shape instead."""
     import re
 
     import khronus_spark.operators.curation as cur
