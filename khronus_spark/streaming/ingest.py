@@ -108,6 +108,18 @@ def run_streaming_rollup(
     `trigger` defaults to availableNow (drain-and-stop, for tests /
     backfill); pass {"processingTime": "30 seconds"} for the reference
     cadence (T1).
+
+    SIZING `watermark` (measured contract, pinned by
+    tests/test_streaming.py::
+    test_effective_watermark_lags_two_batches_of_front_progress): the
+    watermark a micro-batch enforces derives from event-time stats TWO
+    batches back, so the actually-droppable lateness is
+    `watermark + ~2 micro-batches of event-time front progress`, and
+    conversely a bucket is only finalized/emitted ~2 triggers after the
+    front passes `bucket end + watermark`. Size the delay for the
+    lateness you must TOLERATE (anything inside it is guaranteed to
+    land); expect a bounded tail of later data to still land, and add
+    ~2 trigger intervals to any end-to-end freshness budget.
     """
     if family == "counter":
         summaries = streaming_counter_summary(measurements, window_ms, watermark)

@@ -445,3 +445,77 @@ def test_streaming_windowed_cms_matches_batch(spark, sf_dir):
     max_start = max(s for s, _, _ in expected)
     for s, _, _ in set(expected) - set(got):
         assert s >= max_start - 86_400_000, f"non-trailing window missing: {s}"
+
+def test_effective_watermark_lags_two_batches_of_front_progress(spark):
+    """Round-5 soak finding, pinned as a deterministic contract (verdict
+    directive 5): the watermark a micro-batch ENFORCES on late input is
+    the one computed at the START of the batch, which derives from
+    event-time stats through batch N-2 — the progress line's reported
+    watermark (stats through N-1) only takes effect one batch later. So
+
+        droppable lateness = configured delay
+                           + TWO micro-batches of event-time front
+                             progress
+
+    which is the sizing rule for `run_streaming_rollup`'s `watermark`
+    (and why the round-5 HTTP soak saw wave-B tails land: a bounded
+    tail of beyond-delay data is legitimately accepted). availableNow
+    replay, one file per batch (mtime-ordered), 1m buckets, 60s delay:
+
+      batch0 front E0=600k   batch1 front E1=1200k
+      batch2 late rows judged against E0-delay=540k (NOT E1-delay):
+             ts 560k — 640k behind the front — LANDS;
+             ts 520k (window end 540k <= wm) DROPS
+      batch3 front E2=2400k
+      batch4 late rows judged against E1-delay=1140k (NOT E2-delay):
+             ts 1150k LANDS, ts 1100k DROPS
+      batch5 closer at 10M flushes every bucket
+
+    If a Spark version bump tightens the lag to one batch, the 560k row
+    drops and this fails loudly — re-derive the soak's wave sizing."""
+    import os
+    import time as _time
+
+    tmp = tempfile.mkdtemp(prefix="khronus_wmlag_")
+    chunks = [
+        [("m", "counter", 100_000, 1), ("m", "counter", 600_000, 1)],
+        [("m", "counter", 1_200_000, 1)],
+        [("m", "counter", 560_000, 10), ("m", "counter", 520_000, 100)],
+        [("m", "counter", 2_400_000, 1)],
+        [("m", "counter", 1_150_000, 1000), ("m", "counter", 1_100_000, 10_000)],
+        [("m", "counter", 10_000_000, 1)],
+    ]
+    schema = "metric string, mtype string, ts_ms long, value long"
+    for i, rows in enumerate(chunks):
+        d = f"{tmp}/in/chunk={i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        # FileStreamSource batches by modification time: force the order
+        now = _time.time() + i * 10
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (now, now))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp}/in/*")
+    )
+    q = run_streaming_rollup(
+        stream,
+        base_path=f"{tmp}/out",
+        checkpoint_path=f"{tmp}/ckpt",
+        window_ms=60_000,
+        family="counter",
+        watermark="60 seconds",
+    )
+    q.awaitTermination(120)
+    got = {
+        r["ts"]: r["count"]
+        for r in spark.read.parquet(f"{tmp}/out/counter_summary/1m").collect()
+    }
+    assert got.get(540_000) == 10, got      # inside the 2-batch-lag wm
+    assert 480_000 not in got, got          # beyond it: dropped
+    assert got.get(1_140_000) == 1000, got  # inside the advanced lag wm
+    assert 1_080_000 not in got, got        # beyond it: dropped
+    assert got.get(60_000) == 1 and got.get(600_000) == 1
+    assert got.get(1_200_000) == 1 and got.get(2_400_000) == 1
