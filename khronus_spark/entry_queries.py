@@ -3931,3 +3931,18 @@ def ann_pq_rerank_topk_indexed(spark, sf_dir):
     return pq_ops.pq_rerank_topk_indexed(
         books, codes, probes, emb, 3, n_candidates=30, sub=4, k=8
     )
+
+
+@register("decontamination_retrieval", text_ops.bm25_decontamination_sql())
+def decontamination_retrieval(spark, sf_dir):
+    """Retrieval-based decontamination (operators/text.py::
+    bm25_decontamination): the third rung of the decontamination
+    ladder — exact n-gram overlap (`decontamination_scan`) → MinHash
+    band collision (`decontamination_fuzzy`) → BM25 ranked retrieval,
+    which flags corpus docs that RANK top-k for a held-out eval query
+    with score ≥ 15000 even with no shared n-gram or band. Composes
+    bm25_rank into the curation surface; per flagged doc it reports
+    how many queries retrieve it, best rank, max score, and the
+    hardest-hitting query id (the human audit pointer)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.bm25_decontamination(docs)

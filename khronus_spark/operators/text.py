@@ -1949,3 +1949,77 @@ SELECT query_id, doc_id, score,
 FROM scored
 QUALIFY rank <= {k}
 """
+
+
+def bm25_decontamination(
+    docs: DataFrame,
+    eval_mod: int = 97,
+    k: int = 5,
+    score_min: int = 15000,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Retrieval-based benchmark decontamination — BM25 earning its keep
+    in the curation pipeline (round-5 verdict directive 7): a corpus
+    document that RANKS top-`k` for some held-out eval query with score
+    ≥ `score_min` is a contamination suspect even when it shares no
+    exact n-gram (`decontamination`) and no MinHash band
+    (`decontamination_fuzzy`) — ranked retrieval catches topical
+    paraphrase leakage the lexical filters undercount, the same way
+    eval-set retrieval audits are run on production pretraining sets.
+
+    Output: one row per flagged corpus doc — (doc_id, n_queries,
+    best_rank, max_score, best_query_id): how many eval queries
+    retrieve it, its best rank, its strongest score, and WHICH query
+    hits hardest (ties → smallest query_id; the audit pointer a human
+    follows). All integer-exact.
+
+    Shape at 100 TB: inherits `bm25_rank`'s shape (map-side-combinable
+    postings/df/dl, query terms broadcast — or shuffled via
+    `broadcast_queries=False` when the eval set scales with the
+    corpus, WindowGroupLimit top-k); this layer adds one groupBy over
+    the ≤ queries·k ranked rows and a self-join on that same tiny
+    frame to extract the arg-max query deterministically (cache the
+    ranked frame in production; both passes are bounded by the ranked
+    output, not the corpus)."""
+    ranked = bm25_rank(docs, eval_mod, k, broadcast_queries=broadcast_queries)
+    hits = ranked.where(F.col("score") >= score_min)
+    flags = hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.min("rank").alias("best_rank"),
+        F.max("score").alias("max_score"),
+    )
+    best = (
+        hits.join(flags.select("doc_id", "max_score"), "doc_id")
+        .where(F.col("score") == F.col("max_score"))
+        .groupBy("doc_id")
+        .agg(F.min("query_id").alias("best_query_id"))
+    )
+    return flags.join(best, "doc_id")
+
+
+def bm25_decontamination_sql(
+    eval_mod: int = 97, k: int = 5, score_min: int = 15000
+) -> str:
+    """Oracle: the bm25_rank CTE chain (shared verbatim) + the flag
+    aggregation and the deterministic arg-max-query join."""
+    base = bm25_rank_sql(eval_mod, k).strip()
+    assert base.startswith("WITH ")
+    head, final = base.rsplit("SELECT query_id, doc_id, score,", 1)
+    ctes = head[len("WITH"):].strip().rstrip(",").rstrip()
+    return f"""
+WITH {ctes},
+ranked AS (SELECT query_id, doc_id, score,{final}),
+hits AS (SELECT * FROM ranked WHERE score >= {score_min}),
+flags AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_queries,
+         CAST(min(rank) AS BIGINT) AS best_rank,
+         CAST(max(score) AS BIGINT) AS max_score
+  FROM hits GROUP BY doc_id
+)
+SELECT f.doc_id, f.n_queries, f.best_rank, f.max_score,
+       CAST(min(h.query_id) AS BIGINT) AS best_query_id
+FROM flags f
+JOIN hits h ON h.doc_id = f.doc_id AND h.score = f.max_score
+GROUP BY f.doc_id, f.n_queries, f.best_rank, f.max_score
+"""

@@ -663,3 +663,36 @@ def test_bm25_length_normalization_prefers_shorter_doc(spark):
         for r in bm25_rank(_bm25_docs(spark, rows), k=8).collect()
     }
     assert got[2] > got[1]
+
+
+def test_bm25_decontamination_flags_planted_paraphrase(spark):
+    """Retrieval decontamination: a corpus doc sharing the eval query's
+    distinctive vocabulary (no exact copy required) is flagged with
+    best_query_id pointing at that query; unrelated filler docs stay
+    unflagged; the score_min filter drops weak tail matches."""
+    from khronus_spark.operators.text import bm25_decontamination
+
+    q = "quasar redshift spectrograph luminosity parallax"
+    rows = [(0, q)]                                   # 0 % 97 == 0 -> query
+    rows += [(1, "the quasar redshift spectrograph luminosity survey")]
+    rows += [(i, f"mundane filler{i} text{i} about{i} nothing{i}")
+             for i in range(2, 12)]
+    got = {
+        r.doc_id: r
+        for r in bm25_decontamination(
+            _bm25_docs(spark, rows), k=3, score_min=1
+        ).collect()
+    }
+    assert 1 in got, got
+    assert got[1].best_query_id == 0
+    assert got[1].best_rank == 1
+    assert got[1].n_queries == 1
+    # with a prohibitive score_min nothing survives
+    none = bm25_decontamination(_bm25_docs(spark, rows), k=3,
+                                score_min=10**9).count()
+    assert none == 0
+    # filler docs may appear at low scores via shared stop-shape terms,
+    # but never outrank the paraphrase
+    for d, r in got.items():
+        if d != 1:
+            assert r.max_score < got[1].max_score, (d, r)
