@@ -115,81 +115,82 @@ def register(name: str, oracle: str | None):
 #: operator inside the window; everything else keeps registration order
 #: in the tail (still exercised by tests/test_oracle_parity.py locally).
 #:
-#: Round-5 rotation policy (same invariant as rounds 2-4): the window
-#: holds (a) the entries NEW this round (never driver-checked), (b)
-#: every entry whose ENGINE PATH changed this round — the bucket_pairs
-#: memory hardening (stats-first aggregates + map-side star edges)
-#: touches every banded-LSH pair consumer, and near_duplicates_jaccard
-#: was rewired from the length-blocked self-join onto LSH candidates
-#: (dedup_components' edges with it) — then (c) the longest-unchecked
-#: tail: every oracle-backed entry whose newest green row is round 1,
-#: then round-2-only entries in registration order until the window is
-#: full (the rest of the r2 tail rotates forward in round 6). Rows-only
-#: entries (xxhash64 signatures) stay out — the window accepts only
-#: hash-checkable entries, and their md5 twins are inside. Everything
-#: else is still locally oracle-checked every run by
-#: tests/test_oracle_parity.py.
+#: Round-6 rotation policy (same invariant as rounds 2-5): the window
+#: holds (a) the entries NEW this round (never driver-checked: the two
+#: indexed ANN faces and the BM25 retrieval-decontamination), (b) every
+#: entry whose ENGINE PATH was touched this round (the incremental-dedup
+#: build/probe split; duplicate_components' keep_star edges;
+#: near_duplicates_jaccard's rewritten body; bm25_rank's broadcast knob;
+#: the scratch-dir change under ann_pq_topk_indexed), then (c) the
+#: longest-unchecked tail: ALL 18 entries whose newest green row was
+#: round 2 — this retires the rotation ledger debt; after round 6 every
+#: entry's newest green row is ≤ 3 rounds old — and the 24 oldest
+#: round-3 entries in registration order (the rest of the r3 tail plus
+#: the r4/r5 cohorts rotate in rounds 7-8). Rows-only entries (xxhash64
+#: signatures) stay out — the window accepts only hash-checkable
+#: entries, and their md5 twins are inside. Everything else is still
+#: locally oracle-checked every run by tests/test_oracle_parity.py.
 #: tests/test_oracle_parity.py::test_window_rotation_covers_unproven
 #: enforces the invariant "green before, or in the window".
 DRIVER_WINDOW = 50
 
 _PRIORITY = [
-    # -- new in round 5: never driver-checked ----------------------------
-    "near_dup_jaccard_lsh",
-    "ann_pq_topk_indexed",
-    "bm25_eval_topk",
-    # -- engine path changed in round 5 (bucket_pairs hardening and/or
-    #    candidate-bounded jaccard): must re-prove -----------------------
-    "minhash_md5_pairs",
-    "dedup_components",
-    "dedup_components_minhash",
-    "corpus_curation",
-    "embedding_near_dup",
-    "embedding_knn_graph",
-    "dedup_graph_pagerank",
-    "dedup_cluster_sizes",
-    "minhash_calibration",
+    # -- new in round 6: never driver-checked ----------------------------
+    "ann_ivfpq_topk_indexed",
+    "ann_pq_rerank_topk_indexed",
+    "decontamination_retrieval",
+    # -- engine path touched in round 6: must re-prove -------------------
     "dedup_incremental_batch",
-    "source_overlap_matrix",
-    "leakage_safe_split",
-    # -- longest unchecked: newest green row is round 1 ------------------
-    "events_column_profile",
-    "events_pivot_type_daily",
-    "events_sliding_counts_10m_5m",
-    "user_funnel_vcp",
-    "user_weekly_retention",
-    "events_value_deciles",
-    "user_segments_setops",
-    "events_value_moving_avg_7d",
-    "tpch_q5_regional_revenue",
-    "events_user_daily",
-    "events_top_users",
-    "doc_fingerprint",
-    "simhash_md5",
-    "doc_content_sample_25",
-    "doc_rolling_fingerprint",
-    # -- next-oldest: newest green row is round 2 (fill to 50; the
-    #    remaining r2 tail rotates in round 6) ---------------------------
-    "ts_counter_summary_5m",
-    "ts_histogram_summary_1m",
-    "ts_gauge_summary_30s",
-    "ts_histogram_summary_1h",
-    "ts_pregroup_5s",
-    "ts_cpm_5m",
-    "influx_count_click_5m",
-    "influx_auto_resolution_click",
-    "influx_from_materialized_store",
-    "influx_spread_error_1h",
-    "influx_fill_zero_view_10m",
-    "influx_scale_limit_desc_click_1m",
-    "influx_op_two_sources_30m",
-    "influx_star_click_5m",
-    "influx_regex_fanout_5m",
-    "influx_list_series",
-    "dedup_exact_docs",
-    "token_stats",
-    "quality_score",
-    "lang_id",
+    "dedup_components",
+    "near_dup_jaccard_lsh",
+    "bm25_eval_topk",
+    "ann_pq_topk_indexed",
+    # -- longest unchecked: newest green row is round 2 (all 18 — the
+    #    ledger debt retires this round) ---------------------------------
+    "metric_catalog",
+    "summary_retention_5m",
+    "ts_hdr_cascade_1h",
+    "streaming_dedup_components",
+    "doc_top_terms_tfidf",
+    "training_batch_assembly",
+    "approx_distinct_users_hll",
+    "events_distinct_users_salted",
+    "reservoir_sample_per_lang",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "events_sessions_30m",
+    "events_asof_signup",
+    "decontamination_scan",
+    "pack_sequences_512",
+    "domain_mixture_sqrt",
+    "corpus_vocabulary",
+    "pii_source_profile",
+    # -- next-oldest: newest green row is round 3 (24 oldest by
+    #    registration order; the rest rotate in round 7) -----------------
+    "influx_store_percentiles_1h",
+    "influx_percentiles_purchase_1h",
+    "tpch_q8_market_share",
+    "tpch_q13_order_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q22_idle_high_balance",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_suppliers",
+    "tpch_q12_ship_priority",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_part_family_share",
+    "tpch_q21_sole_late_supplier",
+    "events_anomaly_zscore",
+    "doc_repetition",
+    "gopher_rules",
+    "quality_classifier_score",
+    "approx_distinct_users_hll_daily",
+    "stratified_sample_by_lang",
+    "ann_lsh_buckets",
+    "influx_relative_now_10m",
+    "influx_string_filter_noop",
 ]
 
 

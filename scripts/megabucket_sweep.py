@@ -9,7 +9,7 @@ into one aggregation-buffer array row, cap applied AFTER collection) at
 growing bucket sizes, and records the peak single-task execution memory
 from SQLMetrics where exposed.
 
-Prints one JSON line per size; paste into ROUND5_NOTES.md.
+Prints one JSON line per size; paste into the round notes.
 """
 
 from __future__ import annotations
@@ -67,7 +67,8 @@ def main() -> None:
             F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b")
         ).agg(F.count(F.lit(1)).alias("n_shared_bands"))
 
-    for n in (100_000, 1_000_000, 5_000_000):
+    OLD_PATH_MAX_N = 5_000_000  # the collect_list array row is the point
+    for n in (100_000, 1_000_000, 5_000_000, 20_000_000):
         banded = spark.range(n).select(
             F.lit(0).cast("long").alias("band"),
             F.lit(7).cast("long").alias("bucket"),
@@ -76,10 +77,13 @@ def main() -> None:
         t0 = time.perf_counter()
         c_new = bucket_pairs(banded, star_cap=10_000).count()
         t_new = round(time.perf_counter() - t0, 2)
-        t0 = time.perf_counter()
-        c_old = old_bucket_pairs(banded, star_cap=10_000).count()
-        t_old = round(time.perf_counter() - t0, 2)
-        assert c_new == c_old == n - 1, (c_new, c_old)
+        t_old = c_old = None
+        if n <= OLD_PATH_MAX_N:
+            t0 = time.perf_counter()
+            c_old = old_bucket_pairs(banded, star_cap=10_000).count()
+            t_old = round(time.perf_counter() - t0, 2)
+            assert c_old == n - 1, c_old
+        assert c_new == n - 1, c_new
         print(
             json.dumps(
                 {

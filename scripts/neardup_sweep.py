@@ -13,7 +13,7 @@ so the LSH path faces real candidate mass, not an empty graph.
 The old formulation is reproduced inline (it no longer exists in the
 library) and only run while it stays measurable.
 
-Prints one JSON line per corpus size; paste into ROUND5_NOTES.md.
+Prints one JSON line per corpus size; paste into the round notes.
 """
 
 from __future__ import annotations
@@ -100,7 +100,7 @@ def main() -> None:
             jac.alias("jaccard_bp"),
         ).where(F.col("jaccard_bp") >= 3000)
 
-    for copies in (1, 4, 16):
+    for copies in (1, 4, 16, 64):
         docs = corpus(copies).localCheckpoint(eager=True)
         n = docs.count()
         t0 = time.perf_counter()
