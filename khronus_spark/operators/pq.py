@@ -903,3 +903,38 @@ def pq_rerank_topk_indexed(
         .where(F.col("rn") <= n_neighbors)
         .select("probe_id", "neighbor_id", "d2")
     )
+
+
+def ivf_pq_encode(
+    new_vectors: DataFrame,
+    books: DataFrame,
+    centroids: DataFrame,
+    sub: int = SUB,
+    k: int = K,
+    mode: str | None = None,
+) -> DataFrame:
+    """Incremental add for the IVF-PQ index (FAISS `index.add()`):
+    encode NEW vectors against the FIXED codebooks and route them to
+    their coarse list via the PERSISTED centroid table — no retraining
+    anywhere. Output rows (vec_id, pq_code, centroid_id) append
+    directly to the `coded` table from `ivf_pq_build_index`
+    (test-pinned identical to rebuilding over the union). Same
+    assignment semantics as `similarity.ivf_assignments`: cosine
+    argmax, ties → smaller centroid id, as a map-side-combinable
+    max_by (no window, shuffle carries ≤N rows). Both passes are
+    broadcast-probe map scans — the 100 TB ingest shape."""
+    from khronus_spark.operators.similarity import cosine_col
+
+    codes = pq_encode(new_vectors, books, sub, k, mode)
+    pairs = new_vectors.crossJoin(F.broadcast(centroids))
+    sim = cosine_col(F.col("embedding"), F.col("cvec"))
+    assign = (
+        pairs.select("vec_id", "centroid_id", sim.alias("_sim"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "centroid_id", F.struct(F.col("_sim"), -F.col("centroid_id"))
+            ).alias("centroid_id")
+        )
+    )
+    return codes.join(assign, "vec_id")

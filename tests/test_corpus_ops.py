@@ -696,3 +696,24 @@ def test_bm25_decontamination_flags_planted_paraphrase(spark):
     for d, r in got.items():
         if d != 1:
             assert r.max_score < got[1].max_score, (d, r)
+
+
+def test_bm25_query_broadcast_is_optional(spark):
+    """ADVICE r5: the query-term broadcast must be a knob, not forced —
+    an eval split proportional to a 100 TB corpus cannot be broadcast.
+    True pins the hint in the analyzed plan; False leaves the join
+    strategy to AQE (no broadcast hint anywhere)."""
+    from khronus_spark.operators.text import bm25_rank
+
+    rows = [(i, f"alpha beta w{i}") for i in range(12)]
+    docs = _bm25_docs(spark, rows)
+    hinted = bm25_rank(docs)._jdf.queryExecution().analyzed().toString()
+    unhinted = bm25_rank(
+        docs, broadcast_queries=False
+    )._jdf.queryExecution().analyzed().toString()
+    assert "broadcast" in hinted.lower()
+    # the stats scalar still broadcasts by size; the QUERY-TERM hint is
+    # the one that must disappear — count hints instead of presence
+    assert hinted.lower().count("resolvedhint") > unhinted.lower().count(
+        "resolvedhint"
+    )

@@ -743,3 +743,25 @@ def test_pq_encode_fused_streaming_matches_batch(spark, sf_dir, tmp_path):
     q.awaitTermination(120)
     got = {r.vec_id: r.pq_code for r in spark.read.parquet(out).collect()}
     assert got == batch
+
+
+def test_ivf_pq_encode_appends_identically_to_rebuild(spark, sf_dir):
+    """ivf_pq_encode is the IVF-PQ index's `add()`: new vectors encoded
+    against the fixed books + persisted centroid router must carry the
+    SAME (pq_code, centroid_id) as identical vectors coded at build
+    time — appending them to the coded table is indistinguishable from
+    rebuilding over the union (no retraining, no drift)."""
+    from khronus_spark.operators.pq import ivf_pq_build_index, ivf_pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 120)
+    books, coded, cents = ivf_pq_build_index(emb, stride=20, sub=4, k=8, iters=1)
+    base = {r.vec_id: (r.pq_code, r.centroid_id) for r in coded.collect()}
+    newcomers = emb.where(F.col("vec_id") < 6).select(
+        (F.col("vec_id") + 9000).alias("vec_id"), "embedding"
+    )
+    got = {
+        r.vec_id: (r.pq_code, r.centroid_id)
+        for r in ivf_pq_encode(newcomers, books, cents, sub=4, k=8).collect()
+    }
+    for v in range(6):
+        assert got[9000 + v] == base[v], v
