@@ -124,7 +124,7 @@ def register(name: str, oracle: str | None):
 #: the scratch-dir change under ann_pq_topk_indexed), then (c) the
 #: longest-unchecked tail: ALL 18 entries whose newest green row was
 #: round 2 — this retires the rotation ledger debt; after round 6 every
-#: entry's newest green row is ≤ 3 rounds old — and the 24 oldest
+#: entry's newest green row is ≤ 3 rounds old — and the 22 oldest
 #: round-3 entries in registration order (the rest of the r3 tail plus
 #: the r4/r5 cohorts rotate in rounds 7-8). Rows-only entries (xxhash64
 #: signatures) stay out — the window accepts only hash-checkable
@@ -139,6 +139,8 @@ _PRIORITY = [
     "ann_ivfpq_topk_indexed",
     "ann_pq_rerank_topk_indexed",
     "decontamination_retrieval",
+    "doc_winnow_fingerprints",
+    "winnow_match_pairs",
     # -- engine path touched in round 6: must re-prove -------------------
     "dedup_incremental_batch",
     "dedup_components",
@@ -165,7 +167,7 @@ _PRIORITY = [
     "domain_mixture_sqrt",
     "corpus_vocabulary",
     "pii_source_profile",
-    # -- next-oldest: newest green row is round 3 (24 oldest by
+    # -- next-oldest: newest green row is round 3 (22 oldest by
     #    registration order; the rest rotate in round 7) -----------------
     "influx_store_percentiles_1h",
     "influx_percentiles_purchase_1h",
@@ -189,8 +191,6 @@ _PRIORITY = [
     "approx_distinct_users_hll_daily",
     "stratified_sample_by_lang",
     "ann_lsh_buckets",
-    "influx_relative_now_10m",
-    "influx_string_filter_noop",
 ]
 
 
@@ -3947,3 +3947,26 @@ def decontamination_retrieval(spark, sf_dir):
     hardest-hitting query id (the human audit pointer)."""
     docs = load_table(spark, sf_dir, "documents")
     return text_ops.bm25_decontamination(docs)
+
+
+@register("doc_winnow_fingerprints", text_ops.winnow_fingerprints_sql())
+def doc_winnow_fingerprints(spark, sf_dir):
+    """Robust winnowing fingerprints (operators/text.py::
+    winnow_fingerprints — the MOSS selection): min-hash-per-window over
+    token 4-gram hashes, rightmost-tie convention, guaranteeing every
+    shared run of ≥ w+n-1 tokens a shared fingerprint at ~2/(w+1)
+    storage. Map-only per-row array algebra, zero shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.winnow_fingerprints(docs)
+
+
+@register("winnow_match_pairs", text_ops.winnow_match_pairs_sql())
+def winnow_match_pairs(spark, sf_dir):
+    """MOSS-style overlap candidates (operators/text.py::
+    winnow_match_pairs): doc pairs sharing ≥2 winnowed fingerprints —
+    the verbatim-span complement of MinHash near-dup (which measures
+    whole-doc set similarity and can miss a long copied passage inside
+    an otherwise-different doc). Pair join rides the star-capped
+    bucket_pairs machinery."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.winnow_match_pairs(docs)

@@ -2023,3 +2023,120 @@ FROM flags f
 JOIN hits h ON h.doc_id = f.doc_id AND h.score = f.max_score
 GROUP BY f.doc_id, f.n_queries, f.best_rank, f.max_score
 """
+
+
+def winnow_fingerprints(docs: DataFrame, n: int = 4, w: int = 5) -> DataFrame:
+    """Robust winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+    MOSS fingerprinter): hash every token `n`-gram, slide a window of
+    `w` consecutive hashes, and record the MINIMUM hash of each window
+    (ties → the RIGHTMOST minimum, which is what bounds fingerprint
+    density on low-entropy text). Output one row per selected
+    fingerprint: (doc_id, pos, fp) with `pos` the 1-based gram index.
+
+    The guarantee that makes this the principled span-dedup
+    fingerprint: any shared token run of ≥ w+n-1 tokens between two
+    documents yields at least one IDENTICAL (fp) selection in both —
+    unlike uniform sampling, which can miss a match entirely — while
+    storage is ~2/(w+1) of the gram count. Hashes are the cross-engine
+    md5_60 family, so the whole selection is oracle-checkable.
+
+    Shape at 100 TB: pure per-row array algebra (gram hash array, w
+    windows via transform over a sequence) — map-only, zero shuffle,
+    embarrassingly parallel; pair generation over fingerprints
+    (`winnow_match_pairs`) reuses the star-capped bucket_pairs join."""
+    md5_60 = "CAST(conv(substring(md5({x}), 1, 15), 16, 10) AS BIGINT)"
+    grams = (
+        "CASE WHEN size(t) >= {n} THEN "
+        "transform(sequence(0, size(t) - {n}), i -> concat_ws(' ', slice(t, i + 1, {n}))) "
+        "ELSE array(concat_ws(' ', t)) END"
+    ).format(n=n)
+    hs = f"transform({grams}, g -> {md5_60.format(x='g')})"
+    sl = f"slice(hs, i + 1, {w})"
+    mn = f"array_min({sl})"
+    # rightmost minimum: position of the first occurrence in the
+    # reversed window, counted back from the end (1-based gram index)
+    pos = f"i + size({sl}) + 1 - array_position(reverse({sl}), {mn})"
+    fps = (
+        f"array_distinct(transform(sequence(0, greatest(size(hs) - {w}, 0)), "
+        f"i -> named_struct('pos', CAST(({pos}) AS BIGINT), 'fp', {mn})))"
+    )
+    return (
+        spread(docs)
+        .select("doc_id", _tokens().alias("t"))
+        .select("doc_id", F.expr(hs).alias("hs"))
+        .select("doc_id", F.explode(F.expr(fps)).alias("s"))
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp"))
+    )
+
+
+def winnow_fingerprints_sql(n: int = 4, w: int = 5) -> str:
+    """Oracle: the same selection in DuckDB list algebra (identical
+    rightmost-min convention via the reversed-window position)."""
+    h60 = "(('0x' || substr(md5({x}), 1, 15))::UBIGINT::BIGINT)"
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= {n}
+              THEN list_transform(range(1, len(t) - {n - 2}),
+                                  i -> array_to_string(t[i:i+{n - 1}], ' '))
+              ELSE [array_to_string(t, ' ')] END AS g
+  FROM toks
+),
+hashed AS (
+  SELECT doc_id, list_transform(g, x -> {h60.format(x='x')}) AS hs FROM grams
+),
+wins AS (
+  SELECT doc_id,
+         list_transform(
+           range(0, greatest(len(hs) - {w}, 0) + 1),
+           i -> struct_pack(
+             pos := CAST(i + len(hs[i+1:i+{w}]) + 1
+                         - list_position(list_reverse(hs[i+1:i+{w}]),
+                                         list_min(hs[i+1:i+{w}])) AS BIGINT),
+             fp := list_min(hs[i+1:i+{w}]))) AS sel
+  FROM hashed
+)
+SELECT DISTINCT doc_id, u.pos AS pos, u.fp AS fp
+FROM wins, unnest(sel) AS r(u)
+"""
+
+
+def winnow_match_pairs(
+    docs: DataFrame, n: int = 4, w: int = 5, min_shared: int = 2
+) -> DataFrame:
+    """Documents sharing ≥ `min_shared` winnowed fingerprints —
+    MOSS-style plagiarism/boilerplate candidate pairs. By the winnowing
+    guarantee every shared token run of ≥ w+n-1 tokens contributes a
+    shared fingerprint, so long verbatim overlaps can't hide; the pair
+    join reuses the star-capped `bucket_pairs` machinery (a fingerprint
+    shared by B docs — boilerplate — emits B-1 star edges, not B²/2)."""
+    from khronus_spark.operators.dedup import bucket_pairs
+
+    fps = winnow_fingerprints(docs, n, w).select(
+        "doc_id", F.lit(0).cast("long").alias("band"), F.col("fp").alias("bucket")
+    ).distinct()
+    pairs = bucket_pairs(fps, count_col="n_shared_fps")
+    return pairs.where(F.col("n_shared_fps") >= min_shared)
+
+
+def winnow_match_pairs_sql(n: int = 4, w: int = 5, min_shared: int = 2) -> str:
+    base = winnow_fingerprints_sql(n, w).strip()
+    assert base.startswith("WITH ")
+    ctes = base[len("WITH"):].rsplit("SELECT DISTINCT doc_id, u.pos AS pos", 1)[0]
+    ctes = ctes.strip().rstrip(",").rstrip()
+    return f"""
+WITH {ctes},
+fp AS (
+  SELECT DISTINCT doc_id, u.fp AS fp
+  FROM wins, unnest(sel) AS r(u)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared_fps
+FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY doc_a, doc_b
+HAVING count(*) >= {min_shared}
+"""

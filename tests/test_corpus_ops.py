@@ -717,3 +717,44 @@ def test_bm25_query_broadcast_is_optional(spark):
     assert hinted.lower().count("resolvedhint") > unhinted.lower().count(
         "resolvedhint"
     )
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """The winnowing contract (Schleimer et al.): any shared token run
+    of length >= w+n-1 (= 8 at n=4, w=5) between two docs yields at
+    least one shared fingerprint — uniform sampling can miss such a
+    match, winnowing cannot. Also: selection is far denser-bounded
+    than the gram count, the rightmost-tie convention is deterministic,
+    and the per-doc stage is map-only (no shuffle before the explode)."""
+    from khronus_spark.operators.text import winnow_fingerprints, winnow_match_pairs
+
+    shared = "the quick brown fox jumps over the lazy dog near the river"  # 12 tokens
+    rows = [
+        (1, "aaa bbb ccc " + shared + " ddd eee fff"),
+        (2, "zzz yyy " + shared + " xxx www vvv uuu"),
+        (3, "completely unrelated text with distinct vocabulary entirely"),
+    ]
+    docs = spark.createDataFrame(
+        [(d, t, "en", "s", len(t)) for d, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    fps = winnow_fingerprints(docs).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "shared 12-token run produced no shared fp"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+    # density: ~2/(w+1) of grams, never more than the window count
+    for d, t in rows:
+        n_grams = max(len(t.split()) - 3, 1)
+        assert len(by_doc[d]) <= n_grams
+    pairs = {
+        (r.doc_a, r.doc_b): r.n_shared_fps
+        for r in winnow_match_pairs(docs, min_shared=1).collect()
+    }
+    assert (1, 2) in pairs and not any(3 in p for p in pairs)
+    # map-only per-doc stage: no exchange below the explode
+    plan = (
+        winnow_fingerprints(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
