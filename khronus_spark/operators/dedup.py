@@ -929,6 +929,19 @@ def build_dedup_index(
     )
 
 
+def compact_dedup_index(parts: DataFrame) -> DataFrame:
+    """Merge accumulated index parts (e.g. the per-micro-batch subdirs
+    `run_streaming_incremental_dedup` appends) back to ONE row per
+    (band, bucket): n_docs by sum, min_doc_id by min — both
+    map-side-combinable, so compaction is a single shuffle over short
+    rows. Probing works correctly WITHOUT compaction (the probe's min
+    tolerates duplicate keys); compaction is an offline file-count /
+    probe-size optimization, never a rebuild."""
+    return parts.groupBy("band", "bucket").agg(
+        F.sum("n_docs").alias("n_docs"), F.min("min_doc_id").alias("min_doc_id")
+    )
+
+
 def write_dedup_index(index: DataFrame, path: str) -> None:
     """Persist the pre-aggregated bucket index as parquet (short rows:
     band, bucket, n_docs, min_doc_id)."""

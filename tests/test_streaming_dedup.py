@@ -147,3 +147,43 @@ def test_streaming_incremental_dedup_matches_cumulative_batch(spark, staged_docs
         expect_df = incremental_dedup(build_dedup_index(corpus_i), chunks[i])
         expect = {r.doc_id: (r.dup_of, r.dup_src) for r in expect_df.collect()}
         assert got == expect, f"batch {i} diverged from cumulative batch run"
+
+
+def test_compacted_index_probes_identically(spark, staged_docs):
+    """Compacting accumulated index parts (sum counts, min ids) must
+    not change a single probe verdict — compaction is a file-layout
+    optimization, not a semantic operation."""
+    from khronus_spark.operators.dedup import (
+        build_dedup_index,
+        compact_dedup_index,
+        incremental_dedup,
+    )
+
+    tmp, docs = staged_docs
+    a = docs.where(F.col("doc_id") % 3 == 0)
+    b = docs.where(F.col("doc_id") % 3 == 1)
+    batch = docs.where(F.col("doc_id") % 3 == 2)
+    parts = build_dedup_index(a).unionByName(build_dedup_index(b))
+    compacted = compact_dedup_index(parts)
+    assert compacted.groupBy("band", "bucket").count().where(
+        F.col("count") > 1
+    ).count() == 0  # unique keys after compaction
+    v1 = {
+        r.doc_id: (r.dup_of, r.dup_src)
+        for r in incremental_dedup(parts, batch).collect()
+    }
+    v2 = {
+        r.doc_id: (r.dup_of, r.dup_src)
+        for r in incremental_dedup(compacted, batch).collect()
+    }
+    assert v1 == v2
+    # and equals the from-scratch single index over the union
+    full = build_dedup_index(a.unionByName(b))
+    v3 = {
+        r.doc_id: (r.dup_of, r.dup_src)
+        for r in incremental_dedup(full, batch).collect()
+    }
+    assert v2 == v3
+    c = {(r.band, r.bucket): (r.n_docs, r.min_doc_id) for r in compacted.collect()}
+    f = {(r.band, r.bucket): (r.n_docs, r.min_doc_id) for r in full.collect()}
+    assert c == f  # compaction == rebuild, bit for bit
