@@ -124,7 +124,7 @@ def register(name: str, oracle: str | None):
 #: the scratch-dir change under ann_pq_topk_indexed), then (c) the
 #: longest-unchecked tail: ALL 18 entries whose newest green row was
 #: round 2 — this retires the rotation ledger debt; after round 6 every
-#: entry's newest green row is ≤ 3 rounds old — and the 22 oldest
+#: entry's newest green row is ≤ 3 rounds old — and the 20 oldest
 #: round-3 entries in registration order (the rest of the r3 tail plus
 #: the r4/r5 cohorts rotate in rounds 7-8). Rows-only entries (xxhash64
 #: signatures) stay out — the window accepts only hash-checkable
@@ -141,6 +141,8 @@ _PRIORITY = [
     "decontamination_retrieval",
     "doc_winnow_fingerprints",
     "winnow_match_pairs",
+    "canonical_by_quality",
+    "token_budget_sample",
     # -- engine path touched in round 6: must re-prove -------------------
     "dedup_incremental_batch",
     "dedup_components",
@@ -167,7 +169,7 @@ _PRIORITY = [
     "domain_mixture_sqrt",
     "corpus_vocabulary",
     "pii_source_profile",
-    # -- next-oldest: newest green row is round 3 (22 oldest by
+    # -- next-oldest: newest green row is round 3 (20 oldest by
     #    registration order; the rest rotate in round 7) -----------------
     "influx_store_percentiles_1h",
     "influx_percentiles_purchase_1h",
@@ -189,8 +191,6 @@ _PRIORITY = [
     "gopher_rules",
     "quality_classifier_score",
     "approx_distinct_users_hll_daily",
-    "stratified_sample_by_lang",
-    "ann_lsh_buckets",
 ]
 
 
@@ -3970,3 +3970,25 @@ def winnow_match_pairs(spark, sf_dir):
     bucket_pairs machinery."""
     docs = load_table(spark, sf_dir, "documents")
     return text_ops.winnow_match_pairs(docs)
+
+
+@register("canonical_by_quality", curation_ops.CANONICAL_BY_QUALITY_SQL)
+def canonical_by_quality(spark, sf_dir):
+    """Quality-ranked canonical selection (operators/curation.py):
+    keep the BEST doc per near-dup cluster (quality_bp, then n_tokens,
+    then min doc_id — deterministic) plus every unclustered doc — the
+    canonical policy real pipelines use instead of first-seen/min-id.
+    Component map broadcast; per-cluster argmax windows only the
+    clustered subset."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation_ops.canonical_by_quality(docs)
+
+
+@register("token_budget_sample", curation_ops.token_budget_sample_sql())
+def token_budget_sample(spark, sf_dir):
+    """Token-budget-capped sampling (operators/curation.py): within
+    each source, md5-ordered docs accumulate until the 2000-token
+    budget — mixture building in the unit the trainer consumes
+    (tokens), deterministic across runs/engines/partitionings."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation_ops.token_budget_sample(docs)

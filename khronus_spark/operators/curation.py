@@ -800,3 +800,114 @@ SELECT per.source, per.n_docs, per.gopher_keep_pm, per.mean_quality_bp,
        per.exact_dup_pm, oov.oov_pm
 FROM per JOIN oov USING (source)
 """
+
+
+def canonical_by_quality(docs: DataFrame) -> DataFrame:
+    """Keep the BEST document per near-dup cluster instead of the
+    smallest id — the canonical-selection policy production pipelines
+    actually want (the first-crawled copy of a page is often the
+    worst-extracted one). Representative = highest `quality_bp`, then
+    most tokens, then smallest doc_id (fully deterministic); survivors
+    = every unclustered doc + one representative per cluster. Output
+    (doc_id, lang, source, n_tokens, quality_bp).
+
+    Scale shape: clusters come from the banded-LSH component map (tiny
+    vs the corpus → broadcast, like `canonical_keep_filter`); quality
+    is a map-only column pass; the per-cluster argmax is a window over
+    the CLUSTERED subset only (docs in some duplicate pair), never the
+    full corpus."""
+    from pyspark.sql import Window
+
+    comps = minhash_duplicate_components(docs)
+    q = quality_score(docs).select("doc_id", "n_tokens", "quality_bp")
+    w = Window.partitionBy("component_id").orderBy(
+        F.col("quality_bp").desc(), F.col("n_tokens").desc(), F.col("doc_id").asc()
+    )
+    reps = (
+        comps.join(q, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.lit(1).alias("_rep"))
+    )
+    return (
+        docs.select("doc_id", "lang", "source")
+        .join(F.broadcast(comps), "doc_id", "left")
+        .join(F.broadcast(reps), "doc_id", "left")
+        .where(F.col("component_id").isNull() | F.col("_rep").isNotNull())
+        .join(q, "doc_id")
+        .select("doc_id", "lang", "source", "n_tokens", "quality_bp")
+    )
+
+
+CANONICAL_BY_QUALITY_SQL = f"""
+WITH RECURSIVE {minhash_components_ctes()},
+comp AS (SELECT src AS doc_id, min(dst) AS component_id FROM reach GROUP BY src),
+q AS ({QUALITY_SCORE_SQL}),
+reps AS (
+  SELECT doc_id FROM (
+    SELECT c.doc_id,
+           row_number() OVER (PARTITION BY c.component_id
+             ORDER BY q.quality_bp DESC, q.n_tokens DESC, c.doc_id ASC) AS rn
+    FROM comp c JOIN q ON q.doc_id = c.doc_id
+  ) WHERE rn = 1
+)
+SELECT d.doc_id, d.lang, d.source, q.n_tokens, q.quality_bp
+FROM documents d
+JOIN q ON q.doc_id = d.doc_id
+LEFT JOIN comp ON comp.doc_id = d.doc_id
+LEFT JOIN reps r ON r.doc_id = d.doc_id
+WHERE comp.component_id IS NULL OR r.doc_id IS NOT NULL
+"""
+
+
+def token_budget_sample(docs: DataFrame, budget_tokens: int = 2000) -> DataFrame:
+    """Token-budget-capped corpus sampling: within each source, order
+    documents by md5(text) (content-keyed — reproducible across runs,
+    engines, and partitionings; identical texts order together) and
+    keep documents while the RUNNING TOKEN TOTAL stays within
+    `budget_tokens` — the mixture-building primitive when the budget
+    is tokens (what the trainer consumes), not document counts
+    (`source_cap_sample`'s unit). Output (doc_id, source, n_tokens,
+    cum_tokens) for the kept docs.
+
+    Scale shape: one map pass for (key, n_tokens), one shuffle on
+    source for the running-sum window. A source's partition holds only
+    ITS docs; for a corpus dominated by one giant source, pre-filter
+    with `content_hash_sample` to a superset of the budget first so
+    the window never sorts the whole dump."""
+    from pyspark.sql import Window
+
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("_key"),
+        F.size(_mix_tokens()).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("_key").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") <= budget_tokens)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )
+
+
+def token_budget_sample_sql(budget_tokens: int = 2000) -> str:
+    return rf"""
+WITH t AS (
+  SELECT doc_id, source, md5(text) AS k,
+         len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY k ASC, doc_id ASC
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens, cum_tokens
+FROM c WHERE cum_tokens <= {budget_tokens}
+"""

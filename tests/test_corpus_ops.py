@@ -758,3 +758,52 @@ def test_winnowing_guarantee_and_density(spark):
         winnow_fingerprints(docs)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_canonical_by_quality_keeps_best_not_first(spark):
+    """The representative of a near-dup cluster must be the
+    highest-quality member — not the smallest doc_id — while
+    unclustered docs all survive."""
+    from khronus_spark.operators.curation import canonical_by_quality
+
+    # three near-identical docs; doc 12 is the longest/highest-quality
+    base = " ".join(f"tok{j}" for j in range(30))
+    rows = [
+        (10, base),
+        (11, base + " extra"),
+        (12, base + " extra rich much longer tail of useful content here"),
+        (50, "a completely different unclustered document entirely"),
+    ]
+    docs = spark.createDataFrame(
+        [(d, t, "en", "s", len(t)) for d, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    kept = {r.doc_id for r in canonical_by_quality(docs).collect()}
+    assert 50 in kept
+    assert kept & {10, 11, 12} == {12}, kept  # best quality, not min id
+
+
+def test_token_budget_sample_respects_budget_and_determinism(spark):
+    """Kept docs' running totals stay within budget per source, at
+    least one doc is dropped when a source exceeds it, and the
+    selection is invariant under repartitioning (content-keyed
+    order)."""
+    from khronus_spark.operators.curation import token_budget_sample
+
+    rows = [(i, " ".join(f"w{i}x{j}" for j in range(50)), "en",
+             f"src{i % 2}", 300) for i in range(40)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = token_budget_sample(docs, budget_tokens=500).collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        assert max(x.cum_tokens for x in rs) <= 500
+        assert len(rs) == 10  # 50 tokens/doc -> exactly 10 fit
+    again = {
+        (r.doc_id, r.cum_tokens)
+        for r in token_budget_sample(docs.repartition(7), 500).collect()
+    }
+    assert again == {(r.doc_id, r.cum_tokens) for r in got}
