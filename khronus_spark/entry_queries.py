@@ -3984,11 +3984,11 @@ def canonical_by_quality(spark, sf_dir):
     return curation_ops.canonical_by_quality(docs)
 
 
-@register("token_budget_sample", curation_ops.token_budget_sample_sql())
+@register("token_budget_sample", curation_ops.token_budget_sample_sql(1000))
 def token_budget_sample(spark, sf_dir):
     """Token-budget-capped sampling (operators/curation.py): within
-    each source, md5-ordered docs accumulate until the 2000-token
-    budget — mixture building in the unit the trainer consumes
+    each source, md5-ordered docs accumulate until the 1000-token
+    budget (sf0.01 sources hold ~1300-1550 tokens, so the cap bites) — mixture building in the unit the trainer consumes
     (tokens), deterministic across runs/engines/partitionings."""
     docs = load_table(spark, sf_dir, "documents")
-    return curation_ops.token_budget_sample(docs)
+    return curation_ops.token_budget_sample(docs, 1000)
