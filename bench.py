@@ -167,6 +167,13 @@ def main() -> None:
         # signatures + two joins — no aggregate over the corpus index
         "dedup_index_build": lambda: _dedup_build(),
         "dedup_incremental": lambda: _dedup_probe(),
+        # MOSS winnowing: map-only fingerprint selection + star-capped
+        # fingerprint-bucket pair join
+        "winnow_pairs": lambda: run_df(q["winnow_match_pairs"](spark, sf_dir)),
+        # third decontamination rung: BM25 top-k vs the eval split
+        "decontamination_retrieval": lambda: run_df(
+            q["decontamination_retrieval"](spark, sf_dir)
+        ),
         # the PQ build/query split: index built+persisted ONCE (timed as
         # the build entry), then the query only reads the parquet index.
         # The inline ann_pq_topk (train-per-query) slot was retired per

@@ -1982,7 +1982,12 @@ def bm25_decontamination(
     ranked frame in production; both passes are bounded by the ranked
     output, not the corpus)."""
     ranked = bm25_rank(docs, eval_mod, k, broadcast_queries=broadcast_queries)
-    hits = ranked.where(F.col("score") >= score_min)
+    # the ranked frame (≤ queries·k rows) feeds BOTH the flag aggregate
+    # and the arg-max join — materialize it once instead of re-running
+    # the whole postings/scoring chain per consumer (lazy
+    # localCheckpoint, the minhash_calibration pattern; a cluster
+    # deployment would checkpoint durably)
+    hits = ranked.where(F.col("score") >= score_min).localCheckpoint(eager=False)
     flags = hits.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_queries"),
         F.min("rank").alias("best_rank"),

@@ -807,3 +807,59 @@ def test_token_budget_sample_respects_budget_and_determinism(spark):
         for r in token_budget_sample(docs.repartition(7), 500).collect()
     }
     assert again == {(r.doc_id, r.cum_tokens) for r in got}
+
+
+def test_winnowing_oracle_matches_python_reference_property():
+    """Property test of the winnowing SPEC (no Spark in the loop): the
+    DuckDB oracle — whose hash parity with the engine the registry
+    already proves — must equal a direct Python transcription of the
+    Schleimer et al. selection on random token streams. Transitively
+    pins engine == paper. Runs the md5_60 family exactly as both
+    engines do."""
+    import duckdb
+    import hashlib
+
+    from hypothesis import given, settings, strategies as st
+
+    from khronus_spark.operators.text import winnow_fingerprints_sql
+
+    n, w = 4, 5
+
+    def md5_60(x: str) -> int:
+        return int(hashlib.md5(x.encode()).hexdigest()[:15], 16)
+
+    def reference(text: str) -> set[tuple[int, int]]:
+        t = text.strip().lower().split()
+        if len(t) >= n:
+            grams = [" ".join(t[i : i + n]) for i in range(len(t) - n + 1)]
+        else:
+            grams = [" ".join(t)]
+        hs = [md5_60(g) for g in grams]
+        sel = set()
+        for i in range(max(len(hs) - w, 0) + 1):
+            sl = hs[i : i + w]
+            mn = min(sl)
+            pos = i + max(j for j, v in enumerate(sl, 1) if v == mn)
+            sel.add((pos, mn))
+        return sel
+
+    tokens = st.lists(
+        st.sampled_from([f"t{i}" for i in range(7)]), min_size=1, max_size=30
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(tokens)
+    def check(toks):
+        text = " ".join(toks)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE documents AS SELECT 1::BIGINT AS doc_id, ?::VARCHAR AS text",
+            [text],
+        )
+        got = {
+            (r[1], r[2])
+            for r in con.execute(winnow_fingerprints_sql(n, w)).fetchall()
+        }
+        assert got == reference(text), text
+
+    check()
