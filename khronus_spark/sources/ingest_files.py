@@ -85,3 +85,25 @@ def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.coalesce(F.col(CORRUPT_COL), F.to_json(F.struct("*"))).alias("raw_line")
     )
     return clean, quarantine
+
+
+def read_documents_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Read an ORC document drop under the documents contract. ORC is
+    typed storage (schema travels with the file), so there is no
+    corrupt-line quarantine — the failure mode is schema DRIFT, which
+    this reader turns into a loud error instead of silent NULL
+    columns: every contract column must exist with the contract type;
+    extra columns are dropped (forward-compatible producers)."""
+    df = spark.read.orc(path)
+    have = {f.name: f.dataType for f in df.schema.fields}
+    missing = [f.name for f in DOCUMENTS_SCHEMA.fields if f.name not in have]
+    if missing:
+        raise ValueError(f"ORC drop missing contract columns: {missing}")
+    drift = [
+        (f.name, str(have[f.name]), str(f.dataType))
+        for f in DOCUMENTS_SCHEMA.fields
+        if have[f.name] != f.dataType
+    ]
+    if drift:
+        raise ValueError(f"ORC drop schema drift (col, got, want): {drift}")
+    return df.select(*[f.name for f in DOCUMENTS_SCHEMA.fields])

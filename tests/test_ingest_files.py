@@ -3,6 +3,9 @@ quarantine (sources/ingest_files.py)."""
 
 from __future__ import annotations
 
+import pytest
+from pyspark.sql import functions as F
+
 from khronus_spark.sources.ingest_files import (
     read_documents_csv,
     read_documents_jsonl,
@@ -89,3 +92,41 @@ def test_jsonl_quarantine_works_in_streaming(spark, tmp_path):
         q.awaitTermination(120)
     assert spark.sql("select * from ing_clean").count() == 1
     assert spark.sql("select * from ing_quar").count() == 2
+
+
+def test_orc_reader_contract_and_drift(spark, tmp_path):
+    """ORC drops are typed — the reader enforces the documents contract
+    loudly: conforming files round-trip (extra columns dropped), a
+    missing column and a wrong-typed column each raise with the
+    offending names."""
+    from khronus_spark.sources.ingest_files import (
+        DOCUMENTS_SCHEMA,
+        read_documents_orc,
+    )
+
+    rows = [(1, "hello world", "en", "s0", 11), (2, "more text", "en", "s1", 9)]
+    good = spark.createDataFrame(rows, DOCUMENTS_SCHEMA).withColumn(
+        "extra", F.lit("x")
+    )
+    p = str(tmp_path / "good_orc")
+    good.write.orc(p)
+    back = read_documents_orc(spark, p)
+    assert back.columns == [f.name for f in DOCUMENTS_SCHEMA.fields]
+    assert back.count() == 2
+
+    bad_missing = spark.createDataFrame(
+        [(1, "t", "en")], "doc_id long, text string, lang string"
+    )
+    p2 = str(tmp_path / "missing_orc")
+    bad_missing.write.orc(p2)
+    with pytest.raises(ValueError, match="missing contract columns.*source"):
+        read_documents_orc(spark, p2)
+
+    bad_type = spark.createDataFrame(
+        [(1, "t", "en", "s", "11")],
+        "doc_id long, text string, lang string, source string, n_chars string",
+    )
+    p3 = str(tmp_path / "drift_orc")
+    bad_type.write.orc(p3)
+    with pytest.raises(ValueError, match="schema drift.*n_chars"):
+        read_documents_orc(spark, p3)
