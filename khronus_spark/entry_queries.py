@@ -124,7 +124,7 @@ def register(name: str, oracle: str | None):
 #: the scratch-dir change under ann_pq_topk_indexed), then (c) the
 #: longest-unchecked tail: ALL 18 entries whose newest green row was
 #: round 2 — this retires the rotation ledger debt; after round 6 every
-#: entry's newest green row is ≤ 3 rounds old — and the 20 oldest
+#: entry's newest green row is ≤ 3 rounds old — and the 19 oldest
 #: round-3 entries in registration order (the rest of the r3 tail plus
 #: the r4/r5 cohorts rotate in rounds 7-8). Rows-only entries (xxhash64
 #: signatures) stay out — the window accepts only hash-checkable
@@ -143,6 +143,7 @@ _PRIORITY = [
     "winnow_match_pairs",
     "canonical_by_quality",
     "token_budget_sample",
+    "lm_reference_surprisal",
     # -- engine path touched in round 6: must re-prove -------------------
     "dedup_incremental_batch",
     "dedup_components",
@@ -169,7 +170,7 @@ _PRIORITY = [
     "domain_mixture_sqrt",
     "corpus_vocabulary",
     "pii_source_profile",
-    # -- next-oldest: newest green row is round 3 (20 oldest by
+    # -- next-oldest: newest green row is round 3 (19 oldest by
     #    registration order; the rest rotate in round 7) -----------------
     "influx_store_percentiles_1h",
     "influx_percentiles_purchase_1h",
@@ -190,7 +191,6 @@ _PRIORITY = [
     "doc_repetition",
     "gopher_rules",
     "quality_classifier_score",
-    "approx_distinct_users_hll_daily",
 ]
 
 
@@ -3992,3 +3992,19 @@ def token_budget_sample(spark, sf_dir):
     (tokens), deterministic across runs/engines/partitionings."""
     docs = load_table(spark, sf_dir, "documents")
     return curation_ops.token_budget_sample(docs, 1000)
+
+
+@register("lm_reference_surprisal", text_ops.lm_reference_surprisal_sql())
+def lm_reference_surprisal(spark, sf_dir):
+    """Frozen reference-LM quality scoring (operators/text.py::
+    lm_model_build + lm_reference_surprisal): the CCNet shape — bigram
+    counts trained on the trusted split (doc_id % 3 == 0), every other
+    doc scored under the FROZEN model with a deterministic integer
+    backoff ladder (seen / unseen-continuation / unseen-prefix).
+    Unlike bigram_surprisal's self-referential scoring, boilerplate
+    that dominates the crawl cannot make itself look predictable."""
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.where(F.col("doc_id") % 3 == 0)
+    scored = docs.where(F.col("doc_id") % 3 != 0)
+    c1, c2 = text_ops.lm_model_build(ref)
+    return text_ops.lm_reference_surprisal(scored, c1, c2)

@@ -2145,3 +2145,173 @@ FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY doc_a, doc_b
 HAVING count(*) >= {min_shared}
 """
+
+
+def lm_model_build(ref_docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Build a frozen bigram LM from a TRUSTED reference corpus — the
+    CCNet recipe (KenLM trained on Wikipedia, applied to the crawl),
+    in the repo's exact integer bit-length arithmetic: returns the two
+    count tables (`c1`: (w1, c1) prefix counts, `c2`: (bg, c12) bigram
+    counts), both map-side-combinable aggregates over the reference
+    only. Persist them as parquet like any other index; they never
+    change when the crawl is scored — scores are a property of the
+    MODEL, not of what else happens to be in the batch (pinned by
+    test: scoring a doc alone equals scoring it in any batch)."""
+    bg_expr = (
+        "CASE WHEN size(t) >= 2 THEN transform(sequence(1, size(t) - 1), "
+        "i -> concat(element_at(t, i), ' ', element_at(t, i + 1))) "
+        "ELSE array() END"
+    )
+    bgs = ref_docs.select("doc_id", _tokens().alias("t")).select(
+        F.explode(F.expr(bg_expr)).alias("bg")
+    )
+    c2 = bgs.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = (
+        c2.select(F.expr("split(bg, ' ')[0]").alias("w1"), "c12")
+        .groupBy("w1")
+        .agg(F.sum("c12").alias("c1"))
+    )
+    return c1, c2
+
+
+def lm_reference_surprisal(
+    docs: DataFrame, c1: DataFrame, c2: DataFrame
+) -> DataFrame:
+    """Score documents under the FROZEN reference bigram LM from
+    `lm_model_build` — unlike `bigram_surprisal`, which scores the
+    corpus under its own distribution (self-referential: boilerplate
+    that dominates the corpus scores as 'predictable'), this is the
+    production quality filter: predictability is measured against
+    trusted text. Deterministic integer backoff for what the
+    reference never saw:
+
+        seen bigram      bits = bitlen(c(w1·)) − bitlen(c(w1 w2))
+        unseen cont.     bits = bitlen(c(w1·)) + 1   (worse than any
+                                seen continuation of w1)
+        unseen prefix    bits = bitlen(T) + 1        (maximum surprise;
+                                T = total reference bigrams)
+
+    Output (doc_id, n_bigrams, oov_bigrams, surprisal_bits,
+    mean_surprisal_mbits); <2-token docs get 0 bigrams, NULL mean.
+
+    Shape at 100 TB: the model tables are aggregates over the
+    REFERENCE (small); both probe joins are LEFT joins salted exactly
+    like `bigram_surprisal`'s (stop-word prefixes and hot bigrams
+    would serialize an unsalted join); T is a broadcast scalar; the
+    per-doc rollup is one map-side-combinable groupBy."""
+    bg_expr = (
+        "CASE WHEN size(t) >= 2 THEN transform(sequence(1, size(t) - 1), "
+        "i -> concat(element_at(t, i), ' ', element_at(t, i + 1))) "
+        "ELSE array() END"
+    )
+    toks = docs.select("doc_id", _tokens().alias("t"))
+    occ = (
+        toks.select("doc_id", F.explode(F.expr(bg_expr)).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .withColumn("w1", F.expr("split(bg, ' ')[0]"))
+    )
+    tot = c2.agg(F.sum("c12").alias("t_ref")).withColumn("_one", F.lit(1))
+    occ_salted = occ.withColumn(
+        "_psalt", F.pmod(F.xxhash64("bg"), F.lit(_GRAM_SALT)).cast("int")
+    ).withColumn("_bsalt", (F.col("doc_id") % _GRAM_SALT).cast("int"))
+    c1_salted = c1.select(
+        "w1",
+        "c1",
+        F.explode(F.sequence(F.lit(0), F.lit(_GRAM_SALT - 1))).alias("_psalt"),
+    )
+    c2_salted = c2.select(
+        "bg",
+        "c12",
+        F.explode(F.sequence(F.lit(0), F.lit(_GRAM_SALT - 1))).alias("_bsalt"),
+    )
+    bits = F.expr(
+        "CASE WHEN c1 IS NULL THEN length(bin(t_ref)) + 1 "
+        "WHEN c12 IS NULL THEN length(bin(c1)) + 1 "
+        "ELSE length(bin(c1)) - length(bin(c12)) END"
+    )
+    scored = (
+        occ_salted.join(c1_salted, ["w1", "_psalt"], "left")
+        .join(c2_salted, ["bg", "_bsalt"], "left")
+        .withColumn("_one", F.lit(1))
+        .join(F.broadcast(tot), "_one")
+        .select(
+            "doc_id",
+            "k",
+            bits.cast("long").alias("bits"),
+            F.expr("IF(c12 IS NULL, k, 0L)").alias("oov_k"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("k").alias("nb"),
+        F.sum("oov_k").alias("oov"),
+        F.sum(F.expr("k * bits")).alias("sb"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("nb"), F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce(F.col("oov"), F.lit(0)).cast("long").alias("oov_bigrams"),
+            F.coalesce(F.col("sb"), F.lit(0)).cast("long").alias("surprisal_bits"),
+            F.expr(
+                "CASE WHEN coalesce(nb, 0L) > 0 THEN sb * 1000L div nb END"
+            ).alias("mean_surprisal_mbits"),
+        )
+    )
+
+
+def lm_reference_surprisal_sql(ref_mod: int = 3) -> str:
+    """Oracle: model counts from the reference split (doc_id % ref_mod
+    == 0), every other doc scored with the same backoff ladder."""
+    return rf"""
+WITH rt AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE doc_id % {ref_mod} = 0
+),
+rbg AS (
+  SELECT t[i] || ' ' || t[i + 1] AS bg
+  FROM rt, unnest(generate_series(1, len(t) - 1)) s(i)
+),
+c2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c12 FROM rbg GROUP BY bg),
+c1 AS (
+  SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(c12) AS BIGINT) AS c1
+  FROM c2 GROUP BY 1
+),
+tot AS (SELECT CAST(sum(c12) AS BIGINT) AS t_ref FROM c2),
+st AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE doc_id % {ref_mod} <> 0
+),
+sbg AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS bg
+  FROM st, unnest(generate_series(1, len(t) - 1)) s(i)
+),
+occ AS (
+  SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS k FROM sbg GROUP BY doc_id, bg
+),
+bits AS (
+  SELECT occ.doc_id, occ.k,
+         CAST(CASE WHEN c1.c1 IS NULL THEN length(bin(tot.t_ref)) + 1
+                   WHEN c2.c12 IS NULL THEN length(bin(c1.c1)) + 1
+                   ELSE length(bin(c1.c1)) - length(bin(c2.c12)) END AS BIGINT) AS b,
+         CASE WHEN c2.c12 IS NULL THEN occ.k ELSE 0 END AS oov_k
+  FROM occ
+  LEFT JOIN c1 ON c1.w1 = split_part(occ.bg, ' ', 1)
+  LEFT JOIN c2 ON c2.bg = occ.bg
+  CROSS JOIN tot
+),
+agg AS (
+  SELECT doc_id, CAST(sum(k) AS BIGINT) AS nb, CAST(sum(oov_k) AS BIGINT) AS oov,
+         CAST(sum(k * b) AS BIGINT) AS sb
+  FROM bits GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.nb, 0) AS n_bigrams,
+       COALESCE(a.oov, 0) AS oov_bigrams,
+       COALESCE(a.sb, 0) AS surprisal_bits,
+       CASE WHEN COALESCE(a.nb, 0) > 0 THEN a.sb * 1000 // a.nb END AS mean_surprisal_mbits
+FROM (SELECT doc_id FROM documents WHERE doc_id % {ref_mod} <> 0) d
+LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""

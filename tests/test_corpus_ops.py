@@ -863,3 +863,43 @@ def test_winnowing_oracle_matches_python_reference_property():
         assert got == reference(text), text
 
     check()
+
+
+def test_lm_reference_surprisal_frozen_model_and_backoff(spark):
+    """The reference-LM scorer: (a) a doc made of reference bigrams
+    scores lower than incoherent token soup, (b) unseen-prefix bigrams
+    cost the maximum (bitlen(T)+1) and are counted as OOV, (c) the
+    model is FROZEN — a doc's score is identical whether scored alone
+    or alongside any other batch (bigram_surprisal cannot promise
+    this)."""
+    from khronus_spark.operators.text import lm_model_build, lm_reference_surprisal
+
+    def docs_of(rows):
+        return spark.createDataFrame(
+            [(d, t, "en", "s", len(t)) for d, t in rows],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+
+    ref = docs_of([(i, "the cat sat on the mat " * 3) for i in range(5)])
+    c1, c2 = lm_model_build(ref)
+    fluent = (100, "the cat sat on the mat")
+    soup = (101, "zq wv xj kp qq nn")
+    both = {
+        r.doc_id: r
+        for r in lm_reference_surprisal(docs_of([fluent, soup]), c1, c2).collect()
+    }
+    assert both[100].mean_surprisal_mbits < both[101].mean_surprisal_mbits
+    assert both[100].oov_bigrams == 0
+    assert both[101].oov_bigrams == both[101].n_bigrams  # all unseen
+    t_ref = 5 * (6 * 3 - 1)  # 5 ref docs x 17 bigrams each
+    assert both[101].surprisal_bits == both[101].n_bigrams * (
+        t_ref.bit_length() + 1
+    )  # unseen-prefix ladder rung, exactly
+    alone = {
+        r.doc_id: r
+        for r in lm_reference_surprisal(docs_of([fluent]), c1, c2).collect()
+    }
+    assert alone[100].surprisal_bits == both[100].surprisal_bits  # frozen
+    # short docs: 0 bigrams, NULL mean
+    short = lm_reference_surprisal(docs_of([(102, "one")]), c1, c2).collect()[0]
+    assert short.n_bigrams == 0 and short.mean_surprisal_mbits is None
