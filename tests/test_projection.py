@@ -765,3 +765,23 @@ def test_ivf_pq_encode_appends_identically_to_rebuild(spark, sf_dir):
     }
     for v in range(6):
         assert got[9000 + v] == base[v], v
+
+
+def test_lm_reference_joins_are_salted_and_model_broadcast(spark, oracle_sf_dir):
+    """The frozen-LM scorer inherits bigram_surprisal's skew
+    discipline: both model probe joins salted, the T scalar broadcast,
+    no cartesian expansion."""
+    from khronus_spark.operators.text import lm_model_build, lm_reference_surprisal
+
+    docs = load_table(spark, oracle_sf_dir, "documents")
+    ref = docs.where(F.col("doc_id") % 3 == 0)
+    scored = docs.where(F.col("doc_id") % 3 != 0)
+    c1, c2 = lm_model_build(ref)
+    plan = lm_reference_surprisal(scored, c1, c2)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "_psalt" in plan and "_bsalt" in plan
+    assert "BroadcastHashJoin" in plan  # the T scalar
+    assert "CartesianProduct" not in plan
