@@ -903,3 +903,72 @@ def test_lm_reference_surprisal_frozen_model_and_backoff(spark):
     # short docs: 0 bigrams, NULL mean
     short = lm_reference_surprisal(docs_of([(102, "one")]), c1, c2).collect()[0]
     assert short.n_bigrams == 0 and short.mean_surprisal_mbits is None
+
+
+def test_bm25_oracle_matches_python_reference_property():
+    """Property test of the integer BM25 SPEC (no Spark in the loop):
+    the DuckDB oracle — hash parity with the engine already proven by
+    the registry — must equal a direct Python transcription of the
+    floor-log2-idf + per-mille-saturation formula on random tiny
+    corpora. Transitively pins engine == spec."""
+    import duckdb
+
+    from hypothesis import given, settings, strategies as st
+
+    from khronus_spark.operators.text import bm25_rank_sql
+
+    k1_pm, b_pm, eval_mod, k = 1200, 750, 3, 4
+
+    def reference(rows):
+        docs = {d: t.strip().lower().split() for d, t in rows}
+        corpus = {d: t for d, t in docs.items() if d % eval_mod != 0}
+        queries = {d: set(t) for d, t in docs.items() if d % eval_mod == 0}
+        tf = {(d, w): docs[d].count(w) for d in corpus for w in set(docs[d])}
+        dl = {d: len(corpus[d]) for d in corpus}
+        if not corpus:
+            return set()
+        df = {}
+        for (d, w) in tf:
+            df[w] = df.get(w, 0) + 1
+        n_docs = len(corpus)
+        avgdl_m = sum(dl.values()) * 1000 // n_docs
+        out = []
+        for q, qws in queries.items():
+            scores = {}
+            for d in corpus:
+                s = 0
+                for w in qws:
+                    t = tf.get((d, w))
+                    if not t:
+                        continue
+                    idf = (n_docs // df[w]).bit_length()
+                    denom = 1000 * t + k1_pm * (
+                        1000 - b_pm + b_pm * 1000 * dl[d] // avgdl_m
+                    ) // 1000
+                    s += idf * (1000 * (1000 + k1_pm) * t // denom)
+                if s:
+                    scores[d] = s
+            ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+            for rank, (d, s) in enumerate(ranked, 1):
+                out.append((q, d, s, rank))
+        return set(out)
+
+    word = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"])
+    doc = st.lists(word, min_size=1, max_size=8).map(" ".join)
+    corpus = st.lists(doc, min_size=2, max_size=8)
+
+    @settings(max_examples=25, deadline=None)
+    @given(corpus)
+    def check(texts):
+        rows = list(enumerate(texts))
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE documents (doc_id BIGINT, text VARCHAR)"
+        )
+        con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+        got = set(
+            map(tuple, con.execute(bm25_rank_sql(eval_mod, k)).fetchall())
+        )
+        assert got == reference(rows), rows
+
+    check()

@@ -408,3 +408,35 @@ def test_group_by_time_inside_quoted_metric_name_survives():
     p = parse('select count from "group by timers" group by time(30s)')
     assert p.tables[0].name == "group by timers"
     assert p.group_by.duration_ms == 30_000
+
+
+def test_parser_fuzz_never_raises_untyped_errors():
+    """Robustness contract for the user-facing query surface: ANY input
+    string either parses or raises the TYPED QueryParseError — never an
+    IndexError/KeyError/AttributeError escaping from parser internals.
+    Hypothesis drives both structured near-miss queries (real clause
+    fragments shuffled together) and raw garbage."""
+    from hypothesis import given, settings, strategies as st
+
+    fragments = st.sampled_from(
+        [
+            "select", "count", "max", "percentiles(80)", "from", '"cpu"',
+            "where", "time", ">", "now()", "-", "1h", "group", "by",
+            "time(5m)", "fill(0)", "scale(2)", "order", "desc", "limit",
+            "10", "and", "between", "''", '""', "(", ")", ",", ";", "*",
+            "/", "+", "as", "x", "0", "-5", "force", "list", "series",
+        ]
+    )
+    near_miss = st.lists(fragments, min_size=0, max_size=12).map(" ".join)
+    garbage = st.text(max_size=40)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.one_of(near_miss, garbage))
+    def check(q):
+        p = InfluxQueryParser()
+        try:
+            p.parse(q)
+        except QueryParseError:
+            pass  # the typed contract
+
+    check()
