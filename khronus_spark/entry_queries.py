@@ -124,7 +124,7 @@ def register(name: str, oracle: str | None):
 #: the scratch-dir change under ann_pq_topk_indexed), then (c) the
 #: longest-unchecked tail: ALL 18 entries whose newest green row was
 #: round 2 — this retires the rotation ledger debt; after round 6 every
-#: entry's newest green row is ≤ 3 rounds old — and the 19 oldest
+#: entry's newest green row is ≤ 3 rounds old — and the 17 oldest
 #: round-3 entries in registration order (the rest of the r3 tail plus
 #: the r4/r5 cohorts rotate in rounds 7-8). Rows-only entries (xxhash64
 #: signatures) stay out — the window accepts only hash-checkable
@@ -144,6 +144,8 @@ _PRIORITY = [
     "canonical_by_quality",
     "token_budget_sample",
     "lm_reference_surprisal",
+    "intra_doc_repetition",
+    "length_bucketed_batches",
     # -- engine path touched in round 6: must re-prove -------------------
     "dedup_incremental_batch",
     "dedup_components",
@@ -170,7 +172,7 @@ _PRIORITY = [
     "domain_mixture_sqrt",
     "corpus_vocabulary",
     "pii_source_profile",
-    # -- next-oldest: newest green row is round 3 (19 oldest by
+    # -- next-oldest: newest green row is round 3 (17 oldest by
     #    registration order; the rest rotate in round 7) -----------------
     "influx_store_percentiles_1h",
     "influx_percentiles_purchase_1h",
@@ -189,8 +191,6 @@ _PRIORITY = [
     "tpch_q21_sole_late_supplier",
     "events_anomaly_zscore",
     "doc_repetition",
-    "gopher_rules",
-    "quality_classifier_score",
 ]
 
 
@@ -4008,3 +4008,27 @@ def lm_reference_surprisal(spark, sf_dir):
     scored = docs.where(F.col("doc_id") % 3 != 0)
     c1, c2 = text_ops.lm_model_build(ref)
     return text_ops.lm_reference_surprisal(scored, c1, c2)
+
+
+@register("intra_doc_repetition", text_ops.INTRA_DOC_REPETITION_SQL)
+def intra_doc_repetition(spark, sf_dir):
+    """Within-document repetition rules (operators/text.py) — the half
+    of Gopher's table A1 that gopher_rules leaves out: duplicate
+    2-gram / 3-gram fractions inside each doc with the MassiveText
+    keep thresholds (≤20% / ≤18%). Map-only per-row array algebra —
+    a scan-speed pre-shuffle pruning flag."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.intra_doc_repetition(docs)
+
+
+@register(
+    "length_bucketed_batches", curation_ops.length_bucketed_batches_sql()
+)
+def length_bucketed_batches(spark, sf_dir):
+    """Length-bucketed dynamic-batching prep (operators/curation.py):
+    log2 length classes (map-only — no global ntile funneling the
+    corpus through one sort partition), md5 sharding for parallelism,
+    greedy ~512-token fill per (class, shard) by running-offset
+    division. One shuffle; each partition sorts only its slice."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation_ops.length_bucketed_batches(docs)

@@ -911,3 +911,84 @@ c AS (
 SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens, cum_tokens
 FROM c WHERE cum_tokens <= {budget_tokens}
 """
+
+
+def length_bucketed_batches(
+    docs: DataFrame, batch_tokens: int = 512, shards: int = 4
+) -> DataFrame:
+    """Length-bucketed batch assembly — the dynamic-batching prep for
+    training/inference: documents group into batches of ~equal token
+    LENGTH CLASS (so per-batch padding waste is bounded by the class
+    width) and ~`batch_tokens` total size. Deterministic and
+    scale-safe by construction:
+
+    - length class = bitlen(n_tokens) (log2 buckets — MAP-ONLY, no
+      global ntile, which would funnel the corpus through one
+      partition for a global sort);
+    - within (class, shard) — shard = md5(text) mod `shards`, the
+      parallelism knob — docs order by content key and fill greedily:
+      batch_id = running-token-offset div batch_tokens. One shuffle,
+      keyed (class, shard), each partition sorting only its slice.
+
+    Output (doc_id, len_bucket, shard, batch_id, n_tokens); a batch =
+    one (len_bucket, shard, batch_id) group. A doc longer than
+    `batch_tokens` becomes its own (possibly oversized) batch — the
+    caller's truncation policy, not silently dropped."""
+    from pyspark.sql import Window
+
+    t = docs.select(
+        "doc_id",
+        F.md5("text").alias("_key"),
+        F.size(_mix_tokens()).cast("long").alias("n_tokens"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.expr("CAST(length(bin(n_tokens)) AS BIGINT)").alias("len_bucket"),
+        F.expr(f"CAST(conv(substring(_key, 1, 8), 16, 10) % {shards} AS BIGINT)").alias(
+            "shard"
+        ),
+        "_key",
+    )
+    w = (
+        Window.partitionBy("len_bucket", "shard")
+        .orderBy(F.col("_key").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t.withColumn("_cum", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "len_bucket",
+            "shard",
+            F.expr(f"(_cum - n_tokens) div {batch_tokens}").alias("batch_id"),
+            "n_tokens",
+        )
+    )
+
+
+def length_bucketed_batches_sql(batch_tokens: int = 512, shards: int = 4) -> str:
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         md5(text) AS k,
+         CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+b AS (
+  SELECT doc_id, n_tokens,
+         CAST(length(bin(n_tokens)) AS BIGINT) AS len_bucket,
+         CAST(('0x' || substr(k, 1, 8))::UINTEGER % {shards} AS BIGINT) AS shard,
+         k
+  FROM t
+),
+c AS (
+  SELECT doc_id, len_bucket, shard, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY len_bucket, shard
+              ORDER BY k ASC, doc_id ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM b
+)
+SELECT doc_id, len_bucket, shard,
+       CAST((cum - n_tokens) // {batch_tokens} AS BIGINT) AS batch_id,
+       n_tokens
+FROM c
+"""

@@ -2315,3 +2315,70 @@ SELECT d.doc_id,
 FROM (SELECT doc_id FROM documents WHERE doc_id % {ref_mod} <> 0) d
 LEFT JOIN agg a ON a.doc_id = d.doc_id
 """
+
+
+def intra_doc_repetition(docs: DataFrame) -> DataFrame:
+    """The OTHER half of Gopher's table A1 (Rae et al. 2021) that
+    `gopher_rules` leaves out: WITHIN-document repetition — the
+    fraction of word 2-grams / 3-grams that are repeats inside the
+    same document (template/navigation boilerplate scores high even
+    when every token looks fine to the per-token rules). Output
+    (doc_id, n_grams2, dup2_bp, n_grams3, dup3_bp, r_rep) with the
+    keep flag at MassiveText's thresholds (duplicate 2-gram fraction
+    ≤ 20%, 3-gram ≤ 18%); docs too short for an n-gram get 0 grams
+    and pass that rule.
+
+    Pure per-row array algebra (gram array minus its distinct size) —
+    map-only, zero shuffle, scan-speed at 100 TB, composable as a
+    pre-shuffle pruning flag like `gopher_rules.keep`."""
+    def gexpr(n: int) -> str:
+        return (
+            "CASE WHEN size(t) >= {n} THEN "
+            "transform(sequence(0, size(t) - {n}), i -> concat_ws(' ', slice(t, i + 1, {n}))) "
+            "ELSE array() END"
+        ).format(n=n)
+
+    dup = "(size(g{n}) - size(array_distinct(g{n}))) * 10000L div size(g{n})"
+    t = docs.select("doc_id", _tokens().alias("t"))
+    g = t.select(
+        "doc_id", F.expr(gexpr(2)).alias("g2"), F.expr(gexpr(3)).alias("g3")
+    )
+    return g.select(
+        "doc_id",
+        F.size("g2").cast("long").alias("n_grams2"),
+        F.expr(f"IF(size(g2) = 0, 0L, {dup.format(n=2)})").alias("dup2_bp"),
+        F.size("g3").cast("long").alias("n_grams3"),
+        F.expr(f"IF(size(g3) = 0, 0L, {dup.format(n=3)})").alias("dup3_bp"),
+    ).withColumn("r_rep", F.expr("dup2_bp <= 2000 AND dup3_bp <= 1800"))
+
+
+INTRA_DOC_REPETITION_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 2
+              THEN list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))
+              ELSE [] END AS g2,
+         CASE WHEN len(t) >= 3
+              THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+              ELSE [] END AS g3
+  FROM toks
+)
+SELECT doc_id,
+       CAST(len(g2) AS BIGINT) AS n_grams2,
+       CAST(CASE WHEN len(g2) = 0 THEN 0
+            ELSE (len(g2) - len(list_distinct(g2))) * 10000 // len(g2) END AS BIGINT) AS dup2_bp,
+       CAST(len(g3) AS BIGINT) AS n_grams3,
+       CAST(CASE WHEN len(g3) = 0 THEN 0
+            ELSE (len(g3) - len(list_distinct(g3))) * 10000 // len(g3) END AS BIGINT) AS dup3_bp,
+       (CASE WHEN len(g2) = 0 THEN 0
+
+        ELSE (len(g2) - len(list_distinct(g2))) * 10000 // len(g2) END <= 2000
+        AND
+        CASE WHEN len(g3) = 0 THEN 0
+        ELSE (len(g3) - len(list_distinct(g3))) * 10000 // len(g3) END <= 1800) AS r_rep
+FROM g
+"""

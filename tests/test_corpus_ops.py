@@ -972,3 +972,50 @@ def test_bm25_oracle_matches_python_reference_property():
         assert got == reference(rows), rows
 
     check()
+
+
+def test_intra_doc_repetition_flags_templates(spark):
+    """A doc that is one phrase repeated must fail the within-doc
+    rules; normal prose passes; short docs pass vacuously."""
+    from khronus_spark.operators.text import intra_doc_repetition
+
+    rows = [
+        (1, "click here to continue " * 8),          # template loop
+        (2, "each word here appears exactly once in this sentence"),
+        (3, "ok"),                                    # too short for grams
+    ]
+    docs = spark.createDataFrame(
+        [(d, t.strip(), "en", "s", len(t)) for d, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r.doc_id: r for r in intra_doc_repetition(docs).collect()}
+    assert not got[1].r_rep and got[1].dup2_bp > 8000
+    assert got[2].r_rep and got[2].dup2_bp == 0
+    assert got[3].r_rep and got[3].n_grams2 == 0
+
+
+def test_length_bucketed_batches_bounded_and_deterministic(spark):
+    """Batches respect the token budget (start offset < budget), group
+    only docs of one length class, and the assignment is invariant
+    under repartitioning."""
+    from khronus_spark.operators.curation import length_bucketed_batches
+
+    rows = [(i, " ".join(f"w{i}x{j}" for j in range(4 + (i % 3) * 40)), "en",
+             "s", 100) for i in range(60)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = length_bucketed_batches(docs, batch_tokens=100).collect()
+    assert {r.doc_id for r in got} == set(range(60))  # nothing dropped
+    groups = {}
+    for r in got:
+        groups.setdefault((r.len_bucket, r.shard, r.batch_id), []).append(r)
+    for key, rs in groups.items():
+        assert len({r.len_bucket for r in rs}) == 1
+        # greedy start-offset rule: every member STARTED inside the
+        # budget window of its batch
+        total = sum(r.n_tokens for r in rs)
+        assert total - max(r.n_tokens for r in rs) < 100
+    again = {(r.doc_id, r.len_bucket, r.shard, r.batch_id)
+             for r in length_bucketed_batches(docs.repartition(7), 100).collect()}
+    assert again == {(r.doc_id, r.len_bucket, r.shard, r.batch_id) for r in got}
