@@ -124,7 +124,7 @@ def register(name: str, oracle: str | None):
 #: the scratch-dir change under ann_pq_topk_indexed), then (c) the
 #: longest-unchecked tail: ALL 18 entries whose newest green row was
 #: round 2 — this retires the rotation ledger debt; after round 6 every
-#: entry's newest green row is ≤ 3 rounds old — and the 17 oldest
+#: entry's newest green row is ≤ 3 rounds old — and the 15 oldest
 #: round-3 entries in registration order (the rest of the r3 tail plus
 #: the r4/r5 cohorts rotate in rounds 7-8). Rows-only entries (xxhash64
 #: signatures) stay out — the window accepts only hash-checkable
@@ -146,6 +146,8 @@ _PRIORITY = [
     "lm_reference_surprisal",
     "intra_doc_repetition",
     "length_bucketed_batches",
+    "doc_chunks_64_48",
+    "hard_negative_pairs",
     # -- engine path touched in round 6: must re-prove -------------------
     "dedup_incremental_batch",
     "dedup_components",
@@ -172,7 +174,7 @@ _PRIORITY = [
     "domain_mixture_sqrt",
     "corpus_vocabulary",
     "pii_source_profile",
-    # -- next-oldest: newest green row is round 3 (17 oldest by
+    # -- next-oldest: newest green row is round 3 (15 oldest by
     #    registration order; the rest rotate in round 7) -----------------
     "influx_store_percentiles_1h",
     "influx_percentiles_purchase_1h",
@@ -189,8 +191,6 @@ _PRIORITY = [
     "tpch_q19_disjunctive_revenue",
     "tpch_q20_part_family_share",
     "tpch_q21_sole_late_supplier",
-    "events_anomaly_zscore",
-    "doc_repetition",
 ]
 
 
@@ -4032,3 +4032,27 @@ def length_bucketed_batches(spark, sf_dir):
     division. One shuffle; each partition sorts only its slice."""
     docs = load_table(spark, sf_dir, "documents")
     return curation_ops.length_bucketed_batches(docs)
+
+
+@register("doc_chunks_64_48", text_ops.chunk_documents_sql(64, 48))
+def doc_chunks_64_48(spark, sf_dir):
+    """Overlapping token-window chunking (operators/text.py::
+    chunk_documents): 64-token windows every 48 tokens (16-token
+    overlap) with 1-based provenance spans and a guaranteed tail
+    chunk — the RAG / long-context prep primitive. Map-only per-row
+    array algebra."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.chunk_documents(docs, 64, 48)
+
+
+@register("hard_negative_pairs", sim_ops.hard_negative_pairs_sql())
+def hard_negative_pairs(spark, sf_dir):
+    """Hard-negative mining for contrastive training (operators/
+    similarity.py): per anchor, the top-3 most-similar LSH candidates
+    OUTSIDE the anchor's near-dup component — transitive exclusion, so
+    a duplicate-of-a-duplicate can't leak in as a false negative the
+    way a plain pairwise cutoff allows. Candidates and cosines are the
+    knn_graph stage; dup edges reuse the same scored pairs (no second
+    cosine pass); the component map broadcasts."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.hard_negative_pairs(emb)

@@ -728,3 +728,144 @@ SELECT vec_a AS vec_id, vec_b AS neighbor_id, cosine_bp,
 FROM scored
 QUALIFY rank <= {k}
 """
+
+
+def hard_negative_pairs(
+    embeddings: DataFrame,
+    k: int = 3,
+    dup_threshold_bp: int = 9000,
+    n_bands: int = N_BANDS,
+    planes_per_band: int = PLANES_PER_BAND,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor,
+    the `k` most-cosine-similar vectors among its LSH candidates that
+    are NOT in the anchor's near-duplicate COMPONENT — similar enough
+    to be informative negatives, provably not duplicates (component
+    exclusion is transitive: a duplicate-of-a-duplicate is excluded
+    even when its direct cosine to the anchor sits below the
+    threshold, which a plain pairwise cutoff would let through as a
+    false negative). Output (vec_id, neighbor_id, cosine_bp, rank).
+
+    Scale shape: candidates/cosines are the knn_graph stage (banded
+    LSH, exact cosine on candidates only, each undirected pair scored
+    once); dup edges REUSE those scored pairs (no second cosine pass);
+    the component map is the star-contraction loop over the tiny dup
+    graph and broadcasts back; the per-anchor top-k window is bounded
+    by per-vector candidate counts."""
+    from khronus_spark.operators.components import connected_components
+
+    cand = _lsh_candidate_pairs(embeddings, n_bands, planes_per_band)
+    ea = embeddings.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("_emb_a")
+    )
+    eb = embeddings.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("_emb_b")
+    )
+    cos_bp = F.floor(cosine_col(F.col("_emb_a"), F.col("_emb_b")) * 10000).cast(
+        "long"
+    )
+    scored = (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", cos_bp.alias("cosine_bp"))
+        .localCheckpoint(eager=False)
+    )
+    comp = connected_components(
+        scored.where(F.col("cosine_bp") >= dup_threshold_bp).select(
+            F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+        )
+    )
+    sym = scored.unionByName(
+        scored.select(
+            F.col("vec_b").alias("vec_a"),
+            F.col("vec_a").alias("vec_b"),
+            "cosine_bp",
+        )
+    )
+    ca = comp.select(F.col("node_id").alias("vec_a"), F.col("component_id").alias("_ca"))
+    cb = comp.select(F.col("node_id").alias("vec_b"), F.col("component_id").alias("_cb"))
+    kept = (
+        sym.join(F.broadcast(ca), "vec_a", "left")
+        .join(F.broadcast(cb), "vec_b", "left")
+        .where(
+            F.col("_ca").isNull() | F.col("_cb").isNull() | (F.col("_ca") != F.col("_cb"))
+        )
+    )
+    w = Window.partitionBy("vec_a").orderBy(
+        F.col("cosine_bp").desc(), F.col("vec_b").asc()
+    )
+    return (
+        kept.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("vec_a").alias("vec_id"),
+            F.col("vec_b").alias("neighbor_id"),
+            "cosine_bp",
+            "rank",
+        )
+    )
+
+
+def hard_negative_pairs_sql(
+    k: int = 3,
+    dup_threshold_bp: int = 9000,
+    n_bands: int = N_BANDS,
+    planes_per_band: int = PLANES_PER_BAND,
+) -> str:
+    """Oracle: the knn_graph candidate/cosine chain + the recursive
+    component closure over the ≥threshold pairs + the exclusion filter
+    and per-anchor top-k."""
+    buckets = lsh_band_buckets_sql(n_bands, planes_per_band)
+    dot = (
+        "list_sum(list_transform(range(1, 65), "
+        "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+    )
+    norm = (
+        "sqrt(list_sum(list_transform(range(1, 65), "
+        "i -> CAST({s}.embedding[i] AS DOUBLE) * CAST({s}.embedding[i] AS DOUBLE))))"
+    )
+    return f"""
+WITH RECURSIVE bk AS ({buckets}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bk a JOIN bk b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT cand.vec_a, cand.vec_b,
+         CAST(floor(({dot} / ({norm.format(s='a')} * {norm.format(s='b')})) * 10000)
+              AS BIGINT) AS cosine_bp
+  FROM cand
+  JOIN embeddings a ON a.vec_id = cand.vec_a
+  JOIN embeddings b ON b.vec_id = cand.vec_b
+),
+dup_edges AS (
+  SELECT vec_a AS src, vec_b AS dst FROM scored WHERE cosine_bp >= {dup_threshold_bp}
+  UNION ALL
+  SELECT vec_b, vec_a FROM scored WHERE cosine_bp >= {dup_threshold_bp}
+),
+reach AS (
+  SELECT DISTINCT src, src AS dst FROM dup_edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN dup_edges e ON r.dst = e.src
+),
+comp AS (SELECT src AS node_id, min(dst) AS component_id FROM reach GROUP BY src),
+sym AS (
+  SELECT vec_a, vec_b, cosine_bp FROM scored
+  UNION ALL
+  SELECT vec_b, vec_a, cosine_bp FROM scored
+),
+kept AS (
+  SELECT s.vec_a, s.vec_b, s.cosine_bp
+  FROM sym s
+  LEFT JOIN comp ca ON ca.node_id = s.vec_a
+  LEFT JOIN comp cb ON cb.node_id = s.vec_b
+  WHERE ca.component_id IS NULL OR cb.component_id IS NULL
+     OR ca.component_id <> cb.component_id
+)
+SELECT vec_a AS vec_id, vec_b AS neighbor_id, cosine_bp,
+       CAST(row_number() OVER (
+           PARTITION BY vec_a ORDER BY cosine_bp DESC, vec_b ASC) AS BIGINT) AS rank
+FROM kept
+QUALIFY rank <= {k}
+"""

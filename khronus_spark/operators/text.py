@@ -2382,3 +2382,74 @@ SELECT doc_id,
         ELSE (len(g3) - len(list_distinct(g3))) * 10000 // len(g3) END <= 1800) AS r_rep
 FROM g
 """
+
+
+def chunk_documents(
+    docs: DataFrame, chunk_tokens: int = 64, stride: int = 48
+) -> DataFrame:
+    """Overlapping token-window chunking — the RAG / long-context prep
+    primitive: split each document into windows of `chunk_tokens`
+    tokens starting every `stride` tokens (overlap = chunk_tokens −
+    stride), so no token span longer than the overlap is ever cut
+    without appearing whole in some chunk. Output (doc_id, chunk_id,
+    start_tok, end_tok, n_tokens, chunk_text) with chunk_id dense from
+    0 per doc, start/end 1-based inclusive token positions, and the
+    LAST chunk always reaching the final token (a trailing window
+    shorter than `chunk_tokens` is emitted, never silently dropped —
+    pinned by the reassembly test).
+
+    Pure per-row array algebra (one transform over the precomputed
+    start sequence, slices re-joined per chunk) — map-only, zero
+    shuffle, scan-speed at 100 TB; chunk provenance (doc_id, start,
+    end) is exactly what a retriever needs to cite back into the
+    source."""
+    if stride <= 0 or chunk_tokens <= 0 or stride > chunk_tokens:
+        raise ValueError("need 0 < stride <= chunk_tokens")
+    # starts: 0, stride, 2*stride, ... while start < n_tokens, BUT a
+    # start whose predecessor window already covers the doc tail adds
+    # only duplicate text — last start is the smallest multiple of
+    # stride with start + chunk_tokens >= n_tokens
+    starts = (
+        f"sequence(0, greatest(CAST(ceil((size(t) - {chunk_tokens}) / "
+        f"CAST({stride} AS DOUBLE)) AS INT), 0) * {stride}, {stride})"
+    )
+    chunks = (
+        f"transform({starts}, s -> named_struct("
+        f"'start_tok', CAST(s + 1 AS BIGINT), "
+        f"'end_tok', CAST(least(s + {chunk_tokens}, size(t)) AS BIGINT), "
+        f"'chunk_text', concat_ws(' ', slice(t, s + 1, {chunk_tokens}))))"
+    )
+    ex = (
+        docs.select("doc_id", _tokens().alias("t"))
+        .select("doc_id", F.posexplode(F.expr(chunks)).alias("chunk_id", "c"))
+    )
+    return ex.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("c.start_tok").alias("start_tok"),
+        F.col("c.end_tok").alias("end_tok"),
+        (F.col("c.end_tok") - F.col("c.start_tok") + 1).alias("n_tokens"),
+        F.col("c.chunk_text").alias("chunk_text"),
+    )
+
+
+def chunk_documents_sql(chunk_tokens: int = 64, stride: int = 48) -> str:
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, t,
+         range(0, greatest(CAST(ceil((len(t) - {chunk_tokens}) /
+               CAST({stride} AS DOUBLE)) AS INT), 0) * {stride} + 1, {stride}) AS ss
+  FROM toks
+)
+SELECT doc_id,
+       CAST(i - 1 AS BIGINT) AS chunk_id,
+       CAST(ss[i] + 1 AS BIGINT) AS start_tok,
+       CAST(least(ss[i] + {chunk_tokens}, len(t)) AS BIGINT) AS end_tok,
+       CAST(least(ss[i] + {chunk_tokens}, len(t)) - ss[i] AS BIGINT) AS n_tokens,
+       array_to_string(t[ss[i]+1:ss[i]+{chunk_tokens}], ' ') AS chunk_text
+FROM starts, unnest(generate_series(1, len(ss))) u(i)
+"""

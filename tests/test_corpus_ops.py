@@ -1019,3 +1019,80 @@ def test_length_bucketed_batches_bounded_and_deterministic(spark):
     again = {(r.doc_id, r.len_bucket, r.shard, r.batch_id)
              for r in length_bucketed_batches(docs.repartition(7), 100).collect()}
     assert again == {(r.doc_id, r.len_bucket, r.shard, r.batch_id) for r in got}
+
+
+def test_chunking_covers_reassembles_and_overlaps(spark):
+    """Chunking contract: (a) every token position of every doc is
+    covered by some chunk (the tail is never dropped), (b) chunks
+    reassemble the document exactly via their stride prefixes,
+    (c) consecutive chunks overlap by chunk-stride, (d) short docs
+    yield exactly one whole-doc chunk, (e) bad params raise."""
+    import pytest as _pytest
+
+    from khronus_spark.operators.text import chunk_documents
+
+    texts = {
+        1: " ".join(f"w{j}" for j in range(150)),  # multi-chunk
+        2: " ".join(f"v{j}" for j in range(64)),   # exactly one window
+        3: "a b c",                                 # short
+        4: " ".join(f"u{j}" for j in range(65)),   # one past the window
+    }
+    docs = spark.createDataFrame(
+        [(d, t, "en", "s", len(t)) for d, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = chunk_documents(docs, 64, 48).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for d, t in texts.items():
+        toks = t.split()
+        rs = sorted(by_doc[d], key=lambda r: r.chunk_id)
+        assert rs[0].start_tok == 1 and rs[-1].end_tok == len(toks)  # coverage
+        for r in rs:
+            assert r.chunk_text == " ".join(toks[r.start_tok - 1 : r.end_tok])
+        for a, b in zip(rs, rs[1:]):
+            assert b.start_tok - a.start_tok == 48  # stride
+            assert a.end_tok >= b.start_tok - 1     # no gap
+        # reassembly from stride prefixes + last chunk
+        rebuilt = []
+        for r in rs[:-1]:
+            rebuilt.extend(toks[r.start_tok - 1 : r.start_tok - 1 + 48])
+        rebuilt.extend(toks[rs[-1].start_tok - 1 : rs[-1].end_tok])
+        assert rebuilt == toks, d
+    assert len(by_doc[2]) == 1 and len(by_doc[3]) == 1
+    assert len(by_doc[4]) == 2  # token 65 only reachable via a 2nd chunk
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, 10, 20)
+
+
+def test_hard_negatives_exclude_dup_component_transitively(spark):
+    """An anchor's exact duplicate AND the duplicate's own duplicate
+    (whose direct cosine to the anchor may dip below the pairwise
+    threshold) are both excluded; the nearest non-duplicate surfaces
+    as rank 1."""
+    import math
+
+    from khronus_spark.operators.similarity import hard_negative_pairs
+
+    def unit(theta):
+        # 2D rotation embedded in 64 dims: controlled cosines
+        v = [0.0] * 64
+        v[0], v[1] = math.cos(theta), math.sin(theta)
+        return v
+
+    rows = [
+        (0, unit(0.0)),      # anchor
+        (1, unit(0.0)),      # exact dup of anchor (cos 1.0)
+        (2, unit(0.12)),     # dup of 1? cos(0.12)≈0.9928 -> dup edge to 0 and 1
+        (3, unit(0.6)),      # cos≈0.825 -> the true hard negative
+        (4, unit(2.0)),      # far away
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {}
+    for r in hard_negative_pairs(emb, k=2, dup_threshold_bp=9900).collect():
+        got.setdefault(r.vec_id, []).append((r.rank, r.neighbor_id, r.cosine_bp))
+    anchor = sorted(got.get(0, []))
+    neighbors = [n for _, n, _ in anchor]
+    assert 1 not in neighbors and 2 not in neighbors, anchor  # component out
+    assert neighbors and neighbors[0] == 3, anchor            # hard negative first
