@@ -148,6 +148,7 @@ _PRIORITY = [
     "length_bucketed_batches",
     "doc_chunks_64_48",
     "hard_negative_pairs",
+    "embedding_dim_stats",
     # -- engine path touched in round 6: must re-prove -------------------
     "dedup_incremental_batch",
     "dedup_components",
@@ -190,7 +191,6 @@ _PRIORITY = [
     "tpch_q16_supplier_part_counts",
     "tpch_q19_disjunctive_revenue",
     "tpch_q20_part_family_share",
-    "tpch_q21_sole_late_supplier",
 ]
 
 
@@ -4056,3 +4056,15 @@ def hard_negative_pairs(spark, sf_dir):
     cosine pass); the component map broadcasts."""
     emb = load_table(spark, sf_dir, "embeddings")
     return sim_ops.hard_negative_pairs(emb)
+
+
+@register("embedding_dim_stats", quant_ops.EMBEDDING_DIM_STATS_SQL)
+def embedding_dim_stats(spark, sf_dir):
+    """Embedding-table QA (operators/quantize.py::embedding_dim_stats):
+    per-dimension exact-integer min/max/mean and the n·Σx²−(Σx)²
+    variance numerator over the shared micro-unit grid, with dead-dim
+    and ≥1%-clipped flags — the health check before any ANN or
+    quantization stage. One posexplode + one 64-key map-side-combinable
+    groupBy; 64 rows out at any corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quant_ops.embedding_dim_stats(emb)

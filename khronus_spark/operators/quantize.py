@@ -143,3 +143,67 @@ scored AS (
 SELECT probe_id, neighbor_id, round(sim, 4) AS cosine_q FROM scored
 QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id ASC) <= {k}
 """
+
+
+def embedding_dim_stats(embeddings: DataFrame) -> DataFrame:
+    """Per-DIMENSION corpus statistics over the exact integer domain
+    (the `_QUANT` micro-unit grid both engines share): (dim, n, min_q,
+    max_q, mean_q, var_q x1e? — exact integer sums, variance in the
+    integer numerator form var_num = n·Σx² − (Σx)² so no float ever
+    enters) plus two QA flags — `dead` (the dimension never moves:
+    min == max) and `clipped` (≥1% of values pinned at either end of
+    the [-1, 1] input range). The embedding-table health check run
+    before any ANN/quantization stage: a dead dim wastes index bits,
+    heavy clipping means the upstream encoder saturated and cosine
+    geometry is distorted.
+
+    Scale shape: one posexplode + one map-side-combinable groupBy on
+    the 64-value dim key; output is 64 rows regardless of corpus
+    size."""
+    quant = (
+        "transform(embedding, x -> floor((CAST(x AS DOUBLE) + 1.0D) * 1000000.0D))"
+    )
+    q = embeddings.select(
+        "vec_id", F.expr(quant).alias("e")
+    ).select(F.posexplode("e").alias("dim", "v"))
+    lo, hi = 0, 2_000_000  # _QUANT image of [-1.0, 1.0]
+    return (
+        q.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("v").alias("min_q"),
+            F.max("v").alias("max_q"),
+            F.expr("sum(v) div count(1)").alias("mean_q"),
+            F.expr("count(1) * sum(v * v) - sum(v) * sum(v)").alias("var_num"),
+            F.sum(F.expr(f"IF(v <= {lo} OR v >= {hi}, 1L, 0L)")).alias("n_pinned"),
+        )
+        .select(
+            F.col("dim").cast("long").alias("dim"),
+            "n",
+            "min_q",
+            "max_q",
+            "mean_q",
+            "var_num",
+            (F.col("min_q") == F.col("max_q")).alias("dead"),
+            (F.col("n_pinned") * 100 >= F.col("n")).alias("clipped"),
+        )
+    )
+
+
+EMBEDDING_DIM_STATS_SQL = """
+WITH q AS (
+  SELECT s.i AS dim,
+         CAST(floor((CAST(embedding[s.i] AS DOUBLE) + 1.0) * 1000000.0) AS BIGINT) AS v
+  FROM embeddings, unnest(generate_series(1, len(embedding))) s(i)
+)
+SELECT CAST(dim - 1 AS BIGINT) AS dim,
+       CAST(count(*) AS BIGINT) AS n,
+       min(v) AS min_q,
+       max(v) AS max_q,
+       CAST(sum(v) // count(*) AS BIGINT) AS mean_q,
+       CAST(count(*) * sum(v * v) - sum(v) * sum(v) AS BIGINT) AS var_num,
+       (min(v) = max(v)) AS dead,
+       (sum(CASE WHEN v <= 0 OR v >= 2000000 THEN 1 ELSE 0 END) * 100 >= count(*)) AS clipped
+FROM q
+GROUP BY dim
+"""

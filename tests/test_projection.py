@@ -785,3 +785,25 @@ def test_lm_reference_joins_are_salted_and_model_broadcast(spark, oracle_sf_dir)
     assert "_psalt" in plan and "_bsalt" in plan
     assert "BroadcastHashJoin" in plan  # the T scalar
     assert "CartesianProduct" not in plan
+
+
+def test_embedding_dim_stats_flags_dead_and_clipped(spark):
+    """A constant dimension flags dead; a dimension pinned at ±1 for
+    ≥1% of vectors flags clipped; a healthy dimension flags neither;
+    var_num is 0 exactly for the dead dim and positive otherwise."""
+    from khronus_spark.operators.quantize import embedding_dim_stats
+
+    import math
+
+    rows = []
+    for i in range(200):
+        v = [math.sin(i * 7.0 + d) * 0.5 for d in range(64)]
+        v[0] = 0.25          # dead dim
+        v[1] = 1.0 if i < 5 else 0.1  # 2.5% pinned -> clipped
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.dim: r for r in embedding_dim_stats(emb).collect()}
+    assert len(got) == 64 and all(r.n == 200 for r in got.values())
+    assert got[0].dead and got[0].var_num == 0 and not got[0].clipped
+    assert got[1].clipped and not got[1].dead
+    assert not got[2].dead and not got[2].clipped and got[2].var_num > 0
