@@ -211,3 +211,23 @@ def test_time_gt_zero_is_a_valid_from_bound():
 
     with _pytest.raises(QueryExecutionError):
         build_slice((TimeFilter("<", 5_000),), now_ms=10_000)
+
+
+def test_entry_scratch_dirs_are_stable_isolated_and_wiped():
+    """Six driver entries materialize stores through _scratch_dir; the
+    driver gate depends on its contract: same path per (process,
+    name), contents wiped on reuse, distinct names isolated, parent
+    registered for exit cleanup."""
+    import os
+
+    from khronus_spark.entry_queries import _scratch_dir
+
+    a1 = _scratch_dir("t_scratch_a")
+    open(os.path.join(a1, "x"), "w").write("1")
+    b = _scratch_dir("t_scratch_b")
+    assert os.listdir(a1) == ["x"]  # other names don't touch a
+    a2 = _scratch_dir("t_scratch_a")
+    assert a2 == a1                  # stable path
+    assert os.listdir(a2) == []      # wiped on reuse
+    assert os.path.dirname(a1) == os.path.dirname(b)
+    assert f"khronus_entry_scratch_{os.getpid()}" in a1
