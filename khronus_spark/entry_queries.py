@@ -149,6 +149,7 @@ _PRIORITY = [
     "doc_chunks_64_48",
     "hard_negative_pairs",
     "embedding_dim_stats",
+    "mixture_realization_audit",
     # -- engine path touched in round 6: must re-prove -------------------
     "dedup_incremental_batch",
     "dedup_components",
@@ -190,7 +191,6 @@ _PRIORITY = [
     "tpch_q12_ship_priority",
     "tpch_q16_supplier_part_counts",
     "tpch_q19_disjunctive_revenue",
-    "tpch_q20_part_family_share",
 ]
 
 
@@ -4068,3 +4068,15 @@ def embedding_dim_stats(spark, sf_dir):
     groupBy; 64 rows out at any corpus size."""
     emb = load_table(spark, sf_dir, "embeddings")
     return quant_ops.embedding_dim_stats(emb)
+
+
+@register("mixture_realization_audit", curation_ops.MIXTURE_REALIZATION_SQL)
+def mixture_realization_audit(spark, sf_dir):
+    """Mixture loop closed (operators/curation.py::
+    mixture_realization_audit): domain_mixture's tempered targets →
+    deterministic md5-keyed per-language downsampling (most-upweighted
+    language keeps everything) → realized token shares with the signed
+    per-language deviation a mixture dashboard alarms on. Rates are a
+    |langs|-row broadcast; the keep decision is map-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation_ops.mixture_realization_audit(docs)

@@ -992,3 +992,125 @@ SELECT doc_id, len_bucket, shard,
        n_tokens
 FROM c
 """
+
+
+def mixture_realization_audit(docs: DataFrame) -> DataFrame:
+    """Close the mixture loop: `domain_mixture` prescribes tempered
+    target shares; this operator REALIZES them by deterministic
+    per-language downsampling and audits what actually materialized —
+    per language (lang, n_tokens, tempered_bp, keep_rate_bp,
+    kept_tokens, realized_bp, dev_bp):
+
+    - keep rate ∝ target/natural share ratio, normalized so the most
+      upweighted language keeps everything (rates in basis points —
+      head domains downsample, tail domains survive whole);
+    - per-doc keep decision is md5-keyed (content-keyed: reproducible
+      across runs/engines/partitionings, duplicates decide together —
+      the `content_hash_sample` device) against the language's rate;
+    - `realized_bp` is the kept-token share, `dev_bp` its signed gap
+      to the tempered target — the number a mixture dashboard alarms
+      on (sampling noise shrinks as corpora grow; a persistent gap
+      means the rate rule or the corpus changed).
+
+    Shape at 100 TB: the mixture/rates are a |langs|-row broadcast;
+    the keep decision is a map-only scan; the audit is one
+    map-side-combinable groupBy(lang)."""
+    mix = domain_mixture(docs)
+    ratio = mix.select(
+        "lang",
+        "n_tokens",
+        "tempered_bp",
+        F.expr("tempered_bp * 10000L div natural_bp").alias("_r"),
+    )
+    mx = ratio.agg(F.max("_r").alias("_rmax"))
+    rates = ratio.crossJoin(F.broadcast(mx)).select(
+        "lang",
+        "n_tokens",
+        "tempered_bp",
+        F.expr("_r * 10000L div _rmax").alias("keep_rate_bp"),
+    )
+    keyed = spread(docs).select(
+        "lang",
+        F.size(_mix_tokens()).cast("long").alias("_nt"),
+        F.expr(
+            "CAST(conv(substring(md5(text), 1, 8), 16, 10) AS BIGINT) % 10000"
+        ).alias("_key_bp"),
+    )
+    kept = (
+        keyed.join(F.broadcast(rates.select("lang", "keep_rate_bp")), "lang")
+        .where(F.col("_key_bp") < F.col("keep_rate_bp"))
+        .groupBy("lang")
+        .agg(F.sum("_nt").alias("kept_tokens"))
+    )
+    tot = kept.agg(F.sum("kept_tokens").alias("_tot"))
+    return (
+        rates.join(kept, "lang", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_tokens",
+            "tempered_bp",
+            "keep_rate_bp",
+            F.coalesce(F.col("kept_tokens"), F.lit(0)).cast("long").alias(
+                "kept_tokens"
+            ),
+            F.expr(
+                "coalesce(kept_tokens, 0L) * 10000L div _tot"
+            ).alias("realized_bp"),
+            F.expr(
+                "coalesce(kept_tokens, 0L) * 10000L div _tot - tempered_bp"
+            ).alias("dev_bp"),
+        )
+    )
+
+
+MIXTURE_REALIZATION_SQL = r"""
+WITH per_lang AS (
+  SELECT lang,
+         CAST(sum(len(regexp_split_to_array(trim(lower(text)), '\s+'))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+),
+w AS (
+  SELECT lang, n_tokens,
+         CAST(floor(sqrt(n_tokens)) AS BIGINT) AS w_sqrt
+  FROM per_lang
+),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt, CAST(sum(w_sqrt) AS BIGINT) AS tw FROM w),
+mix AS (
+  SELECT w.lang, w.n_tokens,
+         w.n_tokens * 10000 // tot.tt AS natural_bp,
+         w.w_sqrt * 10000 // tot.tw AS tempered_bp
+  FROM w CROSS JOIN tot
+),
+ratio AS (
+  SELECT lang, n_tokens, tempered_bp,
+         tempered_bp * 10000 // natural_bp AS r
+  FROM mix
+),
+rmax AS (SELECT max(r) AS rm FROM ratio),
+rates AS (
+  SELECT lang, n_tokens, CAST(tempered_bp AS BIGINT) AS tempered_bp,
+         CAST(r * 10000 // rmax.rm AS BIGINT) AS keep_rate_bp
+  FROM ratio CROSS JOIN rmax
+),
+keyed AS (
+  SELECT lang,
+         CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS nt,
+         CAST(('0x' || substr(md5(text), 1, 8))::UINTEGER AS BIGINT) % 10000 AS key_bp
+  FROM documents
+),
+kept AS (
+  SELECT k.lang, CAST(sum(k.nt) AS BIGINT) AS kept_tokens
+  FROM keyed k JOIN rates r ON r.lang = k.lang
+  WHERE k.key_bp < r.keep_rate_bp
+  GROUP BY k.lang
+),
+ktot AS (SELECT CAST(sum(kept_tokens) AS BIGINT) AS kt FROM kept)
+SELECT r.lang, r.n_tokens, r.tempered_bp, r.keep_rate_bp,
+       COALESCE(k.kept_tokens, 0) AS kept_tokens,
+       CAST(COALESCE(k.kept_tokens, 0) * 10000 // ktot.kt AS BIGINT) AS realized_bp,
+       CAST(COALESCE(k.kept_tokens, 0) * 10000 // ktot.kt - r.tempered_bp AS BIGINT) AS dev_bp
+FROM rates r
+LEFT JOIN kept k ON k.lang = r.lang
+CROSS JOIN ktot
+"""

@@ -1096,3 +1096,35 @@ def test_hard_negatives_exclude_dup_component_transitively(spark):
     neighbors = [n for _, n, _ in anchor]
     assert 1 not in neighbors and 2 not in neighbors, anchor  # component out
     assert neighbors and neighbors[0] == 3, anchor            # hard negative first
+
+
+def test_mixture_realization_moves_shares_toward_targets(spark):
+    """On a skewed two-language corpus: the head language downsamples
+    (keep rate < 10000), the tail language keeps everything (rate
+    10000 by normalization), and the realized share of the tail lands
+    STRICTLY closer to its tempered target than its natural share was;
+    kept_tokens tallies only kept docs; determinism under
+    repartition."""
+    from khronus_spark.operators.curation import (
+        domain_mixture,
+        mixture_realization_audit,
+    )
+
+    rows = [(i, " ".join(f"e{i}w{j}" for j in range(40)), "en", "s", 100)
+            for i in range(180)]
+    rows += [(1000 + i, " ".join(f"f{i}w{j}" for j in range(40)), "fr", "s", 100)
+             for i in range(20)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    mix = {r.lang: r for r in domain_mixture(docs).collect()}
+    got = {r.lang: r for r in mixture_realization_audit(docs).collect()}
+    assert got["fr"].keep_rate_bp == 10000      # most-upweighted keeps all
+    assert got["en"].keep_rate_bp < 10000       # head downsampled
+    nat_fr = mix["fr"].natural_bp
+    tgt_fr = mix["fr"].tempered_bp
+    assert abs(got["fr"].realized_bp - tgt_fr) < abs(nat_fr - tgt_fr)
+    assert got["fr"].dev_bp == got["fr"].realized_bp - tgt_fr
+    again = {(r.lang, r.kept_tokens, r.realized_bp)
+             for r in mixture_realization_audit(docs.repartition(5)).collect()}
+    assert again == {(r.lang, r.kept_tokens, r.realized_bp) for r in got.values()}
