@@ -44,6 +44,7 @@ from khronus_spark.operators import similarity as sim_ops
 from khronus_spark.operators import sketches as sketches_ops
 from khronus_spark.operators import skew as skew_ops
 from khronus_spark.operators import text as text_ops
+from khronus_spark.operators import zorder as zorder_ops
 from khronus_spark.operators.rollup import pregroup_raw
 from khronus_spark.sources.tables import (
     MEASUREMENTS_SQL,
@@ -150,6 +151,9 @@ _PRIORITY = [
     "hard_negative_pairs",
     "embedding_dim_stats",
     "mixture_realization_audit",
+    "dsir_topk_sample",
+    "events_cohort_retention",
+    "events_zorder_curve",
     # -- engine path touched in round 6: must re-prove -------------------
     "dedup_incremental_batch",
     "dedup_components",
@@ -188,9 +192,6 @@ _PRIORITY = [
     "tpch_q2_min_cost_supplier",
     "tpch_q9_product_profit",
     "tpch_q11_important_suppliers",
-    "tpch_q12_ship_priority",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q19_disjunctive_revenue",
 ]
 
 
@@ -4080,3 +4081,101 @@ def mixture_realization_audit(spark, sf_dir):
     |langs|-row broadcast; the keep decision is map-only."""
     docs = load_table(spark, sf_dir, "documents")
     return curation_ops.mixture_realization_audit(docs)
+
+
+@register("dsir_topk_sample", curation_ops.dsir_topk_sql())
+def dsir_topk_sample(spark, sf_dir):
+    """DSIR data selection (operators/curation.py::dsir_topk): hashed
+    unigram∪bigram features → per-bucket integer log-likelihood ratio
+    of a held-out target-domain sample vs the raw pool → per-doc
+    importance weights → deterministic top-k (the temperature→0 Gumbel
+    limit). The bucket table (≤256 rows) and the normalizer broadcast;
+    the corpus sees one explode and two map-side-combinable shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation_ops.dsir_topk(docs)
+
+
+_WEEK_MS = 604_800_000
+
+
+@register(
+    "events_cohort_retention",
+    f"""
+WITH wk AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 1000 // {_WEEK_MS} AS week
+  FROM events
+),
+cohort AS (
+  SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY user_id
+)
+SELECT c.cohort_week,
+       w.week - c.cohort_week AS week_offset,
+       count(*) AS n_users
+FROM wk w JOIN cohort c USING (user_id)
+GROUP BY 1, 2
+""",
+)
+def events_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-seen epoch-week
+    (the cohort), counted in every later week they return — the
+    (cohort_week, week_offset, n_users) triangle behind every retention
+    dashboard. Integer epoch-ms → epoch-week arithmetic on both
+    engines. Shape: distinct (user, week) and min-per-user are
+    map-side-combinable shuffles on user_id; the join is co-partitioned
+    on user_id; the final groupBy has calendar-bounded cardinality
+    (weeks², regardless of corpus size)."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = ev.select(
+        "user_id",
+        F.expr(f"ts div 1000000 div {_WEEK_MS}").alias("week"),
+    ).distinct()
+    cohort = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        wk.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.expr("week - cohort_week").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+_Z_A_SPARK = "user_id % 1024"
+_Z_B_SPARK = "(ts div 1000000 div 3600000) % 1024"
+_Z_A_DUCK = "user_id % 1024"
+_Z_B_DUCK = "(epoch_us(ts) // 1000 // 3600000) % 1024"
+
+
+@register(
+    "events_zorder_curve",
+    f"""
+SELECT event_id,
+       CAST({_Z_A_DUCK} AS BIGINT) AS cell_a,
+       CAST({_Z_B_DUCK} AS BIGINT) AS cell_b,
+       {zorder_ops.z_expr_sql(_Z_A_DUCK, _Z_B_DUCK, 10, div="//")} AS z
+FROM events
+ORDER BY z DESC, event_id ASC
+LIMIT 50
+""",
+)
+def events_zorder_curve(spark, sf_dir):
+    """Morton (Z-order) curve values over (user_id, hour) cells
+    (operators/zorder.py) — the write-time clustering key that keeps
+    parquet min/max boxes tight in BOTH dimensions so scans prune on
+    either predicate. The interleave is a flat integer polynomial
+    (div/mod/multiply only), map-only and codegen-friendly; the top-50
+    here is a TakeOrderedAndProject spot-check of the curve, not a
+    shuffle. The layout job itself (zorder_layout) is one range
+    shuffle, measured in tests/test_zorder.py to cut the partitions a
+    2-D box query touches vs a single-key sort."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_id",
+            F.expr(_Z_A_SPARK).cast("long").alias("cell_a"),
+            F.expr(_Z_B_SPARK).cast("long").alias("cell_b"),
+            zorder_ops.z_value(_Z_A_SPARK, _Z_B_SPARK, 10).alias("z"),
+        )
+        .orderBy(F.col("z").desc(), F.col("event_id").asc())
+        .limit(50)
+    )

@@ -1114,3 +1114,176 @@ FROM rates r
 LEFT JOIN kept k ON k.lang = r.lang
 CROSS JOIN ktot
 """
+
+
+def dsir_importance_weights(
+    docs: DataFrame,
+    target_mod: int = 43,
+    n_buckets: int = 256,
+    shift: int = 20,
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169) in the repo's integer-exact discipline: score
+    every raw-pool document by how much more likely its hashed n-gram
+    features are under a small TARGET-domain sample than under the raw
+    pool itself, so that resampling by the weight shifts the selected
+    corpus toward the target distribution.
+
+    - Features are the paper's hashed n-grams: unigrams ∪ bigrams,
+      bucketed by the cross-engine 60-bit md5 prefix mod `n_buckets`.
+    - Target sample = docs with ``doc_id % target_mod == 0`` (the
+      held-out domain exemplar set); raw pool = every other doc.
+    - Per-bucket log-likelihood ratio, floor-log2 integer ladder (the
+      `unigram_surprisal` / BM25 device — bit-exact on both engines,
+      where a libm log would differ in the last ulp):
+
+          lr(b)  = bitlen(((c_t(b)+1) << shift) div (c_r(b)+1) + 1)
+          norm   = bitlen(((S_t + B)  << shift) div (S_r + B)  + 1)
+          lw(x)  = Σ_b c_x(b) · (lr(b) − norm)
+
+      with add-one smoothing over the B-bucket feature space, so a
+      bucket unseen in the target sample scores ≈ −log(S_t/S_r)
+      relative mass rather than −∞. All BIGINT; the per-doc sum is
+      order-free.
+    - Selection is the temperature→0 limit of the paper's Gumbel
+      top-k: deterministic top-k by (lw desc, doc_id) — reproducible
+      across runs/engines/partitionings, which the Gumbel draw is not.
+
+    Shape at 100 TB: the feature stream is a map-only explode; per-doc
+    bucket counts and the per-doc weight sum are each one
+    map-side-combinable shuffle keyed by doc_id; the bucket ratio
+    table is ≤ `n_buckets` rows and BROADCASTS onto the per-doc
+    counts; the S_t/S_r normalizer folds into that same tiny frame as
+    a single-partition window over the AGGREGATED rows (a separate
+    totals subtree would re-scan the corpus — Spark plans are trees).
+    Nothing driver-side, no float anywhere in the plan."""
+    feats_expr = (
+        "concat(t, CASE WHEN size(t) >= 2 THEN "
+        "transform(sequence(1, size(t) - 1), "
+        "i -> concat(element_at(t, i), ' ', element_at(t, i + 1))) "
+        "ELSE array() END)"
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("f")), 1, 15), 16, 10).cast("long")
+        % n_buckets
+    ).alias("b")
+    feat = (
+        docs.select("doc_id", _mix_tokens().alias("t"))
+        .select("doc_id", F.explode(F.expr(feats_expr)).alias("f"))
+        .select("doc_id", bucket)
+    )
+    tgt = feat.where(F.col("doc_id") % target_mod == 0)
+    raw = feat.where(F.col("doc_id") % target_mod != 0)
+    c_t = tgt.groupBy("b").agg(F.count(F.lit(1)).alias("c_t"))
+    c_r = raw.groupBy("b").agg(F.count(F.lit(1)).alias("c_r"))
+    from pyspark.sql import Window
+
+    # norm is a window over the ALREADY-AGGREGATED ≤n_buckets-row frame
+    # (a separate agg subtree would re-scan the corpus: Spark plans are
+    # trees, a second consumer of c_r/c_t duplicates their whole
+    # lineage). Single-partition window over ≤256 rows — free.
+    whole = Window.partitionBy(F.lit(1))
+    buckets = (
+        c_r.join(F.broadcast(c_t), "b", "left")
+        .select(
+            "b",
+            F.col("c_r"),
+            F.coalesce(F.col("c_t"), F.lit(0)).alias("c_t"),
+        )
+        .withColumn("s_t", F.sum("c_t").over(whole))
+        .withColumn("s_r", F.sum("c_r").over(whole))
+        .select(
+            "b",
+            F.expr(
+                f"CAST(length(bin((c_t + 1L) * {1 << shift}L div (c_r + 1L)"
+                " + 1L)) AS BIGINT) - "
+                f"CAST(length(bin((s_t + {n_buckets}L) * {1 << shift}L div "
+                f"(s_r + {n_buckets}L) + 1L)) AS BIGINT)"
+            ).alias("lr_net"),
+        )
+    )
+    per_doc = raw.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c_x"))
+    return (
+        per_doc.join(F.broadcast(buckets), "b")
+        .groupBy("doc_id")
+        .agg(F.sum(F.expr("c_x * lr_net")).alias("iw_score"))
+    )
+
+
+def dsir_topk(
+    docs: DataFrame,
+    k: int = 25,
+    target_mod: int = 43,
+    n_buckets: int = 256,
+    shift: int = 20,
+) -> DataFrame:
+    """The DSIR selection face: top-k raw-pool docs by importance
+    weight (deterministic tie-break on doc_id). The global top-k is a
+    TakeOrderedAndProject (per-partition heads merged on the driver,
+    never a full sort); the rank window runs over k rows."""
+    from pyspark.sql import Window
+
+    top = (
+        dsir_importance_weights(docs, target_mod, n_buckets, shift)
+        .orderBy(F.col("iw_score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("iw_score").desc(), F.col("doc_id").asc())
+    return top.select(
+        "doc_id", "iw_score", F.row_number().over(w).cast("long").alias("rank")
+    )
+
+
+def dsir_topk_sql(
+    k: int = 25, target_mod: int = 43, n_buckets: int = 256, shift: int = 20
+) -> str:
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(f), 1, 15))::UBIGINT % {n_buckets} AS BIGINT) AS b
+  FROM (
+    SELECT doc_id, unnest(t) AS f FROM toks
+    UNION ALL
+    SELECT doc_id, t[i] || ' ' || t[i + 1] AS f
+    FROM toks, unnest(generate_series(1, len(t) - 1)) s(i)
+  )
+),
+c_r AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS c_r FROM feat
+  WHERE doc_id % {target_mod} <> 0 GROUP BY b
+),
+c_t AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS c_t FROM feat
+  WHERE doc_id % {target_mod} = 0 GROUP BY b
+),
+buckets AS (
+  SELECT c_r.b, c_r.c_r, COALESCE(c_t.c_t, 0) AS c_t,
+         CAST(length(bin((COALESCE(c_t.c_t, 0) + 1) * {1 << shift} // (c_r.c_r + 1) + 1))
+              AS BIGINT) AS lr
+  FROM c_r LEFT JOIN c_t ON c_t.b = c_r.b
+),
+norm AS (
+  SELECT CAST(length(bin((sum(c_t) + {n_buckets}) * {1 << shift} //
+                         (sum(c_r) + {n_buckets}) + 1)) AS BIGINT) AS norm
+  FROM buckets
+),
+scored AS (
+  SELECT f.doc_id, CAST(sum(f.c_x * (b.lr - n.norm)) AS BIGINT) AS iw_score
+  FROM (
+    SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c_x FROM feat
+    WHERE doc_id % {target_mod} <> 0 GROUP BY doc_id, b
+  ) f
+  JOIN buckets b USING (b)
+  CROSS JOIN norm n
+  GROUP BY f.doc_id
+)
+SELECT doc_id, iw_score,
+       CAST(row_number() OVER (ORDER BY iw_score DESC, doc_id ASC) AS BIGINT) AS rank
+FROM scored
+ORDER BY iw_score DESC, doc_id ASC
+LIMIT {k}
+"""
