@@ -134,7 +134,7 @@ class ParsedQuery:
     tables: tuple[Table, ...]
     filters: tuple[Filter, ...]
     group_by: GroupBy
-    fill: float | None = None
+    fill: float | str | None = None  # float, or "linear" (fill(linear))
     scale: float | None = None
     limit: int | None = None
     order_asc: bool = True
@@ -146,7 +146,7 @@ class InfluxCriteria:
     sources: tuple[Source, ...]
     filters: tuple[Filter, ...]
     group_by: GroupBy
-    fill: float | None = None
+    fill: float | str | None = None  # float, or "linear" (fill(linear))
     scale: float | None = None
     limit: int | None = None
     order_asc: bool = True

@@ -175,7 +175,10 @@ class InfluxQueryParser:
         order_asc = True
         if self._accept_kw("fill"):
             self._expect("delim", "(")
-            fill = self._double()
+            # fill(linear) interpolates gaps between known neighbours
+            # (an InfluxQL-compatible extension; the reference's fill
+            # only takes a number)
+            fill = "linear" if self._accept_kw("linear") else self._double()
             self._expect("delim", ")")
         if self._accept_kw("scale"):
             self._expect("delim", "(")

@@ -189,6 +189,39 @@ class QueryExecutor:
             f"{trange.window_ms}L)) AS time"
         )
 
+    def _fill_linear(self, joined: DataFrame) -> DataFrame:
+        """fill(linear): interpolate missing buckets between their
+        nearest known neighbours — the InfluxQL fill(linear) semantics
+        (gaps before the first / after the last known point are
+        DROPPED, not extrapolated). The carry-forward/backward windows
+        run over ONE series of ≤700 points (G1 bounds every rendered
+        series), so the single partition is by construction bounded —
+        the same reasoning as the reference's in-memory series build
+        (`InfluxQueryResolver.scala:184-201`)."""
+        from pyspark.sql import Window as W
+
+        one = F.lit(1)
+        prev_w = W.partitionBy(one).orderBy("time").rowsBetween(
+            W.unboundedPreceding, -1
+        )
+        next_w = W.partitionBy(one).orderBy("time").rowsBetween(
+            1, W.unboundedFollowing
+        )
+        known_t = F.when(F.col("_v").isNotNull(), F.col("time"))
+        pv = F.last("_v", ignorenulls=True).over(prev_w)
+        pt = F.last(known_t, ignorenulls=True).over(prev_w)
+        nv = F.first("_v", ignorenulls=True).over(next_w)
+        nt = F.first(known_t, ignorenulls=True).over(next_w)
+        interp = pv + (nv - pv) * (F.col("time") - pt) / (nt - pt)
+        value = (
+            F.when(F.col("_v").isNotNull(), F.col("_v"))
+            .when(pv.isNotNull() & nv.isNotNull(), interp)
+        )
+        return (
+            joined.select("time", value.alias("value"))
+            .where(F.col("value").isNotNull())
+        )
+
     def _function_col(self, field: Field, window_ms: int) -> Column:
         if field.name == "cpm":
             return cpm_col(F.col("count"), window_ms).cast("double")
@@ -214,6 +247,8 @@ class QueryExecutor:
                 spine.time == F.col("ts"),
                 "left",
             )
+            if criteria.fill == "linear":
+                return self._fill_linear(joined)
             return joined.select(
                 "time", F.coalesce(F.col("_v"), F.lit(float(criteria.fill))).alias("value")
             )

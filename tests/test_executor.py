@@ -24,6 +24,9 @@ def engine(spark):
     # counter in two buckets
     rows.append(("c1", "counter", base + 100, 5))
     rows.append(("c1", "counter", base + 1_800_000, 7))
+    # counter with a two-bucket interior gap (for fill(linear))
+    rows.append(("c2", "counter", base + 100, 6))
+    rows.append(("c2", "counter", base + 3 * 1_800_000, 12))
     m = __import__("pyspark.sql", fromlist=["SparkSession"])
     df = spark.createDataFrame(rows, SCHEMA)
     return KhronusEngine(spark, measurements=df, now_ms=NOW)
@@ -47,6 +50,25 @@ def test_force_resolution_and_values(engine):
     vals = _vals(res[0])
     # counter counts are value sums per bucket
     assert sorted(vals.values()) == [5.0, 7.0]
+
+
+def test_fill_linear_interpolates_interior_gaps_only(engine):
+    """fill(linear): interior missing buckets take the linear blend of
+    the nearest known neighbours; spine points before the first / after
+    the last known bucket are dropped (InfluxDB semantics), unlike
+    fill(x) which pads the whole spine."""
+    res = engine.sql(
+        'select count from "c2" where time > now()-11h force group by time(30m) fill(linear)'
+    )
+    vals = _vals(res[0])
+    base = NOW - 10 * H
+    b0 = base - (base % 1_800_000)
+    # exactly the known span: 4 buckets, nothing outside it
+    assert sorted(vals) == [b0, b0 + 1_800_000, b0 + 2 * 1_800_000, b0 + 3 * 1_800_000]
+    assert vals[b0] == 6.0 and vals[b0 + 3 * 1_800_000] == 12.0
+    # 6 → 12 over three steps: 8, 10 at the interior points
+    assert vals[b0 + 1_800_000] == 8.0
+    assert vals[b0 + 2 * 1_800_000] == 10.0
 
 
 def test_fill_and_spine_density(engine):
@@ -143,7 +165,7 @@ def test_cpm_uses_output_window(engine):
 def test_list_series(engine):
     res = engine.sql("list series")
     names = [r["name"] for r in res[0].df.collect()]
-    assert names == ["c1", "t1"]
+    assert names == ["c1", "c2", "t1"]
 
 
 def test_division_by_literal_zero_rejected(engine):

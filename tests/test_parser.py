@@ -232,6 +232,12 @@ def test_group_by_windows():
 def test_fill_scale_limit_order():
     p = parse('select mean from "api.latency" group by time(1m) fill(999)')
     assert p.fill == 999.0
+    # fill(linear) — the interpolation extension — parses to a sentinel;
+    # any other bare word in fill() is still a parse error
+    p = parse('select mean from "api.latency" group by time(1m) fill(linear)')
+    assert p.fill == "linear"
+    with pytest.raises(QueryParseError):
+        parse('select mean from "api.latency" group by time(1m) fill(cubic)')
     p = parse('select p50(value) from "api.latency" group by time(1m) limit 10')
     assert p.limit == 10
     p = parse('select max(value) from "api.latency" group by time(1m) scale(-0.2)')
