@@ -181,6 +181,17 @@ def main() -> None:
         # it remains a registry oracle twin.
         "ann_pq_index_build": lambda: _pq_build(),
         "ann_pq_topk_indexed": lambda: _pq_query(),
+        # DSIR data selection: hashed-ngram importance weights, broadcast
+        # bucket ratio table, two map-side-combinable shuffles
+        "dsir_select": lambda: run_df(q["dsir_topk_sample"](spark, sf_dir)),
+        # the write-time Z-order layout job: quantile cells + Morton code
+        # + one range shuffle (the OPTIMIZE/compaction pass, not a query)
+        "zorder_layout": lambda: _zorder_layout(),
+        # fill(linear) through the full InfluxQL path: spine + gap
+        # interpolation over the bounded rendered series
+        "fill_linear": lambda: run_df(
+            q["influx_fill_linear_error_1h"](spark, sf_dir)
+        ),
     }
 
     import tempfile
@@ -206,6 +217,17 @@ def main() -> None:
                 dedup_ops.read_dedup_index(spark, _dedup_dir), batch
             )
         )
+
+    def _zorder_layout():
+        from khronus_spark.operators import zorder as zorder_ops
+
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            F.col("user_id").alias("ua"),
+            F.expr("ts div 1000000 div 3600000").alias("hb"),
+        )
+        run_df(zorder_ops.zorder_layout_ranked(ev, "ua", "hb", bits=8,
+                                               n_partitions=32))
 
     def _pq_build():
         emb = load_table(spark, sf_dir, "embeddings")
