@@ -44,6 +44,7 @@ from khronus_spark.operators import similarity as sim_ops
 from khronus_spark.operators import sketches as sketches_ops
 from khronus_spark.operators import skew as skew_ops
 from khronus_spark.operators import text as text_ops
+from khronus_spark.operators import expectations as expect_ops
 from khronus_spark.operators import zorder as zorder_ops
 from khronus_spark.operators.rollup import pregroup_raw
 from khronus_spark.sources.tables import (
@@ -157,6 +158,7 @@ _PRIORITY = [
     "influx_fill_linear_error_1h",
     "events_scd2_dominant_type",
     "events_rfm_profile",
+    "data_quality_checks",
     # -- engine path touched in round 6: must re-prove -------------------
     "dedup_incremental_batch",
     "dedup_components",
@@ -183,7 +185,7 @@ _PRIORITY = [
     "domain_mixture_sqrt",
     "corpus_vocabulary",
     "pii_source_profile",
-    # -- next-oldest: newest green row is round 3 (7 oldest by
+    # -- next-oldest: newest green row is round 3 (6 oldest by
     #    registration order; the rest rotate in round 7) -----------------
     "influx_store_percentiles_1h",
     "influx_percentiles_purchase_1h",
@@ -191,7 +193,6 @@ _PRIORITY = [
     "tpch_q13_order_distribution",
     "tpch_q15_top_supplier",
     "tpch_q17_small_qty_revenue",
-    "tpch_q22_idle_high_balance",
 ]
 
 
@@ -4377,4 +4378,21 @@ def events_rfm_profile(spark, sf_dir):
         F.expr(
             "CAST(length(bin(CAST(msum * 100 AS BIGINT) div 100 + 1)) AS BIGINT)"
         ).alias("m_class"),
+    )
+
+
+@register("data_quality_checks", expect_ops.expectation_suite_sql())
+def data_quality_checks(spark, sf_dir):
+    """Deequ-style expectation suite (operators/expectations.py): one
+    scan per table computes ALL that table's check counters in a
+    single map-side-combinable aggregate (uniqueness, non-null, value
+    range, time span, enum domain, cross-column consistency), then
+    unpivots map-only; referential orphans are LEFT ANTI joins. The
+    gate a 100 TB drop passes before anything downstream consumes it."""
+    return expect_ops.expectation_suite(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "events"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "lineitem"),
     )

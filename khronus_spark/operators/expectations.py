@@ -1,0 +1,162 @@
+"""Data-expectation checks: the declarative constraint battery a
+pipeline runs BEFORE training data (or dashboards) consume a drop — the
+Deequ / Great Expectations shape, expressed as plain Spark aggregates.
+
+Design for 100 TB: one scan per table computes ALL of that table's
+check counters in a single map-side-combinable aggregate (never one
+scan per check), then the 1-row wide frame unpivots to long
+(check, tbl, observed, passed) rows map-only. Referential checks are
+LEFT ANTI joins on the key — the only shuffles in the suite, and they
+shuffle the fact table once each.
+
+The reference has no QA surface (its ingest trusts the client); this is
+part of the training-data-pipeline extension the engine adds on top of
+SURVEY §2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: events span contract: calendar year 2024 in epoch-ms.
+EVENTS_SPAN_MS = (1_704_067_200_000, 1_735_689_600_000)
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+VALUE_RANGE = (0.0, 1000.0)
+
+
+def _unpivot(wide: DataFrame, tbl: str) -> DataFrame:
+    """1-row wide counter frame → (check, tbl, observed, passed) rows."""
+    checks = wide.columns
+    stack = ", ".join(f"'{c}', {c}" for c in checks)
+    return wide.select(
+        F.expr(f"stack({len(checks)}, {stack}) AS (check, observed)")
+    ).select(
+        "check",
+        F.lit(tbl).alias("tbl"),
+        F.col("observed").cast("long").alias("observed"),
+        (F.col("observed") == 0).alias("passed"),
+    )
+
+
+def documents_checks(docs: DataFrame) -> DataFrame:
+    """Single-scan counters: duplicate doc_ids, null/empty text, and
+    n_chars disagreeing with the actual text length."""
+    wide = docs.agg(
+        (F.count(F.lit(1)) - F.countDistinct("doc_id")).alias("doc_id_unique"),
+        F.sum(
+            (F.col("text").isNull() | (F.length("text") == 0)).cast("long")
+        ).alias("text_nonempty"),
+        F.sum(
+            (~F.col("n_chars").eqNullSafe(F.length("text"))).cast("long")
+        ).alias("n_chars_consistent"),
+    )
+    return _unpivot(wide, "documents")
+
+
+def events_checks(ev_ns: DataFrame) -> DataFrame:
+    """Single-scan counters over events (ts already epoch-ns): values
+    outside the contract range, timestamps outside the ingest span,
+    and event types outside the enum domain."""
+    lo, hi = EVENTS_SPAN_MS
+    types = ", ".join(f"'{t}'" for t in EVENT_TYPES)
+    wide = ev_ns.agg(
+        F.sum(
+            F.expr(
+                f"CAST(value < {VALUE_RANGE[0]} OR value > {VALUE_RANGE[1]} AS LONG)"
+            )
+        ).alias("value_in_range"),
+        F.sum(
+            F.expr(f"CAST(ts div 1000000 < {lo}L OR ts div 1000000 >= {hi}L AS LONG)")
+        ).alias("ts_in_span"),
+        F.sum(F.expr(f"CAST(event_type NOT IN ({types}) AS LONG)")).alias(
+            "event_type_domain"
+        ),
+    )
+    return _unpivot(wide, "events")
+
+
+def referential_checks(
+    orders: DataFrame, customer: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """Orphan keys: orders→customer and lineitem→orders. LEFT ANTI join
+    counts — one fact-table shuffle each; the dimension side is
+    dictionary-sized relative to the fact and broadcast-eligible."""
+    o_orphans = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey")),
+            orders.o_custkey == F.col("c_custkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("observed"))
+        .select(
+            F.lit("custkey_resolves").alias("check"),
+            F.lit("orders").alias("tbl"),
+            F.col("observed").cast("long"),
+            (F.col("observed") == 0).alias("passed"),
+        )
+    )
+    l_orphans = (
+        lineitem.join(
+            orders.select("o_orderkey"),
+            lineitem.l_orderkey == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("observed"))
+        .select(
+            F.lit("orderkey_resolves").alias("check"),
+            F.lit("lineitem").alias("tbl"),
+            F.col("observed").cast("long"),
+            (F.col("observed") == 0).alias("passed"),
+        )
+    )
+    return o_orphans.unionByName(l_orphans)
+
+
+def expectation_suite(
+    docs: DataFrame,
+    ev_ns: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    return (
+        documents_checks(docs)
+        .unionByName(events_checks(ev_ns))
+        .unionByName(referential_checks(orders, customer, lineitem))
+    )
+
+
+def expectation_suite_sql() -> str:
+    lo, hi = EVENTS_SPAN_MS
+    types = ", ".join(f"'{t}'" for t in EVENT_TYPES)
+    return f"""
+WITH d AS (
+  SELECT count(*) - count(DISTINCT doc_id) AS doc_id_unique,
+         CAST(sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS text_nonempty,
+         CAST(sum(CASE WHEN n_chars IS DISTINCT FROM length(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_consistent
+  FROM documents
+),
+e AS (
+  SELECT CAST(sum(CASE WHEN value < {VALUE_RANGE[0]} OR value > {VALUE_RANGE[1]} THEN 1 ELSE 0 END) AS BIGINT) AS value_in_range,
+         CAST(sum(CASE WHEN epoch_us(ts) // 1000 < {lo} OR epoch_us(ts) // 1000 >= {hi} THEN 1 ELSE 0 END) AS BIGINT) AS ts_in_span,
+         CAST(sum(CASE WHEN event_type NOT IN ({types}) THEN 1 ELSE 0 END) AS BIGINT) AS event_type_domain
+  FROM events
+),
+o AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM orders
+  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+),
+l AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem
+  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+)
+SELECT 'doc_id_unique' AS check, 'documents' AS tbl, doc_id_unique AS observed, doc_id_unique = 0 AS passed FROM d
+UNION ALL SELECT 'text_nonempty', 'documents', text_nonempty, text_nonempty = 0 FROM d
+UNION ALL SELECT 'n_chars_consistent', 'documents', n_chars_consistent, n_chars_consistent = 0 FROM d
+UNION ALL SELECT 'value_in_range', 'events', value_in_range, value_in_range = 0 FROM e
+UNION ALL SELECT 'ts_in_span', 'events', ts_in_span, ts_in_span = 0 FROM e
+UNION ALL SELECT 'event_type_domain', 'events', event_type_domain, event_type_domain = 0 FROM e
+UNION ALL SELECT 'custkey_resolves', 'orders', n, n = 0 FROM o
+UNION ALL SELECT 'orderkey_resolves', 'lineitem', n, n = 0 FROM l
+"""

@@ -611,3 +611,55 @@ def test_ivfpq_and_rerank_indexed_queries_have_no_training(spark, oracle_sf_dir)
     assert "posexplode" not in plan
     assert "Scan ExistingRDD" not in plan
     assert "books" in plan and "codes" in plan
+
+
+def test_zorder_curve_topk_is_take_ordered(spark, oracle_sf_dir):
+    """The z-curve spot-check must run as TakeOrderedAndProject
+    (per-partition heads merged on the driver) — a global Sort exchange
+    for a top-50 would serialize the whole table through one task."""
+    plan = _plan(spark, oracle_sf_dir, "events_zorder_curve")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan
+
+
+def test_scd2_windows_stay_user_partitioned(spark, oracle_sf_dir):
+    """Every window and shuffle in the SCD2 interval builder is keyed by
+    user_id — a single-partition exchange anywhere means some stage
+    funnels all users through one task and dies at scale."""
+    plan = _plan(spark, oracle_sf_dir, "events_scd2_dominant_type")
+    assert "SinglePartition" not in plan
+    assert "partitionBy" not in plan or "user_id" in plan
+
+
+def test_rfm_is_one_shuffle_then_map_only(spark, oracle_sf_dir):
+    """RFM = one map-side-combinable groupBy(user_id); the class ladders
+    are map-only. Exactly one exchange (plus AQE reads) and no window,
+    sort, or join anywhere."""
+    plan = _plan(spark, oracle_sf_dir, "events_rfm_profile")
+    assert plan.count("Exchange hashpartitioning") <= 2  # operator + detail
+    assert "SinglePartition" not in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "partial" in plan.lower()  # map-side combine proof
+
+
+def test_dsir_bucket_ratio_table_broadcasts_onto_per_doc_counts(
+    spark, oracle_sf_dir
+):
+    """DSIR's per-doc weight join must be broadcast (the ≤256-row bucket
+    ratio table), never a shuffle join on the corpus side; and the
+    normalizer must not appear as a BroadcastNestedLoopJoin cross (it is
+    folded into the bucket frame as a window over aggregated rows)."""
+    plan = _plan(spark, oracle_sf_dir, "dsir_topk_sample")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cohort_retention_shuffles_only_on_user_keys(spark, oracle_sf_dir):
+    """The retention matrix shuffles on (user, week) / user_id only; the
+    final (cohort, offset) aggregate is calendar-bounded. No single
+    partition funnel, no nested-loop join."""
+    plan = _plan(spark, oracle_sf_dir, "events_cohort_retention")
+    assert "SinglePartition" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
