@@ -159,6 +159,7 @@ _PRIORITY = [
     "events_scd2_dominant_type",
     "events_rfm_profile",
     "data_quality_checks",
+    "events_anomaly_flags",
     # -- engine path touched in round 6: must re-prove -------------------
     "dedup_incremental_batch",
     "dedup_components",
@@ -185,14 +186,13 @@ _PRIORITY = [
     "domain_mixture_sqrt",
     "corpus_vocabulary",
     "pii_source_profile",
-    # -- next-oldest: newest green row is round 3 (6 oldest by
+    # -- next-oldest: newest green row is round 3 (5 oldest by
     #    registration order; the rest rotate in round 7) -----------------
     "influx_store_percentiles_1h",
     "influx_percentiles_purchase_1h",
     "tpch_q8_market_share",
     "tpch_q13_order_distribution",
     "tpch_q15_top_supplier",
-    "tpch_q17_small_qty_revenue",
 ]
 
 
@@ -4396,3 +4396,15 @@ def data_quality_checks(spark, sf_dir):
         load_table(spark, sf_dir, "customer"),
         load_table(spark, sf_dir, "lineitem"),
     )
+
+
+@register("events_anomaly_flags", expect_ops.anomaly_flags_sql())
+def events_anomaly_flags(spark, sf_dir):
+    """Row-level anomaly quarantine (operators/expectations.py::
+    anomaly_flags): outlier values, high-value errors, and bot-like
+    per-user-day rates, returned as flagged rows with a reason
+    bitmask — the triage complement of the aggregate expectation
+    suite. Two flags are map-only; the rate flag is one
+    map-side-combinable groupBy(user, day) joined back co-partitioned
+    on the same keys."""
+    return expect_ops.anomaly_flags(load_table(spark, sf_dir, "events"))

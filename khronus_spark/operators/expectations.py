@@ -160,3 +160,92 @@ UNION ALL SELECT 'event_type_domain', 'events', event_type_domain, event_type_do
 UNION ALL SELECT 'custkey_resolves', 'orders', n, n = 0 FROM o
 UNION ALL SELECT 'orderkey_resolves', 'lineitem', n, n = 0 FROM l
 """
+
+
+#: quarantine reason bits (contract violations — clean data yields none)
+R_VALUE_RANGE = 1
+R_TS_SPAN = 2
+R_TYPE_DOMAIN = 4
+
+#: anomaly reason bits (behavioral rules that fire on real data)
+A_HIGH_VALUE = 1
+A_ERROR_STORM = 2
+A_BOT_RATE = 4
+
+HIGH_VALUE = 300.0
+ERROR_VALUE = 200.0
+BOT_EVENTS_PER_DAY = 7
+
+
+def quarantine_events(ev_ns: DataFrame) -> DataFrame:
+    """Route contract-violating event rows to quarantine with a reason
+    bitmask — the row-level complement of `events_checks`' counters
+    (the counters tell you THAT a drop is bad; quarantine tells you
+    WHICH rows, so the rest of the drop can still land). Map-only: the
+    flags are the same predicates as the counters."""
+    lo, hi = EVENTS_SPAN_MS
+    types = ", ".join(f"'{t}'" for t in EVENT_TYPES)
+    reasons = F.expr(
+        f"CAST(value < {VALUE_RANGE[0]} OR value > {VALUE_RANGE[1]} AS LONG) * {R_VALUE_RANGE} + "
+        f"CAST(ts div 1000000 < {lo}L OR ts div 1000000 >= {hi}L AS LONG) * {R_TS_SPAN} + "
+        f"CAST(event_type NOT IN ({types}) AS LONG) * {R_TYPE_DOMAIN}"
+    )
+    return (
+        ev_ns.withColumn("reasons", reasons)
+        .where(F.col("reasons") != 0)
+        .select("event_id", "user_id", "event_type", "reasons")
+    )
+
+
+def anomaly_flags(ev_ns: DataFrame) -> DataFrame:
+    """Behavioral anomaly quarantine: rows worth a second look even when
+    the schema contract holds — outlier values, high-value errors, and
+    bot-like per-user-day rates. The first two flags are map-only; the
+    rate flag is one map-side-combinable groupBy(user, day) joined back
+    on the same keys (co-partitioned). Output: flagged rows only, with
+    the reason bitmask."""
+    day = F.expr("ts div 1000000 div 86400000").alias("day")
+    with_day = ev_ns.select(
+        "event_id", "user_id", "event_type", "value", day
+    )
+    daily = (
+        with_day.groupBy("user_id", "day")
+        .agg(F.count(F.lit(1)).alias("n_day"))
+        .where(F.col("n_day") > BOT_EVENTS_PER_DAY)
+    )
+    flagged = (
+        with_day.join(daily, ["user_id", "day"], "left")
+        .withColumn(
+            "reasons",
+            F.expr(
+                f"CAST(value > {HIGH_VALUE} AS LONG) * {A_HIGH_VALUE} + "
+                f"CAST(event_type = 'error' AND value > {ERROR_VALUE} AS LONG) * {A_ERROR_STORM} + "
+                f"CAST(n_day IS NOT NULL AS LONG) * {A_BOT_RATE}"
+            ),
+        )
+        .where(F.col("reasons") != 0)
+    )
+    return flagged.select("event_id", "user_id", "event_type", "reasons")
+
+
+def anomaly_flags_sql() -> str:
+    types = ", ".join(f"'{t}'" for t in EVENT_TYPES)
+    return f"""
+WITH e AS (
+  SELECT event_id, user_id, event_type, value,
+         epoch_us(ts) // 1000 // 86400000 AS day
+  FROM events
+),
+daily AS (
+  SELECT user_id, day, count(*) AS n_day FROM e GROUP BY 1, 2
+  HAVING count(*) > {BOT_EVENTS_PER_DAY}
+)
+SELECT * FROM (
+  SELECT e.event_id, e.user_id, e.event_type,
+         CAST(CASE WHEN e.value > {HIGH_VALUE} THEN {A_HIGH_VALUE} ELSE 0 END +
+              CASE WHEN e.event_type = 'error' AND e.value > {ERROR_VALUE} THEN {A_ERROR_STORM} ELSE 0 END +
+              CASE WHEN daily.user_id IS NOT NULL THEN {A_BOT_RATE} ELSE 0 END AS BIGINT) AS reasons
+  FROM e LEFT JOIN daily USING (user_id, day)
+)
+WHERE reasons <> 0
+"""

@@ -88,3 +88,42 @@ def test_per_table_checks_are_single_scan(spark, sf_dir):
         .toString()
     )
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_quarantine_rows_carry_reason_bitmask(spark):
+    ok_ts = 1_704_100_000_000 * 1_000_000
+    ev = _events(
+        spark,
+        [
+            (0, ok_ts, 1, "click", 5.0),                 # clean
+            (1, ok_ts, 1, "teleport", -1.0),             # domain + range
+            (2, 1_000_000_000, 1, "view", 2000.0),       # span + range
+        ],
+    )
+    got = {r.event_id: r.reasons for r in ex.quarantine_events(ev).collect()}
+    assert got == {
+        1: ex.R_VALUE_RANGE + ex.R_TYPE_DOMAIN,
+        2: ex.R_VALUE_RANGE + ex.R_TS_SPAN,
+    }
+
+
+def test_anomaly_flags_planted(spark):
+    day_ns = 86_400_000 * 1_000_000
+    base = 1_704_100_000_000 * 1_000_000
+    rows = [
+        (0, base, 1, "view", 350.0),            # high value
+        (1, base, 2, "error", 250.0),           # error storm
+        (2, base + day_ns, 3, "click", 1.0),    # clean
+    ]
+    # user 9: bot-like — BOT_EVENTS_PER_DAY+1 events in one day
+    rows += [
+        (100 + i, base + i * 1_000_000_000, 9, "click", 1.0)
+        for i in range(ex.BOT_EVENTS_PER_DAY + 1)
+    ]
+    ev = _events(spark, rows)
+    got = {r.event_id: r.reasons for r in ex.anomaly_flags(ev).collect()}
+    assert got[0] == ex.A_HIGH_VALUE
+    assert got[1] == ex.A_ERROR_STORM
+    assert 2 not in got
+    for i in range(ex.BOT_EVENTS_PER_DAY + 1):
+        assert got[100 + i] == ex.A_BOT_RATE
