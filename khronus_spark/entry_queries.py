@@ -160,6 +160,7 @@ _PRIORITY = [
     "events_rfm_profile",
     "data_quality_checks",
     "events_anomaly_flags",
+    "influx_delta_click_1h",
     # -- engine path touched in round 6: must re-prove -------------------
     "dedup_incremental_batch",
     "dedup_components",
@@ -186,13 +187,12 @@ _PRIORITY = [
     "domain_mixture_sqrt",
     "corpus_vocabulary",
     "pii_source_profile",
-    # -- next-oldest: newest green row is round 3 (5 oldest by
+    # -- next-oldest: newest green row is round 3 (4 oldest by
     #    registration order; the rest rotate in round 7) -----------------
     "influx_store_percentiles_1h",
     "influx_percentiles_purchase_1h",
     "tpch_q8_market_share",
     "tpch_q13_order_distribution",
-    "tpch_q15_top_supplier",
 ]
 
 
@@ -604,6 +604,35 @@ def influx_fill_linear_error_1h(spark, sf_dir):
     return _engine(spark, sf_dir).sql_union(
         f'select count from "error" where time between {A_MS} and {B_MS} '
         "force group by time(1h) fill(linear)"
+    )
+
+
+@register(
+    "influx_delta_click_1h",
+    _influx_series_sql(
+        "delta",
+        "click",
+        f"""
+SELECT ts AS time,
+       round(CAST(count - lag(count) OVER (ORDER BY ts) AS DOUBLE), 4) AS value
+FROM (
+  SELECT * FROM ({_counter_buckets_sql('click', 3_600_000)}) b
+  WHERE ts BETWEEN {_aligned(3_600_000)[0]} AND {_aligned(3_600_000)[1]}
+)
+QUALIFY lag(count) OVER (ORDER BY ts) IS NOT NULL
+""",
+    ),
+)
+def influx_delta_click_1h(spark, sf_dir):
+    """`delta` — bucket-over-previous-existing-bucket count difference
+    (the rate-of-change primitive InfluxQL spells derivative()), an
+    extension validated per-mtype in plans/criteria.py but EXCLUDED
+    from `*` expansion so P2 stays reference-exact. The first in-range
+    bucket drops; the lag window runs over one ≤700-point rendered
+    series (plans/executor.py)."""
+    return _engine(spark, sf_dir).sql_union(
+        f'select delta from "click" where time between {A_MS} and {B_MS} '
+        "force group by time(1h)"
     )
 
 

@@ -42,7 +42,9 @@ from khronus_spark.parser.ast import (
     TimeFilter,
 )
 
-FUNCTION_NAMES = set(ALL_HISTOGRAM_FUNCTIONS)  # count min max mean cpm p50..p999
+# count min max mean cpm p50..p999, plus the `delta` extension (the
+# per-mtype validity split lives in plans/criteria.py)
+FUNCTION_NAMES = set(ALL_HISTOGRAM_FUNCTIONS) | {"delta"}
 
 _TIME_SUFFIX_MS = {"s": 1000, "m": 60_000, "h": 3_600_000, "d": 86_400_000, "w": 604_800_000}
 _WINDOW_SUFFIX_MS = {"ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000}

@@ -37,6 +37,13 @@ class QueryValidationError(Exception):
     pass
 
 
+#: extension functions: valid in explicit projections but EXCLUDED from
+#: `*` expansion (P2 stays reference-exact). `delta` is the bucket-over
+#: previous-existing-bucket difference of count — the rate-of-change
+#: primitive InfluxQL spells derivative().
+EXTENDED_FUNCTIONS = ("delta",)
+
+
 def functions_for_mtype(mtype: str) -> tuple[str, ...]:
     if mtype in ("timer", "gauge"):
         return ALL_HISTOGRAM_FUNCTIONS
@@ -140,7 +147,7 @@ def _bind_field(field: Field, sources: list[Source]) -> list[SimpleProjection]:
     )
     out = []
     for source in matched:
-        valid = functions_for_mtype(source.mtype)
+        valid = functions_for_mtype(source.mtype) + EXTENDED_FUNCTIONS
         if field.name not in valid:
             raise QueryValidationError(
                 f"{field.name} is an invalid function for a {source.mtype}. "

@@ -240,23 +240,36 @@ class QueryExecutor:
         if isinstance(proj, Number):
             return spine.select("time", F.lit(float(proj.value)).alias("value"))
         summary = summaries[proj.table_id]
-        value = self._function_col(proj, window_ms)
-        if criteria.fill is not None:
-            joined = spine.join(
-                summary.withColumn("_v", value).select(F.col("ts"), F.col("_v")),
-                spine.time == F.col("ts"),
-                "left",
+        if proj.name == "delta":
+            # extension: count difference vs the previous EXISTING bucket
+            # in the sliced range (the first in-range bucket has no
+            # predecessor and drops; a gap's delta spans the gap). The
+            # lag window runs over one rendered series — ≤700 points by
+            # G1, bounded like _fill_linear.
+            from pyspark.sql import Window as W
+
+            w = W.partitionBy(F.lit(1)).orderBy("ts")
+            vals = (
+                summary.withColumn(
+                    "_v",
+                    (F.col("count") - F.lag("count").over(w)).cast("double"),
+                )
+                .where(F.col("_v").isNotNull())
+                .select(F.col("ts"), F.col("_v"))
             )
+        else:
+            value = self._function_col(proj, window_ms)
+            vals = summary.withColumn("_v", value).select(
+                F.col("ts"), F.col("_v")
+            )
+        if criteria.fill is not None:
+            joined = spine.join(vals, spine.time == F.col("ts"), "left")
             if criteria.fill == "linear":
                 return self._fill_linear(joined)
             return joined.select(
                 "time", F.coalesce(F.col("_v"), F.lit(float(criteria.fill))).alias("value")
             )
-        joined = spine.join(
-            summary.withColumn("_v", value).select(F.col("ts"), F.col("_v")),
-            spine.time == F.col("ts"),
-            "inner",
-        )
+        joined = spine.join(vals, spine.time == F.col("ts"), "inner")
         return joined.select("time", F.col("_v").alias("value"))
 
     def _project(

@@ -253,3 +253,34 @@ def test_entry_scratch_dirs_are_stable_isolated_and_wiped():
     assert os.listdir(a2) == []      # wiped on reuse
     assert os.path.dirname(a1) == os.path.dirname(b)
     assert f"khronus_entry_scratch_{os.getpid()}" in a1
+
+
+def test_delta_is_diff_vs_previous_existing_bucket(engine):
+    """`delta` (extension): count difference against the previous
+    EXISTING bucket in the sliced range — the first in-range bucket
+    drops, and a gap's delta spans the gap (c2 has buckets at b0=6 and
+    b3=12 with nothing between: one delta row of 6)."""
+    res = engine.sql(
+        'select delta from "c1" where time > now()-11h force group by time(30m)'
+    )
+    vals = _vals(res[0])
+    assert list(vals.values()) == [2.0]  # 7 - 5, single successor bucket
+    res = engine.sql(
+        'select delta from "c2" where time > now()-11h force group by time(30m)'
+    )
+    vals = _vals(res[0])
+    assert list(vals.values()) == [6.0]  # 12 - 6 across the gap
+
+
+def test_delta_valid_for_timer_and_star_expansion_excludes_it(engine):
+    # delta validates for a timer too (count exists on every summary)
+    res = engine.sql(
+        'select delta from "t1" where time > now()-11h force group by time(30m)'
+    )
+    assert len(_vals(res[0])) == 2  # 3 timer buckets -> 2 deltas
+    # but `*` expansion stays reference-exact: no delta series appears
+    res = engine.sql(
+        'select * from "c1" where time > now()-11h force group by time(30m)'
+    )
+    names = sorted(s.name for s in res)
+    assert names == ["count", "cpm"]
