@@ -45,6 +45,8 @@ from khronus_spark.operators import sketches as sketches_ops
 from khronus_spark.operators import skew as skew_ops
 from khronus_spark.operators import text as text_ops
 from khronus_spark.operators import expectations as expect_ops
+from khronus_spark.operators import linkage as linkage_ops
+from khronus_spark.operators import smoothing as smoothing_ops
 from khronus_spark.operators import zorder as zorder_ops
 from khronus_spark.operators.rollup import pregroup_raw
 from khronus_spark.sources.tables import (
@@ -138,6 +140,10 @@ DRIVER_WINDOW = 50
 
 _PRIORITY = [
     # -- new in round 6: never driver-checked ----------------------------
+    "part_name_edit_pairs",
+    "part_edit_graph_triangles",
+    "events_ewma_1h",
+    "events_new_vs_returning",
     "ann_ivfpq_topk_indexed",
     "ann_pq_rerank_topk_indexed",
     "decontamination_retrieval",
@@ -187,12 +193,10 @@ _PRIORITY = [
     "domain_mixture_sqrt",
     "corpus_vocabulary",
     "pii_source_profile",
-    # -- next-oldest: newest green row is round 3 (4 oldest by
-    #    registration order; the rest rotate in round 7) -----------------
-    "influx_store_percentiles_1h",
-    "influx_percentiles_purchase_1h",
-    "tpch_q8_market_share",
-    "tpch_q13_order_distribution",
+    # -- r3-freshness fills rotated out for the second-wave entries
+    #    above; the r3 tail (influx_store_percentiles_1h,
+    #    influx_percentiles_purchase_1h, tpch_q8_market_share,
+    #    tpch_q13_order_distribution, ...) leads the round-7 window ------
 ]
 
 
@@ -4437,3 +4441,162 @@ def events_anomaly_flags(spark, sf_dir):
     map-side-combinable groupBy(user, day) joined back co-partitioned
     on the same keys."""
     return expect_ops.anomaly_flags(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# record linkage, graph QA, recursive smoothing, product analytics
+# (round-6 second wave)
+# ---------------------------------------------------------------------------
+
+#: shared CTE: verified edit-distance near-dup pairs over part names,
+#: blocked by brand with the length necessary-condition inside the join.
+_EDIT_PAIRS_CTE = """
+pairs AS (
+  SELECT a.p_brand AS p_brand,
+         a.p_partkey AS id_a, b.p_partkey AS id_b,
+         CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+  FROM part a JOIN part b
+    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+   AND abs(length(a.p_name) - length(b.p_name)) <= 2
+  WHERE levenshtein(a.p_name, b.p_name) <= 2
+)
+"""
+
+
+@register(
+    "part_name_edit_pairs",
+    f"WITH {_EDIT_PAIRS_CTE} SELECT p_brand, id_a, id_b, dist FROM pairs",
+)
+def part_name_edit_pairs(spark, sf_dir):
+    """Blocked entity-resolution matching (operators/linkage.py): the
+    string-distance dedup modality the token-set family can't cover —
+    block on brand (one hash shuffle), prune candidates with the
+    |len(a)-len(b)| <= k necessary condition inside the join, verify
+    exact Levenshtein (JVM built-in, codegen) on survivors only."""
+    part = load_table(spark, sf_dir, "part")
+    return linkage_ops.blocked_edit_pairs(
+        part, ["p_brand"], "p_name", "p_partkey", max_dist=2
+    )
+
+
+@register(
+    "part_edit_graph_triangles",
+    f"""
+WITH {_EDIT_PAIRS_CTE},
+tri AS (
+  SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e2.id_a = e1.id_b
+  JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+)
+SELECT node_id, CAST(count(*) AS BIGINT) AS n_triangles
+FROM (
+  SELECT a AS node_id FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+GROUP BY node_id
+""",
+)
+def part_edit_graph_triangles(spark, sf_dir):
+    """Per-node triangle counts over the verified edit-distance graph
+    (operators/linkage.py::triangle_counts): id-oriented a<b<c
+    enumeration — two shuffled joins (wedge midpoint, closing pair)
+    plus one map-side-combinable corner count. The dense-clique
+    signature of healthy duplicate clusters; a collapsing triangle
+    count under threshold drift means the verifier is shredding
+    clusters."""
+    part = load_table(spark, sf_dir, "part")
+    edges = linkage_ops.blocked_edit_pairs(
+        part, ["p_brand"], "p_name", "p_partkey", max_dist=2
+    )
+    return linkage_ops.triangle_counts(edges)
+
+
+@register(
+    "events_ewma_1h",
+    """
+WITH RECURSIVE series AS (
+  SELECT event_type,
+         (epoch_ms(ts) // 3600000) * 3600000 AS ts_ms,
+         CAST(count(*) AS BIGINT) AS x,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY (epoch_ms(ts) // 3600000) * 3600000
+         ) AS rn
+  FROM events GROUP BY event_type, ts_ms
+), r AS (
+  SELECT event_type, rn, ts_ms, x, x AS ewma FROM series WHERE rn = 1
+  UNION ALL
+  SELECT s.event_type, s.rn, s.ts_ms, s.x, (3 * s.x + 7 * r.ewma) // 10
+  FROM series s JOIN r ON s.event_type = r.event_type AND s.rn = r.rn + 1
+)
+SELECT event_type, ts_ms, x, CAST(ewma AS BIGINT) AS ewma FROM r
+""",
+)
+def events_ewma_1h(spark, sf_dir):
+    """Integer-exact EWMA (alpha = 3/10) over hourly per-metric counts
+    (operators/smoothing.py): the recurrence each output depends on
+    runs per series in one Arrow-batched applyInPandas pass — one hash
+    shuffle on the series id, bounded per-group state (the rendered
+    series), bit-identical to the DuckDB recursive-CTE oracle because
+    every step is BIGINT floor-DIV arithmetic."""
+    from khronus_spark.sources.tables import ns_to_ms
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            (
+                F.call_function("div", ns_to_ms(F.col("ts")), F.lit(3_600_000))
+                * 3_600_000
+            ).alias("ts_ms"),
+        )
+        .groupBy("event_type", "ts_ms")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    return smoothing_ops.ewma_int(
+        hourly, ["event_type"], "ts_ms", "x", alpha_num=3, alpha_den=10
+    )
+
+
+@register(
+    "events_new_vs_returning",
+    """
+WITH f AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS first_day FROM events GROUP BY user_id
+),
+act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+SELECT day,
+       CAST(count(*) FILTER (WHERE day = first_day) AS BIGINT) AS new_users,
+       CAST(count(*) FILTER (WHERE day > first_day) AS BIGINT) AS returning_users
+FROM act JOIN f USING (user_id)
+GROUP BY day
+""",
+)
+def events_new_vs_returning(spark, sf_dir):
+    """Daily new-vs-returning user split: first-seen day per user (one
+    map-side-combinable min) joined back to the distinct activity set
+    co-partitioned on user_id, then a filtered count per day. The
+    product-analytics complement of the cohort retention triangle."""
+    from khronus_spark.sources.tables import ns_to_date
+
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(ns_to_date(F.col("ts"))).alias("first_day")
+    )
+    act = ev.select(
+        "user_id", ns_to_date(F.col("ts")).alias("day")
+    ).distinct()
+    return (
+        act.join(f, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.when(F.col("day") == F.col("first_day"), 1)).alias(
+                "new_users"
+            ),
+            F.count(F.when(F.col("day") > F.col("first_day"), 1)).alias(
+                "returning_users"
+            ),
+        )
+    )

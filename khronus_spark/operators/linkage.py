@@ -1,0 +1,124 @@
+"""Record linkage: blocked edit-distance matching + graph triangle QA.
+
+Entity resolution over dirty catalogs (near-identical product names,
+re-keyed customer records) needs a *string-distance* dedup modality in
+addition to the token-set family (MinHash/Jaccard in ``dedup.py``) —
+two records one typo apart share almost every shingle, but two records
+with a swapped word order share none of the edit budget. The classic
+shape (Fellegi-Sunter / Magellan style) is:
+
+  1. BLOCK: partition candidates by a cheap deterministic key so the
+     quadratic verify step only runs within bounded blocks;
+  2. FILTER: apply necessary-condition predicates (length difference
+     bounds edit distance from below) before the expensive measure;
+  3. VERIFY: exact Levenshtein on the surviving candidates only.
+
+Scale notes:
+- blocking is ONE hash shuffle on the block key; within-block pairing
+  is quadratic only in the block size, which the block-key choice
+  bounds (brand ~ |parts|/|brands|; at higher SF compose the key —
+  (brand, size) — exactly like ``bucket_pairs``'s star-cap convention
+  bounds LSH buckets);
+- the length filter is applied INSIDE the join condition so Catalyst
+  evaluates it before ``levenshtein`` (a necessary condition:
+  |len(a)-len(b)| ≤ k whenever edit distance ≤ k), cutting the
+  verify cost on typical blocks by ~an order of magnitude;
+- ``levenshtein`` is a JVM built-in (whole-stage codegen), not a UDF.
+
+Triangle counting grades the *quality* of a candidate graph: a healthy
+near-dup graph is a union of dense cliques (exact-duplicate groups),
+so a collapsing triangle count under a threshold change signals the
+verifier is shredding clusters. We orient edges by id (a < b < c), the
+standard trick that enumerates each triangle exactly once with two
+joins; at 100 TB scale the classical refinement is to orient by
+DEGREE (low→high) so no join side is a high-degree star — noted here,
+id-orientation is used for cross-engine determinism.
+
+No reference counterpart (khronus has no linkage operators); this is
+part of the training-data-pipeline extension surface.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def blocked_edit_pairs(
+    df: DataFrame,
+    block_cols: Sequence[str],
+    text_col: str,
+    id_col: str,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Within-block record pairs whose ``text_col`` edit distance is
+    ≤ ``max_dist``: (block cols, id_a, id_b, dist), id_a < id_b.
+
+    One shuffle on the block key; the length necessary-condition and
+    the id-ordering live in the join condition so they prune before
+    Levenshtein runs.
+    """
+    cols = list(block_cols)
+    a = df.select(
+        *cols,
+        F.col(id_col).alias("id_a"),
+        F.col(text_col).alias("text_a"),
+    )
+    b = df.select(
+        *[F.col(c).alias(f"_b_{c}") for c in cols],
+        F.col(id_col).alias("id_b"),
+        F.col(text_col).alias("text_b"),
+    )
+    cond = (
+        (F.col("id_a") < F.col("id_b"))
+        & (
+            F.abs(F.length("text_a") - F.length("text_b"))
+            <= F.lit(max_dist)
+        )
+    )
+    for c in cols:
+        cond = cond & (F.col(c) == F.col(f"_b_{c}"))
+    return (
+        a.join(b, on=cond)
+        .where(F.levenshtein("text_a", "text_b") <= F.lit(max_dist))
+        .select(
+            *cols,
+            "id_a",
+            "id_b",
+            F.levenshtein("text_a", "text_b").alias("dist"),
+        )
+    )
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Per-node triangle participation counts over an id-oriented edge
+    set (every edge has src < dst): (node_id, n_triangles), nodes with
+    at least one triangle.
+
+    Two shuffled joins — e2 keyed on the wedge midpoint, e3 on the
+    closing (a, c) pair — then a map-side-combinable count over the
+    exploded corners. Each triangle a<b<c is produced exactly once.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = e.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tri = (
+        e.join(e2, on="b")
+        .join(
+            e3,
+            on=(F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
+        )
+        .select("a", "b", "c")
+    )
+    corners = (
+        tri.select(F.col("a").alias("node_id"))
+        .unionAll(tri.select(F.col("b").alias("node_id")))
+        .unionAll(tri.select(F.col("c").alias("node_id")))
+    )
+    return corners.groupBy("node_id").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )

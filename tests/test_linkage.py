@@ -1,0 +1,125 @@
+"""Record linkage (blocked edit-distance ER), triangle QA, and the
+integer EWMA recurrence — planted-fixture unit tests; cross-engine
+parity for the registry entries lives in test_oracle_parity.py."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from khronus_spark.operators import linkage, smoothing
+
+
+def test_blocked_edit_pairs_planted(spark):
+    rows = [
+        # block A: "kettle" ~ "kettel" (dist 2: two substitutions? actually
+        # transposition = 2 edits under plain Levenshtein) and an exact dup
+        (1, "A", "copper kettle"),
+        (2, "A", "copper kettel"),
+        (3, "A", "copper kettle"),
+        (4, "A", "completely different name"),
+        # block B: identical text to id 1, but blocked apart — no pair
+        (5, "B", "copper kettle"),
+        # block B: within-distance pair
+        (6, "B", "steel drum"),
+        (7, "B", "steel drums"),
+    ]
+    df = spark.createDataFrame(rows, "id long, blk string, name string")
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in linkage.blocked_edit_pairs(
+            df, ["blk"], "name", "id", max_dist=2
+        ).collect()
+    }
+    assert got == {(1, 2): 2, (1, 3): 0, (2, 3): 2, (6, 7): 1}
+
+
+def test_blocked_edit_pairs_length_filter_is_necessary_condition(spark):
+    # length gap 3 > max_dist 2: pruned before levenshtein ever runs
+    df = spark.createDataFrame(
+        [(1, "A", "abc"), (2, "A", "abcdef")], "id long, blk string, name string"
+    )
+    assert (
+        linkage.blocked_edit_pairs(df, ["blk"], "name", "id", max_dist=2).count()
+        == 0
+    )
+
+
+def test_triangle_counts_clique_and_chain(spark):
+    # 4-clique on {1,2,3,4} -> C(3,2)=3 triangles per node, 4 total
+    clique = [
+        (a, b) for a in range(1, 5) for b in range(a + 1, 5)
+    ]
+    # plus a chain 10-11-12 with no closing edge: no triangle
+    edges = spark.createDataFrame(
+        clique + [(10, 11), (11, 12)], "id_a long, id_b long"
+    )
+    got = {
+        r["node_id"]: r["n_triangles"]
+        for r in linkage.triangle_counts(edges).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_ewma_int_recurrence_exact(spark):
+    df = spark.createDataFrame(
+        [("m", t, x) for t, x in enumerate([10, 20, 0, 40])],
+        "metric string, t long, x long",
+    )
+    out = {
+        r["t"]: r["ewma"]
+        for r in smoothing.ewma_int(
+            df, ["metric"], "t", "x", alpha_num=3, alpha_den=10
+        ).collect()
+    }
+    # s1=10; s2=(60+70)//10=13; s3=(0+91)//10=9; s4=(120+63)//10=18
+    assert out == {0: 10, 1: 13, 2: 9, 3: 18}
+
+
+def test_ewma_int_series_are_independent(spark):
+    df = spark.createDataFrame(
+        [("a", 0, 100), ("b", 0, 0), ("a", 1, 0), ("b", 1, 100)],
+        "metric string, t long, x long",
+    )
+    out = {
+        (r["metric"], r["t"]): r["ewma"]
+        for r in smoothing.ewma_int(df, ["metric"], "t", "x").collect()
+    }
+    assert out == {("a", 0): 100, ("a", 1): 70, ("b", 0): 0, ("b", 1): 30}
+
+
+def test_ewma_rejects_bad_alpha(spark):
+    df = spark.createDataFrame([("m", 0, 1)], "metric string, t long, x long")
+    with pytest.raises(ValueError):
+        smoothing.ewma_int(df, ["metric"], "t", "x", alpha_num=11, alpha_den=10)
+
+
+def test_edit_pairs_plan_is_equi_join(spark, sf_dir):
+    """The block key must reach the join as an equality (hash/broadcast
+    join), never a BroadcastNestedLoopJoin over the raw cross product."""
+    from khronus_spark.sources.tables import load_table
+
+    part = load_table(spark, sf_dir, "part")
+    plan = (
+        linkage.blocked_edit_pairs(part, ["p_brand"], "p_name", "p_partkey")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_ewma_plan_single_regroup(spark, sf_dir):
+    """EWMA adds exactly one extra hash exchange (the regroup on the
+    series id feeding FlatMapGroupsInPandas) over the hourly rollup."""
+    import __spark_entry__ as em
+
+    plan = (
+        em.queries()["events_ewma_1h"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("Exchange hashpartitioning") == 2  # rollup + regroup
+    assert "SinglePartition" not in plan
