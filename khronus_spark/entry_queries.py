@@ -197,6 +197,10 @@ _PRIORITY = [
     #    above; the r3 tail (influx_store_percentiles_1h,
     #    influx_percentiles_purchase_1h, tpch_q8_market_share,
     #    tpch_q13_order_distribution, ...) leads the round-7 window ------
+    # -- past the 50-row window if the driver caps there (locally
+    #    parity-green; round-7 leads) ------------------------------------
+    "events_type_transitions",
+    "events_cusum_changepoint",
 ]
 
 
@@ -4599,4 +4603,94 @@ def events_new_vs_returning(spark, sf_dir):
                 "returning_users"
             ),
         )
+    )
+
+
+@register(
+    "events_type_transitions",
+    """
+WITH s AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+         ) AS prev
+  FROM events
+)
+SELECT prev AS prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+FROM s WHERE prev IS NOT NULL
+GROUP BY prev_type, next_type
+""",
+)
+def events_type_transitions(spark, sf_dir):
+    """First-order Markov transition counts between event types: lag
+    over each user's (ts, event_id)-ordered stream, then a map-side-
+    combinable pair count — one hash shuffle on user_id, the per-user
+    sort is partition-local and spillable (a skewed power user is a
+    bigger sort run, not a bigger shuffle). The sequence-modeling
+    complement of the session/funnel entries."""
+    from khronus_spark.sources.tables import ns_to_ms
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        ns_to_ms(F.col("ts")), F.col("event_id")
+    )
+    s = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    )
+    return (
+        s.where(F.col("prev").isNotNull())
+        .groupBy(
+            F.col("prev").alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "events_cusum_changepoint",
+    """
+WITH series AS (
+  SELECT event_type, (epoch_ms(ts) // 3600000) * 3600000 AS ts_ms,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY event_type, ts_ms
+),
+t AS (
+  SELECT event_type, ts_ms,
+         sum(x) OVER (PARTITION BY event_type ORDER BY ts_ms) AS cum,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts_ms) AS i,
+         sum(x) OVER (PARTITION BY event_type) AS tot,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM series
+)
+SELECT event_type, ts_ms AS change_ts_ms, CAST(n * cum - i * tot AS BIGINT) AS cusum
+FROM t
+QUALIFY row_number() OVER (
+  PARTITION BY event_type ORDER BY abs(n * cum - i * tot) DESC, ts_ms
+) = 1
+""",
+)
+def events_cusum_changepoint(spark, sf_dir):
+    """Level-shift detection per metric (operators/smoothing.py::
+    cusum_changepoints): argmax |n·cumsum − i·total| over the hourly
+    series — the CUSUM statistic with the mean-division cleared so
+    every term is BIGINT-exact in both engines. One shuffle on the
+    series id; every window rides that partitioning and the rank-1
+    filter compiles to WindowGroupLimit."""
+    from khronus_spark.sources.tables import ns_to_ms
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            (
+                F.call_function("div", ns_to_ms(F.col("ts")), F.lit(3_600_000))
+                * 3_600_000
+            ).alias("ts_ms"),
+        )
+        .groupBy("event_type", "ts_ms")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    return smoothing_ops.cusum_changepoints(
+        hourly, ["event_type"], "ts_ms", "x"
     )

@@ -1,4 +1,5 @@
-"""Per-series integer-exact recursive smoothing (EWMA).
+"""Per-series integer-exact sequential analysis: EWMA smoothing and
+CUSUM changepoint detection.
 
 An exponentially-weighted moving average is the one dashboard staple
 the window-function family can't express: each output depends on the
@@ -38,6 +39,7 @@ from collections.abc import Sequence
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def ewma_int(
@@ -80,4 +82,52 @@ def ewma_int(
         df.select(*series_cols, order_col, value_col)
         .groupBy(*series_cols)
         .applyInPandas(run, schema)
+    )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    series_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Most-likely level-shift point per series: the argmax of the
+    |scaled CUSUM| statistic  c_i = n·(Σ_{j≤i} x_j) − i·(Σ x_j)
+    (the mean-centered cumulative sum with the division cleared, so
+    every term stays BIGINT-exact — no float mean to drift across
+    engines). Returns (series cols, change_<order_col>, cusum); ties
+    break to the earliest point.
+
+    Plan shape: one hash shuffle on the series id; the cumulative /
+    total / rank windows all ride that same partitioning, and the
+    rank-1 filter compiles to WindowGroupLimit (top-1 per series
+    short-circuits the sort). State per series = the rendered series,
+    bounded by the bucket grid like every per-series render.
+    """
+    from pyspark.sql import Window
+
+    keys = [F.col(c) for c in series_cols]
+    w_ord = Window.partitionBy(*keys).orderBy(order_col)
+    w_all = Window.partitionBy(*keys)
+    cusum = (
+        F.lit(0)
+        + F.count(F.lit(1)).over(w_all) * F.sum(value_col).over(w_ord)
+        - F.row_number().over(w_ord) * F.sum(value_col).over(w_all)
+    ).cast("long")
+    ranked = df.select(
+        *series_cols,
+        F.col(order_col),
+        cusum.alias("cusum"),
+    ).withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.partitionBy(*keys).orderBy(
+                F.abs(F.col("cusum")).desc(), F.col(order_col)
+            )
+        ),
+    )
+    return ranked.where(F.col("_rk") == 1).select(
+        *series_cols,
+        F.col(order_col).alias(f"change_{order_col}"),
+        "cusum",
     )

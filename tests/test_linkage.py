@@ -12,8 +12,8 @@ from khronus_spark.operators import linkage, smoothing
 
 def test_blocked_edit_pairs_planted(spark):
     rows = [
-        # block A: "kettle" ~ "kettel" (dist 2: two substitutions? actually
-        # transposition = 2 edits under plain Levenshtein) and an exact dup
+        # block A: "kettle" ~ "kettel" (a transposition = 2 edits under
+        # plain Levenshtein) and an exact dup
         (1, "A", "copper kettle"),
         (2, "A", "copper kettel"),
         (3, "A", "copper kettle"),
@@ -123,3 +123,24 @@ def test_ewma_plan_single_regroup(spark, sf_dir):
     assert "FlatMapGroupsInPandas" in plan
     assert plan.count("Exchange hashpartitioning") == 2  # rollup + regroup
     assert "SinglePartition" not in plan
+
+
+def test_cusum_changepoint_planted_shift(spark):
+    # flat at 10 for t=0..4, then jumps to 50 for t=5..9: the CUSUM
+    # statistic |n*cum - i*tot| peaks exactly at the last pre-shift point
+    rows = [("m", t, 10) for t in range(5)] + [("m", t, 50) for t in range(5, 10)]
+    df = spark.createDataFrame(rows, "metric string, t long, x long")
+    got = smoothing.cusum_changepoints(df, ["metric"], "t", "x").collect()
+    assert len(got) == 1
+    r = got[0]
+    # n=10, tot=300; at i=5 (t=4): cum=50 -> 10*50 - 5*300 = -1000
+    assert (r["metric"], r["change_t"], r["cusum"]) == ("m", 4, -1000)
+
+
+def test_cusum_tie_breaks_to_earliest(spark):
+    # symmetric series: two points tie on |cusum|; earliest wins
+    rows = [("m", 0, 0), ("m", 1, 10), ("m", 2, 0)]
+    df = spark.createDataFrame(rows, "metric string, t long, x long")
+    r = smoothing.cusum_changepoints(df, ["metric"], "t", "x").collect()[0]
+    # tot=10, n=3: i=1 -> 3*0-10 = -10 ; i=2 -> 3*10-20 = 10 ; i=3 -> 0
+    assert r["change_t"] == 0 and r["cusum"] == -10
