@@ -192,6 +192,12 @@ def main() -> None:
         "fill_linear": lambda: run_df(
             q["influx_fill_linear_error_1h"](spark, sf_dir)
         ),
+        # blocked entity resolution: brand-block equi-join, length
+        # necessary-condition pruning, Levenshtein verify on survivors
+        "edit_pairs": lambda: run_df(q["part_name_edit_pairs"](spark, sf_dir)),
+        # per-series integer recurrence through applyInPandas (the
+        # order-dependent op window functions can't express)
+        "ewma_smooth": lambda: run_df(q["events_ewma_1h"](spark, sf_dir)),
     }
 
     import tempfile

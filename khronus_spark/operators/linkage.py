@@ -92,6 +92,88 @@ def blocked_edit_pairs(
     )
 
 
+def sorted_neighbor_pairs(
+    df: DataFrame,
+    block_cols: Sequence[str],
+    text_col: str,
+    id_col: str,
+    window: int = 5,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Sorted-neighborhood candidate generation (Hernández-Stolfo): the
+    LINEAR-cost scale path of blocked matching. Within each block,
+    records sort by ``text_col`` and each record pairs with its next
+    ``window`` neighbors via ``lead`` — candidate volume is O(n·w),
+    not O(block²), and after the one block-key shuffle the whole pass
+    is map-side window algebra with NO self-join.
+
+    The trade is recall: edits near the string head break sort
+    adjacency (measured at sf0.01: w=5 finds ~59% of the pairs the
+    full within-block join finds). Production composition: union the
+    passes over several sort keys (name, reversed name, …) — the
+    multi-pass sorted-neighborhood method — rather than widening w.
+
+    Output (block cols, id_a, id_b, dist): id_a is the sort-order
+    predecessor, not necessarily the smaller id.
+    """
+    from pyspark.sql import Window as W
+
+    cols = list(block_cols)
+    base = df.select(
+        *cols, F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a")
+    )
+    w_blk = W.partitionBy(*cols).orderBy("text_a", "id_a")
+    # window expressions can't live inside a generator: materialize the
+    # lead columns first (all share one window sort), then explode
+    led = base.select(
+        *cols,
+        "id_a",
+        "text_a",
+        *[
+            c
+            for k in range(1, window + 1)
+            for c in (
+                F.lead("id_a", k).over(w_blk).alias(f"_id_{k}"),
+                F.lead("text_a", k).over(w_blk).alias(f"_text_{k}"),
+            )
+        ],
+    )
+    neighbor = F.array(
+        *[
+            F.struct(
+                F.col(f"_id_{k}").alias("id_b"),
+                F.col(f"_text_{k}").alias("text_b"),
+            )
+            for k in range(1, window + 1)
+        ]
+    )
+    exploded = led.select(
+        *cols, "id_a", "text_a", F.explode(neighbor).alias("nb")
+    ).select(
+        *cols,
+        "id_a",
+        "text_a",
+        F.col("nb.id_b").alias("id_b"),
+        F.col("nb.text_b").alias("text_b"),
+    )
+    return (
+        exploded.where(F.col("id_b").isNotNull())
+        .where(
+            (
+                F.abs(F.length("text_a") - F.length("text_b"))
+                <= F.lit(max_dist)
+            )
+            & (F.levenshtein("text_a", "text_b") <= F.lit(max_dist))
+        )
+        .select(
+            *cols,
+            "id_a",
+            "id_b",
+            F.levenshtein("text_a", "text_b").alias("dist"),
+        )
+    )
+
+
 def triangle_counts(
     edges: DataFrame, src: str = "id_a", dst: str = "id_b"
 ) -> DataFrame:

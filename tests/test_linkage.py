@@ -144,3 +144,50 @@ def test_cusum_tie_breaks_to_earliest(spark):
     r = smoothing.cusum_changepoints(df, ["metric"], "t", "x").collect()[0]
     # tot=10, n=3: i=1 -> 3*0-10 = -10 ; i=2 -> 3*10-20 = 10 ; i=3 -> 0
     assert r["change_t"] == 0 and r["cusum"] == -10
+
+
+def test_sorted_neighbor_pairs_planted(spark):
+    # sort order within block A: abc, abd, zzz — abc/abd adjacent (d=1),
+    # zzz unreachable within dist; window=1 limits to immediate neighbor
+    df = spark.createDataFrame(
+        [(1, "A", "abc"), (2, "A", "abd"), (3, "A", "zzz"), (4, "B", "abc")],
+        "id long, blk string, name string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in linkage.sorted_neighbor_pairs(
+            df, ["blk"], "name", "id", window=1, max_dist=2
+        ).collect()
+    }
+    assert got == {(1, 2): 1}
+
+
+def test_sorted_neighbor_window_bounds_candidates(spark):
+    # five identical strings, window=2: each record pairs only with its
+    # next <=2 sort neighbors: (i,i+1) x4 and (i,i+2) x3
+    df = spark.createDataFrame(
+        [(i, "A", "same") for i in range(1, 6)], "id long, blk string, name string"
+    )
+    pairs = linkage.sorted_neighbor_pairs(
+        df, ["blk"], "name", "id", window=2, max_dist=0
+    ).collect()
+    assert len(pairs) == 7  # (1,2)(1,3)(2,3)(2,4)(3,4)(3,5)(4,5)
+    # vs the full blocked join which would emit C(5,2)=10
+    full = linkage.blocked_edit_pairs(df, ["blk"], "name", "id", max_dist=0)
+    assert full.count() == 10
+
+
+def test_sorted_neighbor_plan_has_no_join(spark, sf_dir):
+    """The linear candidate generator must be window algebra after one
+    block-key shuffle — NO join operator anywhere in the plan."""
+    from khronus_spark.sources.tables import load_table
+
+    part = load_table(spark, sf_dir, "part")
+    plan = (
+        linkage.sorted_neighbor_pairs(part, ["p_brand"], "p_name", "p_partkey")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
