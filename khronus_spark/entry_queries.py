@@ -170,14 +170,14 @@ _PRIORITY = [
     "events_type_transitions",
     "events_cusum_changepoint",
     "part_name_sorted_neighbor_pairs",
-    # -- engine path touched in round 6: must re-prove. Only the two
-    #    MOST-touched paths ride the window (the incremental-dedup
-    #    build/probe split and the star-edge recall fix); the other
-    #    three touched entries (dedup_components, bm25_eval_topk,
+    "part_entity_components",
+    # -- engine path touched in round 6: must re-prove. Only the
+    #    MOST-touched path rides the window (the incremental-dedup
+    #    build/probe split); the other four touched entries
+    #    (near_dup_jaccard_lsh, dedup_components, bm25_eval_topk,
     #    ann_pq_topk_indexed) hold green r5 rows and re-prove locally
     #    on every pytest parity run --------------------------------------
     "dedup_incremental_batch",
-    "near_dup_jaccard_lsh",
     # -- longest unchecked: newest green row is round 2 (all 18 — the
     #    ledger debt retires this round) ---------------------------------
     "metric_catalog",
@@ -4733,3 +4733,36 @@ def part_name_sorted_neighbor_pairs(spark, sf_dir):
     return linkage_ops.sorted_neighbor_pairs(
         part, ["p_brand"], "p_name", "p_partkey", window=5, max_dist=2
     )
+
+
+@register(
+    "part_entity_components",
+    f"""
+WITH RECURSIVE {_EDIT_PAIRS_CTE},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT DISTINCT src, src AS dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS part_id, min(dst) AS entity_id FROM reach GROUP BY src
+""",
+)
+def part_entity_components(spark, sf_dir):
+    """Entity resolution end-to-end: golden-record ids over the
+    verified edit-distance graph — blocked ER pairs feed the
+    large-star/small-star component contraction (operators/
+    components.py), so transitively-linked name variants collapse to
+    one entity_id (min member id). The linkage counterpart of
+    dedup_components: same O(log² n)-round clustering core, new edge
+    modality. At sf0.01: 1671 linked parts in 509 entities, largest 11."""
+    part = load_table(spark, sf_dir, "part")
+    edges = linkage_ops.blocked_edit_pairs(
+        part, ["p_brand"], "p_name", "p_partkey", max_dist=2
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    return components_ops.connected_components(edges).select(
+        F.col("node_id").alias("part_id"), "component_id"
+    ).withColumnRenamed("component_id", "entity_id")
