@@ -57,7 +57,7 @@ def ewma_int(
     """
     if not 0 < alpha_num <= alpha_den:
         raise ValueError("alpha must satisfy 0 < num <= den")
-    keep = (alpha_den - alpha_num,)
+    keep = alpha_den - alpha_num
 
     schema = ", ".join(
         [f"{c} string" for c in series_cols]
@@ -73,7 +73,7 @@ def ewma_int(
         s = 0
         for i, xi in enumerate(x):
             xi = int(xi)
-            s = xi if i == 0 else (alpha_num * xi + keep[0] * s) // alpha_den
+            s = xi if i == 0 else (alpha_num * xi + keep * s) // alpha_den
             out.append(s)
         pdf["ewma"] = pd.Series(out, dtype="int64")
         return pdf[list(series_cols) + [order_col, value_col, "ewma"]]
@@ -81,6 +81,93 @@ def ewma_int(
     return (
         df.select(*series_cols, order_col, value_col)
         .groupBy(*series_cols)
+        .applyInPandas(run, schema)
+    )
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Integer division truncated TOWARD ZERO — the cross-engine common
+    semantics (DuckDB's ``//`` and ANSI/Spark ``div`` both truncate;
+    Python's ``//`` floors, which differs on negative operands, and
+    Holt's trend term goes negative on any decline)."""
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q
+
+
+def holt_int(
+    df: DataFrame,
+    series_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    alpha_num: int = 3,
+    alpha_den: int = 10,
+    beta_num: int = 2,
+    beta_den: int = 10,
+) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend), integer-exact:
+
+        l_1 = x_1,  b_1 = 0
+        l_t = (alpha_num·x_t + (alpha_den−alpha_num)·(l_{t-1}+b_{t-1}))
+              tdiv alpha_den
+        b_t = (beta_num·(l_t − l_{t-1}) + (beta_den−beta_num)·b_{t-1})
+              tdiv beta_den
+
+    with ``tdiv`` the toward-zero division both engines share. Returns
+    (series cols, order_col, value_col, level, trend, forecast_next)
+    where forecast_next = l_t + b_t is the one-step-ahead forecast —
+    the dashboard "where is this metric heading" primitive EWMA's
+    single state can't answer (EWMA lags every trend; Holt tracks it).
+
+    Same plan shape and bounded-state argument as ``ewma_int``: one
+    hash exchange on the series id, the recurrence folds per series in
+    one Arrow batch.
+    """
+    for num, den in ((alpha_num, alpha_den), (beta_num, beta_den)):
+        if not 0 < num <= den:
+            raise ValueError("smoothing factors must satisfy 0 < num <= den")
+    a_keep = alpha_den - alpha_num
+    b_keep = beta_den - beta_num
+
+    schema = ", ".join(
+        [f"{c} string" for c in series_cols]
+        + [
+            f"{order_col} long",
+            f"{value_col} long",
+            "level long",
+            "trend long",
+            "forecast_next long",
+        ]
+    )
+    cols = list(series_cols)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(
+            drop=True
+        )
+        x = pdf[value_col].to_numpy()
+        levels, trends, fcs = [], [], []
+        lvl = trend = 0
+        for i, xi in enumerate(x):
+            xi = int(xi)
+            if i == 0:
+                lvl, trend = xi, 0
+            else:
+                prev = lvl
+                lvl = _tdiv(alpha_num * xi + a_keep * (lvl + trend), alpha_den)
+                trend = _tdiv(beta_num * (lvl - prev) + b_keep * trend, beta_den)
+            levels.append(lvl)
+            trends.append(trend)
+            fcs.append(lvl + trend)
+        pdf["level"] = pd.Series(levels, dtype="int64")
+        pdf["trend"] = pd.Series(trends, dtype="int64")
+        pdf["forecast_next"] = pd.Series(fcs, dtype="int64")
+        return pdf[
+            cols + [order_col, value_col, "level", "trend", "forecast_next"]
+        ]
+
+    return (
+        df.select(*cols, order_col, value_col)
+        .groupBy(*cols)
         .applyInPandas(run, schema)
     )
 

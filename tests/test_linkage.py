@@ -191,3 +191,81 @@ def test_sorted_neighbor_plan_has_no_join(spark, sf_dir):
     )
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_holt_tracks_linear_trend(spark):
+    # a clean arithmetic ramp: level locks on, trend converges toward
+    # the true slope, forecast leads the observation
+    rows = [("m", t, 100 + 10 * t) for t in range(8)]
+    df = spark.createDataFrame(rows, "metric string, t long, x long")
+    out = {
+        r["t"]: (r["level"], r["trend"], r["forecast_next"])
+        for r in smoothing.holt_int(df, ["metric"], "t", "x").collect()
+    }
+    # hand-rolled recurrence (alpha=3/10, beta=2/10, toward-zero div)
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return -q if (a < 0) != (b < 0) else q
+
+    lvl, tr = 100, 0
+    assert out[0] == (100, 0, 100)
+    for t in range(1, 8):
+        x = 100 + 10 * t
+        prev = lvl
+        lvl = tdiv(3 * x + 7 * (lvl + tr), 10)
+        tr = tdiv(2 * (lvl - prev) + 8 * tr, 10)
+        assert out[t] == (lvl, tr, lvl + tr)
+    assert out[7][1] > 0  # trend is tracking the rise
+
+
+def test_holt_negative_trend_uses_toward_zero_div(spark):
+    # a falling series drives the trend negative — the recurrence must
+    # truncate toward zero (DuckDB // and ANSI div), not floor
+    rows = [("m", t, 1000 - 100 * t) for t in range(6)]
+    df = spark.createDataFrame(rows, "metric string, t long, x long")
+    out = {
+        r["t"]: (r["level"], r["trend"])
+        for r in smoothing.holt_int(df, ["metric"], "t", "x").collect()
+    }
+    assert out[5][1] < 0
+    # floor-division would give a level/trend pair drifting one unit
+    # lower at several steps; pin the exact toward-zero sequence
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return -q if (a < 0) != (b < 0) else q
+
+    lvl, tr = 1000, 0
+    for t in range(1, 6):
+        x = 1000 - 100 * t
+        prev = lvl
+        lvl = tdiv(3 * x + 7 * (lvl + tr), 10)
+        tr = tdiv(2 * (lvl - prev) + 8 * tr, 10)
+        assert out[t] == (lvl, tr)
+
+
+def test_holt_rejects_bad_factors(spark):
+    df = spark.createDataFrame([("m", 0, 1)], "metric string, t long, x long")
+    with pytest.raises(ValueError):
+        smoothing.holt_int(df, ["metric"], "t", "x", beta_num=0)
+
+
+def test_clustering_coefficient_clique_is_one(spark):
+    """In a 4-clique every node has degree 3 and sits in 3 triangles:
+    cc = 2*3/(3*2) = 1.0 -> 10000 bp, computed through the same column
+    algebra the registry entry uses."""
+    # drive the registry entry's formula on a planted fixture via the
+    # operator composition (clique of 4 identical names in one block)
+    from khronus_spark.operators import linkage as lk
+
+    df = spark.createDataFrame(
+        [(i, "A", "same") for i in range(1, 5)], "id long, blk string, name string"
+    )
+    edges = lk.blocked_edit_pairs(df, ["blk"], "name", "id", max_dist=0)
+    tri = {r["node_id"]: r["n_triangles"] for r in lk.triangle_counts(edges).collect()}
+    deg = {}
+    for r in edges.collect():
+        deg[r["id_a"]] = deg.get(r["id_a"], 0) + 1
+        deg[r["id_b"]] = deg.get(r["id_b"], 0) + 1
+    for node in (1, 2, 3, 4):
+        assert deg[node] == 3 and tri[node] == 3
+        assert (20000 * tri[node]) // (deg[node] * (deg[node] - 1)) == 10000
