@@ -269,3 +269,19 @@ def test_clustering_coefficient_clique_is_one(spark):
     for node in (1, 2, 3, 4):
         assert deg[node] == 3 and tri[node] == 3
         assert (20000 * tri[node]) // (deg[node] * (deg[node] - 1)) == 10000
+
+
+def test_cusum_plan_has_window_group_limit(spark, sf_dir):
+    """The rank-1 filter must compile to WindowGroupLimit (top-1 per
+    series short-circuits the |cusum| sort) and stay off
+    SinglePartition."""
+    import __spark_entry__ as em
+
+    plan = (
+        em.queries()["events_cusum_changepoint"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan
+    assert "SinglePartition" not in plan
