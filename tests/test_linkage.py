@@ -1,11 +1,11 @@
-"""Record linkage (blocked edit-distance ER), triangle QA, and the
-integer EWMA recurrence — planted-fixture unit tests; cross-engine
-parity for the registry entries lives in test_oracle_parity.py."""
+"""Record linkage (blocked + sorted-neighborhood ER, triangle/
+clustering QA) and per-series sequential analysis (EWMA, Holt, CUSUM)
+— planted-fixture unit tests and plan gates; cross-engine parity for
+the registry entries lives in test_oracle_parity.py."""
 
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import functions as F
 
 from khronus_spark.operators import linkage, smoothing
 
