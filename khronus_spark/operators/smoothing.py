@@ -1,5 +1,5 @@
-"""Per-series integer-exact sequential analysis: EWMA smoothing and
-CUSUM changepoint detection.
+"""Per-series integer-exact sequential analysis: EWMA smoothing, Holt
+level+trend forecasting, and CUSUM changepoint detection.
 
 An exponentially-weighted moving average is the one dashboard staple
 the window-function family can't express: each output depends on the
