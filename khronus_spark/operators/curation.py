@@ -43,7 +43,12 @@ from khronus_spark.operators.components import (
     minhash_components_ctes,
     minhash_duplicate_components,
 )
-from khronus_spark.operators.text import QUALITY_SCORE_SQL, quality_score
+from khronus_spark.operators.text import (
+    QUALITY_SCORE_SQL,
+    quality_score,
+    with_gopher_keep,
+    with_quality,
+)
 from khronus_spark.operators.text import _tokens as _mix_tokens
 from khronus_spark.sources.tables import spread
 
@@ -87,7 +92,6 @@ def curated_docs(
     becomes a shuffle join on doc_id — dup-heavy corpora must not ride
     a driver-side broadcast.
     """
-    q = quality_score(docs).select("doc_id", "n_tokens", "quality_bp")
     if callable(edge_gen):
         # the built-in generators end localCheckpointed (their CC loop
         # requires it), so the size-guard count below is a cheap read; a
@@ -104,8 +108,11 @@ def curated_docs(
         comps = F.broadcast(comps)
     sample_threshold = (1 << 32) * sample_pct // 100
     sample_key = F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10).cast("long")
+    # quality attaches as map-side columns (text.with_quality) — joining
+    # quality_score(docs) back on doc_id would be a full-corpus
+    # sort-merge self-join once the derived side outgrows broadcast
     return (
-        docs.join(q, "doc_id")
+        with_quality(docs)
         .where(
             (F.col("quality_bp") >= quality_min_bp)
             & (F.col("n_tokens") >= min_tokens)
@@ -382,21 +389,21 @@ def corpus_prep(
     language. No corpus self-join anywhere.
     """
     from khronus_spark.operators.dedup import decontamination
-    from khronus_spark.operators.text import _tokens, quality_score
     from pyspark.sql import Window
 
     base = spread(docs).where(F.col("doc_id") % eval_mod != 0)
-    q = quality_score(docs).select("doc_id", "quality_bp")
     d = decontamination(docs, eval_mod).select("doc_id", "contamination_bp")
     w = Window.partitionBy(F.md5(F.col("text")))
+    # quality is a map-side projection (text.with_quality), not a join;
+    # the contamination join stays — its per-doc score is an aggregate
     flagged = (
-        base.join(q, "doc_id")
+        with_quality(base)
         .join(d, "doc_id")
         .withColumn("keep_id", F.min("doc_id").over(w))
         .select(
             "doc_id",
             "lang",
-            F.size(_tokens()).cast("long").alias("n_tokens"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
             (F.col("quality_bp") < quality_min_bp).alias("q_drop"),
             (F.col("contamination_bp") >= contamination_max_bp).alias("c_drop"),
             (F.col("doc_id") != F.col("keep_id")).alias("dup_drop"),
@@ -722,16 +729,17 @@ def source_health_report(docs: DataFrame, top_v: int = 12) -> DataFrame:
     unique texts never enters the join) and is salted like the gram
     joins; the final rollup is one map-side-combinable groupBy(source)
     plus a |sources|-row join with the OOV profile."""
-    from khronus_spark.operators.text import (
-        gopher_rules,
-        vocab_oov_profile,
-    )
+    from khronus_spark.operators.text import vocab_oov_profile
 
     salt = 16
-    g = gopher_rules(docs).select("doc_id", "keep")
-    qs = quality_score(docs).select("doc_id", "quality_bp")
     oov = vocab_oov_profile(docs, top_v).select("source", "oov_pm")
-    hashed = docs.select("doc_id", "source", F.md5("text").alias("h"))
+    # every per-doc signal (md5, gopher keep, quality) is map-only, so
+    # they ride ONE projection of the corpus — joining gopher_rules()
+    # and quality_score() back on doc_id would cost two full-corpus
+    # self-joins for columns a scan computes for free
+    hashed = with_quality(with_gopher_keep(docs)).select(
+        "doc_id", "source", "keep", "quality_bp", F.md5("text").alias("h")
+    )
     dup_h = (
         hashed.groupBy("h")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -744,12 +752,16 @@ def source_health_report(docs: DataFrame, top_v: int = 12) -> DataFrame:
     flags = (
         hashed.withColumn("_salt", (F.col("doc_id") % salt).cast("int"))
         .join(dup_h.withColumn("_hit", F.lit(1)), ["h", "_salt"], "left")
-        .select("doc_id", "source", F.col("_hit").isNotNull().alias("is_dup"))
+        .select(
+            "doc_id",
+            "source",
+            "keep",
+            "quality_bp",
+            F.col("_hit").isNotNull().alias("is_dup"),
+        )
     )
     per = (
-        flags.join(g, "doc_id")
-        .join(qs, "doc_id")
-        .groupBy("source")
+        flags.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.col("keep").cast("long")).alias("_keeps"),
@@ -819,22 +831,25 @@ def canonical_by_quality(docs: DataFrame) -> DataFrame:
     from pyspark.sql import Window
 
     comps = minhash_duplicate_components(docs)
-    q = quality_score(docs).select("doc_id", "n_tokens", "quality_bp")
+    # quality attaches map-side (text.with_quality); only the TINY
+    # component/representative maps ever sit on a join's build side —
+    # the corpus is scanned, never shuffled
+    dq = with_quality(docs).select(
+        "doc_id", "lang", "source", "n_tokens", "quality_bp"
+    )
     w = Window.partitionBy("component_id").orderBy(
         F.col("quality_bp").desc(), F.col("n_tokens").desc(), F.col("doc_id").asc()
     )
     reps = (
-        comps.join(q, "doc_id")
+        dq.join(F.broadcast(comps), "doc_id")
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select("doc_id", F.lit(1).alias("_rep"))
     )
     return (
-        docs.select("doc_id", "lang", "source")
-        .join(F.broadcast(comps), "doc_id", "left")
+        dq.join(F.broadcast(comps), "doc_id", "left")
         .join(F.broadcast(reps), "doc_id", "left")
         .where(F.col("component_id").isNull() | F.col("_rep").isNotNull())
-        .join(q, "doc_id")
         .select("doc_id", "lang", "source", "n_tokens", "quality_bp")
     )
 

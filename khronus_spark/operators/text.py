@@ -113,6 +113,30 @@ FROM t
 """
 
 
+def with_quality(docs: DataFrame) -> DataFrame:
+    """``docs`` with map-side ``n_tokens`` / ``quality_bp`` columns
+    attached — the join-free form of ``quality_score`` for pipeline
+    composition. ``docs.join(quality_score(docs), "doc_id")`` re-reads
+    the corpus and, once the derived side is too big to broadcast,
+    becomes a full-corpus sort-merge self-join — two shuffles of the
+    100 TB table to attach columns a projection computes for free.
+    Values and types are identical to ``quality_score``'s columns of
+    the same name (pinned by test_corpus_ops); zero exchanges added.
+    """
+    in_list = ",".join(repr(w) for w in STOPWORDS)
+    quality_bp = F.expr(
+        "(40 * (least(size(_t), 100) * 100L)"
+        f" + 30 * (size(filter(_t, x -> x IN ({in_list}))) * 10000L div size(_t))"
+        " + 30 * (least(n_chars, 500) * 20L)) div 100"
+    )
+    return (
+        docs.withColumn("_t", _tokens())
+        .withColumn("n_tokens", F.size("_t"))
+        .withColumn("quality_bp", quality_bp)
+        .drop("_t")
+    )
+
+
 def lang_id(docs: DataFrame) -> DataFrame:
     """Marker-token language ID: count marker hits per language profile;
     predict the argmax (fixed tie order: en, es, fr, de; all-zero →
@@ -304,6 +328,30 @@ SELECT *,
          AND stop_hits >= 2 AND alpha_bp >= 8000 AS keep
 FROM m
 """
+
+
+def with_gopher_keep(docs: DataFrame) -> DataFrame:
+    """``docs`` with the map-side ``keep`` verdict of ``gopher_rules``
+    attached — the join-free composition form (see ``with_quality``):
+    the rule battery is pure column algebra, so pipelines must never
+    pay a corpus self-join to consult it. Verdict identical to
+    ``gopher_rules().keep`` (pinned by test_corpus_ops)."""
+    in_list = ",".join(repr(w) for w in STOPWORDS)
+    return (
+        docs.withColumn("_t", _tokens())
+        .withColumn(
+            "keep",
+            F.expr(
+                "size(_t) BETWEEN 5 AND 100000"
+                " AND (aggregate(_t, 0L, (acc, x) -> acc + length(x))"
+                " * 100L div size(_t)) BETWEEN 250 AND 1000"
+                f" AND size(array_distinct(filter(_t, x -> x IN ({in_list})))) >= 2"
+                " AND size(filter(_t, x -> x rlike '[a-z]'))"
+                " * 10000L div size(_t) >= 8000"
+            ),
+        )
+        .drop("_t")
+    )
 
 
 #: salt buckets for the gram-key joins: a hot boilerplate gram's probe

@@ -37,6 +37,35 @@ def test_gopher_keep_is_conjunction_and_bounds(spark, oracle_sf_dir):
     assert out.where("alpha_bp < 0 OR alpha_bp > 10000").count() == 0
 
 
+def test_map_side_helpers_match_join_form(spark, oracle_sf_dir):
+    """with_quality / with_gopher_keep are the join-free composition
+    forms: their attached columns must be value-identical to the
+    standalone quality_score / gopher_rules outputs row for row (the
+    curation pipelines rely on this to drop full-corpus self-joins),
+    and neither may introduce an exchange (pure projection)."""
+    from khronus_spark.operators.text import (
+        quality_score,
+        with_gopher_keep,
+        with_quality,
+    )
+    from khronus_spark.sources.tables import load_table
+
+    docs = load_table(spark, oracle_sf_dir, "documents")
+
+    wq = with_quality(docs).select("doc_id", "n_tokens", "quality_bp")
+    qs = quality_score(docs).select("doc_id", "n_tokens", "quality_bp")
+    assert wq.schema == qs.schema
+    assert wq.exceptAll(qs).count() == 0 and qs.exceptAll(wq).count() == 0
+
+    wg = with_gopher_keep(docs).select("doc_id", "keep")
+    gr = gopher_rules(docs).select("doc_id", "keep")
+    assert wg.exceptAll(gr).count() == 0 and gr.exceptAll(wg).count() == 0
+
+    for df in (with_quality(docs), with_gopher_keep(docs)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Join" not in plan
+
+
 def test_gopher_rules_discriminate(spark):
     # too short / no stopwords / huge tokens / clean — one rule each
     out = {

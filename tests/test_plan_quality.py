@@ -113,6 +113,26 @@ def test_curation_broadcasts_component_map(spark, oracle_sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # quality attaches map-side (text.with_quality): the whole pipeline
+    # reads the corpus EXACTLY once and never sort-merge-joins — a
+    # second scan means someone reintroduced the
+    # docs.join(quality_score(docs)) self-join, which at 100 TB is two
+    # full-corpus shuffles for columns a projection computes for free
+    assert plan.count("documents.parquet") == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_canonical_and_health_quality_is_join_free(spark, oracle_sf_dir):
+    """canonical_by_quality / source_health_report attach their per-doc
+    quality + gopher signals as projections, never via doc_id
+    self-joins: scan counts pin the composition shape (before the
+    round-6 rewrite these plans read the corpus 3 and 7 times)."""
+    plan = _plan(spark, oracle_sf_dir, "canonical_by_quality")
+    assert plan.count("documents.parquet") == 2  # reps + survivors
+    assert "SortMergeJoin" not in plan
+    plan = _plan(spark, oracle_sf_dir, "source_health_report")
+    # hashed/flags branch + dup_h branch + OOV profile's three
+    assert plan.count("documents.parquet") <= 5
 
 
 def test_curation_default_edge_gen_is_banded_lsh(spark, oracle_sf_dir, monkeypatch):
