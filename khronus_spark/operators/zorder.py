@@ -76,6 +76,55 @@ def zorder_layout(
     )
 
 
+def _rank_expr(bounds: list[float], col: str) -> str:
+    """SQL expression for #{b in bounds : col >= b} as an O(log k)
+    nested-IF binary search. The expression TREE is O(k) literals but
+    any row evaluates only log2(k) comparisons — at bits=8 that is 8
+    branches per row instead of the 255 a linear fold pays, and it
+    stays inside whole-stage codegen (no higher-order-function
+    interpreter, no ML UDF)."""
+    c = f"CAST({col} AS DOUBLE)"
+
+    def go(lo: int, hi: int) -> str:
+        if hi == lo:
+            return "0L"
+        if hi - lo == 1:
+            return f"IF({c} >= CAST({bounds[lo]!r} AS DOUBLE), 1L, 0L)"
+        mid = (lo + hi) // 2
+        return (
+            f"IF({c} >= CAST({bounds[mid]!r} AS DOUBLE), "
+            f"{mid - lo + 1}L + ({go(mid + 1, hi)}), {go(lo, mid)})"
+        )
+
+    return go(0, len(bounds))
+
+
+def _cell_from_bounds(uniq: list[float], col: str, bits: int) -> Column:
+    # Stretch the (deduped) rank back over the full 2**bits width: a
+    # low-cardinality column yields few distinct boundaries, and an
+    # unstretched rank would occupy only its low bits — recreating the
+    # unbalanced-interleave problem quantiles exist to fix. After the
+    # stretch both axes claim alternating significant curve bits no
+    # matter their cardinality.
+    k = max(1, len(uniq))
+    return F.expr(f"({_rank_expr(uniq, col)}) * {(1 << bits) - 1}L div {k}L")
+
+
+def quantile_bounds(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 6,
+    relative_error: float = 0.001,
+) -> dict[str, list[float]]:
+    """Deduped quantile boundary lists for several columns from ONE
+    stats pass — `DataFrame.approxQuantile` accepts a column list and
+    computes every sketch in a single scan, so a 2-D layout job pays
+    one read for its statistics, not one per axis."""
+    probs = [i / (1 << bits) for i in range(1, 1 << bits)]
+    all_bounds = df.approxQuantile(list(cols), probs, relative_error)
+    return {c: sorted(set(b)) for c, b in zip(cols, all_bounds)}
+
+
 def quantile_cell(
     df: DataFrame, col: str, bits: int = 6, relative_error: float = 0.001
 ) -> Column:
@@ -90,26 +139,13 @@ def quantile_cell(
 
     The boundary list (≤ 2**bits − 1 doubles) is computed once with
     approxQuantile — a bounded driver-side call, fine for a write-time
-    layout job — and baked into a literal array; the per-row cell is a
-    fold over that array inside codegen. Ties/skew collapse boundaries
-    (deduped), so a dominant value gets one wide cell instead of
-    breaking monotonicity."""
-    probs = [i / (1 << bits) for i in range(1, 1 << bits)]
-    bounds = df.approxQuantile(col, probs, relative_error)
-    uniq = sorted(set(bounds))
-    arr = ", ".join(f"CAST({v!r} AS DOUBLE)" for v in uniq)
-    # Stretch the (deduped) rank back over the full 2**bits width: a
-    # low-cardinality column yields few distinct boundaries, and an
-    # unstretched rank would occupy only its low bits — recreating the
-    # unbalanced-interleave problem quantiles exist to fix. After the
-    # stretch both axes claim alternating significant curve bits no
-    # matter their cardinality.
-    k = max(1, len(uniq))
-    return F.expr(
-        f"aggregate(array({arr}), 0L, "
-        f"(acc, x) -> acc + CASE WHEN CAST({col} AS DOUBLE) >= x "
-        f"THEN 1L ELSE 0L END) * {(1 << bits) - 1}L div {k}L"
-    )
+    layout job — and baked into an O(log k) binary-search expression
+    (`_rank_expr`). Ties/skew collapse boundaries (deduped), so a
+    dominant value gets one wide cell instead of breaking
+    monotonicity. Multi-axis callers should use `quantile_bounds` +
+    `_cell_from_bounds` to share one stats scan."""
+    uniq = quantile_bounds(df, [col], bits, relative_error)[col]
+    return _cell_from_bounds(uniq, col, bits)
 
 
 def zorder_layout_ranked(
@@ -123,10 +159,13 @@ def zorder_layout_ranked(
     """`zorder_layout` over quantile-ranked cells of the two raw
     columns: each axis is first rank-normalized into 2**bits cells
     (`quantile_cell`), then Morton-interleaved — robust to skew and to
-    columns of wildly different scales (epoch-ms vs small ids)."""
+    columns of wildly different scales (epoch-ms vs small ids). Both
+    axes' quantile sketches come from ONE stats scan
+    (`quantile_bounds`)."""
+    bounds = quantile_bounds(df, [a, b], bits)
     with_cells = df.withColumn(
-        "_ca", quantile_cell(df, a, bits)
-    ).withColumn("_cb", quantile_cell(df, b, bits))
+        "_ca", _cell_from_bounds(bounds[a], a, bits)
+    ).withColumn("_cb", _cell_from_bounds(bounds[b], b, bits))
     with_z = with_cells.withColumn(z_col, z_value("_ca", "_cb", bits))
     return with_z.repartitionByRange(n_partitions, z_col).sortWithinPartitions(
         z_col
