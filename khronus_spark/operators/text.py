@@ -1886,9 +1886,14 @@ def bm25_rank(
     hash is exact (a real-log BM25 would differ in the last ulp between
     JVM and C libm and flip floor/round at boundaries).
 
-    Shape at 100 TB: postings (doc, term, tf) and doc lengths are one
-    map-side-combinable shuffle each; df is a short-key aggregate; N
-    and avgdl are broadcast scalars. The query-side join strategy is
+    Shape at 100 TB: postings (doc, dl, term, tf) are ONE
+    map-side-combinable shuffle (dl = the token-array size rides the
+    group key — functionally dependent on doc_id, so no separate
+    doc-length aggregate and no doc_id join); df is a short-key
+    aggregate over the postings; N and avgdl are a map-only corpus
+    scan broadcast as scalars. The postings build is checkpointed and
+    shared by the probe join and the df aggregate (the inverted index
+    a production deployment persists). The query-side join strategy is
     the `broadcast_queries` knob: True (default) pins a broadcast of
     the (query_id, term) table onto the postings scan — map-side, so
     hot query terms like stop words cannot skew the probe — and is
@@ -1904,16 +1909,31 @@ def bm25_rank(
     with the ANN family)."""
     corpus = docs.where(F.col("doc_id") % eval_mod != 0)
     queries = docs.where(F.col("doc_id") % eval_mod == 0)
+    # dl (doc length = Σ tf = size of the token array) rides the
+    # postings groupBy as a functionally-dependent key instead of a
+    # separate aggregate-then-join — the original tf→dl→join form made
+    # the heavy tokenize+explode+agg subtree appear three times in the
+    # plan (probe, dl, df) and ReuseExchange declined to dedupe it
+    corpus_t = corpus.select("doc_id", _tokens().alias("_t"))
     tf = (
-        corpus.select("doc_id", F.explode(_tokens()).alias("w"))
-        .groupBy("doc_id", "w")
+        corpus_t.select(
+            "doc_id", F.size("_t").cast("long").alias("dl"),
+            F.explode("_t").alias("w"),
+        )
+        .groupBy("doc_id", "dl", "w")
         .agg(F.count(F.lit(1)).alias("tf"))
+        # postings are built ONCE and shared by the probe join and the
+        # df aggregate (this is the inverted-index build a production
+        # deployment persists durably; lazy localCheckpoint is the
+        # single-job analogue)
+        .localCheckpoint(eager=False)
     )
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     df_t = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
-    stats = dl.agg(
+    # corpus-level scalars come straight off the token arrays —
+    # map-side-combinable single scan, no (doc, term) shuffle involved
+    stats = corpus_t.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.expr("sum(dl) * 1000L div count(1)").alias("avgdl_m"),
+        F.expr("sum(size(_t)) * 1000L div count(1)").alias("avgdl_m"),
     ).withColumn("_one", F.lit(1))
     qterms = queries.select(
         F.col("doc_id").alias("query_id"), F.explode(_tokens()).alias("w")
@@ -1923,7 +1943,6 @@ def bm25_rank(
     scored = (
         tf.join(qterms, "w")
         .join(df_t, "w")
-        .join(dl, "doc_id")
         .withColumn("_one", F.lit(1))
         .join(F.broadcast(stats), "_one")
         .withColumn("idf_bits", F.expr("CAST(length(bin(n_docs div df)) AS BIGINT)"))
