@@ -1164,14 +1164,16 @@ def dsir_importance_weights(
       top-k: deterministic top-k by (lw desc, doc_id) — reproducible
       across runs/engines/partitionings, which the Gumbel draw is not.
 
-    Shape at 100 TB: the feature stream is a map-only explode; per-doc
-    bucket counts and the per-doc weight sum are each one
-    map-side-combinable shuffle keyed by doc_id; the bucket ratio
-    table is ≤ `n_buckets` rows and BROADCASTS onto the per-doc
-    counts; the S_t/S_r normalizer folds into that same tiny frame as
-    a single-partition window over the AGGREGATED rows (a separate
-    totals subtree would re-scan the corpus — Spark plans are trees).
-    Nothing driver-side, no float anywhere in the plan."""
+    Shape at 100 TB: the feature stream is a map-only explode run
+    ONCE — the (doc, bucket) pre-aggregate is one map-side-combinable
+    shuffle, checkpointed, and both the bucket ratio table (a tiny
+    groupBy over it) and the per-doc probe read it back (the original
+    tgt/raw/per-doc triple re-ran the tokenize+hash scan three
+    times); the ratio table is ≤ `n_buckets` rows and BROADCASTS onto
+    the per-doc counts; the S_t/S_r normalizer folds into that same
+    tiny frame as a single-partition window over the AGGREGATED rows
+    (a separate totals subtree would re-scan the corpus — Spark plans
+    are trees). Nothing driver-side, no float anywhere in the plan."""
     feats_expr = (
         "concat(t, CASE WHEN size(t) >= 2 THEN "
         "transform(sequence(1, size(t) - 1), "
@@ -1187,24 +1189,33 @@ def dsir_importance_weights(
         .select("doc_id", F.explode(F.expr(feats_expr)).alias("f"))
         .select("doc_id", bucket)
     )
-    tgt = feat.where(F.col("doc_id") % target_mod == 0)
-    raw = feat.where(F.col("doc_id") % target_mod != 0)
-    c_t = tgt.groupBy("b").agg(F.count(F.lit(1)).alias("c_t"))
-    c_r = raw.groupBy("b").agg(F.count(F.lit(1)).alias("c_r"))
+    # ONE tokenize+hash pass: the (doc, bucket) pre-aggregate is built
+    # once and checkpointed, then BOTH the bucket ratio table and the
+    # per-doc probe derive from it — the original tgt/raw/per_doc
+    # triple made the feature subtree (scan + explode + md5) appear
+    # three times in the physical plan (ReuseExchange declines to
+    # dedupe it; same fix as bm25_rank's postings)
+    pre = (
+        feat.groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c_x"))
+        .localCheckpoint(eager=False)
+    )
+    is_tgt = f"doc_id % {target_mod} = 0"
+    counts = pre.groupBy("b").agg(
+        F.sum(F.expr(f"CASE WHEN {is_tgt} THEN c_x ELSE 0L END")).alias("c_t"),
+        F.sum(F.expr(f"CASE WHEN {is_tgt} THEN 0L ELSE c_x END")).alias("c_r"),
+    )
     from pyspark.sql import Window
 
     # norm is a window over the ALREADY-AGGREGATED ≤n_buckets-row frame
     # (a separate agg subtree would re-scan the corpus: Spark plans are
-    # trees, a second consumer of c_r/c_t duplicates their whole
-    # lineage). Single-partition window over ≤256 rows — free.
+    # trees, a second consumer of the counts duplicates their whole
+    # lineage). Single-partition window over ≤256 rows — free. The
+    # frame keeps the original c_r-support semantics: only buckets with
+    # raw mass enter the table and the normalizer sums.
     whole = Window.partitionBy(F.lit(1))
     buckets = (
-        c_r.join(F.broadcast(c_t), "b", "left")
-        .select(
-            "b",
-            F.col("c_r"),
-            F.coalesce(F.col("c_t"), F.lit(0)).alias("c_t"),
-        )
+        counts.where(F.col("c_r") > 0)
         .withColumn("s_t", F.sum("c_t").over(whole))
         .withColumn("s_r", F.sum("c_r").over(whole))
         .select(
@@ -1217,7 +1228,7 @@ def dsir_importance_weights(
             ).alias("lr_net"),
         )
     )
-    per_doc = raw.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c_x"))
+    per_doc = pre.where(F.expr(f"NOT ({is_tgt})"))
     return (
         per_doc.join(F.broadcast(buckets), "b")
         .groupBy("doc_id")
