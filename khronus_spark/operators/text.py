@@ -408,7 +408,12 @@ def dup_ngram_fraction(docs: DataFrame, n: int = 5) -> DataFrame:
                 f" i -> md5(concat_ws(' ', slice(t, i, {n})))))"
             )
         ).alias("g"),
-    )
+        # the gram inventory is built ONCE and shared by the frequency
+        # aggregate and the salted probe (tokenize + per-gram md5 is
+        # the dominant cost and would otherwise run twice — the same
+        # materialize-the-index pattern as bm25_rank's postings; an
+        # ExactSubstr deployment persists the gram table durably)
+    ).localCheckpoint(eager=False)
     dup_grams = (
         grams.groupBy("g")
         .agg(F.count(F.lit(1)).alias("doc_freq"))
@@ -884,17 +889,24 @@ def duplicate_spans(docs: DataFrame, n: int = 5, min_tokens: int = 8) -> DataFra
     # grams travel as the 60-bit md5 prefix (8-byte long), not hex text:
     # the gram key crosses two shuffles, so key width is shuffle width;
     # the same integer is computable in DuckDB so the oracle still twins
-    pos_grams = t.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, size(t) - {n - 1}),"
-                " i -> CAST(conv(substring("
-                f"md5(concat_ws(' ', slice(t, i, {n}))), 1, 15), 16, 10)"
-                " AS BIGINT))"
-            )
-        ).alias("pos0", "g"),
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
+    pos_grams = (
+        t.select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(t) - {n - 1}),"
+                    " i -> CAST(conv(substring("
+                    f"md5(concat_ws(' ', slice(t, i, {n}))), 1, 15), 16, 10)"
+                    " AS BIGINT))"
+                )
+            ).alias("pos0", "g"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
+        # positional gram inventory built ONCE, shared by the
+        # frequency aggregate and the duplicated-position probe (see
+        # dup_ngram_fraction — the per-gram md5 pass is the cost)
+        .localCheckpoint(eager=False)
+    )
 
     # duplicated grams as an aggregate (map-side combinable — a window
     # over the gram key would serialize every occurrence of a hot
