@@ -4852,9 +4852,13 @@ def part_edit_graph_clustering(spark, sf_dir):
     linking many non-duplicates). Composes triangle_counts with a
     map-side-combinable degree count and one co-partitioned left join."""
     part = load_table(spark, sf_dir, "part")
+    # the verified edge list (the expensive Levenshtein pipeline) is
+    # materialized ONCE and shared by the triangle enumeration (three
+    # join sides) and the degree count (two union branches) — unshared
+    # it ran five times in this entry's physical plan
     edges = linkage_ops.blocked_edit_pairs(
         part, ["p_brand"], "p_name", "p_partkey", max_dist=2
-    )
+    ).localCheckpoint(eager=False)
     tri = linkage_ops.triangle_counts(edges)
     deg = (
         edges.select(F.col("id_a").alias("node_id"))

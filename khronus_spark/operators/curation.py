@@ -1030,7 +1030,12 @@ def mixture_realization_audit(docs: DataFrame) -> DataFrame:
     Shape at 100 TB: the mixture/rates are a |langs|-row broadcast;
     the keep decision is a map-only scan; the audit is one
     map-side-combinable groupBy(lang)."""
-    mix = domain_mixture(docs)
+    # the mixture table is ≤|langs| rows but its lineage is a corpus
+    # aggregate — checkpoint it (and `kept` below) so the four
+    # downstream consumers reuse the tiny frames instead of re-running
+    # the corpus scans (unshared, this entry's plan read documents 14
+    # times)
+    mix = domain_mixture(docs).localCheckpoint(eager=False)
     ratio = mix.select(
         "lang",
         "n_tokens",
@@ -1056,6 +1061,7 @@ def mixture_realization_audit(docs: DataFrame) -> DataFrame:
         .where(F.col("_key_bp") < F.col("keep_rate_bp"))
         .groupBy("lang")
         .agg(F.sum("_nt").alias("kept_tokens"))
+        .localCheckpoint(eager=False)
     )
     tot = kept.agg(F.sum("kept_tokens").alias("_tot"))
     return (

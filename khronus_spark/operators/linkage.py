@@ -229,8 +229,14 @@ def triangle_counts(
     Two shuffled joins — e2 keyed on the wedge midpoint, e3 on the
     closing (a, c) pair — then a map-side-combinable count over the
     exploded corners. Each triangle a<b<c is produced exactly once.
-    """
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+
+    The edge list is checkpointed on entry (it feeds three join sides;
+    an expensive edge GENERATOR — e.g. the Levenshtein verify — would
+    otherwise run once per side) and the triangle set is checkpointed
+    before the corner explode (three union branches)."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
+        eager=False
+    )
     e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
     e3 = e.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
     tri = (
@@ -240,6 +246,7 @@ def triangle_counts(
             on=(F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
         )
         .select("a", "b", "c")
+        .localCheckpoint(eager=False)
     )
     corners = (
         tri.select(F.col("a").alias("node_id"))
