@@ -475,13 +475,17 @@ def top_terms_tfidf(docs: DataFrame, k: int = 3) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    t = docs.select("doc_id", F.explode(F.array_distinct(_tokens())).alias("tok"))
+    # ONE tokenize pass: tf is checkpointed and df derives from it —
+    # counting tf's (doc, term) rows per term IS the distinct-doc
+    # count, so the separate array_distinct explode (a second corpus
+    # scan) is redundant; N is a metadata-cheap count
     tf = (
         docs.select("doc_id", F.explode(_tokens()).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
     )
-    df_tbl = t.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    df_tbl = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(F.broadcast(df_tbl), "tok")
@@ -540,9 +544,16 @@ def corpus_vocabulary(docs: DataFrame, top_v: int = 50) -> DataFrame:
     from pyspark.sql import Window
 
     toks = spread(docs).select("doc_id", F.explode(_tokens()).alias("tok"))
-    counts = toks.groupBy("tok").agg(
-        F.count(F.lit(1)).alias("n_occ"),
-        F.countDistinct("doc_id").alias("n_docs"),
+    # vocabulary-sized aggregate, checkpointed: the total scalar and
+    # the top-V pruning both consume it — unshared, each re-ran the
+    # corpus explode
+    counts = (
+        toks.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .localCheckpoint(eager=False)
     )
     # corpus token total from the vocabulary-sized aggregate — NOT a
     # second explode over the corpus
@@ -1544,8 +1555,19 @@ def unigram_surprisal(docs: DataFrame) -> DataFrame:
     the gram joins (a stop word appears in every document — the
     unsalted join would serialize it into one task)."""
     toks = docs.select("doc_id", F.explode(_tokens()).alias("w"))
-    occ = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("k"))
-    counts = occ.groupBy("w").agg(F.sum("k").alias("c"))
+    # built once, shared by the count chain and the probe (the
+    # tokenize+explode+agg subtree would otherwise run three times:
+    # via total, via the salted count join, and as the probe — the
+    # bm25_rank postings pattern); counts checkpoints too because both
+    # total and the salted join consume it
+    occ = (
+        toks.groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .localCheckpoint(eager=False)
+    )
+    counts = (
+        occ.groupBy("w").agg(F.sum("k").alias("c")).localCheckpoint(eager=False)
+    )
     total = counts.agg(F.sum("c").alias("n")).select(
         F.lit(1).alias("_one"), "n"
     )
@@ -1635,8 +1657,22 @@ def bigram_surprisal(docs: DataFrame) -> DataFrame:
     )
     toks = docs.select("doc_id", _tokens().alias("t"))
     bgs = toks.select("doc_id", F.explode(F.expr(bg_expr)).alias("bg"))
-    occ = bgs.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("k"))
-    c2 = occ.groupBy("bg").agg(F.sum("k").alias("c12"))
+    # the per-doc bigram table is built ONCE and shared by the count
+    # chain and the probe join (its tokenize+explode+agg subtree would
+    # otherwise run three times: via c1, via the bits join, and as the
+    # probe — the bm25_rank postings pattern); c2 is additionally
+    # checkpointed because TWO consumers (prefix counts, bits probe)
+    # would re-aggregate occ
+    occ = (
+        bgs.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .localCheckpoint(eager=False)
+    )
+    c2 = (
+        occ.groupBy("bg")
+        .agg(F.sum("k").alias("c12"))
+        .localCheckpoint(eager=False)
+    )
     # prefix counts from the aggregated bigram table (never the corpus)
     c1 = (
         c2.select(F.expr("split(bg, ' ')[0]").alias("w1"), "c12")
@@ -2244,7 +2280,15 @@ def lm_model_build(ref_docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     bgs = ref_docs.select("doc_id", _tokens().alias("t")).select(
         F.explode(F.expr(bg_expr)).alias("bg")
     )
-    c2 = bgs.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    # the bigram table is the model artifact — checkpoint it so its
+    # three consumers (the prefix rollup, the T scalar, the probe
+    # join) reuse one build instead of re-scanning the reference (the
+    # in-session analogue of the parquet persistence described above)
+    c2 = (
+        bgs.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=False)
+    )
     c1 = (
         c2.select(F.expr("split(bg, ' ')[0]").alias("w1"), "c12")
         .groupBy("w1")
