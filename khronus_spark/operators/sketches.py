@@ -557,7 +557,10 @@ def _bloom_bit_duck(j: int, key_expr: str, bits: int = BLOOM_BITS) -> str:
 def bloom_build(df: DataFrame, key_expr: str, bits: int = BLOOM_BITS) -> DataFrame:
     """(word_idx, word) — the packed bitmap of the key set, only
     non-empty words materialized. One map-side-combinable aggregation
-    (bit_or partials collapse to ≤ bits/32 rows per partition)."""
+    (bit_or partials collapse to ≤ bits/32 rows per partition). The
+    ≤ bits/64-row result is checkpointed: `bloom_probe` consumes it
+    once per hash function (k broadcast joins), and unshared each join
+    would re-run the whole key-set scan."""
     bit_rows = df.select(
         F.explode(
             F.array(*[F.expr(_bloom_bit(j, key_expr, bits)) for j in range(BLOOM_K)])
@@ -570,6 +573,7 @@ def bloom_build(df: DataFrame, key_expr: str, bits: int = BLOOM_BITS) -> DataFra
         )
         .groupBy("word_idx")
         .agg(F.bit_or("mask").alias("word"))
+        .localCheckpoint(eager=False)
     )
 
 
