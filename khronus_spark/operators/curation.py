@@ -598,6 +598,11 @@ def leakage_safe_split(
     design — leakage-safety is the invariant, and the bucket column
     lets a caller audit the realized split sizes."""
     comp = minhash_duplicate_components(docs)
+    # the CC loop ends checkpointed, so AQE sees no stats and falls
+    # back to a sort-merge join — apply the same size-guarded explicit
+    # broadcast as curated_docs (the count is a cheap checkpoint read)
+    if comp.count() <= BROADCAST_COMPONENT_LIMIT:
+        comp = F.broadcast(comp)
     out = (
         docs.select("doc_id")
         .join(comp, "doc_id", "left")
