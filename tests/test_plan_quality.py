@@ -683,3 +683,39 @@ def test_cohort_retention_shuffles_only_on_user_keys(spark, oracle_sf_dir):
     plan = _plan(spark, oracle_sf_dir, "events_cohort_retention")
     assert "SinglePartition" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_shared_subtrees_materialize_once(spark, oracle_sf_dir):
+    """Round-6 scan-budget gate: operators whose derived frames feed
+    several consumers must build them ONCE (checkpoint / restructure),
+    not once per consumer — ReuseExchange does not dedupe these
+    subtrees, so without the explicit share each extra consumer
+    re-runs the corpus scan (tokenize + hash + aggregate). The budgets
+    below are the measured post-fix scan counts; a regression that
+    reintroduces a duplicated subtree pushes the count past its budget
+    and fails here with the entry name."""
+    budgets = {
+        # entry: max parquet scans in the physical plan
+        "dup_ngram_5": 1,  # gram inventory checkpointed
+        "duplicate_spans": 1,  # positional gram inventory checkpointed
+        "unigram_surprisal": 2,  # occ + the zero-token left-join spine
+        "bigram_surprisal": 2,  # occ/c2 checkpointed + spine
+        "lm_reference_surprisal": 2,  # frozen model checkpointed + spine
+        "corpus_vocabulary": 1,  # vocab aggregate checkpointed
+        "vocab_oov_by_source": 1,  # vocab rides the checkpoint
+        "doc_top_terms_tfidf": 2,  # df derives from checkpointed tf; N scan
+        "decontamination_bloom": 1,  # bitmap checkpointed (k probe joins)
+        "mixture_realization_audit": 1,  # mixture/kept frames checkpointed
+        "part_edit_graph_clustering": 1,  # edge list + triangles shared
+        "decontamination_retrieval": 1,  # BM25 postings built once
+        "bm25_eval_topk": 3,  # postings + stats scan + query side
+        "dsir_topk_sample": 2,  # (doc, bucket) pre-agg shared
+    }
+    over = []
+    for name, budget in sorted(budgets.items()):
+        df = QUERIES[name](spark, oracle_sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        scans = plan.count(".parquet")
+        if scans > budget:
+            over.append((name, scans, budget))
+    assert not over, f"scan budget exceeded (entry, scans, budget): {over}"
