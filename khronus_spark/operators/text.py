@@ -2091,30 +2091,30 @@ def bm25_decontamination(
     Shape at 100 TB: inherits `bm25_rank`'s shape (map-side-combinable
     postings/df/dl, query terms broadcast — or shuffled via
     `broadcast_queries=False` when the eval set scales with the
-    corpus, WindowGroupLimit top-k); this layer adds one groupBy over
-    the ≤ queries·k ranked rows and a self-join on that same tiny
-    frame to extract the arg-max query deterministically (cache the
-    ranked frame in production; both passes are bounded by the ranked
-    output, not the corpus)."""
+    corpus, WindowGroupLimit top-k); this layer adds ONE groupBy over
+    the ≤ queries·k ranked rows — the deterministic arg-max query is
+    a min(struct(-score, query_id)) riding the same aggregate, so no
+    second pass over the ranked frame exists (the oracle keeps the
+    equivalent two-step flag+self-join formulation)."""
     ranked = bm25_rank(docs, eval_mod, k, broadcast_queries=broadcast_queries)
-    # the ranked frame (≤ queries·k rows) feeds BOTH the flag aggregate
-    # and the arg-max join — materialize it once instead of re-running
-    # the whole postings/scoring chain per consumer (lazy
-    # localCheckpoint, the minhash_calibration pattern; a cluster
-    # deployment would checkpoint durably)
-    hits = ranked.where(F.col("score") >= score_min).localCheckpoint(eager=False)
-    flags = hits.groupBy("doc_id").agg(
+    hits = ranked.where(F.col("score") >= score_min)
+    # ONE aggregate: the deterministic arg-max query rides the same
+    # groupBy as the flags via min(struct(-score, query_id)) —
+    # lexicographic struct ordering picks the highest score, ties to
+    # the smallest query_id, exactly the two-step flag+self-join spec
+    # (which remains the oracle's formulation); no second pass, no
+    # materialization of the ranked frame needed
+    return hits.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_queries"),
         F.min("rank").alias("best_rank"),
         F.max("score").alias("max_score"),
+        F.min(
+            F.struct(
+                (-F.col("score")).alias("_ns"),
+                F.col("query_id").alias("_q"),
+            )
+        )["_q"].alias("best_query_id"),
     )
-    best = (
-        hits.join(flags.select("doc_id", "max_score"), "doc_id")
-        .where(F.col("score") == F.col("max_score"))
-        .groupBy("doc_id")
-        .agg(F.min("query_id").alias("best_query_id"))
-    )
-    return flags.join(best, "doc_id")
 
 
 def bm25_decontamination_sql(

@@ -107,3 +107,33 @@ def test_zorder_layout_prunes_on_either_dimension(spark, sf_dir):
         lin_user,
         lin_hour,
     )
+
+
+def test_rank_expr_binary_search_counts_exactly(spark):
+    """The O(log k) nested-IF rank search must agree with the
+    definition #{b in bounds : v >= b} for every value — including
+    values equal to a boundary, below all bounds, and above all
+    bounds — across random boundary lists (hypothesis). A miscounted
+    rank silently degrades layout clustering without failing any
+    output check, so the arithmetic is pinned exactly."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from khronus_spark.operators.zorder import _rank_expr
+
+    rng = random.Random(20260815)
+    for trial in range(8):
+        k = rng.choice([1, 2, 3, 7, 63, 255])
+        bounds = sorted({float(rng.randint(-50, 50)) for _ in range(k)})
+        # probe every boundary itself, its neighbors, and the extremes
+        probes = sorted(
+            {b + d for b in bounds for d in (-0.5, 0.0, 0.5)}
+            | {-1e9, 1e9}
+        )
+        df = spark.createDataFrame(
+            [(float(v),) for v in probes], "v DOUBLE"
+        ).withColumn("got", F.expr(_rank_expr(bounds, "v")))
+        for row in df.collect():
+            want = sum(1 for b in bounds if row["v"] >= b)
+            assert row["got"] == want, (trial, bounds, row["v"], row["got"], want)
