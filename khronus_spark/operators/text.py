@@ -1901,6 +1901,102 @@ FROM cells c JOIN totals t USING (actual_lang)
 """
 
 
+def bm25_build_postings(corpus: DataFrame) -> DataFrame:
+    """The persistable inverted index behind `bm25_rank`: one row per
+    (doc_id, dl, w) with its term frequency, where dl (the document's
+    total token count) rides as a functionally-dependent column — so
+    document length, document frequency, N, and avgdl ALL derive from
+    this one table and the corpus text is never needed again at query
+    time. One map-side-combinable shuffle. Persist with
+    `write_bm25_index` — the same build/query lifecycle the ANN
+    (`pq_build_index`) and dedup (`build_dedup_index`) families have;
+    `streaming/retrieval.py` maintains it incrementally per
+    micro-batch."""
+    corpus_t = corpus.select("doc_id", _tokens().alias("_t"))
+    return (
+        corpus_t.select(
+            "doc_id",
+            F.size("_t").cast("long").alias("dl"),
+            F.explode("_t").alias("w"),
+        )
+        .groupBy("doc_id", "dl", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def write_bm25_index(postings: DataFrame, path: str) -> None:
+    """Persist the postings table as parquet (short rows: doc_id, dl,
+    w, tf). A production layout would bucket by `w` so the query-term
+    probe co-locates."""
+    postings.write.mode("overwrite").parquet(path)
+
+
+def read_bm25_index(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path).select("doc_id", "dl", "w", "tf")
+
+
+def bm25_rank_indexed(
+    postings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    k1_pm: int = 1200,
+    b_pm: int = 750,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """BM25 top-k from a PREBUILT postings table — the query path of
+    the build/query split: no corpus tokenization, no corpus scan.
+    `queries` is (query_id, text)-shaped; its distinct terms probe the
+    postings. df, N, and avgdl derive from the postings (dl is
+    functionally dependent on doc_id, so the distinct (doc_id, dl)
+    projection recovers exact document lengths). Pinned bit-identical
+    to `bm25_rank` over the same corpus in test_streaming_retrieval.
+    Scoring and tie semantics are `bm25_rank`'s docstring verbatim."""
+    postings = postings.localCheckpoint(eager=False)
+    df_t = postings.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    stats = (
+        postings.select("doc_id", "dl")
+        .distinct()
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("sum(dl) * 1000L div count(1)").alias("avgdl_m"),
+        )
+        .withColumn("_one", F.lit(1))
+    )
+    qterms = queries.select("query_id", F.explode(_tokens()).alias("w")).distinct()
+    if broadcast_queries:
+        qterms = F.broadcast(qterms)
+    scored = (
+        postings.join(qterms, "w")
+        .join(df_t, "w")
+        .withColumn("_one", F.lit(1))
+        .join(F.broadcast(stats), "_one")
+        .withColumn("idf_bits", F.expr("CAST(length(bin(n_docs div df)) AS BIGINT)"))
+        .withColumn(
+            "denom_m",
+            F.expr(
+                f"1000L * tf + {k1_pm}L * "
+                f"(1000L - {b_pm} + {b_pm}L * 1000L * dl div avgdl_m) div 1000L"
+            ),
+        )
+        .withColumn(
+            "tf_micro",
+            F.expr(f"1000L * (1000 + {k1_pm}) * tf div denom_m"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.expr("idf_bits * tf_micro")).alias("score"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.select("query_id", "doc_id", "score")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
 def bm25_rank(
     docs: DataFrame,
     eval_mod: int = 97,
@@ -1955,68 +2051,24 @@ def bm25_rank(
     one row per (query, doc) pair sharing ≥1 term; the per-query
     top-k window is map-side-bounded by WindowGroupLimit (plan-gated
     with the ANN family)."""
+    # build + query in one call: postings are built inline (ONE
+    # map-side-combinable shuffle, dl riding the group key) and scored
+    # by the indexed query path — `bm25_build_postings` /
+    # `bm25_rank_indexed` are the same two halves exposed for the
+    # persisted-index lifecycle (the original tf→dl→join form made the
+    # tokenize subtree appear three times; ReuseExchange declined to
+    # dedupe it)
     corpus = docs.where(F.col("doc_id") % eval_mod != 0)
-    queries = docs.where(F.col("doc_id") % eval_mod == 0)
-    # dl (doc length = Σ tf = size of the token array) rides the
-    # postings groupBy as a functionally-dependent key instead of a
-    # separate aggregate-then-join — the original tf→dl→join form made
-    # the heavy tokenize+explode+agg subtree appear three times in the
-    # plan (probe, dl, df) and ReuseExchange declined to dedupe it
-    corpus_t = corpus.select("doc_id", _tokens().alias("_t"))
-    tf = (
-        corpus_t.select(
-            "doc_id", F.size("_t").cast("long").alias("dl"),
-            F.explode("_t").alias("w"),
-        )
-        .groupBy("doc_id", "dl", "w")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        # postings are built ONCE and shared by the probe join and the
-        # df aggregate (this is the inverted-index build a production
-        # deployment persists durably; lazy localCheckpoint is the
-        # single-job analogue)
-        .localCheckpoint(eager=False)
+    queries = docs.where(F.col("doc_id") % eval_mod == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
     )
-    df_t = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
-    # corpus-level scalars come straight off the token arrays —
-    # map-side-combinable single scan, no (doc, term) shuffle involved
-    stats = corpus_t.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.expr("sum(size(_t)) * 1000L div count(1)").alias("avgdl_m"),
-    ).withColumn("_one", F.lit(1))
-    qterms = queries.select(
-        F.col("doc_id").alias("query_id"), F.explode(_tokens()).alias("w")
-    ).distinct()
-    if broadcast_queries:
-        qterms = F.broadcast(qterms)
-    scored = (
-        tf.join(qterms, "w")
-        .join(df_t, "w")
-        .withColumn("_one", F.lit(1))
-        .join(F.broadcast(stats), "_one")
-        .withColumn("idf_bits", F.expr("CAST(length(bin(n_docs div df)) AS BIGINT)"))
-        .withColumn(
-            "denom_m",
-            F.expr(
-                f"1000L * tf + {k1_pm}L * "
-                f"(1000L - {b_pm} + {b_pm}L * 1000L * dl div avgdl_m) div 1000L"
-            ),
-        )
-        .withColumn(
-            "tf_micro",
-            F.expr(f"1000L * (1000 + {k1_pm}) * tf div denom_m"),
-        )
-        .groupBy("query_id", "doc_id")
-        .agg(F.sum(F.expr("idf_bits * tf_micro")).alias("score"))
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("doc_id").asc()
-    )
-    return (
-        scored.select("query_id", "doc_id", "score")
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
+    return bm25_rank_indexed(
+        bm25_build_postings(corpus),
+        queries,
+        k,
+        k1_pm,
+        b_pm,
+        broadcast_queries,
     )
 
 

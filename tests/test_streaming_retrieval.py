@@ -1,0 +1,114 @@
+"""Streaming postings maintenance == batch index build, bit for bit.
+
+Three contracts:
+1. build/query split identity — `bm25_rank_indexed` over a
+   parquet-round-tripped `bm25_build_postings` table equals
+   `bm25_rank` over the raw corpus, row for row (the split changes no
+   value);
+2. streamed index == batch index — the union of per-micro-batch
+   postings parts equals one batch build over all documents (a doc
+   lives wholly in one batch, so parts are disjoint by doc);
+3. replay idempotence — re-running the drained stream with the same
+   checkpoint adds nothing.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from khronus_spark.operators.text import (
+    bm25_build_postings,
+    bm25_rank,
+    bm25_rank_indexed,
+    read_bm25_index,
+    write_bm25_index,
+)
+from khronus_spark.sources.tables import load_table
+from khronus_spark.streaming.retrieval import (
+    read_streamed_postings,
+    run_streaming_postings_update,
+)
+
+EVAL_MOD = 97
+
+
+def _corpus_and_queries(docs):
+    corpus = docs.where(F.col("doc_id") % EVAL_MOD != 0)
+    queries = docs.where(F.col("doc_id") % EVAL_MOD == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    return corpus, queries
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_indexed_query_equals_inline_rank(spark, oracle_sf_dir):
+    docs = load_table(spark, oracle_sf_dir, "documents")
+    corpus, queries = _corpus_and_queries(docs)
+    tmp = tempfile.mkdtemp(prefix="khronus_bm25idx_")
+    write_bm25_index(bm25_build_postings(corpus), f"{tmp}/postings")
+    got = bm25_rank_indexed(
+        read_bm25_index(spark, f"{tmp}/postings"), queries
+    )
+    want = bm25_rank(docs, eval_mod=EVAL_MOD)
+    assert _rows(got) == _rows(want)
+
+
+@pytest.fixture(scope="module")
+def staged_docs(spark, sf_dir):
+    """Corpus documents staged as 3 files → 3 micro-batches."""
+    tmp = tempfile.mkdtemp(prefix="khronus_sbm25_")
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % EVAL_MOD != 0)
+    lo, hi = corpus.agg(F.min("doc_id"), F.max("doc_id")).first()
+    span = (hi - lo) + 1
+    chunked = corpus.withColumn(
+        "chunk", ((F.col("doc_id") - lo) * 3 / span).cast("int")
+    )
+    for i in range(3):
+        chunked.where(F.col("chunk") == i).drop("chunk").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/in/chunk={i}")
+    return tmp, docs
+
+
+def test_streamed_postings_equal_batch_build_and_scores(spark, staged_docs):
+    tmp, docs = staged_docs
+    corpus, queries = _corpus_and_queries(docs)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp}/in/*")
+    )
+    q = run_streaming_postings_update(
+        stream, index_path=f"{tmp}/idx", checkpoint_path=f"{tmp}/ckpt"
+    )
+    q.awaitTermination(300)
+
+    streamed = read_streamed_postings(spark, f"{tmp}/idx")
+    batch = bm25_build_postings(corpus)
+    assert _rows(streamed) == _rows(batch)
+
+    # scores from the streamed index == the batch rank, bit for bit
+    got = bm25_rank_indexed(streamed, queries)
+    want = bm25_rank(docs, eval_mod=EVAL_MOD)
+    assert _rows(got) == _rows(want)
+
+    # replay idempotence: draining the same (exhausted) stream with the
+    # same checkpoint must not change the index
+    before = _rows(streamed)
+    stream2 = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp}/in/*")
+    )
+    q2 = run_streaming_postings_update(
+        stream2, index_path=f"{tmp}/idx", checkpoint_path=f"{tmp}/ckpt"
+    )
+    q2.awaitTermination(300)
+    assert _rows(read_streamed_postings(spark, f"{tmp}/idx")) == before
