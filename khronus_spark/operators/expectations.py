@@ -249,3 +249,45 @@ SELECT * FROM (
 )
 WHERE reasons <> 0
 """
+
+
+# ---------------------------------------------------------------------------
+# privacy QA: k-anonymity / l-diversity audit
+# ---------------------------------------------------------------------------
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_expr: str,
+    k: int = 5,
+    l: int = 2,
+) -> DataFrame:
+    """Privacy audit over quasi-identifier groups — the release-gate
+    complement of the PII scan (pii_scan finds identifiers IN the
+    text; this finds identification risk in the METADATA). A row's
+    quasi-identifier tuple (e.g. lang × source × size class) is
+    k-anonymous iff at least `k` rows share it, and l-diverse iff its
+    group contains at least `l` distinct SENSITIVE values — a group
+    can be large yet still leak if every member shares the sensitive
+    attribute (the homogeneity attack k-anonymity alone misses).
+
+    Output: one row per quasi-identifier group — (quasi cols…, n_rows,
+    n_sensitive, is_k_anonymous, is_l_diverse). Groups failing either
+    flag are what a release process must generalize (coarsen a quasi
+    column) or suppress.
+
+    Shape at 100 TB: one map-side-combinable groupBy on the quasi
+    tuple; the distinct-sensitive count is exact count(DISTINCT) per
+    group, which Spark plans as a two-phase partial-distinct — no
+    row ever leaves its group's partition twice. Output cardinality is
+    the quasi-tuple space, corpus-independent."""
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(F.expr(sensitive_expr)).alias("n_sensitive"),
+        )
+        .withColumn("is_k_anonymous", F.col("n_rows") >= k)
+        .withColumn("is_l_diverse", F.col("n_sensitive") >= l)
+    )

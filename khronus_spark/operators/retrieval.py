@@ -1,0 +1,187 @@
+"""Hybrid retrieval: reciprocal-rank fusion (RRF) of a lexical BM25
+list and a semantic embedding-cosine list per query.
+
+The modern retrieval stack runs BOTH retrievers — sparse BM25 catches
+exact terminology, dense cosine catches paraphrase — and fuses the two
+rankings with RRF (Cormack/Clarke/Buettcher, SIGIR'09):
+
+    rrf(d) = Σ_lists 1 / (k_rrf + rank_list(d))
+
+RRF needs only the RANKS, never the incomparable raw scores (BM25's
+integer saturation sum vs a [-1, 1] cosine), which is exactly why it is
+the standard fusion: no score normalization, no tuning beyond k_rrf=60.
+The engine keeps the repo's integer discipline: each list contributes
+``1_000_000 div (k_rrf + rank)`` (micro-units, floor), so the fused
+score is a BIGINT and cross-engine hashes are exact.
+
+Shape at 100 TB: the two branch top-k's are the already-hardened
+retrieval paths (`text.bm25_rank`: one map-side-combinable postings
+shuffle + broadcast query probe + WindowGroupLimit top-k;
+brute/indexed ANN: broadcast probes over an embarrassingly-parallel
+scan, WindowGroupLimit top-k). Fusion itself touches only the two
+pool frames — #queries × pool rows each, INDEPENDENT of corpus size —
+so the full-outer merge join and the final per-query window are
+asymptotically free; the corpus is scanned once per branch and never
+again. Reference parity: the reference has no retrieval surface —
+this extends the ANN/BM25 arc the north-star pipeline needs for
+retrieval-based curation (dedup/decontamination/RAG audits).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from khronus_spark.operators.similarity import cosine_col
+from khronus_spark.operators.text import bm25_rank, bm25_rank_sql
+from khronus_spark.sources.tables import spread
+
+#: the standard RRF smoothing constant (SIGIR'09 uses 60).
+K_RRF = 60
+
+
+def semantic_eval_rank(
+    embeddings: DataFrame, eval_mod: int = 97, pool: int = 20
+) -> DataFrame:
+    """(query_id, doc_id, rank) — exact cosine top-`pool` corpus
+    vectors per eval query, with the SAME query/corpus carve as
+    `text.bm25_rank`: ``vec_id % eval_mod == 0`` are the probes,
+    everything else is corpus (the doc/vec id spaces are 1:1 in the
+    gate tables). Ties break by doc_id; ordering compares the full
+    double cosine, which both engines compute with the identical
+    left-to-right 64-dim fold (the ANN-family convention), so ranks
+    are bit-stable cross-engine."""
+    probes = embeddings.where(F.col("vec_id") % eval_mod == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("probe_vec"),
+    )
+    corpus = spread(
+        embeddings.where(F.col("vec_id") % eval_mod != 0), max_partitions=8
+    )
+    scored = corpus.crossJoin(F.broadcast(probes)).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        cosine_col(F.col("probe_vec"), F.col("embedding")).alias("_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_sim").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= pool)
+        .select("query_id", "doc_id", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def rrf_fuse(
+    lex: DataFrame,
+    sem: DataFrame,
+    k_rrf: int = K_RRF,
+    k: int = 10,
+) -> DataFrame:
+    """Fuse two (query_id, doc_id, rank) lists into the RRF top-`k`.
+
+    Output: (query_id, doc_id, lex_rank, sem_rank, rrf_score, rank).
+    A doc absent from one list contributes 0 from that list and
+    reports rank 0 there ("not in pool" — distinguishable because real
+    ranks are ≥ 1). Final order: rrf_score DESC, doc_id ASC; docs
+    surfaced by BOTH retrievers dominate, which is RRF's point.
+
+    Both inputs are pool frames (#queries × pool rows), so every join
+    and window here is on data whose size is set by the QUERY load,
+    not the corpus — fusion adds nothing to the corpus-side cost."""
+    l = lex.select("query_id", "doc_id", F.col("rank").alias("lex_rank"))
+    s = sem.select("query_id", "doc_id", F.col("rank").alias("sem_rank"))
+    fused = (
+        l.join(s, ["query_id", "doc_id"], "full_outer")
+        .withColumn(
+            "rrf_score",
+            F.expr(
+                f"CASE WHEN lex_rank IS NULL THEN 0L "
+                f"ELSE 1000000L div ({k_rrf} + lex_rank) END + "
+                f"CASE WHEN sem_rank IS NULL THEN 0L "
+                f"ELSE 1000000L div ({k_rrf} + sem_rank) END"
+            ),
+        )
+        .withColumn("lex_rank", F.coalesce("lex_rank", F.lit(0).cast("long")))
+        .withColumn("sem_rank", F.coalesce("sem_rank", F.lit(0).cast("long")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "doc_id", "lex_rank", "sem_rank", "rrf_score", "rank"
+        )
+    )
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    eval_mod: int = 97,
+    pool: int = 20,
+    k: int = 10,
+    k_rrf: int = K_RRF,
+) -> DataFrame:
+    """The composed hybrid retriever: BM25 top-`pool` (lexical) ⊕
+    cosine top-`pool` (semantic) → RRF top-`k` per eval query."""
+    lex = bm25_rank(docs, eval_mod=eval_mod, k=pool)
+    sem = semantic_eval_rank(embeddings, eval_mod=eval_mod, pool=pool)
+    return rrf_fuse(lex, sem, k_rrf=k_rrf, k=k)
+
+
+def hybrid_rrf_sql(
+    eval_mod: int = 97, pool: int = 20, k: int = 10, k_rrf: int = K_RRF
+) -> str:
+    """Oracle: the bm25_rank CTE chain (shared verbatim, pool-sized) +
+    an independent SQL restatement of the cosine branch and the RRF
+    merge."""
+    base = bm25_rank_sql(eval_mod, pool).strip()
+    assert base.startswith("WITH ")
+    head, final = base.rsplit("SELECT query_id, doc_id, score,", 1)
+    ctes = head[len("WITH"):].strip().rstrip(",").rstrip()
+    return f"""
+WITH {ctes},
+lex AS (SELECT query_id, doc_id, score,{final}),
+probes AS (
+  SELECT vec_id AS query_id, embedding AS probe_vec
+  FROM embeddings WHERE vec_id % {eval_mod} = 0
+),
+sem AS (
+  SELECT query_id, vec_id AS doc_id,
+         CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS sem_rank
+  FROM (
+    SELECT p.query_id, e.vec_id,
+           list_sum(list_transform(range(1, 65),
+               i -> CAST(p.probe_vec[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(range(1, 65),
+               i -> CAST(p.probe_vec[i] AS DOUBLE) * CAST(p.probe_vec[i] AS DOUBLE))))
+            * sqrt(list_sum(list_transform(range(1, 65),
+               i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))))
+           AS sim
+    FROM probes p JOIN embeddings e ON e.vec_id % {eval_mod} <> 0
+  )
+  QUALIFY sem_rank <= {pool}
+),
+fused AS (
+  SELECT coalesce(l.query_id, s.query_id) AS query_id,
+         coalesce(l.doc_id, s.doc_id) AS doc_id,
+         CAST(coalesce(l.rank, 0) AS BIGINT) AS lex_rank,
+         CAST(coalesce(s.sem_rank, 0) AS BIGINT) AS sem_rank,
+         CAST(CASE WHEN l.rank IS NULL THEN 0
+                   ELSE 1000000 // ({k_rrf} + l.rank) END
+            + CASE WHEN s.sem_rank IS NULL THEN 0
+                   ELSE 1000000 // ({k_rrf} + s.sem_rank) END AS BIGINT) AS rrf_score
+  FROM lex l
+  FULL OUTER JOIN sem s ON l.query_id = s.query_id AND l.doc_id = s.doc_id
+)
+SELECT query_id, doc_id, lex_rank, sem_rank, rrf_score,
+       CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY rrf_score DESC, doc_id ASC) AS BIGINT) AS rank
+FROM fused
+QUALIFY rank <= {k}
+"""

@@ -229,6 +229,116 @@ def hll_cascade_estimate(regs: DataFrame, coarse_ms: int) -> DataFrame:
     )
 
 
+def _hll_est_from(reg_expr) -> F.Column:
+    """Spec estimate from 64 register expressions (reg_expr(i) → SQL
+    string for register i, already null-safe)."""
+    terms = " + ".join(
+        f"shiftleft(CAST(1 AS BIGINT), {RHO_CAP} - least({reg_expr(i)}, {RHO_CAP}))"
+        for i in range(M)
+    )
+    return F.expr(
+        f"CAST({EST_NUM} AS BIGINT) * {ALPHA_NUM} div (({terms}) * {ALPHA_DEN})"
+    )
+
+
+def hll_overlap_estimate(
+    df: DataFrame, group_col: str, key_expr: str
+) -> DataFrame:
+    """Pairwise set algebra over HLL sketches: for every pair of groups
+    (a < b), the estimated distinct-key counts |A|, |B|, |A ∪ B| and
+    the inclusion–exclusion intersection |A| + |B| − |A ∪ B| (clamped
+    at 0 — raw-HLL noise can push a near-empty intersection negative).
+    The audience-overlap / cross-segment-reach question ("how many
+    users do click and purchase share?") answered WITHOUT an exact
+    pairwise distinct — the exact form needs a shuffle of every
+    (group, key) pair per group pair, O(pairs · keys); this needs only
+    each group's 64-register sketch.
+
+    The union sketch is the per-register MAX of the two sketches —
+    HLL's lossless merge, the same operation the daily→weekly cascade
+    uses — so |A ∪ B| carries no extra approximation beyond raw HLL;
+    only the subtraction amplifies relative error when the
+    intersection is small (standard for inclusion–exclusion on
+    sketches; the registry oracle pins the exact same integer values
+    on both engines, and the fixture test bounds the estimates against
+    exact counts).
+
+    Shape at 100 TB: one map-side-combinable pass folds raw rows to
+    #groups × 64 registers (the same wide single-aggregation form as
+    the streaming HLL); the pair join runs on #groups ROWS — corpus
+    size is out of the picture before any join happens."""
+    bucket, rho = _hash_cols(key_expr)
+    hashed = df.select(F.col(group_col).alias("grp"), bucket, rho)
+    wide = hashed.groupBy("grp").agg(*hll_register_aggs())
+    a = wide.select(
+        F.col("grp").alias("grp_a"),
+        *[F.col(f"r{i}").alias(f"a{i}") for i in range(M)],
+    )
+    b = wide.select(
+        F.col("grp").alias("grp_b"),
+        *[F.col(f"r{i}").alias(f"b{i}") for i in range(M)],
+    )
+    pairs = a.join(F.broadcast(b), F.col("grp_a") < F.col("grp_b"))
+    est_a = _hll_est_from(lambda i: f"coalesce(a{i}, 0)")
+    est_b = _hll_est_from(lambda i: f"coalesce(b{i}, 0)")
+    est_u = _hll_est_from(
+        lambda i: f"greatest(coalesce(a{i}, 0), coalesce(b{i}, 0))"
+    )
+    return pairs.select(
+        "grp_a",
+        "grp_b",
+        est_a.alias("est_a"),
+        est_b.alias("est_b"),
+        est_u.alias("est_union"),
+        F.greatest(
+            est_a + est_b - est_u, F.lit(0).cast("long")
+        ).alias("est_intersect"),
+    )
+
+
+def hll_overlap_sql(table: str, group_col: str, key_expr: str) -> str:
+    """Oracle restatement: tall registers per group, union registers
+    re-aggregated from the hashed rows per pair (a different altitude
+    from the engine's wide-column max-merge — same spec values)."""
+    h = f"(('0x' || substr(md5(CAST(({key_expr}) AS VARCHAR)), 1, 15))::UBIGINT)::BIGINT"
+    fold = (
+        f"sum(CAST(1 AS BIGINT) << ({RHO_CAP} - r)) "
+        f"+ ({M} - count(*)) * CAST({1 << RHO_CAP} AS BIGINT)"
+    )
+    est = f"CAST(CAST({EST_NUM} AS BIGINT) * {ALPHA_NUM} // (D * {ALPHA_DEN}) AS BIGINT)"
+    return f"""
+WITH hashed AS (
+  SELECT {group_col} AS grp,
+         {h} // {W_MOD} AS bucket,
+         CASE WHEN {h} % {W_MOD} = 0 THEN 55
+              ELSE 55 - length(bin({h} % {W_MOD})) END AS rho
+  FROM {table}
+),
+regs AS (
+  SELECT grp, bucket, least(max(rho), {RHO_CAP}) AS r
+  FROM hashed GROUP BY grp, bucket
+),
+folded AS (SELECT grp, {fold} AS D FROM regs GROUP BY grp),
+est AS (SELECT grp, {est} AS e FROM folded),
+pairs AS (
+  SELECT a.grp AS grp_a, b.grp AS grp_b, a.e AS est_a, b.e AS est_b
+  FROM est a JOIN est b ON a.grp < b.grp
+),
+uregs AS (
+  SELECT p.grp_a, p.grp_b, r.bucket, least(max(r.r), {RHO_CAP}) AS r
+  FROM pairs p JOIN regs r ON r.grp = p.grp_a OR r.grp = p.grp_b
+  GROUP BY p.grp_a, p.grp_b, r.bucket
+),
+ufolded AS (
+  SELECT grp_a, grp_b, {fold} AS D FROM uregs GROUP BY grp_a, grp_b
+),
+uest AS (SELECT grp_a, grp_b, {est} AS est_union FROM ufolded)
+SELECT p.grp_a, p.grp_b, p.est_a, p.est_b, u.est_union,
+       greatest(p.est_a + p.est_b - u.est_union, 0) AS est_intersect
+FROM pairs p JOIN uest u USING (grp_a, grp_b)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Count-Min sketch: mergeable frequency estimation / heavy hitters
 # ---------------------------------------------------------------------------

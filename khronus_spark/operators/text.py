@@ -13,7 +13,7 @@ arithmetic end-to-end.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from khronus_spark.sources.tables import spread
@@ -1532,7 +1532,7 @@ GROUP BY doc_id
 """
 
 
-def unigram_surprisal(docs: DataFrame) -> DataFrame:
+def unigram_surprisal(docs: DataFrame, carry_cols: tuple[str, ...] = ()) -> DataFrame:
     """Language-model quality filtering, integer-exact: per document,
     the total and mean unigram surprisal of its tokens under the
     corpus's own unigram distribution — the CCNet/Wikipedia-LM
@@ -1553,15 +1553,22 @@ def unigram_surprisal(docs: DataFrame) -> DataFrame:
     (hot stop words pre-fold in every partition); the corpus total is a
     broadcast scalar; the count join back is doc-salted exactly like
     the gram joins (a stop word appears in every document — the
-    unsalted join would serialize it into one task)."""
-    toks = docs.select("doc_id", F.explode(_tokens()).alias("w"))
+    unsalted join would serialize it into one task).
+
+    `carry_cols` threads extra doc-level columns (functionally
+    dependent on doc_id, e.g. `lang`) through the per-doc group keys —
+    free for the aggregates (same group cardinality) and it spares the
+    consumer a corpus-growing self-join back onto `docs` (the wave-4
+    quality-attach lesson)."""
+    carry = list(carry_cols)
+    toks = docs.select("doc_id", *carry, F.explode(_tokens()).alias("w"))
     # built once, shared by the count chain and the probe (the
     # tokenize+explode+agg subtree would otherwise run three times:
     # via total, via the salted count join, and as the probe — the
     # bm25_rank postings pattern); counts checkpoints too because both
     # total and the salted join consume it
     occ = (
-        toks.groupBy("doc_id", "w")
+        toks.groupBy("doc_id", *carry, "w")
         .agg(F.count(F.lit(1)).alias("k"))
         .localCheckpoint(eager=False)
     )
@@ -1584,7 +1591,7 @@ def unigram_surprisal(docs: DataFrame) -> DataFrame:
         .withColumn(
             "bits", F.expr("length(bin(n)) - length(bin(c))")
         )
-        .groupBy("doc_id")
+        .groupBy("doc_id", *carry)
         .agg(
             F.sum("k").alias("n_tokens"),
             F.sum(F.expr("k * CAST(bits AS BIGINT)")).alias("surprisal_bits"),
@@ -1620,6 +1627,135 @@ SELECT doc_id,
        CAST(sum(k * bits) * 1000 // sum(k) AS BIGINT) AS mean_surprisal_mbits
 FROM scored
 GROUP BY doc_id
+"""
+
+
+#: CCNet's split labels, in ascending-perplexity order.
+PERPLEXITY_SPLITS = ("head", "middle", "tail")
+
+#: tie-mass sub-cells per mean value (see perplexity_split docstring)
+_SPLIT_SALT_MOD = 64
+_SPLIT_SALT_SPARK = (
+    "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+    f" % {_SPLIT_SALT_MOD}"
+)
+_SPLIT_SALT_DUCK = (
+    "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT)::BIGINT"
+    f" % {_SPLIT_SALT_MOD}"
+)
+
+
+def perplexity_split(docs: DataFrame, n_buckets: int = 3) -> DataFrame:
+    """CCNet's head/middle/tail partition (Wenzek et al., LREC'20): per
+    language, rank documents by LM perplexity and cut the corpus into
+    equal thirds — `head` (most fluent, lowest perplexity) feeds
+    training directly, `middle` is kept-with-caveats, `tail` is the
+    noise pool. The perplexity stand-in is the integer-exact
+    `unigram_surprisal` mean (milli-bits/token), so the whole split is
+    bit-reproducible cross-engine.
+
+    Bucketing is TWO-PHASE VALUE-HISTOGRAM, not a per-lang rank
+    window: a `Window.partitionBy(lang)` row_number would funnel each
+    language through ONE task — at 100 TB the dominant language is
+    most of the corpus, so that plan cannot scale (the RFM entry's
+    ntile argument). Instead: (1) aggregate doc counts per
+    (lang, mean_mbits, salt) where salt = md5(doc_id) % 64 — bounded
+    by the mbits VALUE RANGE × 64, not by doc count; (2) a window
+    over that tiny histogram computes each cell's cumulative count
+    below it (value-major, salt-minor order); (3) bucket =
+    n_buckets·cum_before div n_lang, broadcast back onto the per-doc
+    frame. The salt exists because web corpora are DUPLICATE-HEAVY: a
+    boilerplate text repeated a billion times is one mean value, and
+    pure value-bucketing would dump the whole tie mass into one
+    bucket (observed on the gate corpus: 90% "head"). The md5 salt
+    splits every tie mass into 64 deterministic sub-cells so cuts
+    land between them; residual granularity is 1/64 of each tie mass
+    (docs sharing (mean, salt) still share a bucket — deterministic,
+    engine-independent).
+
+    Output: (doc_id, lang, mean_surprisal_mbits, bucket, split)."""
+    per_doc = unigram_surprisal(docs, carry_cols=("lang",)).select(
+        "doc_id",
+        "lang",
+        "mean_surprisal_mbits",
+        F.expr(_SPLIT_SALT_SPARK).alias("_salt"),
+    )
+    hist = per_doc.groupBy("lang", "mean_surprisal_mbits", "_salt").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy("mean_surprisal_mbits", "_salt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = Window.partitionBy("lang")
+    labels = ", ".join(f"'{s}'" for s in PERPLEXITY_SPLITS)
+    buckets = (
+        hist.withColumn(
+            "cum_before", F.coalesce(F.sum("cnt").over(w_cum), F.lit(0))
+        )
+        .withColumn("n_lang", F.sum("cnt").over(w_tot))
+        .select(
+            "lang",
+            "mean_surprisal_mbits",
+            "_salt",
+            F.expr(f"CAST({n_buckets} * cum_before div n_lang AS BIGINT)").alias(
+                "bucket"
+            ),
+        )
+    )
+    if n_buckets == len(PERPLEXITY_SPLITS):
+        buckets = buckets.withColumn(
+            "split", F.expr(f"element_at(array({labels}), CAST(bucket + 1 AS INT))")
+        )
+    else:
+        buckets = buckets.withColumn(
+            "split", F.concat(F.lit("q"), F.col("bucket").cast("string"))
+        )
+    return per_doc.join(
+        F.broadcast(buckets), ["lang", "mean_surprisal_mbits", "_salt"]
+    ).select("doc_id", "lang", "mean_surprisal_mbits", "bucket", "split")
+
+
+def perplexity_split_sql(n_buckets: int = 3) -> str:
+    labels = ", ".join(f"'{s}'" for s in PERPLEXITY_SPLITS)
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, lang, w, CAST(count(*) AS BIGINT) AS k
+  FROM toks GROUP BY doc_id, lang, w
+),
+counts AS (
+  SELECT w, CAST(sum(k) AS BIGINT) AS c FROM occ GROUP BY w
+),
+total AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM counts),
+per_doc AS (
+  SELECT doc_id, lang,
+         CAST(sum(k * (length(bin(total.n)) - length(bin(counts.c)))) * 1000
+              // sum(k) AS BIGINT) AS mean_surprisal_mbits,
+         {_SPLIT_SALT_DUCK} AS salt
+  FROM occ JOIN counts USING (w) CROSS JOIN total
+  GROUP BY doc_id, lang
+),
+hist AS (
+  SELECT lang, mean_surprisal_mbits, salt, count(*) AS cnt
+  FROM per_doc GROUP BY lang, mean_surprisal_mbits, salt
+),
+buckets AS (
+  SELECT lang, mean_surprisal_mbits, salt,
+         CAST({n_buckets} * coalesce(sum(cnt) OVER (
+             PARTITION BY lang ORDER BY mean_surprisal_mbits, salt
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           // (sum(cnt) OVER (PARTITION BY lang)) AS BIGINT) AS bucket
+  FROM hist
+)
+SELECT d.doc_id, d.lang, d.mean_surprisal_mbits, b.bucket,
+       list_value({labels})[CAST(b.bucket + 1 AS INT)] AS split
+FROM per_doc d JOIN buckets b USING (lang, mean_surprisal_mbits, salt)
 """
 
 

@@ -127,3 +127,28 @@ def test_anomaly_flags_planted(spark):
     assert 2 not in got
     for i in range(ex.BOT_EVENTS_PER_DAY + 1):
         assert got[100 + i] == ex.A_BOT_RATE
+
+
+def test_k_anonymity_audit_flags_small_and_homogeneous_groups(spark):
+    """Planted fixture: a <k group fails k-anonymity; a large group
+    whose members all share one sensitive value fails l-diversity
+    (the homogeneity attack); a large diverse group passes both."""
+    from khronus_spark.operators.expectations import k_anonymity_audit
+
+    rows = (
+        # big diverse group: 6 rows, 3 distinct users
+        [("a", 1, u) for u in (1, 2, 3, 1, 2, 3)]
+        # big homogeneous group: 5 rows, ONE user
+        + [("b", 1, 9)] * 5
+        # small group: 2 rows
+        + [("c", 1, 1), ("c", 1, 2)]
+    )
+    df = spark.createDataFrame(rows, "q1 string, q2 long, sensitive long")
+    out = {
+        r["q1"]: r
+        for r in k_anonymity_audit(df, ["q1", "q2"], "sensitive", k=5, l=3).collect()
+    }
+    assert out["a"]["is_k_anonymous"] and out["a"]["is_l_diverse"]
+    assert out["b"]["is_k_anonymous"] and not out["b"]["is_l_diverse"]
+    assert not out["c"]["is_k_anonymous"]
+    assert out["b"]["n_rows"] == 5 and out["b"]["n_sensitive"] == 1

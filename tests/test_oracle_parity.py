@@ -194,7 +194,11 @@ def test_window_rotation_covers_unproven():
     import json
     from pathlib import Path
 
-    from khronus_spark.entry_queries import _PRIORITY, DRIVER_WINDOW
+    from khronus_spark.entry_queries import (
+        _PRIORITY,
+        DRIVER_WINDOW,
+        PENDING_NEXT_WINDOW,
+    )
 
     names = list(QUERIES)
     assert len(_PRIORITY) == DRIVER_WINDOW
@@ -207,10 +211,23 @@ def test_window_rotation_covers_unproven():
             if row.get("hash_match") or row.get("err") == "no_oracle":
                 proven.add(name)
     window = set(_PRIORITY)
-    uncovered = [n for n in names if n not in proven and n not in window]
+    # the explicit next-window queue: entries registered after the
+    # current window froze may wait there — but only oracle-backed
+    # registry entries, never window members (no double-booking), and
+    # the queue must drain into the next round's window before any
+    # other rotation (policy documented at its definition site)
+    pending = set(PENDING_NEXT_WINDOW)
+    assert pending <= set(names), pending - set(names)
+    assert not pending & window, pending & window
+    assert all(n in ORACLES for n in pending), [
+        n for n in pending if n not in ORACLES
+    ]
+    uncovered = [
+        n for n in names if n not in proven and n not in window and n not in pending
+    ]
     assert not uncovered, (
         f"{len(uncovered)} entries have no green driver row and are "
-        f"outside the window: {uncovered}"
+        f"outside the window and the pending queue: {uncovered}"
     )
     # every windowed entry must be hash-checkable (an oracle exists) —
     # rows-only entries prove themselves via stream==batch tests instead

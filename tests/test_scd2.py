@@ -1,0 +1,49 @@
+"""SCD2 point-in-time conformance join: interval coverage and share
+accounting."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+
+QUERIES = entry_mod.queries()
+
+
+def test_every_event_joins_exactly_one_interval(spark, sf_dir):
+    """The dominant-type intervals tile each user's active weeks with
+    no overlap, so the PIT join must account for every event exactly
+    once: the conformance matrix total equals the event count."""
+    out = QUERIES["events_scd2_conformance"](spark, sf_dir)
+    total = out.agg(F.sum("n_events")).collect()[0][0]
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert total == n_events
+
+
+def test_shares_tile_per_dominant_type(spark, sf_dir):
+    """Basis-point shares within each dominant type sum to ~10000
+    (floor-division slack < #event types)."""
+    out = QUERIES["events_scd2_conformance"](spark, sf_dir).collect()
+    per_dom = {}
+    for r in out:
+        per_dom.setdefault(r["dominant_type"], []).append(r["share_bp"])
+    for dom, shares in per_dom.items():
+        assert 10000 - len(shares) < sum(shares) <= 10000, (dom, shares)
+
+
+def test_diagonal_is_modal_share(spark, sf_dir):
+    """An interval's dominant type is by construction the most frequent
+    type of each week inside it — aggregated over a user's whole run
+    plus gap weeks that's no longer a theorem, but on the gate data the
+    diagonal must still carry the plurality of each dominant row
+    (a collapsed dimension that does NOT is evidence of a bug)."""
+    out = QUERIES["events_scd2_conformance"](spark, sf_dir).collect()
+    per_dom = {}
+    for r in out:
+        per_dom.setdefault(r["dominant_type"], {})[r["event_type"]] = r["n_events"]
+    majority_holds = sum(
+        1
+        for dom, m in per_dom.items()
+        if m.get(dom, 0) == max(m.values())
+    )
+    assert majority_holds >= len(per_dom) - 1, per_dom

@@ -270,3 +270,54 @@ def test_cms_cascade_weekly_equals_direct(spark, sf_dir):
         tuple(r) for r in windowed_cms_sketch(ev, "7 days", "user_id").collect()
     )
     assert merged == direct and merged
+
+
+def test_hll_overlap_union_exact_and_intersection_bounded(spark, oracle_sf_dir):
+    """Set-algebra invariants of hll_overlap_estimate: (1) the pair's
+    est_union must equal hll_distinct run on the two groups' unioned
+    rows — register max-merge IS the union sketch, bit-for-bit; (2)
+    est_union >= max(est_a, est_b) (registers only grow); (3) the
+    inclusion–exclusion intersection lands within raw-HLL tolerance of
+    the exact overlap for the real event data."""
+    from khronus_spark.operators.sketches import hll_overlap_estimate
+
+    ev = spark.read.parquet(f"{oracle_sf_dir}/events.parquet")
+    out = {
+        (r["grp_a"], r["grp_b"]): r
+        for r in hll_overlap_estimate(ev, "event_type", "user_id").collect()
+    }
+    types = sorted({t for pair in out for t in pair})
+    assert len(out) == len(types) * (len(types) - 1) // 2
+
+    # (1) union == sketch of unioned rows, exactly
+    a, b = types[0], types[1]
+    both = ev.where(F.col("event_type").isin([a, b])).withColumn(
+        "event_type", F.lit("ab")
+    )
+    direct = hll_distinct(both, "event_type", "user_id").collect()[0]["est_distinct"]
+    assert out[(a, b)]["est_union"] == direct
+
+    # (2) monotonicity + clamp
+    for r in out.values():
+        assert r["est_union"] >= max(r["est_a"], r["est_b"])
+        assert r["est_intersect"] >= 0
+
+    # (3) estimate vs exact overlap — every pair of event types shares
+    # most of the 150-user population, so inclusion–exclusion noise is
+    # bounded; allow the raw-HLL envelope amplified by the subtraction
+    exact = {}
+    users = {
+        t: {
+            r["user_id"]
+            for r in ev.where(F.col("event_type") == t)
+            .select("user_id")
+            .distinct()
+            .collect()
+        }
+        for t in types
+    }
+    for (ta, tb), r in out.items():
+        exact_i = len(users[ta] & users[tb])
+        assert abs(r["est_intersect"] - exact_i) / exact_i < 0.75, (
+            ta, tb, r["est_intersect"], exact_i,
+        )
