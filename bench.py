@@ -198,6 +198,15 @@ def main() -> None:
         # per-series integer recurrence through applyInPandas (the
         # order-dependent op window functions can't express)
         "ewma_smooth": lambda: run_df(q["events_ewma_1h"](spark, sf_dir)),
+        # hybrid retrieval: BM25 ⊕ cosine pools fused by integer RRF;
+        # fusion cost is query-load-sized, so the slot's time is the
+        # two branch scans
+        "hybrid_rrf": lambda: run_df(q["hybrid_rrf_topk"](spark, sf_dir)),
+        # CCNet tercile split: surprisal build + salted value-histogram
+        # bucketing (no per-lang rank window)
+        "perplexity_split": lambda: run_df(
+            q["doc_perplexity_split"](spark, sf_dir)
+        ),
     }
 
     import tempfile

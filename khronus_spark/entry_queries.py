@@ -157,6 +157,8 @@ PENDING_NEXT_WINDOW = [
     "hll_event_type_overlap",
     "events_k_anonymity",
     "events_scd2_conformance",
+    "ann_recall_at_k",
+    "part_lpa_communities",
 ]
 
 _PRIORITY = [
@@ -5111,3 +5113,50 @@ def events_scd2_conformance(spark, sf_dir):
         "n_events",
         F.expr("CAST(_num div _den AS BIGINT)").alias("share_bp"),
     )
+
+
+@register(
+    "ann_recall_at_k",
+    sim_ops.ann_recall_at_k_sql(
+        list(range(5)), k=3, n_bands=4, planes_per_band=8, nprobe=2
+    ),
+)
+def ann_recall_at_k(spark, sf_dir):
+    """Index QA: oracle-checked recall@3 of the banded-LSH and IVF
+    retrievers against the exact cosine baseline, per probe
+    (operators/similarity.py::ann_recall_at_k) — the measurement that
+    decides n_bands/planes/nprobe before an index ships, using the
+    registry entries' own parameters so the recall numbers describe
+    exactly the proven paths. Evaluation joins touch only
+    k × #probes-row frames; all three retrievals keep their hardened
+    shapes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.ann_recall_at_k(
+        emb, list(range(5)), k=3, n_bands=4, planes_per_band=8, nprobe=2
+    )
+
+
+@register(
+    "part_lpa_communities",
+    f"WITH {components_ops.lpa_rounds_ctes(_EDIT_PAIRS_CTE.strip(), iters=4)}"
+    """
+SELECT l4.node_id AS node_id, l4.label AS community, s.community_size
+FROM l4 JOIN sizes s ON s.label = l4.label
+""",
+)
+def part_lpa_communities(spark, sf_dir):
+    """Label-propagation communities over the verified edit graph
+    (operators/components.py::lpa_communities): the giant-component
+    breakup pass. Connected components (part_entity_components) answer
+    reachability — one template/hub record chains unrelated clusters
+    together (the artifact part_edit_graph_clustering flags with low
+    cc_bp); LPA requires MAJORITY neighbor support, so bridged cliques
+    split into separate communities before canonical selection.
+    4 synchronous rounds, argmax-by-count with min-label ties — one
+    co-partitioned join + two map-side-combinable aggregates per
+    round, label state one row per node, lineage cut per round."""
+    part = load_table(spark, sf_dir, "part")
+    edges = linkage_ops.blocked_edit_pairs(
+        part, ["p_brand"], "p_name", "p_partkey", max_dist=2
+    )
+    return components_ops.lpa_communities(edges, "id_a", "id_b", iters=4)

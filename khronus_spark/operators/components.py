@@ -394,3 +394,109 @@ SELECT p.node AS doc_id, d.deg AS degree, p.pr AS pr_ppm
 FROM pr{iters} p JOIN deg d ON d.src = p.node
 """
     )
+
+
+def lpa_communities(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    iters: int = 4,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over an
+    undirected edge list — community detection for duplicate graphs:
+    each node repeatedly adopts the most frequent label among its
+    neighbors (ties → smallest label), starting from its own id.
+    Output: (node_id, community, community_size) after `iters` rounds.
+
+    Why next to connected_components: components answer "is there ANY
+    path" — a single template/hub record chains unrelated clusters
+    into one giant component (the low-cc_bp artifact
+    part_edit_graph_clustering flags). LPA requires majority support,
+    so a barbell (two cliques bridged by one edge) SPLITS into two
+    communities while components merge it — the principled giant-
+    component breakup before canonical selection.
+
+    Determinism: fixed iteration count, integer labels, argmax by
+    (count DESC, label ASC) via one min(struct(-count, label))
+    aggregate — no collect_list, no float. The oracle unrolls the same
+    rounds as CTEs (the kmeans/pagerank device).
+
+    Shape at 100 TB: per round, ONE shuffle of the edge list joined to
+    the label table on the neighbor id (co-partitioned, both sides
+    keyed) + a map-side-combinable (node, label) count + the argmax
+    aggregate. Label state is one row per node. Rounds are lineage-cut
+    with eager localCheckpoints like the large/small-star loop —
+    without them the self-referential plan doubles per round."""
+    sym = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .unionAll(
+            edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("src").alias("node_id"))
+        .distinct()
+        .withColumn("label", F.col("node_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        counts = (
+            sym.join(labels, sym["dst"] == labels["node_id"])
+            .groupBy("src", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            counts.groupBy("src")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("nc"), F.col("label").alias("l")
+                    )
+                ).alias("m")
+            )
+            .select(
+                F.col("src").alias("node_id"), F.col("m.l").alias("label")
+            )
+            .localCheckpoint(eager=True)
+        )
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("community_size")
+    )
+    return labels.join(sizes, "label").select(
+        "node_id",
+        F.col("label").alias("community"),
+        "community_size",
+    )
+
+
+def lpa_rounds_ctes(edges_cte: str, iters: int = 4) -> str:
+    """Oracle: the same rounds unrolled as CTEs over `edges_cte` (a CTE
+    named `pairs` with id_a/id_b columns)."""
+    parts = [
+        edges_cte,
+        """
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs
+),
+l0 AS (SELECT DISTINCT src AS node_id, src AS label FROM edges)""",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""
+c{i + 1} AS (
+  SELECT e.src AS node_id, l.label, count(*) AS cnt
+  FROM edges e JOIN l{i} l ON l.node_id = e.dst
+  GROUP BY e.src, l.label
+),
+l{i + 1} AS (
+  SELECT node_id, label FROM c{i + 1}
+  QUALIFY row_number() OVER (
+    PARTITION BY node_id ORDER BY cnt DESC, label ASC) = 1
+)"""
+        )
+    return ",".join(parts) + f"""
+, sizes AS (SELECT label, CAST(count(*) AS BIGINT) AS community_size
+            FROM l{iters} GROUP BY label)
+"""

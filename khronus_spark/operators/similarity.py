@@ -869,3 +869,118 @@ SELECT vec_a AS vec_id, vec_b AS neighbor_id, cosine_bp,
 FROM kept
 QUALIFY rank <= {k}
 """
+
+
+def ann_recall_at_k(
+    embeddings: DataFrame,
+    probe_ids: list[int],
+    k: int = 3,
+    n_bands: int = N_BANDS,
+    planes_per_band: int = PLANES_PER_BAND,
+    stride: int = CENTROID_STRIDE,
+    nprobe: int = 1,
+) -> DataFrame:
+    """Index QA: recall@k of the approximate retrievers against the
+    exact brute-force baseline, per probe and method — the measurement
+    every ANN deployment runs before trusting an index (and after
+    every parameter change). Output: (method, probe_id, n_hits,
+    recall_bp) where n_hits = |topk_method ∩ topk_exact| and
+    recall_bp = n_hits·10000 div k. Methods evaluated: 'lsh' (banded
+    sign-random-projection) and 'ivf' (multi-probe inverted lists) —
+    the two candidate-generation families everything else (PQ, rerank)
+    builds on.
+
+    Both engines produce IDENTICAL top-k sets (deterministic tie
+    order), so recall itself is bit-stable — this entry turns the
+    recall claims in the ANN docstrings into oracle-checked numbers
+    instead of prose.
+
+    Shape at 100 TB: three bounded-probe retrievals (each already
+    scale-shaped: broadcast probes, candidate-bounded scans,
+    WindowGroupLimit top-k) + joins on k×#probes-row frames — the
+    evaluation adds nothing corpus-sized. Recall evaluation runs on a
+    probe SAMPLE by construction (probe_ids), which is exactly how
+    production measures an index."""
+    exact = brute_force_topk(embeddings, probe_ids, k).select(
+        "probe_id", "neighbor_id"
+    )
+    approx = {
+        "lsh": lsh_topk(embeddings, probe_ids, k, n_bands, planes_per_band),
+        "ivf": ivf_topk(
+            embeddings, probe_ids=probe_ids, k=k, stride=stride, nprobe=nprobe
+        ),
+    }
+    out = None
+    for method, df in approx.items():
+        hits = (
+            exact.join(
+                df.select("probe_id", "neighbor_id").withColumn(
+                    "_found", F.lit(1)
+                ),
+                ["probe_id", "neighbor_id"],
+                "left",
+            )
+            .groupBy("probe_id")
+            .agg(F.sum(F.coalesce(F.col("_found"), F.lit(0))).alias("n_hits"))
+            .select(
+                F.lit(method).alias("method"),
+                "probe_id",
+                F.col("n_hits").cast("long").alias("n_hits"),
+                F.expr(f"CAST(n_hits * 10000 div {k} AS BIGINT)").alias(
+                    "recall_bp"
+                ),
+            )
+        )
+        out = hits if out is None else out.unionAll(hits)
+    return out
+
+
+def ann_recall_at_k_sql(
+    probe_ids: list[int],
+    k: int = 3,
+    n_bands: int = N_BANDS,
+    planes_per_band: int = PLANES_PER_BAND,
+    stride: int = CENTROID_STRIDE,
+    nprobe: int = 1,
+) -> str:
+    """Oracle: the three retrieval chains composed as nested-WITH CTEs
+    (each chain is the already-proven oracle of its own registry
+    entry), then the per-probe intersection count."""
+    ids = ", ".join(str(i) for i in probe_ids)
+    brute = f"""
+WITH probes AS (
+  SELECT vec_id AS probe_id, embedding AS probe_vec
+  FROM embeddings WHERE vec_id IN ({ids})
+),
+pairs AS (
+  SELECT p.probe_id, e.vec_id AS neighbor_id,
+         {_dot_sql('p.probe_vec', 'e.embedding')}
+         / ({_norm_sql('p.probe_vec')} * {_norm_sql('e.embedding')}) AS sim
+  FROM probes p JOIN embeddings e ON e.vec_id <> p.probe_id
+)
+SELECT probe_id, neighbor_id FROM pairs
+QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id ASC) <= {k}
+"""
+    return f"""
+WITH exact AS ({brute}),
+lsh AS ({lsh_topk_sql(probe_ids, k, n_bands, planes_per_band)}),
+ivf AS ({ivf_topk_sql(probe_ids, k, stride, nprobe)}),
+labeled AS (
+  SELECT 'lsh' AS method, probe_id, neighbor_id FROM lsh
+  UNION ALL
+  SELECT 'ivf' AS method, probe_id, neighbor_id FROM ivf
+),
+methods AS (SELECT 'lsh' AS method UNION ALL SELECT 'ivf'),
+hits AS (
+  SELECT m.method, e.probe_id, CAST(count(a.method) AS BIGINT) AS n_hits
+  FROM methods m
+  CROSS JOIN exact e
+  LEFT JOIN labeled a
+    ON a.method = m.method AND a.probe_id = e.probe_id
+   AND a.neighbor_id = e.neighbor_id
+  GROUP BY m.method, e.probe_id
+)
+SELECT method, probe_id, n_hits,
+       CAST(n_hits * 10000 // {k} AS BIGINT) AS recall_bp
+FROM hits
+"""

@@ -393,3 +393,45 @@ def test_keep_star_preserves_connectivity_under_verification(spark):
     comps = {r["node_id"]: r["component_id"] for r in comp.collect()}
     assert set(comps) | {min(comps.values())} >= {0, 1, 2, 3, 4}
     assert len(set(comps.values())) == 1  # one cluster, rooted at the min
+
+
+def test_lpa_splits_bridged_cliques_components_do_not(spark):
+    """The selling point vs connected components: a barbell (two
+    4-cliques bridged by one edge) is ONE component but TWO LPA
+    communities — majority support, not reachability."""
+    from khronus_spark.operators.components import (
+        connected_components,
+        lpa_communities,
+    )
+
+    def clique(ids):
+        return [(a, b) for a in ids for b in ids if a < b]
+
+    edges = spark.createDataFrame(
+        clique([0, 1, 2, 3]) + clique([10, 11, 12, 13]) + [(3, 10)],
+        "id_a long, id_b long",
+    )
+    comp = connected_components(edges.selectExpr("id_a AS src", "id_b AS dst"))
+    assert comp.select("component_id").distinct().count() == 1
+
+    lpa = lpa_communities(edges, iters=4).collect()
+    by_comm = {}
+    for r in lpa:
+        by_comm.setdefault(r["community"], set()).add(r["node_id"])
+    assert len(by_comm) == 2
+    assert sorted(map(sorted, by_comm.values())) == [[0, 1, 2, 3], [10, 11, 12, 13]]
+    assert all(r["community_size"] == 4 for r in lpa)
+
+
+def test_lpa_is_deterministic_and_stable_on_a_clique(spark):
+    from khronus_spark.operators.components import lpa_communities
+
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(5) for b in range(5) if a < b],
+        "id_a long, id_b long",
+    )
+    out1 = sorted(map(tuple, lpa_communities(edges, iters=3).collect()))
+    out2 = sorted(map(tuple, lpa_communities(edges, iters=3).collect()))
+    assert out1 == out2
+    # a clique converges to the min label
+    assert {t[1] for t in out1} == {0}

@@ -166,3 +166,34 @@ def test_knn_graph_symmetric_candidates_and_ranked(spark, sf_dir):
         keys = [(-r.cosine_bp, r.neighbor_id) for r in lst]
         assert keys == sorted(keys)
         assert len(lst) <= 3
+
+
+def test_ann_recall_full_probe_ivf_is_perfect(spark, sf_dir):
+    """nprobe = nlist makes IVF a full scan — recall must be exactly
+    10000 bp for every probe (the evaluation harness agreeing with the
+    subset-of-full-scan theorem)."""
+    from khronus_spark.operators.similarity import ann_recall_at_k
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    nlist = (n + 49) // 50  # CENTROID_STRIDE = 50
+    out = ann_recall_at_k(
+        emb, [0, 1, 2], k=3, n_bands=4, planes_per_band=8, nprobe=nlist
+    ).collect()
+    ivf = [r for r in out if r["method"] == "ivf"]
+    assert len(ivf) == 3
+    assert all(r["recall_bp"] == 10000 and r["n_hits"] == 3 for r in ivf)
+
+
+def test_ann_recall_shape_and_bounds(spark, sf_dir):
+    from khronus_spark.operators.similarity import ann_recall_at_k
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = ann_recall_at_k(
+        emb, list(range(5)), k=3, n_bands=4, planes_per_band=8, nprobe=2
+    ).collect()
+    assert len(out) == 10  # 2 methods x 5 probes, zero-hit probes included
+    assert {r["method"] for r in out} == {"lsh", "ivf"}
+    for r in out:
+        assert 0 <= r["n_hits"] <= 3
+        assert r["recall_bp"] == r["n_hits"] * 10000 // 3
