@@ -1635,6 +1635,8 @@ PERPLEXITY_SPLITS = ("head", "middle", "tail")
 
 #: tie-mass sub-cells per mean value (see perplexity_split docstring)
 _SPLIT_SALT_MOD = 64
+#: histogram rows beyond which the bucket attach stops broadcasting
+_SPLIT_BROADCAST_LIMIT = 2_000_000
 _SPLIT_SALT_SPARK = (
     "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"
     f" % {_SPLIT_SALT_MOD}"
@@ -1712,8 +1714,15 @@ def perplexity_split(docs: DataFrame, n_buckets: int = 3) -> DataFrame:
         buckets = buckets.withColumn(
             "split", F.concat(F.lit("q"), F.col("bucket").cast("string"))
         )
+    # size-guarded broadcast (the curated_docs pattern): the histogram
+    # is value-range × 64-salt bounded, normally thousands of cells,
+    # but a pathological value spread could outgrow an executor — past
+    # the limit the attach falls back to a shuffle join on the cell
+    # key, which is the right plan at that size
+    if buckets.count() <= _SPLIT_BROADCAST_LIMIT:
+        buckets = F.broadcast(buckets)
     return per_doc.join(
-        F.broadcast(buckets), ["lang", "mean_surprisal_mbits", "_salt"]
+        buckets, ["lang", "mean_surprisal_mbits", "_salt"]
     ).select("doc_id", "lang", "mean_surprisal_mbits", "bucket", "split")
 
 
