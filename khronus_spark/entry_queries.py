@@ -159,6 +159,7 @@ PENDING_NEXT_WINDOW = [
     "events_scd2_conformance",
     "ann_recall_at_k",
     "part_lpa_communities",
+    "bm25_chunk_topk",
 ]
 
 _PRIORITY = [
@@ -5160,3 +5161,17 @@ def part_lpa_communities(spark, sf_dir):
         part, ["p_brand"], "p_name", "p_partkey", max_dist=2
     )
     return components_ops.lpa_communities(edges, "id_a", "id_b", iters=4)
+
+
+@register("bm25_chunk_topk", text_ops.bm25_chunk_rank_sql())
+def bm25_chunk_topk(spark, sf_dir):
+    """Chunk-granularity BM25 retrieval with doc-level max-pooling
+    (text.py::bm25_chunk_rank) — the RAG index unit: postings built
+    over 64-token/48-stride windows, each doc scored by its best
+    chunk, and the winning chunk's token span returned as the
+    citation. Composes chunk_documents (map-only window op) with the
+    bm25_build_postings / bm25_rank_indexed machinery verbatim over a
+    synthetic doc·2^20+chunk key; chunk-level dl normalization fixes
+    whole-doc BM25's long-document dilution."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.bm25_chunk_rank(docs)

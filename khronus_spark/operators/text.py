@@ -2773,3 +2773,178 @@ SELECT doc_id,
        array_to_string(t[ss[i]+1:ss[i]+{chunk_tokens}], ' ') AS chunk_text
 FROM starts, unnest(generate_series(1, len(ss))) u(i)
 """
+
+
+#: chunk retrieval key: doc_id * 2^20 + chunk_id (chunk_id < 1M — at
+#: stride 48 that is a ~50M-token document; keys stay in int64 for
+#: doc_id < 2^43)
+_CHUNK_KEY_SHIFT = 1 << 20
+
+
+def bm25_chunk_rank(
+    docs: DataFrame,
+    eval_mod: int = 97,
+    k: int = 5,
+    pool: int = 20,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    k1_pm: int = 1200,
+    b_pm: int = 750,
+) -> DataFrame:
+    """Chunk-granularity BM25 — the retrieval unit RAG systems actually
+    index: the corpus splits into overlapping token windows
+    (`chunk_documents`), postings are built over CHUNKS, and doc-level
+    results come from MAX-POOLING each document's best chunk. Chunk
+    scoring fixes the long-document failure of whole-doc BM25 (dl
+    normalization at window size: a 100k-token doc with one relevant
+    paragraph scores like the paragraph, not like its diluted whole),
+    and the winning chunk's token span is the citation a RAG answer
+    needs. Output: (query_id, doc_id, best_chunk_id, best_chunk_start,
+    doc_score, rank) — top `k` docs per eval query from the top-`pool`
+    chunk pool.
+
+    Composition, not new machinery: chunking is the map-only window
+    op; postings/scoring are `bm25_build_postings`/`bm25_rank_indexed`
+    verbatim over the synthetic chunk key doc_id·2^20 + chunk_id
+    (decoded by integer div/mod at pooling); the doc pool is the
+    standard two-stage cut — a doc surfaces iff its best chunk makes
+    the global chunk pool. Max-pool + best-chunk arg-max are ONE
+    aggregate (min(struct(-score, chunk_id))); the pooled frame is
+    #queries × pool rows.
+
+    Shape at 100 TB: chunking multiplies postings rows by ~1/stride
+    overlap factor but every stage keeps bm25_rank's shape — one
+    map-side-combinable postings shuffle, broadcast query probe,
+    WindowGroupLimit top-k; the pooling runs on query-load-sized
+    frames."""
+    corpus = docs.where(F.col("doc_id") % eval_mod != 0)
+    chunks = chunk_documents(corpus, chunk_tokens, stride).select(
+        F.expr(f"doc_id * {_CHUNK_KEY_SHIFT} + chunk_id").alias("doc_id"),
+        F.col("chunk_text").alias("text"),
+    )
+    queries = docs.where(F.col("doc_id") % eval_mod == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    ranked = bm25_rank_indexed(
+        bm25_build_postings(chunks), queries, k=pool, k1_pm=k1_pm, b_pm=b_pm
+    )
+    pooled = (
+        ranked.select(
+            "query_id",
+            F.expr(f"doc_id div {_CHUNK_KEY_SHIFT}").alias("src_doc"),
+            F.expr(f"doc_id % {_CHUNK_KEY_SHIFT}").alias("chunk_id"),
+            "score",
+        )
+        .groupBy("query_id", "src_doc")
+        .agg(
+            F.max("score").alias("doc_score"),
+            F.min(
+                F.struct(
+                    (-F.col("score")).alias("ns"), F.col("chunk_id").alias("c")
+                )
+            ).alias("m"),
+        )
+        .select(
+            "query_id",
+            F.col("src_doc").alias("doc_id"),
+            F.col("m.c").alias("best_chunk_id"),
+            F.expr(f"m.c * {stride} + 1").alias("best_chunk_start"),
+            "doc_score",
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("doc_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        pooled.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def bm25_chunk_rank_sql(
+    eval_mod: int = 97,
+    k: int = 5,
+    pool: int = 20,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    k1_pm: int = 1200,
+    b_pm: int = 750,
+) -> str:
+    return rf"""
+WITH ctoks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE doc_id % {eval_mod} <> 0
+),
+cstarts AS (
+  SELECT doc_id, t,
+         range(0, greatest(CAST(ceil((len(t) - {chunk_tokens}) /
+               CAST({stride} AS DOUBLE)) AS INT), 0) * {stride} + 1, {stride}) AS ss
+  FROM ctoks
+),
+chunks AS (
+  SELECT doc_id * {_CHUNK_KEY_SHIFT} + (i - 1) AS ckey,
+         array_to_string(t[ss[i]+1:ss[i]+{chunk_tokens}], ' ') AS chunk_text
+  FROM cstarts, unnest(generate_series(1, len(ss))) u(i)
+),
+tf AS (
+  SELECT ckey, w, CAST(count(*) AS BIGINT) AS tf
+  FROM (
+    SELECT ckey, unnest(regexp_split_to_array(trim(lower(chunk_text)), '\s+')) AS w
+    FROM chunks
+  ) GROUP BY ckey, w
+),
+dl AS (SELECT ckey, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY ckey),
+df_t AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) * 1000 // count(*) AS BIGINT) AS avgdl_m
+  FROM dl
+),
+qterms AS (
+  SELECT DISTINCT doc_id AS query_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+  FROM documents WHERE doc_id % {eval_mod} = 0
+),
+scored AS (
+  SELECT q.query_id, tf.ckey,
+         CAST(sum(
+           length(bin(s.n_docs // df_t.df)) *
+           (1000 * (1000 + {k1_pm}) * tf.tf //
+            (1000 * tf.tf + {k1_pm} *
+             (1000 - {b_pm} + {b_pm} * 1000 * dl.dl // s.avgdl_m) // 1000))
+         ) AS BIGINT) AS score
+  FROM tf
+  JOIN qterms q USING (w)
+  JOIN df_t USING (w)
+  JOIN dl ON dl.ckey = tf.ckey
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.ckey
+),
+ranked AS (
+  SELECT query_id, ckey, score
+  FROM scored
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, ckey ASC) <= {pool}
+),
+pooled AS (
+  -- the per-doc best chunk carries the max-pooled doc score, so the
+  -- arg-max is a rank-1 cut per (query, doc)
+  SELECT query_id,
+         ckey // {_CHUNK_KEY_SHIFT} AS doc_id,
+         CAST(ckey % {_CHUNK_KEY_SHIFT} AS BIGINT) AS best_chunk_id,
+         CAST((ckey % {_CHUNK_KEY_SHIFT}) * {stride} + 1 AS BIGINT)
+           AS best_chunk_start,
+         CAST(score AS BIGINT) AS doc_score
+  FROM ranked
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id, ckey // {_CHUNK_KEY_SHIFT}
+    ORDER BY score DESC, ckey ASC) = 1
+)
+SELECT query_id, doc_id, best_chunk_id, best_chunk_start, doc_score,
+       CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY doc_score DESC, doc_id ASC) AS BIGINT) AS rank
+FROM pooled
+QUALIFY rank <= {k}
+"""

@@ -98,3 +98,33 @@ def test_hybrid_rrf_end_to_end_values(spark, sf_dir):
     for q in qs:
         ranks = sorted(r["rank"] for r in out if r["query_id"] == q)
         assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_bm25_chunk_rank_finds_needle_in_long_doc(spark):
+    """The long-document fix: a relevant paragraph buried in a long
+    doc must score like the paragraph (chunk-level dl normalization),
+    and the returned span must point AT the buried paragraph."""
+    from khronus_spark.operators.text import bm25_chunk_rank
+
+    filler = " ".join(f"filler{i % 37}" for i in range(400))
+    needle = "zebra quagga okapi zebra quagga okapi"
+    rows = [
+        # query doc (doc_id % 97 == 0)
+        (0, "zebra quagga okapi", "en", "s", 20),
+        # long doc: needle buried after 400 filler tokens
+        (1, filler + " " + needle + " " + filler, "en", "s", 100),
+        # distractor docs sharing no terms
+        (2, "lorem ipsum dolor sit amet", "en", "s", 30),
+        (3, "alpha beta gamma delta", "en", "s", 25),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = bm25_chunk_rank(docs, eval_mod=97, k=3, pool=10).collect()
+    assert out, "needle doc not retrieved"
+    top = sorted(out, key=lambda r: r["rank"])[0]
+    assert top["query_id"] == 0 and top["doc_id"] == 1
+    # the winning chunk must cover the needle (tokens 401..406): its
+    # 64-token window starting at best_chunk_start must intersect it
+    start = top["best_chunk_start"]
+    assert start <= 401 <= start + 63 or start <= 406 <= start + 63, top
