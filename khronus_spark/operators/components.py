@@ -427,13 +427,15 @@ def lpa_communities(
     aggregate. Label state is one row per node. Rounds are lineage-cut
     with eager localCheckpoints like the large/small-star loop —
     without them the self-referential plan doubles per round."""
-    sym = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .unionAll(
-            edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
-        )
-        .localCheckpoint(eager=True)
-    )
+    # checkpoint the INPUT edge list, not the symmetrized union: the
+    # union's two branches would each re-run the (often expensive)
+    # edge-generating pipeline inside one job; from a checkpointed
+    # frame the swap projection is a memory read, and each LPA round
+    # re-derives sym for free
+    edges = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=True)
+    sym = edges.unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     labels = (
         sym.select(F.col("src").alias("node_id"))
         .distinct()

@@ -901,8 +901,12 @@ def ann_recall_at_k(
     evaluation adds nothing corpus-sized. Recall evaluation runs on a
     probe SAMPLE by construction (probe_ids), which is exactly how
     production measures an index."""
-    exact = brute_force_topk(embeddings, probe_ids, k).select(
-        "probe_id", "neighbor_id"
+    # the exact baseline is consumed once per evaluated method — built
+    # once; it is k × #probes rows
+    exact = (
+        brute_force_topk(embeddings, probe_ids, k)
+        .select("probe_id", "neighbor_id")
+        .localCheckpoint(eager=False)
     )
     approx = {
         "lsh": lsh_topk(embeddings, probe_ids, k, n_bands, planes_per_band),
@@ -914,8 +918,11 @@ def ann_recall_at_k(
     for method, df in approx.items():
         hits = (
             exact.join(
-                df.select("probe_id", "neighbor_id").withColumn(
-                    "_found", F.lit(1)
+                # k × #probes rows — broadcast, never a sort-merge
+                F.broadcast(
+                    df.select("probe_id", "neighbor_id").withColumn(
+                        "_found", F.lit(1)
+                    )
                 ),
                 ["probe_id", "neighbor_id"],
                 "left",

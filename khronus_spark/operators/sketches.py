@@ -269,7 +269,13 @@ def hll_overlap_estimate(
     size is out of the picture before any join happens."""
     bucket, rho = _hash_cols(key_expr)
     hashed = df.select(F.col(group_col).alias("grp"), bucket, rho)
-    wide = hashed.groupBy("grp").agg(*hll_register_aggs())
+    # both pair sides read the same #groups-row register table — built
+    # once (unshared, the raw-data fold would run twice)
+    wide = (
+        hashed.groupBy("grp")
+        .agg(*hll_register_aggs())
+        .localCheckpoint(eager=False)
+    )
     a = wide.select(
         F.col("grp").alias("grp_a"),
         *[F.col(f"r{i}").alias(f"a{i}") for i in range(M)],

@@ -197,3 +197,19 @@ def test_ann_recall_shape_and_bounds(spark, sf_dir):
     for r in out:
         assert 0 <= r["n_hits"] <= 3
         assert r["recall_bp"] == r["n_hits"] * 10000 // 3
+
+
+def test_ann_recall_plan_has_no_sort_merge(spark, oracle_sf_dir):
+    """The evaluation joins run on k × #probes frames: approx sides
+    broadcast and the exact baseline is built once (checkpointed) —
+    a SortMergeJoin means a query-load-sized frame got shuffled."""
+    from khronus_spark.operators.similarity import ann_recall_at_k
+
+    emb = spark.read.parquet(f"{oracle_sf_dir}/embeddings.parquet")
+    df = ann_recall_at_k(emb, list(range(5)), k=3, n_bands=4,
+                         planes_per_band=8, nprobe=2)
+    jvm = spark._jvm
+    plan = df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "SortMergeJoin" not in plan

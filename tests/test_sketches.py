@@ -321,3 +321,19 @@ def test_hll_overlap_union_exact_and_intersection_bounded(spark, oracle_sf_dir):
         assert abs(r["est_intersect"] - exact_i) / exact_i < 0.75, (
             ta, tb, r["est_intersect"], exact_i,
         )
+
+
+def test_hll_overlap_plan_builds_registers_once(spark, oracle_sf_dir):
+    """Both pair sides read ONE register build (checkpointed): a second
+    raw-data scan means the shared subtree regressed; the tiny pair
+    join must never sort-merge."""
+    from khronus_spark.operators.sketches import hll_overlap_estimate
+
+    ev = spark.read.parquet(f"{oracle_sf_dir}/events.parquet")
+    df = hll_overlap_estimate(ev, "event_type", "user_id")
+    jvm = spark._jvm
+    plan = df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert plan.count("events.parquet") <= 1
+    assert "SortMergeJoin" not in plan
