@@ -435,3 +435,49 @@ def test_lpa_is_deterministic_and_stable_on_a_clique(spark):
     assert out1 == out2
     # a clique converges to the min label
     assert {t[1] for t in out1} == {0}
+
+
+def test_lpa_matches_python_reference_on_random_graphs(spark):
+    """Seeded random graphs: the distributed LPA must equal a direct
+    Python transcription of the spec (synchronous rounds, argmax by
+    count desc / label asc) node-for-node — the same
+    reference-transcription device as the winnowing and BM25 specs."""
+    import random
+    from collections import Counter, defaultdict
+
+    from khronus_spark.operators.components import lpa_communities
+
+    rng = random.Random(20260815)
+    for trial in range(4):
+        n = rng.randint(8, 14)
+        edges = sorted(
+            {
+                (a, b)
+                for a in range(n)
+                for b in range(a + 1, n)
+                if rng.random() < 0.3
+            }
+        )
+        if not edges:
+            continue
+
+        adj = defaultdict(list)
+        for a, b in edges:
+            adj[a].append(b)
+            adj[b].append(a)
+        labels = {v: v for v in adj}
+        iters = 3
+        for _ in range(iters):
+            labels = {
+                v: min((-c, l) for l, c in Counter(
+                    labels[u] for u in adj[v]
+                ).items())[1]
+                for v in adj
+            }
+
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r["node_id"]: r["community"]
+            for r in lpa_communities(df, iters=iters).collect()
+        }
+        assert got == labels, (trial, edges)
