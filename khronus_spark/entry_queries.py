@@ -5119,21 +5119,41 @@ def events_scd2_conformance(spark, sf_dir):
 @register(
     "ann_recall_at_k",
     sim_ops.ann_recall_at_k_sql(
-        list(range(5)), k=3, n_bands=4, planes_per_band=8, nprobe=2
+        list(range(5)),
+        k=3,
+        n_bands=4,
+        planes_per_band=8,
+        nprobe=2,
+        extra_sql={
+            "ivfpq": pq_ops.ivf_pq_topk_sql(
+                list(range(5)), 3, stride=50, nprobe=2, sub=4, k=8, iters=1
+            )
+        },
     ),
 )
 def ann_recall_at_k(spark, sf_dir):
-    """Index QA: oracle-checked recall@3 of the banded-LSH and IVF
-    retrievers against the exact cosine baseline, per probe
-    (operators/similarity.py::ann_recall_at_k) — the measurement that
-    decides n_bands/planes/nprobe before an index ships, using the
-    registry entries' own parameters so the recall numbers describe
-    exactly the proven paths. Evaluation joins touch only
-    k × #probes-row frames; all three retrievals keep their hardened
-    shapes."""
+    """Index QA: oracle-checked recall@3 of the banded-LSH, IVF, and
+    IVF-PQ (ADC) retrievers against the exact cosine baseline, per
+    probe (operators/similarity.py::ann_recall_at_k) — the measurement
+    that decides n_bands/planes/nprobe/sub before an index ships,
+    using the registry entries' own parameters so the recall numbers
+    describe exactly the proven paths (IVF-PQ's recall-vs-exact is the
+    number FAISS users actually tune). Evaluation joins touch only
+    k × #probes-row frames; every retrieval keeps its hardened
+    shape."""
     emb = load_table(spark, sf_dir, "embeddings")
     return sim_ops.ann_recall_at_k(
-        emb, list(range(5)), k=3, n_bands=4, planes_per_band=8, nprobe=2
+        emb,
+        list(range(5)),
+        k=3,
+        n_bands=4,
+        planes_per_band=8,
+        nprobe=2,
+        extra_methods={
+            "ivfpq": pq_ops.ivf_pq_topk(
+                emb, list(range(5)), 3, stride=50, nprobe=2, sub=4, k=8, iters=1
+            )
+        },
     )
 
 

@@ -879,6 +879,7 @@ def ann_recall_at_k(
     planes_per_band: int = PLANES_PER_BAND,
     stride: int = CENTROID_STRIDE,
     nprobe: int = 1,
+    extra_methods: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """Index QA: recall@k of the approximate retrievers against the
     exact brute-force baseline, per probe and method — the measurement
@@ -888,7 +889,10 @@ def ann_recall_at_k(
     recall_bp = n_hits·10000 div k. Methods evaluated: 'lsh' (banded
     sign-random-projection) and 'ivf' (multi-probe inverted lists) —
     the two candidate-generation families everything else (PQ, rerank)
-    builds on.
+    builds on — plus any `extra_methods` (name → a (probe_id,
+    neighbor_id, …) top-k frame; the registry entry passes the IVF-PQ
+    ADC retriever, whose recall-vs-exact is the number FAISS users
+    actually tune).
 
     Both engines produce IDENTICAL top-k sets (deterministic tie
     order), so recall itself is bit-stable — this entry turns the
@@ -914,6 +918,8 @@ def ann_recall_at_k(
             embeddings, probe_ids=probe_ids, k=k, stride=stride, nprobe=nprobe
         ),
     }
+    if extra_methods:
+        approx.update(extra_methods)
     out = None
     for method, df in approx.items():
         hits = (
@@ -949,10 +955,12 @@ def ann_recall_at_k_sql(
     planes_per_band: int = PLANES_PER_BAND,
     stride: int = CENTROID_STRIDE,
     nprobe: int = 1,
+    extra_sql: dict[str, str] | None = None,
 ) -> str:
-    """Oracle: the three retrieval chains composed as nested-WITH CTEs
-    (each chain is the already-proven oracle of its own registry
-    entry), then the per-probe intersection count."""
+    """Oracle: the retrieval chains composed as nested-WITH CTEs (each
+    chain is the already-proven oracle of its own registry entry),
+    then the per-probe intersection count. `extra_sql` adds methods:
+    name → a full query returning (probe_id, neighbor_id, …)."""
     ids = ", ".join(str(i) for i in probe_ids)
     brute = f"""
 WITH probes AS (
@@ -968,16 +976,27 @@ pairs AS (
 SELECT probe_id, neighbor_id FROM pairs
 QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id ASC) <= {k}
 """
+    extra = dict(extra_sql or {})
+    extra_ctes = "".join(
+        f"{name} AS ({sql}),\n" for name, sql in extra.items()
+    )
+    extra_union = "".join(
+        f"  UNION ALL\n  SELECT '{name}' AS method, probe_id, neighbor_id FROM {name}\n"
+        for name in extra
+    )
+    extra_methods = "".join(
+        f" UNION ALL SELECT '{name}'" for name in extra
+    )
     return f"""
 WITH exact AS ({brute}),
 lsh AS ({lsh_topk_sql(probe_ids, k, n_bands, planes_per_band)}),
 ivf AS ({ivf_topk_sql(probe_ids, k, stride, nprobe)}),
-labeled AS (
+{extra_ctes}labeled AS (
   SELECT 'lsh' AS method, probe_id, neighbor_id FROM lsh
   UNION ALL
   SELECT 'ivf' AS method, probe_id, neighbor_id FROM ivf
-),
-methods AS (SELECT 'lsh' AS method UNION ALL SELECT 'ivf'),
+{extra_union}),
+methods AS (SELECT 'lsh' AS method UNION ALL SELECT 'ivf'{extra_methods}),
 hits AS (
   SELECT m.method, e.probe_id, CAST(count(a.method) AS BIGINT) AS n_hits
   FROM methods m
