@@ -41,7 +41,10 @@ K_RRF = 60
 
 
 def semantic_eval_rank(
-    embeddings: DataFrame, eval_mod: int = 97, pool: int = 20
+    embeddings: DataFrame,
+    eval_mod: int = 97,
+    pool: int = 20,
+    broadcast_probes: bool = True,
 ) -> DataFrame:
     """(query_id, doc_id, rank) — exact cosine top-`pool` corpus
     vectors per eval query, with the SAME query/corpus carve as
@@ -50,15 +53,26 @@ def semantic_eval_rank(
     gate tables). Ties break by doc_id; ordering compares the full
     double cosine, which both engines compute with the identical
     left-to-right 64-dim fold (the ANN-family convention), so ranks
-    are bit-stable cross-engine."""
+    are bit-stable cross-engine.
+
+    `broadcast_probes` is the bm25_rank `broadcast_queries` knob: the
+    default pins the hint for benchmark/eval-sized probe sets; a probe
+    set that scales WITH the corpus (eval_mod carves ~1/mod of it)
+    would OOM a forced broadcast — pass False and AQE sizes the join.
+    The brute scan itself is the baseline/eval path; production-scale
+    semantic branches swap in the indexed ANN retrievers
+    (pq_topk_indexed / ivf_pq_topk_indexed) and fuse their ranks the
+    same way."""
     probes = embeddings.where(F.col("vec_id") % eval_mod == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("probe_vec"),
     )
+    if broadcast_probes:
+        probes = F.broadcast(probes)
     corpus = spread(
         embeddings.where(F.col("vec_id") % eval_mod != 0), max_partitions=8
     )
-    scored = corpus.crossJoin(F.broadcast(probes)).select(
+    scored = corpus.crossJoin(probes).select(
         "query_id",
         F.col("vec_id").alias("doc_id"),
         cosine_col(F.col("probe_vec"), F.col("embedding")).alias("_sim"),
@@ -125,11 +139,21 @@ def hybrid_rrf_topk(
     pool: int = 20,
     k: int = 10,
     k_rrf: int = K_RRF,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """The composed hybrid retriever: BM25 top-`pool` (lexical) ⊕
-    cosine top-`pool` (semantic) → RRF top-`k` per eval query."""
-    lex = bm25_rank(docs, eval_mod=eval_mod, k=pool)
-    sem = semantic_eval_rank(embeddings, eval_mod=eval_mod, pool=pool)
+    cosine top-`pool` (semantic) → RRF top-`k` per eval query.
+    `broadcast_queries` flows to BOTH branches' query-side join hints
+    (see their docstrings for the scale rule)."""
+    lex = bm25_rank(
+        docs, eval_mod=eval_mod, k=pool, broadcast_queries=broadcast_queries
+    )
+    sem = semantic_eval_rank(
+        embeddings,
+        eval_mod=eval_mod,
+        pool=pool,
+        broadcast_probes=broadcast_queries,
+    )
     return rrf_fuse(lex, sem, k_rrf=k_rrf, k=k)
 
 

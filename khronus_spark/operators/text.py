@@ -2790,6 +2790,7 @@ def bm25_chunk_rank(
     stride: int = 48,
     k1_pm: int = 1200,
     b_pm: int = 750,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Chunk-granularity BM25 — the retrieval unit RAG systems actually
     index: the corpus splits into overlapping token windows
@@ -2826,7 +2827,12 @@ def bm25_chunk_rank(
         F.col("doc_id").alias("query_id"), "text"
     )
     ranked = bm25_rank_indexed(
-        bm25_build_postings(chunks), queries, k=pool, k1_pm=k1_pm, b_pm=b_pm
+        bm25_build_postings(chunks),
+        queries,
+        k=pool,
+        k1_pm=k1_pm,
+        b_pm=b_pm,
+        broadcast_queries=broadcast_queries,
     )
     pooled = (
         ranked.select(
