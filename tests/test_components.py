@@ -481,3 +481,28 @@ def test_lpa_matches_python_reference_on_random_graphs(spark):
             for r in lpa_communities(df, iters=iters).collect()
         }
         assert got == labels, (trial, edges)
+
+
+def test_wave5_operators_degrade_on_empty_inputs(spark):
+    """The empty-input battery for the round-6 fifth-wave operators:
+    empty frames yield empty results, never a crash."""
+    from khronus_spark.operators.components import lpa_communities
+    from khronus_spark.operators.expectations import k_anonymity_audit
+    from khronus_spark.operators.retrieval import rrf_fuse
+    from khronus_spark.operators.sketches import hll_overlap_estimate
+    from khronus_spark.operators.text import perplexity_split
+
+    empty_docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    empty_edges = spark.createDataFrame([], "id_a long, id_b long")
+    empty_events = spark.createDataFrame(
+        [], "event_id long, user_id long, event_type string, value double"
+    )
+    empty_ranks = spark.createDataFrame([], "query_id long, doc_id long, rank long")
+
+    assert perplexity_split(empty_docs).count() == 0
+    assert lpa_communities(empty_edges).count() == 0
+    assert hll_overlap_estimate(empty_events, "event_type", "user_id").count() == 0
+    assert k_anonymity_audit(empty_events, ["event_type"], "user_id").count() == 0
+    assert rrf_fuse(empty_ranks, empty_ranks).count() == 0
