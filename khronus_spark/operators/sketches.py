@@ -129,17 +129,12 @@ def hll_register_aggs():
 
 
 def hll_estimate_expr():
-    """Column expr: registers r0..r63 → the spec's integer estimate."""
-    # coalesce INSIDE least: Spark's least() ignores NULLs, so a NULL
-    # (never-hit) register must become 0 before the cap — r=0 then
-    # contributes the spec's 2^32 empty-register term.
-    terms = " + ".join(
-        f"shiftleft(CAST(1 AS BIGINT), {RHO_CAP} - least(coalesce(r{i}, 0), {RHO_CAP}))"
-        for i in range(M)
-    )
-    return F.expr(
-        f"CAST({EST_NUM} AS BIGINT) * {ALPHA_NUM} div (({terms}) * {ALPHA_DEN})"
-    )
+    """Column expr: registers r0..r63 → the spec's integer estimate.
+    coalesce INSIDE least: Spark's least() ignores NULLs, so a NULL
+    (never-hit) register must become 0 before the cap — r=0 then
+    contributes the spec's 2^32 empty-register term. (One instance of
+    the `_hll_est_from` formula — the single source of the spec.)"""
+    return _hll_est_from(lambda i: f"coalesce(r{i}, 0)")
 
 
 def hll_distinct_wide(df: DataFrame, group_col: str, key_expr: str) -> DataFrame:

@@ -1676,11 +1676,19 @@ def perplexity_split(docs: DataFrame, n_buckets: int = 3) -> DataFrame:
     engine-independent).
 
     Output: (doc_id, lang, mean_surprisal_mbits, bucket, split)."""
-    per_doc = unigram_surprisal(docs, carry_cols=("lang",)).select(
-        "doc_id",
-        "lang",
-        "mean_surprisal_mbits",
-        F.expr(_SPLIT_SALT_SPARK).alias("_salt"),
+    # checkpointed (curated_docs rule): the size-guard count below and
+    # the final join both consume these frames — uncheckpointed, the
+    # corpus-scale surprisal aggregation would run once for the count
+    # and twice more for the join's two sides
+    per_doc = (
+        unigram_surprisal(docs, carry_cols=("lang",))
+        .select(
+            "doc_id",
+            "lang",
+            "mean_surprisal_mbits",
+            F.expr(_SPLIT_SALT_SPARK).alias("_salt"),
+        )
+        .localCheckpoint(eager=False)
     )
     hist = per_doc.groupBy("lang", "mean_surprisal_mbits", "_salt").agg(
         F.count(F.lit(1)).alias("cnt")
@@ -1718,7 +1726,9 @@ def perplexity_split(docs: DataFrame, n_buckets: int = 3) -> DataFrame:
     # is value-range × 64-salt bounded, normally thousands of cells,
     # but a pathological value spread could outgrow an executor — past
     # the limit the attach falls back to a shuffle join on the cell
-    # key, which is the right plan at that size
+    # key, which is the right plan at that size. Eager checkpoint
+    # makes the guard count a one-pass read and the join a replay.
+    buckets = buckets.localCheckpoint(eager=True)
     if buckets.count() <= _SPLIT_BROADCAST_LIMIT:
         buckets = F.broadcast(buckets)
     return per_doc.join(
@@ -1727,7 +1737,12 @@ def perplexity_split(docs: DataFrame, n_buckets: int = 3) -> DataFrame:
 
 
 def perplexity_split_sql(n_buckets: int = 3) -> str:
-    labels = ", ".join(f"'{s}'" for s in PERPLEXITY_SPLITS)
+    if n_buckets == len(PERPLEXITY_SPLITS):
+        labels = ", ".join(f"'{s}'" for s in PERPLEXITY_SPLITS)
+        label_expr = f"list_value({labels})[CAST(b.bucket + 1 AS INT)]"
+    else:
+        # mirror the engine's non-tercile 'qN' labels
+        label_expr = "'q' || CAST(b.bucket AS VARCHAR)"
     return rf"""
 WITH toks AS (
   SELECT doc_id, lang,
@@ -1763,7 +1778,7 @@ buckets AS (
   FROM hist
 )
 SELECT d.doc_id, d.lang, d.mean_surprisal_mbits, b.bucket,
-       list_value({labels})[CAST(b.bucket + 1 AS INT)] AS split
+       {label_expr} AS split
 FROM per_doc d JOIN buckets b USING (lang, mean_surprisal_mbits, salt)
 """
 
@@ -2858,8 +2873,6 @@ def bm25_chunk_rank(
             "doc_score",
         )
     )
-    from pyspark.sql import Window
-
     w = Window.partitionBy("query_id").orderBy(
         F.col("doc_score").desc(), F.col("doc_id").asc()
     )

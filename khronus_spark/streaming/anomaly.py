@@ -69,6 +69,8 @@ def streaming_zscore_anomalies(
     """Input stream columns: (metric string, ts_ns long, event_id long,
     x long); output: the flagged rows (event_id, metric, ts_ms, value,
     win_n), exactly the batch entry's shape."""
+    if window < 2 or min_n < 1 or sigma < 1:
+        raise ValueError("need window >= 2, min_n >= 1, sigma >= 1")
     sig2 = sigma * sigma
 
     def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):

@@ -101,3 +101,26 @@ def test_split_plan_has_no_corpus_self_join(spark, oracle_sf_dir):
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_non_tercile_split_engine_and_oracle_agree(spark, sf_dir):
+    """n_buckets != 3 switches both engines to 'qN' labels — the pair
+    must stay value-identical away from the default (the review found
+    the oracle hard-coded head/middle/tail)."""
+    import duckdb
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        (r["doc_id"], r["bucket"], r["split"])
+        for r in text_ops.perplexity_split(docs, n_buckets=4).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = {
+        (r[0], r[3], r[4])
+        for r in con.execute(text_ops.perplexity_split_sql(4)).fetchall()
+    }
+    assert got == want
+    assert {s for _, _, s in got} == {"q0", "q1", "q2", "q3"}

@@ -77,3 +77,12 @@ def test_streaming_anomalies_ignore_replayed_chunk(spark, sf_dir):
         for r in QUERIES["events_anomaly_zscore"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_window_validation():
+    import pytest
+
+    from khronus_spark.streaming.anomaly import streaming_zscore_anomalies
+
+    with pytest.raises(ValueError):
+        streaming_zscore_anomalies(None, window=1)
