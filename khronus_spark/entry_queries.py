@@ -4936,9 +4936,11 @@ def hybrid_rrf_topk(spark, sf_dir):
     broadcast-probe plan, the cosine side the broadcast-probes
     parallel scan, both WindowGroupLimit-bounded; fusion touches only
     the two #queries × 20 pool frames, so it adds nothing that scales
-    with the corpus. The doc/vec id spaces are 1:1 in the gate tables
-    (TESTDATA.md), which is what lets one eval carve
-    (id % 97 = 0) drive both branches."""
+    with the corpus. The gate tables' vec ids coincide with a prefix
+    of the doc ids (1:1 at sf ≤ 0.01; at sf0.1 embeddings cover the
+    first 40% of docs), so one eval carve (id % 97 = 0) drives both
+    branches and docs without vectors ride the lexical list alone —
+    the full-outer fusion's job."""
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     return retrieval_ops.hybrid_rrf_topk(docs, emb)

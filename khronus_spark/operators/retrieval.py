@@ -49,8 +49,11 @@ def semantic_eval_rank(
     """(query_id, doc_id, rank) — exact cosine top-`pool` corpus
     vectors per eval query, with the SAME query/corpus carve as
     `text.bm25_rank`: ``vec_id % eval_mod == 0`` are the probes,
-    everything else is corpus (the doc/vec id spaces are 1:1 in the
-    gate tables). Ties break by doc_id; ordering compares the full
+    everything else is corpus (the gate tables' vec ids coincide with
+    a PREFIX of the doc ids — at larger SFs embeddings cover only part
+    of the corpus, and a query/doc without a vector simply gets no
+    semantic list, which the full-outer RRF fusion absorbs). Ties
+    break by doc_id; ordering compares the full
     double cosine, which both engines compute with the identical
     left-to-right 64-dim fold (the ANN-family convention), so ranks
     are bit-stable cross-engine.
