@@ -160,6 +160,8 @@ PENDING_NEXT_WINDOW = [
     "ann_recall_at_k",
     "part_lpa_communities",
     "bm25_chunk_topk",
+    "events_path_trigrams",
+    "events_type_affinity",
 ]
 
 _PRIORITY = [
@@ -5197,3 +5199,143 @@ def bm25_chunk_topk(spark, sf_dir):
     whole-doc BM25's long-document dilution."""
     docs = load_table(spark, sf_dir, "documents")
     return text_ops.bm25_chunk_rank(docs)
+
+
+@register(
+    "events_path_trigrams",
+    """
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lag(event_type, 1) OVER w AS t2,
+         lag(event_type, 2) OVER w AS t1
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000, event_id)
+),
+paths AS (
+  SELECT t1, t2, event_type AS t3, CAST(count(*) AS BIGINT) AS n_paths
+  FROM ordered WHERE t1 IS NOT NULL
+  GROUP BY t1, t2, t3
+)
+SELECT t1, t2, t3, n_paths FROM paths
+ORDER BY n_paths DESC, t1 ASC, t2 ASC, t3 ASC
+LIMIT 25
+""",
+)
+def events_path_trigrams(spark, sf_dir):
+    """Order-2 path mining: the 25 most frequent event-type TRIGRAMS
+    over each user's time-ordered stream — the next rung above the
+    first-order Markov matrix (events_type_transitions): three-step
+    funnels and habit loops that pair counts cannot see. Two lags over
+    the per-user window (one user_id shuffle, skew absorbed by the
+    partition-local sort exactly like the transitions entry), a
+    map-side-combinable trigram count over a ≤ |types|³ key space, and
+    a global TakeOrdered(25) — no full sort ever materializes."""
+    from khronus_spark.sources.tables import ns_to_ms
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        ns_to_ms(F.col("ts")), F.col("event_id")
+    )
+    ordered = ev.select(
+        F.lag("event_type", 2).over(w).alias("t1"),
+        F.lag("event_type", 1).over(w).alias("t2"),
+        F.col("event_type").alias("t3"),
+    )
+    return (
+        ordered.where(F.col("t1").isNotNull())
+        .groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(
+            F.col("n_paths").desc(),
+            F.col("t1").asc(),
+            F.col("t2").asc(),
+            F.col("t3").asc(),
+        )
+        .limit(25)
+    )
+
+
+@register(
+    "events_type_affinity",
+    """
+WITH baskets AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 1000 // 86400000 AS day, event_type
+  FROM events
+),
+n_b AS (SELECT CAST(count(DISTINCT (user_id, day)) AS BIGINT) AS n_baskets
+        FROM baskets),
+supp AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS support
+  FROM baskets GROUP BY event_type
+),
+pair_supp AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS support_ab
+  FROM baskets a
+  JOIN baskets b
+    ON a.user_id = b.user_id AND a.day = b.day
+   AND a.event_type < b.event_type
+  GROUP BY type_a, type_b
+)
+SELECT p.type_a, p.type_b, p.support_ab,
+       CAST(p.support_ab * n.n_baskets * 10000
+            // (sa.support * sb.support) AS BIGINT) AS lift_bp
+FROM pair_supp p
+JOIN supp sa ON sa.event_type = p.type_a
+JOIN supp sb ON sb.event_type = p.type_b
+CROSS JOIN n_b n
+""",
+)
+def events_type_affinity(spark, sf_dir):
+    """Market-basket affinity over (user, day) baskets: pairwise
+    event-type co-occurrence support and integer LIFT in basis points
+    (support_ab·N·10000 div (support_a·support_b)) — lift > 10000
+    means the pair co-occurs more than independence predicts, the
+    association-rule signal behind cross-feature recommendations.
+    Baskets are one distinct over (user, day, type); the pair join is
+    SELF-co-partitioned on the basket key with fan-out bounded by
+    C(|types|, 2) per basket — never a cross of the event stream —
+    and everything after runs on ≤ |types|² rows with the two support
+    tables broadcast."""
+    from khronus_spark.sources.tables import ns_to_ms
+
+    ev = load_table(spark, sf_dir, "events")
+    baskets = (
+        ev.select(
+            "user_id",
+            F.call_function(
+                "div", ns_to_ms(F.col("ts")), F.lit(86_400_000)
+            ).alias("day"),
+            "event_type",
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_baskets = baskets.select("user_id", "day").distinct().count()
+    supp = baskets.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("support")
+    )
+    a = baskets.select("user_id", "day", F.col("event_type").alias("type_a"))
+    b = baskets.select("user_id", "day", F.col("event_type").alias("type_b"))
+    pair_supp = (
+        a.join(b, ["user_id", "day"])
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("support_ab"))
+    )
+    sa = F.broadcast(supp.select(F.col("event_type").alias("type_a"),
+                                 F.col("support").alias("_sa")))
+    sb = F.broadcast(supp.select(F.col("event_type").alias("type_b"),
+                                 F.col("support").alias("_sb")))
+    return (
+        pair_supp.join(sa, "type_a")
+        .join(sb, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "support_ab",
+            F.expr(
+                f"CAST(support_ab * {n_baskets}L * 10000 div (_sa * _sb) AS BIGINT)"
+            ).alias("lift_bp"),
+        )
+    )
