@@ -5278,6 +5278,8 @@ pair_supp AS (
   GROUP BY type_a, type_b
 )
 SELECT p.type_a, p.type_b, p.support_ab,
+       -- int64 bound: exact while support_ab * n_baskets <= 2^63/10^4
+       -- (see the entry docstring's operand-range contract)
        CAST(p.support_ab * n.n_baskets * 10000
             // (sa.support * sb.support) AS BIGINT) AS lift_bp
 FROM pair_supp p
@@ -5296,7 +5298,17 @@ def events_type_affinity(spark, sf_dir):
     SELF-co-partitioned on the basket key with fan-out bounded by
     C(|types|, 2) per basket — never a cross of the event stream —
     and everything after runs on ≤ |types|² rows with the two support
-    tables broadcast."""
+    tables broadcast.
+
+    Operand-range contract (the anomaly entry's convention): lift_bp's
+    numerator support_ab·n_baskets·10⁴ is exact int64 while
+    support_ab·n_baskets ≤ 2⁶³/10⁴ ≈ 9.2e14 — i.e. unconditionally up
+    to ~3.0e7 baskets, or a trillion baskets while pair support stays
+    ≤ ~900k. No exact integer reassociation shrinks the product (floor
+    division does not distribute), so past that bound the engines
+    diverge (Spark wraps, DuckDB raises): swap the numerator to
+    DECIMAL(38) or DOUBLE — a one-line change in both engines — at the
+    cost of last-ulp cross-engine parity."""
     from khronus_spark.sources.tables import ns_to_ms
 
     ev = load_table(spark, sf_dir, "events")

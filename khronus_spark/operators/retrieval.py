@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from khronus_spark.operators.similarity import cosine_col
-from khronus_spark.operators.text import bm25_rank, bm25_rank_sql
+from khronus_spark.operators.text import bm25_rank, bm25_rank_sql_parts
 from khronus_spark.sources.tables import spread
 
 #: the standard RRF smoothing constant (SIGIR'09 uses 60).
@@ -163,16 +163,13 @@ def hybrid_rrf_topk(
 def hybrid_rrf_sql(
     eval_mod: int = 97, pool: int = 20, k: int = 10, k_rrf: int = K_RRF
 ) -> str:
-    """Oracle: the bm25_rank CTE chain (shared verbatim, pool-sized) +
-    an independent SQL restatement of the cosine branch and the RRF
-    merge."""
-    base = bm25_rank_sql(eval_mod, pool).strip()
-    assert base.startswith("WITH ")
-    head, final = base.rsplit("SELECT query_id, doc_id, score,", 1)
-    ctes = head[len("WITH"):].strip().rstrip(",").rstrip()
+    """Oracle: the bm25_rank CTE chain (shared structurally via
+    `bm25_rank_sql_parts`, pool-sized) + an independent SQL restatement
+    of the cosine branch and the RRF merge."""
+    ctes, final = bm25_rank_sql_parts(eval_mod, pool)
     return f"""
 WITH {ctes},
-lex AS (SELECT query_id, doc_id, score,{final}),
+lex AS ({final}),
 probes AS (
   SELECT vec_id AS query_id, embedding AS probe_vec
   FROM embeddings WHERE vec_id % {eval_mod} = 0

@@ -2232,11 +2232,17 @@ def bm25_rank(
     )
 
 
-def bm25_rank_sql(
+def bm25_rank_sql_parts(
     eval_mod: int = 97, k: int = 5, k1_pm: int = 1200, b_pm: int = 750
-) -> str:
-    return rf"""
-WITH tf AS (
+) -> tuple[str, str]:
+    """The bm25_rank oracle as a composable (ctes, final_select) pair,
+    so derived oracles (`bm25_decontamination_sql`,
+    `retrieval.hybrid_rrf_sql`) extend the CTE chain structurally
+    instead of string-splitting the rendered SQL — a cosmetic edit to
+    the final SELECT can no longer silently corrupt a downstream
+    oracle. `ctes` is the body after WITH (no trailing comma); `final`
+    is the ranked SELECT producing (query_id, doc_id, score, rank ≤ k)."""
+    ctes = rf"""tf AS (
   SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
   FROM (
     SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
@@ -2269,13 +2275,20 @@ scored AS (
   JOIN dl ON dl.doc_id = tf.doc_id
   CROSS JOIN stats s
   GROUP BY q.query_id, tf.doc_id
-)
-SELECT query_id, doc_id, score,
+)"""
+    final = f"""SELECT query_id, doc_id, score,
        CAST(row_number() OVER (
            PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
 FROM scored
-QUALIFY rank <= {k}
-"""
+QUALIFY rank <= {k}"""
+    return ctes, final
+
+
+def bm25_rank_sql(
+    eval_mod: int = 97, k: int = 5, k1_pm: int = 1200, b_pm: int = 750
+) -> str:
+    ctes, final = bm25_rank_sql_parts(eval_mod, k, k1_pm, b_pm)
+    return f"\nWITH {ctes}\n{final}\n"
 
 
 def bm25_decontamination(
@@ -2332,15 +2345,13 @@ def bm25_decontamination(
 def bm25_decontamination_sql(
     eval_mod: int = 97, k: int = 5, score_min: int = 15000
 ) -> str:
-    """Oracle: the bm25_rank CTE chain (shared verbatim) + the flag
-    aggregation and the deterministic arg-max-query join."""
-    base = bm25_rank_sql(eval_mod, k).strip()
-    assert base.startswith("WITH ")
-    head, final = base.rsplit("SELECT query_id, doc_id, score,", 1)
-    ctes = head[len("WITH"):].strip().rstrip(",").rstrip()
+    """Oracle: the bm25_rank CTE chain (shared structurally via
+    `bm25_rank_sql_parts`) + the flag aggregation and the deterministic
+    arg-max-query join."""
+    ctes, final = bm25_rank_sql_parts(eval_mod, k)
     return f"""
 WITH {ctes},
-ranked AS (SELECT query_id, doc_id, score,{final}),
+ranked AS ({final}),
 hits AS (SELECT * FROM ranked WHERE score >= {score_min}),
 flags AS (
   SELECT doc_id,

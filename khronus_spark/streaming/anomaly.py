@@ -99,7 +99,13 @@ def streaming_zscore_anomalies(
             q = rq + x * x
             if n >= min_n and (n * x - s) ** 2 > sig2 * (n * q - s * s):
                 out["event_id"].append(eid)
-                out["ts_ms"].append(ts // 1_000_000)
+                # Spark `div` truncates toward ZERO; Python // floors.
+                # They agree for ts >= 0 but differ on pre-1970
+                # timestamps, which would break the pinned stream==batch
+                # bit-identity — so match div explicitly.
+                out["ts_ms"].append(
+                    ts // 1_000_000 if ts >= 0 else -((-ts) // 1_000_000)
+                )
                 out["value"].append(x)
                 out["win_n"].append(n)
             if len(ring) == window - 1:
