@@ -152,6 +152,7 @@ DRIVER_WINDOW = 50
 #: must lead with them (emptying the queue) before anything else
 #: rotates.
 PENDING_NEXT_WINDOW = [
+    "hybrid_rrf_topk_indexed",
     "hybrid_rrf_topk",
     "doc_perplexity_split",
     "hll_event_type_overlap",
@@ -4946,6 +4947,45 @@ def hybrid_rrf_topk(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     return retrieval_ops.hybrid_rrf_topk(docs, emb)
+
+
+@register("hybrid_rrf_topk_indexed", retrieval_ops.hybrid_rrf_indexed_sql())
+def hybrid_rrf_topk_indexed(spark, sf_dir):
+    """The INDEX-BACKED hybrid face (round-6 verdict directive 4): the
+    same query/corpus carve and RRF math as `hybrid_rrf_topk`, but both
+    branches answer from PERSISTED indexes — BM25 from the postings
+    table (`bm25_build_postings` → parquet → `bm25_rank_indexed`; no
+    corpus tokenization at query time) and the semantic list from the
+    PQ index (`pq_build_index` sub=4/k=8/iters=1 → parquet →
+    `semantic_pq_rank`: ADC over 8-byte codes, no training, no
+    full-vector scan). The brute entry stays as the eval baseline;
+    THIS is the plan a 100 TB deployment runs — query cost is two
+    index scans plus query-load-sized fusion (plan-gated: no
+    posexplode/Lloyd residue, no corpus text scan). The semantic ranks
+    are the PQ retriever's (quantized-L2 ADC), not exact cosine —
+    fusing the production retriever's own ranks is the point; the
+    oracle restates the deterministic index content inline, the
+    ann_pq_topk_indexed convention."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _scratch_dir("hybrid_indexes")
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    text_ops.write_bm25_index(
+        text_ops.bm25_build_postings(corpus), f"{path}/postings"
+    )
+    books, codes = pq_ops.pq_build_index(emb, sub=4, k=8, iters=1)
+    pq_ops.write_pq_index(books, codes, f"{path}/pq")
+    postings = text_ops.read_bm25_index(spark, f"{path}/postings")
+    books, codes = pq_ops.read_pq_index(spark, f"{path}/pq")
+    queries = docs.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    probes = emb.where(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    return retrieval_ops.hybrid_rrf_topk_indexed(
+        postings, books, codes, queries, probes
+    )
 
 
 @register("doc_perplexity_split", text_ops.perplexity_split_sql())

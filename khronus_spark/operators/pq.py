@@ -421,12 +421,26 @@ FROM p0_final
 """
 
 
-def _adc_score_ctes(probe_ids: list[int], sub: int, k: int, iters: int) -> str:
+def _adc_score_ctes(
+    probe_ids: list[int] | None,
+    sub: int,
+    k: int,
+    iters: int,
+    probe_pred: str | None = None,
+    neighbor_pred: str | None = None,
+) -> str:
     """Shared oracle text: the per-subspace training chains plus
     `parts` and `score` CTEs — (probe_id, neighbor_id, d2_adc) for
-    every probe × corpus pair, term-for-term the LUT computation."""
+    every probe × corpus pair, term-for-term the LUT computation.
+    Probes select via the literal `probe_ids` list or an explicit
+    `probe_pred` predicate over `pr.vec_id` (e.g. the retrieval
+    entries' modulo carve); `neighbor_pred` restricts the scanned code
+    set (e.g. corpus-only for query/corpus splits) — training always
+    sees every vector, matching `pq_build_index` on the full table."""
     subdim = DIMS // sub
-    ids = ", ".join(str(i) for i in probe_ids)
+    if probe_pred is None:
+        ids = ", ".join(str(i) for i in probe_ids)
+        probe_pred = f"pr.vec_id IN ({ids})"
     chains = ",\n".join(_sub_ctes(s, subdim, k, iters) for s in range(sub))
     pd2 = (
         f"list_sum(list_transform(range(1, {subdim + 1}), "
@@ -436,8 +450,11 @@ def _adc_score_ctes(probe_ids: list[int], sub: int, k: int, iters: int) -> str:
         f"""SELECT pr.vec_id AS probe_id, f.vec_id AS neighbor_id, {pd2} AS d
 FROM p{s}_q pr, p{s}_final f
 JOIN p{s}_c{iters} c ON c.cid = f.cid
-WHERE pr.vec_id IN ({ids})"""
+WHERE {probe_pred}"""
         for s in range(sub)
+    )
+    scan_filter = "probe_id <> neighbor_id" + (
+        f" AND {neighbor_pred}" if neighbor_pred else ""
     )
     return f"""{chains},
 parts AS (
@@ -445,7 +462,7 @@ parts AS (
 ),
 score AS (
   SELECT probe_id, neighbor_id, CAST(sum(d) AS BIGINT) AS d2_adc
-  FROM parts WHERE probe_id <> neighbor_id
+  FROM parts WHERE {scan_filter}
   GROUP BY probe_id, neighbor_id
 )"""
 

@@ -33,7 +33,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from khronus_spark.operators.similarity import cosine_col
-from khronus_spark.operators.text import bm25_rank, bm25_rank_sql_parts
+from khronus_spark.operators.text import (
+    bm25_rank,
+    bm25_rank_indexed,
+    bm25_rank_sql_parts,
+)
 from khronus_spark.sources.tables import spread
 
 #: the standard RRF smoothing constant (SIGIR'09 uses 60).
@@ -158,6 +162,140 @@ def hybrid_rrf_topk(
         broadcast_probes=broadcast_queries,
     )
     return rrf_fuse(lex, sem, k_rrf=k_rrf, k=k)
+
+
+def semantic_pq_rank(
+    books: DataFrame,
+    codes: DataFrame,
+    probes: DataFrame,
+    eval_mod: int = 97,
+    pool: int = 20,
+    sub: int = 4,
+    pq_k: int = 8,
+) -> DataFrame:
+    """(query_id, doc_id, rank) — the INDEX-BACKED semantic branch:
+    ADC top-`pool` per probe from a persisted PQ index
+    (`pq.pq_build_index` → `write_pq_index`/`read_pq_index`), scanning
+    only the CORPUS carve of the code table (``vec_id % eval_mod != 0``
+    — the brute branch's query/corpus split; the index itself trains on
+    every vector, the FAISS train-on-all/add-all convention, so one
+    index serves any later carve). No training, no full-vector scan:
+    the query-time work is the per-probe sub×k LUT build (broadcast)
+    plus `sub` table adds per 8-byte code — the production-scale swap
+    the brute `semantic_eval_rank` docstring promises. Ranks order by
+    (d2_adc ASC, doc_id ASC) over the ≤pool surviving rows — a
+    query-load-sized window."""
+    from khronus_spark.operators.pq import pq_topk_indexed
+
+    corpus_codes = codes.where(F.col("vec_id") % eval_mod != 0)
+    topk = pq_topk_indexed(books, corpus_codes, probes, pool, sub, pq_k)
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("d2_adc").asc(), F.col("neighbor_id").asc()
+    )
+    return topk.select(
+        F.col("probe_id").alias("query_id"),
+        F.col("neighbor_id").alias("doc_id"),
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
+def hybrid_rrf_topk_indexed(
+    postings: DataFrame,
+    books: DataFrame,
+    codes: DataFrame,
+    queries: DataFrame,
+    probes: DataFrame,
+    eval_mod: int = 97,
+    pool: int = 20,
+    k: int = 10,
+    k_rrf: int = K_RRF,
+    sub: int = 4,
+    pq_k: int = 8,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """The PRODUCTION hybrid retriever: both branches answer from
+    PERSISTED indexes — BM25 from the postings table
+    (`text.bm25_rank_indexed`: no corpus tokenization at query time)
+    and the semantic list from the PQ index (`semantic_pq_rank`: no
+    training, 8-byte code scan) — fused by the same integer RRF as
+    `hybrid_rrf_topk`. The corpus text and the full embedding vectors
+    are never touched at query time; at 100 TB the query cost is two
+    index scans + query-load-sized fusion, vs the brute face's
+    full-corpus tokenize + full-vector cosine per query load.
+
+    `queries` is (query_id, text); `probes` is (probe_id, embedding)
+    — the same eval carve on both tables (ids coincide where
+    embeddings cover the docs; the full-outer RRF absorbs gaps)."""
+    lex = bm25_rank_indexed(
+        postings,
+        queries,
+        k=pool,
+        broadcast_queries=broadcast_queries,
+        share_postings=False,
+    ).select("query_id", "doc_id", "rank")
+    sem = semantic_pq_rank(
+        books, codes, probes, eval_mod=eval_mod, pool=pool, sub=sub, pq_k=pq_k
+    )
+    return rrf_fuse(lex, sem, k_rrf=k_rrf, k=k)
+
+
+def hybrid_rrf_indexed_sql(
+    eval_mod: int = 97,
+    pool: int = 20,
+    k: int = 10,
+    k_rrf: int = K_RRF,
+    sub: int = 4,
+    pq_k: int = 8,
+    iters: int = 1,
+) -> str:
+    """Oracle for the indexed face: the bm25 CTE chain (structural
+    share) + the PQ ADC score CTEs (training on all vectors, corpus
+    carve on the neighbor side — exactly what the persisted index
+    computes) + the identical RRF merge. The index build is
+    deterministic, so restating it inline IS the persisted index's
+    content — the same oracle-of-an-indexed-face convention as
+    ann_pq_topk_indexed."""
+    from khronus_spark.operators.pq import _adc_score_ctes
+
+    ctes, final = bm25_rank_sql_parts(eval_mod, pool)
+    adc = _adc_score_ctes(
+        None,
+        sub,
+        pq_k,
+        iters,
+        probe_pred=f"pr.vec_id % {eval_mod} = 0",
+        neighbor_pred=f"neighbor_id % {eval_mod} <> 0",
+    )
+    return f"""
+WITH {ctes},
+lex AS ({final}),
+{adc},
+sem AS (
+  SELECT probe_id AS query_id, neighbor_id AS doc_id,
+         CAST(row_number() OVER (
+             PARTITION BY probe_id ORDER BY d2_adc ASC, neighbor_id ASC) AS BIGINT)
+           AS sem_rank
+  FROM score
+  QUALIFY sem_rank <= {pool}
+),
+fused AS (
+  SELECT coalesce(l.query_id, s.query_id) AS query_id,
+         coalesce(l.doc_id, s.doc_id) AS doc_id,
+         CAST(coalesce(l.rank, 0) AS BIGINT) AS lex_rank,
+         CAST(coalesce(s.sem_rank, 0) AS BIGINT) AS sem_rank,
+         CAST(CASE WHEN l.rank IS NULL THEN 0
+                   ELSE 1000000 // ({k_rrf} + l.rank) END
+            + CASE WHEN s.sem_rank IS NULL THEN 0
+                   ELSE 1000000 // ({k_rrf} + s.sem_rank) END AS BIGINT) AS rrf_score
+  FROM lex l
+  FULL OUTER JOIN sem s ON l.query_id = s.query_id AND l.doc_id = s.doc_id
+)
+SELECT query_id, doc_id, lex_rank, sem_rank, rrf_score,
+       CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY rrf_score DESC, doc_id ASC) AS BIGINT) AS rank
+FROM fused
+QUALIFY rank <= {k}
+"""
 
 
 def hybrid_rrf_sql(

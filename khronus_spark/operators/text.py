@@ -2102,6 +2102,7 @@ def bm25_rank_indexed(
     k1_pm: int = 1200,
     b_pm: int = 750,
     broadcast_queries: bool = True,
+    share_postings: bool = True,
 ) -> DataFrame:
     """BM25 top-k from a PREBUILT postings table — the query path of
     the build/query split: no corpus tokenization, no corpus scan.
@@ -2110,8 +2111,18 @@ def bm25_rank_indexed(
     functionally dependent on doc_id, so the distinct (doc_id, dl)
     projection recovers exact document lengths). Pinned bit-identical
     to `bm25_rank` over the same corpus in test_streaming_retrieval.
-    Scoring and tie semantics are `bm25_rank`'s docstring verbatim."""
-    postings = postings.localCheckpoint(eager=False)
+    Scoring and tie semantics are `bm25_rank`'s docstring verbatim.
+
+    `share_postings` (default True) checkpoints the postings frame so
+    its three consumers (probe join, df aggregate, N/avgdl stats) pay
+    the build ONCE — load-bearing when postings arrive as an unpersisted
+    tokenize+groupBy subtree (the inline `bm25_rank` path; scan-budget
+    gated). Pass False when `postings` is a PERSISTED parquet index
+    (`read_bm25_index`): three column-pruned scans of short-row parquet
+    beat one forced full materialization, and the plan keeps its honest
+    FileScan nodes for the no-training gates."""
+    if share_postings:
+        postings = postings.localCheckpoint(eager=False)
     df_t = postings.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     stats = (
         postings.select("doc_id", "dl")

@@ -100,6 +100,72 @@ def test_hybrid_rrf_end_to_end_values(spark, sf_dir):
         assert ranks == list(range(1, len(ranks) + 1))
 
 
+def test_hybrid_indexed_matches_inline_index_composition(spark, sf_dir, tmp_path):
+    """The persisted-index round trip must be invisible: fusing the
+    branches from parquet-persisted indexes (postings + PQ books/codes)
+    yields bit-identical rows to fusing the same branches built inline
+    — the write/read identity the other indexed faces pin."""
+    from khronus_spark.operators import pq as pq_ops
+    from khronus_spark.operators import text as text_ops
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    queries = docs.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    probes = emb.where(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    books_i, codes_i = pq_ops.pq_build_index(emb, sub=4, k=8, iters=1)
+    inline = ret.hybrid_rrf_topk_indexed(
+        text_ops.bm25_build_postings(corpus), books_i, codes_i, queries, probes
+    )
+
+    text_ops.write_bm25_index(
+        text_ops.bm25_build_postings(corpus), str(tmp_path / "postings")
+    )
+    pq_ops.write_pq_index(books_i, codes_i, str(tmp_path / "pq"))
+    postings = text_ops.read_bm25_index(spark, str(tmp_path / "postings"))
+    books, codes = pq_ops.read_pq_index(spark, str(tmp_path / "pq"))
+    persisted = ret.hybrid_rrf_topk_indexed(
+        postings, books, codes, queries, probes
+    )
+    a = sorted(map(tuple, inline.collect()))
+    b = sorted(map(tuple, persisted.collect()))
+    assert a and a == b
+
+
+def test_hybrid_indexed_semantic_branch_is_pq_ranks(spark, sf_dir):
+    """The indexed face's semantic list must be exactly the PQ ADC
+    retriever's ranks over the corpus carve (d2_adc asc, doc_id asc) —
+    not exact cosine; fusing the production retriever's OWN ranks is
+    the design point."""
+    from khronus_spark.operators import pq as pq_ops
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books, codes = pq_ops.pq_build_index(emb, sub=4, k=8, iters=1)
+    probes = emb.where(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    sem = ret.semantic_pq_rank(books, codes, probes, pool=5).collect()
+    raw = pq_ops.pq_topk_indexed(
+        books, codes.where(F.col("vec_id") % 97 != 0), probes, 5, 4, 8
+    ).collect()
+    expect = {}
+    for r in raw:
+        expect.setdefault(r["probe_id"], []).append(
+            (r["d2_adc"], r["neighbor_id"])
+        )
+    want = set()
+    for q, lst in expect.items():
+        for rank, (_, nid) in enumerate(sorted(lst), start=1):
+            want.add((q, nid, rank))
+    got = {(r["query_id"], r["doc_id"], r["rank"]) for r in sem}
+    assert got == want
+    assert all(d % 97 != 0 for _, d, _ in got)
+
+
 def test_bm25_chunk_rank_finds_needle_in_long_doc(spark):
     """The long-document fix: a relevant paragraph buried in a long
     doc must score like the paragraph (chunk-level dl normalization),
