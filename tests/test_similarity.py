@@ -213,3 +213,64 @@ def test_ann_recall_plan_has_no_sort_merge(spark, oracle_sf_dir):
         jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "SortMergeJoin" not in plan
+
+
+def test_lsh_size_for_recall_model_math():
+    """The helper's output must satisfy its own SRP collision model:
+    1-(1-p^b)^L >= target at the sim floor, L within max_bands, and
+    the candidate readout honest (1000pm on the near-random gate
+    corpus; selective in LSH's true regime)."""
+    import math
+
+    from khronus_spark.operators.similarity import lsh_size_for_recall
+
+    sized = lsh_size_for_recall(500, 2800, 9000)
+    p = 1.0 - math.acos(0.28) / math.pi
+    pb = p ** sized["planes_per_band"]
+    model = 1.0 - (1.0 - pb) ** sized["n_bands"]
+    assert model >= 0.9
+    assert abs(sized["expected_recall_bp"] - int(model * 10000)) <= 1
+    assert sized["expected_candidates_pm"] == 1000  # the honest readout
+
+    # LSH's actual regime: close neighbors, billion-scale corpus
+    big = lsh_size_for_recall(10**9, 8000, 9000)
+    assert big["expected_recall_bp"] >= 9000
+    assert big["expected_candidates_pm"] <= 50  # selective, not a scan
+
+    # unreachable targets refuse loudly instead of under-sizing
+    import pytest
+
+    with pytest.raises(ValueError):
+        lsh_size_for_recall(500, 500, 9999, max_bands=2, max_planes=2)
+
+
+def test_sized_lsh_recall_meets_documented_floor(spark, oracle_sf_dir):
+    """The ann_lsh_recall_sized contract: at the helper's own
+    parameters the median recall@3 across the 10 probes is >= 8000 bp
+    on the sf0.01 gate corpus (deterministic: fixed planes, fixed
+    data). This is the round-6 directive's done-criterion, pinned."""
+    import statistics
+
+    from khronus_spark.entry_queries import queries
+
+    out = queries()["ann_lsh_recall_sized"](spark, oracle_sf_dir).collect()
+    assert len(out) == 10 and all(r["method"] == "lsh" for r in out)
+    med = statistics.median(r["recall_bp"] for r in out)
+    assert med >= 8000, f"sized-LSH median recall {med}bp below floor"
+
+
+def test_hyperplane_family_is_full_rank():
+    """The round-7 fix for the rank-2 plane family: over any prefix of
+    96 planes the matrix rank must be >= 32 (the first-generation
+    sin(A_j + B*i) family had rank 2 — every band was the same 2-D
+    shadow) and no two planes may be parallel."""
+    import numpy as np
+
+    from khronus_spark.operators.similarity import _hyperplane
+
+    H = np.array([_hyperplane(j) for j in range(96)])
+    assert np.linalg.matrix_rank(H) >= 32
+    Hn = H / np.linalg.norm(H, axis=1, keepdims=True)
+    C = np.abs(Hn @ Hn.T)
+    np.fill_diagonal(C, 0.0)
+    assert C.max() < 0.99, f"near-parallel planes (max |cos| {C.max():.3f})"
