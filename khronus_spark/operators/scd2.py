@@ -1,0 +1,193 @@
+"""SCD2 (slowly-changing-dimension type 2) interval building, the
+point-in-time conformance join, and late-arriving-fact correction.
+
+The dimension: per user, the dominant event type of each active week,
+with runs of consecutive equal values collapsed into validity intervals
+(valid_from_week, valid_to_week) — the change-point compression a
+lakehouse dimension-history job runs over periodic snapshots
+(gaps-and-islands: change flag via lag, run id via running sum, one
+groupBy per run; every shuffle keyed by user_id).
+
+Late-arriving facts (`scd2_apply_backfill`): an out-of-order backfill
+invalidates the intervals of exactly the users it touches — nothing
+else. The correction anti-joins those users out of the standing
+dimension and rebuilds only their interval chains from the merged
+fact history, so the recompute scales with the BACKFILL's user
+footprint, not the dimension: at 100 TB a daily late-data batch
+touching 0.1% of users re-derives 0.1% of interval chains, while a
+full rebuild would re-shuffle every fact ever ingested. The result is
+pinned (test + oracle) bit-identical to the full rebuild, and
+re-applying the same backfill is a no-op (replay-idempotent) — the
+effectively-once contract the streaming ingest upholds, applied to
+dimension maintenance.
+
+Reference parity: the reference maintains its summary store
+incrementally per time window (`TimeWindowChain.scala`,
+`store/BucketStore.scala:159-172` idempotent set-upsert); this module
+is the dimension-table analogue of that re-derive-only-what-changed
+discipline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: weekly snapshot grid (ms) — shared with the registry oracles.
+WEEK_MS = 604_800_000
+
+
+def scd2_intervals(ev: DataFrame, week_ms: int = WEEK_MS) -> DataFrame:
+    """(user_id, event_type, valid_from_week, valid_to_week, n_weeks):
+    per-user dominant-type validity intervals over the weekly grid.
+    Dominance ties break to the lexicographically smallest type; runs
+    of consecutive ACTIVE weeks with the same dominant type collapse
+    (gap weeks do not split a run — the change flag compares adjacent
+    active weeks)."""
+    counts = (
+        ev.select(
+            "user_id",
+            F.expr(f"ts div 1000000 div {week_ms}").alias("week"),
+            "event_type",
+        )
+        .groupBy("user_id", "week", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pick = Window.partitionBy("user_id", "week").orderBy(
+        F.col("cnt").desc(), F.col("event_type").asc()
+    )
+    dominant = (
+        counts.withColumn("_rn", F.row_number().over(pick))
+        .where(F.col("_rn") == 1)
+        .select("user_id", "week", "event_type")
+    )
+    seq = Window.partitionBy("user_id").orderBy("week")
+    flagged = dominant.withColumn(
+        "chg",
+        F.when(
+            ~F.lag("event_type").over(seq).eqNullSafe(F.col("event_type")), 1
+        ).otherwise(0),
+    )
+    runs = flagged.withColumn(
+        "run_id",
+        F.sum("chg").over(seq.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        runs.groupBy("user_id", "event_type", "run_id")
+        .agg(
+            F.min("week").alias("valid_from_week"),
+            F.max("week").alias("valid_to_week"),
+            F.count(F.lit(1)).alias("n_weeks"),
+        )
+        .drop("run_id")
+    )
+
+
+def scd2_apply_backfill(
+    base_intervals: DataFrame,
+    all_events: DataFrame,
+    backfill: DataFrame,
+    week_ms: int = WEEK_MS,
+) -> DataFrame:
+    """Correct a standing SCD2 dimension for an out-of-order backfill:
+    keep every untouched user's intervals AS-IS (anti-join on the
+    backfill's distinct user set) and rebuild only the touched users'
+    chains from the MERGED history (`all_events` = initial ∪ backfill
+    facts). Bit-identical to `scd2_intervals(all_events)` — pinned by
+    test and by the registry oracle, which restates the corrected
+    dimension as the full rebuild — and replay-idempotent: applying
+    the same backfill to an already-corrected dimension changes
+    nothing.
+
+    Shape: the touched-user set is one distinct over the backfill
+    (small by definition of "late data") and broadcasts into both the
+    anti-join and the fact-history semi-join, so the recompute's
+    shuffle carries only the touched users' facts."""
+    touched = backfill.select("user_id").distinct()
+    kept = base_intervals.join(F.broadcast(touched), "user_id", "left_anti")
+    rebuilt = scd2_intervals(
+        all_events.join(F.broadcast(touched), "user_id", "left_semi"),
+        week_ms,
+    )
+    return kept.unionByName(rebuilt)
+
+
+def scd2_matrix_sql_ctes(
+    prefix: str, facts_where: str, week_ms: int = WEEK_MS
+) -> str:
+    """DuckDB CTE chain `{p}counts … {p}m` restating the interval
+    builder + PIT join + conformance matrix over
+    ``events WHERE facts_where`` — composable (prefixes keep chains
+    disjoint) so multi-state oracles (before/after a backfill) share
+    one structural spec instead of duplicated SQL text."""
+    p = prefix
+    return f"""{p}counts AS (
+  SELECT user_id, epoch_us(ts) // 1000 // {week_ms} AS week, event_type,
+         count(*) AS cnt
+  FROM events WHERE {facts_where} GROUP BY 1, 2, 3
+),
+{p}dominant AS (
+  SELECT user_id, week, event_type
+  FROM {p}counts
+  QUALIFY row_number() OVER (
+    PARTITION BY user_id, week ORDER BY cnt DESC, event_type ASC) = 1
+),
+{p}flagged AS (
+  SELECT user_id, week, event_type,
+         CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM {p}dominant
+  WINDOW w AS (PARTITION BY user_id ORDER BY week)
+),
+{p}runs AS (
+  SELECT user_id, week, event_type,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY week
+                        ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM {p}flagged
+),
+{p}intervals AS (
+  SELECT user_id, event_type AS dominant_type,
+         min(week) AS valid_from_week, max(week) AS valid_to_week
+  FROM {p}runs GROUP BY user_id, event_type, run_id
+),
+{p}m AS (
+  SELECT i.dominant_type, e.event_type, CAST(count(*) AS BIGINT) AS n_events
+  FROM (
+    SELECT user_id, epoch_us(ts) // 1000 // {week_ms} AS week, event_type
+    FROM events WHERE {facts_where}
+  ) e
+  JOIN {p}intervals i
+    ON i.user_id = e.user_id
+   AND e.week BETWEEN i.valid_from_week AND i.valid_to_week
+  GROUP BY i.dominant_type, e.event_type
+)"""
+
+
+def scd2_conformance_matrix(
+    intervals: DataFrame, facts: DataFrame, week_ms: int = WEEK_MS
+) -> DataFrame:
+    """(dominant_type, event_type, n_events): every fact joined to its
+    user's validity interval (equi-join on user_id, week-range residual
+    inside it — per-user interval lists are short by construction),
+    aggregated to the conformance matrix. The diagonal share is how
+    faithful the compressed dimension is to the raw stream."""
+    iv = intervals.select(
+        "user_id",
+        F.col("event_type").alias("dominant_type"),
+        "valid_from_week",
+        "valid_to_week",
+    )
+    e = facts.select(
+        "user_id",
+        F.expr(f"ts div 1000000 div {week_ms}").alias("week"),
+        "event_type",
+    )
+    joined = e.join(
+        iv,
+        (e.user_id == iv.user_id)
+        & (F.col("week") >= F.col("valid_from_week"))
+        & (F.col("week") <= F.col("valid_to_week")),
+    )
+    return joined.groupBy("dominant_type", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )

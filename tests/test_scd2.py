@@ -47,3 +47,64 @@ def test_diagonal_is_modal_share(spark, sf_dir):
         if m.get(dom, 0) == max(m.values())
     )
     assert majority_holds >= len(per_dom) - 1, per_dom
+
+
+def test_backfill_partial_recompute_equals_full_rebuild(spark, sf_dir):
+    """scd2_apply_backfill must converge to the full rebuild exactly:
+    rebuilding only the touched users' chains from the merged history
+    yields the same interval set as scd2_intervals over everything."""
+    from khronus_spark.operators import scd2 as scd2_ops
+    from khronus_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    initial = ev.where(F.col("event_id") % 10 != 0)
+    backfill = ev.where(F.col("event_id") % 10 == 0)
+    base = scd2_ops.scd2_intervals(initial)
+    corrected = scd2_ops.scd2_apply_backfill(base, ev, backfill)
+    full = scd2_ops.scd2_intervals(ev)
+    cols = sorted(corrected.columns)
+    a = sorted(map(tuple, corrected.select(*cols).collect()))
+    b = sorted(map(tuple, full.select(*cols).collect()))
+    assert a and a == b
+
+
+def test_backfill_replay_is_idempotent(spark, sf_dir):
+    """Re-applying the SAME backfill to an already-corrected dimension
+    must change nothing — the effectively-once contract applied to
+    dimension maintenance (a duplicated late batch re-derives the same
+    chains it already derived)."""
+    from khronus_spark.operators import scd2 as scd2_ops
+    from khronus_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    initial = ev.where(F.col("event_id") % 10 != 0)
+    backfill = ev.where(F.col("event_id") % 10 == 0)
+    base = scd2_ops.scd2_intervals(initial)
+    once = scd2_ops.scd2_apply_backfill(base, ev, backfill)
+    twice = scd2_ops.scd2_apply_backfill(once, ev, backfill)
+    cols = sorted(once.columns)
+    a = sorted(map(tuple, once.select(*cols).collect()))
+    b = sorted(map(tuple, twice.select(*cols).collect()))
+    assert a == b
+
+
+def test_backfill_touches_only_backfilled_users(spark, sf_dir):
+    """Untouched users' interval rows must pass through the correction
+    BYTE-IDENTICAL (they are anti-joined, not recomputed) — the
+    scale property: recompute is bounded by the backfill footprint."""
+    from khronus_spark.operators import scd2 as scd2_ops
+    from khronus_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    initial = ev.where(F.col("event_id") % 10 != 0)
+    backfill = ev.where(F.col("event_id") % 10 == 0)
+    touched = {r[0] for r in backfill.select("user_id").distinct().collect()}
+    base = scd2_ops.scd2_intervals(initial)
+    corrected = scd2_ops.scd2_apply_backfill(base, ev, backfill)
+    base_rows = {
+        tuple(r) for r in base.collect() if r["user_id"] not in touched
+    }
+    corr_rows = {
+        tuple(r) for r in corrected.collect() if r["user_id"] not in touched
+    }
+    assert base_rows == corr_rows
