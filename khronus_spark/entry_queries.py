@@ -140,22 +140,20 @@ def register(name: str, oracle: str | None):
 #: enforces the invariant "green before, or in the window".
 DRIVER_WINDOW = 50
 
-#: Entries registered after this round's 50-slot window froze. The
-#: round-6 window is exactly the 32 round-6-new entries + the FULL
-#: 18-entry r2-only tail (the judge's #1 directive — retiring the
-#: rotation ledger debt); displacing a tail slot for these would
-#: un-retire it, and the window cannot grow (the driver hashes only
-#: the first 50). So late-wave entries queue HERE instead of hiding in
-#: the tail: the rotation test requires every never-driver-checked
-#: entry to be either in the window or in this explicit queue, each
-#: queued entry to be fully oracle-backed (they are all hash-checked
-#: against DuckDB on every local parity run), and the round-7 window
-#: must lead with them (emptying the queue) before anything else
-#: rotates.
-PENDING_NEXT_WINDOW = [
-    "hybrid_rrf_topk_indexed",
-    "ann_lsh_recall_sized",
-    "events_scd2_backfill_conformance",
+#: Entries registered after the CURRENT round's 50-slot window froze
+#: queue HERE instead of hiding in the tail: the rotation test requires
+#: every never-driver-checked entry to be either in the window or in
+#: this explicit queue, each queued entry to be fully oracle-backed
+#: (hash-checked against DuckDB on every local parity run), and the
+#: NEXT round's window to lead with them (emptying the queue) before
+#: anything else rotates. Round 7 drained the round-6 queue (its 10
+#: entries lead _PRIORITY below) and registered its 3 new entries
+#: directly in the window, so the queue is empty.
+PENDING_NEXT_WINDOW: list[str] = []
+
+_PRIORITY = [
+    # -- the drained round-6 queue: 10 entries whose first driver proof
+    #    is THIS round (the round-6 verdict's directive #1) --------------
     "hybrid_rrf_topk",
     "doc_perplexity_split",
     "hll_event_type_overlap",
@@ -166,73 +164,60 @@ PENDING_NEXT_WINDOW = [
     "bm25_chunk_topk",
     "events_path_trigrams",
     "events_type_affinity",
-]
-
-_PRIORITY = [
-    # -- new in round 6: never driver-checked ----------------------------
-    "part_name_edit_pairs",
-    "events_ewma_1h",
-    "events_new_vs_returning",
-    "ann_ivfpq_topk_indexed",
-    "ann_pq_rerank_topk_indexed",
-    "decontamination_retrieval",
-    "doc_winnow_fingerprints",
-    "winnow_match_pairs",
-    "canonical_by_quality",
-    "token_budget_sample",
-    "lm_reference_surprisal",
-    "intra_doc_repetition",
-    "length_bucketed_batches",
-    "doc_chunks_64_48",
-    "hard_negative_pairs",
-    "embedding_dim_stats",
-    "mixture_realization_audit",
-    "dsir_topk_sample",
-    "events_cohort_retention",
-    "events_zorder_curve",
-    "influx_fill_linear_error_1h",
-    "events_scd2_dominant_type",
-    "events_rfm_profile",
-    "data_quality_checks",
-    "events_anomaly_flags",
-    "influx_delta_click_1h",
-    "events_type_transitions",
-    "events_cusum_changepoint",
-    "part_name_sorted_neighbor_pairs",
-    "part_entity_components",
-    "events_holt_1h",
-    "part_edit_graph_clustering",
-    # -- engine paths touched in round 6 (dedup_incremental_batch,
-    #    near_dup_jaccard_lsh, dedup_components, bm25_eval_topk,
-    #    ann_pq_topk_indexed) all hold green r5 rows and re-prove
-    #    locally on every pytest parity run; the build/probe split's
-    #    round-6 "done" evidence is the probe plan gate + the bench
-    #    median (0.93 s), so the 50 window slots go to the 32
-    #    never-checked entries + the full 18-entry r2 tail ---------------
-    # -- longest unchecked: newest green row is round 2 (all 18 — the
-    #    ledger debt retires this round) ---------------------------------
-    "metric_catalog",
-    "summary_retention_5m",
-    "ts_hdr_cascade_1h",
-    "streaming_dedup_components",
-    "doc_top_terms_tfidf",
-    "training_batch_assembly",
-    "approx_distinct_users_hll",
-    "events_distinct_users_salted",
-    "reservoir_sample_per_lang",
-    "ann_cosine_topk",
+    # -- new in round 7: never driver-checked ----------------------------
+    "hybrid_rrf_topk_indexed",
+    "ann_lsh_recall_sized",
+    "events_scd2_backfill_conformance",
+    # -- the 13 r3 entries displaced by the round-6 window ---------------
+    "influx_store_percentiles_1h",
+    "influx_percentiles_purchase_1h",
+    "tpch_q8_market_share",
+    "tpch_q13_order_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q22_idle_high_balance",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_suppliers",
+    "tpch_q12_ship_priority",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q19_disjunctive_revenue",
+    # -- engine paths touched in round 6 (held green r5 rows through the
+    #    r6 window; re-proven by the driver this round) ------------------
+    "dedup_incremental_batch",
+    "near_dup_jaccard_lsh",
+    "dedup_components",
+    "bm25_eval_topk",
+    "ann_pq_topk_indexed",
+    # -- engine paths touched in round 7: the full-rank hyperplane fix
+    #    changes every sign-LSH consumer's values (oracles regenerate
+    #    from the same literals — parity re-proven locally), and the
+    #    bm25_rank_sql (ctes, final) refactor re-renders the BM25-family
+    #    oracle text. events_scd2_dominant_type / _conformance moved to
+    #    operators/scd2.py as pure code motion (identical plans;
+    #    conformance is in the queue above anyway; dominant_type re-
+    #    proves locally, the round-5 PQ-refactor precedent) --------------
     "ann_lsh_topk",
-    "events_sessions_30m",
-    "events_asof_signup",
-    "decontamination_scan",
-    "pack_sequences_512",
-    "domain_mixture_sqrt",
-    "corpus_vocabulary",
-    "pii_source_profile",
-    # -- r3-freshness fills rotated out for the second-wave entries
-    #    above; the r3 tail (influx_store_percentiles_1h,
-    #    influx_percentiles_purchase_1h, tpch_q8_market_share,
-    #    tpch_q13_order_distribution, ...) leads the round-7 window ------
+    "ann_lsh_buckets",
+    "embedding_near_dup",
+    "embedding_knn_graph",
+    "hard_negative_pairs",
+    "decontamination_retrieval",
+    # -- longest-unchecked fills: the oldest r3-only cohort in
+    #    registration order (the rest of the r3 tail rotates in r8) ------
+    "tpch_q20_part_family_share",
+    "tpch_q21_sole_late_supplier",
+    "events_anomaly_zscore",
+    "doc_repetition",
+    "gopher_rules",
+    "quality_classifier_score",
+    "approx_distinct_users_hll_daily",
+    "stratified_sample_by_lang",
+    "influx_relative_now_10m",
+    "influx_string_filter_noop",
+    "events_json_props",
+    "events_user_gaps",
+    "events_distinct_users_daily",
 ]
 
 
