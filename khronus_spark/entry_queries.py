@@ -5128,7 +5128,10 @@ def events_scd2_backfill_conformance(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     initial = ev.where(F.col("event_id") % 10 != 0)
     backfill = ev.where(F.col("event_id") % 10 == 0)
-    base = _scd2_intervals(initial)
+    # base feeds the anti-join AND the before-matrix: checkpoint so the
+    # interval subtree (two windows + two aggregates over events) runs
+    # once, not once per consumer (scan-budget gated)
+    base = _scd2_intervals(initial).localCheckpoint(eager=False)
     corrected = scd2_ops.scd2_apply_backfill(base, ev, backfill)
     before = scd2_ops.scd2_conformance_matrix(base, initial)
     after = scd2_ops.scd2_conformance_matrix(corrected, ev)

@@ -102,8 +102,12 @@ def scd2_apply_backfill(
     Shape: the touched-user set is one distinct over the backfill
     (small by definition of "late data") and broadcasts into both the
     anti-join and the fact-history semi-join, so the recompute's
-    shuffle carries only the touched users' facts."""
-    touched = backfill.select("user_id").distinct()
+    shuffle carries only the touched users' facts. `touched` is
+    checkpointed — it has two consumers and ReuseExchange does not
+    dedupe broadcast builds (the round-6 scan-budget discipline);
+    callers with a multi-consumer `base_intervals` (e.g. a dimension
+    also feeding a before-matrix) should checkpoint it themselves."""
+    touched = backfill.select("user_id").distinct().localCheckpoint(eager=False)
     kept = base_intervals.join(F.broadcast(touched), "user_id", "left_anti")
     rebuilt = scd2_intervals(
         all_events.join(F.broadcast(touched), "user_id", "left_semi"),

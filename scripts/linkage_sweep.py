@@ -94,17 +94,32 @@ def main() -> None:
         n_snm = snm.count()
         t_snm = time.time() - t0
 
+        # the round-6 fix: forward + reverse sort passes unioned
+        t0 = time.time()
+        snm2 = linkage.sorted_neighbor_pairs_multipass(
+            parts,
+            ["p_brand"],
+            "p_name",
+            "p_partkey",
+            window=WINDOW,
+            max_dist=MAX_DIST,
+        )
+        n_snm2 = snm2.count()
+        t_snm2 = time.time() - t0
+
         # recall: SNM pairs (unordered) found among blocked ground truth
         b = blocked.select(
             F.least("id_a", "id_b").alias("x"),
             F.greatest("id_a", "id_b").alias("y"),
-        )
-        s = snm.select(
-            F.least("id_a", "id_b").alias("x"),
-            F.greatest("id_a", "id_b").alias("y"),
-        )
-        n_common = s.distinct().join(b.distinct(), ["x", "y"]).count()
-        recall = round(n_common / max(n_blocked, 1), 4)
+        ).distinct()
+
+        def _recall(pairs):
+            s = pairs.select(
+                F.least("id_a", "id_b").alias("x"),
+                F.greatest("id_a", "id_b").alias("y"),
+            )
+            n_common = s.distinct().join(b, ["x", "y"]).count()
+            return round(n_common / max(n_blocked, 1), 4)
 
         print(
             json.dumps(
@@ -114,7 +129,10 @@ def main() -> None:
                     "blocked_s": round(t_blocked, 2),
                     "snm_pairs": n_snm,
                     "snm_s": round(t_snm, 2),
-                    "snm_recall": recall,
+                    "snm_recall": _recall(snm),
+                    "snm2_pairs": n_snm2,
+                    "snm2_s": round(t_snm2, 2),
+                    "snm2_recall": _recall(snm2),
                 }
             ),
             flush=True,

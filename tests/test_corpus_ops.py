@@ -1119,7 +1119,15 @@ def test_hard_negatives_exclude_dup_component_transitively(spark):
     ]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     got = {}
-    for r in hard_negative_pairs(emb, k=2, dup_threshold_bp=9900).collect():
+    # toy-corpus LSH sizing: 8 single-bit bands give every pair a ~1/2
+    # collision chance per band, so all 5 vectors are mutual candidates
+    # (the registry's fine default buckets would leave a 5-vector
+    # corpus all-singleton now that the planes are genuinely
+    # independent — this test is about exclusion semantics, not recall)
+    out = hard_negative_pairs(
+        emb, k=2, dup_threshold_bp=9900, n_bands=8, planes_per_band=1
+    )
+    for r in out.collect():
         got.setdefault(r.vec_id, []).append((r.rank, r.neighbor_id, r.cosine_bp))
     anchor = sorted(got.get(0, []))
     neighbors = [n for _, n, _ in anchor]

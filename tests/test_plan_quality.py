@@ -741,6 +741,14 @@ def test_shared_subtrees_materialize_once(spark, oracle_sf_dir):
         "decontamination_retrieval": 1,  # BM25 postings built once
         "bm25_eval_topk": 3,  # postings + stats scan + query side
         "dsir_topk_sample": 2,  # (doc, bucket) pre-agg shared
+        # r7: base intervals + touched users checkpointed (was 7 —
+        # the interval subtree ran once per consumer); remaining scans
+        # are the rebuilt semi-join and the two matrix fact reads
+        "events_scd2_backfill_conformance": 3,
+        # r7: query carve only — one documents scan (query text), one
+        # embeddings scan (probe vectors); index reads are scratch-dir
+        # parquet not counted by this metric (plan-gated separately)
+        "hybrid_rrf_topk_indexed": 2,
     }
     over = []
     for name, budget in sorted(budgets.items()):

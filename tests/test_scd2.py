@@ -108,3 +108,26 @@ def test_backfill_touches_only_backfilled_users(spark, sf_dir):
         tuple(r) for r in corrected.collect() if r["user_id"] not in touched
     }
     assert base_rows == corr_rows
+
+
+def test_backfill_sequential_batches_converge(spark, sf_dir):
+    """Stream-of-backfills == batch: applying two late batches one
+    after the other (each correcting the prior state) converges to the
+    full rebuild — the micro-batch maintenance shape a continuously
+    loaded dimension runs."""
+    from khronus_spark.operators import scd2 as scd2_ops
+    from khronus_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    initial = ev.where(F.col("event_id") % 10 > 1)
+    b1 = ev.where(F.col("event_id") % 10 == 0)
+    b2 = ev.where(F.col("event_id") % 10 == 1)
+    state0 = scd2_ops.scd2_intervals(initial)
+    seen1 = initial.unionByName(b1)
+    state1 = scd2_ops.scd2_apply_backfill(state0, seen1, b1)
+    state2 = scd2_ops.scd2_apply_backfill(state1, seen1.unionByName(b2), b2)
+    full = scd2_ops.scd2_intervals(ev)
+    cols = sorted(full.columns)
+    a = sorted(map(tuple, state2.select(*cols).collect()))
+    b = sorted(map(tuple, full.select(*cols).collect()))
+    assert a and a == b
