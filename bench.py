@@ -287,7 +287,7 @@ def main() -> None:
         emb = load_table(spark, sf_dir, "embeddings")
         corpus = docs.where(F.col("doc_id") % 97 != 0)
         text_ops.write_bm25_index(
-            text_ops.bm25_build_postings(corpus), f"{out}/postings"
+            text_ops.bm25_build_postings(corpus), f"{out}/bm25"
         )
         books, codes = pq_ops.pq_build_index(emb, sub=4, k=8, iters=1)
         pq_ops.write_pq_index(books, codes, f"{out}/pq")
@@ -295,7 +295,10 @@ def main() -> None:
     def _hybrid_query():
         docs = load_table(spark, sf_dir, "documents")
         emb = load_table(spark, sf_dir, "embeddings")
-        postings = text_ops.read_bm25_index(spark, f"{_hybrid_query_dir}/postings")
+        postings = text_ops.read_bm25_index(spark, f"{_hybrid_query_dir}/bm25")
+        df_t, n_docs, avgdl_m = text_ops.read_bm25_stats(
+            spark, f"{_hybrid_query_dir}/bm25"
+        )
         books, codes = pq_ops.read_pq_index(spark, f"{_hybrid_query_dir}/pq")
         queries = docs.where(F.col("doc_id") % 97 == 0).select(
             F.col("doc_id").alias("query_id"), "text"
@@ -305,7 +308,13 @@ def main() -> None:
         )
         run_df(
             retrieval_ops.hybrid_rrf_topk_indexed(
-                postings, books, codes, queries, probes
+                postings,
+                books,
+                codes,
+                queries,
+                probes,
+                df_t=df_t,
+                collection_stats=(n_docs, avgdl_m),
             )
         )
 

@@ -4925,11 +4925,12 @@ def hybrid_rrf_topk_indexed(spark, sf_dir):
     path = _scratch_dir("hybrid_indexes")
     corpus = docs.where(F.col("doc_id") % 97 != 0)
     text_ops.write_bm25_index(
-        text_ops.bm25_build_postings(corpus), f"{path}/postings"
+        text_ops.bm25_build_postings(corpus), f"{path}/bm25"
     )
     books, codes = pq_ops.pq_build_index(emb, sub=4, k=8, iters=1)
     pq_ops.write_pq_index(books, codes, f"{path}/pq")
-    postings = text_ops.read_bm25_index(spark, f"{path}/postings")
+    postings = text_ops.read_bm25_index(spark, f"{path}/bm25")
+    df_t, n_docs, avgdl_m = text_ops.read_bm25_stats(spark, f"{path}/bm25")
     books, codes = pq_ops.read_pq_index(spark, f"{path}/pq")
     queries = docs.where(F.col("doc_id") % 97 == 0).select(
         F.col("doc_id").alias("query_id"), "text"
@@ -4938,7 +4939,13 @@ def hybrid_rrf_topk_indexed(spark, sf_dir):
         F.col("vec_id").alias("probe_id"), "embedding"
     )
     return retrieval_ops.hybrid_rrf_topk_indexed(
-        postings, books, codes, queries, probes
+        postings,
+        books,
+        codes,
+        queries,
+        probes,
+        df_t=df_t,
+        collection_stats=(n_docs, avgdl_m),
     )
 
 

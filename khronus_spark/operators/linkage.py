@@ -116,11 +116,19 @@ def sorted_neighbor_pairs(
     not O(block²), and after the one block-key shuffle the whole pass
     is map-side window algebra with NO self-join.
 
-    The trade is recall: edits near the string head break sort
+    The trade is recall, with TWO distinct failure modes the round-7
+    sweep separates: (a) edits near the string head break sort
     adjacency (measured at sf0.01: w=5 finds ~59% of the pairs the
-    full within-block join finds). Production composition: union the
-    passes over several sort keys (name, reversed name, …) — the
-    multi-pass sorted-neighborhood method — rather than widening w.
+    full within-block join finds; the reverse-sort second pass —
+    `sorted_neighbor_pairs_multipass` — recovers it to ~87%), and
+    (b) WINDOW CROWDING: when block size grows while w stays fixed,
+    lexically-close non-matches crowd true matches out of the window
+    (the sweep's recall falls 0.34 → 0.14 across an 8× size-up and
+    multi-pass recovers only +1–3 pp there, because crowding is not a
+    sort-key problem). Production remedies for (b): scale w with
+    expected block size, add a pass on a crowding-resistant key
+    (token-sorted name), or refine the block key — rather than
+    treating more passes as a cure-all.
 
     Output (block cols, id_a, id_b, dist): id_a is the sort-order
     predecessor, not necessarily the smaller id.

@@ -212,12 +212,16 @@ def hybrid_rrf_topk_indexed(
     sub: int = 4,
     pq_k: int = 8,
     broadcast_queries: bool = True,
+    df_t: DataFrame | None = None,
+    collection_stats: tuple[int, int] | None = None,
 ) -> DataFrame:
     """The PRODUCTION hybrid retriever: both branches answer from
     PERSISTED indexes — BM25 from the postings table
-    (`text.bm25_rank_indexed`: no corpus tokenization at query time)
-    and the semantic list from the PQ index (`semantic_pq_rank`: no
-    training, 8-byte code scan) — fused by the same integer RRF as
+    (`text.bm25_rank_indexed`: no corpus tokenization at query time;
+    pass `df_t`/`collection_stats` from `read_bm25_stats` and the
+    query plan has no aggregate over the postings either) and the
+    semantic list from the PQ index (`semantic_pq_rank`: no training,
+    8-byte code scan) — fused by the same integer RRF as
     `hybrid_rrf_topk`. The corpus text and the full embedding vectors
     are never touched at query time; at 100 TB the query cost is two
     index scans + query-load-sized fusion, vs the brute face's
@@ -232,6 +236,8 @@ def hybrid_rrf_topk_indexed(
         k=pool,
         broadcast_queries=broadcast_queries,
         share_postings=False,
+        df_t=df_t,
+        collection_stats=collection_stats,
     ).select("query_id", "doc_id", "rank")
     sem = semantic_pq_rank(
         books, codes, probes, eval_mod=eval_mod, pool=pool, sub=sub, pq_k=pq_k

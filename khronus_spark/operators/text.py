@@ -2085,14 +2085,52 @@ def bm25_build_postings(corpus: DataFrame) -> DataFrame:
 
 
 def write_bm25_index(postings: DataFrame, path: str) -> None:
-    """Persist the postings table as parquet (short rows: doc_id, dl,
-    w, tf). A production layout would bucket by `w` so the query-term
-    probe co-locates."""
-    postings.write.mode("overwrite").parquet(path)
+    """Persist the BM25 index: the postings table ({path}/postings:
+    short rows doc_id, dl, w, tf) PLUS the two query-time constants
+    that derive from it — the per-term document frequencies
+    ({path}/df) and the collection stats ({path}/stats: n_docs,
+    avgdl_m). df/N/avgdl never change between index builds, so
+    recomputing them per query batch (two aggregations over the whole
+    postings table) is pure waste at scale: a trillion-row postings
+    table pays a full-shuffle df aggregate per query load, vs a
+    vocab-sized parquet read. A production layout would additionally
+    bucket postings by `w` so the query-term probe co-locates."""
+    postings = postings.localCheckpoint(eager=False)
+    postings.write.mode("overwrite").parquet(f"{path}/postings")
+    postings.groupBy("w").agg(F.count(F.lit(1)).alias("df")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/df")
+    (
+        postings.select("doc_id", "dl")
+        .distinct()
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("sum(dl) * 1000L div count(1)").alias("avgdl_m"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{path}/stats")
+    )
 
 
 def read_bm25_index(spark, path: str) -> DataFrame:
-    return spark.read.parquet(path).select("doc_id", "dl", "w", "tf")
+    """The postings table of a persisted index. Accepts both the
+    round-7 layout ({path}/postings + df + stats) and a bare postings
+    directory (the streaming maintainer's accumulating layout)."""
+    import os
+
+    sub = f"{path}/postings"
+    target = sub if os.path.isdir(sub) else path
+    return spark.read.parquet(target).select("doc_id", "dl", "w", "tf")
+
+
+def read_bm25_stats(spark, path: str) -> tuple[DataFrame, int, int]:
+    """(df_t, n_docs, avgdl_m) from a persisted index — the query-time
+    constants. The one-row stats read is driver-side bounded metadata
+    (the codebook-collect convention); df_t stays a distributed frame
+    (vocab-sized)."""
+    df_t = spark.read.parquet(f"{path}/df").select("w", "df")
+    n_docs, avgdl_m = spark.read.parquet(f"{path}/stats").collect()[0]
+    return df_t, int(n_docs), int(avgdl_m)
 
 
 def bm25_rank_indexed(
@@ -2103,50 +2141,69 @@ def bm25_rank_indexed(
     b_pm: int = 750,
     broadcast_queries: bool = True,
     share_postings: bool = True,
+    df_t: DataFrame | None = None,
+    collection_stats: tuple[int, int] | None = None,
 ) -> DataFrame:
     """BM25 top-k from a PREBUILT postings table — the query path of
     the build/query split: no corpus tokenization, no corpus scan.
     `queries` is (query_id, text)-shaped; its distinct terms probe the
     postings. df, N, and avgdl derive from the postings (dl is
     functionally dependent on doc_id, so the distinct (doc_id, dl)
-    projection recovers exact document lengths). Pinned bit-identical
+    projection recovers exact document lengths) — OR arrive as the
+    persisted query-time constants: pass `df_t` (per-term document
+    frequencies) and `collection_stats` = (n_docs, avgdl_m) from
+    `read_bm25_stats` and the query plan contains NO aggregate over
+    the postings at all (the stats pair inlines as literals — one-row
+    driver metadata, the codebook convention). Pinned bit-identical
     to `bm25_rank` over the same corpus in test_streaming_retrieval.
     Scoring and tie semantics are `bm25_rank`'s docstring verbatim.
 
     `share_postings` (default True) checkpoints the postings frame so
-    its three consumers (probe join, df aggregate, N/avgdl stats) pay
-    the build ONCE — load-bearing when postings arrive as an unpersisted
-    tokenize+groupBy subtree (the inline `bm25_rank` path; scan-budget
-    gated). Pass False when `postings` is a PERSISTED parquet index
-    (`read_bm25_index`): three column-pruned scans of short-row parquet
-    beat one forced full materialization, and the plan keeps its honest
-    FileScan nodes for the no-training gates."""
+    its consumers (probe join, and the df/stats aggregates when those
+    are derived here) pay the build ONCE — load-bearing when postings
+    arrive as an unpersisted tokenize+groupBy subtree (the inline
+    `bm25_rank` path; scan-budget gated). Pass False when `postings`
+    is a PERSISTED parquet index (`read_bm25_index`): column-pruned
+    scans of short-row parquet beat one forced full materialization,
+    and the plan keeps its honest FileScan nodes for the no-training
+    gates."""
     if share_postings:
         postings = postings.localCheckpoint(eager=False)
-    df_t = postings.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
-    stats = (
-        postings.select("doc_id", "dl")
-        .distinct()
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.expr("sum(dl) * 1000L div count(1)").alias("avgdl_m"),
+    if df_t is None:
+        df_t = postings.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    if collection_stats is None:
+        stats = (
+            postings.select("doc_id", "dl")
+            .distinct()
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.expr("sum(dl) * 1000L div count(1)").alias("avgdl_m"),
+            )
+            .withColumn("_one", F.lit(1))
         )
-        .withColumn("_one", F.lit(1))
-    )
+        n_docs_expr, avgdl_expr = "n_docs", "avgdl_m"
+    else:
+        stats = None
+        n_docs_expr = f"{int(collection_stats[0])}L"
+        avgdl_expr = f"{int(collection_stats[1])}L"
     qterms = queries.select("query_id", F.explode(_tokens()).alias("w")).distinct()
     if broadcast_queries:
         qterms = F.broadcast(qterms)
+    scored = postings.join(qterms, "w").join(df_t, "w")
+    if stats is not None:
+        scored = scored.withColumn("_one", F.lit(1)).join(
+            F.broadcast(stats), "_one"
+        )
     scored = (
-        postings.join(qterms, "w")
-        .join(df_t, "w")
-        .withColumn("_one", F.lit(1))
-        .join(F.broadcast(stats), "_one")
-        .withColumn("idf_bits", F.expr("CAST(length(bin(n_docs div df)) AS BIGINT)"))
+        scored.withColumn(
+            "idf_bits",
+            F.expr(f"CAST(length(bin({n_docs_expr} div df)) AS BIGINT)"),
+        )
         .withColumn(
             "denom_m",
             F.expr(
                 f"1000L * tf + {k1_pm}L * "
-                f"(1000L - {b_pm} + {b_pm}L * 1000L * dl div avgdl_m) div 1000L"
+                f"(1000L - {b_pm} + {b_pm}L * 1000L * dl div {avgdl_expr}) div 1000L"
             ),
         )
         .withColumn(

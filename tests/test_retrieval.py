@@ -123,13 +123,22 @@ def test_hybrid_indexed_matches_inline_index_composition(spark, sf_dir, tmp_path
     )
 
     text_ops.write_bm25_index(
-        text_ops.bm25_build_postings(corpus), str(tmp_path / "postings")
+        text_ops.bm25_build_postings(corpus), str(tmp_path / "bm25")
     )
     pq_ops.write_pq_index(books_i, codes_i, str(tmp_path / "pq"))
-    postings = text_ops.read_bm25_index(spark, str(tmp_path / "postings"))
+    postings = text_ops.read_bm25_index(spark, str(tmp_path / "bm25"))
+    df_t, n_docs, avgdl_m = text_ops.read_bm25_stats(
+        spark, str(tmp_path / "bm25")
+    )
     books, codes = pq_ops.read_pq_index(spark, str(tmp_path / "pq"))
     persisted = ret.hybrid_rrf_topk_indexed(
-        postings, books, codes, queries, probes
+        postings,
+        books,
+        codes,
+        queries,
+        probes,
+        df_t=df_t,
+        collection_stats=(n_docs, avgdl_m),
     )
     a = sorted(map(tuple, inline.collect()))
     b = sorted(map(tuple, persisted.collect()))
