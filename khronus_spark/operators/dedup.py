@@ -994,29 +994,35 @@ def incremental_dedup(
         bucket_min = corpus_index.groupBy("band", "bucket").agg(
             F.min("doc_id").alias("_m")
         )
-    vs_old = (
-        new_banded.join(bucket_min, ["band", "bucket"])
-        .groupBy("doc_id")
-        .agg(F.min("_m").alias("o"))
+    # ONE per-doc aggregate over the UNION of both candidate sources
+    # (was: two groupBys + two spine joins — one extra shuffle and one
+    # extra join wave per probe batch for the same values): corpus and
+    # batch partner ids are disjoint, so min(struct(partner, src))
+    # reproduces the o-vs-p case ladder exactly, and the map-side
+    # combine absorbs the per-source pre-aggregation.
+    vs_old = new_banded.join(bucket_min, ["band", "bucket"]).select(
+        "doc_id", F.col("_m").alias("partner"), F.lit(0).alias("_s")
     )
     pairs = bucket_pairs(new_banded, count_col=None)
-    vs_new = pairs.groupBy(F.col("doc_b").alias("doc_id")).agg(
-        F.min("doc_a").alias("p")
+    vs_new = pairs.select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("doc_a").alias("partner"),
+        F.lit(1).alias("_s"),
+    )
+    best = (
+        vs_old.unionByName(vs_new)
+        .groupBy("doc_id")
+        .agg(F.min(F.struct("partner", "_s")).alias("b"))
     )
     return (
         new_docs.select("doc_id")
-        .join(vs_old, "doc_id", "left")
-        .join(vs_new, "doc_id", "left")
+        .join(best, "doc_id", "left")
         .select(
             "doc_id",
+            F.col("b.partner").alias("dup_of"),
             F.expr(
-                "CASE WHEN o IS NULL THEN p WHEN p IS NULL THEN o "
-                "WHEN o < p THEN o ELSE p END"
-            ).alias("dup_of"),
-            F.expr(
-                "CASE WHEN o IS NULL AND p IS NULL THEN NULL "
-                "WHEN p IS NULL OR (o IS NOT NULL AND o < p) THEN 'corpus' "
-                "ELSE 'batch' END"
+                "CASE WHEN b IS NULL THEN NULL "
+                "WHEN b._s = 0 THEN 'corpus' ELSE 'batch' END"
             ).alias("dup_src"),
         )
     )
