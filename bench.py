@@ -377,13 +377,17 @@ def main() -> None:
     spread_calib = spread.pop("calibrate_probe")
     cpu_calib = cpu.pop("calibrate_probe")
     total = round(sum(timings.values()), 3)
+    # key order matters: the driver records only the TAIL of this line
+    # when it truncates, so the per-slot medians (the numbers of
+    # record) go LAST and the recoverable-from-spread data first
     print(
         json.dumps(
             {
                 "metric": "khronus_spark headline suite wall-clock",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "runs": n_runs,
+                "sf": float(sf),
                 "spread": spread,
                 "cpu_sec": cpu,
                 # fixed IO-free probe: compare rounds on queries/calib
@@ -395,8 +399,7 @@ def main() -> None:
                     "spread": spread_calib,
                     "cpu": cpu_calib,
                 },
-                "runs": n_runs,
-                "sf": float(sf),
+                "queries": timings,
             }
         )
     )

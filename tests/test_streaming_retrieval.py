@@ -112,3 +112,44 @@ def test_streamed_postings_equal_batch_build_and_scores(spark, staged_docs):
     )
     q2.awaitTermination(300)
     assert _rows(read_streamed_postings(spark, f"{tmp}/idx")) == before
+
+
+def test_hybrid_from_streamed_postings_matches_batch_face(
+    spark, staged_docs, sf_dir
+):
+    """The continuously-maintained lexical index is a drop-in for the
+    batch-built one inside the PRODUCTION hybrid face: fusing the
+    streamed postings (df/stats derived at query time — the streamed
+    layout carries postings only) with the persisted PQ semantic
+    branch yields bit-identical fused ranks to the batch-indexed
+    hybrid. Stream==batch, composed one level up."""
+    from khronus_spark.operators import pq as pq_ops
+    from khronus_spark.operators import retrieval as ret
+
+    tmp, docs = staged_docs
+    corpus, queries = _corpus_and_queries(docs)
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") % EVAL_MOD == 0).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    books, codes = pq_ops.pq_build_index(emb, sub=4, k=8, iters=1)
+
+    # drive an independent stream into this test's own index dir (no
+    # ordering dependency on the other test's checkpoint)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp}/in/*")
+    )
+    q = run_streaming_postings_update(
+        stream, index_path=f"{tmp}/idx_h", checkpoint_path=f"{tmp}/ckpt_h"
+    )
+    q.awaitTermination(300)
+    streamed = read_streamed_postings(spark, f"{tmp}/idx_h")
+    got = ret.hybrid_rrf_topk_indexed(
+        streamed, books, codes, queries, probes
+    )
+    want = ret.hybrid_rrf_topk_indexed(
+        bm25_build_postings(corpus), books, codes, queries, probes
+    )
+    assert _rows(got) == _rows(want) and _rows(got)
