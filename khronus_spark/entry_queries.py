@@ -147,9 +147,12 @@ DRIVER_WINDOW = 50
 #: (hash-checked against DuckDB on every local parity run), and the
 #: NEXT round's window to lead with them (emptying the queue) before
 #: anything else rotates. Round 7 drained the round-6 queue (its 10
-#: entries lead _PRIORITY below) and registered its 3 new entries
-#: directly in the window, so the queue is empty.
-PENDING_NEXT_WINDOW: list[str] = []
+#: entries lead _PRIORITY below) and registered its first 3 new
+#: entries directly in the window; entries added after the round-7
+#: window froze queue here for round 8.
+PENDING_NEXT_WINDOW: list[str] = [
+    "corpus_version_diff",
+]
 
 _PRIORITY = [
     # -- the drained round-6 queue: 10 entries whose first driver proof
@@ -5292,6 +5295,35 @@ def ann_lsh_recall_sized(spark, sf_dir):
         planes_per_band=_SIZED_LSH["planes_per_band"],
         include=("lsh",),
     )
+
+
+@register(
+    "corpus_version_diff",
+    curation_ops.corpus_diff_sql(
+        old_where="doc_id % 7 <> 3",
+        new_where="doc_id % 5 <> 0",
+        new_text="CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END",
+    ),
+)
+def corpus_version_diff(spark, sf_dir):
+    """Corpus version diff (operators/curation.py::corpus_diff) — the
+    release audit between two builds of a training set: one row per
+    added / removed / content-changed document, the unchanged mass
+    dropped before anything downstream. The entry synthesizes two
+    deterministic versions of the documents table (old = doc_id % 7
+    != 3; new = doc_id % 5 != 0 with ' v2' appended to every 11th
+    doc's text) so all three statuses are exercised. One map-only md5
+    per side + one full-outer id join — the diff output scales with
+    the change set, not the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    old_v = docs.where(F.col("doc_id") % 7 != 3)
+    new_v = docs.where(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return curation_ops.corpus_diff(old_v, new_v)
 
 
 @register(

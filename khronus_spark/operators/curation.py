@@ -1324,3 +1324,74 @@ FROM scored
 ORDER BY iw_score DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+def corpus_diff(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus VERSION diff — the release audit run between two builds
+    of a training set: (doc_id, source, status) for every document
+    whose membership or content changed, status ∈ {'added',
+    'removed', 'changed'}. Unchanged documents (the overwhelming mass
+    between adjacent versions of a 100 TB corpus) are dropped BEFORE
+    anything downstream sees them, so the diff's output scales with
+    the CHANGE set, not the corpus.
+
+    Shape: one map-only md5 per side, one full-outer equi-join on the
+    id (bucketable/co-partitionable on a real deployment — both sides
+    of a versioned corpus share the doc-id layout), one filter. No
+    window, no aggregate, no skew surface: content equality is hash
+    equality, never a text comparison across the join."""
+    o = old_docs.select(
+        F.col(id_col),
+        F.col("source").alias("_src_o"),
+        F.md5(F.col(text_col)).alias("_h_o"),
+    )
+    n = new_docs.select(
+        F.col(id_col),
+        F.col("source").alias("_src_n"),
+        F.md5(F.col(text_col)).alias("_h_n"),
+    )
+    j = o.join(n, id_col, "full_outer")
+    return (
+        j.select(
+            id_col,
+            F.coalesce("_src_n", "_src_o").alias("source"),
+            F.expr(
+                "CASE WHEN _h_o IS NULL THEN 'added' "
+                "WHEN _h_n IS NULL THEN 'removed' "
+                "WHEN _h_o <> _h_n THEN 'changed' END"
+            ).alias("status"),
+        )
+        .where(F.col("status").isNotNull())
+    )
+
+
+def corpus_diff_sql(
+    old_where: str, new_where: str, new_text: str = "text"
+) -> str:
+    """Oracle: the same two hashed projections and full-outer join,
+    parameterized by the version carves (`old_where`/`new_where` over
+    the documents table) and the new-version text expression (so an
+    entry can synthesize content edits deterministically)."""
+    return f"""
+WITH old_v AS (
+  SELECT doc_id, source, md5(text) AS h FROM documents WHERE {old_where}
+),
+new_v AS (
+  SELECT doc_id, source, md5({new_text}) AS h FROM documents WHERE {new_where}
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       coalesce(n.source, o.source) AS source,
+       CASE WHEN o.h IS NULL THEN 'added'
+            WHEN n.h IS NULL THEN 'removed'
+            WHEN o.h <> n.h THEN 'changed' END AS status
+FROM old_v o
+FULL OUTER JOIN new_v n ON o.doc_id = n.doc_id
+WHERE (CASE WHEN o.h IS NULL THEN 'added'
+            WHEN n.h IS NULL THEN 'removed'
+            WHEN o.h <> n.h THEN 'changed' END) IS NOT NULL
+"""

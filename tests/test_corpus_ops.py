@@ -1165,3 +1165,24 @@ def test_mixture_realization_moves_shares_toward_targets(spark):
     again = {(r.lang, r.kept_tokens, r.realized_bp)
              for r in mixture_realization_audit(docs.repartition(5)).collect()}
     assert again == {(r.lang, r.kept_tokens, r.realized_bp) for r in got.values()}
+
+
+def test_corpus_diff_statuses_match_carve_algebra(spark, sf_dir):
+    """The diff's three status sets must equal the set algebra of the
+    version carves: added = new \\ old, removed = old \\ new, changed =
+    (old ∩ new) with edited text — and no unchanged row may appear."""
+    import __spark_entry__ as E
+
+    out = E.queries()["corpus_version_diff"](spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = [r[0] for r in docs.select("doc_id").collect()]
+    old = {i for i in ids if i % 7 != 3}
+    new = {i for i in ids if i % 5 != 0}
+    edited = {i for i in new if i % 11 == 0}
+    by_status = {}
+    for r in out:
+        by_status.setdefault(r["status"], set()).add(r["doc_id"])
+    assert by_status.get("added", set()) == new - old
+    assert by_status.get("removed", set()) == old - new
+    assert by_status.get("changed", set()) == (old & new) & edited
+    assert set(by_status) <= {"added", "removed", "changed"}

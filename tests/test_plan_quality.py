@@ -664,6 +664,21 @@ def test_hybrid_indexed_query_reads_both_indexes_no_training(
     assert plan.count("WindowGroupLimit") >= 2
 
 
+def test_scd2_backfill_and_sized_recall_stay_distributed(
+    spark, oracle_sf_dir
+):
+    """The round-7 entries keep the family discipline: no
+    single-partition funnel, no nested-loop/cartesian join anywhere.
+    (The backfill's one SortMergeJoin is the before/after matrix
+    full-outer — a ≤ types²-row frame, which cannot broadcast-join by
+    Spark's full-outer rules and is query-load-sized anyway.)"""
+    for name in ("events_scd2_backfill_conformance", "ann_lsh_recall_sized"):
+        plan = _plan(spark, oracle_sf_dir, name)
+        assert "SinglePartition" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
 def test_zorder_curve_topk_is_take_ordered(spark, oracle_sf_dir):
     """The z-curve spot-check must run as TakeOrderedAndProject
     (per-partition heads merged on the driver) — a global Sort exchange
