@@ -152,6 +152,7 @@ DRIVER_WINDOW = 50
 #: window froze queue here for round 8.
 PENDING_NEXT_WINDOW: list[str] = [
     "corpus_version_diff",
+    "doc_text_normalize",
 ]
 
 _PRIORITY = [
@@ -5295,6 +5296,19 @@ def ann_lsh_recall_sized(spark, sf_dir):
         planes_per_band=_SIZED_LSH["planes_per_band"],
         include=("lsh",),
     )
+
+
+@register("doc_text_normalize", text_ops.NORMALIZE_TEXT_SQL)
+def doc_text_normalize(spark, sf_dir):
+    """Auditable text normalization (operators/text.py::normalize_text):
+    control chars → spaces, whitespace runs collapsed, trimmed — the
+    first mechanical pass of every corpus pipeline as its OWN operator
+    (with a `changed` flag per doc) instead of fused invisibly into
+    tokenization. ASCII-conservative by design so both engines agree
+    exactly; Unicode-aware normalization is documented as a Pandas-UDF
+    extension outside the exact-parity core. Map-only, zero shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.normalize_text(docs)
 
 
 @register(

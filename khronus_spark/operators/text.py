@@ -3046,3 +3046,50 @@ SELECT query_id, doc_id, best_chunk_id, best_chunk_start, doc_score,
 FROM pooled
 QUALIFY rank <= {k}
 """
+
+
+def normalize_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Conservative text normalization — the first mechanical pass of
+    every corpus pipeline, exposed as its own operator so its effect
+    is auditable instead of fused invisibly into tokenization:
+    control characters (0x00–0x1F, 0x7F) become spaces, whitespace
+    runs collapse to one space, and the result is trimmed. Output:
+    (doc_id, text_norm, n_chars_norm, changed).
+
+    Deliberately ASCII-conservative: both engines (Java regex / RE2)
+    agree exactly on these character classes, so the op stays
+    oracle-checkable; Unicode-aware normalization (NFKC, zero-width
+    strips) is locale/dialect-dependent across engines and belongs in
+    a Pandas-UDF extension, not in the exact-parity core. Map-only,
+    zero shuffle, scan-speed at 100 TB."""
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.col(text_col), "[\\x00-\\x1f\\x7f]", " "
+            ),
+            " {2,}",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        cleaned.alias("text_norm"),
+        F.length(cleaned).cast("long").alias("n_chars_norm"),
+        (cleaned != F.col(text_col)).alias("changed"),
+    )
+
+
+NORMALIZE_TEXT_SQL = r"""
+WITH cleaned AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+             regexp_replace(text, '[\x00-\x1f\x7f]', ' ', 'g'),
+             ' {2,}', ' ', 'g')) AS text_norm,
+         text
+  FROM documents
+)
+SELECT doc_id, text_norm,
+       CAST(length(text_norm) AS BIGINT) AS n_chars_norm,
+       text_norm <> text AS changed
+FROM cleaned
+"""

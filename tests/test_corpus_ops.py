@@ -1186,3 +1186,26 @@ def test_corpus_diff_statuses_match_carve_algebra(spark, sf_dir):
     assert by_status.get("removed", set()) == old - new
     assert by_status.get("changed", set()) == (old & new) & edited
     assert set(by_status) <= {"added", "removed", "changed"}
+
+
+def test_normalize_text_semantics(spark):
+    """Control chars become spaces, runs collapse, ends trim; `changed`
+    flags exactly the docs the pass altered."""
+    from khronus_spark.operators.text import normalize_text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a\tb\x00c"),
+            (2, "  spaced   out  "),
+            (3, "already clean"),
+            (4, "line1\nline2\r\nline3"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in normalize_text(docs).collect()}
+    assert out[1]["text_norm"] == "a b c" and out[1]["changed"]
+    assert out[2]["text_norm"] == "spaced out" and out[2]["changed"]
+    assert out[3]["text_norm"] == "already clean" and not out[3]["changed"]
+    assert out[4]["text_norm"] == "line1 line2 line3" and out[4]["changed"]
+    for r in out.values():
+        assert r["n_chars_norm"] == len(r["text_norm"])
