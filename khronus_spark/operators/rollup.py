@@ -109,6 +109,36 @@ def read_summaries(
     )
 
 
+def write_summaries_txn(rollups: dict[int, dict[str, DataFrame]], table) -> int:
+    """The transactional face of `write_summaries`: every
+    (family, resolution) partition of the rollup lands in ONE commit of
+    a `sources.txnlog.TxnTable` — readers see the whole rollup tick or
+    none of it (the reference's effectively-once store contract,
+    `store/BucketStore.scala:159-172`, without delta-spark in the
+    container), concurrent writers are safe (optimistic commit), and
+    retention becomes a partition-drop commit instead of a filtered
+    rewrite. Same layout discipline as the plain writer (hash by
+    metric, sorted within partitions for min/max pushdown). Returns
+    the committed version."""
+    parts: dict[str, DataFrame | None] = {}
+    for w, fams in rollups.items():
+        res = format_duration(w)
+        for family, df in fams.items():
+            parts[f"{family}_summary/{res}"] = df.repartition(
+                "metric"
+            ).sortWithinPartitions("metric", "ts")
+    return table.commit(parts)
+
+
+def read_summaries_txn(
+    spark: SparkSession, table, family: str, window_ms: int,
+    version: int | None = None,
+) -> DataFrame | None:
+    return table.read_partition(
+        spark, f"{family}_summary/{format_duration(window_ms)}", version
+    )
+
+
 def apply_retention(
     spark: SparkSession,
     base_path: str,

@@ -1,0 +1,147 @@
+"""TxnTable: atomic multi-partition commits, snapshot isolation,
+optimistic concurrency — the transactional summary-store sink.
+
+Every guarantee the module docstring states is pinned here: torn
+commits are invisible, pinned snapshots never move, concurrent blind
+writers all land with distinct versions, CAS writers detect conflicts
+instead of clobbering, vacuum removes only unreferenced staging.
+"""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from khronus_spark.sources.txnlog import CommitConflict, TxnTable
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string")
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_commit_roundtrip_and_replace(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    assert t.version() == 0 and t.read_all(spark) is None
+
+    v1 = t.commit({"a": _df(spark, [(1, "x"), (2, "y")])})
+    assert v1 == 1
+    assert _rows(t.read_partition(spark, "a")) == [(1, "x"), (2, "y")]
+
+    # replacing a partition is a new version; the old snapshot is
+    # UNCHANGED (immutability + snapshot isolation)
+    v2 = t.commit({"a": _df(spark, [(3, "z")])})
+    assert v2 == 2
+    assert _rows(t.read_partition(spark, "a")) == [(3, "z")]
+    assert _rows(t.read_partition(spark, "a", version=1)) == [(1, "x"), (2, "y")]
+
+
+def test_multi_partition_commit_is_atomic_and_drop_works(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    t.commit({"a": _df(spark, [(1, "a")]), "b": _df(spark, [(2, "b")])})
+    # one commit replaces a AND drops b — both effects share a version
+    v = t.commit({"a": _df(spark, [(9, "a2")]), "b": None})
+    files = t.snapshot_files()
+    assert set(files) == {"a"}
+    assert _rows(t.read_all(spark, key_col="part")) == [(9, "a2", "a")]
+    # at v-1 both partitions still exist
+    assert set(t.snapshot_files(v - 1)) == {"a", "b"}
+
+
+def test_staged_but_uncommitted_data_is_invisible(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    t.commit({"a": _df(spark, [(1, "x")])})
+    # stage without committing (simulates a writer dying mid-flight)
+    t._stage({"a": _df(spark, [(666, "torn")])})
+    assert _rows(t.read_partition(spark, "a")) == [(1, "x")]
+    assert t.version() == 1
+
+
+def test_concurrent_blind_writers_all_land(spark, tmp_path):
+    """8 threads commit distinct partitions concurrently: every commit
+    must land with a distinct consecutive version and the final state
+    must hold all 8 partitions (no lost update, no duplicate version)."""
+    t = TxnTable(str(tmp_path / "t"))
+    dfs = {f"p{i}": _df(spark, [(i, f"v{i}")]) for i in range(8)}
+    versions, errors = [], []
+
+    def worker(key):
+        try:
+            versions.append(t.commit({key: dfs[key]}))
+        except Exception as e:  # pragma: no cover - diagnostic
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(k,)) for k in dfs]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors
+    assert sorted(versions) == list(range(1, 9))
+    assert set(t.snapshot_files()) == set(dfs)
+    got = _rows(t.read_all(spark))
+    assert got == sorted((i, f"v{i}") for i in range(8))
+
+
+def test_cas_commit_detects_conflict(spark, tmp_path):
+    """Read-modify-write safety: two writers derive from version 1;
+    the first CAS commit wins, the second must raise CommitConflict
+    instead of silently clobbering."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.commit({"a": _df(spark, [(1, "x")])})
+    base = t.version()
+    t.commit({"a": _df(spark, [(2, "first")])}, expect_version=base)
+    with pytest.raises(CommitConflict):
+        t.commit({"a": _df(spark, [(3, "second")])}, expect_version=base)
+    # the loser changed nothing
+    assert _rows(t.read_partition(spark, "a")) == [(2, "first")]
+
+
+def test_vacuum_keeps_pinned_versions(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    t.commit({"a": _df(spark, [(1, "v1")])})
+    t.commit({"a": _df(spark, [(2, "v2")])})
+    t.commit({"a": _df(spark, [(3, "v3")])})
+    # pin version 2: v1's staging may go, v2/v3 must survive
+    deleted = t.vacuum(keep_from_version=2)
+    assert len(deleted) == 1
+    assert _rows(t.read_partition(spark, "a", version=2)) == [(2, "v2")]
+    assert _rows(t.read_partition(spark, "a")) == [(3, "v3")]
+
+
+def test_txn_summary_store_matches_plain_writer(spark, tmp_path, sf_dir):
+    """The transactional face persists exactly what write_summaries
+    persists (same rows per (family, resolution)), with the whole tick
+    visible as ONE version."""
+    from khronus_spark.functions.summary import counter_summary
+    from khronus_spark.operators.rollup import (
+        read_summaries,
+        read_summaries_txn,
+        write_summaries,
+        write_summaries_txn,
+    )
+    from khronus_spark.sources.tables import measurements_from_events
+
+    m = measurements_from_events(spark, sf_dir).where("mtype = 'counter'")
+    rollups = {
+        300_000: {"counter": counter_summary(m, 300_000)},
+        3_600_000: {"counter": counter_summary(m, 3_600_000)},
+    }
+    write_summaries(rollups, str(tmp_path / "plain"))
+    t = TxnTable(str(tmp_path / "txn"))
+    v = write_summaries_txn(rollups, t)
+    assert v == 1  # one tick, one version, both resolutions inside
+    for w in rollups:
+        a = _rows_any(read_summaries(spark, str(tmp_path / "plain"), "counter", w))
+        b = _rows_any(read_summaries_txn(spark, t, "counter", w))
+        assert a == b and a
+
+
+def _rows_any(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(r) for r in df.select(*cols).collect())
