@@ -209,6 +209,55 @@ def upsert_sink(store_path: str):
     return merge
 
 
+def txn_upsert_sink(table):
+    """The TRANSACTIONAL face of `upsert_sink`: per micro-batch, merge
+    the amended (metric, ts) summaries into a `sources.txnlog.TxnTable`
+    keyed by day — read the touched day partitions at a pinned version,
+    anti-join out the rows being replaced, union the new versions, and
+    commit every touched day in ONE compare-and-swap commit. Readers
+    therefore never see a torn micro-batch (all touched days move
+    together — dynamic partition overwrite promises that only
+    per-partition), concurrent EXTERNAL writers are detected instead of
+    clobbered (`CommitConflict` → re-read + re-merge, the textbook
+    optimistic MERGE loop), and a batch replayed by the checkpoint
+    re-derives the same rows — a new version with identical data
+    (effectively-once by content). The reference contract is the same
+    idempotent set-upsert (`store/BucketStore.scala:159-172`)."""
+    from khronus_spark.sources.txnlog import CommitConflict
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.columns:
+            return
+        spark = batch_df.sparkSession
+        batch = (
+            batch_df.withColumn("day", F.expr("ts div 86400000"))
+            .localCheckpoint(eager=True)
+        )
+        days = [r["day"] for r in batch.select("day").distinct().collect()]
+        if not days:
+            return
+        new_keys = batch.select("metric", "ts").distinct()
+        for _ in range(8):
+            version = table.version()
+            parts = {}
+            for d in days:
+                key = f"day={d}"
+                existing = table.read_partition(spark, key, version)
+                part = batch.where(F.col("day") == d)
+                if existing is not None:
+                    keep = existing.join(new_keys, ["metric", "ts"], "left_anti")
+                    part = keep.unionByName(part)
+                parts[key] = part
+            try:
+                table.commit(parts, expect_version=version)
+                return
+            except CommitConflict:
+                continue  # an external writer moved the table: re-merge
+        raise RuntimeError("txn upsert lost 8 CAS rounds; table too hot")
+
+    return merge
+
+
 def run_streaming_rollup_upsert(
     measurements: DataFrame,
     store_path: str,
@@ -230,6 +279,34 @@ def run_streaming_rollup_upsert(
     return (
         summaries.writeStream.outputMode("update")
         .foreachBatch(upsert_sink(store_path))
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
+
+
+def run_streaming_rollup_upsert_txn(
+    measurements: DataFrame,
+    table,
+    checkpoint_path: str,
+    window_ms: int,
+    family: str,
+    watermark: str = "30 seconds",
+    trigger: dict | None = None,
+):
+    """`run_streaming_rollup_upsert` with the transactional store: the
+    sink is `txn_upsert_sink` over a `sources.txnlog.TxnTable` — every
+    micro-batch's touched days land as one atomic CAS commit (torn
+    batches impossible, external writers detected). Final content is
+    pinned equal to the plain upsert store and to the batch rollup in
+    tests."""
+    if family == "counter":
+        summaries = streaming_counter_summary(measurements, window_ms, watermark)
+    else:
+        summaries = streaming_histogram_summary(measurements, window_ms, watermark)
+    return (
+        summaries.writeStream.outputMode("update")
+        .foreachBatch(txn_upsert_sink(table))
         .option("checkpointLocation", checkpoint_path)
         .trigger(**(trigger or {"availableNow": True}))
         .start()

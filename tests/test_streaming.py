@@ -519,3 +519,58 @@ def test_effective_watermark_lags_two_batches_of_front_progress(spark):
     assert 1_080_000 not in got, got        # beyond it: dropped
     assert got.get(60_000) == 1 and got.get(600_000) == 1
     assert got.get(1_200_000) == 1 and got.get(2_400_000) == 1
+
+
+def test_txn_upsert_store_matches_plain_and_batch(spark, staged):
+    """The transactional upsert sink (T5 through the commit log): the
+    final table content equals BOTH the plain upsert store and the
+    batch rollup; every micro-batch is one atomic commit (versions =
+    number of non-empty batches); a full redelivery from a fresh
+    checkpoint re-derives identical content (effectively-once by
+    content, new versions)."""
+    import tempfile
+
+    from khronus_spark.sources.txnlog import TxnTable
+    from khronus_spark.streaming.ingest import run_streaming_rollup_upsert_txn
+
+    tmp, schema, batch_m = staged
+    out = tempfile.mkdtemp(prefix="khronus_txn_upsert_")
+    table = TxnTable(f"{out}/table")
+
+    def run(ckpt):
+        stream = spark.readStream.schema(schema).parquet(f"{tmp}/in")
+        q = run_streaming_rollup_upsert_txn(
+            stream.where(F.col("mtype") == "counter"),
+            table=table,
+            checkpoint_path=f"{out}/{ckpt}",
+            window_ms=300_000,
+            family="counter",
+        )
+        q.awaitTermination(120)
+
+    run("ckpt1")
+    v_first = table.version()
+    assert v_first >= 1
+
+    def content():
+        df = table.read_all(spark)
+        return {(r["metric"], r["ts"]): r["count"] for r in df.collect()}
+
+    expected = {
+        (r["metric"], r["ts"]): r["count"]
+        for r in counter_summary(
+            batch_m.where(F.col("mtype") == "counter"), 300_000
+        ).collect()
+    }
+    got = content()
+    assert got == expected
+
+    run("ckpt2")  # full redelivery, fresh checkpoint
+    assert content() == expected
+    assert table.version() > v_first  # new versions, identical content
+    # and the pre-replay snapshot is still intact (snapshot isolation)
+    pre = {
+        (r["metric"], r["ts"]): r["count"]
+        for r in table.read_all(spark, version=v_first).collect()
+    }
+    assert pre == expected
