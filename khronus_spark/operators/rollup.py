@@ -266,3 +266,38 @@ def windows_from_store(spark: SparkSession, base_path: str) -> tuple[int, ...]:
     for family in ("counter", "histogram"):
         windows.update(w for w, _ in _store_resolution_dirs(spark, base_path, family))
     return tuple(sorted(windows))
+
+
+def compact_partition_txn(
+    spark: SparkSession,
+    table,
+    key: str,
+    n_files: int = 1,
+) -> int | None:
+    """Compaction THROUGH the commit log — the transactional answer to
+    `compact_summaries`' documented caveat (its delete-then-rename swap
+    is not safe under concurrent writers): read the partition at a
+    pinned version, rewrite it globally (metric, ts)-ordered into
+    `n_files` range files, and commit the replacement with
+    compare-and-swap against that version. A writer that lands between
+    the read and the commit makes the CAS fail with `CommitConflict` —
+    the compaction simply retries against the new version and NO data
+    is ever lost (the race the raw-directory swap cannot survive).
+    Readers pinned to older versions keep their snapshot (immutable
+    staging). Returns the committed version, or None when the
+    partition does not exist."""
+    from khronus_spark.sources.txnlog import CommitConflict
+
+    for _ in range(8):
+        version = table.version()
+        df = table.read_partition(spark, key, version)
+        if df is None:
+            return None
+        compacted = df.repartitionByRange(
+            n_files, "metric", "ts"
+        ).sortWithinPartitions("metric", "ts")
+        try:
+            return table.commit({key: compacted}, expect_version=version)
+        except CommitConflict:
+            continue
+    raise RuntimeError("compaction lost 8 CAS rounds; partition too hot")

@@ -145,3 +145,36 @@ def test_txn_summary_store_matches_plain_writer(spark, tmp_path, sf_dir):
 def _rows_any(df):
     cols = sorted(df.columns)
     return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_txn_compaction_survives_a_racing_writer(spark, tmp_path):
+    """The race the raw delete-then-rename swap cannot survive: a
+    writer commits BETWEEN the compaction's read and its commit. The
+    CAS makes the stale compaction lose; the retry compacts the new
+    content; nothing is lost."""
+    from khronus_spark.operators.rollup import compact_partition_txn
+    from khronus_spark.sources.txnlog import CommitConflict
+
+    t = TxnTable(str(tmp_path / "t"))
+    rows = [(i, i * 10, i) for i in range(50)]
+    df = spark.createDataFrame(rows, "count long, ts long, metric long")
+    t.commit({"day=0": df})
+
+    # simulate the interleaving by hand: read at v, writer lands, CAS fails
+    v = t.version()
+    stale = t.read_partition(spark, "day=0", v)
+    racing = spark.createDataFrame(
+        [(999, 9990, 999)], "count long, ts long, metric long"
+    )
+    t.commit({"day=0": t.read_partition(spark, "day=0").unionByName(racing)})
+    with pytest.raises(CommitConflict):
+        t.commit(
+            {"day=0": stale.repartitionByRange(1, "metric", "ts")},
+            expect_version=v,
+        )
+    # the retrying helper wins and keeps the racing row
+    ver = compact_partition_txn(spark, t, "day=0", n_files=1)
+    assert ver == t.version()
+    final = _rows(t.read_partition(spark, "day=0"))
+    assert (999, 9990, 999) in final and len(final) == 51
+    assert compact_partition_txn(spark, t, "missing") is None
