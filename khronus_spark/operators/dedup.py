@@ -984,7 +984,16 @@ def incremental_dedup(
     explosion, no skew, broadcastable when the touched-bucket set is
     small). New-vs-new runs the standard within-bucket pair expansion,
     bounded by batch size, with the star-cap guard. Batch signatures
-    are map-only."""
+    are map-only.
+
+    PRECONDITION: corpus and batch doc ids are DISJOINT (the
+    continuous-ingest contract — a batch is new documents, not
+    re-ingested corpus rows). The fused min(struct(partner, _s))
+    aggregate relies on it: a doc id present on BOTH sides would tie on
+    `partner` and resolve by _s, attributing dup_src='corpus' (the
+    pre-fusion case ladder said 'batch' for that corner). Re-ingestion
+    flows should dedupe ids before probing or accept the corpus-wins
+    tie."""
     new_banded = minhash_md5_banded(new_docs, num_hashes, bands, n)
     if "min_doc_id" in corpus_index.columns:  # prebuilt stats index
         bucket_min = corpus_index.select(

@@ -3060,8 +3060,12 @@ def normalize_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
     agree exactly on these character classes, so the op stays
     oracle-checkable; Unicode-aware normalization (NFKC, zero-width
     strips) is locale/dialect-dependent across engines and belongs in
-    a Pandas-UDF extension, not in the exact-parity core. Map-only,
-    zero shuffle, scan-speed at 100 TB."""
+    a Pandas-UDF extension (`normalize_text_nfkc`), not in the
+    exact-parity core. Map-only, zero shuffle, scan-speed at 100 TB.
+
+    NULL text is in-contract: text_norm/n_chars_norm stay NULL and
+    `changed` is a null-safe FALSE (nothing was changed), not a silent
+    NULL — `IS DISTINCT FROM` semantics on both engines."""
     cleaned = F.trim(
         F.regexp_replace(
             F.regexp_replace(
@@ -3075,7 +3079,7 @@ def normalize_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         cleaned.alias("text_norm"),
         F.length(cleaned).cast("long").alias("n_chars_norm"),
-        (cleaned != F.col(text_col)).alias("changed"),
+        (~cleaned.eqNullSafe(F.col(text_col))).alias("changed"),
     )
 
 
@@ -3090,6 +3094,6 @@ WITH cleaned AS (
 )
 SELECT doc_id, text_norm,
        CAST(length(text_norm) AS BIGINT) AS n_chars_norm,
-       text_norm <> text AS changed
+       text_norm IS DISTINCT FROM text AS changed
 FROM cleaned
 """

@@ -39,10 +39,14 @@ Guarantees (stated exactly, not aspirationally):
   commit ≤ the oldest pinned version);
 - linearizable commit order (the version sequence has no gaps at the
   moment of each successful link);
-- safe on local POSIX filesystems and HDFS (rename-no-overwrite);
-  NOT on bare S3/GCS listings — object stores need a conditional-put
-  analogue, which is precisely why Delta/Iceberg exist; the README
-  caveat for that environment stands.
+- safe on local and SHARED POSIX mounts — the exact environments
+  where `os.link` is the atomic fail-if-exists primitive. HDFS has an
+  equivalent primitive (create/rename-no-overwrite) but this module
+  does not speak HDFS: porting `_try_link` to a
+  rename-without-overwrite against an HDFS client is the (small)
+  missing piece. NOT safe on bare S3/GCS listings — object stores
+  need a conditional-put analogue, which is precisely why
+  Delta/Iceberg exist; the README caveat for that environment stands.
 
 Reference parity: BucketStore.scala:159-172 (idempotent set-upsert —
 re-committing the same partition content is a new version with equal
@@ -164,7 +168,16 @@ class TxnTable:
         `CommitConflict` WITHOUT committing — required for
         read-modify-write transactions (merge/upsert derived from a
         snapshot), where blind retry would silently clobber the
-        concurrent update."""
+        concurrent update. `expect_version` must not exceed the
+        current version: linking V+1 past a gap would leave that
+        commit (and every later one) permanently invisible to
+        `_commits_upto`, silently breaking the no-gaps guarantee."""
+        if expect_version is not None and expect_version > self.version():
+            raise CommitConflict(
+                f"expect_version={expect_version} is ahead of the log "
+                f"(latest={self.version()}); committing past a gap would "
+                "make the commit permanently invisible"
+            )
         staged = self._stage(parts)
         attempt = (expect_version if expect_version is not None else self.version()) + 1
         for _ in range(max_retries):
@@ -211,14 +224,26 @@ class TxnTable:
         return out
 
     # ------------------------------------------------------- upkeep
-    def vacuum(self, keep_from_version: int = 1) -> list[str]:
+    def vacuum(
+        self, keep_from_version: int = 1, grace_seconds: float = 3600.0
+    ) -> list[str]:
         """Delete staged dirs unreferenced by EVERY commit ≥
         `keep_from_version` (callers pin the oldest snapshot they still
-        serve). Returns deleted dirs. Offline step by contract — run it
-        only when no reader holds an older version."""
+        serve). Returns deleted dirs.
+
+        Offline step by contract — run it only when no READER holds an
+        older version AND no WRITER may be mid-commit: a concurrent
+        writer's staged-but-not-yet-linked dirs are indistinguishable
+        from garbage (the `_stage` → `_try_link` window), so deleting
+        them would let a commit land referencing missing files. As a
+        belt-and-braces guard for imperfect coordination,
+        `grace_seconds` skips staged dirs younger than the grace window
+        (mtime-based, Delta VACUUM's convention); pass 0 only when
+        writer quiescence is externally guaranteed."""
         import shutil
 
         latest = self.version()
+        now = time.time()
         referenced: set[str] = set()
         for c in self._commits_upto(latest):
             if c["version"] >= keep_from_version:
@@ -235,9 +260,16 @@ class TxnTable:
             tdir = os.path.join(data_root, token)
             for key in os.listdir(tdir):
                 pdir = os.path.join(tdir, key)
-                if pdir not in referenced:
-                    shutil.rmtree(pdir, ignore_errors=True)
-                    deleted.append(pdir)
+                if pdir in referenced:
+                    continue
+                try:
+                    age = now - os.path.getmtime(pdir)
+                except OSError:
+                    continue  # raced with a concurrent delete
+                if age < grace_seconds:
+                    continue  # possibly a writer mid-commit
+                shutil.rmtree(pdir, ignore_errors=True)
+                deleted.append(pdir)
             if not os.listdir(tdir):
                 os.rmdir(tdir)
         return deleted

@@ -108,10 +108,43 @@ def test_vacuum_keeps_pinned_versions(spark, tmp_path):
     t.commit({"a": _df(spark, [(2, "v2")])})
     t.commit({"a": _df(spark, [(3, "v3")])})
     # pin version 2: v1's staging may go, v2/v3 must survive
-    deleted = t.vacuum(keep_from_version=2)
+    # (grace_seconds=0: this test IS the externally-quiesced case)
+    deleted = t.vacuum(keep_from_version=2, grace_seconds=0)
     assert len(deleted) == 1
     assert _rows(t.read_partition(spark, "a", version=2)) == [(2, "v2")]
     assert _rows(t.read_partition(spark, "a")) == [(3, "v3")]
+
+
+def test_vacuum_grace_spares_inflight_staging(spark, tmp_path):
+    """A writer mid-commit (staged, not yet linked) must not have its
+    staging deleted by a default-grace vacuum — only a grace_seconds=0
+    vacuum (caller asserts writer quiescence) may remove it."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.commit({"a": _df(spark, [(1, "v1")])})
+    t.commit({"a": _df(spark, [(2, "v2")])})
+    staged = t._stage({"a": _df(spark, [(7, "inflight")])})
+    # default grace: fresh unreferenced dirs (v1's staging AND the
+    # in-flight stage) all survive
+    assert t.vacuum() == []
+    # the in-flight writer can still land its commit afterwards
+    nxt = t.version() + 1
+    assert t._try_link(
+        nxt, {"version": nxt, "partitions": staged, "committed_at_ms": 0}
+    )
+    assert _rows(t.read_partition(spark, "a")) == [(7, "inflight")]
+
+
+def test_cas_rejects_future_expect_version(spark, tmp_path):
+    """expect_version ahead of the log must fail FAST (no staging, no
+    link): linking past a gap would make the commit permanently
+    invisible to _commits_upto while version() still reports it."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.commit({"a": _df(spark, [(1, "x")])})
+    with pytest.raises(CommitConflict, match="ahead of the log"):
+        t.commit({"a": _df(spark, [(2, "gap")])}, expect_version=5)
+    # nothing landed, nothing staged became visible, no gap exists
+    assert t.version() == 1
+    assert _rows(t.read_partition(spark, "a")) == [(1, "x")]
 
 
 def test_txn_summary_store_matches_plain_writer(spark, tmp_path, sf_dir):
