@@ -26,10 +26,15 @@ Spark tokenization: split on whitespace; tokens lowercased.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from khronus_spark.sources.tables import spread
+
+#: sentinel partner for the incremental-dedup spine rows: larger than
+#: any real doc id, so min(struct(partner, _s)) prefers every real
+#: candidate and a doc whose best row is the sentinel is unique.
+_NO_PARTNER = 1 << 62
 
 
 def _tokens():
@@ -971,20 +976,25 @@ def incremental_dedup(
     NULL}.
 
     Scale shape — the key observation: for presence + canonical
-    attribution the probe side never needs the full index, only the
-    PER-BUCKET MINIMUM doc id. `corpus_index` is ideally the
-    pre-aggregated `build_dedup_index` table (band, bucket, n_docs,
-    min_doc_id) — then the probe is ONE equi-join against a unique-key
+    attribution NEITHER side ever needs pair enumeration, only
+    PER-BUCKET MINIMUM doc ids. Corpus side: `corpus_index` is ideally
+    the pre-aggregated `build_dedup_index` table (band, bucket, n_docs,
+    min_doc_id) — the probe is ONE equi-join against a unique-key
     table and no corpus-sized aggregate runs per batch (the round-5
     bench drift: the probe re-paid the groupBy(min) on every
     invocation). A raw (doc_id, band, bucket) banded table is still
     accepted (detected by schema) and aggregated here as a fallback —
-    correct, but per-batch work that belongs in the build. Either way
-    a mega-bucket of B corpus docs costs 1 probe row instead of B (no
-    explosion, no skew, broadcastable when the touched-bucket set is
-    small). New-vs-new runs the standard within-bucket pair expansion,
-    bounded by batch size, with the star-cap guard. Batch signatures
-    are map-only.
+    correct, but per-batch work that belongs in the build. Batch side
+    (the round-8 rewrite): a doc's smallest same-batch partner in a
+    bucket is that bucket's minimum id whenever the minimum is smaller
+    — so the within-batch attribution is a min-over-bucket WINDOW on
+    the banded rows, not the `bucket_pairs` candidate join (identical
+    values, two fewer join waves, and the star-cap question vanishes:
+    no pair expansion exists, a mega-bucket of B docs emits B rows).
+    Either way a mega-bucket of B corpus docs costs 1 probe row
+    instead of B (no explosion, no skew). Batch signatures are
+    map-only; the result spine rides the SAME per-doc aggregate via a
+    sentinel row per doc (no post-aggregate spine join).
 
     PRECONDITION: corpus and batch doc ids are DISJOINT (the
     continuous-ingest contract — a batch is new documents, not
@@ -994,7 +1004,19 @@ def incremental_dedup(
     pre-fusion case ladder said 'batch' for that corner). Re-ingestion
     flows should dedupe ids before probing or accept the corpus-wins
     tie."""
-    new_banded = minhash_md5_banded(new_docs, num_hashes, bands, n)
+    w = Window.partitionBy("band", "bucket")
+    # NULL buckets (degenerate/NULL text) are excluded up front: the
+    # old pair join dropped them via equi-join NULL semantics, and the
+    # window would otherwise cluster all NULL-bucket docs of a band
+    # into one phantom bucket. Their docs still surface through the
+    # sentinel spine as unique.
+    new_banded = (
+        minhash_md5_banded(new_docs, num_hashes, bands, n)
+        .where(F.col("bucket").isNotNull())
+        .select(
+            "doc_id", "band", "bucket", F.min("doc_id").over(w).alias("_bmin")
+        )
+    )
     if "min_doc_id" in corpus_index.columns:  # prebuilt stats index
         bucket_min = corpus_index.select(
             "band", "bucket", F.col("min_doc_id").alias("_m")
@@ -1003,37 +1025,45 @@ def incremental_dedup(
         bucket_min = corpus_index.groupBy("band", "bucket").agg(
             F.min("doc_id").alias("_m")
         )
-    # ONE per-doc aggregate over the UNION of both candidate sources
-    # (was: two groupBys + two spine joins — one extra shuffle and one
-    # extra join wave per probe batch for the same values): corpus and
-    # batch partner ids are disjoint, so min(struct(partner, src))
-    # reproduces the o-vs-p case ladder exactly, and the map-side
-    # combine absorbs the per-source pre-aggregation.
-    vs_old = new_banded.join(bucket_min, ["band", "bucket"]).select(
-        "doc_id", F.col("_m").alias("partner"), F.lit(0).alias("_s")
-    )
-    pairs = bucket_pairs(new_banded, count_col=None)
-    vs_new = pairs.select(
-        F.col("doc_b").alias("doc_id"),
-        F.col("doc_a").alias("partner"),
-        F.lit(1).alias("_s"),
-    )
-    best = (
-        vs_old.unionByName(vs_new)
-        .groupBy("doc_id")
-        .agg(F.min(F.struct("partner", "_s")).alias("b"))
-    )
-    return (
-        new_docs.select("doc_id")
-        .join(best, "doc_id", "left")
+    # Per banded row, the best candidate from EITHER source is computed
+    # inline (corpus bucket-min from the left-joined index, batch
+    # bucket-min from the window), so the whole probe is one signatures
+    # scan → one (band, bucket) shuffle [window + index join] → one
+    # per-doc aggregate. Corpus and batch partner ids are disjoint, so
+    # min(struct(partner, _s)) reproduces the old case ladder exactly;
+    # the sentinel spine row per doc (2^62 > any doc id) loses to every
+    # real partner and makes the aggregate itself the result spine —
+    # no join after the aggregate.
+    cand = (
+        new_banded.join(bucket_min, ["band", "bucket"], "left")
         .select(
             "doc_id",
-            F.col("b.partner").alias("dup_of"),
             F.expr(
-                "CASE WHEN b IS NULL THEN NULL "
-                "WHEN b._s = 0 THEN 'corpus' ELSE 'batch' END"
-            ).alias("dup_src"),
+                "array_min(filter(array("
+                "CASE WHEN _m IS NOT NULL THEN struct(_m AS partner, 0 AS _s) END, "
+                "CASE WHEN _bmin < doc_id THEN struct(_bmin AS partner, 1 AS _s) END"
+                "), x -> x IS NOT NULL))"
+            ).alias("c"),
         )
+        .where(F.col("c").isNotNull())
+    )
+    spine = new_docs.select(
+        "doc_id",
+        F.struct(
+            F.lit(_NO_PARTNER).cast("long").alias("partner"),
+            F.lit(2).alias("_s"),
+        ).alias("c"),
+    )
+    best = (
+        cand.unionByName(spine).groupBy("doc_id").agg(F.min("c").alias("b"))
+    )
+    return best.select(
+        "doc_id",
+        F.when(F.col("b._s") < 2, F.col("b.partner")).alias("dup_of"),
+        F.expr(
+            "CASE WHEN b._s = 0 THEN 'corpus' "
+            "WHEN b._s = 1 THEN 'batch' END"
+        ).alias("dup_src"),
     )
 
 
