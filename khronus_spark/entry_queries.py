@@ -121,18 +121,20 @@ def register(name: str, oracle: str | None):
 #: operator inside the window; everything else keeps registration order
 #: in the tail (still exercised by tests/test_oracle_parity.py locally).
 #:
-#: Round-6 rotation policy (same invariant as rounds 2-5): the window
-#: holds (a) the entries NEW this round (never driver-checked: the two
-#: indexed ANN faces and the BM25 retrieval-decontamination), (b) every
-#: entry whose ENGINE PATH was touched this round (the incremental-dedup
-#: build/probe split; duplicate_components' keep_star edges;
-#: near_duplicates_jaccard's rewritten body; bm25_rank's broadcast knob;
-#: the scratch-dir change under ann_pq_topk_indexed), then (c) the
-#: longest-unchecked tail: ALL 18 entries whose newest green row was
-#: round 2 — this retires the rotation ledger debt; after round 6 every
-#: entry's newest green row is ≤ 3 rounds old — and the 15 oldest
-#: round-3 entries in registration order (the rest of the r3 tail plus
-#: the r4/r5 cohorts rotate in rounds 7-8). Rows-only entries (xxhash64
+#: Round-8 rotation policy (same invariant as rounds 2-7): the window
+#: holds (a) the drained round-7 queue — the 2 entries registered after
+#: the r7 window froze, never driver-checked, leading per the rotation
+#: contract — then (b) entries NEW this round (the exact WAND-pruned
+#: BM25 face; the sized-IVF helper face), (c) every entry whose ENGINE
+#: PATH changed AFTER its newest green driver row: `write_bm25_index`
+#: now also persists the max-impact ceiling table (touches
+#: hybrid_rrf_topk_indexed, whose index build rides it), and the fused
+#: one-shuffle incremental-dedup probe landed after the r7 driver run
+#: (dedup_incremental_batch held an r7 green row from the PRE-fuse
+#: body), then (d) the longest-unchecked tail: ALL 13 remaining
+#: r3-cohort entries — this retires the r3 ledger debt entirely — and
+#: the oldest round-4 entries in registration order (the rest of the
+#: r4/r5 cohorts rotate in rounds 9-10). Rows-only entries (xxhash64
 #: signatures) stay out — the window accepts only hash-checkable
 #: entries, and their md5 twins are inside. Everything else is still
 #: locally oracle-checked every run by tests/test_oracle_parity.py.
@@ -146,82 +148,70 @@ DRIVER_WINDOW = 50
 #: this explicit queue, each queued entry to be fully oracle-backed
 #: (hash-checked against DuckDB on every local parity run), and the
 #: NEXT round's window to lead with them (emptying the queue) before
-#: anything else rotates. Round 7 drained the round-6 queue (its 10
-#: entries lead _PRIORITY below) and registered its first 3 new
-#: entries directly in the window; entries added after the round-7
-#: window froze queue here for round 8.
-PENDING_NEXT_WINDOW: list[str] = [
-    "corpus_version_diff",
-    "doc_text_normalize",
-]
+#: anything else rotates. Round 8 drained the round-7 queue (its 2
+#: entries lead _PRIORITY below); entries added after the round-8
+#: window froze queue here for round 9.
+PENDING_NEXT_WINDOW: list[str] = []
 
 _PRIORITY = [
-    # -- the drained round-6 queue: 10 entries whose first driver proof
-    #    is THIS round (the round-6 verdict's directive #1) --------------
-    "hybrid_rrf_topk",
-    "doc_perplexity_split",
-    "hll_event_type_overlap",
-    "events_k_anonymity",
-    "events_scd2_conformance",
-    "ann_recall_at_k",
-    "part_lpa_communities",
-    "bm25_chunk_topk",
-    "events_path_trigrams",
-    "events_type_affinity",
-    # -- new in round 7: never driver-checked ----------------------------
+    # -- the drained round-7 queue: first driver proof THIS round -------
+    "corpus_version_diff",
+    "doc_text_normalize",
+    # -- new in round 8: never driver-checked ---------------------------
+    "bm25_eval_topk_pruned",
+    # -- engine paths touched after their newest green row: the BM25
+    #    index write now persists max-impact ceilings (hybrid's build
+    #    path), and the fused-probe incremental dedup landed post-r7-run
     "hybrid_rrf_topk_indexed",
-    "ann_lsh_recall_sized",
-    "events_scd2_backfill_conformance",
-    # -- the 13 r3 entries displaced by the round-6 window ---------------
-    "influx_store_percentiles_1h",
-    "influx_percentiles_purchase_1h",
-    "tpch_q8_market_share",
-    "tpch_q13_order_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q22_idle_high_balance",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_suppliers",
-    "tpch_q12_ship_priority",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q19_disjunctive_revenue",
-    # -- engine paths touched in round 6 (held green r5 rows through the
-    #    r6 window; re-proven by the driver this round) ------------------
     "dedup_incremental_batch",
-    "near_dup_jaccard_lsh",
-    "dedup_components",
-    "bm25_eval_topk",
-    "ann_pq_topk_indexed",
-    # -- engine paths touched in round 7: the full-rank hyperplane fix
-    #    changes every sign-LSH consumer's values (oracles regenerate
-    #    from the same literals — parity re-proven locally), and the
-    #    bm25_rank_sql (ctes, final) refactor re-renders the BM25-family
-    #    oracle text. events_scd2_dominant_type / _conformance moved to
-    #    operators/scd2.py as pure code motion (identical plans;
-    #    conformance is in the queue above anyway; dominant_type re-
-    #    proves locally, the round-5 PQ-refactor precedent) --------------
-    "ann_lsh_topk",
-    "ann_lsh_buckets",
-    "embedding_near_dup",
-    "embedding_knn_graph",
-    "hard_negative_pairs",
-    "decontamination_retrieval",
-    # -- longest-unchecked fills: the oldest r3-only cohort in
-    #    registration order (the rest of the r3 tail rotates in r8) ------
-    "tpch_q20_part_family_share",
-    "tpch_q21_sole_late_supplier",
-    "events_anomaly_zscore",
-    "doc_repetition",
-    "gopher_rules",
-    "quality_classifier_score",
-    "approx_distinct_users_hll_daily",
-    "stratified_sample_by_lang",
-    "influx_relative_now_10m",
-    "influx_string_filter_noop",
-    "events_json_props",
-    "events_user_gaps",
-    "events_distinct_users_daily",
+    # -- the 13-entry r3 tail: retires the r3 rotation debt -------------
+    "llm_corpus_prep",
+    "events_top_per_user",
+    "events_in_session_range_join",
+    "part_brand_stats",
+    "token_count_bpe_regex",
+    "source_cap_sample",
+    "curriculum_shards",
+    "ann_quantized_topk",
+    "embedding_quantize_stats",
+    "ts_hdr_encoded_roundtrip_1h",
+    "ts_hdr_summary_5m",
+    "ts_hdr_summary_5m_hdrcompat",
+    "decontamination_fuzzy",
+    # -- longest-unchecked fills: the oldest r4-only cohort in
+    #    registration order (the rest rotates in rounds 9-10) -----------
+    "influx_field_plus_literal",
+    "tpch_q1_pricing",
+    "tpch_q3_top_orders",
+    "tpch_q6_forecast_revenue",
+    "tpch_q14_promo_revenue",
+    "tpch_q4_late_orders",
+    "customer_lapsed_anti",
+    "tpch_q18_big_orders",
+    "tpch_q7_volume_shipping",
+    "tpch_q10_returned_revenue",
+    "events_rollup_type_daily",
+    "events_cube_type_daily",
+    "bpe_merges_6",
+    "bpe_merges_batched",
+    "cms_heavy_users",
+    "bpe_encode_6",
+    "duplicate_spans",
+    "unigram_surprisal",
+    "dup_ngram_5",
+    "kmeans_inertia",
+    "kmeans_embeddings",
+    "semantic_dedup",
+    "ann_ivf_assignments",
+    "c4_span_removal",
+    "decontamination_bloom",
+    "ann_ivf_kmeans_topk",
+    "ann_ivf_topk",
+    "media_features",
+    "media_resize_plan",
+    "media_frame_sample",
+    "embedding_rp_project",
+    "ann_rp_topk",
 ]
 
 
@@ -3857,6 +3847,34 @@ def bm25_eval_topk(spark, sf_dir):
     WindowGroupLimit-bounded (plan-gated)."""
     docs = load_table(spark, sf_dir, "documents")
     return text_ops.bm25_rank(docs)
+
+
+@register("bm25_eval_topk_pruned", text_ops.bm25_rank_sql())
+def bm25_eval_topk_pruned(spark, sf_dir):
+    """EXACT WAND-style score-ceiling pruning over the persisted BM25
+    index (operators/text.py::bm25_rank_indexed_pruned) — the round-7
+    verdict's 100× rung for the retrieval face: per-term max-impact
+    ceilings (built with the index) + a seed-derived k-th-best lower
+    bound let whole low-ceiling posting lists (the stop-word mass)
+    drop out of the scoring aggregate with a strict-inequality proof
+    of top-k preservation. SAME oracle as bm25_eval_topk — the pruned
+    path must not change a single value; the driver hash check IS the
+    exactness proof. Speedup measured across Zipf-shaped vocabularies
+    in scripts/wand_sweep.py (the gate corpus's 31-term near-uniform
+    vocab is the pruning-hostile corner and stays exact)."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    queries = docs.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    path = _scratch_dir("bm25_pruned_index")
+    text_ops.write_bm25_index(text_ops.bm25_build_postings(corpus), path)
+    postings = text_ops.read_bm25_index(spark, path)
+    df_t, n_docs, avgdl_m = text_ops.read_bm25_stats(spark, path)
+    mi = text_ops.read_bm25_max_impact(spark, path)
+    return text_ops.bm25_rank_indexed_pruned(
+        postings, mi, queries, df_t=df_t, collection_stats=(n_docs, avgdl_m)
+    )
 
 
 @register("lang_confusion_matrix", text_ops.LANG_CONFUSION_SQL)

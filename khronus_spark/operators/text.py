@@ -2110,6 +2110,11 @@ def write_bm25_index(postings: DataFrame, path: str) -> None:
         .write.mode("overwrite")
         .parquet(f"{path}/stats")
     )
+    # per-term score ceilings for the exact-pruned query path, built at
+    # the default scoring parameters (read_bm25_max_impact asserts)
+    bm25_build_max_impact(postings).write.mode("overwrite").parquet(
+        f"{path}/maximpact"
+    )
 
 
 def read_bm25_index(spark, path: str) -> DataFrame:
@@ -2223,6 +2228,325 @@ def bm25_rank_indexed(
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
     )
+
+
+def bm25_build_max_impact(
+    postings: DataFrame, k1_pm: int = 1200, b_pm: int = 750
+) -> DataFrame:
+    """Per-term score CEILING table (w, u): u = idf_bits(w) × the
+    maximum tf_micro any posting of w attains — the metadata that makes
+    exact WAND-style pruning possible (`bm25_rank_indexed_pruned`). A
+    doc matching only terms whose ceilings sum below a proven
+    lower bound on the k-th best score cannot enter the top-k, so
+    entire posting lists (the stop-word mass — huge df ⇒ low idf ⇒ low
+    u) drop out of the scoring aggregate without touching exactness.
+
+    Build-time only (two aggregates over the postings — the same cost
+    class as the df/stats constants). The ceilings are k1/b-specific:
+    the pruned query path REQUIRES the same (k1_pm, b_pm) it was built
+    with (`write_bm25_index` builds at the defaults and the reader
+    asserts). Vocab-sized output."""
+    stats = (
+        postings.select("doc_id", "dl")
+        .distinct()
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("sum(dl) * 1000L div count(1)").alias("avgdl_m"),
+        )
+        .withColumn("_one", F.lit(1))
+    )
+    df_t = postings.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        postings.join(df_t, "w")
+        .withColumn("_one", F.lit(1))
+        .join(F.broadcast(stats), "_one")
+        .withColumn(
+            "idf_bits",
+            F.expr("CAST(length(bin(n_docs div df)) AS BIGINT)"),
+        )
+        .withColumn(
+            "denom_m",
+            F.expr(
+                f"1000L * tf + {k1_pm}L * "
+                f"(1000L - {b_pm} + {b_pm}L * 1000L * dl div avgdl_m) div 1000L"
+            ),
+        )
+        .withColumn(
+            "tf_micro",
+            F.expr(f"1000L * (1000 + {k1_pm}) * tf div denom_m"),
+        )
+        .groupBy("w")
+        .agg(
+            F.max(F.expr("idf_bits * tf_micro")).alias("u"),
+            F.first(F.lit(k1_pm)).alias("k1_pm"),
+            F.first(F.lit(b_pm)).alias("b_pm"),
+        )
+    )
+
+
+def read_bm25_max_impact(
+    spark, path: str, k1_pm: int = 1200, b_pm: int = 750
+) -> DataFrame:
+    """The per-term ceiling table of a persisted index; asserts the
+    requested (k1_pm, b_pm) match the build (the ceilings are
+    parameter-specific — a mismatched read would silently break the
+    pruning proof)."""
+    mi = spark.read.parquet(f"{path}/maximpact")
+    built = mi.select("k1_pm", "b_pm").first()
+    if (built["k1_pm"], built["b_pm"]) != (k1_pm, b_pm):
+        raise ValueError(
+            f"max-impact index built at k1_pm={built['k1_pm']}, "
+            f"b_pm={built['b_pm']}; requested ({k1_pm}, {b_pm}) — rebuild "
+            "with bm25_build_max_impact at the query parameters"
+        )
+    return mi.select("w", "u")
+
+
+def bm25_rank_indexed_pruned(
+    postings: DataFrame,
+    max_impact: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    k1_pm: int = 1200,
+    b_pm: int = 750,
+    df_t: DataFrame | None = None,
+    collection_stats: tuple[int, int] | None = None,
+    broadcast_queries: bool = True,
+    seed_df_budget: int = 1000,
+) -> DataFrame:
+    """EXACT top-k BM25 with WAND-style score-ceiling pruning — the
+    100 TB rung over `bm25_rank_indexed` (round-7 verdict item #2):
+    the indexed face removed the corpus-sized build work but still
+    paid the SCORING MASS (every posting matching any query term —
+    ~the stop-word mass). This face cuts that mass without giving up
+    bit-exactness, in three phases of pure DataFrame algebra:
+
+    1. SEED: per query, walk the terms in ceiling order and take as
+       many whole posting lists as fit a df budget (`seed_df_budget`;
+       the top term always included) — docs matching several rare
+       high-ceiling terms are the topical cluster, and scoring them
+       exactly yields T = the k-th best seed score. T is a valid
+       LOWER bound on the k-th best overall score because the seed
+       docs are a subset of all docs, so ANY seed choice preserves
+       exactness — a richer seed only buys a tighter threshold, a
+       cheaper one a looser cut.
+    2. PRUNE: order the query's terms by ceiling `u` descending and
+       drop the maximal suffix whose ceilings sum strictly below T
+       (keep term i iff suffix_sum(i) ≥ T). A doc matching ONLY
+       dropped terms scores ≤ that suffix sum < T ≤ k-th best, so it
+       cannot enter the top-k even on ties (ties break by doc_id, and
+       < is strict). The highest-ceiling term always survives, so the
+       seed docs stay reachable.
+    3. RESCORE: candidates = docs matching any surviving term; score
+       them against ALL query terms (exactness needs the dropped
+       terms' contributions for surviving docs) and take the top-k.
+
+    Result is HASH-IDENTICAL to `bm25_rank_indexed` (pinned by test
+    and by the shared driver oracle). Queries with fewer than k seed
+    docs get no threshold (falls back to unpruned — correct, just not
+    cut). Requires the persisted query-time constants (`df_t`,
+    `collection_stats`) and a `max_impact` table built at the SAME
+    (k1_pm, b_pm) (`read_bm25_max_impact` asserts).
+
+    Scale shape: the win is the aggregate/shuffle mass — scoring rows
+    exist only for candidate docs, and the stop-word posting lists
+    (low ceiling, first to be dropped) never enter the seed or
+    candidate joins. Two extra query-load-bounded plan waves (seed
+    scores, threshold broadcast) buy it. On a production layout the
+    postings would additionally be bucketed by `w` so the surviving
+    term probe prunes at the scan; and on a near-uniform-df corpus
+    (every term a stop word — the gate corpus's 31-word vocab) the
+    ceilings are flat, P keeps most terms, and the pruned plan
+    degrades to ~the unpruned one plus the seed waves — measured in
+    scripts/wand_sweep.py across Zipf-shaped vocabularies where the
+    cut pays."""
+    p = _bm25_pruned_plan(
+        postings,
+        max_impact,
+        queries,
+        k=k,
+        k1_pm=k1_pm,
+        b_pm=b_pm,
+        df_t=df_t,
+        collection_stats=collection_stats,
+        broadcast_queries=broadcast_queries,
+        seed_df_budget=seed_df_budget,
+    )
+    candidates = (
+        postings.join(F.broadcast(p["p_terms"]), "w")
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+    # phase 3: exact rescore of candidates over ALL query terms
+    return (
+        p["scorer"](candidates)
+        .select("query_id", "doc_id", "score")
+        .withColumn("rank", F.row_number().over(p["w_rank"]).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def bm25_pruned_term_survival(
+    postings: DataFrame,
+    max_impact: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    k1_pm: int = 1200,
+    b_pm: int = 750,
+    df_t: DataFrame | None = None,
+    collection_stats: tuple[int, int] | None = None,
+    broadcast_queries: bool = True,
+    seed_df_budget: int = 1000,
+) -> DataFrame:
+    """Instrumentation face of the pruned ranker: per (query, term),
+    the ceiling `u`, posting-list length `df`, and whether the
+    ceiling cut KEPT the term (`kept`) — the scoring-mass ledger.
+    Exactness makes the cut externally invisible (that is the point),
+    so tests and scripts/wand_sweep.py read this face to prove the
+    pruning FIRES (Σ df over kept ≪ Σ df over all on Zipf vocab) and
+    to report kept_pm. Same phases 1–2 plan as the ranker — shared
+    builder, zero drift possible."""
+    p = _bm25_pruned_plan(
+        postings,
+        max_impact,
+        queries,
+        k=k,
+        k1_pm=k1_pm,
+        b_pm=b_pm,
+        df_t=df_t,
+        collection_stats=collection_stats,
+        broadcast_queries=broadcast_queries,
+        seed_df_budget=seed_df_budget,
+    )
+    return p["qu"].join(
+        F.broadcast(p["thresholds"]), "query_id", "left"
+    ).select(
+        "query_id",
+        "w",
+        "u",
+        F.col("_df").alias("df"),
+        (F.col("_t").isNull() | (F.col("_sfx") >= F.col("_t"))).alias("kept"),
+    )
+
+
+def _bm25_pruned_plan(
+    postings: DataFrame,
+    max_impact: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int,
+    k1_pm: int,
+    b_pm: int,
+    df_t: DataFrame | None,
+    collection_stats: tuple[int, int] | None,
+    broadcast_queries: bool,
+    seed_df_budget: int,
+) -> dict:
+    """Phases 1–2 of the exact-pruned ranker, shared between the
+    ranking face and the survival-instrumentation face: per-query
+    ceiling table `qu` (with suffix sums), seed-derived `thresholds`,
+    surviving `p_terms`, plus the exact `scorer` closure and the
+    ranking window."""
+    from pyspark.sql import Window
+
+    if df_t is None or collection_stats is None:
+        raise ValueError(
+            "the pruned path is the indexed-constants path: pass df_t and "
+            "collection_stats from read_bm25_stats"
+        )
+    n_docs_expr = f"{int(collection_stats[0])}L"
+    avgdl_expr = f"{int(collection_stats[1])}L"
+
+    qterms = queries.select("query_id", F.explode(_tokens()).alias("w")).distinct()
+    if broadcast_queries:
+        qterms = F.broadcast(qterms)
+
+    def scorer(pairs):
+        """(query_id, doc_id) pairs → exact full scores, DOC-FIRST:
+        the docs' postings are fetched by doc_id and only then matched
+        against the query's terms, so the scoring mass is bounded by
+        |pairs| × doc length — never by Σ df over query terms (the
+        full stop-word mass the pruning exists to avoid). Expressions
+        verbatim from bm25_rank_indexed."""
+        return (
+            postings.join(pairs, "doc_id")
+            .join(qterms, ["query_id", "w"])
+            .join(df_t, "w")
+            .withColumn(
+                "idf_bits",
+                F.expr(f"CAST(length(bin({n_docs_expr} div df)) AS BIGINT)"),
+            )
+            .withColumn(
+                "denom_m",
+                F.expr(
+                    f"1000L * tf + {k1_pm}L * "
+                    f"(1000L - {b_pm} + {b_pm}L * 1000L * dl div {avgdl_expr}) div 1000L"
+                ),
+            )
+            .withColumn(
+                "tf_micro",
+                F.expr(f"1000L * (1000 + {k1_pm}) * tf div denom_m"),
+            )
+            .groupBy("query_id", "doc_id")
+            .agg(F.sum(F.expr("idf_bits * tf_micro")).alias("score"))
+        )
+
+    # ceilings per (query, term); terms absent from the index match
+    # nothing and drop here, exactly as they contribute 0 everywhere
+    qu = qterms.join(max_impact, "w").join(
+        df_t.select("w", F.col("df").alias("_df")), "w"
+    )
+    w_desc = Window.partitionBy("query_id").orderBy(
+        F.col("u").desc(), F.col("w").asc()
+    )
+    qu = qu.select(
+        "query_id",
+        "w",
+        "u",
+        "_df",
+        F.sum("u")
+        .over(w_desc.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+        .alias("_sfx"),
+        F.sum("_df")
+        .over(w_desc.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("_cumdf"),
+        F.row_number().over(w_desc).alias("_rn"),
+    ).localCheckpoint(eager=False)
+
+    # phase 1: seed = whole posting lists in ceiling order while they
+    # fit the df budget (top term always in) — a bounded set of docs
+    # likely to contain the topical high scorers
+    seeds = qu.where(
+        (F.col("_rn") == 1) | (F.col("_cumdf") <= seed_df_budget)
+    ).select("query_id", "w")
+    seed_docs = (
+        postings.join(F.broadcast(seeds), "w")
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    thresholds = (
+        scorer(seed_docs)
+        .withColumn("_r", F.row_number().over(w_rank))
+        .where(F.col("_r") == k)
+        .select("query_id", F.col("score").alias("_t"))
+    )
+
+    # phase 2: drop the maximal low-ceiling suffix summing < T
+    p_terms = (
+        qu.join(F.broadcast(thresholds), "query_id", "left")
+        .where(F.col("_t").isNull() | (F.col("_sfx") >= F.col("_t")))
+        .select("query_id", "w")
+    )
+    return {
+        "qu": qu,
+        "thresholds": thresholds,
+        "p_terms": p_terms,
+        "scorer": scorer,
+        "w_rank": w_rank,
+    }
 
 
 def bm25_rank(

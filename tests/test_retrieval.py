@@ -203,3 +203,233 @@ def test_bm25_chunk_rank_finds_needle_in_long_doc(spark):
     # 64-token window starting at best_chunk_start must intersect it
     start = top["best_chunk_start"]
     assert start <= 401 <= start + 63 or start <= 406 <= start + 63, top
+
+
+# ---------------------------------------------------------------------------
+# exact WAND-style pruned BM25 (operators/text.py::bm25_rank_indexed_pruned)
+# ---------------------------------------------------------------------------
+
+
+def _build_index(spark, corpus, tmp_path, name):
+    from khronus_spark.operators import text as text_ops
+
+    path = str(tmp_path / name)
+    text_ops.write_bm25_index(text_ops.bm25_build_postings(corpus), path)
+    postings = text_ops.read_bm25_index(spark, path)
+    df_t, n_docs, avgdl_m = text_ops.read_bm25_stats(spark, path)
+    mi = text_ops.read_bm25_max_impact(spark, path)
+    return postings, df_t, (n_docs, avgdl_m), mi
+
+
+def _zipf_docs(spark):
+    """200 docs, 3 stop words in every doc + one rare term per doc
+    (df=5 each): the Zipf shape where the ceiling cut must fire."""
+    rows = [
+        (i, f"the of and r{i % 40}", "en", "s", 20) for i in range(1, 201)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_bm25_pruned_hash_identical_on_uniform_gate_vocab(
+    spark, oracle_sf_dir, tmp_path
+):
+    """The pruning-hostile corner: the gate corpus's near-uniform df
+    vocabulary gives flat ceilings, so almost nothing is prunable —
+    and the pruned face must return the EXACT same top-k anyway (this
+    is also what the shared driver oracle pins at sf0.01)."""
+    from khronus_spark.operators import text as text_ops
+
+    docs = spark.read.parquet(f"{oracle_sf_dir}/documents.parquet")
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    queries = docs.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    postings, df_t, stats, mi = _build_index(spark, corpus, tmp_path, "gate")
+    a = sorted(
+        map(
+            tuple,
+            text_ops.bm25_rank_indexed(
+                postings,
+                queries,
+                share_postings=False,
+                df_t=df_t,
+                collection_stats=stats,
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            text_ops.bm25_rank_indexed_pruned(
+                postings, mi, queries, df_t=df_t, collection_stats=stats
+            ).collect(),
+        )
+    )
+    assert a and a == b
+
+
+def test_bm25_pruned_cuts_stop_words_and_stays_exact_on_zipf_vocab(
+    spark, tmp_path
+):
+    """On a Zipf-shaped vocabulary the cut must actually FIRE: the
+    stop words (df=200, ceiling ~1k) fall to the seed threshold
+    (T ≈ 9k from docs matching a rare query term), the survival face
+    reports them dropped, and the ranked result is still identical
+    to the unpruned face (non-candidate docs score 3k < T)."""
+    from khronus_spark.operators import text as text_ops
+
+    docs = _zipf_docs(spark)
+    queries = spark.createDataFrame(
+        [(1000, "the of and r1 r2"), (1001, "the of and r7")],
+        "query_id long, text string",
+    )
+    postings, df_t, stats, mi = _build_index(spark, docs, tmp_path, "zipf")
+    kw = dict(df_t=df_t, collection_stats=stats, seed_df_budget=20)
+    a = sorted(
+        map(
+            tuple,
+            text_ops.bm25_rank_indexed(
+                postings,
+                queries,
+                share_postings=False,
+                df_t=df_t,
+                collection_stats=stats,
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            text_ops.bm25_rank_indexed_pruned(
+                postings, mi, queries, **kw
+            ).collect(),
+        )
+    )
+    assert a and a == b
+    surv = text_ops.bm25_pruned_term_survival(
+        postings, mi, queries, **kw
+    ).collect()
+    by_q = {}
+    for r in surv:
+        by_q.setdefault(r["query_id"], {})[r["w"]] = r
+    # query 1000 has >= k seed docs via r1/r2 (df=5 each): stop words drop
+    q = by_q[1000]
+    assert q["r1"]["kept"] and q["r2"]["kept"]
+    assert not q["the"]["kept"] and not q["of"]["kept"] and not q["and"]["kept"]
+    # scoring-mass ledger: kept posting mass is a small fraction
+    total = sum(r["df"] for r in surv if r["query_id"] == 1000)
+    kept = sum(r["df"] for r in surv if r["query_id"] == 1000 and r["kept"])
+    assert kept * 10 < total  # 10 vs 610
+
+
+def test_bm25_pruned_ceiling_is_sound(spark, tmp_path):
+    """Per-term ceiling property behind the exactness proof: u(w)
+    upper-bounds every doc's actual contribution idf_bits·tf_micro
+    for w (checked exhaustively on the Zipf corpus)."""
+    from khronus_spark.operators import text as text_ops
+
+    docs = _zipf_docs(spark)
+    postings, df_t, stats, mi = _build_index(spark, docs, tmp_path, "sound")
+    contrib = (
+        postings.join(df_t, "w")
+        .withColumn(
+            "idf_bits",
+            F.expr(f"CAST(length(bin({stats[0]} div df)) AS BIGINT)"),
+        )
+        .withColumn(
+            "denom_m",
+            F.expr(
+                "1000L * tf + 1200L * "
+                f"(1000L - 750 + 750L * 1000L * dl div {stats[1]}) div 1000L"
+            ),
+        )
+        .withColumn("tf_micro", F.expr("1000L * 2200 * tf div denom_m"))
+        .select("w", F.expr("idf_bits * tf_micro").alias("c"))
+    )
+    bad = contrib.join(mi, "w").where(F.col("c") > F.col("u")).count()
+    assert bad == 0
+
+
+def test_bm25_pruned_under_k_seed_docs_falls_back_unpruned(spark, tmp_path):
+    """A query whose terms match fewer than k docs gets no threshold:
+    every term survives and the result equals the unpruned face (2
+    matching docs, both returned)."""
+    from khronus_spark.operators import text as text_ops
+
+    docs = _zipf_docs(spark)
+    queries = spark.createDataFrame(
+        # r1..r40 have df=5 == k; use a term matching only 2 docs by
+        # querying a rare term pair no doc shares -> per-term df 5 but
+        # seed covers 10 docs... instead: term absent + unique stop-free
+        [(2000, "r39")],
+        "query_id long, text string",
+    )
+    # r39 matches exactly 5 docs == k -> threshold exists but equals the
+    # 5th candidate score; with a df budget below df(r39) the seed still
+    # includes the top term (rn == 1 override), so exactness must hold
+    postings, df_t, stats, mi = _build_index(spark, docs, tmp_path, "fb")
+    kw = dict(df_t=df_t, collection_stats=stats, seed_df_budget=1)
+    a = sorted(
+        map(
+            tuple,
+            text_ops.bm25_rank_indexed(
+                postings,
+                queries,
+                share_postings=False,
+                df_t=df_t,
+                collection_stats=stats,
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            text_ops.bm25_rank_indexed_pruned(
+                postings, mi, queries, **kw
+            ).collect(),
+        )
+    )
+    assert len(a) == 5 and a == b
+    # and a genuinely-under-k query: one term, df < k via unique token
+    q2 = spark.createDataFrame(
+        [(3000, "the")], "query_id long, text string"
+    )
+    a2 = sorted(
+        map(
+            tuple,
+            text_ops.bm25_rank_indexed(
+                postings,
+                q2,
+                share_postings=False,
+                df_t=df_t,
+                collection_stats=stats,
+            ).collect(),
+        )
+    )
+    b2 = sorted(
+        map(
+            tuple,
+            text_ops.bm25_rank_indexed_pruned(
+                postings, mi, q2, **kw
+            ).collect(),
+        )
+    )
+    assert a2 == b2
+    surv = text_ops.bm25_pruned_term_survival(postings, mi, q2, **kw).collect()
+    assert all(r["kept"] for r in surv)  # single term always survives
+
+
+def test_bm25_max_impact_param_mismatch_raises(spark, tmp_path):
+    """The ceilings are (k1, b)-specific; a mismatched read would
+    silently break the pruning proof, so it must raise instead."""
+    import pytest
+
+    from khronus_spark.operators import text as text_ops
+
+    docs = _zipf_docs(spark)
+    path = str(tmp_path / "mm")
+    text_ops.write_bm25_index(text_ops.bm25_build_postings(docs), path)
+    with pytest.raises(ValueError, match="max-impact"):
+        text_ops.read_bm25_max_impact(spark, path, k1_pm=900, b_pm=400)
