@@ -159,6 +159,7 @@ _PRIORITY = [
     "doc_text_normalize",
     # -- new in round 8: never driver-checked ---------------------------
     "bm25_eval_topk_pruned",
+    "ann_ivf_sized",
     # -- engine paths touched after their newest green row: the BM25
     #    index write now persists max-impact ceilings (hybrid's build
     #    path), and the fused-probe incremental dedup landed post-r7-run
@@ -211,7 +212,6 @@ _PRIORITY = [
     "media_resize_plan",
     "media_frame_sample",
     "embedding_rp_project",
-    "ann_rp_topk",
 ]
 
 
@@ -5313,6 +5313,76 @@ def ann_lsh_recall_sized(spark, sf_dir):
         n_bands=_SIZED_LSH["n_bands"],
         planes_per_band=_SIZED_LSH["planes_per_band"],
         include=("lsh",),
+    )
+
+
+#: The SIZED trained-IVF preset (round-7 verdict directive 5): unlike
+#: sign-LSH there is no closed-form collision model for learned
+#: inverted lists (round 7 measured the cost-optimal `nlist =
+#: √(nprobe·N)` folklore at 0–33% recall here), so the sizing is
+#: EMPIRICAL — `ivf_size_for_recall` trains one index per grid point,
+#: measures recall@3 for every (n_clusters, nprobe) in a single
+#: ann_recall_at_k pass, measures each config's ACTUAL candidate mass
+#: (kmeans lists are imbalanced; the nominal nprobe/nlist fraction
+#: lies), and returns the cheapest config with median recall ≥ the
+#: 8000 bp target. On the gate corpus (both sf0.001 and sf0.01, 500
+#: vectors, probes 0..9) it derives {n_clusters 16, nprobe 1, iters 2}
+#: with measured_recall_bp 10000 and scanned_pm ~64 (≈6% of the corpus
+#: per probe — the selectivity LSH honestly could not offer here).
+#: Pinned below; tests/test_similarity.py re-derives it by running the
+#: helper and asserts the refusal branch on an unreachable grid.
+_SIZED_IVF = {"n_clusters": 16, "nprobe": 1, "iters": 2}
+
+
+@register(
+    "ann_ivf_sized",
+    sim_ops.ann_recall_at_k_sql(
+        list(range(10)),
+        k=3,
+        include=(),
+        extra_sql={
+            "ivf_sized": sim_ops.ivf_kmeans_topk_sql(
+                list(range(10)),
+                3,
+                n_clusters=_SIZED_IVF["n_clusters"],
+                iters=_SIZED_IVF["iters"],
+                nprobe=_SIZED_IVF["nprobe"],
+            )
+        },
+    ),
+)
+def ann_ivf_sized(spark, sf_dir):
+    """Recall@3 of the trained-IVF retriever at the EMPIRICALLY SIZED
+    configuration `ivf_size_for_recall(probes 0..9, k=3, target
+    8000 bp)` → 16 clusters × nprobe 1 (measured median recall
+    10000 bp, ~6% of the corpus scanned per probe) — the measured
+    mirror of `ann_lsh_recall_sized`, closing the round-7 "IVF sizing
+    deliberately not shipped" item with the helper the verdict asked
+    for: grid-measured recall (no collision-model pretense), actual
+    candidate mass counted from the probe-list joins, refusal when no
+    grid point reaches the target. Documented floor, pinned by test:
+    median recall@3 across the 10 probes ≥ 8000 bp at sf0.01. The
+    oracle restates the unrolled kmeans chain + nprobe probe lists +
+    exact-cosine rerank at the pinned parameters."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, assign = sim_ops.ivf_kmeans_build_index(
+        emb, _SIZED_IVF["n_clusters"], _SIZED_IVF["iters"]
+    )
+    return sim_ops.ann_recall_at_k(
+        emb,
+        list(range(10)),
+        k=3,
+        include=(),
+        extra_methods={
+            "ivf_sized": sim_ops.ivf_kmeans_topk_indexed(
+                emb,
+                cents,
+                assign,
+                list(range(10)),
+                3,
+                nprobe=_SIZED_IVF["nprobe"],
+            )
+        },
     )
 
 

@@ -274,3 +274,55 @@ def test_hyperplane_family_is_full_rank():
     C = np.abs(Hn @ Hn.T)
     np.fill_diagonal(C, 0.0)
     assert C.max() < 0.99, f"near-parallel planes (max |cos| {C.max():.3f})"
+
+
+def test_ivf_size_for_recall_derives_pinned_config(spark, sf_dir):
+    """The empirical sizing helper (round-7 directive 5) must still
+    derive the config pinned in the ann_ivf_sized registry entry when
+    run on the gate corpus — deterministic end-to-end (integer
+    kmeans, fixed grids, deterministic ties), so drift here means an
+    engine-path change that must rotate the entry."""
+    from khronus_spark.entry_queries import _SIZED_IVF
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cfg = sim.ivf_size_for_recall(
+        emb, list(range(10)), k=3, target_recall_bp=8000
+    )
+    assert {k: cfg[k] for k in _SIZED_IVF} == _SIZED_IVF
+    assert cfg["measured_recall_bp"] >= 8000
+    # the honest cost readout: measured candidate mass, not the
+    # nominal nprobe/nlist fraction — selective on this corpus
+    assert 0 < cfg["scanned_pm"] < 250
+
+
+def test_ivf_size_for_recall_refuses_unreachable_target(spark, sf_dir):
+    """Refusal contract (mirrors lsh_size_for_recall): a grid whose
+    best median recall is below target raises with the measured
+    medians in the message instead of shipping an under-recalling
+    config (c4/p1 measures 6666 bp on this corpus)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="unreachable"):
+        sim.ivf_size_for_recall(
+            emb,
+            list(range(10)),
+            k=3,
+            target_recall_bp=8000,
+            n_clusters_grid=(4,),
+            nprobe_grid=(1,),
+        )
+    with pytest.raises(ValueError):
+        sim.ivf_size_for_recall(emb, [0], target_recall_bp=0)
+
+
+def test_sized_ivf_recall_meets_documented_floor(spark, oracle_sf_dir):
+    """The ann_ivf_sized contract: at the pinned sized parameters the
+    median recall@3 across the 10 probes is >= 8000 bp on the sf0.01
+    gate corpus."""
+    import statistics
+
+    from khronus_spark.entry_queries import queries
+
+    out = queries()["ann_ivf_sized"](spark, oracle_sf_dir).collect()
+    assert len(out) == 10 and all(r["method"] == "ivf_sized" for r in out)
+    med = statistics.median(r["recall_bp"] for r in out)
+    assert med >= 8000, f"sized-IVF median recall {med}bp below floor"
