@@ -2097,9 +2097,9 @@ def write_bm25_index(postings: DataFrame, path: str) -> None:
     bucket postings by `w` so the query-term probe co-locates."""
     postings = postings.localCheckpoint(eager=False)
     postings.write.mode("overwrite").parquet(f"{path}/postings")
-    postings.groupBy("w").agg(F.count(F.lit(1)).alias("df")).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/df")
+    df_t = postings.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    df_t = df_t.localCheckpoint(eager=False)
+    df_t.write.mode("overwrite").parquet(f"{path}/df")
     (
         postings.select("doc_id", "dl")
         .distinct()
@@ -2110,11 +2110,16 @@ def write_bm25_index(postings: DataFrame, path: str) -> None:
         .write.mode("overwrite")
         .parquet(f"{path}/stats")
     )
+    spark = postings.sparkSession
+    n_docs, avgdl_m = spark.read.parquet(f"{path}/stats").collect()[0]
     # per-term score ceilings for the exact-pruned query path, built at
-    # the default scoring parameters (read_bm25_max_impact asserts)
-    bm25_build_max_impact(postings).write.mode("overwrite").parquet(
-        f"{path}/maximpact"
-    )
+    # the default scoring parameters (read_bm25_max_impact asserts);
+    # df/stats are reused, so this is ONE more pass over the postings
+    bm25_build_max_impact(
+        postings,
+        df_t=df_t,
+        collection_stats=(int(n_docs), int(avgdl_m)),
+    ).write.mode("overwrite").parquet(f"{path}/maximpact")
 
 
 def read_bm25_index(spark, path: str) -> DataFrame:
@@ -2231,7 +2236,11 @@ def bm25_rank_indexed(
 
 
 def bm25_build_max_impact(
-    postings: DataFrame, k1_pm: int = 1200, b_pm: int = 750
+    postings: DataFrame,
+    k1_pm: int = 1200,
+    b_pm: int = 750,
+    df_t: DataFrame | None = None,
+    collection_stats: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Per-term score CEILING table (w, u): u = idf_bits(w) × the
     maximum tf_micro any posting of w attains — the metadata that makes
@@ -2241,34 +2250,38 @@ def bm25_build_max_impact(
     entire posting lists (the stop-word mass — huge df ⇒ low idf ⇒ low
     u) drop out of the scoring aggregate without touching exactness.
 
-    Build-time only (two aggregates over the postings — the same cost
-    class as the df/stats constants). The ceilings are k1/b-specific:
-    the pruned query path REQUIRES the same (k1_pm, b_pm) it was built
-    with (`write_bm25_index` builds at the defaults and the reader
-    asserts). Vocab-sized output."""
-    stats = (
-        postings.select("doc_id", "dl")
-        .distinct()
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.expr("sum(dl) * 1000L div count(1)").alias("avgdl_m"),
+    Build-time only; when the df/stats constants are already in hand
+    (`write_bm25_index` computes them anyway) pass them and the build
+    is ONE pass over the postings — otherwise the two aggregates are
+    derived here (the standalone path). The ceilings are
+    k1/b-specific: the pruned query path REQUIRES the same
+    (k1_pm, b_pm) it was built with (`write_bm25_index` builds at the
+    defaults and the reader asserts). Vocab-sized output."""
+    if df_t is None:
+        df_t = postings.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    if collection_stats is None:
+        stats = (
+            postings.select("doc_id", "dl")
+            .distinct()
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.expr("sum(dl) * 1000L div count(1)").alias("avgdl_m"),
+            )
+            .collect()[0]
         )
-        .withColumn("_one", F.lit(1))
-    )
-    df_t = postings.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+        collection_stats = (int(stats["n_docs"]), int(stats["avgdl_m"]))
+    n_docs, avgdl_m = int(collection_stats[0]), int(collection_stats[1])
     return (
-        postings.join(df_t, "w")
-        .withColumn("_one", F.lit(1))
-        .join(F.broadcast(stats), "_one")
-        .withColumn(
+        postings.join(df_t, "w")  # vocab-sized df_t: shuffle join, never
+        .withColumn(  # a broadcast (web-scale vocabs don't fit a driver)
             "idf_bits",
-            F.expr("CAST(length(bin(n_docs div df)) AS BIGINT)"),
+            F.expr(f"CAST(length(bin({n_docs}L div df)) AS BIGINT)"),
         )
         .withColumn(
             "denom_m",
             F.expr(
                 f"1000L * tf + {k1_pm}L * "
-                f"(1000L - {b_pm} + {b_pm}L * 1000L * dl div avgdl_m) div 1000L"
+                f"(1000L - {b_pm} + {b_pm}L * 1000L * dl div {avgdl_m}L) div 1000L"
             ),
         )
         .withColumn(
