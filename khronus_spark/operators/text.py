@@ -3434,3 +3434,69 @@ SELECT doc_id, text_norm,
        text_norm IS DISTINCT FROM text AS changed
 FROM cleaned
 """
+
+
+def nfkc_normalize_str(s: str | None, form: str = "NFKC") -> str | None:
+    """The pure-Python normalization `normalize_text_nfkc` applies per
+    value — exposed so the fixture-parity test and any driver-side
+    caller share ONE definition with the distributed path. Steps, in
+    order: Unicode normalization (`form`, default NFKC: full-width →
+    ASCII, ligatures split, compatibility digits folded, NBSP →
+    space), zero-width/soft-hyphen strip (U+200B–200D, U+FEFF,
+    U+00AD — invisible in rendering, poison for tokenizers), control
+    chars → space (the core op's contract), Unicode-whitespace runs →
+    one space, trim. None passes through."""
+    import re
+    import unicodedata
+
+    if s is None:
+        return None
+    out = unicodedata.normalize(form, s)
+    out = re.sub("[\u200b\u200c\u200d\ufeff\u00ad]", "", out)
+    out = re.sub("[\x00-\x1f\x7f]", " ", out)
+    return re.sub(r"\s+", " ", out).strip()
+
+
+def normalize_text_nfkc(
+    docs: DataFrame, text_col: str = "text", form: str = "NFKC"
+) -> DataFrame:
+    """Unicode-aware normalization — the documented extension beyond
+    the ASCII-conservative `normalize_text` (real corpora are not
+    ASCII): NFKC folding (full-width forms, ligatures, compatibility
+    digits), zero-width and soft-hyphen strips, control chars to
+    spaces, Unicode-whitespace collapse, trim. Same output shape as
+    the core op: (doc_id, text_norm, n_chars_norm, changed); NULL
+    text stays NULL with a null-safe `changed` = false.
+
+    NOT oracle-backed by design: NFKC tables are ICU/Python-version
+    artifacts DuckDB does not expose, so cross-engine hash parity is
+    the wrong contract here. Correctness is pinned instead by a
+    fixture-set parity test (tests/test_text_norm.py): the Spark
+    output must equal `nfkc_normalize_str` over a pinned corpus of
+    Unicode edge cases, and must agree exactly with `normalize_text`
+    on already-clean ASCII input.
+
+    Arrow-batched scalar Pandas UDF (the decode/recurrence exception
+    class — per-value Python is unavoidable for NFKC, so it is
+    vectorized per batch, never per-row pickled). Map-only, zero
+    shuffle; n_chars_norm counts CODE POINTS (Python len), matching
+    Spark `length` semantics on the BMP fixtures the tests pin."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _norm_fn(s):
+        return s.map(lambda v: nfkc_normalize_str(v, form))
+
+    # real class objects, not strings: the module's `from __future__
+    # import annotations` would stringify inline hints and pyspark
+    # cannot resolve 'pd.Series' from a function-local import
+    _norm_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _norm = pandas_udf(_norm_fn, "string")
+
+    cleaned = _norm(F.col(text_col))
+    return docs.select(
+        "doc_id",
+        cleaned.alias("text_norm"),
+        F.length(cleaned).cast("long").alias("n_chars_norm"),
+        (~cleaned.eqNullSafe(F.col(text_col))).alias("changed"),
+    )
