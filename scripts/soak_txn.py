@@ -60,6 +60,10 @@ def main() -> None:
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "16g")
+        # a deep-recursion regex in Spark's stream-thread internals
+        # overflowed a default 1 MiB stack once (post-drain, no data
+        # impact); headroom costs nothing
+        .config("spark.driver.extraJavaOptions", "-Xss16m")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
