@@ -1,0 +1,193 @@
+"""Delta-protocol export of the TxnTable commit log: clean-room
+reader ∘ exporter == TxnTable snapshots version-for-version, log
+immutability/incrementality, and spec-shape conformance."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from khronus_spark.sources.delta_export import (
+    export_delta_log,
+    exported_delta_version,
+    read_delta_snapshot,
+)
+from khronus_spark.sources.txnlog import TxnTable
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "metric string, ts long, count long")
+
+
+def _content(df):
+    return set() if df is None else {tuple(r) for r in df.collect()}
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    """Four commits: create two partitions, replace one, add a third,
+    drop one — every action kind the exporter must translate."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.commit(
+        {
+            "day=1": _df(spark, [("a", 1, 10), ("b", 1, 20)]),
+            "day=2": _df(spark, [("a", 2, 30)]),
+        }
+    )
+    t.commit({"day=1": _df(spark, [("a", 1, 11), ("c", 1, 5)])})
+    t.commit({"day=3": _df(spark, [("z", 3, 99)])})
+    t.commit({"day=2": None})
+    return t
+
+
+def test_export_roundtrips_every_version(spark, table):
+    """Time travel: delta version v-1 read by the clean-room reader
+    equals the TxnTable snapshot at version v, for every v."""
+    assert export_delta_log(spark, table) == 4
+    for txn_v in range(1, table.version() + 1):
+        got = _content(read_delta_snapshot(spark, table.root, txn_v - 1))
+        want = _content(table.read_all(spark, version=txn_v))
+        assert got == want, f"txn version {txn_v}"
+    # latest (default) == latest txn snapshot
+    assert _content(read_delta_snapshot(spark, table.root)) == _content(
+        table.read_all(spark)
+    )
+
+
+def test_export_is_incremental_and_immutable(spark, table):
+    """Exported commit files are the Delta contract: a second export
+    after new commits appends only the new versions and leaves the
+    existing files byte-identical; re-export with nothing new is a
+    no-op."""
+    export_delta_log(spark, table, upto_version=2)
+    assert exported_delta_version(table) == 1
+    log_dir = os.path.join(table.root, "_delta_log")
+    before = {
+        n: open(os.path.join(log_dir, n), "rb").read()
+        for n in os.listdir(log_dir)
+        if n.endswith(".json")
+    }
+    assert export_delta_log(spark, table) == 2  # versions 2 and 3
+    after = {n: open(os.path.join(log_dir, n), "rb").read() for n in before}
+    assert before == after
+    assert export_delta_log(spark, table) == 0
+
+
+def test_log_shape_conforms_to_spec(spark, table):
+    """Version 0 carries protocol + metaData; every add has
+    path/size/modificationTime/dataChange with a RELATIVE path that
+    exists; removes reference previously-added paths; filenames are
+    20-digit zero-padded."""
+    export_delta_log(spark, table)
+    log_dir = os.path.join(table.root, "_delta_log")
+    names = sorted(n for n in os.listdir(log_dir) if n.endswith(".json"))
+    assert names == [f"{v:020d}.json" for v in range(4)]
+    added: set[str] = set()
+    for i, name in enumerate(names):
+        actions = [
+            json.loads(line)
+            for line in open(os.path.join(log_dir, name))
+            if line.strip()
+        ]
+        kinds = [next(iter(a)) for a in actions]
+        if i == 0:
+            assert kinds[0] == "protocol" and kinds[1] == "metaData"
+            assert actions[0]["protocol"]["minReaderVersion"] == 1
+            meta = actions[1]["metaData"]
+            assert meta["format"]["provider"] == "parquet"
+            assert meta["partitionColumns"] == []
+            # schemaString parses as a Spark schema
+            from pyspark.sql.types import StructType
+
+            StructType.fromJson(json.loads(meta["schemaString"]))
+        for a in actions:
+            if "add" in a:
+                add = a["add"]
+                assert not os.path.isabs(add["path"])
+                full = os.path.join(table.root, add["path"])
+                assert os.path.isfile(full)
+                assert add["size"] == os.path.getsize(full)
+                assert add["dataChange"] is True
+                assert add["partitionValues"] == {}
+                added.add(add["path"])
+            elif "remove" in a:
+                assert a["remove"]["path"] in added
+                assert a["remove"]["dataChange"] is True
+
+
+def test_reader_refuses_gaps_and_future_protocol(spark, table, tmp_path):
+    export_delta_log(spark, table)
+    log_dir = os.path.join(table.root, "_delta_log")
+    # unknown version
+    with pytest.raises(ValueError, match="not in the log"):
+        read_delta_snapshot(spark, table.root, version=99)
+    # a gap in the log must refuse, not silently skip
+    os.rename(
+        os.path.join(log_dir, f"{1:020d}.json"),
+        os.path.join(log_dir, f"{1:020d}.json.bak"),
+    )
+    with pytest.raises(ValueError, match="gaps"):
+        read_delta_snapshot(spark, table.root)
+    os.rename(
+        os.path.join(log_dir, f"{1:020d}.json.bak"),
+        os.path.join(log_dir, f"{1:020d}.json"),
+    )
+    # future protocol refuses loudly
+    t2 = TxnTable(str(tmp_path / "p3"))
+    t2.commit({"k": _df(spark, [("a", 1, 1)])})
+    export_delta_log(spark, t2)
+    p = os.path.join(t2.root, "_delta_log", f"{0:020d}.json")
+    lines = open(p).read().splitlines()
+    lines[0] = json.dumps(
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}}
+    )
+    open(p, "w").write("\n".join(lines) + "\n")
+    with pytest.raises(ValueError, match="newer reader"):
+        read_delta_snapshot(spark, t2.root)
+
+
+def test_empty_and_heterogeneous_exports_refuse(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "e"))
+    with pytest.raises(ValueError, match="nothing to export"):
+        export_delta_log(spark, t)
+    # all partitions dropped -> no schema derivable
+    t.commit({"k": _df(spark, [("a", 1, 1)])})
+    t.commit({"k": None})
+    with pytest.raises(ValueError, match="empty table"):
+        export_delta_log(spark, t)
+    # heterogeneous schemas refuse
+    t2 = TxnTable(str(tmp_path / "h"))
+    t2.commit({"k1": _df(spark, [("a", 1, 1)])})
+    t2.commit(
+        {"k2": spark.createDataFrame([(1.5,)], "x double")}
+    )
+    with pytest.raises(ValueError, match="heterogeneous"):
+        export_delta_log(spark, t2)
+
+
+def test_export_of_the_txn_summary_store(spark, tmp_path, sf_dir):
+    """End-to-end with the real writer: the txn summary store's
+    content survives the exporter + clean-room reader round trip."""
+    from pyspark.sql import functions as F
+
+    from khronus_spark.functions.summary import counter_summary
+    from khronus_spark.sources.tables import measurements_from_events
+
+    m = measurements_from_events(spark, sf_dir)
+    summaries = counter_summary(
+        m.where(F.col("mtype") == "counter"), 300_000
+    ).withColumn("day", F.expr("ts div 86400000"))
+    t = TxnTable(str(tmp_path / "store"))
+    parts = {
+        f"day={r['day']}": summaries.where(F.col("day") == r["day"])
+        for r in summaries.select("day").distinct().collect()
+    }
+    t.commit(parts)
+    export_delta_log(spark, t)
+    got = _content(
+        read_delta_snapshot(spark, t.root).select("metric", "ts", "count")
+    )
+    want = _content(t.read_all(spark).select("metric", "ts", "count"))
+    assert got == want and got
