@@ -2470,7 +2470,14 @@ def _bm25_pruned_plan(
     n_docs_expr = f"{int(collection_stats[0])}L"
     avgdl_expr = f"{int(collection_stats[1])}L"
 
-    qterms = queries.select("query_id", F.explode(_tokens()).alias("w")).distinct()
+    # materialized once: qterms feeds three plan waves (ceilings, seed
+    # scoring, rescore) — without the checkpoint each wave re-scans the
+    # corpus for the query carve
+    qterms = (
+        queries.select("query_id", F.explode(_tokens()).alias("w"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     if broadcast_queries:
         qterms = F.broadcast(qterms)
 

@@ -773,3 +773,36 @@ def test_shared_subtrees_materialize_once(spark, oracle_sf_dir):
         if scans > budget:
             over.append((name, scans, budget))
     assert not over, f"scan budget exceeded (entry, scans, budget): {over}"
+
+
+def test_bm25_pruned_query_answers_from_index_no_corpus_scan(
+    spark, oracle_sf_dir
+):
+    """The exact-pruned BM25 face is the indexed-constants path with
+    two extra query-load-bounded waves: its plan must scan the
+    persisted postings parquet (never re-derive it), touch the corpus
+    text only for the QUERY carve (one documents scan), keep every
+    probe side broadcast, and contain no cartesian/nested loop
+    anywhere. The maximpact parquet is invisible here BY DESIGN: the
+    per-query ceiling table `qu` is lazily checkpointed (the single
+    materialization every phase shares), so its subtree — including
+    the maximpact and df scans — shows as one Scan ExistingRDD node;
+    the ceiling content itself is pinned by the survival-face tests
+    and the shared driver oracle."""
+    plan = _plan(spark, oracle_sf_dir, "bm25_eval_topk_pruned")
+    lines = plan.splitlines()
+    # the query carve (documents scan) lives inside the checkpointed
+    # qterms frame — materialized once, re-scanned by no wave
+    doc_scans = [ln for ln in lines if "Location" in ln and "documents" in ln]
+    assert len(doc_scans) == 0, doc_scans
+    # postings parquet feeds seed docs, candidates, and the rescore —
+    # bounded distinct scans of the short-row index, never a rebuild
+    post_scans = [
+        ln for ln in lines if "Location" in ln and "/postings" in ln
+    ]
+    assert 1 <= len(post_scans) <= 4, post_scans
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the probe sides stay broadcast and the top-k stays group-limited
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
