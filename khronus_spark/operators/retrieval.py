@@ -214,6 +214,8 @@ def hybrid_rrf_topk_indexed(
     broadcast_queries: bool = True,
     df_t: DataFrame | None = None,
     collection_stats: tuple[int, int] | None = None,
+    max_impact: DataFrame | None = None,
+    seed_df_budget: int = 1000,
 ) -> DataFrame:
     """The PRODUCTION hybrid retriever: both branches answer from
     PERSISTED indexes — BM25 from the postings table
@@ -227,18 +229,42 @@ def hybrid_rrf_topk_indexed(
     index scans + query-load-sized fusion, vs the brute face's
     full-corpus tokenize + full-vector cosine per query load.
 
+    `max_impact` (from `text.read_bm25_max_impact`) switches the BM25
+    branch to the EXACT WAND-pruned path
+    (`text.bm25_rank_indexed_pruned`) — bit-identical lexical ranks
+    by the pruning proof, so the fused output and the oracle are
+    unchanged; the remaining scoring-mass cost (the round-7 verdict's
+    named ceiling for this face) drops with the cut posting lists.
+    Measured crossover is ~50k docs (scripts/wand_sweep.py): below it
+    the seed waves cost more than they save, so the knob stays
+    opt-in. Requires the persisted constants when set.
+
     `queries` is (query_id, text); `probes` is (probe_id, embedding)
     — the same eval carve on both tables (ids coincide where
     embeddings cover the docs; the full-outer RRF absorbs gaps)."""
-    lex = bm25_rank_indexed(
-        postings,
-        queries,
-        k=pool,
-        broadcast_queries=broadcast_queries,
-        share_postings=False,
-        df_t=df_t,
-        collection_stats=collection_stats,
-    ).select("query_id", "doc_id", "rank")
+    if max_impact is not None:
+        from khronus_spark.operators.text import bm25_rank_indexed_pruned
+
+        lex = bm25_rank_indexed_pruned(
+            postings,
+            max_impact,
+            queries,
+            k=pool,
+            df_t=df_t,
+            collection_stats=collection_stats,
+            broadcast_queries=broadcast_queries,
+            seed_df_budget=seed_df_budget,
+        ).select("query_id", "doc_id", "rank")
+    else:
+        lex = bm25_rank_indexed(
+            postings,
+            queries,
+            k=pool,
+            broadcast_queries=broadcast_queries,
+            share_postings=False,
+            df_t=df_t,
+            collection_stats=collection_stats,
+        ).select("query_id", "doc_id", "rank")
     sem = semantic_pq_rank(
         books, codes, probes, eval_mod=eval_mod, pool=pool, sub=sub, pq_k=pq_k
     )

@@ -149,6 +149,10 @@ def main() -> None:
                 )
             )
         )
+        # the BRUTE baseline (inline tokenize + df/stats per query
+        # load, no index at all) — one run, it is the slow face by
+        # construction and only anchors the indexed-vs-brute ratio
+        t_brute = best_of(lambda: run(text_ops.bm25_rank(docs, k=5)), n=1)
 
         a = sorted(
             map(
@@ -196,7 +200,9 @@ def main() -> None:
                     "n_docs": n,
                     "unpruned_query_s": t_unpruned,
                     "pruned_query_s": t_pruned,
+                    "brute_query_s": t_brute,
                     "speedup": round(t_unpruned / max(t_pruned, 1e-9), 2),
+                    "speedup_vs_brute": round(t_brute / max(t_pruned, 1e-9), 2),
                     "identical": a == b,
                     "topk_rows": len(a),
                     "index_build_s": t_build,

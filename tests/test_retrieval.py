@@ -433,3 +433,51 @@ def test_bm25_max_impact_param_mismatch_raises(spark, tmp_path):
     text_ops.write_bm25_index(text_ops.bm25_build_postings(docs), path)
     with pytest.raises(ValueError, match="max-impact"):
         text_ops.read_bm25_max_impact(spark, path, k1_pm=900, b_pm=400)
+
+
+def test_hybrid_indexed_pruned_branch_is_bit_identical(
+    spark, oracle_sf_dir, tmp_path
+):
+    """Passing max_impact switches the hybrid's BM25 branch to the
+    exact-pruned path: the fused output must be BIT-identical (the
+    pruning proof lifted through RRF) — which is why the knob needs
+    no oracle of its own."""
+    from khronus_spark.operators import pq as pq_ops
+    from khronus_spark.operators import retrieval as ret
+    from khronus_spark.operators import text as text_ops
+
+    docs = spark.read.parquet(f"{oracle_sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{oracle_sf_dir}/embeddings.parquet")
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    path = str(tmp_path / "hyb")
+    text_ops.write_bm25_index(text_ops.bm25_build_postings(corpus), f"{path}/bm25")
+    books, codes = pq_ops.pq_build_index(emb, sub=4, k=8, iters=1)
+    pq_ops.write_pq_index(books, codes, f"{path}/pq")
+    postings = text_ops.read_bm25_index(spark, f"{path}/bm25")
+    df_t, n_docs, avgdl_m = text_ops.read_bm25_stats(spark, f"{path}/bm25")
+    mi = text_ops.read_bm25_max_impact(spark, f"{path}/bm25")
+    books, codes = pq_ops.read_pq_index(spark, f"{path}/pq")
+    queries = docs.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    probes = emb.where(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    kw = dict(df_t=df_t, collection_stats=(n_docs, avgdl_m))
+    plain = sorted(
+        map(
+            tuple,
+            ret.hybrid_rrf_topk_indexed(
+                postings, books, codes, queries, probes, **kw
+            ).collect(),
+        )
+    )
+    pruned = sorted(
+        map(
+            tuple,
+            ret.hybrid_rrf_topk_indexed(
+                postings, books, codes, queries, probes, max_impact=mi, **kw
+            ).collect(),
+        )
+    )
+    assert plain and plain == pruned
