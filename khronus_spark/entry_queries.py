@@ -160,6 +160,7 @@ _PRIORITY = [
     # -- new in round 8: never driver-checked ---------------------------
     "bm25_eval_topk_pruned",
     "ann_ivf_sized",
+    "bm25_chunk_topk_indexed",
     # -- engine paths touched after their newest green row: the BM25
     #    index write now persists max-impact ceilings (hybrid's build
     #    path), and the fused-probe incremental dedup landed post-r7-run
@@ -211,7 +212,6 @@ _PRIORITY = [
     "media_features",
     "media_resize_plan",
     "media_frame_sample",
-    "embedding_rp_project",
 ]
 
 
@@ -5263,6 +5263,38 @@ def bm25_chunk_topk(spark, sf_dir):
     whole-doc BM25's long-document dilution."""
     docs = load_table(spark, sf_dir, "documents")
     return text_ops.bm25_chunk_rank(docs)
+
+
+@register("bm25_chunk_topk_indexed", text_ops.bm25_chunk_rank_sql())
+def bm25_chunk_topk_indexed(spark, sf_dir):
+    """The RAG deployment shape of chunk retrieval: the chunk index
+    PERSISTED (`bm25_chunk_build_index` — postings + query-time
+    constants + max-impact ceilings over the 64/48 windows) and the
+    query answered from it through the EXACT WAND-pruned path
+    (`bm25_chunk_rank_indexed(max_impact=…)`). SAME oracle as
+    `bm25_chunk_topk`: chunk scores are bit-identical by the pruning
+    proof, so max-pooled doc ranks and citation spans are too — the
+    driver hash check pins pruning exactness through the chunk/pool
+    composition, at the chunk index's larger stop-word mass (the
+    overlap factor multiplies posting rows, which is exactly where
+    the ceiling cut bites at scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    queries = docs.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    path = _scratch_dir("bm25_chunk_index")
+    text_ops.bm25_chunk_build_index(corpus, path)
+    postings = text_ops.read_bm25_index(spark, path)
+    df_t, n_docs, avgdl_m = text_ops.read_bm25_stats(spark, path)
+    mi = text_ops.read_bm25_max_impact(spark, path)
+    return text_ops.bm25_chunk_rank_indexed(
+        postings,
+        queries,
+        df_t=df_t,
+        collection_stats=(n_docs, avgdl_m),
+        max_impact=mi,
+    )
 
 
 #: The SIZED LSH preset (round-6 verdict directive 5): parameters come

@@ -3272,6 +3272,14 @@ def bm25_chunk_rank(
         b_pm=b_pm,
         broadcast_queries=broadcast_queries,
     )
+    return _chunk_pool(ranked, stride, k)
+
+
+def _chunk_pool(ranked: DataFrame, stride: int, k: int) -> DataFrame:
+    """Chunk pool → doc results: decode the synthetic chunk key,
+    max-pool each doc's best chunk (score + arg-max chunk in ONE
+    aggregate), rank docs. Query-load-sized throughout. Shared by the
+    inline and indexed chunk rankers — zero drift possible."""
     pooled = (
         ranked.select(
             "query_id",
@@ -3303,6 +3311,79 @@ def bm25_chunk_rank(
         pooled.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
     )
+
+
+def bm25_chunk_build_index(
+    corpus: DataFrame,
+    path: str,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> None:
+    """Persist the CHUNK-granularity BM25 index — what a RAG
+    deployment actually keeps on disk: `chunk_documents` windows the
+    corpus, chunks become synthetic docs under the doc_id·2^20 +
+    chunk_id key, and `write_bm25_index` persists postings + df +
+    collection stats + max-impact ceilings over them. Query with
+    `bm25_chunk_rank_indexed` (optionally exact-pruned)."""
+    chunks = chunk_documents(corpus, chunk_tokens, stride).select(
+        F.expr(f"doc_id * {_CHUNK_KEY_SHIFT} + chunk_id").alias("doc_id"),
+        F.col("chunk_text").alias("text"),
+    )
+    write_bm25_index(bm25_build_postings(chunks), path)
+
+
+def bm25_chunk_rank_indexed(
+    postings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    pool: int = 20,
+    stride: int = 48,
+    k1_pm: int = 1200,
+    b_pm: int = 750,
+    broadcast_queries: bool = True,
+    df_t: DataFrame | None = None,
+    collection_stats: tuple[int, int] | None = None,
+    max_impact: DataFrame | None = None,
+    seed_df_budget: int = 1000,
+) -> DataFrame:
+    """Chunk-granularity BM25 from a PREBUILT chunk index
+    (`bm25_chunk_build_index`) — `bm25_chunk_rank` with the corpus
+    work amortized into the build, and the same `max_impact` knob as
+    the flat ranker: pass the persisted ceiling table and the chunk
+    pool comes from the EXACT WAND-pruned path (chunk scores are
+    bit-identical by the pruning proof, so max-pooling and doc ranks
+    are too — the registry entry shares `bm25_chunk_rank`'s oracle
+    and the driver hash pins it). `stride` must match the build (the
+    span decode is stride-keyed). Chunking multiplies the posting
+    rows (~overlap factor), which makes the stop-word mass LARGER
+    than the flat index's — exactly where the ceiling cut bites at
+    scale."""
+    if max_impact is not None:
+        ranked = bm25_rank_indexed_pruned(
+            postings,
+            max_impact,
+            queries,
+            k=pool,
+            k1_pm=k1_pm,
+            b_pm=b_pm,
+            df_t=df_t,
+            collection_stats=collection_stats,
+            broadcast_queries=broadcast_queries,
+            seed_df_budget=seed_df_budget,
+        )
+    else:
+        ranked = bm25_rank_indexed(
+            postings,
+            queries,
+            k=pool,
+            k1_pm=k1_pm,
+            b_pm=b_pm,
+            broadcast_queries=broadcast_queries,
+            share_postings=False,
+            df_t=df_t,
+            collection_stats=collection_stats,
+        )
+    return _chunk_pool(ranked, stride, k)
 
 
 def bm25_chunk_rank_sql(

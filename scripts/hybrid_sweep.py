@@ -17,11 +17,23 @@ mass scales realistically) and, at each size, measures:
 Expectation: brute grows with corpus size along BOTH axes while the
 indexed query grows only with the scoring mass — the gap widens.
 Prints one JSON line per corpus size; paste into the round notes.
+
+Round 8 adds the PRUNED indexed face (max_impact → exact WAND cut in
+the BM25 branch, bit-identical fusion). Two vocabularies:
+
+- default (replica-suffixed): near-uniform df ⇒ flat ceilings ⇒ the
+  cut is NEUTRAL by construction — reported to show the hostile
+  corner honestly;
+- SPARK_GRAFT_HYBRID_ZIPF=1: the wand_sweep Zipf token transform
+  (stop tier + per-copy noise + topical subwords) and larger
+  replicas — the vocabulary shape real corpora have, where the cut
+  pays past its ~50k-doc crossover.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import tempfile
 import time
@@ -32,8 +44,20 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 SF_DIR = "/root/testdata/sf0.1"
-REPLICAS = [1, 2, 4, 8]
+ZIPF = os.environ.get("SPARK_GRAFT_HYBRID_ZIPF") == "1"
+REPLICAS = [1, 4, 10, 21] if ZIPF else [1, 2, 4, 8]
 EVAL_MOD = 97
+
+#: scripts/wand_sweep.py's Zipf-ish transform, verbatim (see its
+#: comment for the three tiers); applied to corpus AND queries
+ZIPF_TEXT = (
+    "array_join(transform(split(trim(lower(text)), '\\\\s+'), (w, i) -> "
+    "CASE WHEN pmod(xxhash64(w, i, pmod(doc_id, 10000000), 7), 10) < 5 THEN w "
+    "WHEN pmod(xxhash64(w, i, pmod(doc_id, 10000000), 7), 10) < 7 "
+    "THEN concat(w, '#', CAST(pmod(xxhash64(w, i, doc_id, 11), 100000) AS STRING)) "
+    "ELSE concat(w, '_', CAST(pmod(xxhash64(w, i, pmod(doc_id, 10000000), 13), 1000) AS STRING)) END"
+    "), ' ')"
+)
 
 
 def main() -> None:
@@ -90,6 +114,14 @@ def main() -> None:
                 "n_chars",
             )
             parts = c if parts is None else parts.unionAll(c)
+        if ZIPF:
+            parts = parts.select(
+                "doc_id",
+                F.expr(ZIPF_TEXT).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
         docs = parts.localCheckpoint(eager=True)
         n = n_base * reps
 
@@ -114,8 +146,23 @@ def main() -> None:
 
         postings = text_ops.read_bm25_index(spark, f"{out}/bm25")
         df_t, n_docs, avgdl_m = text_ops.read_bm25_stats(spark, f"{out}/bm25")
+        mi = text_ops.read_bm25_max_impact(spark, f"{out}/bm25")
         books_r, codes_r = pq_ops.read_pq_index(spark, f"{out}/pq")
 
+        t_pruned = best_of(
+            lambda: run(
+                ret.hybrid_rrf_topk_indexed(
+                    postings,
+                    books_r,
+                    codes_r,
+                    queries,
+                    probes,
+                    df_t=df_t,
+                    collection_stats=(n_docs, avgdl_m),
+                    max_impact=mi,
+                )
+            )
+        )
         t_indexed = best_of(
             lambda: run(
                 ret.hybrid_rrf_topk_indexed(
@@ -148,10 +195,15 @@ def main() -> None:
             json.dumps(
                 {
                     "n_docs": n,
+                    "zipf_vocab": ZIPF,
                     "brute_s": t_brute,
                     "indexed_query_s": t_indexed,
+                    "indexed_pruned_query_s": t_pruned,
                     "index_build_s": t_build,
                     "speedup": round(t_brute / max(t_indexed, 1e-9), 2),
+                    "speedup_pruned_vs_brute": round(
+                        t_brute / max(t_pruned, 1e-9), 2
+                    ),
                 }
             ),
             flush=True,

@@ -481,3 +481,65 @@ def test_hybrid_indexed_pruned_branch_is_bit_identical(
         )
     )
     assert plain and plain == pruned
+
+
+def test_bm25_chunk_indexed_pruned_matches_inline(spark, tmp_path):
+    """Chunk ranking from the persisted chunk index through the
+    exact-pruned path must be bit-identical to the inline
+    bm25_chunk_rank — on a Zipf-shaped corpus where the cut FIRES
+    (stop words in every chunk, rare needles in few), covering
+    max-pooling and citation spans, not just flat ranks."""
+    from khronus_spark.operators import text as text_ops
+
+    filler = " ".join(
+        f"the of and w{i % 9}" for i in range(60)
+    )  # stop-heavy long docs -> several chunks each
+    rows = [
+        (0, "needle7 quagga", "en", "s", 10),  # query (doc_id % 97 == 0)
+        (97, "needle0 okapi", "en", "s", 10),  # query
+    ] + [
+        (
+            i,
+            filler + (f" needle{i % 11} quagga okapi" if i % 3 == 0 else ""),
+            "en",
+            "s",
+            100,
+        )
+        for i in range(1, 97)
+        if i % 97 != 0
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    inline = sorted(map(tuple, text_ops.bm25_chunk_rank(docs).collect()))
+    path = str(tmp_path / "ci")
+    text_ops.bm25_chunk_build_index(docs.where("doc_id % 97 != 0"), path)
+    postings = text_ops.read_bm25_index(spark, path)
+    df_t, n_docs, avgdl_m = text_ops.read_bm25_stats(spark, path)
+    mi = text_ops.read_bm25_max_impact(spark, path)
+    queries = docs.where("doc_id % 97 = 0").selectExpr(
+        "doc_id as query_id", "text"
+    )
+    kw = dict(df_t=df_t, collection_stats=(n_docs, avgdl_m))
+    plain = sorted(
+        map(
+            tuple,
+            text_ops.bm25_chunk_rank_indexed(postings, queries, **kw).collect(),
+        )
+    )
+    pruned = sorted(
+        map(
+            tuple,
+            text_ops.bm25_chunk_rank_indexed(
+                postings, queries, max_impact=mi, seed_df_budget=30, **kw
+            ).collect(),
+        )
+    )
+    assert inline and inline == plain == pruned
+    # and the cut CAN fire on the chunk postings (k=3: the needle
+    # terms seed a threshold; at the pool size the small fixture has
+    # too few seed docs, which correctly falls back unpruned)
+    surv = text_ops.bm25_pruned_term_survival(
+        postings, mi, queries, k=3, seed_df_budget=30, **kw
+    ).collect()
+    assert any(not r["kept"] for r in surv)
