@@ -2097,6 +2097,25 @@ def write_bm25_index(postings: DataFrame, path: str) -> None:
     bucket postings by `w` so the query-term probe co-locates."""
     postings = postings.localCheckpoint(eager=False)
     postings.write.mode("overwrite").parquet(f"{path}/postings")
+    write_bm25_constants(postings, path)
+
+
+def write_bm25_constants(postings: DataFrame, path: str) -> None:
+    """Write the QUERY-TIME CONSTANTS of a postings table — per-term
+    df, collection stats, max-impact ceilings — under `path`
+    ({path}/df, {path}/stats, {path}/maximpact; `read_bm25_stats` /
+    `read_bm25_max_impact` read them back). The tail of
+    `write_bm25_index`, exposed on its own for HOT indexes: a
+    streaming-maintained postings table
+    (`streaming/retrieval.py::run_streaming_postings_update`) grows
+    per micro-batch, and its constants refresh PERIODICALLY from the
+    accumulated postings into a sibling constants dir — after which
+    the streamed index serves the same indexed/pruned query paths as
+    a batch-built one (test-pinned bit-identical). Between refreshes
+    the constants lag the postings, which only staleness-shifts
+    scores uniformly (df/N/avgdl are collection-level); the pruning
+    proof needs ceilings CONSISTENT with the df/stats used at query
+    time, which reading all three from one refresh guarantees."""
     df_t = postings.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     df_t = df_t.localCheckpoint(eager=False)
     df_t.write.mode("overwrite").parquet(f"{path}/df")

@@ -153,3 +153,41 @@ def test_hybrid_from_streamed_postings_matches_batch_face(
         bm25_build_postings(corpus), books, codes, queries, probes
     )
     assert _rows(got) == _rows(want) and _rows(got)
+
+
+def test_refreshed_constants_enable_pruned_path_on_streamed_index(
+    spark, staged_docs
+):
+    """A hot streamed index gains the exact-pruned query path by a
+    periodic constants refresh (`write_bm25_constants` over the
+    accumulated postings into a sibling dir): pruned scores from the
+    streamed postings + refreshed constants equal the batch rank and
+    the unpruned indexed face, bit for bit."""
+    from khronus_spark.operators.text import (
+        bm25_rank_indexed_pruned,
+        read_bm25_max_impact,
+        read_bm25_stats,
+        write_bm25_constants,
+    )
+
+    tmp, docs = staged_docs
+    corpus, queries = _corpus_and_queries(docs)
+    # own stream run (no dependence on sibling tests' index dirs)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp}/in/*")
+    )
+    q = run_streaming_postings_update(
+        stream, index_path=f"{tmp}/idx_c", checkpoint_path=f"{tmp}/ckpt_c"
+    )
+    q.awaitTermination(300)
+    streamed = read_streamed_postings(spark, f"{tmp}/idx_c")
+    write_bm25_constants(streamed, f"{tmp}/const")
+    df_t, n_docs, avgdl_m = read_bm25_stats(spark, f"{tmp}/const")
+    mi = read_bm25_max_impact(spark, f"{tmp}/const")
+    got = bm25_rank_indexed_pruned(
+        streamed, mi, queries, df_t=df_t, collection_stats=(n_docs, avgdl_m)
+    )
+    want = bm25_rank(docs, eval_mod=EVAL_MOD)
+    assert _rows(got) == _rows(want)
