@@ -510,6 +510,23 @@ def ivf_size_for_recall(
         if sample_mod <= 1
         else embeddings.where(F.col("vec_id") % sample_mod == 0)
     )
+    if sample_mod > 1:
+        # probes excluded by the carve would silently shrink the recall
+        # median (possibly to an empty set misreported as "recall
+        # unreachable") — a caller mismatch, not an index property
+        surviving = {
+            r["vec_id"]
+            for r in corpus.where(F.col("vec_id").isin(probe_ids))
+            .select("vec_id")
+            .collect()
+        }
+        missing = [p for p in probe_ids if p not in surviving]
+        if missing:
+            raise ValueError(
+                f"probe_ids {missing} are excluded by sample_mod="
+                f"{sample_mod} (vec_id % {sample_mod} == 0); size with "
+                "probes that survive the carve"
+            )
     n_corpus = corpus.count()
     max_probe = max(p for p in nprobe_grid)
     methods: dict[str, DataFrame] = {}

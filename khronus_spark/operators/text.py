@@ -2111,11 +2111,22 @@ def write_bm25_constants(postings: DataFrame, path: str) -> None:
     per micro-batch, and its constants refresh PERIODICALLY from the
     accumulated postings into a sibling constants dir — after which
     the streamed index serves the same indexed/pruned query paths as
-    a batch-built one (test-pinned bit-identical). Between refreshes
-    the constants lag the postings, which only staleness-shifts
-    scores uniformly (df/N/avgdl are collection-level); the pruning
-    proof needs ceilings CONSISTENT with the df/stats used at query
-    time, which reading all three from one refresh guarantees."""
+    a batch-built one (test-pinned bit-identical).
+
+    EXACTNESS CONTRACT for the PRUNED path: the ceilings are upper
+    bounds only over the postings they were built from. Serving
+    `bm25_rank_indexed_pruned` against postings that grew PAST the
+    refresh is unsound — a new posting whose tf exceeds the build's
+    maximum for its term can out-score a stale ceiling, and a doc
+    the exact top-k contains could then be pruned away. Serve the
+    pruned path from the SAME postings snapshot the constants were
+    refreshed from: for the streaming layout, query
+    `read_streamed_postings(spark, path, upto_batch=<refresh
+    boundary>)` — index-as-of-refresh semantics, the standard search
+    -tier contract (new docs appear at the next refresh). The PLAIN
+    `bm25_rank_indexed` face has no such hazard: stale constants
+    score every doc with the same collection stats, so its ranking
+    stays internally consistent over live postings."""
     df_t = postings.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     df_t = df_t.localCheckpoint(eager=False)
     df_t.write.mode("overwrite").parquet(f"{path}/df")
@@ -2131,6 +2142,10 @@ def write_bm25_constants(postings: DataFrame, path: str) -> None:
     )
     spark = postings.sparkSession
     n_docs, avgdl_m = spark.read.parquet(f"{path}/stats").collect()[0]
+    # empty postings: sum(dl) div count(1) is NULL on zero rows; the
+    # degenerate index must still build (as it did before the ceiling
+    # table existed) — ceilings over zero postings are an empty table
+    avgdl_m = 0 if avgdl_m is None else avgdl_m
     # per-term score ceilings for the exact-pruned query path, built at
     # the default scoring parameters (read_bm25_max_impact asserts);
     # df/stats are reused, so this is ONE more pass over the postings
@@ -2159,7 +2174,8 @@ def read_bm25_stats(spark, path: str) -> tuple[DataFrame, int, int]:
     (vocab-sized)."""
     df_t = spark.read.parquet(f"{path}/df").select("w", "df")
     n_docs, avgdl_m = spark.read.parquet(f"{path}/stats").collect()[0]
-    return df_t, int(n_docs), int(avgdl_m)
+    # degenerate empty index: zero docs leave avgdl NULL
+    return df_t, int(n_docs), int(avgdl_m) if avgdl_m is not None else 0
 
 
 def bm25_rank_indexed(
@@ -2325,6 +2341,8 @@ def read_bm25_max_impact(
     pruning proof)."""
     mi = spark.read.parquet(f"{path}/maximpact")
     built = mi.select("k1_pm", "b_pm").first()
+    if built is None:  # empty (degenerate) index: nothing to assert
+        return mi.select("w", "u")
     if (built["k1_pm"], built["b_pm"]) != (k1_pm, b_pm):
         raise ValueError(
             f"max-impact index built at k1_pm={built['k1_pm']}, "
@@ -2405,7 +2423,7 @@ def bm25_rank_indexed_pruned(
         seed_df_budget=seed_df_budget,
     )
     candidates = (
-        postings.join(F.broadcast(p["p_terms"]), "w")
+        postings.join(p["maybe_b"](p["p_terms"]), "w")
         .select("query_id", "doc_id")
         .distinct()
     )
@@ -2451,7 +2469,7 @@ def bm25_pruned_term_survival(
         seed_df_budget=seed_df_budget,
     )
     return p["qu"].join(
-        F.broadcast(p["thresholds"]), "query_id", "left"
+        p["maybe_b"](p["thresholds"]), "query_id", "left"
     ).select(
         "query_id",
         "w",
@@ -2497,6 +2515,11 @@ def _bm25_pruned_plan(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    # every probe-side frame in this plan (qterms, seeds, thresholds,
+    # surviving terms) has query-load cardinality; the flag that lets a
+    # corpus-scaled query load avoid a forced driver broadcast must
+    # govern ALL of them, not just qterms
+    maybe_b = F.broadcast if broadcast_queries else (lambda df: df)
     if broadcast_queries:
         qterms = F.broadcast(qterms)
 
@@ -2559,7 +2582,7 @@ def _bm25_pruned_plan(
         (F.col("_rn") == 1) | (F.col("_cumdf") <= seed_df_budget)
     ).select("query_id", "w")
     seed_docs = (
-        postings.join(F.broadcast(seeds), "w")
+        postings.join(maybe_b(seeds), "w")
         .select("query_id", "doc_id")
         .distinct()
     )
@@ -2575,7 +2598,7 @@ def _bm25_pruned_plan(
 
     # phase 2: drop the maximal low-ceiling suffix summing < T
     p_terms = (
-        qu.join(F.broadcast(thresholds), "query_id", "left")
+        qu.join(maybe_b(thresholds), "query_id", "left")
         .where(F.col("_t").isNull() | (F.col("_sfx") >= F.col("_t")))
         .select("query_id", "w")
     )
@@ -2585,6 +2608,7 @@ def _bm25_pruned_plan(
         "p_terms": p_terms,
         "scorer": scorer,
         "w_rank": w_rank,
+        "maybe_b": maybe_b,
     }
 
 
@@ -3600,10 +3624,18 @@ def normalize_text_nfkc(
     _norm_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
     _norm = pandas_udf(_norm_fn, "string")
 
-    cleaned = _norm(F.col(text_col))
-    return docs.select(
+    # two-step projection: materialize the UDF column once, derive the
+    # cheap columns from it — three references to the UDF expression in
+    # one select can evaluate the per-value NFKC work three times
+    # (optimizer dedup of extracted Python UDFs is not guaranteed)
+    normed = docs.select(
         "doc_id",
-        cleaned.alias("text_norm"),
-        F.length(cleaned).cast("long").alias("n_chars_norm"),
-        (~cleaned.eqNullSafe(F.col(text_col))).alias("changed"),
+        F.col(text_col).alias("_orig"),
+        _norm(F.col(text_col)).alias("text_norm"),
+    )
+    return normed.select(
+        "doc_id",
+        "text_norm",
+        F.length("text_norm").cast("long").alias("n_chars_norm"),
+        (~F.col("text_norm").eqNullSafe(F.col("_orig"))).alias("changed"),
     )

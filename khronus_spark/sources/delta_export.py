@@ -37,9 +37,18 @@ Design points, stated exactly:
   themselves. (Delta's physical-partitioning convention expects the
   partition column REMOVED from the data files — exporting our
   layout as physically partitioned would double the column.)
-- `schemaString` derives from the newest live staged file via Spark;
-  heterogeneous-schema histories are rejected loudly (Delta pins one
-  schema per metaData action; this exporter writes metaData once).
+- `schemaString` derives per exported version from that version's
+  snapshot (heterogeneous partitions WITHIN one snapshot are rejected
+  loudly); cross-version schema drift is REPRESENTED, not hidden — a
+  version whose snapshot schema differs from the last published
+  metaData carries a new metaData action, the spec's own evolution
+  mechanism, and the clean-room reader honors the latest metaData at
+  or before the read version.
+- Removes of superseded staged dirs come from replaying the exported
+  log's add/remove actions, never from listing the dir — a
+  superseded dir may legitimately have been vacuumed. Vacuuming
+  history that was NEVER exported is detected on the add side and
+  refused with a clear error instead of a partial export.
 - No checkpoint parquet / `_last_checkpoint` is written: the spec
   makes checkpoints an optimization, and readers fall back to full
   log replay. A TxnTable history is rollup-sized (tens to thousands
@@ -127,6 +136,31 @@ def _schema_string(spark: SparkSession, table: TxnTable, version: int) -> str:
     return schema.json()
 
 
+def _replay_exported(log_dir: str, upto_delta: int) -> tuple[str | None, set[str]]:
+    """(last metaData schemaString, active rel paths) from the
+    already-exported Delta commits ≤ `upto_delta` — the incremental
+    export's starting state. Lets removes of superseded dirs come
+    from the LOG instead of a directory listing (the dir may have
+    been vacuumed), and schema drift be detected against what was
+    actually published."""
+    schema_json = None
+    active: set[str] = set()
+    for v in range(upto_delta + 1):
+        path = os.path.join(log_dir, f"{v:020d}.json")
+        with open(path) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "metaData" in action:
+                    schema_json = action["metaData"]["schemaString"]
+                elif "add" in action:
+                    active.add(action["add"]["path"])
+                elif "remove" in action:
+                    active.discard(action["remove"]["path"])
+    return schema_json, active
+
+
 def exported_delta_version(table: TxnTable) -> int | None:
     """Highest Delta version already exported (None = no log)."""
     log_dir = _delta_dir(table)
@@ -151,22 +185,51 @@ def export_delta_log(
     external-engine-readable Delta table. Incremental and idempotent:
     existing Delta commit files are immutable and skipped; returns
     the number of Delta commits written by THIS call."""
-    upto = table.version() if upto_version is None else upto_version
+    latest = table.version()
+    upto = latest if upto_version is None else upto_version
     if upto < 1:
         raise ValueError("nothing to export: table has no commits")
+    if upto > latest:
+        # snapshot_files past the log silently repeats the latest
+        # snapshot; exporting phantom empty Delta versions would
+        # permanently desync the version mapping
+        raise ValueError(
+            f"upto_version={upto} is ahead of the table "
+            f"(latest={latest}); phantom Delta commits would desync "
+            "the version-for-version mapping forever"
+        )
     log_dir = _delta_dir(table)
     os.makedirs(log_dir, exist_ok=True)
     done = exported_delta_version(table)
     start_txn = 1 if done is None else done + 2  # delta v ↔ txn v+1
+    if done is None:
+        cur_schema, active = None, set()
+    else:
+        cur_schema, active = _replay_exported(log_dir, done)
     written = 0
     for txn_v in range(start_txn, upto + 1):
         delta_v = txn_v - 1
         prev = table.snapshot_files(txn_v - 1) if txn_v > 1 else {}
         cur = table.snapshot_files(txn_v)
+        missing = {k: d for k, d in cur.items() if not os.path.isdir(d)}
+        if missing:
+            raise RuntimeError(
+                f"txn version {txn_v} references staged dirs that no "
+                f"longer exist ({sorted(missing)}) — vacuum() deleted "
+                "history that was never exported; export before "
+                "vacuuming past it (already-exported versions remain "
+                "valid)"
+            )
         now_ms = int(time.time() * 1000)
         actions: list[dict] = []
         if delta_v == 0:
             actions.append({"protocol": _PROTOCOL})
+        # schema drift is represented, not hidden: the snapshot schema
+        # at THIS version (heterogeneity within it still refuses);
+        # when it differs from the last published metaData, a new
+        # metaData action rides this commit (the spec's mechanism)
+        version_schema = _schema_string(spark, table, txn_v)
+        if version_schema != cur_schema:
             actions.append(
                 {
                     "metaData": {
@@ -174,40 +237,49 @@ def export_delta_log(
                             uuid.uuid5(uuid.NAMESPACE_URL, table.root)
                         ),
                         "format": {"provider": "parquet", "options": {}},
-                        "schemaString": _schema_string(spark, table, upto),
+                        "schemaString": version_schema,
                         "partitionColumns": [],
                         "configuration": {},
                         "createdTime": now_ms,
                     }
                 }
             )
+            cur_schema = version_schema
         # a partition's dir changed or vanished -> remove old files;
         # changed or appeared -> add new files. Untouched keys emit
-        # nothing (Delta logs are deltas).
+        # nothing (Delta logs are deltas). Removes come from the
+        # REPLAYED active set, never a directory listing — a
+        # superseded dir may already be vacuumed.
         for key in sorted(set(prev) | set(cur)):
             old, new = prev.get(key), cur.get(key)
             if old == new:
                 continue
             if old is not None:
                 rel_old = os.path.relpath(old, table.root)
-                for f in _data_files(old):
+                for rel in sorted(
+                    p for p in active if p.startswith(rel_old + "/")
+                ):
                     actions.append(
                         {
                             "remove": {
-                                "path": f"{rel_old}/{f}",
+                                "path": rel,
                                 "deletionTimestamp": now_ms,
                                 "dataChange": True,
                             }
                         }
                     )
+                active = {
+                    p for p in active if not p.startswith(rel_old + "/")
+                }
             if new is not None:
                 rel_new = os.path.relpath(new, table.root)
                 for f in _data_files(new):
                     full = os.path.join(new, f)
+                    rel = f"{rel_new}/{f}"
                     actions.append(
                         {
                             "add": {
-                                "path": f"{rel_new}/{f}",
+                                "path": rel,
                                 "partitionValues": {},
                                 "size": os.path.getsize(full),
                                 "modificationTime": int(
@@ -217,6 +289,7 @@ def export_delta_log(
                             }
                         }
                     )
+                    active.add(rel)
         if _atomic_write(log_dir, f"{delta_v:020d}.json", actions):
             written += 1
     return written

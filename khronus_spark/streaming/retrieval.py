@@ -32,6 +32,7 @@ matters (plain parquet rewrite — the table is already unique-keyed).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from khronus_spark.operators.text import bm25_build_postings
 
@@ -58,7 +59,18 @@ def run_streaming_postings_update(
     )
 
 
-def read_streamed_postings(spark, index_path: str) -> DataFrame:
-    """The accumulated postings table across all landed batches —
-    feed straight into `bm25_rank_indexed`."""
-    return spark.read.parquet(index_path).select("doc_id", "dl", "w", "tf")
+def read_streamed_postings(
+    spark, index_path: str, upto_batch: int | None = None
+) -> DataFrame:
+    """The accumulated postings table across landed batches — feed
+    straight into `bm25_rank_indexed`. `upto_batch` pins the
+    index-as-of-refresh SNAPSHOT (batches ≤ the bound; Hive-style
+    partition pruning, no late dirs touched) — REQUIRED when serving
+    the exact-pruned path against periodically refreshed constants:
+    ceilings upper-bound only the postings they were built from, so
+    the pruned query must see exactly that snapshot
+    (`text.write_bm25_constants` docstring states the contract)."""
+    df = spark.read.parquet(index_path)
+    if upto_batch is not None:
+        df = df.where(F.col("batch") <= upto_batch)
+    return df.select("doc_id", "dl", "w", "tf")

@@ -105,25 +105,48 @@ def scd2_upsert_sink(table: TxnTable, week_ms: int = WEEK_MS, n_buckets: int = 8
         if not batch_df.columns:
             return
         spark = batch_df.sparkSession
+        # deterministic within-batch dedup: min(struct) picks the same
+        # payload for a duplicated event_id on every (re)delivery —
+        # dropDuplicates' arbitrary pick could commit different content
+        # on replay. Precondition (stated in run_streaming_scd2): an
+        # event_id is an IMMUTABLE fact identity — redeliveries carry
+        # the same payload, so the pick only ever breaks exact-duplicate
+        # ties and the replaced-row fold below is a no-op in-contract.
         batch = (
             batch_df.select(*_FACT_COLS)
-            .dropDuplicates(["event_id"])
+            .groupBy("event_id")
+            .agg(F.min(F.struct("user_id", "ts", "event_type")).alias("_m"))
+            .select("event_id", "_m.user_id", "_m.ts", "_m.event_type")
             .withColumn("bucket", _bucket("user_id", n_buckets))
             .localCheckpoint(eager=True)
         )
         buckets = [r["bucket"] for r in batch.select("bucket").distinct().collect()]
         if not buckets:
             return
-        touched = batch.select("user_id").distinct().localCheckpoint(eager=True)
+        batch_users = batch.select("user_id").distinct()
         new_ids = batch.select("event_id")
         for _ in range(8):
             version = table.version()
             parts: dict[str, DataFrame] = {}
             merged_by_bucket: dict[int, DataFrame] = {}
+            replaced_users = None
             for b in buckets:
                 existing = table.read_partition(spark, f"facts/bucket={b}", version)
                 part = batch.where(F.col("bucket") == b).drop("bucket")
                 if existing is not None:
+                    # users whose rows the upsert replaces: normally the
+                    # batch's own users (identical redelivery), but an
+                    # out-of-contract payload drift within the bucket
+                    # still keeps dim(v) == intervals(facts(v)) because
+                    # the old row's user rebuilds too
+                    repl = existing.join(
+                        new_ids, ["event_id"], "left_semi"
+                    ).select("user_id")
+                    replaced_users = (
+                        repl
+                        if replaced_users is None
+                        else replaced_users.unionByName(repl)
+                    )
                     keep = existing.join(new_ids, ["event_id"], "left_anti")
                     part = keep.unionByName(part)
                 # one materialization: the partition write AND the
@@ -131,6 +154,10 @@ def scd2_upsert_sink(table: TxnTable, week_ms: int = WEEK_MS, n_buckets: int = 8
                 part = part.localCheckpoint(eager=False)
                 merged_by_bucket[b] = part
                 parts[f"facts/bucket={b}"] = part
+            touched = batch_users
+            if replaced_users is not None:
+                touched = touched.unionByName(replaced_users)
+            touched = touched.distinct().localCheckpoint(eager=True)
             history = None
             for b in buckets:
                 h = merged_by_bucket[b]
@@ -172,7 +199,17 @@ def run_streaming_scd2(
     every micro-batch upserts facts and corrects exactly the touched
     users' chains, atomically (module docstring). `events_stream` is
     (event_id, user_id, ts (epoch-ns), event_type, ...) — extra
-    columns are dropped."""
+    columns are dropped.
+
+    PRECONDITION: `event_id` is an immutable fact identity —
+    redeliveries of an id carry the SAME payload (in particular the
+    same user_id, hence the same bucket). Within-batch duplicate ids
+    resolve deterministically (min-struct); a same-bucket payload
+    drift still preserves the per-version consistency invariant (the
+    replaced row's user rebuilds too), but an id re-keyed to a user
+    in a DIFFERENT bucket is out of contract: the old bucket is not
+    part of the commit, so the stale copy would persist until that
+    bucket is next touched."""
     return (
         events_stream.writeStream.foreachBatch(
             scd2_upsert_sink(table, week_ms, n_buckets)

@@ -149,10 +149,20 @@ def main() -> None:
                 )
             )
         )
-        # the BRUTE baseline (inline tokenize + df/stats per query
-        # load, no index at all) — one run, it is the slow face by
-        # construction and only anchors the indexed-vs-brute ratio
-        t_brute = best_of(lambda: run(text_ops.bm25_rank(docs, k=5)), n=1)
+        # the BRUTE baseline (inline postings build + df/stats per
+        # query run, no persisted index) at the SAME fixed rep-0 query
+        # load as the indexed faces — bm25_rank's internal carve would
+        # hand every replica its own query set and inflate the ratio
+        # by ~the replica factor. One run: it is the slow face by
+        # construction and only anchors the indexed-vs-brute ratio.
+        t_brute = best_of(
+            lambda: run(
+                text_ops.bm25_rank_indexed(
+                    text_ops.bm25_build_postings(corpus), queries, k=5
+                )
+            ),
+            n=1,
+        )
 
         a = sorted(
             map(

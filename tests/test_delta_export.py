@@ -191,3 +191,68 @@ def test_export_of_the_txn_summary_store(spark, tmp_path, sf_dir):
     )
     want = _content(t.read_all(spark).select("metric", "ts", "count"))
     assert got == want and got
+
+
+def test_export_upto_ahead_of_table_refuses(spark, table):
+    with pytest.raises(ValueError, match="ahead of the table"):
+        export_delta_log(spark, table, upto_version=99)
+
+
+def test_schema_evolution_emits_new_metadata(spark, tmp_path):
+    """A version whose snapshot schema differs from the last published
+    metaData carries a NEW metaData action (the spec's evolution
+    mechanism); the reader honors the latest metaData <= the read
+    version on both sides of the change."""
+    t = TxnTable(str(tmp_path / "se"))
+    t.commit({"k": _df(spark, [("a", 1, 1)])})
+    t.commit(
+        {
+            "k": spark.createDataFrame(
+                [("a", 1, 1, "x")],
+                "metric string, ts long, count long, note string",
+            )
+        }
+    )
+    export_delta_log(spark, t)
+    log_dir = os.path.join(t.root, "_delta_log")
+    metas = []
+    for v in range(2):
+        for line in open(os.path.join(log_dir, f"{v:020d}.json")):
+            a = json.loads(line)
+            if "metaData" in a:
+                metas.append((v, a["metaData"]["schemaString"]))
+    assert [v for v, _ in metas] == [0, 1]
+    assert "note" not in metas[0][1] and "note" in metas[1][1]
+    old = read_delta_snapshot(spark, t.root, 0)
+    new = read_delta_snapshot(spark, t.root, 1)
+    assert old.columns == ["metric", "ts", "count"]
+    assert new.columns == ["metric", "ts", "count", "note"]
+    assert {tuple(r) for r in new.collect()} == {("a", 1, 1, "x")}
+
+
+def test_vacuumed_superseded_dir_removes_come_from_log(spark, tmp_path):
+    """Removes never list directories: a superseded dir vacuumed
+    between exports is removed via the replayed log, and the export
+    completes; reading delta versions past the vacuumed history fails
+    only at the data files (Delta's own retention semantics)."""
+    t = TxnTable(str(tmp_path / "v"))
+    t.commit({"k": _df(spark, [("a", 1, 1)])})
+    t.commit({"k": _df(spark, [("a", 1, 2)])})
+    export_delta_log(spark, t)  # versions 1..2 exported
+    t.commit({"k": _df(spark, [("a", 1, 3)])})
+    # v2's dir is superseded by v3 and unreferenced >= keep_from=3
+    t.vacuum(keep_from_version=3, grace_seconds=0)
+    assert export_delta_log(spark, t) == 1
+    got = {tuple(r) for r in read_delta_snapshot(spark, t.root).collect()}
+    assert got == {("a", 1, 3)}
+
+
+def test_vacuum_of_unexported_history_refuses_clearly(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "vu"))
+    t.commit({"k": _df(spark, [("a", 1, 1)])})
+    export_delta_log(spark, t)  # only version 1 exported
+    t.commit({"k": _df(spark, [("a", 1, 2)])})
+    t.commit({"k": _df(spark, [("a", 1, 3)])})
+    t.vacuum(keep_from_version=3, grace_seconds=0)  # deletes v2's dir
+    with pytest.raises(RuntimeError, match="vacuum"):
+        export_delta_log(spark, t)

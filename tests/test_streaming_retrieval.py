@@ -191,3 +191,23 @@ def test_refreshed_constants_enable_pruned_path_on_streamed_index(
     )
     want = bm25_rank(docs, eval_mod=EVAL_MOD)
     assert _rows(got) == _rows(want)
+
+
+def test_empty_corpus_index_builds_and_reads(spark, tmp_path):
+    """Degenerate but reachable (empty carve; constants refresh before
+    the first micro-batch): the index build and the stats read-back
+    must complete with (0, 0) instead of dying on a NULL avgdl."""
+    import tempfile
+
+    from khronus_spark.operators.text import (
+        read_bm25_max_impact,
+        read_bm25_stats,
+        write_bm25_index,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "empty_idx")
+    write_bm25_index(bm25_build_postings(docs.where("doc_id < 0")), path)
+    df_t, n_docs, avgdl_m = read_bm25_stats(spark, path)
+    assert (n_docs, avgdl_m) == (0, 0) and df_t.count() == 0
+    assert read_bm25_max_impact(spark, path).count() == 0
