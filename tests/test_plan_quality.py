@@ -677,6 +677,12 @@ def test_scd2_backfill_and_sized_recall_stay_distributed(
         assert "SinglePartition" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "CartesianProduct" not in plan, name
+    # the sized-IVF face: the centroid cross is the broadcast
+    # probes × nlist-row centroid table (bounded metadata, by design);
+    # nothing else may nest-loop and no stage may funnel
+    plan = _plan(spark, oracle_sf_dir, "ann_ivf_sized")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2  # probe×centroids
 
 
 def test_zorder_curve_topk_is_take_ordered(spark, oracle_sf_dir):
