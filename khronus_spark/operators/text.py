@@ -2100,7 +2100,9 @@ def write_bm25_index(postings: DataFrame, path: str) -> None:
     write_bm25_constants(postings, path)
 
 
-def write_bm25_constants(postings: DataFrame, path: str) -> None:
+def write_bm25_constants(
+    postings: DataFrame, path: str, upto_batch: int | None = None
+) -> None:
     """Write the QUERY-TIME CONSTANTS of a postings table — per-term
     df, collection stats, max-impact ceilings — under `path`
     ({path}/df, {path}/stats, {path}/maximpact; `read_bm25_stats` /
@@ -2123,10 +2125,14 @@ def write_bm25_constants(postings: DataFrame, path: str) -> None:
     refreshed from: for the streaming layout, query
     `read_streamed_postings(spark, path, upto_batch=<refresh
     boundary>)` — index-as-of-refresh semantics, the standard search
-    -tier contract (new docs appear at the next refresh). The PLAIN
-    `bm25_rank_indexed` face has no such hazard: stale constants
-    score every doc with the same collection stats, so its ranking
-    stays internally consistent over live postings."""
+    -tier contract (new docs appear at the next refresh). Pass
+    `upto_batch` here to RECORD that boundary with the constants
+    ({path}/boundary; `read_bm25_boundary` returns it and
+    `streaming/retrieval.py::refresh_streamed_constants` /
+    `read_pruned_snapshot` wire the whole loop so misuse takes
+    effort). The PLAIN `bm25_rank_indexed` face has no such hazard:
+    stale constants score every doc with the same collection stats,
+    so its ranking stays internally consistent over live postings."""
     df_t = postings.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     df_t = df_t.localCheckpoint(eager=False)
     df_t.write.mode("overwrite").parquet(f"{path}/df")
@@ -2154,6 +2160,22 @@ def write_bm25_constants(postings: DataFrame, path: str) -> None:
         df_t=df_t,
         collection_stats=(int(n_docs), int(avgdl_m)),
     ).write.mode("overwrite").parquet(f"{path}/maximpact")
+    if upto_batch is not None:
+        spark.createDataFrame(
+            [(int(upto_batch),)], "upto_batch long"
+        ).write.mode("overwrite").parquet(f"{path}/boundary")
+
+
+def read_bm25_boundary(spark, path: str) -> int | None:
+    """The postings-snapshot boundary recorded with a constants
+    refresh (`write_bm25_constants(upto_batch=…)`), or None when the
+    refresh recorded none (a batch-built index, whose postings ARE
+    the snapshot)."""
+    import os
+
+    if not os.path.isdir(f"{path}/boundary"):
+        return None
+    return int(spark.read.parquet(f"{path}/boundary").first()["upto_batch"])
 
 
 def read_bm25_index(spark, path: str) -> DataFrame:

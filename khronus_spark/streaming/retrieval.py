@@ -74,3 +74,69 @@ def read_streamed_postings(
     if upto_batch is not None:
         df = df.where(F.col("batch") <= upto_batch)
     return df.select("doc_id", "dl", "w", "tf")
+
+
+def landed_batches(index_path: str) -> list[int]:
+    """Batch ids with landed postings parts (directory names, no data
+    read) — the refresh boundary source."""
+    import os
+
+    out = []
+    for name in os.listdir(index_path):
+        if name.startswith("batch="):
+            try:
+                out.append(int(name.split("=", 1)[1]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def refresh_streamed_constants(spark, index_path: str, const_path: str) -> int:
+    """The periodic constants refresh of a hot streamed index, with
+    the snapshot boundary RECORDED: read the postings as of the
+    currently landed batches, write df/stats/max-impact ceilings plus
+    that boundary into `const_path`, and return the boundary.
+    `read_pruned_snapshot` then reconstructs a self-consistent
+    (postings, constants) pair — the exactness contract of the pruned
+    path without the caller tracking batch ids by hand."""
+    from khronus_spark.operators.text import write_bm25_constants
+
+    batches = landed_batches(index_path)
+    if not batches:
+        raise ValueError(f"no landed postings batches under {index_path}")
+    boundary = batches[-1]
+    write_bm25_constants(
+        read_streamed_postings(spark, index_path, upto_batch=boundary),
+        const_path,
+        upto_batch=boundary,
+    )
+    return boundary
+
+
+def read_pruned_snapshot(spark, index_path: str, const_path: str):
+    """(postings, df_t, collection_stats, max_impact) at the
+    RECORDED refresh boundary — everything `bm25_rank_indexed_pruned`
+    needs, guaranteed self-consistent: the postings read is pinned to
+    the batches the constants were built from (ceilings upper-bound
+    exactly these postings; batches landed since the refresh are
+    invisible until the next one — index-as-of-refresh semantics).
+    Refuses constants that recorded no boundary: over a growing index
+    they cannot prove which snapshot they describe."""
+    from khronus_spark.operators.text import (
+        read_bm25_boundary,
+        read_bm25_max_impact,
+        read_bm25_stats,
+    )
+
+    boundary = read_bm25_boundary(spark, const_path)
+    if boundary is None:
+        raise ValueError(
+            f"constants at {const_path} record no snapshot boundary; "
+            "refresh with refresh_streamed_constants (or "
+            "write_bm25_constants(upto_batch=…)) — the pruned path "
+            "needs ceilings provably consistent with the postings"
+        )
+    postings = read_streamed_postings(spark, index_path, upto_batch=boundary)
+    df_t, n_docs, avgdl_m = read_bm25_stats(spark, const_path)
+    mi = read_bm25_max_impact(spark, const_path)
+    return postings, df_t, (n_docs, avgdl_m), mi

@@ -211,3 +211,64 @@ def test_empty_corpus_index_builds_and_reads(spark, tmp_path):
     df_t, n_docs, avgdl_m = read_bm25_stats(spark, path)
     assert (n_docs, avgdl_m) == (0, 0) and df_t.count() == 0
     assert read_bm25_max_impact(spark, path).count() == 0
+
+
+def test_refresh_boundary_pins_the_pruned_snapshot(spark, staged_docs):
+    """The recorded-boundary loop: refresh_streamed_constants pins the
+    snapshot; batches landing AFTER the refresh are invisible to the
+    pruned read (index-as-of-refresh) until the next refresh picks
+    them up; constants without a boundary are refused."""
+    from khronus_spark.operators.text import bm25_rank_indexed_pruned
+    from khronus_spark.streaming.retrieval import (
+        landed_batches,
+        read_pruned_snapshot,
+        refresh_streamed_constants,
+    )
+
+    tmp, docs = staged_docs
+    corpus, queries = _corpus_and_queries(docs)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp}/in/*")
+    )
+    q = run_streaming_postings_update(
+        stream, index_path=f"{tmp}/idx_b", checkpoint_path=f"{tmp}/ckpt_b"
+    )
+    q.awaitTermination(300)
+    boundary = refresh_streamed_constants(spark, f"{tmp}/idx_b", f"{tmp}/cb")
+    assert boundary == landed_batches(f"{tmp}/idx_b")[-1]
+
+    # a late batch lands AFTER the refresh (simulated directly)
+    late = spark.createDataFrame(
+        [(424242, "zyzzyva " * 5, "en", "s", 40)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    bm25_build_postings(late).write.mode("overwrite").parquet(
+        f"{tmp}/idx_b/batch={boundary + 1}"
+    )
+
+    postings, df_t, stats, mi = read_pruned_snapshot(
+        spark, f"{tmp}/idx_b", f"{tmp}/cb"
+    )
+    got = bm25_rank_indexed_pruned(
+        postings, mi, queries, df_t=df_t, collection_stats=stats
+    )
+    # the pinned snapshot equals the pre-late-batch batch rank, and
+    # the late doc is invisible
+    want = bm25_rank(docs, eval_mod=EVAL_MOD)
+    assert _rows(got) == _rows(want)
+    assert postings.where("doc_id = 424242").count() == 0
+
+    # next refresh picks the late batch up
+    b2 = refresh_streamed_constants(spark, f"{tmp}/idx_b", f"{tmp}/cb2")
+    assert b2 == boundary + 1
+    p2, _, _, _ = read_pruned_snapshot(spark, f"{tmp}/idx_b", f"{tmp}/cb2")
+    assert p2.where("doc_id = 424242").count() > 0
+
+    # boundary-less constants refuse the pruned snapshot read
+    from khronus_spark.operators.text import write_bm25_constants
+
+    write_bm25_constants(postings, f"{tmp}/cnb")
+    with pytest.raises(ValueError, match="boundary"):
+        read_pruned_snapshot(spark, f"{tmp}/idx_b", f"{tmp}/cnb")
