@@ -996,14 +996,20 @@ def incremental_dedup(
     map-only; the result spine rides the SAME per-doc aggregate via a
     sentinel row per doc (no post-aggregate spine join).
 
-    PRECONDITION: corpus and batch doc ids are DISJOINT (the
-    continuous-ingest contract — a batch is new documents, not
-    re-ingested corpus rows). The fused min(struct(partner, _s))
-    aggregate relies on it: a doc id present on BOTH sides would tie on
-    `partner` and resolve by _s, attributing dup_src='corpus' (the
-    pre-fusion case ladder said 'batch' for that corner). Re-ingestion
-    flows should dedupe ids before probing or accept the corpus-wins
-    tie."""
+    PRECONDITIONS (all three from the continuous-ingest contract):
+    (1) corpus and batch doc ids are DISJOINT — a batch is new
+    documents, not re-ingested corpus rows. The fused
+    min(struct(partner, _s)) aggregate relies on it: a doc id present
+    on BOTH sides would tie on `partner` and resolve by _s,
+    attributing dup_src='corpus' (the pre-fusion case ladder said
+    'batch' for that corner). Re-ingestion flows should dedupe ids
+    before probing or accept the corpus-wins tie. (2) batch doc ids
+    are UNIQUE within the batch — the fused spine is a groupBy over
+    doc_id, so duplicate input ids collapse to one verdict row (the
+    pre-fusion left-join spine preserved input multiplicity).
+    (3) doc_id < 2^62 — the spine sentinel uses 1<<62 as an
+    above-any-real-partner marker; ids at or past it would silently
+    misorder the min aggregate."""
     w = Window.partitionBy("band", "bucket")
     # NULL buckets (degenerate/NULL text) are excluded up front: the
     # old pair join dropped them via equi-join NULL semantics, and the

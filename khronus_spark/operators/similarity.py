@@ -491,6 +491,14 @@ def ivf_size_for_recall(
     Returns {n_clusters, nprobe, iters, measured_recall_bp (the
     winning median), scanned_pm (measured candidate rows per probe as
     per-mille of the corpus — the cost the target recall buys)}.
+    Known off-by-one in the cost readout: the candidate mass sums FULL
+    probed-list sizes, while `ivf_kmeans_topk_indexed` excludes the
+    probe's own vector from its candidates — an overcount of exactly
+    one row per (probe, probed-list-containing-it). It cannot affect
+    the pinned gate-corpus result, but between two grid points whose
+    true masses differ by < #probes it could flip the "cheapest"
+    ranking; recall, the correctness side, is measured on the real
+    retriever either way.
     Raises ValueError when no grid point reaches the target — the
     `lsh_size_for_recall` refusal contract: an honest error beats a
     silently under-recalling index.

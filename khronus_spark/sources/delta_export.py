@@ -74,7 +74,6 @@ from __future__ import annotations
 
 import json
 import os
-import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -99,7 +98,10 @@ def _data_files(staged_dir: str) -> list[str]:
 def _atomic_write(log_dir: str, name: str, lines: list[dict]) -> bool:
     """Newline-delimited JSON actions, linked into place atomically —
     the TxnTable's own visibility primitive. False if `name` exists
-    (another exporter won; identical content by construction)."""
+    (another exporter won). Racing exporters produce byte-identical
+    content BECAUSE every timestamp in the actions derives from the
+    txn commit's recorded `committed_at_ms`, never a process clock —
+    so which exporter wins is unobservable."""
     tmp = os.path.join(log_dir, f".tmp-{uuid.uuid4().hex[:12]}.json")
     final = os.path.join(log_dir, name)
     with open(tmp, "w") as fh:
@@ -220,15 +222,28 @@ def export_delta_log(
                 "vacuuming past it (already-exported versions remain "
                 "valid)"
             )
-        now_ms = int(time.time() * 1000)
+        # action timestamps derive from the COMMIT's recorded time,
+        # not this process's clock: export is deterministic, so the
+        # racing-exporter dedup in _atomic_write is sound byte-wise
+        now_ms = int(table.commit_info(txn_v)["committed_at_ms"])
         actions: list[dict] = []
         if delta_v == 0:
             actions.append({"protocol": _PROTOCOL})
         # schema drift is represented, not hidden: the snapshot schema
         # at THIS version (heterogeneity within it still refuses);
         # when it differs from the last published metaData, a new
-        # metaData action rides this commit (the spec's mechanism)
-        version_schema = _schema_string(spark, table, txn_v)
+        # metaData action rides this commit (the spec's mechanism).
+        # An EMPTY snapshot (last live partition dropped) has no files
+        # to derive a schema from — emit a removes-only commit reusing
+        # the last published metaData instead of aborting the export
+        # (Delta versions are contiguous; one unexportable version
+        # would strand every later commit forever). Only a table whose
+        # FIRST exported version is already empty still refuses: the
+        # spec requires metaData in commit 0 and none exists.
+        if not cur and cur_schema is not None:
+            version_schema = cur_schema
+        else:
+            version_schema = _schema_string(spark, table, txn_v)
         if version_schema != cur_schema:
             actions.append(
                 {

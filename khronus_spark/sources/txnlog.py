@@ -102,6 +102,17 @@ class TxnTable:
                 out.append(json.load(fh))
         return out
 
+    def commit_info(self, version: int) -> dict:
+        """The commit payload of one version (partitions map +
+        `committed_at_ms`) — bounded metadata, one small JSON read.
+        Consumers that must be DETERMINISTIC across processes (the
+        Delta export derives its action timestamps from here, so
+        racing exporters produce byte-identical commit files) read
+        the recorded commit time instead of their own clock."""
+        path = os.path.join(self._log_dir, f"{version:08d}.json")
+        with open(path) as fh:
+            return json.load(fh)
+
     def snapshot_files(self, version: int | None = None) -> dict[str, str]:
         """partition key → staged data dir (absolute), at `version`
         (default: latest). Keys whose latest mention is a drop are

@@ -91,6 +91,21 @@ def landed_batches(index_path: str) -> list[int]:
     return sorted(out)
 
 
+def _resolve_const_dir(const_path: str) -> str:
+    """The directory the constants tables actually live in: a
+    refreshed layout publishes generations under `const_path` with a
+    CURRENT pointer file (atomic swap — see
+    `refresh_streamed_constants`); a flat layout (batch-built
+    `write_bm25_constants` straight into the dir) is itself."""
+    import os
+
+    cur = os.path.join(const_path, "CURRENT")
+    if os.path.isfile(cur):
+        with open(cur) as fh:
+            return os.path.join(const_path, fh.read().strip())
+    return const_path
+
+
 def refresh_streamed_constants(spark, index_path: str, const_path: str) -> int:
     """The periodic constants refresh of a hot streamed index, with
     the snapshot boundary RECORDED: read the postings as of the
@@ -98,18 +113,54 @@ def refresh_streamed_constants(spark, index_path: str, const_path: str) -> int:
     that boundary into `const_path`, and return the boundary.
     `read_pruned_snapshot` then reconstructs a self-consistent
     (postings, constants) pair — the exactness contract of the pruned
-    path without the caller tracking batch ids by hand."""
+    path without the caller tracking batch ids by hand.
+
+    REFRESH-WHILE-SERVING safety: each refresh writes its four tables
+    into a FRESH generation dir (`gen-<boundary>-<token>/`) and then
+    publishes it by atomically replacing the CURRENT pointer file
+    (os.replace — POSIX rename atomicity). A live query resolved its
+    generation dir at read start and keeps a consistent view; a crash
+    mid-refresh leaves CURRENT on the previous complete generation
+    (the half-written one is unreachable garbage, overwritten-by-name
+    never). The previous generation is retained for in-flight
+    readers; older ones are pruned (refresh cadence is minutes,
+    query latency seconds — one generation of grace is plenty)."""
+    import os
+    import shutil
+    import uuid
+
     from khronus_spark.operators.text import write_bm25_constants
 
     batches = landed_batches(index_path)
     if not batches:
         raise ValueError(f"no landed postings batches under {index_path}")
     boundary = batches[-1]
+    os.makedirs(const_path, exist_ok=True)
+    gen = f"gen-{boundary:012d}-{uuid.uuid4().hex[:8]}"
     write_bm25_constants(
         read_streamed_postings(spark, index_path, upto_batch=boundary),
-        const_path,
+        os.path.join(const_path, gen),
         upto_batch=boundary,
     )
+    prev = None
+    cur = os.path.join(const_path, "CURRENT")
+    if os.path.isfile(cur):
+        with open(cur) as fh:
+            prev = fh.read().strip()
+    tmp = os.path.join(const_path, f".CURRENT.tmp-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as fh:
+        fh.write(gen)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, cur)  # the atomic publish
+    # keep current + previous; prune older generations
+    for name in os.listdir(const_path):
+        if (
+            name.startswith("gen-")
+            and name not in (gen, prev)
+            and os.path.isdir(os.path.join(const_path, name))
+        ):
+            shutil.rmtree(os.path.join(const_path, name), ignore_errors=True)
     return boundary
 
 
@@ -128,6 +179,7 @@ def read_pruned_snapshot(spark, index_path: str, const_path: str):
         read_bm25_stats,
     )
 
+    const_path = _resolve_const_dir(const_path)
     boundary = read_bm25_boundary(spark, const_path)
     if boundary is None:
         raise ValueError(

@@ -152,8 +152,8 @@ def test_empty_and_heterogeneous_exports_refuse(spark, tmp_path):
     t = TxnTable(str(tmp_path / "e"))
     with pytest.raises(ValueError, match="nothing to export"):
         export_delta_log(spark, t)
-    # all partitions dropped -> no schema derivable
-    t.commit({"k": _df(spark, [("a", 1, 1)])})
+    # a table whose FIRST version is already empty has no schema to
+    # publish in Delta commit 0 — still refuses
     t.commit({"k": None})
     with pytest.raises(ValueError, match="empty table"):
         export_delta_log(spark, t)
@@ -165,6 +165,51 @@ def test_empty_and_heterogeneous_exports_refuse(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="heterogeneous"):
         export_delta_log(spark, t2)
+
+
+def test_empty_snapshot_exports_as_removes_only_commit(spark, tmp_path):
+    """Dropping the LAST live partition must not strand the export:
+    the empty version becomes a removes-only Delta commit reusing the
+    last published metaData (Delta versions are contiguous — one
+    unexportable version would make every later commit permanently
+    unexportable), the reader sees an empty snapshot there, and later
+    commits keep exporting."""
+    t = TxnTable(str(tmp_path / "eo"))
+    t.commit({"k": _df(spark, [("a", 1, 1)])})
+    t.commit({"k": None})  # snapshot at v2 is EMPTY
+    t.commit({"k": _df(spark, [("b", 2, 7)])})  # table lives on
+    assert export_delta_log(spark, t) == 3
+    log_dir = os.path.join(t.root, "_delta_log")
+    actions = [
+        json.loads(line)
+        for line in open(os.path.join(log_dir, f"{1:020d}.json"))
+        if line.strip()
+    ]
+    kinds = sorted(next(iter(a)) for a in actions)
+    assert kinds and set(kinds) == {"remove"}, kinds
+    assert read_delta_snapshot(spark, t.root, 1) is None
+    got = _content(read_delta_snapshot(spark, t.root, 2))
+    assert got == {("b", 2, 7)}
+
+
+def test_export_content_is_deterministic_across_processes(spark, tmp_path):
+    """Racing-exporter soundness: every action timestamp derives from
+    the txn commit's recorded committed_at_ms, so re-exporting the
+    same history from scratch (a second process's would-be write)
+    reproduces every commit file byte-for-byte."""
+    t = TxnTable(str(tmp_path / "det"))
+    t.commit({"k": _df(spark, [("a", 1, 1)])})
+    t.commit({"k": _df(spark, [("a", 1, 2)]), "k2": _df(spark, [("c", 9, 9)])})
+    t.commit({"k2": None})
+    export_delta_log(spark, t)
+    log_dir = os.path.join(t.root, "_delta_log")
+    names = sorted(n for n in os.listdir(log_dir) if n.endswith(".json"))
+    before = {n: open(os.path.join(log_dir, n), "rb").read() for n in names}
+    for n in names:
+        os.unlink(os.path.join(log_dir, n))
+    assert export_delta_log(spark, t) == len(names)
+    after = {n: open(os.path.join(log_dir, n), "rb").read() for n in names}
+    assert before == after
 
 
 def test_export_of_the_txn_summary_store(spark, tmp_path, sf_dir):

@@ -272,3 +272,68 @@ def test_refresh_boundary_pins_the_pruned_snapshot(spark, staged_docs):
     write_bm25_constants(postings, f"{tmp}/cnb")
     with pytest.raises(ValueError, match="boundary"):
         read_pruned_snapshot(spark, f"{tmp}/idx_b", f"{tmp}/cnb")
+
+
+def test_refresh_in_place_swaps_generations_atomically(spark, staged_docs):
+    """Refreshing a const_path that live queries read concurrently:
+    each refresh lands in a fresh generation dir published by an
+    atomic CURRENT-pointer swap — a reader that resolved the old
+    generation keeps a complete, consistent view (the dir is retained
+    one refresh), a crashed refresh (generation written, pointer
+    never swapped) leaves serving untouched, and generations two
+    refreshes old are pruned."""
+    import os
+
+    from khronus_spark.streaming.retrieval import (
+        _resolve_const_dir,
+        read_pruned_snapshot,
+        refresh_streamed_constants,
+    )
+
+    tmp, docs = staged_docs
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp}/in/*")
+    )
+    q = run_streaming_postings_update(
+        stream, index_path=f"{tmp}/idx_g", checkpoint_path=f"{tmp}/ckpt_g"
+    )
+    q.awaitTermination(300)
+    cpath = f"{tmp}/cg"
+    b1 = refresh_streamed_constants(spark, f"{tmp}/idx_g", cpath)
+    gen1 = _resolve_const_dir(cpath)
+    assert gen1 != cpath and os.path.isdir(gen1)
+
+    # an in-flight reader resolved gen1; a late batch + second refresh
+    # must not disturb it
+    late = spark.createDataFrame(
+        [(535353, "xylophone " * 4, "en", "s", 40)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    from khronus_spark.operators.text import bm25_build_postings
+
+    bm25_build_postings(late).write.mode("overwrite").parquet(
+        f"{tmp}/idx_g/batch={b1 + 1}"
+    )
+    b2 = refresh_streamed_constants(spark, f"{tmp}/idx_g", cpath)
+    assert b2 == b1 + 1
+    gen2 = _resolve_const_dir(cpath)
+    assert gen2 != gen1
+    # old generation retained and complete (in-flight reader's view)
+    from khronus_spark.operators.text import read_bm25_boundary
+
+    assert read_bm25_boundary(spark, gen1) == b1
+    # the published snapshot serves the new boundary
+    p2, _, _, _ = read_pruned_snapshot(spark, f"{tmp}/idx_g", cpath)
+    assert p2.where("doc_id = 535353").count() > 0
+
+    # crash simulation: a half-written generation without the pointer
+    # swap is invisible — serving stays on gen2
+    os.makedirs(os.path.join(cpath, "gen-999999999999-deadbeef"))
+    assert _resolve_const_dir(cpath) == gen2
+
+    # a third refresh prunes gen1 (current + previous retained)
+    refresh_streamed_constants(spark, f"{tmp}/idx_g", cpath)
+    assert not os.path.isdir(gen1)
+    assert os.path.isdir(gen2)
