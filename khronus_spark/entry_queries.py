@@ -151,7 +151,10 @@ DRIVER_WINDOW = 50
 #: anything else rotates. Round 8 drained the round-7 queue (its 2
 #: entries lead _PRIORITY below); entries added after the round-8
 #: window froze queue here for round 9.
-PENDING_NEXT_WINDOW: list[str] = []
+PENDING_NEXT_WINDOW: list[str] = [
+    # new in round 9, drains into the r9 window at rotation
+    "bm25_eval_topk_routed",
+]
 
 _PRIORITY = [
     # -- the drained round-7 queue: first driver proof THIS round -------
@@ -3861,7 +3864,11 @@ def bm25_eval_topk_pruned(spark, sf_dir):
     path must not change a single value; the driver hash check IS the
     exactness proof. Speedup measured across Zipf-shaped vocabularies
     in scripts/wand_sweep.py (the gate corpus's 31-term near-uniform
-    vocab is the pruning-hostile corner and stays exact)."""
+    vocab is the pruning-hostile corner and stays exact). Since round
+    9 the entry reaches the pruned path through the AUTO-ROUTER
+    (`bm25_topk_from_index` with the crossover pinned below the gate
+    corpus) — the driver hash now also pins routed→pruned ==
+    oracle, the production path a big collection takes."""
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.where(F.col("doc_id") % 97 != 0)
     queries = docs.where(F.col("doc_id") % 97 == 0).select(
@@ -3869,12 +3876,28 @@ def bm25_eval_topk_pruned(spark, sf_dir):
     )
     path = _scratch_dir("bm25_pruned_index")
     text_ops.write_bm25_index(text_ops.bm25_build_postings(corpus), path)
-    postings = text_ops.read_bm25_index(spark, path)
-    df_t, n_docs, avgdl_m = text_ops.read_bm25_stats(spark, path)
-    mi = text_ops.read_bm25_max_impact(spark, path)
-    return text_ops.bm25_rank_indexed_pruned(
-        postings, mi, queries, df_t=df_t, collection_stats=(n_docs, avgdl_m)
+    return text_ops.bm25_topk_from_index(spark, path, queries, crossover=1)
+
+
+@register("bm25_eval_topk_routed", text_ops.bm25_rank_sql())
+def bm25_eval_topk_routed(spark, sf_dir):
+    """The DEFAULT auto-routed BM25 query face
+    (operators/text.py::bm25_topk_from_index, round-8 verdict
+    directive #2): reads n_docs from the index's persisted stats and
+    picks pruned past the measured ~50k-doc crossover, plain indexed
+    below it — no per-query knob. At gate scale the router provably
+    takes the UNPRUNED side (n_docs ≈ 500 « 50k; the plan gate pins
+    both routing directions), so with bm25_eval_topk_pruned
+    (crossover pinned low → routed PRUNED side) the driver hash pins
+    router→both-sides == oracle. SAME oracle as bm25_eval_topk."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    queries = docs.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
     )
+    path = _scratch_dir("bm25_routed_index")
+    text_ops.write_bm25_index(text_ops.bm25_build_postings(corpus), path)
+    return text_ops.bm25_topk_from_index(spark, path, queries)
 
 
 @register("lang_confusion_matrix", text_ops.LANG_CONFUSION_SQL)
@@ -4941,7 +4964,11 @@ def hybrid_rrf_topk_indexed(spark, sf_dir):
     are the PQ retriever's (quantized-L2 ADC), not exact cosine —
     fusing the production retriever's own ranks is the point; the
     oracle restates the deterministic index content inline, the
-    ann_pq_topk_indexed convention."""
+    ann_pq_topk_indexed convention. Since round 9 the entry passes
+    the persisted ceilings through `auto_max_impact` — the production
+    call shape: the face itself routes by n_docs (unpruned here, 500
+    docs « the ~100k pool=20 crossover; the plan gate pins both
+    directions), so the driver hash pins the ROUTED hybrid."""
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     path = _scratch_dir("hybrid_indexes")
@@ -4953,6 +4980,7 @@ def hybrid_rrf_topk_indexed(spark, sf_dir):
     pq_ops.write_pq_index(books, codes, f"{path}/pq")
     postings = text_ops.read_bm25_index(spark, f"{path}/bm25")
     df_t, n_docs, avgdl_m = text_ops.read_bm25_stats(spark, f"{path}/bm25")
+    mi = text_ops.read_bm25_max_impact(spark, f"{path}/bm25")
     books, codes = pq_ops.read_pq_index(spark, f"{path}/pq")
     queries = docs.where(F.col("doc_id") % 97 == 0).select(
         F.col("doc_id").alias("query_id"), "text"
@@ -4968,6 +4996,7 @@ def hybrid_rrf_topk_indexed(spark, sf_dir):
         probes,
         df_t=df_t,
         collection_stats=(n_docs, avgdl_m),
+        auto_max_impact=mi,
     )
 
 

@@ -216,6 +216,8 @@ def hybrid_rrf_topk_indexed(
     collection_stats: tuple[int, int] | None = None,
     max_impact: DataFrame | None = None,
     seed_df_budget: int = 1000,
+    auto_max_impact: DataFrame | None = None,
+    crossover: int | None = None,
 ) -> DataFrame:
     """The PRODUCTION hybrid retriever: both branches answer from
     PERSISTED indexes — BM25 from the postings table
@@ -235,13 +237,29 @@ def hybrid_rrf_topk_indexed(
     by the pruning proof, so the fused output and the oracle are
     unchanged; the remaining scoring-mass cost (the round-7 verdict's
     named ceiling for this face) drops with the cut posting lists.
-    Measured crossover is ~50k docs (scripts/wand_sweep.py): below it
-    the seed waves cost more than they save, so the knob stays
-    opt-in. Requires the persisted constants when set.
+    Requires the persisted constants when set.
+
+    `auto_max_impact` ROUTES instead of forcing (round-8 verdict
+    directive #2): pass the persisted ceilings unconditionally and
+    the face reads `collection_stats[0]` (n_docs — already in hand
+    from the index) and serves the pruned branch only past the
+    measured pool=20 crossover (~100k docs, scripts/hybrid_sweep.py:
+    2.02x vs brute at 105k but 0.44x at 50k — the pool needs 20 seed
+    docs per threshold, so the crossover sits later than the k=5
+    standalone face's ~50k). `max_impact` stays the explicit
+    force-pruned override; `crossover` re-pins the boundary for
+    deployments that re-measure.
 
     `queries` is (query_id, text); `probes` is (probe_id, embedding)
     — the same eval carve on both tables (ids coincide where
     embeddings cover the docs; the full-outer RRF absorbs gaps)."""
+    if max_impact is None and auto_max_impact is not None:
+        from khronus_spark.operators.text import wand_should_prune
+
+        if collection_stats is not None and wand_should_prune(
+            int(collection_stats[0]), pool=pool, crossover=crossover
+        ):
+            max_impact = auto_max_impact
     if max_impact is not None:
         from khronus_spark.operators.text import bm25_rank_indexed_pruned
 

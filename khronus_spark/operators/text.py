@@ -2374,6 +2374,98 @@ def read_bm25_max_impact(
     return mi.select("w", "u")
 
 
+#: Measured pruned-vs-brute / pruned-vs-indexed crossovers from
+#: scripts/wand_sweep.py and scripts/hybrid_sweep.py (ROUND8_NOTES
+#: tables, quiet host, fixed 260-query load): below ~50k docs the two
+#: extra query-load-bounded plan waves (seed scores + threshold
+#: broadcast) cost more than the scoring mass they remove (pruned was
+#: 0.32-0.44x the unpruned-indexed wall at 5k-20k docs), at 50k the
+#: faces break even (0.97x), and past 100k the cut wins outright
+#: (1.80x/1.79x vs indexed at 105k/160k, hash-identical). The pool=20
+#: hybrid needs 20 seed docs per threshold, so its crossover sits
+#: later: ~100k (2.02x vs brute there, still losing at 50k). Only
+#: those two operating points are measured — the router picks the
+#: conservative constant for its pool size and takes an explicit
+#: `crossover` for deployments that re-measure on their own corpus.
+WAND_CROSSOVER_DOCS = 50_000
+WAND_CROSSOVER_DOCS_POOLED = 100_000
+
+
+def wand_should_prune(
+    n_docs: int, pool: int = 5, crossover: int | None = None
+) -> bool:
+    """The routing decision of the auto-routed BM25 faces: serve the
+    exact WAND-pruned path iff the collection is past the measured
+    crossover for this pool size (constants above; `crossover`
+    overrides both). Pure and driver-side — n_docs is one row of the
+    index's persisted stats, so routing costs nothing at query time."""
+    if crossover is None:
+        crossover = (
+            WAND_CROSSOVER_DOCS if pool <= 5 else WAND_CROSSOVER_DOCS_POOLED
+        )
+    return n_docs >= crossover
+
+
+def bm25_topk_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    k1_pm: int = 1200,
+    b_pm: int = 750,
+    broadcast_queries: bool = True,
+    seed_df_budget: int = 1000,
+    max_impact: DataFrame | bool | None = None,
+    crossover: int | None = None,
+) -> DataFrame:
+    """The AUTO-ROUTED query face over a persisted BM25 index (round-8
+    verdict directive #2): nobody hand-tunes per-query knobs at 100x —
+    the index already persists its collection stats, so this face
+    reads `n_docs` and picks the exact WAND-pruned path past the
+    measured crossover (`wand_should_prune`; ~50k docs at k<=5) and
+    the plain indexed path below it, where the seed waves cost more
+    than they save. Both sides are bit-identical by the pruning proof
+    (shared driver oracle), so routing is purely a cost decision.
+
+    `max_impact` is the explicit override: a ceilings DataFrame forces
+    the pruned path with those ceilings; False forces the plain path;
+    None (default) routes. Auto-routing to pruned requires the index
+    to carry a ceiling table (`write_bm25_index` persists one); an
+    index without it routes plain regardless of size."""
+    import os
+
+    postings = read_bm25_index(spark, path)
+    df_t, n_docs, avgdl_m = read_bm25_stats(spark, path)
+    if max_impact is None and wand_should_prune(
+        n_docs, pool=k, crossover=crossover
+    ) and os.path.isdir(f"{path}/maximpact"):
+        max_impact = read_bm25_max_impact(spark, path, k1_pm, b_pm)
+    if isinstance(max_impact, DataFrame):
+        return bm25_rank_indexed_pruned(
+            postings,
+            max_impact,
+            queries,
+            k=k,
+            k1_pm=k1_pm,
+            b_pm=b_pm,
+            df_t=df_t,
+            collection_stats=(n_docs, avgdl_m),
+            broadcast_queries=broadcast_queries,
+            seed_df_budget=seed_df_budget,
+        )
+    return bm25_rank_indexed(
+        postings,
+        queries,
+        k=k,
+        k1_pm=k1_pm,
+        b_pm=b_pm,
+        broadcast_queries=broadcast_queries,
+        share_postings=False,
+        df_t=df_t,
+        collection_stats=(n_docs, avgdl_m),
+    )
+
+
 def bm25_rank_indexed_pruned(
     postings: DataFrame,
     max_impact: DataFrame,
@@ -3410,6 +3502,8 @@ def bm25_chunk_rank_indexed(
     collection_stats: tuple[int, int] | None = None,
     max_impact: DataFrame | None = None,
     seed_df_budget: int = 1000,
+    auto_max_impact: DataFrame | None = None,
+    crossover: int | None = None,
 ) -> DataFrame:
     """Chunk-granularity BM25 from a PREBUILT chunk index
     (`bm25_chunk_build_index`) — `bm25_chunk_rank` with the corpus
@@ -3422,7 +3516,24 @@ def bm25_chunk_rank_indexed(
     span decode is stride-keyed). Chunking multiplies the posting
     rows (~overlap factor), which makes the stop-word mass LARGER
     than the flat index's — exactly where the ceiling cut bites at
-    scale."""
+    scale.
+
+    `auto_max_impact` is the ROUTED variant of the knob (round-8
+    verdict directive #2): pass the ceilings unconditionally and the
+    face itself decides from the persisted `collection_stats` whether
+    the collection is past the measured crossover
+    (`wand_should_prune` at this pool size — note n_docs here counts
+    CHUNKS, the index's retrieval unit); `max_impact` remains the
+    explicit force-pruned override."""
+    if (
+        max_impact is None
+        and auto_max_impact is not None
+        and collection_stats is not None
+        and wand_should_prune(
+            int(collection_stats[0]), pool=pool, crossover=crossover
+        )
+    ):
+        max_impact = auto_max_impact
     if max_impact is not None:
         ranked = bm25_rank_indexed_pruned(
             postings,

@@ -812,3 +812,75 @@ def test_bm25_pruned_query_answers_from_index_no_corpus_scan(
     # the probe sides stay broadcast and the top-k stays group-limited
     assert "BroadcastHashJoin" in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_bm25_router_picks_pruned_past_crossover_only(spark, oracle_sf_dir):
+    """The auto-router (round-8 verdict directive #2) must read the
+    persisted n_docs and route: AT/ABOVE the crossover the plan is
+    the pruned shape (multiple bounded postings waves + the lazily
+    checkpointed ceiling subtree's Scan ExistingRDD), BELOW it the
+    plain indexed shape (exactly ONE postings scan, no checkpoint
+    residue, no seed waves). Both sides share bm25_eval_topk's
+    oracle, so the driver hash pins the values; THIS gate pins that
+    the router actually switches plans on the n_docs signal.
+    Crossover constants are measured, not assumed —
+    scripts/wand_sweep.py (50k standalone) and scripts/hybrid_sweep.py
+    (100k pool=20), tables in ROUND8_NOTES.md."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from khronus_spark.operators import text as text_ops
+    from khronus_spark.sources.tables import load_table
+
+    docs = load_table(spark, oracle_sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    queries = docs.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    path = tempfile.mkdtemp(prefix="router_gate_")
+    text_ops.write_bm25_index(text_ops.bm25_build_postings(corpus), path)
+
+    def plan_of(df):
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    # gate corpus (~500 docs) is below the 50k default: plain side
+    below = plan_of(text_ops.bm25_topk_from_index(spark, path, queries))
+    below_scans = [
+        ln
+        for ln in below.splitlines()
+        if "Location" in ln and "/postings" in ln
+    ]
+    assert len(below_scans) == 1, below_scans
+    assert "ExistingRDD" not in below
+    # crossover pinned below n_docs: the router must take the pruned
+    # side (same decision the default takes at >= 50k real docs —
+    # wand_should_prune is pure in (n_docs, crossover))
+    above = plan_of(
+        text_ops.bm25_topk_from_index(spark, path, queries, crossover=1)
+    )
+    above_scans = [
+        ln
+        for ln in above.splitlines()
+        if "Location" in ln and "/postings" in ln
+    ]
+    assert 2 <= len(above_scans) <= 4, above_scans
+    assert "ExistingRDD" in above
+    # the forced overrides beat the router in both directions
+    mi = text_ops.read_bm25_max_impact(spark, path)
+    forced_pruned = plan_of(
+        text_ops.bm25_topk_from_index(spark, path, queries, max_impact=mi)
+    )
+    assert "ExistingRDD" in forced_pruned
+    forced_plain = plan_of(
+        text_ops.bm25_topk_from_index(
+            spark, path, queries, max_impact=False, crossover=1
+        )
+    )
+    assert "ExistingRDD" not in forced_plain

@@ -543,3 +543,115 @@ def test_bm25_chunk_indexed_pruned_matches_inline(spark, tmp_path):
         postings, mi, queries, k=3, seed_df_budget=30, **kw
     ).collect()
     assert any(not r["kept"] for r in surv)
+
+
+def test_wand_route_decision_boundaries():
+    """The routing decision is pure in (n_docs, pool, crossover):
+    pinned at the measured constants — 50k for small-k faces, 100k
+    for pooled (pool=20 hybrid/chunk) faces — with the explicit
+    crossover overriding both. The constants cite the wand/hybrid
+    sweep tables (ROUND8_NOTES.md); this pin fails loudly if anyone
+    moves them without re-measuring."""
+    from khronus_spark.operators.text import (
+        WAND_CROSSOVER_DOCS,
+        WAND_CROSSOVER_DOCS_POOLED,
+        wand_should_prune,
+    )
+
+    assert WAND_CROSSOVER_DOCS == 50_000
+    assert WAND_CROSSOVER_DOCS_POOLED == 100_000
+    assert not wand_should_prune(49_999, pool=5)
+    assert wand_should_prune(50_000, pool=5)
+    assert not wand_should_prune(99_999, pool=20)
+    assert wand_should_prune(100_000, pool=20)
+    # the k=5 measurement applies through pool<=5; pooled above
+    assert wand_should_prune(60_000, pool=5)
+    assert not wand_should_prune(60_000, pool=20)
+    # explicit crossover overrides the constants in both directions
+    assert wand_should_prune(10, pool=20, crossover=10)
+    assert not wand_should_prune(99_999_999, pool=5, crossover=10**9)
+
+
+def test_hybrid_and_chunk_auto_route(spark, oracle_sf_dir, tmp_path):
+    """`auto_max_impact` is the production call shape: ceilings passed
+    unconditionally, the face routing by the persisted n_docs. Below
+    the crossover the routed output equals the plain face (and the
+    forced-pruned face — exactness makes routing invisible in
+    values); with the crossover pinned low the routed face takes the
+    pruned branch and stays bit-identical."""
+    from khronus_spark.operators import pq as pq_ops
+    from khronus_spark.operators import retrieval as ret
+    from khronus_spark.operators import text as text_ops
+
+    docs = spark.read.parquet(f"{oracle_sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{oracle_sf_dir}/embeddings.parquet")
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    path = str(tmp_path / "route")
+    text_ops.write_bm25_index(
+        text_ops.bm25_build_postings(corpus), f"{path}/bm25"
+    )
+    books, codes = pq_ops.pq_build_index(emb, sub=4, k=8, iters=1)
+    pq_ops.write_pq_index(books, codes, f"{path}/pq")
+    postings = text_ops.read_bm25_index(spark, f"{path}/bm25")
+    df_t, n_docs, avgdl_m = text_ops.read_bm25_stats(spark, f"{path}/bm25")
+    mi = text_ops.read_bm25_max_impact(spark, f"{path}/bm25")
+    books, codes = pq_ops.read_pq_index(spark, f"{path}/pq")
+    queries = docs.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    probes = emb.where(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    kw = dict(
+        df_t=df_t, collection_stats=(n_docs, avgdl_m), auto_max_impact=mi
+    )
+    plain = sorted(
+        map(
+            tuple,
+            ret.hybrid_rrf_topk_indexed(
+                postings, books, codes, queries, probes,
+                df_t=df_t, collection_stats=(n_docs, avgdl_m),
+            ).collect(),
+        )
+    )
+    routed_below = sorted(
+        map(
+            tuple,
+            ret.hybrid_rrf_topk_indexed(
+                postings, books, codes, queries, probes, **kw
+            ).collect(),
+        )
+    )
+    routed_above = sorted(
+        map(
+            tuple,
+            ret.hybrid_rrf_topk_indexed(
+                postings, books, codes, queries, probes, crossover=1, **kw
+            ).collect(),
+        )
+    )
+    assert plain and plain == routed_below == routed_above
+
+    # chunk face: same routed knob over the chunk index (n_docs =
+    # chunk count, the index's retrieval unit)
+    cpath = str(tmp_path / "chunkroute")
+    text_ops.bm25_chunk_build_index(corpus, cpath)
+    cpost = text_ops.read_bm25_index(spark, cpath)
+    cdf_t, cn, cavg = text_ops.read_bm25_stats(spark, cpath)
+    cmi = text_ops.read_bm25_max_impact(spark, cpath)
+    ckw = dict(df_t=cdf_t, collection_stats=(cn, cavg))
+    cplain = sorted(
+        map(
+            tuple,
+            text_ops.bm25_chunk_rank_indexed(cpost, queries, **ckw).collect(),
+        )
+    )
+    crouted = sorted(
+        map(
+            tuple,
+            text_ops.bm25_chunk_rank_indexed(
+                cpost, queries, auto_max_impact=cmi, crossover=1, **ckw
+            ).collect(),
+        )
+    )
+    assert cplain and cplain == crouted
