@@ -392,7 +392,27 @@ def main() -> None:
             "norm_wall": round(timings["dedup_incremental"] / calib, 2),
             "limit": 3.6,
             "pass": timings["dedup_incremental"] / calib <= 3.6,
-        }
+        },
+        # bpe_merges (round-8 verdict item #1/#3): the slot is a
+        # driver-loop shape whose wall is dominated by fixed per-job
+        # latency, NOT CPU, so wall/calibration is the wrong normalizer
+        # (the calibration probe is pure codegen CPU; measured norm
+        # swings 2x between hosts at identical plans). The
+        # host-invariant criterion is the SAME-HOST ratio against
+        # bpe_merges_batched (12 merges through the identical batched
+        # internals): the routed 6-merge face is strictly a prefix of
+        # that work, so the ratio sits < 1 structurally (measured 0.84
+        # post-routing); the retired sequential trainer read 1.57 on
+        # this ratio (r8: 3.269 / 2.08). Limit 1.2 flags any return of
+        # the one-merge-per-pass recurrence while absorbing noise.
+        "bpe_merges": {
+            "ratio_vs_batched12": round(
+                timings["bpe_merges"] / timings["bpe_merges_batched"], 2
+            ),
+            "limit": 1.2,
+            "pass": timings["bpe_merges"] / timings["bpe_merges_batched"]
+            <= 1.2,
+        },
     }
     # key order matters: the driver records only the TAIL of this line
     # when it truncates, so the per-slot medians (the numbers of

@@ -1035,22 +1035,41 @@ def _merge_fold(col, left: str, right: str):
     return F.aggregate(col, F.array().cast("array<string>"), step)
 
 
-def bpe_merges(docs: DataFrame, k: int = 6) -> DataFrame:
+def bpe_merges(docs: DataFrame, k: int = 6, max_batch: int = 8) -> DataFrame:
     """Distributed BPE merge training (Sennrich et al. 2016), the
     tokenizer-training primitive: learn the top-k byte-pair merges over
     the corpus. Returns (rank, left, right, pair_count) — one row per
     learned merge in training order.
 
-    Trains on the distinct-word frequency table (the classical
-    formulation, and the shape that distributes): one corpus-wide word
-    count, then every iteration touches only the distinct-word symbol
-    table — at web scale ~10^7 rows against ~10^11 corpus tokens.
-    Per iteration: weighted adjacent-pair counts (one map-side-
-    combinable shuffle on the pair key), a global argmax (k tiny driver
-    rows total; ties break on count desc, then (left, right) asc so
-    training is deterministic), and a map-only greedy fold applying the
-    merge. Simplification vs production BPE, documented: symbols are
-    characters within words with no end-of-word marker."""
+    Since round 9 this is a ROUTE to `bpe_merges_batched` (the round-8
+    verdict's bpe_merges directive): the batched trainer is
+    bit-identical to the sequential recurrence by the prefix-safety
+    proof at its definition (and by `bpe_merges_sequential` equivalence
+    tests + the unrolled-chain driver oracle, which this face still
+    answers), while cutting driver round-trips from k to ~k/batch —
+    the iterative-loop shape is the one most sensitive to per-job
+    overhead and host contention, which is exactly what the bench
+    drift flagged. `bpe_merges_sequential` keeps the reference
+    recurrence for the proof."""
+    return bpe_merges_batched(docs, k=k, max_batch=max_batch)
+
+
+def bpe_merges_sequential(docs: DataFrame, k: int = 6) -> DataFrame:
+    """The REFERENCE sequential BPE trainer — one merge per corpus
+    pass, the literal Sennrich recurrence. Kept as the equivalence
+    oracle for `bpe_merges_batched` (tests compare the two trainer
+    outputs bit-for-bit; the production `bpe_merges` face routes to
+    the batched trainer). Trains on the distinct-word frequency table
+    (the classical formulation, and the shape that distributes): one
+    corpus-wide word count, then every iteration touches only the
+    distinct-word symbol table — at web scale ~10^7 rows against
+    ~10^11 corpus tokens. Per iteration: weighted adjacent-pair counts
+    (one map-side-combinable shuffle on the pair key), a global argmax
+    (k tiny driver rows total; ties break on count desc, then
+    (left, right) asc so training is deterministic), and a map-only
+    greedy fold applying the merge. Simplification vs production BPE,
+    documented: symbols are characters within words with no
+    end-of-word marker."""
     words = (
         docs.select(F.explode(_tokens()).alias("w"))
         .where(F.col("w") != "")

@@ -288,13 +288,15 @@ def test_bpe_merges_greedy_order_and_application(spark):
     (weighted, greedy-left within a word): (a,a)=6, (a,b)=5 -> first
     merge (a,a). After applying it, 'aaab' -> [aa, a, b], so step 2
     counts (aa,a)=3, (a,b)=5 -> second merge (a,b)."""
-    from khronus_spark.operators.text import bpe_merges
+    from khronus_spark.operators.text import bpe_merges, bpe_merges_sequential
 
     docs = spark.createDataFrame(
         [(1, "aaab aaab aaab ab ab")], "doc_id long, text string"
     )
     out = [tuple(r) for r in bpe_merges(docs, k=2).collect()]
     assert out == [(1, "a", "a", 6), (2, "a", "b", 5)]
+    # the routed face and the reference recurrence agree on the spec
+    assert out == [tuple(r) for r in bpe_merges_sequential(docs, k=2).collect()]
 
 
 def test_bpe_merges_deterministic_tiebreak(spark):
@@ -358,7 +360,10 @@ def test_bpe_batched_bit_matches_sequential_random_corpora(spark):
     symbol collisions between top candidates."""
     import random
 
-    from khronus_spark.operators.text import bpe_merges, bpe_merges_batched
+    from khronus_spark.operators.text import (
+        bpe_merges_batched,
+        bpe_merges_sequential,
+    )
 
     rng = random.Random(7)
     for trial in range(3):
@@ -369,7 +374,7 @@ def test_bpe_batched_bit_matches_sequential_random_corpora(spark):
         docs = spark.createDataFrame(
             [(1, " ".join(words))], "doc_id long, text string"
         )
-        seq = [tuple(r) for r in bpe_merges(docs, k=8).collect()]
+        seq = [tuple(r) for r in bpe_merges_sequential(docs, k=8).collect()]
         bat = [tuple(r) for r in bpe_merges_batched(docs, k=8).collect()]
         assert seq == bat, (trial, seq, bat)
 
@@ -378,13 +383,16 @@ def test_bpe_batched_fewer_passes_on_documents(spark, sf_dir):
     """On natural-ish text the top candidates rarely share symbols, so
     the pass count must come in well under k (the 32 k-merge scale
     argument) while the merge list stays bit-identical."""
-    from khronus_spark.operators.text import bpe_merges, bpe_merges_batched
+    from khronus_spark.operators.text import (
+        bpe_merges_batched,
+        bpe_merges_sequential,
+    )
     from khronus_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
     stats: dict = {}
     bat = [tuple(r) for r in bpe_merges_batched(docs, k=12, stats=stats).collect()]
-    seq = [tuple(r) for r in bpe_merges(docs, k=12).collect()]
+    seq = [tuple(r) for r in bpe_merges_sequential(docs, k=12).collect()]
     assert bat == seq
     assert stats["passes"] <= 6, stats  # >= 2 merges per pass on average
 
