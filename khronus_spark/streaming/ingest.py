@@ -209,7 +209,7 @@ def upsert_sink(store_path: str):
     return merge
 
 
-def txn_upsert_sink(table):
+def txn_upsert_sink(table, export_delta: bool = False):
     """The TRANSACTIONAL face of `upsert_sink`: per micro-batch, merge
     the amended (metric, ts) summaries into a `sources.txnlog.TxnTable`
     keyed by day — read the touched day partitions at a pinned version,
@@ -222,7 +222,20 @@ def txn_upsert_sink(table):
     optimistic MERGE loop), and a batch replayed by the checkpoint
     re-derives the same rows — a new version with identical data
     (effectively-once by content). The reference contract is the same
-    idempotent set-upsert (`store/BucketStore.scala:159-172`)."""
+    idempotent set-upsert (`store/BucketStore.scala:159-172`).
+
+    `export_delta=True` additionally publishes each commit's Delta
+    version (`sources/delta_export.py`) inside the SAME trigger,
+    making the table root a continuously-current Delta table. Safe by
+    construction: the txn commit lands FIRST (export can never gate
+    data durability), the export is incremental (only unexported
+    versions are written) and deterministic (action timestamps derive
+    from the commit's recorded `committed_at_ms`), so the streamed
+    export is byte-identical to a post-hoc `export_delta_log` — and a
+    trigger that crashes between commit and export just leaves the
+    Delta log one version behind, which the NEXT trigger's export
+    catches up (the immutability/incrementality contract makes the
+    catch-up indistinguishable from never having lagged)."""
     from khronus_spark.sources.txnlog import CommitConflict
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
@@ -250,10 +263,18 @@ def txn_upsert_sink(table):
                 parts[key] = part
             try:
                 table.commit(parts, expect_version=version)
-                return
+                break
             except CommitConflict:
                 continue  # an external writer moved the table: re-merge
-        raise RuntimeError("txn upsert lost 8 CAS rounds; table too hot")
+        else:
+            raise RuntimeError("txn upsert lost 8 CAS rounds; table too hot")
+        if export_delta:
+            from khronus_spark.sources.delta_export import export_delta_log
+
+            # after the commit, so data durability never waits on the
+            # export; exports every not-yet-exported version, which
+            # also catches up any lag a previous crash left behind
+            export_delta_log(spark, table)
 
     return merge
 
@@ -293,20 +314,23 @@ def run_streaming_rollup_upsert_txn(
     family: str,
     watermark: str = "30 seconds",
     trigger: dict | None = None,
+    export_delta: bool = False,
 ):
     """`run_streaming_rollup_upsert` with the transactional store: the
     sink is `txn_upsert_sink` over a `sources.txnlog.TxnTable` — every
     micro-batch's touched days land as one atomic CAS commit (torn
     batches impossible, external writers detected). Final content is
     pinned equal to the plain upsert store and to the batch rollup in
-    tests."""
+    tests. `export_delta=True` keeps `<root>/_delta_log` current with
+    every commit inside the same trigger (byte-identical to a post-hoc
+    export; see `txn_upsert_sink`)."""
     if family == "counter":
         summaries = streaming_counter_summary(measurements, window_ms, watermark)
     else:
         summaries = streaming_histogram_summary(measurements, window_ms, watermark)
     return (
         summaries.writeStream.outputMode("update")
-        .foreachBatch(txn_upsert_sink(table))
+        .foreachBatch(txn_upsert_sink(table, export_delta=export_delta))
         .option("checkpointLocation", checkpoint_path)
         .trigger(**(trigger or {"availableNow": True}))
         .start()
