@@ -38,8 +38,12 @@ from pyspark.sql import functions as F
 
 from khronus_spark.operators.dedup import near_duplicates_jaccard
 
-#: more than enough for O(log² n) convergence at any realistic n;
-#: exceeded only if the implementation regresses.
+#: more than enough for convergence at any realistic n: measured on a
+#: pure chain (the diameter-maximizing worst case), rounds ≈
+#: log2(diameter)+1 — 13 rounds at diameter 4095 (test-pinned), so 25
+#: covers diameters to ~2^23 (≈8M-doc chained near-dup runs; real
+#: duplicate clusters have diameters in the tens). Exceeded only if
+#: the implementation regresses toward O(diameter) propagation.
 MAX_ROUNDS = 25
 
 
@@ -95,28 +99,38 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
-def connected_components(edges: DataFrame) -> DataFrame:
+def connected_components(edges: DataFrame, stats: dict | None = None) -> DataFrame:
     """(src, dst) long-id edge list → (node_id, component_id) where
     component_id is the minimum node id in the component.
 
     Isolated nodes don't appear in an edge list, hence not in the
     output; callers union them back if needed (see
     ``canonical_keep_filter``).
-    """
+
+    `stats` (optional out-param) records `rounds` and the per-round
+    edge counts — the O(log² n) convergence evidence sweep scripts
+    and tests pin (scripts/cc_sweep.py)."""
     cur = edges.select(
         F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
     ).where(F.col("src") != F.col("dst")).distinct()
     cur = cur.localCheckpoint(eager=True)
     prev_sig = _checksum(cur)
+    edge_counts = [prev_sig[0]]
+    rounds = 0
     for _ in range(MAX_ROUNDS):
         nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
         sig = _checksum(nxt)
         cur = nxt
+        rounds += 1
+        edge_counts.append(sig[0])
         if sig == prev_sig:
             break
         prev_sig = sig
     else:
         raise RuntimeError(f"connected_components: no fixpoint in {MAX_ROUNDS} rounds")
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["edge_counts"] = edge_counts
     # fixpoint is a depth-1 star forest: (v, m) for every non-root v.
     roots = cur.select(F.col("dst").alias("node_id")).distinct().withColumn(
         "component_id", F.col("node_id")

@@ -273,6 +273,7 @@ def compact_partition_txn(
     table,
     key: str,
     n_files: int = 1,
+    sort_cols: tuple[str, ...] = ("metric", "ts"),
 ) -> int | None:
     """Compaction THROUGH the commit log — the transactional answer to
     `compact_summaries`' documented caveat (its delete-then-rename swap
@@ -285,7 +286,9 @@ def compact_partition_txn(
     is ever lost (the race the raw-directory swap cannot survive).
     Readers pinned to older versions keep their snapshot (immutable
     staging). Returns the committed version, or None when the
-    partition does not exist."""
+    partition does not exist. `sort_cols` is the global file order —
+    (metric, ts) for the summary store; other TxnTables (e.g. the
+    streaming SCD2 fact/dim buckets) pass their own keys."""
     from khronus_spark.sources.txnlog import CommitConflict
 
     for _ in range(8):
@@ -294,10 +297,19 @@ def compact_partition_txn(
         if df is None:
             return None
         compacted = df.repartitionByRange(
-            n_files, "metric", "ts"
-        ).sortWithinPartitions("metric", "ts")
+            n_files, *sort_cols
+        ).sortWithinPartitions(*sort_cols)
         try:
-            return table.commit({key: compacted}, expect_version=version)
+            # kind="compaction": content-preserving by construction
+            # (read at the pinned version, rewrite, CAS) — which is
+            # what lets concurrent partition-scoped data commits
+            # override it instead of starving (txnlog.commit docstring)
+            return table.commit(
+                {key: compacted},
+                expect_version=version,
+                kind="compaction",
+                conflict_scope="partitions",
+            )
         except CommitConflict:
             continue
     raise RuntimeError("compaction lost 8 CAS rounds; partition too hot")

@@ -459,6 +459,7 @@ def ivf_size_for_recall(
     nprobe_grid: tuple[int, ...] = (1, 2, 4, 8),
     iters: int | None = None,
     sample_mod: int = 1,
+    stats: dict | None = None,
 ) -> dict[str, int]:
     """EMPIRICAL IVF sizing — the measured counterpart of the
     closed-form `lsh_size_for_recall` (round-7 verdict directive 5):
@@ -587,6 +588,19 @@ def ivf_size_for_recall(
     by_method: dict[str, list[int]] = {}
     for r in rows:
         by_method.setdefault(r["method"], []).append(r["recall_bp"])
+    if stats is not None:
+        # the full measured grid, for sweep scripts / hard-corpus
+        # evidence: per-config median recall and measured scanned rows
+        stats["grid"] = {
+            name: {
+                "median_recall_bp": int(median(sorted(recalls))),
+                "scanned_rows": scanned[
+                    tuple(int(x[1:]) for x in name.split("_"))
+                ],
+            }
+            for name, recalls in sorted(by_method.items())
+        }
+        stats["n_corpus"] = n_corpus
     best = None
     for name, recalls in by_method.items():
         med = int(median(sorted(recalls)))

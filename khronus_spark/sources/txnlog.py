@@ -175,6 +175,8 @@ class TxnTable:
         parts: dict[str, DataFrame | None],
         expect_version: int | None = None,
         max_retries: int = 64,
+        kind: str = "data",
+        conflict_scope: str = "table",
     ) -> int:
         """Atomically replace (DataFrame) / drop (None) the given
         partitions. Returns the committed version.
@@ -183,15 +185,43 @@ class TxnTable:
         correct for writers whose content does not depend on table
         state (append-style ingest, independent partitions).
 
-        CAS mode (`expect_version=V`): the commit succeeds only as
-        version V+1; if another writer got there first, raises
-        `CommitConflict` WITHOUT committing — required for
-        read-modify-write transactions (merge/upsert derived from a
-        snapshot), where blind retry would silently clobber the
-        concurrent update. `expect_version` must not exceed the
-        current version: linking V+1 past a gap would leave that
-        commit (and every later one) permanently invisible to
-        `_commits_upto`, silently breaking the no-gaps guarantee."""
+        CAS mode (`expect_version=V`): the commit is derived from the
+        snapshot at V; if another writer got there first the default
+        (`conflict_scope="table"`) raises `CommitConflict` WITHOUT
+        committing — required for read-modify-write transactions
+        (merge/upsert derived from a snapshot), where blind retry
+        would silently clobber the concurrent update. `expect_version`
+        must not exceed the current version: linking V+1 past a gap
+        would leave that commit (and every later one) permanently
+        invisible to `_commits_upto`.
+
+        `conflict_scope="partitions"` is the LOGICAL-conflict CAS (the
+        Delta/Iceberg concurrency matrix): an intervening commit only
+        conflicts when it could invalidate what this writer derived —
+        i.e. it is a `kind="data"` commit touching one of THIS
+        commit's partition keys. Two other cases re-link the SAME
+        staged data at the new version (no re-derivation, no
+        recompute):
+        - disjoint keys: the snapshot this commit was derived from is
+          unchanged for its own keys;
+        - `kind="compaction"` commits on ANY keys: compaction is
+          content-preserving by construction (`compact_partition_txn`
+          reads the partition at a pinned version and CAS-commits the
+          rewrite), so the content this writer derived from is still
+          the content, just in different files. This is the rule that
+          keeps INGEST from starving under a racing compactor — the
+          round-9 SCD2 soak starved in exactly this shape (a long
+          merge window always overlaps a short-cadence compactor) —
+          and mirrors production table services, where rewrite
+          maintenance must never block or abort updates; losing a
+          compaction's files to the override is safe (the partition
+          is merely uncompacted again).
+        The writer's own `kind` declares what the COMMIT is; only a
+        genuinely content-preserving rewrite may claim "compaction"."""
+        if kind not in ("data", "compaction"):
+            raise ValueError(f"unknown commit kind {kind!r}")
+        if conflict_scope not in ("table", "partitions"):
+            raise ValueError(f"unknown conflict_scope {conflict_scope!r}")
         if expect_version is not None and expect_version > self.version():
             raise CommitConflict(
                 f"expect_version={expect_version} is ahead of the log "
@@ -205,16 +235,44 @@ class TxnTable:
                 "version": attempt,
                 "partitions": staged,
                 "committed_at_ms": int(time.time() * 1000),
+                "kind": kind,
             }
             if self._try_link(attempt, payload):
                 return attempt
-            if expect_version is not None:
-                raise CommitConflict(
-                    f"version {attempt} taken; table moved past "
-                    f"expect_version={expect_version}"
-                )
-            attempt = max(attempt + 1, self.version() + 1)
+            if expect_version is None:
+                attempt = max(attempt + 1, self.version() + 1)
+                continue
+            latest = self.version()
+            if conflict_scope == "partitions" and not self._logical_conflict(
+                attempt, latest, set(staged)
+            ):
+                # every intervening commit is compaction-kind or
+                # disjoint-keyed: the derivation is still valid, land
+                # the same staged data at the new head
+                attempt = latest + 1
+                continue
+            raise CommitConflict(
+                f"version {attempt} taken; table moved past "
+                f"expect_version={expect_version}"
+            )
         raise RuntimeError(f"commit did not land after {max_retries} attempts")
+
+    def _logical_conflict(
+        self, from_version: int, to_version: int, keys: set[str]
+    ) -> bool:
+        """True if any commit in [from_version, to_version] is a
+        data-kind commit touching `keys` (or unreadable — conservative:
+        a mid-link gap reads as a conflict rather than a green light)."""
+        for v in range(from_version, to_version + 1):
+            try:
+                info = self.commit_info(v)
+            except OSError:
+                return True
+            if info.get("kind", "data") != "compaction" and (
+                set(info["partitions"]) & keys
+            ):
+                return True
+        return False
 
     # ---------------------------------------------------------- reads
     def read_partition(

@@ -262,7 +262,12 @@ def txn_upsert_sink(table, export_delta: bool = False):
                     part = keep.unionByName(part)
                 parts[key] = part
             try:
-                table.commit(parts, expect_version=version)
+                # partition-scoped CAS: racing compactions and
+                # disjoint-day writers never cost a re-merge (only a
+                # data commit on a touched day does)
+                table.commit(
+                    parts, expect_version=version, conflict_scope="partitions"
+                )
                 break
             except CommitConflict:
                 continue  # an external writer moved the table: re-merge

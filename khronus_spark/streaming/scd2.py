@@ -178,7 +178,16 @@ def scd2_upsert_sink(table: TxnTable, week_ms: int = WEEK_MS, n_buckets: int = 8
                     new_dim = kept.unionByName(new_dim)
                 parts[f"dim/bucket={b}"] = new_dim
             try:
-                table.commit(parts, expect_version=version)
+                # partition-scoped CAS: the merge window here is LONG
+                # (touched-user chain rebuild), so table-scoped CAS
+                # starves under any short-cadence concurrent committer
+                # — the round-9 soak measured exactly that (8 straight
+                # losses to a 10 s compactor). Compaction-kind and
+                # disjoint-bucket commits re-link the staged result;
+                # only a data commit on a touched bucket re-merges.
+                table.commit(
+                    parts, expect_version=version, conflict_scope="partitions"
+                )
                 return
             except CommitConflict:
                 continue  # an external writer moved the table: re-merge

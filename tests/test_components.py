@@ -506,3 +506,28 @@ def test_wave5_operators_degrade_on_empty_inputs(spark):
     assert hll_overlap_estimate(empty_events, "event_type", "user_id").count() == 0
     assert k_anonymity_audit(empty_events, ["event_type"], "user_id").count() == 0
     assert rrf_fuse(empty_ranks, empty_ranks).count() == 0
+
+
+def test_cc_chain_converges_in_log_rounds(spark):
+    """The O(log² n) convergence pin behind the 8M-edge sweep
+    (scripts/cc_sweep.py): a pure chain — the diameter-maximizing
+    shape content-drifted copies produce, where plain min-propagation
+    needs O(diameter) rounds — must collapse in a handful of
+    large-star/small-star rounds. 4096 nodes = diameter 4095; the
+    alternating algorithm MEASURES 13 rounds here (~log2(diameter)+1,
+    far under the O(diameter)=4095 of plain propagation and under
+    MAX_ROUNDS=25, which therefore covers diameters to ~2^23). The
+    pin is log2(n)+4 so a regression toward propagation-shaped
+    round counts cannot hide behind the cap."""
+    from khronus_spark.operators.components import connected_components
+
+    n = 4096
+    chain = spark.range(n - 1).selectExpr("id AS src", "id + 1 AS dst")
+    stats: dict = {}
+    comp = connected_components(chain, stats=stats)
+    rows = comp.collect()
+    assert len(rows) == n
+    assert {r["component_id"] for r in rows} == {0}
+    assert stats["rounds"] <= 16, stats  # log2(4096)=12, measured 13
+    traj = stats["edge_counts"]
+    assert traj[-1] == n - 1  # star forest: one edge per non-root

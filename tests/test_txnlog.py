@@ -325,3 +325,102 @@ def test_custom_conforming_store_carries_the_table(spark, tmp_path):
     assert _rows(t.read_partition(spark, "a", version=1)) == [(1, "x")]
     with pytest.raises(CommitConflict):
         t.commit({"a": None}, expect_version=1)
+
+
+# ------------------------------- logical (partition-scoped) conflicts
+# (round-9: the SCD2 soak starved — a long CAS merge window always
+# overlaps a short-cadence compactor under table-scoped conflicts; the
+# fix is the Delta/Iceberg concurrency matrix: only a DATA commit on
+# an OVERLAPPING key invalidates a derivation)
+
+
+def test_cas_partitions_scope_survives_disjoint_writer(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    t.commit({"a": _df(spark, [(1, "x")]), "b": _df(spark, [(2, "y")])})
+    v = t.version()
+    # another writer lands on a DISJOINT key after our snapshot read
+    t.commit({"b": _df(spark, [(3, "y2")])})
+    # table scope: conflict (unchanged semantics)
+    with pytest.raises(CommitConflict):
+        t.commit({"a": _df(spark, [(9, "x2")])}, expect_version=v)
+    # partitions scope: our derivation of 'a' is untouched — lands
+    got = t.commit(
+        {"a": _df(spark, [(9, "x2")])},
+        expect_version=v,
+        conflict_scope="partitions",
+    )
+    assert got == t.version()
+    assert _rows(t.read_partition(spark, "a")) == [(9, "x2")]
+    assert _rows(t.read_partition(spark, "b")) == [(3, "y2")]  # not clobbered
+
+
+def test_cas_partitions_scope_conflicts_on_overlapping_data_commit(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    t.commit({"a": _df(spark, [(1, "x")])})
+    v = t.version()
+    t.commit({"a": _df(spark, [(2, "newer")])})  # data commit on OUR key
+    with pytest.raises(CommitConflict):
+        t.commit(
+            {"a": _df(spark, [(9, "stale")])},
+            expect_version=v,
+            conflict_scope="partitions",
+        )
+    # the concurrent update was not clobbered
+    assert _rows(t.read_partition(spark, "a")) == [(2, "newer")]
+
+
+def test_cas_partitions_scope_overrides_racing_compaction(spark, tmp_path):
+    """A compaction-kind commit on an overlapping key is
+    content-preserving, so the CAS writer re-links its staged result
+    instead of re-deriving — ingest never starves on maintenance; the
+    partition is merely uncompacted again."""
+    from khronus_spark.operators.rollup import compact_partition_txn
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.commit(
+        {"a": _df(spark, [(1, "x"), (2, "y")]), "b": _df(spark, [(5, "q")])}
+    )
+    v = t.version()
+    # a compactor rewrites BOTH keys (content-identical) after our read
+    assert compact_partition_txn(spark, t, "a", n_files=1, sort_cols=("k",))
+    assert compact_partition_txn(spark, t, "b", n_files=1, sort_cols=("k",))
+    assert t.version() == v + 2
+    got = t.commit(
+        {"a": _df(spark, [(3, "z")])},
+        expect_version=v,
+        conflict_scope="partitions",
+    )
+    assert got == v + 3
+    assert _rows(t.read_partition(spark, "a")) == [(3, "z")]
+    assert _rows(t.read_partition(spark, "b")) == [(5, "q")]
+    # kinds are recorded in the log
+    assert t.commit_info(v + 1)["kind"] == "compaction"
+    assert t.commit_info(got)["kind"] == "data"
+
+
+def test_compaction_retries_past_disjoint_and_compaction_commits(spark, tmp_path):
+    """compact_partition_txn itself runs partition-scoped: a data
+    commit on ANOTHER key between its read and its CAS must not force
+    a recompaction round (the commit just re-links)."""
+    from khronus_spark.operators.rollup import compact_partition_txn
+    from khronus_spark.sources.txnlog import TxnTable as _T
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.commit({"a": _df(spark, [(2, "b"), (1, "a")]), "other": _df(spark, [(7, "o")])})
+
+    # wrap commit to inject a disjoint data commit between the
+    # compactor's snapshot read and its CAS link
+    orig = t.commit
+    injected = {"done": False}
+
+    def racing_commit(parts, expect_version=None, **kw):
+        if not injected["done"] and "a" in parts and kw.get("kind") == "compaction":
+            injected["done"] = True
+            orig({"other": _df(spark, [(8, "o2")])})
+        return orig(parts, expect_version=expect_version, **kw)
+
+    t.commit = racing_commit
+    ver = compact_partition_txn(spark, t, "a", n_files=1, sort_cols=("k",))
+    assert ver == t.version()
+    assert _rows(t.read_partition(spark, "a")) == [(1, "a"), (2, "b")]
+    assert _rows(t.read_partition(spark, "other")) == [(8, "o2")]
