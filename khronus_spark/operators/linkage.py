@@ -264,3 +264,84 @@ def triangle_counts(
     return corners.groupBy("node_id").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
+
+
+def golden_records(
+    records: DataFrame,
+    assignment: DataFrame,
+    id_col: str,
+    attr_cols: list[str],
+) -> DataFrame:
+    """Survivorship — the last stage of entity resolution: after
+    pair matching (`blocked_edit_pairs`) and transitive clustering
+    (`components.connected_components`) assign every entity ONE
+    canonical value per attribute. The rule is mode-with-deterministic
+    -ties: the most frequent value within the entity wins, ties break
+    to the lexicographically smallest — the same shape every MDM
+    survivorship engine defaults to, and deterministic across engines
+    and partitionings (no arbitrary first()).
+
+    `records`: the full source table (one row per record).
+    `assignment`: (node_id, component_id) from connected_components —
+    records absent from it (never matched to anything) become
+    singleton entities of themselves, so the output covers EVERY
+    source record exactly once via entity membership.
+
+    Returns (entity_id, n_members, canonical_<attr>...). Attribute
+    values are compared as strings (the melt below needs one value
+    type); pre-cast upstream if an attribute's string form is not its
+    identity.
+
+    Scale shape — the round-6 scan-budget discipline applied from the
+    start: the per-attribute survivorship is MELTED into one
+    (entity, attr, value) frame, so the corpus is scanned ONCE no
+    matter how many attributes survive (a per-attribute aggregation
+    loop would re-run the corpus join per attribute). One wide
+    map-side-combinable count shuffle, then everything downstream is
+    count-table-sized; the assignment map (duplicate-graph nodes only)
+    broadcasts. The min(struct(-cnt, value)) argmax keeps ties
+    exact-integer instead of float-score.
+    """
+    members = records.join(
+        F.broadcast(
+            assignment.select(
+                F.col("node_id").alias(id_col),
+                F.col("component_id").alias("entity_id"),
+            )
+        ),
+        id_col,
+        "left",
+    ).withColumn("entity_id", F.coalesce("entity_id", F.col(id_col)))
+
+    melted = members.select(
+        "entity_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).alias("attr"),
+                        F.col(a).cast("string").alias("val"),
+                    )
+                    for a in attr_cols
+                ]
+            )
+        ).alias("kv"),
+    ).select("entity_id", "kv.attr", "kv.val")
+    counts = melted.groupBy("entity_id", "attr", "val").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    picked = counts.groupBy("entity_id", "attr").agg(
+        F.min(F.struct((-F.col("_c")).alias("_nc"), F.col("val"))).alias("_m"),
+        # every record contributes one row per attr, so the per-attr
+        # count sum IS the member count (identical for every attr)
+        F.sum("_c").alias("_n"),
+    )
+    return picked.groupBy("entity_id").agg(
+        F.max("_n").alias("n_members"),
+        *[
+            F.max(F.when(F.col("attr") == a, F.col("_m.val"))).alias(
+                f"canonical_{a}"
+            )
+            for a in attr_cols
+        ],
+    )

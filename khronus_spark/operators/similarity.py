@@ -450,6 +450,50 @@ def ivf_topk(
     )
 
 
+def anisotropic_corpus(
+    spark,
+    n: int,
+    dim: int = 16,
+    n_true: int = 8,
+    noise_pm: int = 200,
+) -> DataFrame:
+    """Deterministic HARD sizing-validation corpus (round-8 verdict
+    directive 6): anisotropic FILAMENT clusters (one stretched axis
+    per cluster, ~20x the off-axis spread) plus a `noise_pm`/1000
+    uniform noise floor. k-means carves isotropic cells, so a filament
+    is chopped across several cells and a probe near a chop boundary
+    has true nearest neighbors in the ADJACENT cell — recall at low
+    nprobe genuinely fails here, unlike jitter-replicated corpora
+    where any probed list contains the clones. Use it to validate an
+    `ivf_size_for_recall` grid before trusting a derived config.
+
+    Everything is xxhash64-derived (keyed by vec_id/dim/salt;
+    Irwin-Hall sum-of-3 pseudo-Gaussian), so the corpus is
+    reproducible bit-for-bit on any engine or partitioning."""
+    expr = f"""
+    transform(sequence(0, {dim - 1}), d -> CAST(
+      CASE WHEN pmod(xxhash64(vec_id, 9991), 1000) < {noise_pm}
+        THEN (pmod(xxhash64(vec_id, d, 7777), 2000001) / 1000000.0D) - 1.0D
+        ELSE least(1.0D, greatest(-1.0D,
+          ((pmod(xxhash64(pmod(xxhash64(vec_id, 3331), {n_true}), d, 551),
+                 1200001) / 1000000.0D) - 0.6D)
+          + (CASE WHEN d = pmod(
+                 xxhash64(pmod(xxhash64(vec_id, 3331), {n_true}), 919),
+                 {dim})
+             THEN 0.45D ELSE 0.02D END)
+            * ((pmod(xxhash64(vec_id, d, 11), 1000)
+               + pmod(xxhash64(vec_id, d, 12), 1000)
+               + pmod(xxhash64(vec_id, d, 13), 1000)) / 1500.0D - 1.0D)
+        ))
+      END AS FLOAT))
+    """
+    return (
+        spark.range(n)
+        .withColumnRenamed("id", "vec_id")
+        .withColumn("embedding", F.expr(expr))
+    )
+
+
 def ivf_size_for_recall(
     embeddings: DataFrame,
     probe_ids: list[int],
@@ -504,6 +548,17 @@ def ivf_size_for_recall(
     `lsh_size_for_recall` refusal contract: an honest error beats a
     silently under-recalling index.
 
+    SEED-PROBE BIAS (round-9 self-caught, refused up front): the
+    integer kmeans initializes centroids from vec_id 0..k-1, so a
+    probe drawn from that range sits AT (round 0) or near (after the
+    bounded Lloyd iterations) its own cell's center — its true
+    neighbors co-locate in its cell and recall reads near-perfect
+    regardless of the index's real quality. Measured on the hard
+    anisotropic corpus: seed probes 10000 bp median where non-seed
+    probes read 0 at the same config; on the 500-vector gate corpus
+    the same bias inflated c16_p1 from a true 3333 bp to 10000. Any
+    probe id in [0, max(n_clusters_grid)) is therefore refused.
+
     Deterministic end-to-end (integer kmeans, deterministic tie
     order, fixed grids), so a pinned config stays pinned:
     `ann_ivf_sized` registers the gate corpus's result and
@@ -514,6 +569,16 @@ def ivf_size_for_recall(
 
     if not 0 < target_recall_bp <= 10000:
         raise ValueError("target_recall_bp must be in (0, 10000]")
+    seed_range = max(n_clusters_grid)
+    biased = sorted(p for p in probe_ids if 0 <= p < seed_range)
+    if biased:
+        raise ValueError(
+            f"probe_ids {biased} fall in the kmeans init-seed range "
+            f"[0, {seed_range}) — recall measured on training seeds is "
+            "biased upward (seed probes sit at their own cell centers; "
+            "measured 10000 bp vs 0 for non-seed probes on a hard "
+            "corpus). Size with probes outside the seed range."
+        )
     corpus = (
         embeddings
         if sample_mod <= 1

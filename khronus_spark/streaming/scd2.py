@@ -95,11 +95,25 @@ def _read_namespace(spark, table, prefix, version):
     return out
 
 
-def scd2_upsert_sink(table: TxnTable, week_ms: int = WEEK_MS, n_buckets: int = 8):
+def scd2_upsert_sink(
+    table: TxnTable,
+    week_ms: int = WEEK_MS,
+    n_buckets: int = 8,
+    bucket_files: int = 1,
+):
     """foreachBatch body: merge the batch's facts into their user
     buckets (replay-idempotent by event_id), rebuild the touched
     users' interval chains from the merged bucket history, and commit
-    facts + dimension for the touched buckets as ONE CAS commit."""
+    facts + dimension for the touched buckets as ONE CAS commit.
+
+    `bucket_files` shapes each partition's write (coalesce, no
+    shuffle): without it every commit writes one file per shuffle
+    partition, and the NEXT trigger's merge pays the small-file read
+    tax compounding per trigger — the round-9 soak measured the worst
+    trigger dropping 46 s → within budget once writes were shaped
+    (and dropping again the moment the racing compactor caught up,
+    which is the same fix applied late). Size it so each file is
+    ~100-500 MB at production bucket volume."""
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.columns:
@@ -151,7 +165,9 @@ def scd2_upsert_sink(table: TxnTable, week_ms: int = WEEK_MS, n_buckets: int = 8
                     part = keep.unionByName(part)
                 # one materialization: the partition write AND the
                 # rebuild below both consume the merged bucket
-                part = part.localCheckpoint(eager=False)
+                part = part.coalesce(bucket_files).localCheckpoint(
+                    eager=False
+                )
                 merged_by_bucket[b] = part
                 parts[f"facts/bucket={b}"] = part
             touched = batch_users
@@ -176,7 +192,7 @@ def scd2_upsert_sink(table: TxnTable, week_ms: int = WEEK_MS, n_buckets: int = 8
                         F.broadcast(touched), "user_id", "left_anti"
                     )
                     new_dim = kept.unionByName(new_dim)
-                parts[f"dim/bucket={b}"] = new_dim
+                parts[f"dim/bucket={b}"] = new_dim.coalesce(bucket_files)
             try:
                 # partition-scoped CAS: the merge window here is LONG
                 # (touched-user chain rebuild), so table-scoped CAS
@@ -203,6 +219,7 @@ def run_streaming_scd2(
     week_ms: int = WEEK_MS,
     n_buckets: int = 8,
     trigger: dict | None = None,
+    bucket_files: int = 1,
 ):
     """Continuously maintain an SCD2 dimension from a fact stream:
     every micro-batch upserts facts and corrects exactly the touched
@@ -221,7 +238,7 @@ def run_streaming_scd2(
     bucket is next touched."""
     return (
         events_stream.writeStream.foreachBatch(
-            scd2_upsert_sink(table, week_ms, n_buckets)
+            scd2_upsert_sink(table, week_ms, n_buckets, bucket_files)
         )
         .option("checkpointLocation", checkpoint_path)
         .trigger(**(trigger or {"availableNow": True}))

@@ -1,29 +1,33 @@
 #!/usr/bin/env python
-"""IVF sizing on a HARD corpus (round-8 verdict directive 6).
+"""IVF sizing on HARD corpora (round-8 verdict directive 6).
 
 The round-8 `ivf_size_for_recall` evidence ran on the jitter-replicated
 gate corpus, whose near-neighborhoods are easy (tight clones — any
-probed list contains the clones). This sweep re-runs the sizing on a
-corpus built to make recall GENUINELY degrade at low nprobe:
+probed list contains the clones). This sweep re-runs the sizing on
+corpora built to make recall GENUINELY degrade at low nprobe, both
+from `similarity.anisotropic_corpus` (deterministic, xxhash64-derived,
+reproducible bit-for-bit):
 
-- ANISOTROPIC FILAMENT CLUSTERS: points lie along one stretched axis
-  per cluster (stretch ~20x the off-axis spread). k-means carves
-  isotropic cells, so a filament is chopped into several cells and a
-  probe near a chop boundary has true nearest neighbors in the
-  ADJACENT cell — exactly the failure mode nprobe=1 cannot see.
-- UNIFORM NOISE FLOOR: a fraction of points uniform in [-1,1]^dim,
-  whose true top-k are far-flung across every cell.
+- "noise" (dim 32, 100% uniform in [-1,1]^32): the
+  distance-concentration regime — true cosine neighbors are barely
+  closer than random points, so they scatter across k-means cells and
+  low-nprobe recall collapses (measured 0 bp at c16_p1 in the 3k-point
+  test pin). The textbook IVF-hard case.
+- "mixed" (dim 32, anisotropic filaments + 20% noise floor): filament
+  probes keep tight local neighborhoods (easy), noise probes are hard
+  — shows how a majority-easy corpus hides the failing tail in the
+  MEDIAN, which is itself worth knowing when choosing the target
+  statistic.
 
-Everything is deterministic (xxhash64-derived pseudo-randoms keyed by
-(vec_id, dim, salt); Irwin-Hall sum-of-3-uniforms as the
-pseudo-Gaussian), so the sweep is reproducible bit-for-bit.
+Probes sit OUTSIDE the k-means init-seed range: the round-9
+self-caught seed-probe bias (seeds measure 10000 bp where unbiased
+probes measure 0) is refused by the helper itself.
 
-Output: one JSON line with the FULL measured grid (median recall@k +
-measured scanned rows per config), the config the helper derives at
-the target, and the refusal proof on a grid restricted to the failing
-configs. The done-criterion from the verdict: at least one grid config
-FAILS the target here (on the easy corpus every config passed), and
-the helper sizes past it or refuses. Paste into ROUND9_NOTES.md.
+Output: one JSON line per corpus with the FULL measured grid, the
+config the helper derives at the target (or its refusal), and the
+refusal proof on an nprobe=1-only grid. Done-criterion from the
+verdict: at least one grid config FAILS the target on the hard corpus
+and the helper sizes past it or refuses. Paste into ROUND9_NOTES.md.
 """
 
 from __future__ import annotations
@@ -37,43 +41,14 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 N_POINTS = 20_000
-DIM = 16
-N_TRUE_CLUSTERS = 8
-NOISE_PM = 200  # 20% uniform noise floor
 N_PROBES = 40
 K = 3
 TARGET_BP = 8000
-
-
-def hard_anisotropic_corpus(spark, n, dim, n_true, noise_pm):
-    """(vec_id, embedding float[dim]) — filament clusters + noise."""
-    from pyspark.sql import functions as F
-
-    # cluster id and its stretch axis are hash-derived per point/cluster;
-    # coordinates: center[c,d] in [-0.6,0.6], on-axis spread 0.45,
-    # off-axis 0.02, Irwin-Hall(3) pseudo-Gaussian in [-1,1]
-    expr = f"""
-    transform(sequence(0, {dim - 1}), d -> CAST(
-      CASE WHEN pmod(xxhash64(vec_id, 9991), 1000) < {noise_pm}
-        THEN (pmod(xxhash64(vec_id, d, 7777), 2000001) / 1000000.0D) - 1.0D
-        ELSE least(1.0D, greatest(-1.0D,
-          ((pmod(xxhash64(pmod(xxhash64(vec_id, 3331), {n_true}), d, 551),
-                 1200001) / 1000000.0D) - 0.6D)
-          + (CASE WHEN d = pmod(
-                 xxhash64(pmod(xxhash64(vec_id, 3331), {n_true}), 919),
-                 {dim})
-             THEN 0.45D ELSE 0.02D END)
-            * ((pmod(xxhash64(vec_id, d, 11), 1000)
-               + pmod(xxhash64(vec_id, d, 12), 1000)
-               + pmod(xxhash64(vec_id, d, 13), 1000)) / 1500.0D - 1.0D)
-        ))
-      END AS FLOAT))
-    """
-    return (
-        spark.range(n)
-        .withColumnRenamed("id", "vec_id")
-        .withColumn("embedding", F.expr(expr))
-    )
+CORPORA = {
+    # name: (dim, n_true, noise_pm)
+    "noise": (32, 8, 1000),
+    "mixed": (32, 8, 200),
+}
 
 
 def main() -> None:
@@ -90,72 +65,76 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    from khronus_spark.operators.similarity import ivf_size_for_recall
-
-    corpus = hard_anisotropic_corpus(
-        spark, N_POINTS, DIM, N_TRUE_CLUSTERS, NOISE_PM
-    ).localCheckpoint(eager=True)
-    probe_ids = list(range(N_PROBES))
-
-    stats: dict = {}
-    try:
-        chosen = ivf_size_for_recall(
-            corpus,
-            probe_ids,
-            k=K,
-            target_recall_bp=TARGET_BP,
-            n_clusters_grid=(8, 16, 32),
-            nprobe_grid=(1, 2, 4, 8),
-            stats=stats,
-        )
-        refused = None
-    except ValueError as exc:
-        chosen, refused = None, str(exc)
-
-    failing = {
-        name: g["median_recall_bp"]
-        for name, g in stats.get("grid", {}).items()
-        if g["median_recall_bp"] < TARGET_BP
-    }
-
-    # refusal proof: restrict the grid to nprobe=1 (the configs the
-    # hard corpus defeats); the helper must refuse, not under-deliver
-    refusal_stats: dict = {}
-    try:
-        ivf_size_for_recall(
-            corpus,
-            probe_ids,
-            k=K,
-            target_recall_bp=TARGET_BP,
-            n_clusters_grid=(8, 16, 32),
-            nprobe_grid=(1,),
-            stats=refusal_stats,
-        )
-        restricted_refused = None
-    except ValueError as exc:
-        restricted_refused = str(exc)
-
-    print(
-        json.dumps(
-            {
-                "metric": "ivf_size_for_recall on hard anisotropic corpus",
-                "n_points": N_POINTS,
-                "dim": DIM,
-                "true_clusters": N_TRUE_CLUSTERS,
-                "noise_pm": NOISE_PM,
-                "k": K,
-                "target_recall_bp": TARGET_BP,
-                "grid": stats.get("grid"),
-                "n_failing_configs": len(failing),
-                "failing_configs": failing,
-                "chosen": chosen,
-                "full_grid_refused": refused,
-                "nprobe1_grid": refusal_stats.get("grid"),
-                "nprobe1_refusal": restricted_refused,
-            }
-        ),
-        flush=True,
+    from khronus_spark.operators.similarity import (
+        anisotropic_corpus,
+        ivf_size_for_recall,
     )
+
+    probe_ids = list(range(100, 100 + N_PROBES))  # outside the seed range
+
+    for name, (dim, n_true, noise_pm) in CORPORA.items():
+        corpus = anisotropic_corpus(
+            spark, N_POINTS, dim=dim, n_true=n_true, noise_pm=noise_pm
+        ).localCheckpoint(eager=True)
+
+        stats: dict = {}
+        try:
+            chosen = ivf_size_for_recall(
+                corpus,
+                probe_ids,
+                k=K,
+                target_recall_bp=TARGET_BP,
+                n_clusters_grid=(8, 16, 32),
+                nprobe_grid=(1, 2, 4, 8),
+                stats=stats,
+            )
+            refused = None
+        except ValueError as exc:
+            chosen, refused = None, str(exc)
+
+        failing = {
+            g: s["median_recall_bp"]
+            for g, s in stats.get("grid", {}).items()
+            if s["median_recall_bp"] < TARGET_BP
+        }
+
+        # refusal proof: nprobe=1 only — the helper must refuse rather
+        # than under-deliver if every such config fails
+        try:
+            ivf_size_for_recall(
+                corpus,
+                probe_ids,
+                k=K,
+                target_recall_bp=TARGET_BP,
+                n_clusters_grid=(16, 32),
+                nprobe_grid=(1,),
+            )
+            restricted_refused = None
+        except ValueError as exc:
+            restricted_refused = str(exc)
+
+        print(
+            json.dumps(
+                {
+                    "metric": f"ivf_size_for_recall on hard corpus [{name}]",
+                    "n_points": N_POINTS,
+                    "dim": dim,
+                    "true_clusters": n_true,
+                    "noise_pm": noise_pm,
+                    "k": K,
+                    "target_recall_bp": TARGET_BP,
+                    "grid": stats.get("grid"),
+                    "n_failing_configs": len(failing),
+                    "failing_configs": failing,
+                    "chosen": chosen,
+                    "full_grid_refused": refused,
+                    "nprobe1_refusal": restricted_refused,
+                }
+            ),
+            flush=True,
+        )
+
+    spark.stop()
 
 
 if __name__ == "__main__":

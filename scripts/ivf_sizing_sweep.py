@@ -81,7 +81,7 @@ def main() -> None:
         n = n_base * reps
 
         for mod in SAMPLE_MODS:
-            probes_in = [i * mod for i in range(10)]  # inside the carve
+            probes_in = [(100 + i) * mod for i in range(10)]  # in-carve, non-seed
             t0 = time.perf_counter()
             cfg = sim.ivf_size_for_recall(
                 emb,

@@ -112,9 +112,9 @@ def main() -> None:
     table = TxnTable(f"{tmp}/table")
     _orig_commit = table.commit
 
-    def counted_commit(parts, expect_version=None):
+    def counted_commit(parts, expect_version=None, **kw):
         try:
-            v = _orig_commit(parts, expect_version=expect_version)
+            v = _orig_commit(parts, expect_version=expect_version, **kw)
         except CommitConflict:
             conflicts["n"] += 1
             raise

@@ -98,9 +98,9 @@ def main() -> None:
         table = TxnTable(root)
         orig = table.commit
 
-        def commit(parts, expect_version=None):
+        def commit(parts, expect_version=None, **kw):
             try:
-                v = orig(parts, expect_version=expect_version)
+                v = orig(parts, expect_version=expect_version, **kw)
             except CommitConflict:
                 conflicts[tag] += 1
                 raise

@@ -326,3 +326,55 @@ def test_multipass_snm_dedupes_double_finds(spark):
         df, ["blk"], "name", "id", window=2, max_dist=0
     ).collect()
     assert len(out) == 1 and (out[0]["id_a"], out[0]["id_b"]) == (1, 2)
+
+
+def test_golden_records_survivorship(spark):
+    """Mode-with-deterministic-ties survivorship: the most frequent
+    value wins per entity, ties break lexicographically smallest,
+    unmatched records become singleton entities of themselves, and
+    every source record is covered exactly once."""
+    from khronus_spark.operators.linkage import golden_records
+
+    records = spark.createDataFrame(
+        [
+            # entity {1,2,3}: name 'acme corp' wins 2-1; brand ties
+            # 'a'(1) vs 'b'(1) ... 'a' < 'b' wins lexicographically
+            (1, "acme corp", "a"),
+            (2, "acme corp", "b"),
+            (3, "acme inc", "b"),
+            # entity {10,11}: all agree
+            (10, "zeta", "z"),
+            (11, "zeta", "z"),
+            # singleton: never matched
+            (20, "solo", "s"),
+        ],
+        "rid long, name string, brand string",
+    )
+    assignment = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "node_id long, component_id long",
+    )
+    out = {
+        r["entity_id"]: (r["n_members"], r["canonical_name"], r["canonical_brand"])
+        for r in golden_records(records, assignment, "rid", ["name", "brand"]).collect()
+    }
+    assert out == {
+        1: (3, "acme corp", "b"),   # brand 'b' wins 2-1 over 'a'
+        10: (2, "zeta", "z"),
+        20: (1, "solo", "s"),
+    }
+    # total member coverage == source rows
+    assert sum(v[0] for v in out.values()) == records.count()
+
+
+def test_golden_records_tie_breaks_lexicographic(spark):
+    from khronus_spark.operators.linkage import golden_records
+
+    records = spark.createDataFrame(
+        [(1, "bb"), (2, "aa")], "rid long, name string"
+    )
+    assignment = spark.createDataFrame(
+        [(1, 1), (2, 1)], "node_id long, component_id long"
+    )
+    row = golden_records(records, assignment, "rid", ["name"]).collect()[0]
+    assert (row["entity_id"], row["n_members"], row["canonical_name"]) == (1, 2, "aa")

@@ -770,6 +770,12 @@ def test_shared_subtrees_materialize_once(spark, oracle_sf_dir):
         # embeddings scan (probe vectors); index reads are scratch-dir
         # parquet not counted by this metric (plan-gated separately)
         "hybrid_rrf_topk_indexed": 2,
+        # r9: survivorship melts all attributes into ONE pass (one
+        # part scan; the CC assignment is checkpoint-backed)
+        "part_golden_records": 1,
+        # r9: hourly count table checkpointed — profile + flag join
+        # share it (one events scan)
+        "events_seasonal_anomaly": 1,
     }
     over = []
     for name, budget in sorted(budgets.items()):
