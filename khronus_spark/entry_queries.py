@@ -121,23 +121,33 @@ def register(name: str, oracle: str | None):
 #: operator inside the window; everything else keeps registration order
 #: in the tail (still exercised by tests/test_oracle_parity.py locally).
 #:
-#: Round-8 rotation policy (same invariant as rounds 2-7): the window
-#: holds (a) the drained round-7 queue — the 2 entries registered after
-#: the r7 window froze, never driver-checked, leading per the rotation
-#: contract — then (b) entries NEW this round (the exact WAND-pruned
-#: BM25 face; the sized-IVF helper face), (c) every entry whose ENGINE
-#: PATH changed AFTER its newest green driver row: `write_bm25_index`
-#: now also persists the max-impact ceiling table (touches
-#: hybrid_rrf_topk_indexed, whose index build rides it), and the fused
-#: one-shuffle incremental-dedup probe landed after the r7 driver run
-#: (dedup_incremental_batch held an r7 green row from the PRE-fuse
-#: body), then (d) the longest-unchecked tail: ALL 13 remaining
-#: r3-cohort entries — this retires the r3 ledger debt entirely — and
-#: the oldest round-4 entries in registration order (the rest of the
-#: r4/r5 cohorts rotate in rounds 9-10). Rows-only entries (xxhash64
-#: signatures) stay out — the window accepts only hash-checkable
-#: entries, and their md5 twins are inside. Everything else is still
-#: locally oracle-checked every run by tests/test_oracle_parity.py.
+#: Round-9 rotation policy (same invariant as rounds 2-8): the window
+#: holds (a) the drained round-8 queue — `bm25_eval_topk_routed`,
+#: registered after the r8 window froze, never driver-checked, leading
+#: per the rotation contract — then (b) the 2 entries NEW this round
+#: (ER survivorship `part_golden_records`; seasonal-profile
+#: `events_seasonal_anomaly`), (c) every entry whose ENGINE PATH
+#: changed AFTER its newest green driver row: the WAND auto-router
+#: rewired `bm25_eval_topk_pruned` / `bm25_chunk_topk_indexed` /
+#: `hybrid_rrf_topk_indexed` (r8 rows predate the router);
+#: `bpe_merges_6` now routes through the batched trainer
+#: (bit-identical by proof, re-proven by driver hash); `ann_ivf_sized`
+#: was RE-PINNED after the self-caught seed-probe bias (new config
+#: {4x4}, new unbiased probes 100..109 — config AND oracle changed);
+#: plus `dedup_components` and `part_entity_components` as guards for
+#: the connected_components stats-instrumentation (pure-signature
+#: addition — the r5 code-motion precedent says local re-proof
+#: suffices for its other consumers `dedup_components_minhash`,
+#: `corpus_curation`, `leakage_safe_split`, `source_overlap_matrix`,
+#: all r5/r6-green and hash-checked on every local parity run; they
+#: rotate in r10 regardless), then (d) the longest-unchecked tail: the
+#: FULL 13-entry r4 cohort — retiring the r4 ledger debt — and the 27
+#: oldest r5-cohort entries in registration order. The remaining 16
+#: r5 entries (`dedup_exact_docs` … `dedup_graph_pagerank`) rotate in
+#: round 10. Rows-only entries (xxhash64 signatures) stay out — the
+#: window accepts only hash-checkable entries, and their md5 twins are
+#: inside. Everything else is still locally oracle-checked every run
+#: by tests/test_oracle_parity.py.
 #: tests/test_oracle_parity.py::test_window_rotation_covers_unproven
 #: enforces the invariant "green before, or in the window".
 DRIVER_WINDOW = 50
@@ -148,73 +158,73 @@ DRIVER_WINDOW = 50
 #: this explicit queue, each queued entry to be fully oracle-backed
 #: (hash-checked against DuckDB on every local parity run), and the
 #: NEXT round's window to lead with them (emptying the queue) before
-#: anything else rotates. Round 8 drained the round-7 queue (its 2
-#: entries lead _PRIORITY below); entries added after the round-8
-#: window froze queue here for round 9.
-PENDING_NEXT_WINDOW: list[str] = [
-    # new in round 9, drains into the r9 window at rotation
-    "bm25_eval_topk_routed",
-]
+#: anything else rotates. Round 9 drained the round-8 queue (its entry
+#: leads _PRIORITY below); entries added after the round-9 window
+#: froze queue here for round 10.
+PENDING_NEXT_WINDOW: list[str] = []
 
 _PRIORITY = [
-    # -- the drained round-7 queue: first driver proof THIS round -------
-    "corpus_version_diff",
-    "doc_text_normalize",
-    # -- new in round 8: never driver-checked ---------------------------
+    # -- the drained round-8 queue: first driver proof THIS round -------
+    "bm25_eval_topk_routed",
+    # -- new in round 9: never driver-checked ---------------------------
+    "part_golden_records",
+    "events_seasonal_anomaly",
+    # -- engine paths touched after their newest green row: the WAND
+    #    auto-router rewired the three retrieval faces; bpe_merges_6
+    #    routes through the batched trainer; ann_ivf_sized was re-pinned
+    #    (seed-probe bias) with a new config and new oracle probes;
+    #    dedup_components/part_entity_components guard the
+    #    connected_components stats instrumentation
     "bm25_eval_topk_pruned",
-    "ann_ivf_sized",
     "bm25_chunk_topk_indexed",
-    # -- engine paths touched after their newest green row: the BM25
-    #    index write now persists max-impact ceilings (hybrid's build
-    #    path), and the fused-probe incremental dedup landed post-r7-run
     "hybrid_rrf_topk_indexed",
-    "dedup_incremental_batch",
-    # -- the 13-entry r3 tail: retires the r3 rotation debt -------------
-    "llm_corpus_prep",
-    "events_top_per_user",
-    "events_in_session_range_join",
-    "part_brand_stats",
-    "token_count_bpe_regex",
-    "source_cap_sample",
-    "curriculum_shards",
-    "ann_quantized_topk",
-    "embedding_quantize_stats",
-    "ts_hdr_encoded_roundtrip_1h",
-    "ts_hdr_summary_5m",
-    "ts_hdr_summary_5m_hdrcompat",
-    "decontamination_fuzzy",
-    # -- longest-unchecked fills: the oldest r4-only cohort in
-    #    registration order (the rest rotates in rounds 9-10) -----------
-    "influx_field_plus_literal",
-    "tpch_q1_pricing",
-    "tpch_q3_top_orders",
-    "tpch_q6_forecast_revenue",
-    "tpch_q14_promo_revenue",
-    "tpch_q4_late_orders",
-    "customer_lapsed_anti",
-    "tpch_q18_big_orders",
-    "tpch_q7_volume_shipping",
-    "tpch_q10_returned_revenue",
-    "events_rollup_type_daily",
-    "events_cube_type_daily",
     "bpe_merges_6",
-    "bpe_merges_batched",
-    "cms_heavy_users",
-    "bpe_encode_6",
-    "duplicate_spans",
-    "unigram_surprisal",
-    "dup_ngram_5",
-    "kmeans_inertia",
-    "kmeans_embeddings",
-    "semantic_dedup",
-    "ann_ivf_assignments",
-    "c4_span_removal",
-    "decontamination_bloom",
-    "ann_ivf_kmeans_topk",
-    "ann_ivf_topk",
-    "media_features",
-    "media_resize_plan",
-    "media_frame_sample",
+    "ann_ivf_sized",
+    "dedup_components",
+    "part_entity_components",
+    # -- the FULL 13-entry r4 tail: retires the r4 rotation debt --------
+    "embedding_rp_project",
+    "ann_rp_topk",
+    "bigram_surprisal",
+    "vocab_oov_by_source",
+    "approx_distinct_users_weekly_cascade",
+    "cms_heavy_users_weekly_cascade",
+    "tokenizer_fertility_by_lang",
+    "lang_confusion_matrix",
+    "pq_codes",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "source_health_report",
+    "ann_pq_rerank_topk",
+    # -- longest-unchecked fills: the 27 oldest r5-only entries in
+    #    registration order (the remaining 16 rotate in round 10) ------
+    "ts_counter_summary_5m",
+    "ts_histogram_summary_1m",
+    "ts_gauge_summary_30s",
+    "ts_histogram_summary_1h",
+    "ts_pregroup_5s",
+    "ts_cpm_5m",
+    "influx_count_click_5m",
+    "influx_auto_resolution_click",
+    "influx_from_materialized_store",
+    "influx_spread_error_1h",
+    "influx_fill_zero_view_10m",
+    "influx_scale_limit_desc_click_1m",
+    "influx_op_two_sources_30m",
+    "influx_star_click_5m",
+    "influx_regex_fanout_5m",
+    "influx_list_series",
+    "events_column_profile",
+    "events_pivot_type_daily",
+    "events_sliding_counts_10m_5m",
+    "user_funnel_vcp",
+    "user_weekly_retention",
+    "events_value_deciles",
+    "user_segments_setops",
+    "events_value_moving_avg_7d",
+    "tpch_q5_regional_revenue",
+    "events_user_daily",
+    "events_top_users",
 ]
 
 
