@@ -242,6 +242,13 @@ def main() -> None:
         "perplexity_split": lambda: run_df(
             q["doc_perplexity_split"](spark, sf_dir)
         ),
+        # r9: ER survivorship (pairs -> components -> golden record,
+        # melted one-pass attribute mode) and the seasonal-profile
+        # anomaly face (two aggregates + broadcast profile join)
+        "golden_records": lambda: run_df(q["part_golden_records"](spark, sf_dir)),
+        "seasonal_anomaly": lambda: run_df(
+            q["events_seasonal_anomaly"](spark, sf_dir)
+        ),
     }
 
     import tempfile

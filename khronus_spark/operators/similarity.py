@@ -504,6 +504,7 @@ def ivf_size_for_recall(
     iters: int | None = None,
     sample_mod: int = 1,
     stats: dict | None = None,
+    recall_stat: str = "median",
 ) -> dict[str, int]:
     """EMPIRICAL IVF sizing — the measured counterpart of the
     closed-form `lsh_size_for_recall` (round-7 verdict directive 5):
@@ -558,6 +559,15 @@ def ivf_size_for_recall(
     probes read 0 at the same config; on the 500-vector gate corpus
     the same bias inflated c16_p1 from a true 3333 bp to 10000. Any
     probe id in [0, max(n_clusters_grid)) is therefore refused.
+
+    `recall_stat` picks the statistic the target applies to:
+    "median" (default) or "p10" (the floor of the worst decile,
+    nearest-rank). The hard-sweep's mixed corpus shows why the choice
+    matters: with 80% of probes in tight filament neighborhoods and
+    20% in a uniform noise floor, every grid config PASSES an 8000 bp
+    MEDIAN (the easy majority outvotes the tail) while the noise
+    probes individually recall ~0-3333 bp — a p10 target surfaces
+    that tail instead of letting it hide.
 
     Deterministic end-to-end (integer kmeans, deterministic tie
     order, fixed grids), so a pinned config stays pinned:
@@ -650,15 +660,26 @@ def ivf_size_for_recall(
     rows = ann_recall_at_k(
         corpus, probe_ids, k, include=(), extra_methods=methods
     ).collect()
+    if recall_stat == "median":
+        def _stat(recalls: list[int]) -> int:
+            return int(median(sorted(recalls)))
+    elif recall_stat == "p10":
+        def _stat(recalls: list[int]) -> int:
+            s = sorted(recalls)
+            # nearest-rank percentile: the floor of the worst decile
+            return s[max(0, (len(s) + 9) // 10 - 1)]
+    else:
+        raise ValueError(f"unknown recall_stat {recall_stat!r}")
     by_method: dict[str, list[int]] = {}
     for r in rows:
         by_method.setdefault(r["method"], []).append(r["recall_bp"])
     if stats is not None:
         # the full measured grid, for sweep scripts / hard-corpus
-        # evidence: per-config median recall and measured scanned rows
+        # evidence: per-config recall statistic and measured scan rows
         stats["grid"] = {
             name: {
                 "median_recall_bp": int(median(sorted(recalls))),
+                f"{recall_stat}_recall_bp": _stat(recalls),
                 "scanned_rows": scanned[
                     tuple(int(x[1:]) for x in name.split("_"))
                 ],
@@ -668,7 +689,7 @@ def ivf_size_for_recall(
         stats["n_corpus"] = n_corpus
     best = None
     for name, recalls in by_method.items():
-        med = int(median(sorted(recalls)))
+        med = _stat(recalls)
         if med < target_recall_bp:
             continue
         n_clusters, nprobe = (int(x[1:]) for x in name.split("_"))
@@ -678,9 +699,9 @@ def ivf_size_for_recall(
     if best is None:
         raise ValueError(
             f"recall {target_recall_bp}bp unreachable on the measured grid "
-            f"{n_clusters_grid}x{nprobe_grid}; measured medians: "
+            f"{n_clusters_grid}x{nprobe_grid} at {recall_stat}; measured: "
             + ", ".join(
-                f"{n}={int(median(sorted(v)))}" for n, v in sorted(by_method.items())
+                f"{n}={_stat(v)}" for n, v in sorted(by_method.items())
             )
         )
     (rows_scanned, _, _), n_clusters, nprobe, med = best

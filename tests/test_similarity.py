@@ -385,3 +385,42 @@ def test_ivf_sizing_on_hard_corpus_fails_low_nprobe_and_sizes_past_it(
             n_clusters_grid=(wc,),
             nprobe_grid=(wp,),
         )
+
+
+def test_ivf_sizing_p10_surfaces_the_tail_the_median_hides(spark):
+    """The statistic-choice caveat made executable: on the mixed
+    corpus (filaments + 25% noise floor) the MEDIAN says every config
+    is perfect — the easy majority outvotes the noise tail — while
+    p10 exposes 0 bp at the cheap configs and forces a config that
+    actually covers the tail. Measured at this exact scale: median
+    picks c16_p1 (12% scan, but p10=0); p10 picks c8_p4 (~59% scan,
+    p10=10000)."""
+    from khronus_spark.operators.similarity import (
+        anisotropic_corpus,
+        ivf_size_for_recall,
+    )
+
+    corpus = anisotropic_corpus(
+        spark, 3000, dim=32, n_true=4, noise_pm=250
+    ).localCheckpoint(eager=True)
+    probes = list(range(500, 520))
+
+    med_stats: dict = {}
+    med_cfg = ivf_size_for_recall(
+        corpus, probes, k=3, target_recall_bp=8000,
+        n_clusters_grid=(8, 16), nprobe_grid=(1, 2, 4),
+        stats=med_stats, recall_stat="median",
+    )
+    p10_stats: dict = {}
+    p10_cfg = ivf_size_for_recall(
+        corpus, probes, k=3, target_recall_bp=8000,
+        n_clusters_grid=(8, 16), nprobe_grid=(1, 2, 4),
+        stats=p10_stats, recall_stat="p10",
+    )
+    # the median-chosen config's own p10 is BELOW target — the tail
+    # the median hid
+    med_name = f"c{med_cfg['n_clusters']}_p{med_cfg['nprobe']}"
+    assert p10_stats["grid"][med_name]["p10_recall_bp"] < 8000
+    # the p10-chosen config genuinely covers the tail, at honest cost
+    assert p10_cfg["measured_recall_bp"] >= 8000
+    assert p10_cfg["scanned_pm"] > med_cfg["scanned_pm"]
