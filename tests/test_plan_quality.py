@@ -890,3 +890,25 @@ def test_bm25_router_picks_pruned_past_crossover_only(spark, oracle_sf_dir):
         )
     )
     assert "ExistingRDD" not in forced_plain
+
+
+def test_golden_records_broadcasts_assignment_single_corpus_pass(
+    spark, oracle_sf_dir
+):
+    """Survivorship plan shape (r9): the entity-assignment map joins
+    BROADCAST onto the records (never a corpus-wide shuffle join), and
+    the melted design means no corpus-to-corpus join exists at all —
+    the only SortMergeJoin-eligible frames are count-table-sized."""
+    plan = _plan(spark, oracle_sf_dir, "part_golden_records")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_seasonal_anomaly_profile_broadcasts(spark, oracle_sf_dir):
+    """The (type, hour-of-day) profile is <= |types| x 24 rows and must
+    broadcast back onto the hourly table; the hourly table itself is
+    checkpoint-shared (scan budget 1), so no events-to-events join."""
+    plan = _plan(spark, oracle_sf_dir, "events_seasonal_anomaly")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
