@@ -161,7 +161,10 @@ DRIVER_WINDOW = 50
 #: anything else rotates. Round 9 drained the round-8 queue (its entry
 #: leads _PRIORITY below); entries added after the round-9 window
 #: froze queue here for round 10.
-PENDING_NEXT_WINDOW: list[str] = []
+PENDING_NEXT_WINDOW: list[str] = [
+    # new in round 9 AFTER the r9 window froze; drains into r10
+    "events_user_skew_profile",
+]
 
 _PRIORITY = [
     # -- the drained round-8 queue: first driver proof THIS round -------
@@ -5813,3 +5816,37 @@ def events_seasonal_anomaly(spark, sf_dir):
         F.col("hod").cast("long").alias("hod"),
         F.col("n").cast("long").alias("prof_n"),
     )
+
+
+@register(
+    "events_user_skew_profile",
+    """
+WITH c AS (
+  SELECT user_id AS key, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY user_id
+),
+s AS (SELECT sum(cnt) AS total, count(*) AS n_keys FROM c),
+t AS (
+  SELECT key, cnt,
+         row_number() OVER (ORDER BY cnt DESC, key ASC) AS rank
+  FROM c
+)
+SELECT CAST(rank AS BIGINT) AS rank, key, cnt,
+       CAST(cnt * 10000 // total AS BIGINT) AS share_bp,
+       CAST(sum(cnt) OVER (ORDER BY rank) * 10000 // total AS BIGINT)
+         AS cum_share_bp,
+       CAST(cnt * 100 // (total // n_keys) AS BIGINT) AS mean_mult_x100
+FROM t, s
+WHERE rank <= 20
+""",
+)
+def events_user_skew_profile(spark, sf_dir):
+    """Shuffle-key skew diagnostic (operators/skew.py::skew_profile):
+    top-20 user_id keys with corpus share, cumulative share, and
+    multiple-of-the-mean-key — the measurement that decides whether a
+    join/aggregation on this key needs AQE skew splitting or
+    salted_distinct before anyone burns a cluster discovering a
+    straggler. One map-combinable count shuffle; totals broadcast
+    back; top-N is a TakeOrdered."""
+    ev = load_table(spark, sf_dir, "events")
+    return skew_ops.skew_profile(ev, "user_id", top_n=20)

@@ -56,3 +56,60 @@ SELECT {group_col}, count(DISTINCT {key_col}) AS n_distinct
 FROM {table}
 GROUP BY {group_col}
 """
+
+
+def skew_profile(
+    df: DataFrame, key_col: str, top_n: int = 20
+) -> DataFrame:
+    """The measurement that DECIDES whether any skew machinery is
+    needed: per top-`top_n` key (by row count), its absolute count,
+    corpus share, cumulative share, and multiple-of-the-mean-key —
+    the pre-join/pre-aggregation diagnostic that tells you whether a
+    shuffle on `key_col` will straggle (one key holding >> 1/parallelism
+    of the rows) and whether AQE skew-join splitting or
+    `salted_distinct` is warranted.
+
+    Returns (rank, key, cnt, share_bp, cum_share_bp, mean_mult_x100),
+    rank ordered by (cnt desc, key asc) — deterministic ties.
+    `mean_mult_x100` = 100 x this key's count over the mean key's
+    count, computed as cnt*100 div (total div n_keys) so every term
+    stays inside int64 at any corpus size (an exact cnt*n_keys*100
+    numerator would overflow at ~1e12 rows x 1e9 keys).
+
+    Scale shape: ONE map-side-combinable count shuffle over the key,
+    then everything downstream is key-table-sized — the totals are a
+    two-scalar aggregate of the count table (broadcast back as one
+    row), the top-N is a TakeOrdered, and the cumulative window runs
+    over top_n rows. The corpus is scanned once.
+    """
+    counts = (
+        df.groupBy(F.col(key_col).alias("key"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    stats = counts.agg(
+        F.sum("cnt").alias("_total"), F.count(F.lit(1)).alias("_n_keys")
+    )
+    from pyspark.sql import Window
+
+    top = (
+        counts.orderBy(F.col("cnt").desc(), F.col("key").asc())
+        .limit(top_n)
+        .crossJoin(F.broadcast(stats))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("key").asc())
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select(
+            "rank",
+            "key",
+            "cnt",
+            F.expr("cnt * 10000 div _total").alias("share_bp"),
+            F.expr(
+                "sum(cnt) OVER (ORDER BY cnt DESC, key ASC) * 10000 div _total"
+            ).alias("cum_share_bp"),
+            F.expr("cnt * 100 div (_total div _n_keys)").alias(
+                "mean_mult_x100"
+            ),
+        )
+    )

@@ -1217,3 +1217,22 @@ def test_normalize_text_semantics(spark):
     assert out[4]["text_norm"] == "line1 line2 line3" and out[4]["changed"]
     for r in out.values():
         assert r["n_chars_norm"] == len(r["text_norm"])
+
+
+def test_skew_profile_planted_hot_key(spark):
+    """A planted 50%-hot key reads share_bp=5000, rank 1, and a
+    mean-multiple of ~n_keys/2 x 100; cumulative shares tile to
+    10000 over the full key set."""
+    from khronus_spark.operators.skew import skew_profile
+
+    rows = [(0, i) for i in range(50)]  # hot key: 50 of 100 rows
+    rows += [(k, 0) for k in range(1, 51)]  # 50 singleton keys
+    df = spark.createDataFrame(rows, "user_id long, x long")
+    out = {r["rank"]: r for r in skew_profile(df, "user_id", top_n=60).collect()}
+    assert out[1]["key"] == 0 and out[1]["cnt"] == 50
+    assert out[1]["share_bp"] == 5000
+    # mean key count = 100 div 51 = 1 -> hot key is 50x the mean
+    assert out[1]["mean_mult_x100"] == 5000
+    # deterministic ties: singletons rank by key asc
+    assert out[2]["key"] == 1 and out[2]["cnt"] == 1
+    assert out[len(out)]["cum_share_bp"] == 10000  # tiles exactly
