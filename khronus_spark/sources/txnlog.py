@@ -351,3 +351,75 @@ class TxnTable:
             if not os.listdir(tdir):
                 os.rmdir(tdir)
         return deleted
+
+
+def change_feed(
+    spark: SparkSession,
+    table: TxnTable,
+    from_version: int,
+    to_version: int | None = None,
+):
+    """Row-level change-data-feed between two versions — the CDC
+    surface of the commit log (the Delta CDF analogue, derived rather
+    than stored: the log already knows which partitions each commit
+    touched, and partitions are immutable snapshots, so the row-level
+    delta is two `exceptAll`s per touched partition).
+
+    For each commit v in (from_version, to_version] and each partition
+    key it touched, emits the data rows added and removed vs v-1 with
+    three metadata columns: `_version`, `_partition`, `_op`
+    ('insert' | 'delete'). An updated row appears as delete+insert
+    (the store has no row identity by design; sinks that upsert by a
+    key column MERGE on it). `exceptAll` keeps duplicate-row
+    multiplicity exact, so applying the feed to snapshot(from_version)
+    reproduces snapshot(to_version) as a multiset — test-pinned.
+
+    Commits with kind='compaction' are SKIPPED WITHOUT READING DATA:
+    they are content-preserving by construction (the same contract the
+    partition-scoped CAS relies on), so their row-level delta is empty
+    by definition — a through-the-log compactor costs CDC consumers
+    nothing.
+
+    Scale shape: work is bounded by the TOUCHED partitions of the
+    requested version range (never the table), each read at pinned
+    versions from immutable files; the per-partition delta is one
+    co-partitionable exceptAll pair. Returns None when the range
+    contains no data commits."""
+    from pyspark.sql import functions as F
+
+    to_v = table.version() if to_version is None else to_version
+    if to_v > table.version():
+        raise ValueError(
+            f"to_version={to_v} is ahead of the log "
+            f"(latest={table.version()})"
+        )
+    if from_version < 0 or from_version > to_v:
+        raise ValueError(
+            f"need 0 <= from_version <= to_version, got "
+            f"{from_version}..{to_v}"
+        )
+    out = None
+    for v in range(from_version + 1, to_v + 1):
+        info = table.commit_info(v)
+        if info.get("kind", "data") == "compaction":
+            continue  # content-preserving by contract: empty delta
+        for key in info["partitions"]:
+            prev = table.read_partition(spark, key, v - 1)
+            cur = table.read_partition(spark, key, v)
+            deltas = []
+            if cur is not None and prev is not None:
+                deltas.append((cur.exceptAll(prev), "insert"))
+                deltas.append((prev.exceptAll(cur), "delete"))
+            elif cur is not None:
+                deltas.append((cur, "insert"))
+            elif prev is not None:
+                deltas.append((prev, "delete"))
+            for df, op in deltas:
+                tagged = df.select(
+                    "*",
+                    F.lit(v).alias("_version"),
+                    F.lit(key).alias("_partition"),
+                    F.lit(op).alias("_op"),
+                )
+                out = tagged if out is None else out.unionByName(tagged)
+    return out

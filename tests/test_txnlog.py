@@ -424,3 +424,81 @@ def test_compaction_retries_past_disjoint_and_compaction_commits(spark, tmp_path
     assert ver == t.version()
     assert _rows(t.read_partition(spark, "a")) == [(1, "a"), (2, "b")]
     assert _rows(t.read_partition(spark, "other")) == [(8, "o2")]
+
+
+# ----------------------------------------------- change feed (CDC)
+
+
+def test_change_feed_inserts_deletes_and_replay(spark, tmp_path):
+    """Row-level CDC: replaces emit exact delete+insert deltas
+    (multiset semantics via exceptAll), drops emit all-deletes, and
+    applying the feed to snapshot(from) reproduces snapshot(to) as a
+    multiset — the replay theorem that makes the feed a faithful
+    derivation of the log."""
+    from khronus_spark.sources.txnlog import change_feed
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.commit({"a": _df(spark, [(1, "x"), (2, "y")]), "b": _df(spark, [(5, "q")])})
+    t.commit({"a": _df(spark, [(1, "x"), (3, "z")])})   # 2 deleted, 3 added
+    t.commit({"b": None})                                # drop b
+    t.commit({"c": _df(spark, [(9, "new")])})            # create c
+
+    feed = change_feed(spark, t, 1)  # changes AFTER v1
+    rows = {(r["_version"], r["_partition"], r["_op"], r["k"], r["v"])
+            for r in feed.collect()}
+    assert rows == {
+        (2, "a", "delete", 2, "y"),
+        (2, "a", "insert", 3, "z"),
+        (3, "b", "delete", 5, "q"),
+        (4, "c", "insert", 9, "new"),
+    }
+
+    # replay: snapshot(1) + feed == snapshot(4) as a multiset
+    base = [(r["k"], r["v"]) for r in t.read_all(spark, version=1).collect()]
+    from collections import Counter
+
+    state = Counter(base)
+    for r in sorted(feed.collect(), key=lambda r: r["_version"]):
+        if r["_op"] == "insert":
+            state[(r["k"], r["v"])] += 1
+        else:
+            state[(r["k"], r["v"])] -= 1
+    final = Counter((r["k"], r["v"]) for r in t.read_all(spark).collect())
+    assert state == final
+
+
+def test_change_feed_skips_compaction_without_reading(spark, tmp_path):
+    """Compaction commits are content-preserving by contract, so the
+    feed skips them WITHOUT reading their data — a racing compactor
+    costs CDC consumers nothing, and the emitted feed is empty."""
+    from khronus_spark.operators.rollup import compact_partition_txn
+    from khronus_spark.sources.txnlog import change_feed
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.commit({"a": _df(spark, [(2, "b"), (1, "a")])})
+    v = t.version()
+    assert compact_partition_txn(spark, t, "a", n_files=1, sort_cols=("k",))
+
+    reads = []
+    orig = t.read_partition
+
+    def counting_read(spark_, key, version=None):
+        reads.append((key, version))
+        return orig(spark_, key, version)
+
+    t.read_partition = counting_read
+    feed = change_feed(spark, t, v)
+    assert feed is None          # nothing but the compaction in range
+    assert reads == []           # and it was never read
+
+
+def test_change_feed_range_validation(spark, tmp_path):
+    from khronus_spark.sources.txnlog import change_feed
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.commit({"a": _df(spark, [(1, "x")])})
+    with pytest.raises(ValueError, match="ahead of the log"):
+        change_feed(spark, t, 0, to_version=5)
+    with pytest.raises(ValueError, match="from_version"):
+        change_feed(spark, t, 2, to_version=1)
+    assert change_feed(spark, t, 1) is None  # empty range
