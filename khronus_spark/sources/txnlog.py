@@ -317,7 +317,15 @@ class TxnTable:
         belt-and-braces guard for imperfect coordination,
         `grace_seconds` skips staged dirs younger than the grace window
         (mtime-based, Delta VACUUM's convention); pass 0 only when
-        writer quiescence is externally guaranteed."""
+        writer quiescence is externally guaranteed.
+
+        Local-FS surface by design: vacuum walks `data/` with
+        os.listdir/getmtime/rmtree rather than the LogStore seam —
+        it touches DATA dirs (plain write-once parquet, outside the
+        atomic-visibility contract), and a cloud deployment's
+        lifecycle tooling (object expiry keyed off the same
+        referenced-set computation) replaces this walk wholesale
+        rather than reimplementing it call-for-call."""
         import shutil
 
         latest = self.version()

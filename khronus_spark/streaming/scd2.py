@@ -113,7 +113,14 @@ def scd2_upsert_sink(
     trigger dropping 46 s → within budget once writes were shaped
     (and dropping again the moment the racing compactor caught up,
     which is the same fix applied late). Size it so each file is
-    ~100-500 MB at production bucket volume."""
+    ~100-500 MB at production bucket volume.
+
+    No `export_delta` here by design: this table holds TWO schemas
+    (facts + dim namespaces) and the Delta export pins one schema per
+    table (it refuses heterogeneous snapshots) — continuous export is
+    a rollup-sink feature (`streaming/ingest.py::txn_upsert_sink`);
+    an SCD2 interop export would need a per-namespace table split
+    first."""
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.columns:
