@@ -43,6 +43,7 @@ from khronus_spark.operators import quantize as quant_ops
 from khronus_spark.operators import retrieval as retrieval_ops
 from khronus_spark.operators import similarity as sim_ops
 from khronus_spark.operators import sketches as sketches_ops
+from khronus_spark.operators import alerts as alerts_ops
 from khronus_spark.operators import skew as skew_ops
 from khronus_spark.operators import text as text_ops
 from khronus_spark.operators import expectations as expect_ops
@@ -164,6 +165,7 @@ DRIVER_WINDOW = 50
 PENDING_NEXT_WINDOW: list[str] = [
     # new in round 9 AFTER the r9 window froze; drains into r10
     "events_user_skew_profile",
+    "events_alert_transitions",
 ]
 
 _PRIORITY = [
@@ -5850,3 +5852,68 @@ def events_user_skew_profile(spark, sf_dir):
     back; top-N is a TakeOrdered."""
     ev = load_table(spark, sf_dir, "events")
     return skew_ops.skew_profile(ev, "user_id", top_n=20)
+
+
+@register(
+    "events_alert_transitions",
+    """
+WITH RECURSIVE d AS (
+  SELECT event_type AS metric,
+         (epoch_ms(ts) // 86400000) * 86400000 AS ts_ms,
+         CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+),
+series AS (
+  SELECT metric, ts_ms, v,
+         row_number() OVER (PARTITION BY metric ORDER BY ts_ms) AS rn
+  FROM d
+),
+r AS (
+  SELECT metric, rn, ts_ms, v,
+         0 AS prev_alert,
+         CASE WHEN v >= 3400 AND 1 >= 2 THEN 1 ELSE 0 END AS alert,
+         CASE WHEN v >= 3400 AND 1 < 2 THEN 1 ELSE 0 END AS consec
+  FROM series WHERE rn = 1
+  UNION ALL
+  SELECT s.metric, s.rn, s.ts_ms, s.v,
+         r.alert AS prev_alert,
+         CASE WHEN r.alert = 0
+              THEN CASE WHEN s.v >= 3400 AND r.consec + 1 >= 2
+                        THEN 1 ELSE 0 END
+              ELSE CASE WHEN s.v < 2900 THEN 0 ELSE 1 END
+         END AS alert,
+         CASE WHEN r.alert = 0 AND s.v >= 3400 AND r.consec + 1 < 2
+              THEN r.consec + 1 ELSE 0 END AS consec
+  FROM series s JOIN r ON s.metric = r.metric AND s.rn = r.rn + 1
+)
+SELECT metric, ts_ms,
+       CASE WHEN prev_alert = 0 THEN 'OK' ELSE 'ALERT' END AS from_state,
+       CASE WHEN alert = 0 THEN 'OK' ELSE 'ALERT' END AS to_state,
+       v AS value
+FROM r WHERE alert != prev_alert
+""",
+)
+def events_alert_transitions(spark, sf_dir):
+    """Threshold alerting with hysteresis + debounce over the daily
+    value series (operators/alerts.py): enter at >= 3400 after 2
+    consecutive breach days (one hot day pages nobody), exit below
+    2900 (the [2900, 3400) band holds the alert — no flapping across
+    a single threshold). Emits only the TRANSITIONS. The recurrence
+    is order-dependent (state at t depends on the whole prefix), so
+    the batch face is one applyInPandas fold per metric — the
+    EWMA/Holt family — and the oracle unrolls it as a recursive CTE.
+    The streaming twin (streaming/alerts.py) runs the SAME fold
+    function in applyInPandasWithState, stream==batch pinned."""
+    ev = load_table(spark, sf_dir, "events")
+    buckets = (
+        ev.select(
+            F.col("event_type").alias("metric"),
+            F.expr("(ts div 1000000 div 86400000) * 86400000").alias("ts_ms"),
+            F.floor("value").cast("long").alias("v"),
+        )
+        .groupBy("metric", "ts_ms")
+        .agg(F.sum("v").alias("value"))
+    )
+    return alerts_ops.threshold_alert_transitions(
+        buckets, enter=3400, exit_below=2900, min_breach=2
+    )
