@@ -218,7 +218,12 @@ def export_delta_log(
         # action timestamps derive from the COMMIT's recorded time,
         # not this process's clock: export is deterministic, so the
         # racing-exporter dedup in _atomic_write is sound byte-wise
-        now_ms = int(table.commit_info(txn_v)["committed_at_ms"])
+        info = table.commit_info(txn_v)
+        now_ms = int(info["committed_at_ms"])
+        # compaction commits are content-preserving rewrites — Delta's
+        # OPTIMIZE convention marks their actions dataChange: false so
+        # incremental/streaming readers skip them
+        data_change = info.get("kind", "data") != "compaction"
         actions: list[dict] = []
         if delta_v == 0:
             actions.append({"protocol": _PROTOCOL})
@@ -272,7 +277,7 @@ def export_delta_log(
                             "remove": {
                                 "path": rel,
                                 "deletionTimestamp": now_ms,
-                                "dataChange": True,
+                                "dataChange": data_change,
                             }
                         }
                     )
@@ -293,7 +298,7 @@ def export_delta_log(
                                 "modificationTime": int(
                                     os.path.getmtime(full) * 1000
                                 ),
-                                "dataChange": True,
+                                "dataChange": data_change,
                             }
                         }
                     )
@@ -357,3 +362,203 @@ def read_delta_snapshot(
     return spark.read.schema(schema).parquet(
         *[os.path.join(root, p) for p in sorted(active)]
     )
+
+
+def _exported_version_in(log_dir: str) -> int | None:
+    """Highest Delta version in a specific `_delta_log` dir."""
+    if not os.path.isdir(log_dir):
+        return None
+    best = None
+    for name in os.listdir(log_dir):
+        if name.endswith(".json") and len(name) == 25:
+            try:
+                v = int(name[:-5])
+            except ValueError:
+                continue
+            best = v if best is None else max(best, v)
+    return best
+
+
+def namespace_export_root(table: TxnTable, prefix: str) -> str:
+    """Default out_root for a namespace export."""
+    return os.path.join(
+        table.root, "_delta_ns", prefix.strip("/").replace("/", "_")
+    )
+
+
+def export_delta_namespace(
+    spark: SparkSession,
+    table: TxnTable,
+    prefix: str,
+    out_root: str | None = None,
+    upto_version: int | None = None,
+) -> int:
+    """Export ONE partition namespace of a multi-schema TxnTable as
+    its own Delta table — the missing face for tables like the
+    streaming SCD2 store, whose `facts/` and `dim/` namespaces carry
+    different schemas (the whole-table export rightly refuses those:
+    Delta pins one schema per table).
+
+    Differences from the whole-table export, stated exactly:
+    - Delta version i maps to the i-th txn commit TOUCHING the
+      namespace (commits that only touch other namespaces change
+      nothing here and would otherwise force phantom empty commits);
+      each Delta commit carries a `commitInfo` action recording its
+      `txnVersion` and commit kind, so the mapping is recoverable
+      from the log itself.
+    - `out_root` (default `<root>/_delta_ns/<prefix>`) holds only the
+      `_delta_log`; add/remove actions carry ABSOLUTE paths to the
+      table's staged files (legal per the spec, which allows absolute
+      paths, and what keeps the namespace log from claiming the
+      TxnTable root — two Delta tables cannot share one `_delta_log`).
+      `read_delta_snapshot` resolves them unchanged
+      (os.path.join(root, abs) == abs).
+    - compaction-kind commits export with dataChange: false (Delta's
+      OPTIMIZE convention), same as the whole-table path.
+    Everything else inherits: incremental + immutable commit files,
+    deterministic timestamps from commit metadata, schema drift as new
+    metaData actions, vacuumed-unexported refusal, removes replayed
+    from the log."""
+    if not prefix:
+        raise ValueError("prefix must be non-empty (e.g. 'dim/')")
+    latest = table.version()
+    upto = latest if upto_version is None else upto_version
+    if upto > latest:
+        raise ValueError(
+            f"upto_version={upto} is ahead of the table (latest={latest})"
+        )
+    touching = [
+        v
+        for v in range(1, upto + 1)
+        if any(
+            k.startswith(prefix)
+            for k in table.commit_info(v)["partitions"]
+        )
+    ]
+    if not touching:
+        raise ValueError(
+            f"no commit up to version {upto} touches namespace "
+            f"{prefix!r}; nothing to export"
+        )
+    root = namespace_export_root(table, prefix) if out_root is None else out_root
+    log_dir = os.path.join(root, "_delta_log")
+    os.makedirs(log_dir, exist_ok=True)
+    done = _exported_version_in(log_dir)
+    if done is None:
+        cur_schema, active = None, set()
+    else:
+        cur_schema, active = _replay_exported(log_dir, done)
+    written = 0
+    for delta_v, txn_v in enumerate(touching):
+        if done is not None and delta_v <= done:
+            continue
+        info = table.commit_info(txn_v)
+        now_ms = int(info["committed_at_ms"])
+        kind = info.get("kind", "data")
+        data_change = kind != "compaction"
+        prev = (
+            {
+                k: d
+                for k, d in table.snapshot_files(txn_v - 1).items()
+                if k.startswith(prefix)
+            }
+            if txn_v > 1
+            else {}
+        )
+        cur = {
+            k: d
+            for k, d in table.snapshot_files(txn_v).items()
+            if k.startswith(prefix)
+        }
+        missing = {k: d for k, d in cur.items() if not os.path.isdir(d)}
+        if missing:
+            raise RuntimeError(
+                f"txn version {txn_v} references staged dirs that no "
+                f"longer exist ({sorted(missing)}) — vacuum() deleted "
+                "history that was never exported"
+            )
+        actions: list[dict] = [
+            {"commitInfo": {"txnVersion": txn_v, "kind": kind}}
+        ]
+        if delta_v == 0:
+            actions.append({"protocol": _PROTOCOL})
+        if not cur and cur_schema is not None:
+            version_schema = cur_schema
+        else:
+            files = dict(sorted(cur.items()))
+            if not files:
+                raise ValueError(
+                    f"namespace {prefix!r} is empty at its first "
+                    "exported version: Delta commit 0 requires metaData "
+                    "and no staged data exists to derive a schema from"
+                )
+            schema, first = None, None
+            for key, d in files.items():
+                s = spark.read.parquet(d).schema
+                if schema is None:
+                    schema, first = s, d
+                elif s != schema:
+                    raise ValueError(
+                        f"heterogeneous partition schemas within "
+                        f"namespace {prefix!r} ({first} vs {d})"
+                    )
+            version_schema = schema.json()
+        if version_schema != cur_schema:
+            actions.append(
+                {
+                    "metaData": {
+                        "id": str(
+                            uuid.uuid5(
+                                uuid.NAMESPACE_URL,
+                                f"{table.root}#{prefix}",
+                            )
+                        ),
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": version_schema,
+                        "partitionColumns": [],
+                        "configuration": {},
+                        "createdTime": now_ms,
+                    }
+                }
+            )
+            cur_schema = version_schema
+        for key in sorted(set(prev) | set(cur)):
+            old, new = prev.get(key), cur.get(key)
+            if old == new:
+                continue
+            if old is not None:
+                for p in sorted(
+                    q for q in active if q.startswith(old + "/")
+                ):
+                    actions.append(
+                        {
+                            "remove": {
+                                "path": p,
+                                "deletionTimestamp": now_ms,
+                                "dataChange": data_change,
+                            }
+                        }
+                    )
+                active = {q for q in active if not q.startswith(old + "/")}
+            if new is not None:
+                for f in _data_files(new):
+                    full = os.path.join(new, f)
+                    actions.append(
+                        {
+                            "add": {
+                                "path": full,
+                                "partitionValues": {},
+                                "size": os.path.getsize(full),
+                                "modificationTime": int(
+                                    os.path.getmtime(full) * 1000
+                                ),
+                                "dataChange": data_change,
+                            }
+                        }
+                    )
+                    active.add(full)
+        if _atomic_write(
+            table.log_store, log_dir, f"{delta_v:020d}.json", actions
+        ):
+            written += 1
+    return written

@@ -115,12 +115,14 @@ def scd2_upsert_sink(
     which is the same fix applied late). Size it so each file is
     ~100-500 MB at production bucket volume.
 
-    No `export_delta` here by design: this table holds TWO schemas
-    (facts + dim namespaces) and the Delta export pins one schema per
-    table (it refuses heterogeneous snapshots) — continuous export is
-    a rollup-sink feature (`streaming/ingest.py::txn_upsert_sink`);
-    an SCD2 interop export would need a per-namespace table split
-    first."""
+    No whole-table `export_delta` here by design: this table holds
+    TWO schemas (facts + dim namespaces) and the Delta export pins one
+    schema per table (it refuses heterogeneous snapshots). The interop
+    face for SCD2 tables is `sources/delta_export.py::
+    export_delta_namespace(table, "dim/")` — each namespace becomes
+    its own Delta table, version-mapped to its touching commits
+    (commitInfo records the txn version), so external engines can time
+    travel the dimension exactly as `read_scd2_dimension` pins it."""
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.columns:

@@ -392,3 +392,107 @@ def test_streamed_export_catches_up_after_lag(spark, tmp_path):
     got = _content(read_delta_snapshot(spark, table.root))
     want = _content(table.read_all(spark))
     assert got == want and ("b", 2_000, 2, 0) in want
+
+
+# ------------------------------------------- namespace export (SCD2)
+
+
+def _df2(spark, rows):
+    return spark.createDataFrame(rows, "user_id long, weeks long")
+
+
+def test_namespace_export_roundtrips_where_whole_table_refuses(
+    spark, tmp_path
+):
+    """A two-schema table (the streaming-SCD2 shape) refuses the
+    whole-table export but exports per namespace: every dim/ touching
+    commit becomes one Delta version whose clean-room read equals the
+    namespace's rows at that txn version; facts-only commits create NO
+    phantom dim versions; the commitInfo action records the mapping."""
+    from khronus_spark.sources.delta_export import (
+        export_delta_namespace,
+        namespace_export_root,
+    )
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.commit(
+        {
+            "facts/bucket=0": _df(spark, [("a", 1, 1)]),
+            "dim/bucket=0": _df2(spark, [(1, 3)]),
+        }
+    )  # v1: touches dim -> delta 0
+    t.commit({"facts/bucket=0": _df(spark, [("a", 1, 2)])})  # v2: facts only
+    t.commit({"dim/bucket=0": _df2(spark, [(1, 5), (2, 1)])})  # v3 -> delta 1
+
+    with pytest.raises(ValueError, match="heterogeneous"):
+        export_delta_log(spark, t)
+
+    assert export_delta_namespace(spark, t, "dim/") == 2
+    root = namespace_export_root(t, "dim/")
+
+    def dim_at(txn_v):
+        out = set()
+        for k, p in t.snapshot_files(txn_v).items():
+            if k.startswith("dim/"):
+                out |= {tuple(r) for r in spark.read.parquet(p).collect()}
+        return out
+
+    assert _content(read_delta_snapshot(spark, root, 0)) == dim_at(1)
+    assert _content(read_delta_snapshot(spark, root, 1)) == dim_at(3)
+    # the mapping is recoverable from commitInfo
+    line0 = open(f"{root}/_delta_log/{0:020d}.json").read().splitlines()[0]
+    assert json.loads(line0)["commitInfo"]["txnVersion"] == 1
+    line1 = open(f"{root}/_delta_log/{1:020d}.json").read().splitlines()[0]
+    assert json.loads(line1)["commitInfo"]["txnVersion"] == 3
+
+
+def test_namespace_export_incremental_and_compaction_datachange(
+    spark, tmp_path
+):
+    """Incremental: a later export appends only new versions (existing
+    files immutable); a compaction commit exports with
+    dataChange: false (Delta's OPTIMIZE convention) and the snapshot
+    content is unchanged across it."""
+    from khronus_spark.operators.rollup import compact_partition_txn
+    from khronus_spark.sources.delta_export import (
+        export_delta_namespace,
+        namespace_export_root,
+    )
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.commit({"dim/bucket=0": _df2(spark, [(2, 2), (1, 1)])})
+    assert export_delta_namespace(spark, t, "dim/") == 1
+    root = namespace_export_root(t, "dim/")
+    first = open(f"{root}/_delta_log/{0:020d}.json", "rb").read()
+
+    assert compact_partition_txn(
+        spark, t, "dim/bucket=0", n_files=1, sort_cols=("user_id",)
+    )
+    assert export_delta_namespace(spark, t, "dim/") == 1  # only the new one
+    assert open(f"{root}/_delta_log/{0:020d}.json", "rb").read() == first
+
+    acts = [
+        json.loads(ln)
+        for ln in open(f"{root}/_delta_log/{1:020d}.json").read().splitlines()
+    ]
+    assert acts[0]["commitInfo"]["kind"] == "compaction"
+    for a in acts:
+        if "add" in a:
+            assert a["add"]["dataChange"] is False
+        if "remove" in a:
+            assert a["remove"]["dataChange"] is False
+    # content unchanged across the compaction version
+    assert _content(read_delta_snapshot(spark, root, 1)) == _content(
+        read_delta_snapshot(spark, root, 0)
+    )
+
+
+def test_namespace_export_refusals(spark, tmp_path):
+    from khronus_spark.sources.delta_export import export_delta_namespace
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.commit({"facts/bucket=0": _df(spark, [("a", 1, 1)])})
+    with pytest.raises(ValueError, match="touches namespace"):
+        export_delta_namespace(spark, t, "dim/")
+    with pytest.raises(ValueError, match="non-empty"):
+        export_delta_namespace(spark, t, "")
