@@ -119,3 +119,49 @@ def test_registry_alert_entry_has_teeth(spark, oracle_sf_dir):
     kinds = {(r["from_state"], r["to_state"]) for r in rows}
     assert ("OK", "ALERT") in kinds and ("ALERT", "OK") in kinds
     assert len(rows) >= 10
+
+
+# ---------------------------- properties of the pure fold (hypothesis)
+
+
+def test_fold_alerts_properties():
+    """Algebraic pins on the shared fold, over random series:
+    - SPLIT-INVARIANCE: folding any prefix/suffix split with carried
+      state equals folding once — the property that makes the
+      streaming face correct by construction, checked exhaustively
+      instead of per-fixture;
+    - transitions strictly alternate, starting OK->ALERT;
+    - every OK->ALERT value >= enter; every ALERT->OK value < exit."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from khronus_spark.operators.alerts import OK, fold_alerts
+
+    series = st.lists(st.integers(min_value=0, max_value=20), max_size=60)
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        xs=series,
+        cut=st.integers(min_value=0, max_value=60),
+        enter=st.integers(min_value=5, max_value=18),
+        band=st.integers(min_value=0, max_value=8),
+        mb=st.integers(min_value=1, max_value=4),
+    )
+    def check(xs, cut, enter, band, mb):
+        rows = list(enumerate(xs))
+        exit_below = enter - band
+        whole, a1, c1 = fold_alerts(rows, OK, 0, enter, exit_below, mb)
+        cut = min(cut, len(rows))
+        p1, a, c = fold_alerts(rows[:cut], OK, 0, enter, exit_below, mb)
+        p2, a2, c2 = fold_alerts(rows[cut:], a, c, enter, exit_below, mb)
+        assert p1 + p2 == whole and (a2, c2) == (a1, c1)
+        states = [(f, t) for _, f, t, _ in whole]
+        expected = [("OK", "ALERT"), ("ALERT", "OK")] * len(states)
+        assert states == expected[: len(states)]
+        for _, f, t, v in whole:
+            if t == "ALERT":
+                assert v >= enter
+            else:
+                assert v < exit_below
+
+    check()
