@@ -166,6 +166,7 @@ PENDING_NEXT_WINDOW: list[str] = [
     # new in round 9 AFTER the r9 window froze; drains into r10
     "events_user_skew_profile",
     "events_alert_transitions",
+    "leakage_safe_kfold",
 ]
 
 _PRIORITY = [
@@ -5917,3 +5918,14 @@ def events_alert_transitions(spark, sf_dir):
     return alerts_ops.threshold_alert_transitions(
         buckets, enter=3400, exit_below=2900, min_breach=2
     )
+
+
+@register("leakage_safe_kfold", curation_ops.leakage_safe_kfold_sql(5))
+def leakage_safe_kfold(spark, sf_dir):
+    """Contamination-proof 5-fold cross-validation assignment: folds
+    are decided per MinHash near-dup COMPONENT (fresh md5 hash
+    channel), so every fold-as-holdout rotation is leakage-free
+    (operators/curation.py::leakage_safe_kfold) — the k-fold
+    generalization of `leakage_safe_split`."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation_ops.leakage_safe_kfold(docs, k=5)

@@ -1395,3 +1395,59 @@ WHERE (CASE WHEN o.h IS NULL THEN 'added'
             WHEN n.h IS NULL THEN 'removed'
             WHEN o.h <> n.h THEN 'changed' END) IS NOT NULL
 """
+
+
+def leakage_safe_kfold(docs: DataFrame, k: int = 5) -> DataFrame:
+    """K-fold cross-validation assignment with NO near-duplicate
+    leakage — `leakage_safe_split`'s protocol generalized to the
+    k-fold shape: the fold is decided per CONNECTED COMPONENT of the
+    MinHash near-dup graph (singletons are their own component), so
+    for EVERY fold-as-holdout rotation, no held-out document has a
+    near-duplicate in its training folds. Assignment hashes the
+    component id through the repo's md5-60-bit family mod k —
+    deterministic, reproducible, independent of row order and
+    partitioning, and CONSISTENT with nothing else (a fresh hash
+    channel: folds are not nested inside the split entry's percent
+    buckets, by design — k-fold is its own protocol).
+
+    Output: (doc_id, component_id, fold) with fold in [0, k).
+    Realized fold sizes skew with mega-components exactly as the
+    split's do — leakage-safety is the invariant; callers audit sizes
+    from the output. Same 100 TB shape as the split: one equi-join of
+    the corpus against the component map, map-side algebra after."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    comp = minhash_duplicate_components(docs)
+    if comp.count() <= BROADCAST_COMPONENT_LIMIT:
+        comp = F.broadcast(comp)
+    return (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .withColumn(
+            "component_id", F.coalesce("component_id", F.col("doc_id"))
+        )
+        .withColumn(
+            "fold",
+            F.expr(
+                "CAST(conv(substring(md5(concat('fold:', "
+                f"CAST(component_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % {k}"
+            ),
+        )
+    )
+
+
+def leakage_safe_kfold_sql(k: int = 5) -> str:
+    return f"""
+WITH RECURSIVE {minhash_components_ctes()},
+comp AS (
+  SELECT src AS doc_id, min(dst) AS component_id FROM reach GROUP BY src
+),
+assigned AS (
+  SELECT d.doc_id,
+         coalesce(c.component_id, d.doc_id) AS component_id
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+)
+SELECT doc_id, component_id,
+       (('0x' || substr(md5('fold:' || CAST(component_id AS VARCHAR)), 1, 15))::UBIGINT % {k})::BIGINT AS fold
+FROM assigned
+"""

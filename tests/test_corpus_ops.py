@@ -1236,3 +1236,36 @@ def test_skew_profile_planted_hot_key(spark):
     # deterministic ties: singletons rank by key asc
     assert out[2]["key"] == 1 and out[2]["cnt"] == 1
     assert out[len(out)]["cum_share_bp"] == 10000  # tiles exactly
+
+
+def test_leakage_safe_kfold_component_purity(spark, oracle_sf_dir):
+    """Every near-dup component lands in exactly ONE fold (the
+    leakage-safety invariant for every fold-as-holdout rotation);
+    folds cover [0, k); every doc is assigned exactly once; and the
+    fold channel is independent of the split entry's buckets (not a
+    nesting)."""
+    from khronus_spark.operators.curation import (
+        leakage_safe_kfold,
+        leakage_safe_split,
+    )
+    from khronus_spark.sources.tables import load_table
+
+    docs = load_table(spark, oracle_sf_dir, "documents")
+    out = leakage_safe_kfold(docs, k=5).collect()
+    assert len(out) == docs.count()
+    assert {r["fold"] for r in out} <= set(range(5))
+    by_comp: dict = {}
+    for r in out:
+        by_comp.setdefault(r["component_id"], set()).add(r["fold"])
+    assert all(len(folds) == 1 for folds in by_comp.values())
+    # at least one real multi-doc component exercises the invariant
+    sizes: dict = {}
+    for r in out:
+        sizes[r["component_id"]] = sizes.get(r["component_id"], 0) + 1
+    assert max(sizes.values()) >= 2
+    # fresh hash channel: fold is NOT a function of the split bucket
+    buckets = {
+        r["doc_id"]: r["bucket"] for r in leakage_safe_split(docs).collect()
+    }
+    pairs = {(buckets[r["doc_id"]], r["fold"]) for r in out}
+    assert len(pairs) > 5 * 2  # many (bucket % k, fold) combinations
