@@ -165,3 +165,38 @@ def test_fold_alerts_properties():
                 assert v < exit_below
 
     check()
+
+
+def test_alerts_over_rollup_summaries(spark, sf_dir):
+    """Integration with the metrics engine: the alert fold consumes
+    the rollup machinery's own counter summaries (metric, ts, count)
+    directly — the deployment shape where alert rules watch the
+    summary store the ingest cascade maintains."""
+    from khronus_spark.functions.summary import counter_summary
+    from khronus_spark.sources.tables import measurements_from_events
+
+    m = measurements_from_events(spark, sf_dir)
+    buckets = counter_summary(
+        m.where(F.col("mtype") == "counter"), 3_600_000
+    ).select(
+        F.col("metric"), F.col("ts").alias("ts_ms"), F.col("count").alias("value")
+    )
+    stats = buckets.agg(
+        F.expr("percentile_approx(value, 0.75)").alias("hi"),
+        F.expr("percentile_approx(value, 0.4)").alias("lo"),
+    ).first()
+    out = threshold_alert_transitions(
+        buckets, enter=int(stats["hi"]), exit_below=int(stats["lo"]),
+        min_breach=2,
+    ).collect()
+    assert out, "thresholds inside the distribution must fire"
+    # per metric, transitions alternate starting OK->ALERT (the fold
+    # property holding on real engine output)
+    by_metric: dict = {}
+    for r in sorted(out, key=lambda r: (r["metric"], r["ts_ms"])):
+        by_metric.setdefault(r["metric"], []).append(
+            (r["from_state"], r["to_state"])
+        )
+    for states in by_metric.values():
+        expected = [("OK", "ALERT"), ("ALERT", "OK")] * len(states)
+        assert states == expected[: len(states)]
