@@ -271,6 +271,7 @@ def golden_records(
     assignment: DataFrame,
     id_col: str,
     attr_cols: list[str],
+    broadcast_component_limit: int | None = None,
 ) -> DataFrame:
     """Survivorship — the last stage of entity resolution: after
     pair matching (`blocked_edit_pairs`) and transitive clustering
@@ -299,19 +300,30 @@ def golden_records(
     loop would re-run the corpus join per attribute). One wide
     map-side-combinable count shuffle, then everything downstream is
     count-table-sized; the assignment map (duplicate-graph nodes only)
-    broadcasts. The min(struct(-cnt, value)) argmax keeps ties
-    exact-integer instead of float-score.
+    broadcasts WHILE IT FITS — the same count-gated hint as
+    `curation.leakage_safe_kfold` (the CC output ends localCheckpointed
+    so the count is a cheap cached read): a duplicate graph with
+    hundreds of millions of matched nodes must shuffle-join on the id,
+    not OOM the driver on an unconditional broadcast. The
+    min(struct(-cnt, value)) argmax keeps ties exact-integer instead of
+    float-score.
     """
-    members = records.join(
-        F.broadcast(
-            assignment.select(
-                F.col("node_id").alias(id_col),
-                F.col("component_id").alias("entity_id"),
-            )
-        ),
-        id_col,
-        "left",
-    ).withColumn("entity_id", F.coalesce("entity_id", F.col(id_col)))
+    from .curation import BROADCAST_COMPONENT_LIMIT
+
+    limit = (
+        BROADCAST_COMPONENT_LIMIT
+        if broadcast_component_limit is None
+        else broadcast_component_limit
+    )
+    amap = assignment.select(
+        F.col("node_id").alias(id_col),
+        F.col("component_id").alias("entity_id"),
+    )
+    if assignment.count() <= limit:
+        amap = F.broadcast(amap)
+    members = records.join(amap, id_col, "left").withColumn(
+        "entity_id", F.coalesce("entity_id", F.col(id_col))
+    )
 
     melted = members.select(
         "entity_id",

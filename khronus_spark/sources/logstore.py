@@ -170,11 +170,24 @@ class PosixLinkLogStore(LogStore):
             os.fsync(fh.fileno())
         try:
             os.link(tmp, path)  # THE atomic primitive: fails if exists
-            return True
         except FileExistsError:
             return False
         finally:
             os.unlink(tmp)
+        # Guarantee 4 (durability at True) needs the DIRECTORY ENTRY
+        # durable, not just the file bytes: fsync(tmp) persists the
+        # inode's data, but the link name lives in the directory, and a
+        # crash between link() and the directory's own flush can lose
+        # commit N while a later commit N+1 survives — a gap that
+        # _commits_upto would read as the end of the log, permanently
+        # hiding every later commit. fsync the directory before
+        # reporting True (the classic create+fsync(parent) protocol).
+        dirfd = os.open(directory, os.O_DIRECTORY)
+        try:
+            os.fsync(dirfd)
+        finally:
+            os.close(dirfd)
+        return True
 
 
 class NonAtomicSimulatedStore(LogStore):

@@ -75,6 +75,21 @@ class CommitConflict(Exception):
     `expect_version` — the caller must re-read and re-derive."""
 
 
+def _parquet_dir_rows(path: str) -> int:
+    """Row count of a staged parquet dir from FOOTER METADATA only —
+    the cheap content fingerprint that keeps kind="compaction" honest
+    (no row reads; one metadata fetch per file). Staged data dirs are
+    plain write-once files outside the LogStore seam (same rationale as
+    `vacuum`), so a direct listdir is the intended access path."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for name in os.listdir(path):
+        if name.endswith(".parquet"):
+            total += pq.ParquetFile(os.path.join(path, name)).metadata.num_rows
+    return total
+
+
 class TxnTable:
     """A transactional parquet table keyed by string partitions."""
 
@@ -216,8 +231,18 @@ class TxnTable:
           maintenance must never block or abort updates; losing a
           compaction's files to the override is safe (the partition
           is merely uncompacted again).
-        The writer's own `kind` declares what the COMMIT is; only a
-        genuinely content-preserving rewrite may claim "compaction"."""
+        The writer's own `kind` declares what the COMMIT is — but the
+        claim is VERIFIED, not honored: a "compaction" commit must
+        replace existing partitions with staged data of exactly equal
+        row count (parquet-footer metadata, no row reads), and the
+        per-partition counts are recorded in the commit payload as
+        `fingerprint`, which `_logical_conflict` and `change_feed`
+        re-check against the pre-image before relying on the
+        content-preserving contract. Three silent-corruption surfaces
+        hung off the unverified flag (partition-scoped CAS overriding a
+        mislabeled commit, CDC dropping its row deltas, Delta export
+        stamping dataChange:false); the fingerprint closes all three at
+        the cost of one footer scan per compaction commit."""
         if kind not in ("data", "compaction"):
             raise ValueError(f"unknown commit kind {kind!r}")
         if conflict_scope not in ("table", "partitions"):
@@ -229,6 +254,36 @@ class TxnTable:
                 "make the commit permanently invisible"
             )
         staged = self._stage(parts)
+        fingerprint: dict[str, int] | None = None
+        if kind == "compaction":
+            base = self.snapshot_files(expect_version)
+            fingerprint = {}
+            for key, rel in staged.items():
+                if rel is None:
+                    raise ValueError(
+                        f"compaction commit drops partition {key!r}; a "
+                        "drop is not content-preserving — commit it as "
+                        'kind="data"'
+                    )
+                if key not in base:
+                    raise ValueError(
+                        f"compaction commit creates partition {key!r} "
+                        "(absent from the pre-image snapshot); creation "
+                        'is not content-preserving — commit it as '
+                        'kind="data"'
+                    )
+                n_staged = _parquet_dir_rows(os.path.join(self.root, rel))
+                n_base = _parquet_dir_rows(base[key])
+                if n_staged != n_base:
+                    raise ValueError(
+                        f"commit claims kind=\"compaction\" but partition "
+                        f"{key!r} changes row count {n_base} -> {n_staged}; "
+                        "a non-content-preserving rewrite must commit as "
+                        'kind="data" (partition-scoped CAS writers would '
+                        "silently override it and CDC would drop its "
+                        "deltas otherwise)"
+                    )
+                fingerprint[key] = n_staged
         attempt = (expect_version if expect_version is not None else self.version()) + 1
         for _ in range(max_retries):
             payload = {
@@ -237,6 +292,8 @@ class TxnTable:
                 "committed_at_ms": int(time.time() * 1000),
                 "kind": kind,
             }
+            if fingerprint is not None:
+                payload["fingerprint"] = fingerprint
             if self._try_link(attempt, payload):
                 return attempt
             if expect_version is None:
@@ -262,16 +319,35 @@ class TxnTable:
     ) -> bool:
         """True if any commit in [from_version, to_version] is a
         data-kind commit touching `keys` (or unreadable — conservative:
-        a mid-link gap reads as a conflict rather than a green light)."""
+        a mid-link gap reads as a conflict rather than a green light).
+
+        Compaction commits are exempt only when their recorded
+        `fingerprint` checks out: a compaction touching `keys` that
+        carries no fingerprint (a foreign writer bypassing `commit`) or
+        whose staged counts disagree with the fingerprint is treated as
+        a CONFLICT — re-deriving is the safe failure for an unverifiable
+        content-preservation claim."""
         for v in range(from_version, to_version + 1):
             try:
                 info = self.commit_info(v)
             except OSError:
                 return True
-            if info.get("kind", "data") != "compaction" and (
-                set(info["partitions"]) & keys
-            ):
-                return True
+            if info.get("kind", "data") != "compaction":
+                if set(info["partitions"]) & keys:
+                    return True
+                continue
+            touched = set(info["partitions"]) & keys
+            if not touched:
+                continue
+            fp = info.get("fingerprint")
+            if fp is None:
+                return True  # unverifiable claim: conservative conflict
+            for key in touched:
+                rel = info["partitions"][key]
+                if rel is None or _parquet_dir_rows(
+                    os.path.join(self.root, rel)
+                ) != fp.get(key):
+                    return True
         return False
 
     # ---------------------------------------------------------- reads
@@ -410,7 +486,30 @@ def change_feed(
     for v in range(from_version + 1, to_v + 1):
         info = table.commit_info(v)
         if info.get("kind", "data") == "compaction":
-            continue  # content-preserving by contract: empty delta
+            # content-preserving by contract — but VERIFY the recorded
+            # fingerprint against the pre-image's footer counts before
+            # dropping the commit from the feed (still no row reads):
+            # a mislabeled commit must fail loudly here, not silently
+            # vanish from CDC
+            fp = info.get("fingerprint")
+            prev_files = table.snapshot_files(v - 1)
+            for key, rel in info["partitions"].items():
+                recorded = None if fp is None else fp.get(key)
+                base_dir = prev_files.get(key)
+                if (
+                    recorded is None
+                    or base_dir is None
+                    or _parquet_dir_rows(base_dir) != recorded
+                ):
+                    raise RuntimeError(
+                        f"commit {v} claims kind=\"compaction\" on "
+                        f"partition {key!r} but its content-preservation "
+                        "fingerprint is missing or disagrees with the "
+                        "pre-image; refusing to skip it in the change "
+                        "feed (its row deltas would silently vanish "
+                        "from CDC)"
+                    )
+            continue  # verified content-preserving: empty delta
         for key in info["partitions"]:
             prev = table.read_partition(spark, key, v - 1)
             cur = table.read_partition(spark, key, v)

@@ -106,7 +106,9 @@ def _resolve_const_dir(const_path: str) -> str:
     return const_path
 
 
-def refresh_streamed_constants(spark, index_path: str, const_path: str) -> int:
+def refresh_streamed_constants(
+    spark, index_path: str, const_path: str, grace_seconds: float = 600.0
+) -> int:
     """The periodic constants refresh of a hot streamed index, with
     the snapshot boundary RECORDED: read the postings as of the
     currently landed batches, write df/stats/max-impact ceilings plus
@@ -122,9 +124,14 @@ def refresh_streamed_constants(spark, index_path: str, const_path: str) -> int:
     generation dir at read start and keeps a consistent view; a crash
     mid-refresh leaves CURRENT on the previous complete generation
     (the half-written one is unreachable garbage, overwritten-by-name
-    never). The previous generation is retained for in-flight
-    readers; older ones are pruned (refresh cadence is minutes,
-    query latency seconds — one generation of grace is plenty)."""
+    never). Superseded generations are pruned by AGE, not by count:
+    only generations older than `grace_seconds` (mtime-based, vacuum's
+    convention) are removed, so two refreshes in quick succession — or
+    a query slower than one refresh interval — can never rmtree a
+    generation an in-flight reader already resolved via CURRENT. The
+    current and immediately-previous generations are additionally kept
+    unconditionally. Pass grace_seconds=0 only when reader quiescence
+    is externally guaranteed."""
     import os
     import shutil
     import uuid
@@ -153,14 +160,25 @@ def refresh_streamed_constants(spark, index_path: str, const_path: str) -> int:
         fh.flush()
         os.fsync(fh.fileno())
     os.replace(tmp, cur)  # the atomic publish
-    # keep current + previous; prune older generations
+    # prune superseded generations, but only past the age grace — an
+    # in-flight reader that resolved CURRENT before this refresh may
+    # still be reading any recent generation
+    import time
+
+    now = time.time()
     for name in os.listdir(const_path):
+        full = os.path.join(const_path, name)
         if (
             name.startswith("gen-")
             and name not in (gen, prev)
-            and os.path.isdir(os.path.join(const_path, name))
+            and os.path.isdir(full)
         ):
-            shutil.rmtree(os.path.join(const_path, name), ignore_errors=True)
+            try:
+                age = now - os.path.getmtime(full)
+            except OSError:
+                continue  # raced with a concurrent prune
+            if age >= grace_seconds:
+                shutil.rmtree(full, ignore_errors=True)
     return boundary
 
 

@@ -333,7 +333,18 @@ def test_refresh_in_place_swaps_generations_atomically(spark, staged_docs):
     os.makedirs(os.path.join(cpath, "gen-999999999999-deadbeef"))
     assert _resolve_const_dir(cpath) == gen2
 
-    # a third refresh prunes gen1 (current + previous retained)
+    # a third refresh in quick succession must NOT prune gen1 under
+    # the default age grace — two back-to-back refreshes (or a query
+    # slower than one refresh interval) could otherwise rmtree a
+    # generation an in-flight reader already resolved via CURRENT
     refresh_streamed_constants(spark, f"{tmp}/idx_g", cpath)
-    assert not os.path.isdir(gen1)
+    assert os.path.isdir(gen1)
     assert os.path.isdir(gen2)
+
+    # with the grace waived (reader quiescence externally guaranteed)
+    # superseded generations beyond current+previous are pruned
+    gen3 = _resolve_const_dir(cpath)
+    refresh_streamed_constants(spark, f"{tmp}/idx_g", cpath, grace_seconds=0)
+    assert not os.path.isdir(gen1)
+    assert not os.path.isdir(gen2)
+    assert os.path.isdir(gen3)  # previous of the newest: always kept

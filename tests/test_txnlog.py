@@ -502,3 +502,89 @@ def test_change_feed_range_validation(spark, tmp_path):
     with pytest.raises(ValueError, match="from_version"):
         change_feed(spark, t, 2, to_version=1)
     assert change_feed(spark, t, 1) is None  # empty range
+
+
+# ----------------------- verified compaction claims (fingerprints)
+
+
+def test_compaction_claim_is_verified_not_honored(spark, tmp_path):
+    """kind="compaction" is a content-preservation CLAIM with three
+    silent-corruption surfaces hanging off it (CAS override, CDC skip,
+    Delta dataChange:false) — so commit() verifies it: a rewrite that
+    changes row count, drops a partition, or creates one is refused,
+    and genuine compactions record the per-partition fingerprint."""
+    from khronus_spark.operators.rollup import compact_partition_txn
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.commit({"a": _df(spark, [(1, "x"), (2, "y")])})
+    v = t.version()
+    with pytest.raises(ValueError, match="changes row count"):
+        t.commit(
+            {"a": _df(spark, [(1, "x")])}, expect_version=v, kind="compaction"
+        )
+    with pytest.raises(ValueError, match="drop"):
+        t.commit({"a": None}, expect_version=v, kind="compaction")
+    with pytest.raises(ValueError, match="creates partition"):
+        t.commit(
+            {"fresh": _df(spark, [(9, "n")])},
+            expect_version=v,
+            kind="compaction",
+        )
+    # none of the refused attempts committed
+    assert t.version() == v
+    # a genuine compaction records its fingerprint in the payload
+    cv = compact_partition_txn(spark, t, "a", n_files=1, sort_cols=("k",))
+    assert t.commit_info(cv)["fingerprint"] == {"a": 2}
+
+
+def _forge_compaction_commit(spark, t, key, df):
+    """Write a compaction-kind commit JSON directly through the log
+    store (bypassing commit()'s verification) — the foreign-writer /
+    corrupted-log shape the readers must detect."""
+    import json
+    import os
+
+    staged = t._stage({key: df})
+    version = t.version() + 1
+    payload = {
+        "version": version,
+        "partitions": staged,
+        "committed_at_ms": 0,
+        "kind": "compaction",  # the lie: no fingerprint, content differs
+    }
+    assert t.log_store.put_if_absent(
+        os.path.join(t._log_dir, f"{version:08d}.json"),
+        json.dumps(payload).encode(),
+    )
+    return version
+
+
+def test_change_feed_refuses_unverifiable_compaction(spark, tmp_path):
+    """A compaction commit with no fingerprint (a writer bypassing
+    commit()) must fail the feed loudly, not silently vanish from CDC."""
+    from khronus_spark.sources.txnlog import change_feed
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.commit({"a": _df(spark, [(1, "x"), (2, "y")])})
+    v = t.version()
+    _forge_compaction_commit(spark, t, "a", _df(spark, [(7, "forged")]))
+    with pytest.raises(RuntimeError, match="fingerprint"):
+        change_feed(spark, t, v)
+
+
+def test_cas_treats_unverifiable_compaction_as_conflict(spark, tmp_path):
+    """Partition-scoped CAS may only override a compaction whose
+    content-preservation fingerprint checks out; an unverifiable claim
+    reads as a data conflict (re-derive is the safe failure)."""
+    from khronus_spark.sources.txnlog import CommitConflict
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.commit({"a": _df(spark, [(1, "x"), (2, "y")])})
+    v = t.version()
+    _forge_compaction_commit(spark, t, "a", _df(spark, [(7, "forged")]))
+    with pytest.raises(CommitConflict):
+        t.commit(
+            {"a": _df(spark, [(3, "z")])},
+            expect_version=v,
+            conflict_scope="partitions",
+        )
