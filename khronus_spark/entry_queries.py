@@ -122,35 +122,30 @@ def register(name: str, oracle: str | None):
 #: operator inside the window; everything else keeps registration order
 #: in the tail (still exercised by tests/test_oracle_parity.py locally).
 #:
-#: Round-9 rotation policy (same invariant as rounds 2-8): the window
-#: holds (a) the drained round-8 queue — `bm25_eval_topk_routed`,
-#: registered after the r8 window froze, never driver-checked, leading
-#: per the rotation contract — then (b) the 2 entries NEW this round
-#: (ER survivorship `part_golden_records`; seasonal-profile
-#: `events_seasonal_anomaly`), (c) every entry whose ENGINE PATH
-#: changed AFTER its newest green driver row: the WAND auto-router
-#: rewired `bm25_eval_topk_pruned` / `bm25_chunk_topk_indexed` /
-#: `hybrid_rrf_topk_indexed` (r8 rows predate the router);
-#: `bpe_merges_6` now routes through the batched trainer
-#: (bit-identical by proof, re-proven by driver hash); `ann_ivf_sized`
-#: was RE-PINNED after the self-caught seed-probe bias (new config
-#: {4x4}, new unbiased probes 100..109 — config AND oracle changed);
-#: plus `dedup_components` and `part_entity_components` as guards for
-#: the connected_components stats-instrumentation (pure-signature
-#: addition — the r5 code-motion precedent says local re-proof
-#: suffices for its other consumers `dedup_components_minhash`,
-#: `corpus_curation`, `leakage_safe_split`, `source_overlap_matrix`,
-#: all r5/r6-green and hash-checked on every local parity run; they
-#: rotate in r10 regardless), then (d) the longest-unchecked tail: the
-#: FULL 13-entry r4 cohort — retiring the r4 ledger debt — and the 27
-#: oldest r5-cohort entries in registration order. The remaining 16
-#: r5 entries (`dedup_exact_docs` … `dedup_graph_pagerank`) rotate in
-#: round 10. Rows-only entries (xxhash64 signatures) stay out — the
-#: window accepts only hash-checkable entries, and their md5 twins are
-#: inside. Everything else is still locally oracle-checked every run
-#: by tests/test_oracle_parity.py.
+#: Round-10 rotation policy (same invariant as rounds 2-9): the window
+#: leads with (a) the drained round-9 queue — `events_user_skew_profile`,
+#: `events_alert_transitions`, `leakage_safe_kfold`, registered after
+#: the r9 window froze, never driver-checked — then (b) the FULL
+#: 16-entry r5 tail (`dedup_exact_docs` … `dedup_graph_pagerank`),
+#: retiring the LAST cohort of rotation debt: with this window green,
+#: every one of the registry's entries is driver-green within the
+#: trailing rounds or rows-only-by-design. The 4 `connected_components`
+#: consumers the round-9 ledger promised for r10
+#: (`dedup_components_minhash`, `corpus_curation`,
+#: `source_overlap_matrix`, `leakage_safe_split`) are INSIDE that
+#: 16-entry tail — the round-9 verdict's 3+16+4 arithmetic
+#: double-counts them. Then (c) every entry whose ENGINE PATH changed
+#: this round after its newest green row: `part_golden_records` (the
+#: assignment broadcast is now count-gated — plan identical at gate
+#: scale, the driver hash removes all doubt), plus any entry NEW in
+#: round 10. Then (d) the longest-unchecked fills: the oldest r6-only
+#: entries in registration order. Rows-only entries (xxhash64
+#: signatures, the stateful streaming face) stay out — the window
+#: accepts only hash-checkable entries, and their md5/stream==batch
+#: twins are covered. Everything else is still locally oracle-checked
+#: every run by tests/test_oracle_parity.py.
 #: tests/test_oracle_parity.py::test_window_rotation_covers_unproven
-#: enforces the invariant "green before, or in the window".
+#: enforces the invariant "green before, in the window, or queued".
 DRIVER_WINDOW = 50
 
 #: Entries registered after the CURRENT round's 50-slot window froze
@@ -159,78 +154,69 @@ DRIVER_WINDOW = 50
 #: this explicit queue, each queued entry to be fully oracle-backed
 #: (hash-checked against DuckDB on every local parity run), and the
 #: NEXT round's window to lead with them (emptying the queue) before
-#: anything else rotates. Round 9 drained the round-8 queue (its entry
-#: leads _PRIORITY below); entries added after the round-9 window
-#: froze queue here for round 10.
-PENDING_NEXT_WINDOW: list[str] = [
-    # new in round 9 AFTER the r9 window froze; drains into r10
+#: anything else rotates. Round 10 drained the round-9 queue (its three
+#: entries lead _PRIORITY below); entries added after the round-10
+#: window froze queue here for round 11.
+PENDING_NEXT_WINDOW: list[str] = []
+
+_PRIORITY = [
+    # -- the drained round-9 queue: first driver proof THIS round -------
     "events_user_skew_profile",
     "events_alert_transitions",
     "leakage_safe_kfold",
-]
-
-_PRIORITY = [
-    # -- the drained round-8 queue: first driver proof THIS round -------
-    "bm25_eval_topk_routed",
-    # -- new in round 9: never driver-checked ---------------------------
+    # -- the FULL 16-entry r5 tail: retires the last rotation debt;
+    #    includes the 4 connected_components consumers promised for r10
+    "dedup_exact_docs",
+    "doc_fingerprint",
+    "minhash_md5_pairs",
+    "simhash_md5",
+    "token_stats",
+    "doc_content_sample_25",
+    "doc_rolling_fingerprint",
+    "quality_score",
+    "lang_id",
+    "dedup_components_minhash",
+    "corpus_curation",
+    "source_overlap_matrix",
+    "leakage_safe_split",
+    "minhash_calibration",
+    "dedup_cluster_sizes",
+    "dedup_graph_pagerank",
+    # -- engine paths touched this round after their newest green row --
     "part_golden_records",
-    "events_seasonal_anomaly",
-    # -- engine paths touched after their newest green row: the WAND
-    #    auto-router rewired the three retrieval faces; bpe_merges_6
-    #    routes through the batched trainer; ann_ivf_sized was re-pinned
-    #    (seed-probe bias) with a new config and new oracle probes;
-    #    dedup_components/part_entity_components guard the
-    #    connected_components stats instrumentation
-    "bm25_eval_topk_pruned",
-    "bm25_chunk_topk_indexed",
-    "hybrid_rrf_topk_indexed",
-    "bpe_merges_6",
-    "ann_ivf_sized",
-    "dedup_components",
-    "part_entity_components",
-    # -- the FULL 13-entry r4 tail: retires the r4 rotation debt --------
-    "embedding_rp_project",
-    "ann_rp_topk",
-    "bigram_surprisal",
-    "vocab_oov_by_source",
-    "approx_distinct_users_weekly_cascade",
-    "cms_heavy_users_weekly_cascade",
-    "tokenizer_fertility_by_lang",
-    "lang_confusion_matrix",
-    "pq_codes",
-    "ann_pq_topk",
-    "ann_ivfpq_topk",
-    "source_health_report",
-    "ann_pq_rerank_topk",
-    # -- longest-unchecked fills: the 27 oldest r5-only entries in
-    #    registration order (the remaining 16 rotate in round 10) ------
-    "ts_counter_summary_5m",
-    "ts_histogram_summary_1m",
-    "ts_gauge_summary_30s",
-    "ts_histogram_summary_1h",
-    "ts_pregroup_5s",
-    "ts_cpm_5m",
-    "influx_count_click_5m",
-    "influx_auto_resolution_click",
-    "influx_from_materialized_store",
-    "influx_spread_error_1h",
-    "influx_fill_zero_view_10m",
-    "influx_scale_limit_desc_click_1m",
-    "influx_op_two_sources_30m",
-    "influx_star_click_5m",
-    "influx_regex_fanout_5m",
-    "influx_list_series",
-    "events_column_profile",
-    "events_pivot_type_daily",
-    "events_sliding_counts_10m_5m",
-    "user_funnel_vcp",
-    "user_weekly_retention",
-    "events_value_deciles",
-    "user_segments_setops",
-    "events_value_moving_avg_7d",
-    "tpch_q5_regional_revenue",
-    "events_user_daily",
-    "events_top_users",
+    # -- longest-unchecked fills: the 30 oldest r6-only entries in
+    #    registration order (new round-10 entries displace from the
+    #    BOTTOM of this section as they register) ----------------------
+    "influx_fill_linear_error_1h",
+    "influx_delta_click_1h",
+    "doc_top_terms_tfidf",
+    "training_batch_assembly",
+    "approx_distinct_users_hll",
+    "events_distinct_users_salted",
+    "reservoir_sample_per_lang",
+    "ann_cosine_topk",
+    "events_sessions_30m",
+    "metric_catalog",
+    "summary_retention_5m",
+    "corpus_vocabulary",
+    "pii_source_profile",
+    "domain_mixture_sqrt",
+    "pack_sequences_512",
+    "decontamination_scan",
+    "events_asof_signup",
+    "streaming_dedup_components",
+    "ts_hdr_cascade_1h",
+    "ann_ivfpq_topk_indexed",
+    "ann_pq_rerank_topk_indexed",
+    "doc_winnow_fingerprints",
+    "winnow_match_pairs",
+    "canonical_by_quality",
+    "token_budget_sample",
+    "lm_reference_surprisal",
+    "intra_doc_repetition",
+    "length_bucketed_batches",
+    "doc_chunks_64_48",
+    "embedding_dim_stats",
 ]
 
 
