@@ -131,7 +131,9 @@ def _schema_string(spark: SparkSession, table: TxnTable, version: int) -> str:
     return schema.json()
 
 
-def _replay_exported(log_dir: str, upto_delta: int) -> tuple[str | None, set[str]]:
+def _replay_exported(
+    store, log_dir: str, upto_delta: int
+) -> tuple[str | None, set[str]]:
     """(last metaData schemaString, active rel paths) from the
     already-exported Delta commits ≤ `upto_delta` — the incremental
     export's starting state. Lets removes of superseded dirs come
@@ -142,27 +144,33 @@ def _replay_exported(log_dir: str, upto_delta: int) -> tuple[str | None, set[str
     active: set[str] = set()
     for v in range(upto_delta + 1):
         path = os.path.join(log_dir, f"{v:020d}.json")
-        with open(path) as fh:
-            for line in fh:
-                if not line.strip():
-                    continue
-                action = json.loads(line)
-                if "metaData" in action:
-                    schema_json = action["metaData"]["schemaString"]
-                elif "add" in action:
-                    active.add(action["add"]["path"])
-                elif "remove" in action:
-                    active.discard(action["remove"]["path"])
+        for line in store.read_bytes(path).decode().splitlines():
+            if not line.strip():
+                continue
+            action = json.loads(line)
+            if "metaData" in action:
+                schema_json = action["metaData"]["schemaString"]
+            elif "add" in action:
+                active.add(action["add"]["path"])
+            elif "remove" in action:
+                active.discard(action["remove"]["path"])
     return schema_json, active
+
+
+def _list_log(store, log_dir: str) -> list[str]:
+    """Names in a log dir through the seam; [] when absent (object
+    stores have no directories, POSIX raises FileNotFoundError)."""
+    try:
+        return store.list_names(log_dir)
+    except (FileNotFoundError, NotADirectoryError, OSError):
+        return []
 
 
 def exported_delta_version(table: TxnTable) -> int | None:
     """Highest Delta version already exported (None = no log)."""
     log_dir = _delta_dir(table)
-    if not os.path.isdir(log_dir):
-        return None
     best = None
-    for name in os.listdir(log_dir):
+    for name in _list_log(table.log_store, log_dir):
         if name.endswith(".json") and len(name) == 25:
             try:
                 v = int(name[:-5])
@@ -194,13 +202,13 @@ def export_delta_log(
             "the version-for-version mapping forever"
         )
     log_dir = _delta_dir(table)
-    os.makedirs(log_dir, exist_ok=True)
+    table.log_store.makedirs(log_dir)
     done = exported_delta_version(table)
     start_txn = 1 if done is None else done + 2  # delta v ↔ txn v+1
     if done is None:
         cur_schema, active = None, set()
     else:
-        cur_schema, active = _replay_exported(log_dir, done)
+        cur_schema, active = _replay_exported(table.log_store, log_dir, done)
     written = 0
     for txn_v in range(start_txn, upto + 1):
         delta_v = txn_v - 1
@@ -311,7 +319,10 @@ def export_delta_log(
 
 
 def read_delta_snapshot(
-    spark: SparkSession, root: str, version: int | None = None
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    log_store=None,
 ) -> DataFrame | None:
     """CLEAN-ROOM Delta log reader (the conformance half of the
     export): replay `_delta_log` actions up to `version` (default:
@@ -322,10 +333,13 @@ def read_delta_snapshot(
     live files."""
     from pyspark.sql.types import StructType
 
+    from .logstore import LogStore
+
+    store = LogStore() if log_store is None else log_store
     log_dir = os.path.join(root, "_delta_log")
     versions = sorted(
         int(n[:-5])
-        for n in os.listdir(log_dir)
+        for n in store.list_names(log_dir)
         if n.endswith(".json") and len(n) == 25
     )
     if version is not None:
@@ -337,23 +351,23 @@ def read_delta_snapshot(
     schema_json = None
     active: set[str] = set()
     for v in versions:
-        with open(os.path.join(log_dir, f"{v:020d}.json")) as fh:
-            for line in fh:
-                if not line.strip():
-                    continue
-                action = json.loads(line)
-                if "protocol" in action:
-                    if action["protocol"]["minReaderVersion"] > 1:
-                        raise ValueError(
-                            "log requires a newer reader: "
-                            f"{action['protocol']}"
-                        )
-                elif "metaData" in action:
-                    schema_json = action["metaData"]["schemaString"]
-                elif "add" in action:
-                    active.add(action["add"]["path"])
-                elif "remove" in action:
-                    active.discard(action["remove"]["path"])
+        blob = store.read_bytes(os.path.join(log_dir, f"{v:020d}.json"))
+        for line in blob.decode().splitlines():
+            if not line.strip():
+                continue
+            action = json.loads(line)
+            if "protocol" in action:
+                if action["protocol"]["minReaderVersion"] > 1:
+                    raise ValueError(
+                        "log requires a newer reader: "
+                        f"{action['protocol']}"
+                    )
+            elif "metaData" in action:
+                schema_json = action["metaData"]["schemaString"]
+            elif "add" in action:
+                active.add(action["add"]["path"])
+            elif "remove" in action:
+                active.discard(action["remove"]["path"])
     if not active:
         return None
     if schema_json is None:
@@ -364,12 +378,10 @@ def read_delta_snapshot(
     )
 
 
-def _exported_version_in(log_dir: str) -> int | None:
+def _exported_version_in(store, log_dir: str) -> int | None:
     """Highest Delta version in a specific `_delta_log` dir."""
-    if not os.path.isdir(log_dir):
-        return None
     best = None
-    for name in os.listdir(log_dir):
+    for name in _list_log(store, log_dir):
         if name.endswith(".json") and len(name) == 25:
             try:
                 v = int(name[:-5])
@@ -442,12 +454,12 @@ def export_delta_namespace(
         )
     root = namespace_export_root(table, prefix) if out_root is None else out_root
     log_dir = os.path.join(root, "_delta_log")
-    os.makedirs(log_dir, exist_ok=True)
-    done = _exported_version_in(log_dir)
+    table.log_store.makedirs(log_dir)
+    done = _exported_version_in(table.log_store, log_dir)
     if done is None:
         cur_schema, active = None, set()
     else:
-        cur_schema, active = _replay_exported(log_dir, done)
+        cur_schema, active = _replay_exported(table.log_store, log_dir, done)
     written = 0
     for delta_v, txn_v in enumerate(touching):
         if done is not None and delta_v <= done:
