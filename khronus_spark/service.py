@@ -11,6 +11,16 @@
   `[{"name", "columns": ["time", <proj>], "points": [[ts, v], ...]}]`
   (`influx/service/InfluxService.scala:46-87`,
   `influx/service/InfluxProtocol.scala:19`). `list series` supported.
+- S11 dashboards: `GET/POST /khronus/db/influx/dashboards/series` —
+  the Grafana dashboard surface (`InfluxService.scala:67-83`): GET
+  dispatches the `q` expression through the resolver's three regex
+  shapes (get / list / drop, `InfluxDashboardResolver.scala:47-88`),
+  POST stores the head of a Dashboard array and answers the decoded
+  name.
+- Responses on the influx routes are gzip-compressed when the client
+  accepts it and carry CORS headers, like the reference's
+  `compressResponse(NoEncoding, Gzip)` + `respondWithCORS` wrapper
+  (`InfluxService.scala:47-48`).
 
 Driver-side stdlib HTTP only — the engine itself stays DataFrames; this
 is the thin edge a reference user would point their agents/Grafana at.
@@ -79,10 +89,15 @@ class KhronusHttpService:
         landing_path: str,
         engine_factory=None,
         port: int = 0,
+        dashboards_path: str | None = None,
     ):
         self.spark = spark
         self.landing_path = landing_path
+        self.dashboards_path = (
+            f"{landing_path}_dashboards" if dashboards_path is None else dashboards_path
+        )
         self._engine_factory = engine_factory or self._default_engine
+        self._dashboards = None
         self._lock = threading.Lock()
         self._idle = threading.Condition(self._lock)
         self._inflight = 0
@@ -92,8 +107,29 @@ class KhronusHttpService:
             def log_message(self, *args):  # quiet
                 pass
 
+            def _respond_json(self, payload) -> None:
+                """200 + JSON body, gzip-compressed when the client
+                accepts it, CORS always — the reference wraps its
+                influx routes in compressResponse(NoEncoding, Gzip) +
+                respondWithCORS (InfluxService.scala:47-48)."""
+                body = json.dumps(payload).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Access-Control-Allow-Origin", "*")
+                accepts = self.headers.get("Accept-Encoding", "")
+                if "gzip" in accepts.lower():
+                    body = gzip.compress(body)
+                    self.send_header("Content-Encoding", "gzip")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
             def do_POST(self):
-                if urlparse(self.path).path != "/khronus/metrics":
+                path = urlparse(self.path).path
+                if path == "/khronus/db/influx/dashboards/series":
+                    self._post_dashboard()
+                    return
+                if path != "/khronus/metrics":
                     self.send_error(404)
                     return
                 length = int(self.headers.get("Content-Length", 0))
@@ -142,24 +178,51 @@ class KhronusHttpService:
                 self.send_response(200)
                 self.end_headers()
 
+            def _post_dashboard(self):
+                from khronus_spark.sources.dashboards import store_dashboard_wire
+
+                length = int(self.headers.get("Content-Length", 0))
+                if length > INGEST_BODY_LIMIT:
+                    self.send_error(413)
+                    return
+                try:
+                    dashboards = json.loads(self.rfile.read(length))
+                    name = store_dashboard_wire(service.dashboards, dashboards)
+                except Exception:
+                    self.send_error(400)
+                    return
+                # the reference answers the decoded dashboard name
+                self._respond_json(name)
+
             def do_GET(self):
                 url = urlparse(self.path)
+                q = parse_qs(url.query).get("q", [""])[0]
+                if url.path == "/khronus/db/influx/dashboards/series":
+                    from khronus_spark.sources.dashboards import (
+                        dashboard_operation,
+                    )
+
+                    try:
+                        payload = dashboard_operation(service.dashboards, q)
+                    except Exception as e:
+                        self.send_response(400)
+                        self.end_headers()
+                        self.wfile.write(str(e).encode())
+                        return
+                    self._respond_json(payload)
+                    return
                 if url.path != "/khronus/db/influx/series":
                     self.send_error(404)
                     return
-                q = parse_qs(url.query).get("q", [""])[0]
                 try:
                     engine = service._engine_factory()
-                    body = json.dumps(series_to_json(engine.sql(q))).encode()
+                    payload = series_to_json(engine.sql(q))
                 except Exception as e:
                     self.send_response(400)
                     self.end_headers()
                     self.wfile.write(str(e).encode())
                     return
-                self.send_response(200)
-                self.send_header("Content-Type", "application/json")
-                self.end_headers()
-                self.wfile.write(body)
+                self._respond_json(payload)
 
         self._server = ThreadingHTTPServer(("127.0.0.1", port), Handler)
         self.port = self._server.server_port
@@ -202,6 +265,16 @@ class KhronusHttpService:
         staged = f"{self.landing_path}/.staged-{name}.parquet"
         papq.write_table(table, staged)
         os.rename(staged, f"{self.landing_path}/part-{name}.parquet")
+
+    @property
+    def dashboards(self):
+        """Lazily constructed dashboard store (S11) — most deployments
+        never POST a dashboard; don't touch its path until one does."""
+        if self._dashboards is None:
+            from khronus_spark.sources.dashboards import DashboardStore
+
+            self._dashboards = DashboardStore(self.spark, self.dashboards_path)
+        return self._dashboards
 
     def _default_engine(self) -> KhronusEngine:
         measurements = self.spark.read.schema(_SCHEMA).parquet(self.landing_path)

@@ -56,3 +56,67 @@ class DashboardStore:
             "overwrite"
         ).parquet(self.path)
         return dropped
+
+
+# ---------------------------------------------------------------- wire
+
+# The three Grafana-over-Influx expressions the reference's resolver
+# dispatches on (`InfluxDashboardResolver.scala:47-55`), verbatim:
+#   get:  select dashboard from "grafana.dashboard_<b64>"&...
+#   list: select * from /grafana.dashboard_.*/ where title =~ /<re>/i&...
+#   drop: drop series "grafana.dashboard_<b64>"
+_GET_DASHBOARD = re.compile(r'select.*_(.*)".*')
+_LIST_DASHBOARDS = re.compile(r"select.*/(.*)/..*")
+_DROP_DASHBOARD = re.compile(r'drop.*_(.*)".*')
+
+
+def _b64name(group: str) -> str:
+    import base64
+
+    return base64.b64decode(group).decode()
+
+
+def dashboard_operation(store: DashboardStore, expression: str) -> list[dict]:
+    """Dispatch one Grafana dashboard expression against the store —
+    the reference's `dashboardOperation`
+    (`InfluxDashboardResolver.scala:69-88`): get and drop carry the
+    base64-encoded dashboard name, list carries a case-insensitive
+    regex; anything else is unsupported (HTTP layer maps to 400).
+    Returns the wire shape: a JSON-able list of Dashboard objects
+    ({name, columns, points}); drop returns the empty list like the
+    reference. Lookup regexes are ANCHORED before hitting the store —
+    the reference matches with Scala `String.matches`, which is a
+    full match, while `DashboardStore.lookup`'s rlike is a search."""
+    import json as _json
+
+    m = _GET_DASHBOARD.match(expression)
+    if m:
+        name = _b64name(m.group(1))
+        rows = store.lookup(f"^(?:{name})$").collect()
+        return [_json.loads(r["content"]) for r in rows]
+    m = _LIST_DASHBOARDS.match(expression)
+    if m:
+        rows = store.lookup(f"^(?:{m.group(1)})$").collect()
+        return [_json.loads(r["content"]) for r in rows]
+    m = _DROP_DASHBOARD.match(expression)
+    if m:
+        name = _b64name(m.group(1))
+        store.drop(f"^{re.escape(name)}$")
+        return []
+    raise ValueError(f"Unsupported grafana expression [{expression}]")
+
+
+def store_dashboard_wire(store: DashboardStore, dashboards: list[dict]) -> str:
+    """Store the HEAD of a POSTed Dashboard array — the reference's
+    `store` (`InfluxDashboardResolver.scala:112-122`): the storage key
+    is the base64-decoded last `_`-segment of the wire name; the
+    content is the whole Dashboard object. Returns the decoded name
+    (the reference's response body)."""
+    import json as _json
+
+    if not dashboards:
+        raise ValueError("empty dashboard batch")
+    dashboard = dashboards[0]
+    name = _b64name(dashboard["name"].split("_")[-1])
+    store.store(name, _json.dumps(dashboard, separators=(",", ":")))
+    return name

@@ -208,3 +208,94 @@ def test_concurrent_posts_lose_nothing(spark):
         assert len(per_metric) == n_threads
     finally:
         svc.stop()
+
+
+def test_dashboard_http_roundtrip_and_gzip(service):
+    """S11 over HTTP (InfluxService.scala:67-83): POST a Grafana
+    Dashboard array -> store; GET dispatches the resolver's three
+    expression shapes (list / get / drop,
+    InfluxDashboardResolver.scala:47-88); responses gzip when the
+    client accepts it (compressResponse, InfluxService.scala:47) and
+    carry CORS."""
+    import base64
+    import urllib.parse
+
+    base = f"http://127.0.0.1:{service.port}"
+    name = "prod overview"
+    b64 = base64.b64encode(name.encode()).decode()
+    dashboard = {
+        "name": f"grafana.dashboard_{b64}",
+        "columns": ["time", "sequence_number", "title", "tags", "dashboard"],
+        "points": [["1", "1", name, "", "{\"title\":\"prod overview\"}"]],
+    }
+
+    # store -> the response body is the decoded name
+    req = urllib.request.Request(
+        f"{base}/khronus/db/influx/dashboards/series",
+        data=json.dumps([dashboard]).encode(),
+        method="POST",
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req) as r:
+        assert r.status == 200
+        assert json.loads(r.read()) == name
+
+    # list (regex shape) — ask for gzip and assert we got it
+    list_q = 'select * from /grafana.dashboard_.*/ where title =~ /prod.*/i&time_precision=s'
+    req = urllib.request.Request(
+        f"{base}/khronus/db/influx/dashboards/series?q="
+        + urllib.parse.quote(list_q),
+        headers={"Accept-Encoding": "gzip"},
+    )
+    with urllib.request.urlopen(req) as r:
+        assert r.headers.get("Content-Encoding") == "gzip"
+        assert r.headers.get("Access-Control-Allow-Origin") == "*"
+        listed = json.loads(gzip.decompress(r.read()))
+    assert [d["name"] for d in listed] == [f"grafana.dashboard_{b64}"]
+
+    # get (base64 shape) — returns the stored dashboard verbatim
+    get_q = f'select dashboard from "grafana.dashboard_{b64}"&time_precision=s'
+    with urllib.request.urlopen(
+        f"{base}/khronus/db/influx/dashboards/series?q="
+        + urllib.parse.quote(get_q)
+    ) as r:
+        got = json.loads(r.read())
+    assert got == [dashboard]
+
+    # drop -> empty response, then the get finds nothing
+    drop_q = f'drop series "grafana.dashboard_{b64}"'
+    with urllib.request.urlopen(
+        f"{base}/khronus/db/influx/dashboards/series?q="
+        + urllib.parse.quote(drop_q)
+    ) as r:
+        assert json.loads(r.read()) == []
+    with urllib.request.urlopen(
+        f"{base}/khronus/db/influx/dashboards/series?q="
+        + urllib.parse.quote(get_q)
+    ) as r:
+        assert json.loads(r.read()) == []
+
+    # an unsupported grafana expression is a 400, like the reference's
+    # UnsupportedOperationException
+    try:
+        urllib.request.urlopen(
+            f"{base}/khronus/db/influx/dashboards/series?q=nonsense"
+        )
+        raise AssertionError("expected HTTP 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+
+def test_query_route_gzips_when_accepted(service):
+    """The series query route compresses too — and stays identity for
+    clients that don't accept gzip."""
+    base = f"http://127.0.0.1:{service.port}"
+    url = f"{base}/khronus/db/influx/series?q=list%20series"
+    req = urllib.request.Request(url, headers={"Accept-Encoding": "gzip"})
+    with urllib.request.urlopen(req) as r:
+        assert r.headers.get("Content-Encoding") == "gzip"
+        gz = json.loads(gzip.decompress(r.read()))
+    with urllib.request.urlopen(url) as r:
+        assert r.headers.get("Content-Encoding") is None
+        plain = json.loads(r.read())
+    assert gz == plain
