@@ -242,10 +242,17 @@ def main() -> None:
         "perplexity_split": lambda: run_df(
             q["doc_perplexity_split"](spark, sf_dir)
         ),
-        # r9: ER survivorship (pairs -> components -> golden record,
-        # melted one-pass attribute mode) and the seasonal-profile
-        # anomaly face (two aggregates + broadcast profile join)
-        "golden_records": lambda: run_df(q["part_golden_records"](spark, sf_dir)),
+        # r10 (round-9 verdict #6): the r9 "golden_records" slot timed
+        # the END-TO-END ER BUILD (edit-distance pairs -> connected
+        # components -> survivorship) under a query label; like
+        # dedup/PQ/hybrid it is now split so nobody reads the CC
+        # checkpoint rounds as a query-path number. er_assignment_build
+        # is the amortized build (pairs + CC, assignment persisted);
+        # er_survivorship is the query path (melted one-scan mode over
+        # the standing assignment — the plan-audit prediction was
+        # sub-second and the split measures it directly).
+        "er_assignment_build": lambda: _er_build(),
+        "er_survivorship": lambda: _er_survivorship(),
         "seasonal_anomaly": lambda: run_df(
             q["events_seasonal_anomaly"](spark, sf_dir)
         ),
@@ -269,6 +276,8 @@ def main() -> None:
     _dedup_query_dir = tempfile.mkdtemp(prefix="bench_dedup_query_")
     _hybrid_build_dir = tempfile.mkdtemp(prefix="bench_hybrid_build_")
     _hybrid_query_dir = tempfile.mkdtemp(prefix="bench_hybrid_query_")
+    _er_build_dir = tempfile.mkdtemp(prefix="bench_er_build_")
+    _er_query_dir = tempfile.mkdtemp(prefix="bench_er_query_")
 
     from khronus_spark.operators import dedup as dedup_ops
 
@@ -349,10 +358,36 @@ def main() -> None:
         )
         run_df(pq_ops.pq_topk_indexed(books, codes, probes, 3, sub=4, k=8))
 
+    from khronus_spark.operators import components as components_ops
+    from khronus_spark.operators import linkage as linkage_ops
+
+    def _er_part(load=load_table):
+        return load(spark, sf_dir, "part").select(
+            "p_partkey", "p_name", "p_brand"
+        )
+
+    def _er_build(out_dir=None):
+        part = _er_part()
+        edges = linkage_ops.blocked_edit_pairs(
+            part, ["p_brand"], "p_name", "p_partkey", max_dist=2
+        ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        components_ops.connected_components(edges).write.mode(
+            "overwrite"
+        ).parquet(out_dir or _er_build_dir)
+
+    def _er_survivorship():
+        assignment = spark.read.parquet(_er_query_dir)
+        run_df(
+            linkage_ops.golden_records(
+                _er_part(), assignment, "p_partkey", ["p_name", "p_brand"]
+            )
+        )
+
     # stable indexes for the query slots, built ONCE outside timing
     _dedup_build(_dedup_query_dir)
     _pq_build(_pq_query_dir)
     _hybrid_build(_hybrid_query_dir)
+    _er_build(_er_query_dir)
 
     # Median-of-N per query: the shared host shows 2-5x contention
     # variance between rounds, so a single sample conflates plan cost
@@ -384,6 +419,96 @@ def main() -> None:
     spread_calib = spread.pop("calibrate_probe")
     cpu_calib = cpu.pop("calibrate_probe")
     total = round(sum(timings.values()), 3)
+
+    # --- which drift instrument adjudicates which slot (round-9
+    # verdict #2/#3): ONE normalizer cannot serve every slot shape.
+    # The calibration probe is pure whole-stage-codegen CPU, so
+    # wall/calibration is a valid host-speed normalizer ONLY for
+    # slots whose wall is dominated by JVM codegen ("codegen", the
+    # default). Slots dominated by fixed per-job scheduling latency
+    # across a driver-side loop of many small jobs ("driver-loop":
+    # CC fixpoint rounds, k-means iterations, multi-stage index
+    # builds) do NOT scale with host CPU speed — adjudicate those on
+    # a same-host structural ratio (e.g. bpe_merges vs its batched
+    # twin) or on job count, never on wall/calibration. Slots that
+    # spend material wall in Arrow/Python workers ("arrow-mixed":
+    # mapInPandas/applyInPandas paths) carry CPU the JVM /proc
+    # instrument cannot see — adjudicate on wall + the JVM cpu_sec
+    # TOGETHER (JVM cpu flat while wall moves = worker/scheduler
+    # side, not a plan change). Cross-round comparisons read this
+    # map from sweeps/r{N}/bench_cpu.json, which persists the full
+    # per-slot instrument locally so adjudication never depends on
+    # the driver's truncated capture.
+    _DRIVER_LOOP = {
+        "bpe_merges",
+        "bpe_merges_batched",
+        "er_assignment_build",
+        "dedup_index_build",
+        "ann_pq_index_build",
+        "hybrid_index_build",
+    }
+    _ARROW_MIXED = {
+        "media_features",
+        "ewma_smooth",
+        "semantic_dedup",
+        "semantic_dedup_auto",
+        "ann_pq_topk_indexed",
+        "hybrid_rrf_indexed",
+        "perplexity_split",
+        "bigram_surprisal",
+    }
+    # "job-overhead": membership is EARNED BY MEASUREMENT, not guessed
+    # — r10 adjudication of the two r8->r9 "normalized drift" slots
+    # (sweeps/r10/adjudicate_micro.json): on a host whose calibration
+    # probe ran 2.6x faster than the r9 driver host, both slots' wall
+    # moved <5% — their wall is fixed per-job latency, so dividing by
+    # a codegen probe that sped up reads as phantom regression. These
+    # adjudicate on pinned plan shape (test_plan_quality.py gates) +
+    # the absolute envelope criteria below, never on wall/calibration.
+    _JOB_OVERHEAD = {"ann_cosine_topk", "sessions_30m"}
+    normalizer_class = {
+        name: (
+            "driver-loop"
+            if name in _DRIVER_LOOP
+            else (
+                "arrow-mixed"
+                if name in _ARROW_MIXED
+                else "job-overhead" if name in _JOB_OVERHEAD else "codegen"
+            )
+        )
+        for name in timings
+    }
+
+    # Persist the per-slot instrument to a local artifact every run
+    # (round-9 verdict #3): the driver records only ~2 KB of this
+    # line's tail, which has eaten the cpu_sec medians three rounds
+    # running. The round process copies sweeps/latest/bench_cpu.json
+    # into sweeps/r{N}/ as the committed artifact of record.
+    try:
+        _art_dir = Path(_REPO) / "sweeps" / "latest"
+        _art_dir.mkdir(parents=True, exist_ok=True)
+        (_art_dir / "bench_cpu.json").write_text(
+            json.dumps(
+                {
+                    "sf": float(sf),
+                    "runs": n_runs,
+                    "calibration": {
+                        "wall": calib,
+                        "spread": spread_calib,
+                        "cpu": cpu_calib,
+                    },
+                    "wall": timings,
+                    "cpu_sec": cpu,
+                    "spread": spread,
+                    "normalizer_class": normalizer_class,
+                },
+                indent=1,
+                sort_keys=True,
+            )
+            + "\n"
+        )
+    except OSError:
+        pass
     # Committed normalized done-criteria (round-7 verdict item #1): a
     # slot's wall divided by the calibration probe's wall is host-speed
     # invariant, so the criterion survives the ±13% same-code host
@@ -419,6 +544,26 @@ def main() -> None:
             "limit": 1.2,
             "pass": timings["bpe_merges"] / timings["bpe_merges_batched"]
             <= 1.2,
+        },
+        # r10 adjudication of the two drifting micro-slots (round-9
+        # verdict #1): both are job-overhead-dominated (see
+        # normalizer_class above — a 2.6x-faster codegen host moved
+        # their wall <5%), so the committed criterion is an ABSOLUTE
+        # envelope with ~3x headroom over every observed host. A real
+        # structural regression (ann_cosine losing its probe broadcast
+        # -> shuffled cartesian; sessions gaining a second shuffle or
+        # losing the map-side partial) lands an order of magnitude
+        # past these; scheduler noise never reaches them. The plan
+        # shapes themselves are pinned in test_plan_quality.py.
+        "ann_cosine_topk": {
+            "wall": timings["ann_cosine_topk"],
+            "limit": 1.5,
+            "pass": timings["ann_cosine_topk"] <= 1.5,
+        },
+        "sessions_30m": {
+            "wall": timings["sessions_30m"],
+            "limit": 2.0,
+            "pass": timings["sessions_30m"] <= 2.0,
         },
     }
     # key order matters: the driver records only the TAIL of this line

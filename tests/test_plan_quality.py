@@ -912,3 +912,39 @@ def test_seasonal_anomaly_profile_broadcasts(spark, oracle_sf_dir):
     plan = _plan(spark, oracle_sf_dir, "events_seasonal_anomaly")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ann_cosine_brute_force_plan_pinned(spark, oracle_sf_dir):
+    """r10 adjudication of the two-round wall drift (round-9 verdict
+    "what's wrong" #1): on a host whose calibration probe runs 2.6x
+    faster than the r9 driver host (0.125 vs 0.325 s), this slot's
+    wall is unchanged (0.503 vs 0.524 s at sf0.1) — the wall is fixed
+    per-job overhead (job launch, 32-task scheduling, file listing),
+    not codegen CPU, so wall/calibration mechanically inflates
+    whenever the probe speeds up. Not a plan regression
+    (sweeps/r10/adjudicate_micro.json carries the measurement). The
+    structural shape is pinned here so future wall noise on this slot
+    adjudicates against the plan, not against a normalizer that does
+    not apply to its shape."""
+    plan = _plan(spark, oracle_sf_dir, "ann_cosine_topk")
+    # the 5 probes broadcast once and the deliberate brute-force cross
+    # is the broadcast nested-loop; losing the broadcast (a shuffled
+    # cartesian) is the regression worth catching
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sessions_single_shuffle_merging_sessions(spark, oracle_sf_dir):
+    """Same adjudication (round-9 verdict "what's wrong" #1):
+    sessions_30m wall 0.62 s on the 2.6x-faster host vs 0.786 s on the
+    r9 driver — a fixed-overhead micro-slot, not codegen-bound, so the
+    r8->r9 "1.41x normalized" reading was the normalizer, not the
+    plan. Structural pin: partial session aggregation before EXACTLY
+    one hash exchange on user_id, then MergingSessions — a second
+    shuffle or a lost map-side partial is the real regression."""
+    plan = _plan(spark, oracle_sf_dir, "events_sessions_30m")
+    assert "MergingSessions" in plan
+    assert "partial_count" in plan  # map-side combine before the shuffle
+    # formatted mode mentions each operator twice (tree + detail)
+    assert plan.count("Exchange") == 2
