@@ -5915,3 +5915,72 @@ def leakage_safe_kfold(spark, sf_dir):
     generalization of `leakage_safe_split`."""
     docs = load_table(spark, sf_dir, "documents")
     return curation_ops.leakage_safe_kfold(docs, k=5)
+
+
+# ---------------------------------------------------------------------------
+# round 10: the streaming-ANN drift loop's two batch faces (queued for
+# the round-11 window — registered after the round-10 window froze)
+# ---------------------------------------------------------------------------
+
+@register(
+    "ann_ivfpq_rerank_topk_indexed",
+    pq_ops.ivf_pq_rerank_topk_sql(
+        list(range(5)), 3, n_candidates=30, stride=50, nprobe=2,
+        sub=4, k=8, iters=1,
+    ),
+)
+def ann_ivfpq_rerank_topk_indexed(spark, sf_dir):
+    """The previously-missing INDEXED full production composition
+    (operators/pq.py::ivf_pq_rerank_topk_indexed): IVF routing + ADC
+    shortlist from the persisted (books, coded, centroids) triple, then
+    only the survivors fetch full vectors for the exact integer-L2
+    rerank — no training in the query plan. This is the query face the
+    streaming-ANN drift contract measures recall through
+    (tests/test_streaming_ann.py): shortlist quality is what frozen
+    codebooks lose under drift, and the exact rerank isolates it."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _scratch_dir("ivfpq_rerank_index")
+    books, coded, cents = pq_ops.ivf_pq_build_index(
+        emb, stride=50, sub=4, k=8, iters=1
+    )
+    pq_ops.write_ivf_pq_index(books, coded, cents, path)
+    books, coded, cents = pq_ops.read_ivf_pq_index(spark, path)
+    probes = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    return pq_ops.ivf_pq_rerank_topk_indexed(
+        books, coded, cents, probes, emb,
+        n_neighbors=3, n_candidates=30, nprobe=2, sub=4, k=8,
+    )
+
+
+@register("embedding_drift_flags", quant_ops.embedding_drift_flags_sql())
+def embedding_drift_flags(spark, sf_dir):
+    """Distribution-drift detector for frozen ANN/quantization state
+    (operators/quantize.py::embedding_drift_flags): per dimension, an
+    exact-integer two-sample z-test of the batch mean against the
+    training profile (DECIMAL(38,0) cleared inequality; 5-sigma
+    standard-error gate) plus newly-dead / newly-clipped flags. Here
+    the even-id half of the embeddings table is the training profile
+    and the odd-id half, shifted +0.5 (double add, clip, round to
+    float — bit-identical in both engines), is the drifted batch. The
+    any(drifted) output is what gates
+    streaming.ann.refresh_streamed_index in the drift loop."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    train = emb.where("vec_id % 2 = 0")
+    batch = emb.where("vec_id % 2 = 1").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> "
+            "CAST(least(1.0D, CAST(x AS DOUBLE) + 0.5D) AS FLOAT))"
+        ).alias("embedding"),
+    )
+    return quant_ops.embedding_drift_flags(
+        quant_ops.embedding_dim_stats(train),
+        quant_ops.embedding_dim_stats(batch),
+    )
+
+
+PENDING_NEXT_WINDOW.extend(
+    ["ann_ivfpq_rerank_topk_indexed", "embedding_drift_flags"]
+)

@@ -670,6 +670,46 @@ QUALIFY row_number() OVER (
 """
 
 
+def ivf_pq_rerank_topk_sql(
+    probe_ids: list[int],
+    n_neighbors: int = 3,
+    n_candidates: int = 30,
+    stride: int = 50,
+    nprobe: int = 2,
+    sub: int = SUB,
+    k: int = K,
+    iters: int = ITERS,
+) -> str:
+    """Oracle for the indexed IVF-PQ + exact-rerank composition: the
+    full `ivf_pq_topk_sql` restatement (coarse routing + relational
+    ADC) becomes the candidate stage, and the survivors re-order by
+    exact full-space integer L2 — the same two-stage shape as
+    `pq_rerank_topk_sql` with the IVF restriction in front."""
+    inner = ivf_pq_topk_sql(
+        probe_ids, n_candidates, stride, nprobe, sub, k, iters
+    )
+    d2 = (
+        f"list_sum(list_transform(range(1, {DIMS + 1}), "
+        "i -> (pq.e[i] - nq.e[i]) * (pq.e[i] - nq.e[i])))"
+    )
+    return f"""
+WITH cand AS (
+  SELECT probe_id, neighbor_id FROM ({inner}) adc
+),
+fullq AS (SELECT vec_id, {_QUANT_DUCK} AS e FROM embeddings),
+rr AS (
+  SELECT cand.probe_id, cand.neighbor_id, CAST({d2} AS BIGINT) AS d2
+  FROM cand
+  JOIN fullq pq ON pq.vec_id = cand.probe_id
+  JOIN fullq nq ON nq.vec_id = cand.neighbor_id
+)
+SELECT probe_id, neighbor_id, d2
+FROM rr
+QUALIFY row_number() OVER (
+    PARTITION BY probe_id ORDER BY d2 ASC, neighbor_id ASC) <= {n_neighbors}
+"""
+
+
 def pq_rerank_topk(
     embeddings: DataFrame,
     probe_ids: list[int],
@@ -767,6 +807,7 @@ def ivf_pq_build_index(
     iters: int = ITERS,
     mode: str | None = None,
     train_sample_mod: int | None = None,
+    train_frame: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Build the IVF-PQ index ONCE — (books, coded inverted lists,
     centroids) — the round-5 verdict's remaining inline-training
@@ -781,14 +822,18 @@ def ivf_pq_build_index(
     filter on this single table, no full-vector access. `centroids`
     (centroid_id, cvec) is the small table queries broadcast to route
     probes. `train_sample_mod` bounds codebook training exactly as in
-    `pq_build_index`."""
+    `pq_build_index`. `train_frame` substitutes the codebook-training
+    input entirely (encoding still covers `embeddings`): the k-means
+    init takes the subvectors of vec_id 0..k-1, so a caller that needs
+    init seeds drawn from somewhere other than the head of the id
+    space (e.g. `streaming.ann.refresh_streamed_index`, whose standing
+    corpus appends NEW distributions at HIGH ids) passes a re-keyed
+    view here — ids in the returned index are never affected."""
     from khronus_spark.operators.similarity import ivf_assignments
 
-    train = (
-        embeddings
-        if train_sample_mod is None
-        else embeddings.where(F.col("vec_id") % train_sample_mod == 0)
-    )
+    train = embeddings if train_frame is None else train_frame
+    if train_sample_mod is not None:
+        train = train.where(F.col("vec_id") % train_sample_mod == 0)
     books = _books_from_state(_pq_state(train, sub, k, iters, mode))
     codes = pq_encode(embeddings, books, sub, k, mode)
     coded = codes.join(ivf_assignments(embeddings, stride), "vec_id")
@@ -902,6 +947,17 @@ def pq_rerank_topk_indexed(
     `pq_rerank_topk` when the index trained on the full corpus
     (test-pinned, same oracle)."""
     cands = pq_topk_indexed(books, codes, probe_vecs, n_candidates, sub, k)
+    return _rerank_exact(cands, probe_vecs, vectors, n_neighbors)
+
+
+def _rerank_exact(
+    cands: DataFrame,
+    probe_vecs: DataFrame,
+    vectors: DataFrame,
+    n_neighbors: int,
+) -> DataFrame:
+    """Shared exact-rerank tail: ADC survivors (probe_id, neighbor_id)
+    fetch full vectors for the exact integer-L2 re-order."""
     pv = probe_vecs.select(
         "probe_id", F.expr(_QUANT_COL.format(c="embedding")).alias("pe")
     )
@@ -920,6 +976,35 @@ def pq_rerank_topk_indexed(
         .where(F.col("rn") <= n_neighbors)
         .select("probe_id", "neighbor_id", "d2")
     )
+
+
+def ivf_pq_rerank_topk_indexed(
+    books: DataFrame,
+    coded: DataFrame,
+    centroids: DataFrame,
+    probe_vecs: DataFrame,
+    vectors: DataFrame,
+    n_neighbors: int = 3,
+    n_candidates: int = 30,
+    nprobe: int = 2,
+    sub: int = SUB,
+    k: int = K,
+) -> DataFrame:
+    """The INDEXED full production composition, previously missing
+    (the unindexed `ivf_pq_rerank_topk` retrains inside the query; the
+    indexed `ivf_pq_topk_indexed` stops at ADC): probes route through
+    the prebuilt (books, coded, centroids) triple, ADC keeps
+    `n_candidates` per probe, and only those rows fetch full vectors
+    from the primary store for the exact integer-L2 rerank. No
+    training anywhere in the plan. This is the query face the
+    streaming-ANN drift tests measure recall through — ADC shortlist
+    quality is exactly what frozen-codebook drift destroys, and the
+    exact rerank means recall is the SHORTLIST's recall, uncontaminated
+    by ADC ranking noise."""
+    cands = ivf_pq_topk_indexed(
+        books, coded, centroids, probe_vecs, n_candidates, nprobe, sub, k
+    )
+    return _rerank_exact(cands, probe_vecs, vectors, n_neighbors)
 
 
 def ivf_pq_encode(

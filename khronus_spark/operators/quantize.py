@@ -207,3 +207,119 @@ SELECT CAST(dim - 1 AS BIGINT) AS dim,
 FROM q
 GROUP BY dim
 """
+
+
+def embedding_drift_flags(
+    train_stats: DataFrame,
+    batch_stats: DataFrame,
+    z_tenths: int = 50,
+) -> DataFrame:
+    """Per-dimension DRIFT verdict between a training-time profile and
+    a fresh-batch profile (both `embedding_dim_stats` outputs) — the
+    detector half of the streaming-ANN refresh loop (`streaming/
+    ann.py`: frozen PQ codebooks quantize new vectors with the
+    training distribution's geometry, so a drifted batch silently
+    inflates ADC error; this is the signal that gates a retrain).
+
+    A dimension is flagged `mean_shift` when the batch mean sits more
+    than z standard ERRORS from the training mean (a two-sample z-test
+    with the training profile as reference):
+
+        |Δmean| > z · std_train / √n_batch
+      ⇔ Δmean² · n_batch · n_train² · 100 > z_tenths² · var_num_train
+
+    — the inequality cleared of sqrt/division so it evaluates in
+    EXACT integers (DECIMAL(38,0) products; `z_tenths` is z×10, so
+    the default 50 is a 5σ gate: per-dim false-positive odds are
+    negligible while a real distribution shift clears it by orders of
+    magnitude — shift/SE grows with √n_batch). Also flagged:
+    `newly_dead` (a dimension that moved in training but is constant
+    in the batch — an encoder regression) and `newly_clipped`
+    (saturation appearing where training had none). `drifted` is the
+    OR; `any(drifted)` is the refresh trigger.
+
+    Caveat (shared with `events_seasonal_anomaly`): the decimal
+    products are exact while Δmean²·n_batch·n_train²·100 < 1e38 —
+    beyond ~1e12 profile rows pre-scale the counts.
+
+    Scale shape: both inputs are |dims| rows; this is a broadcast-size
+    join however large the corpora behind the profiles were."""
+    t = train_stats.select(
+        "dim",
+        F.col("n").alias("n_t"),
+        F.col("mean_q").alias("mean_q_train"),
+        F.col("var_num").alias("var_num_t"),
+        F.col("dead").alias("dead_t"),
+        F.col("clipped").alias("clipped_t"),
+    )
+    b = batch_stats.select(
+        "dim",
+        F.col("n").alias("n_b"),
+        F.col("mean_q").alias("mean_q_batch"),
+        F.col("dead").alias("dead_b"),
+        F.col("clipped").alias("clipped_b"),
+    )
+    d = t.join(b, "dim")
+    dm = "CAST(mean_q_batch - mean_q_train AS DECIMAL(38,0))"
+    lhs = f"{dm} * {dm} * CAST(n_b AS DECIMAL(38,0)) * CAST(n_t AS DECIMAL(38,0)) * CAST(n_t AS DECIMAL(38,0)) * 100"
+    rhs = f"CAST({z_tenths} AS DECIMAL(38,0)) * {z_tenths} * CAST(var_num_t AS DECIMAL(38,0))"
+    return d.select(
+        "dim",
+        "mean_q_train",
+        "mean_q_batch",
+        F.expr(f"{lhs} > {rhs}").alias("mean_shift"),
+        (F.col("dead_b") & ~F.col("dead_t")).alias("newly_dead"),
+        (F.col("clipped_b") & ~F.col("clipped_t")).alias("newly_clipped"),
+        F.expr(
+            f"({lhs} > {rhs}) OR (dead_b AND NOT dead_t) "
+            "OR (clipped_b AND NOT clipped_t)"
+        ).alias("drifted"),
+    )
+
+
+def embedding_drift_flags_sql(z_tenths: int = 50) -> str:
+    """Oracle for the `embedding_drift_flags` registry entry: train =
+    even vec_ids raw, batch = odd vec_ids shifted by +0.5 (computed in
+    DOUBLE, clipped at 1.0, rounded to FLOAT — bit-identical to the
+    Spark transform), both profiled by the `embedding_dim_stats`
+    restatement, then the cleared z-test inequality in HUGEINT (exact,
+    like Spark's DECIMAL(38,0))."""
+    stats = """
+  SELECT dim, count(*) AS n, min(v) AS min_q, max(v) AS max_q,
+         CAST(sum(v) // count(*) AS BIGINT) AS mean_q,
+         CAST(count(*) * sum(v * v) - sum(v) * sum(v) AS BIGINT) AS var_num,
+         (min(v) = max(v)) AS dead,
+         (sum(CASE WHEN v <= 0 OR v >= 2000000 THEN 1 ELSE 0 END) * 100
+            >= count(*)) AS clipped
+  FROM {src} GROUP BY dim
+"""
+    lhs = (
+        "CAST(b.mean_q - t.mean_q AS HUGEINT) * (b.mean_q - t.mean_q) "
+        "* b.n * t.n * t.n * 100"
+    )
+    rhs = f"CAST({z_tenths} AS HUGEINT) * {z_tenths} * t.var_num"
+    return f"""
+WITH tq AS (
+  SELECT s.i - 1 AS dim,
+         CAST(floor((CAST(embedding[s.i] AS DOUBLE) + 1.0) * 1000000.0) AS BIGINT) AS v
+  FROM embeddings, unnest(generate_series(1, len(embedding))) s(i)
+  WHERE vec_id % 2 = 0
+),
+bq AS (
+  SELECT s.i - 1 AS dim,
+         CAST(floor((CAST(CAST(least(1.0, CAST(embedding[s.i] AS DOUBLE) + 0.5) AS FLOAT) AS DOUBLE) + 1.0) * 1000000.0) AS BIGINT) AS v
+  FROM embeddings, unnest(generate_series(1, len(embedding))) s(i)
+  WHERE vec_id % 2 = 1
+),
+ts AS ({stats.format(src='tq')}),
+bs AS ({stats.format(src='bq')})
+SELECT CAST(t.dim AS BIGINT) AS dim,
+       t.mean_q AS mean_q_train,
+       b.mean_q AS mean_q_batch,
+       ({lhs} > {rhs}) AS mean_shift,
+       (b.dead AND NOT t.dead) AS newly_dead,
+       (b.clipped AND NOT t.clipped) AS newly_clipped,
+       (({lhs} > {rhs}) OR (b.dead AND NOT t.dead)
+          OR (b.clipped AND NOT t.clipped)) AS drifted
+FROM ts t JOIN bs b ON t.dim = b.dim
+"""

@@ -91,19 +91,64 @@ def landed_batches(index_path: str) -> list[int]:
     return sorted(out)
 
 
-def _resolve_const_dir(const_path: str) -> str:
-    """The directory the constants tables actually live in: a
-    refreshed layout publishes generations under `const_path` with a
-    CURRENT pointer file (atomic swap — see
-    `refresh_streamed_constants`); a flat layout (batch-built
-    `write_bm25_constants` straight into the dir) is itself."""
+def resolve_generation_dir(path: str) -> str:
+    """The directory a generation-published artifact actually lives
+    in: a refreshed layout publishes generations under `path` with a
+    CURRENT pointer file (atomic swap — see `publish_generation`); a
+    flat layout (batch-built straight into the dir) is itself. Shared
+    by the constants refresh here and the trained-state refresh in
+    `streaming/ann.py`."""
     import os
 
-    cur = os.path.join(const_path, "CURRENT")
+    cur = os.path.join(path, "CURRENT")
     if os.path.isfile(cur):
         with open(cur) as fh:
-            return os.path.join(const_path, fh.read().strip())
-    return const_path
+            return os.path.join(path, fh.read().strip())
+    return path
+
+
+# historical private name, still used by tests
+_resolve_const_dir = resolve_generation_dir
+
+
+def publish_generation(root: str, gen: str, grace_seconds: float) -> None:
+    """Atomically publish generation dir `gen` (already fully written
+    under `root`) as CURRENT, then prune superseded generations by AGE
+    (see the REFRESH-WHILE-SERVING contract on
+    `refresh_streamed_constants`: the current and immediately-previous
+    generations are kept unconditionally; anything else only falls
+    past `grace_seconds` of mtime age, so an in-flight reader that
+    resolved CURRENT before this publish keeps a consistent view)."""
+    import os
+    import shutil
+    import time
+    import uuid
+
+    prev = None
+    cur = os.path.join(root, "CURRENT")
+    if os.path.isfile(cur):
+        with open(cur) as fh:
+            prev = fh.read().strip()
+    tmp = os.path.join(root, f".CURRENT.tmp-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as fh:
+        fh.write(gen)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, cur)  # the atomic publish
+    now = time.time()
+    for name in os.listdir(root):
+        full = os.path.join(root, name)
+        if (
+            name.startswith("gen-")
+            and name not in (gen, prev)
+            and os.path.isdir(full)
+        ):
+            try:
+                age = now - os.path.getmtime(full)
+            except OSError:
+                continue  # raced with a concurrent prune
+            if age >= grace_seconds:
+                shutil.rmtree(full, ignore_errors=True)
 
 
 def refresh_streamed_constants(
@@ -133,7 +178,6 @@ def refresh_streamed_constants(
     unconditionally. Pass grace_seconds=0 only when reader quiescence
     is externally guaranteed."""
     import os
-    import shutil
     import uuid
 
     from khronus_spark.operators.text import write_bm25_constants
@@ -149,36 +193,7 @@ def refresh_streamed_constants(
         os.path.join(const_path, gen),
         upto_batch=boundary,
     )
-    prev = None
-    cur = os.path.join(const_path, "CURRENT")
-    if os.path.isfile(cur):
-        with open(cur) as fh:
-            prev = fh.read().strip()
-    tmp = os.path.join(const_path, f".CURRENT.tmp-{uuid.uuid4().hex[:8]}")
-    with open(tmp, "w") as fh:
-        fh.write(gen)
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(tmp, cur)  # the atomic publish
-    # prune superseded generations, but only past the age grace — an
-    # in-flight reader that resolved CURRENT before this refresh may
-    # still be reading any recent generation
-    import time
-
-    now = time.time()
-    for name in os.listdir(const_path):
-        full = os.path.join(const_path, name)
-        if (
-            name.startswith("gen-")
-            and name not in (gen, prev)
-            and os.path.isdir(full)
-        ):
-            try:
-                age = now - os.path.getmtime(full)
-            except OSError:
-                continue  # raced with a concurrent prune
-            if age >= grace_seconds:
-                shutil.rmtree(full, ignore_errors=True)
+    publish_generation(const_path, gen, grace_seconds)
     return boundary
 
 

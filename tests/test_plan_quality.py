@@ -948,3 +948,15 @@ def test_sessions_single_shuffle_merging_sessions(spark, oracle_sf_dir):
     assert "partial_count" in plan  # map-side combine before the shuffle
     # formatted mode mentions each operator twice (tree + detail)
     assert plan.count("Exchange") == 2
+
+
+def test_ivfpq_rerank_indexed_query_has_no_training(spark, oracle_sf_dir):
+    """r10: the indexed IVF-PQ + exact-rerank composition (the drift
+    contract's recall instrument) must answer from the persisted
+    triple — no k-means machinery in the query plan — and touch full
+    vectors only through the rerank join (by design, its recall
+    contract)."""
+    plan = _plan(spark, oracle_sf_dir, "ann_ivfpq_rerank_topk_indexed")
+    assert "posexplode" not in plan
+    assert "Scan ExistingRDD" not in plan
+    assert "books" in plan and "coded" in plan and "centroids" in plan

@@ -106,3 +106,195 @@ def test_replay_replaces_batches_identically_and_snapshot_pins(
     ids = {r["vec_id"] for r in pinned.select("vec_id").collect()}
     assert max(i for i in ids if i >= 300) < 400
     assert any(i < 300 for i in ids)
+
+
+# --------------------------------------------------------------------------
+# round-10: the drift loop closed (round-9 verdict directive 7) —
+# detector flags a shifted batch, a generation swap restores measured
+# shortlist recall on the hard anisotropic corpus, streams keep
+# running across the swap.
+# --------------------------------------------------------------------------
+
+from pyspark.sql.window import Window
+
+from khronus_spark.operators.pq import ivf_pq_rerank_topk_indexed
+from khronus_spark.operators.quantize import (
+    embedding_dim_stats,
+    embedding_drift_flags,
+)
+from khronus_spark.operators.similarity import anisotropic_corpus
+from khronus_spark.streaming.ann import (
+    read_streamed_index,
+    refresh_streamed_index,
+)
+from khronus_spark.streaming.retrieval import resolve_generation_dir
+
+# drift transform: the batch collapses into [0.85, 0.95]^dim — a region
+# the training distribution covers only with its uniform noise floor,
+# so frozen subquantizers give the whole batch ONE code (measured)
+_DRIFT = (
+    "transform(embedding, x -> CAST(least(1.0D, greatest(-1.0D, "
+    "0.9D + 0.05D * CAST(x AS DOUBLE))) AS FLOAT))"
+)
+
+
+def _hard_tables(spark, tmp_path):
+    """A (training, ids<400), B (drifted batch, 400..599), C (drifted
+    post-swap batch, 600..649) — materialized through parquet so the
+    union does not share lineage with the generator (self-union column
+    resolution)."""
+    corpus = anisotropic_corpus(spark, 650, dim=64)
+    corpus.where("vec_id < 400").write.parquet(f"{tmp_path}/A")
+    corpus.where("vec_id >= 400").select(
+        "vec_id", F.expr(_DRIFT).alias("embedding")
+    ).write.parquet(f"{tmp_path}/D")
+    A = spark.read.parquet(f"{tmp_path}/A")
+    D = spark.read.parquet(f"{tmp_path}/D")
+    return A, D.where("vec_id < 600"), D.where("vec_id >= 600")
+
+
+def _l2_truth(vectors, probe_vecs, k):
+    pairs = vectors.alias("e").join(
+        F.broadcast(probe_vecs.alias("p")),
+        F.col("e.vec_id") != F.col("p.probe_id"),
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(p.embedding, e.embedding, (a,b) -> "
+        "CAST(a-b AS DOUBLE)*CAST(a-b AS DOUBLE)), 0.0D, (acc,x) -> acc+x)"
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("_d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.select(
+            "probe_id", F.col("e.vec_id").alias("neighbor_id"), d2.alias("_d2")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("probe_id", "neighbor_id")
+    )
+
+
+def _recall(truth, res):
+    tset, got = {}, {}
+    for r in truth.collect():
+        tset.setdefault(r.probe_id, set()).add(r.neighbor_id)
+    for r in res.collect():
+        got.setdefault(r.probe_id, set()).add(r.neighbor_id)
+    per = [
+        len(tset[p] & got.get(p, set())) / len(tset[p]) for p in tset
+    ]
+    return sum(per) / len(per)
+
+
+def test_drift_detector_flags_shifted_batch_not_control(spark, tmp_path):
+    A, B, _ = _hard_tables(spark, tmp_path)
+    train_stats = embedding_dim_stats(A)
+    # control: a same-distribution half of the training corpus — the
+    # 5-sigma standard-error gate must stay silent
+    ctrl = embedding_drift_flags(
+        train_stats, embedding_dim_stats(A.where("vec_id % 2 = 0"))
+    )
+    assert ctrl.where("drifted").count() == 0
+    # the shifted batch: every dimension's mean moved ~0.9 at a
+    # standard error of ~0.03 — all 64 dims must flag
+    drift = embedding_drift_flags(train_stats, embedding_dim_stats(B))
+    assert drift.where("drifted").count() == 64
+    assert drift.where("mean_shift").count() == 64
+
+
+def test_drift_refresh_restores_shortlist_recall_and_stream_survives_swap(
+    spark, tmp_path
+):
+    """The full loop on the hard corpus: frozen books collapse the
+    drifted batch to ONE pq_code (shortlist recall craters even with
+    the exact rerank behind it); the detector-gated refresh retrains
+    with hash-sampled init seeds and the atomic generation swap
+    restores recall; a batch streamed AFTER the swap encodes under the
+    NEW generation without restarting the stream. Every number here is
+    deterministic (xxhash64 corpus, integer k-means)."""
+    A, B, C = _hard_tables(spark, tmp_path)
+    allv = A.unionByName(B)
+    root = str(tmp_path / "index")
+
+    refresh_streamed_index(spark, root, A)
+    gen1 = resolve_generation_dir(root)
+
+    # the drifted batch arrives through the real streaming add path
+    chunks = [B.where("vec_id < 500"), B.where("vec_id >= 500")]
+    _stream_chunks(spark, str(tmp_path), chunks, root, "ckd")
+
+    probes = list(range(400, 410))
+    pv = B.where(F.col("vec_id").isin(probes)).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    truth = _l2_truth(allv, pv, 5)
+
+    books1, coded1, cents1 = read_streamed_index(spark, root)
+    # mechanism pin: under the stale books the 200-vector drifted
+    # batch collapses to one or two codes — the shortlist has nothing
+    # to rank with
+    assert (
+        coded1.where("vec_id >= 400").select("pq_code").distinct().count()
+        <= 2
+    )
+    recall_old = _recall(
+        truth,
+        ivf_pq_rerank_topk_indexed(
+            books1, coded1, cents1, pv, allv, n_neighbors=5, n_candidates=30
+        ),
+    )
+
+    # the detector is the gate: refresh only fires on a drifted batch
+    flagged = (
+        embedding_drift_flags(embedding_dim_stats(A), embedding_dim_stats(B))
+        .where("drifted")
+        .count()
+        > 0
+    )
+    assert flagged
+    refresh_streamed_index(spark, root, allv)
+    gen2 = resolve_generation_dir(root)
+    assert gen2 != gen1
+
+    books2, coded2, cents2 = read_streamed_index(spark, root)
+    # the reseeded retrain allocates real codewords to the new region
+    assert (
+        coded2.where("vec_id >= 400").select("pq_code").distinct().count()
+        >= 10
+    )
+    recall_new = _recall(
+        truth,
+        ivf_pq_rerank_topk_indexed(
+            books2, coded2, cents2, pv, allv, n_neighbors=5, n_candidates=30
+        ),
+    )
+    assert recall_old <= 0.4
+    assert recall_new >= 0.7
+    assert recall_new >= recall_old + 0.3
+
+    # the stream keeps running across the swap: the next trigger
+    # resolves the NEW generation (same checkpoint, no restart).
+    # Land the chunk under a FRESH file name — the file source tracks
+    # seen names, so _stream_chunks' c0_* would be silently skipped.
+    landing = f"{tmp_path}/landing_ckd"
+    stage = f"{tmp_path}/stage_ckd_post"
+    C.coalesce(1).write.mode("overwrite").parquet(stage)
+    for j, f_ in enumerate(sorted(os.listdir(stage))):
+        if f_.endswith(".parquet"):
+            shutil.copy(f"{stage}/{f_}", f"{landing}/post_{j}.parquet")
+    q = run_streaming_ivf_pq_add(
+        spark.readStream.schema(C.schema).parquet(landing),
+        root,
+        f"{tmp_path}/ckd",
+    )
+    q.awaitTermination(120)
+    assert os.path.isdir(f"{gen2}/coded_stream/batch=2")
+    assert not os.path.isdir(f"{gen1}/coded_stream/batch=2")
+    ids = {
+        r["vec_id"]
+        for r in read_streamed_index(spark, root)[1]
+        .select("vec_id")
+        .collect()
+    }
+    assert ids == set(range(650))
