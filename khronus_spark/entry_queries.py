@@ -5984,3 +5984,106 @@ def embedding_drift_flags(spark, sf_dir):
 PENDING_NEXT_WINDOW.extend(
     ["ann_ivfpq_rerank_topk_indexed", "embedding_drift_flags"]
 )
+
+
+_HW_L = "((3 * (s.x - r.hist[1]) + 7 * (r.level + r.trend)) // 10)"
+_HW_B = f"((1 * ({_HW_L} - r.level) + 9 * r.trend) // 10)"
+_HW_S = f"((2 * (s.x - {_HW_L}) + 8 * r.hist[1]) // 10)"
+
+
+@register(
+    "events_holt_winters_24h",
+    f"""
+WITH RECURSIVE series AS (
+  SELECT event_type,
+         (epoch_ms(ts) // 3600000) * 3600000 AS ts_ms,
+         CAST(count(*) AS BIGINT) AS x,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY (epoch_ms(ts) // 3600000) * 3600000
+         ) AS rn
+  FROM events GROUP BY event_type, ts_ms
+),
+init AS (
+  SELECT event_type, list(x ORDER BY rn) AS xs
+  FROM series WHERE rn <= 24
+  GROUP BY event_type
+  HAVING count(*) = 24
+),
+anchor AS (
+  SELECT event_type, CAST(list_sum(xs) // 24 AS BIGINT) AS lm, xs
+  FROM init
+),
+r AS (
+  SELECT s.event_type, s.rn, s.ts_ms, s.x,
+         a.lm AS level,
+         CAST(0 AS BIGINT) AS trend,
+         CAST(s.x - a.lm AS BIGINT) AS seasonal,
+         list_transform(a.xs, v -> CAST(v - a.lm AS BIGINT)) AS hist
+  FROM series s JOIN anchor a USING (event_type)
+  WHERE s.rn = 24
+  UNION ALL
+  SELECT s.event_type, s.rn, s.ts_ms, s.x,
+         CAST({_HW_L} AS BIGINT),
+         CAST({_HW_B} AS BIGINT),
+         CAST({_HW_S} AS BIGINT),
+         r.hist[2:] || [CAST({_HW_S} AS BIGINT)]
+  FROM series s JOIN r ON s.event_type = r.event_type AND s.rn = r.rn + 1
+),
+o AS (
+  SELECT event_type, rn, level, trend, seasonal,
+         CAST(level + trend + hist[1] AS BIGINT) AS forecast_next
+  FROM r
+)
+SELECT s.event_type, s.ts_ms, s.x,
+       COALESCE(o.level, s.x) AS level,
+       COALESCE(o.trend, 0) AS trend,
+       COALESCE(o.seasonal, 0) AS seasonal,
+       COALESCE(o.forecast_next, s.x) AS forecast_next
+FROM series s
+LEFT JOIN o ON s.event_type = o.event_type AND s.rn = o.rn
+""",
+)
+def events_holt_winters_24h(spark, sf_dir):
+    """Holt-Winters ADDITIVE seasonal smoothing over hourly counts,
+    season = 24 (operators/smoothing.py::holt_winters_int, alpha=3/10
+    beta=1/10 gamma=2/10) — the seasonal completion of the
+    EWMA -> Holt arc: forecast_next = level + trend + the seasonal the
+    next bucket will see, so a diurnal metric's 9am swing stops
+    reading as trend error. Integer-exact via toward-zero division
+    (DuckDB's // truncates — re-verified this round on negatives);
+    the oracle carries the season as a LIST column through the
+    recursive CTE, rotating it per step exactly as the fold's deque.
+    Warm-up: the first season initializes level (mean) and seasonals
+    (deviations); earlier rows pass through. Same one-exchange
+    applyInPandas shape and O(season) state as the siblings."""
+    from khronus_spark.sources.tables import ns_to_ms
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            (
+                F.call_function("div", ns_to_ms(F.col("ts")), F.lit(3_600_000))
+                * 3_600_000
+            ).alias("ts_ms"),
+        )
+        .groupBy("event_type", "ts_ms")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    return smoothing_ops.holt_winters_int(
+        hourly,
+        ["event_type"],
+        "ts_ms",
+        "x",
+        season_len=24,
+        alpha_num=3,
+        alpha_den=10,
+        beta_num=1,
+        beta_den=10,
+        gamma_num=2,
+        gamma_den=10,
+    )
+
+
+PENDING_NEXT_WINDOW.append("events_holt_winters_24h")

@@ -218,3 +218,122 @@ def cusum_changepoints(
         F.col(order_col).alias(f"change_{order_col}"),
         "cusum",
     )
+
+
+def holt_winters_int(
+    df: DataFrame,
+    series_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    season_len: int,
+    alpha_num: int = 3,
+    alpha_den: int = 10,
+    beta_num: int = 1,
+    beta_den: int = 10,
+    gamma_num: int = 2,
+    gamma_den: int = 10,
+) -> DataFrame:
+    """Holt-Winters ADDITIVE triple-exponential smoothing (level +
+    trend + seasonal), integer-exact — the seasonal completion of the
+    ewma_int/holt_int family: a 9am-peaked metric forecast by Holt
+    alone lags every diurnal swing; the seasonal state absorbs it.
+
+    Warm-up convention (deterministic, cross-engine exact): the first
+    `season_len` observations of each series initialize the state —
+    rows t < m emit (level=x_t, trend=0, seasonal=0, forecast=x_t);
+    at t = m the level becomes tdiv(Σ first m, m), trend 0, and the
+    seasonal history s_i = x_i − level for i ≤ m. From t > m, with
+    s_old = s_{t−m} (the season-ago seasonal):
+
+        l_t = tdiv(αn·(x_t − s_old) + (αd−αn)·(l_{t−1}+b_{t−1}), αd)
+        b_t = tdiv(βn·(l_t − l_{t−1}) + (βd−βn)·b_{t−1}, βd)
+        s_t = tdiv(γn·(x_t − l_t) + (γd−γn)·s_old, γd)
+
+    forecast_next = l_t + b_t + s_{t+1−m} (the seasonal the NEXT
+    bucket will see). Series shorter than a full season stay entirely
+    in warm-up. All divisions are toward-zero (`_tdiv`), the semantics
+    DuckDB's // and ANSI div share, so the recursive-CTE oracle agrees
+    bit-for-bit. Same plan shape as the siblings: one hash exchange on
+    the series id, O(season_len) state per series in one Arrow fold.
+    """
+    if season_len < 1:
+        raise ValueError("season_len must be >= 1")
+    for num, den in (
+        (alpha_num, alpha_den),
+        (beta_num, beta_den),
+        (gamma_num, gamma_den),
+    ):
+        if not 0 < num <= den:
+            raise ValueError("smoothing factors must satisfy 0 < num <= den")
+    a_keep = alpha_den - alpha_num
+    b_keep = beta_den - beta_num
+    g_keep = gamma_den - gamma_num
+    m = season_len
+
+    schema = ", ".join(
+        [f"{c} string" for c in series_cols]
+        + [
+            f"{order_col} long",
+            f"{value_col} long",
+            "level long",
+            "trend long",
+            "seasonal long",
+            "forecast_next long",
+        ]
+    )
+    cols = list(series_cols)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(
+            drop=True
+        )
+        x = [int(v) for v in pdf[value_col].to_numpy()]
+        levels, trends, seas, fcs = [], [], [], []
+        lvl = trend = 0
+        hist: list[int] = []  # [s_{t-m+1} .. s_t] once warmed
+        for i, xi in enumerate(x):
+            t = i + 1
+            if t < m or len(x) < m:
+                levels.append(xi)
+                trends.append(0)
+                seas.append(0)
+                fcs.append(xi)
+                continue
+            if t == m:
+                lvl = _tdiv(sum(x[:m]), m)
+                trend = 0
+                hist = [v - lvl for v in x[:m]]
+                s_t = hist[-1]
+            else:
+                s_old = hist[0]
+                prev = lvl
+                lvl = _tdiv(
+                    alpha_num * (xi - s_old) + a_keep * (lvl + trend),
+                    alpha_den,
+                )
+                trend = _tdiv(
+                    beta_num * (lvl - prev) + b_keep * trend, beta_den
+                )
+                s_t = _tdiv(
+                    gamma_num * (xi - lvl) + g_keep * s_old, gamma_den
+                )
+                hist = hist[1:] + [s_t]
+            levels.append(lvl)
+            trends.append(trend)
+            seas.append(s_t)
+            fcs.append(lvl + trend + hist[0])
+        pdf["level"] = pd.Series(levels, dtype="int64")
+        pdf["trend"] = pd.Series(trends, dtype="int64")
+        pdf["seasonal"] = pd.Series(seas, dtype="int64")
+        pdf["forecast_next"] = pd.Series(fcs, dtype="int64")
+        return pdf[
+            cols
+            + [order_col, value_col, "level", "trend", "seasonal",
+               "forecast_next"]
+        ]
+
+    return (
+        df.select(*cols, order_col, value_col)
+        .groupBy(*cols)
+        .applyInPandas(run, schema)
+    )
