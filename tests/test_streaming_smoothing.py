@@ -113,3 +113,64 @@ def test_streaming_ewma_drops_replayed_prefix(spark, sf_dir):
         out.groupBy("event_type", "ts_ms").count().where("count > 1").count()
         == 0
     )
+
+
+def test_streaming_holt_winters_matches_batch_across_warmup_cut(
+    spark, sf_dir
+):
+    """The seasonal twin (r10): 30 daily-sized micro-batches over the
+    hourly series with season_len=48, so the chunk boundaries cut BOTH
+    inside the warm-up season (the first-season buffer must survive
+    the state store) and mid-recurrence (the rotating seasonal history
+    must survive it). Output must equal the batch fold bit-for-bit."""
+    import tempfile
+
+    from khronus_spark.operators.smoothing import holt_winters_int
+    from khronus_spark.streaming.smoothing import streaming_holt_winters
+
+    tmp = tempfile.mkdtemp(prefix="khronus_shw_")
+    hourly = _hourly_counts(spark, sf_dir)
+    lo, hi = hourly.agg(F.min("ts_ms"), F.max("ts_ms")).first()
+    span = (hi - lo) + 1
+    n_chunks = 30
+    chunked = hourly.withColumn(
+        "chunk", ((F.col("ts_ms") - lo) * n_chunks / span).cast("int")
+    )
+    for i in range(n_chunks):
+        chunked.where(F.col("chunk") == i).drop("chunk").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/in/chunk={i:02d}")
+
+    stream = (
+        spark.readStream.schema("event_type string, ts_ms long, x long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp}/in/*")
+    )
+    smoothed = streaming_holt_winters(
+        stream, ["event_type"], "ts_ms", "x", season_len=48
+    )
+    q = (
+        smoothed.writeStream.format("parquet")
+        .option("path", f"{tmp}/out")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r["event_type"], r["ts_ms"]): (
+            r["x"], r["level"], r["trend"], r["seasonal"], r["forecast_next"]
+        )
+        for r in spark.read.parquet(f"{tmp}/out").collect()
+    }
+    want = {
+        (r["event_type"], r["ts_ms"]): (
+            r["x"], r["level"], r["trend"], r["seasonal"], r["forecast_next"]
+        )
+        for r in holt_winters_int(
+            hourly, ["event_type"], "ts_ms", "x", season_len=48
+        ).collect()
+    }
+    assert got == want
