@@ -6087,3 +6087,27 @@ def events_holt_winters_24h(spark, sf_dir):
 
 
 PENDING_NEXT_WINDOW.append("events_holt_winters_24h")
+
+
+@register("wordpiece_encode_docs", text_ops.wordpiece_encode_sql())
+def wordpiece_encode_docs(spark, sf_dir):
+    """WordPiece greedy longest-match-first subword encoding — the
+    BERT tokenizer's inference contract — with no Python in the plan
+    (operators/text.py::wordpiece_encode): the distinct-word table
+    explodes into its bounded substrings, one broadcast vocab join
+    marks matches, a map-side max builds the per-position longest-
+    match jump table, and the greedy walk is one whole-stage-codegen
+    aggregate (the walk advances >= 1 char per step, so max_word_len
+    steps suffice). Vocab is frequency-induced from the corpus
+    (every per-role character + the top-200 multi-char pieces,
+    deterministic ties) — the induction is the frequency variant,
+    the encoder is exact; a hand-built vocab plugs into the same
+    shape. Completes the tokenizer family: BPE train/encode +
+    WordPiece encode + fertility. Per-doc output (n_words,
+    n_wp_tokens, n_unk_words) joins the doc-word counts with the
+    same doc_id-salted join as bpe_encode."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.wordpiece_encode(docs)
+
+
+PENDING_NEXT_WINDOW.append("wordpiece_encode_docs")

@@ -3791,3 +3791,278 @@ def normalize_text_nfkc(
         F.length("text_norm").cast("long").alias("n_chars_norm"),
         (~F.col("text_norm").eqNullSafe(F.col("_orig"))).alias("changed"),
     )
+
+
+# --------------------------------------------------------------------------
+# WordPiece (r10): greedy longest-match-first subword encoding — the
+# BERT tokenizer's inference algorithm — as pure DataFrame algebra.
+# --------------------------------------------------------------------------
+
+WP_MAX_WORD_LEN = 16
+WP_MAX_PIECE_LEN = 4
+WP_N_MULTI = 200
+
+
+def wordpiece_vocab(
+    docs: DataFrame,
+    max_piece_len: int = WP_MAX_PIECE_LEN,
+    n_multi: int = WP_N_MULTI,
+    max_word_len: int = WP_MAX_WORD_LEN,
+) -> DataFrame:
+    """Frequency-induced WordPiece vocabulary: (piece, is_initial) —
+    `is_initial` distinguishes word-initial pieces from continuation
+    pieces (the role BERT spells "##"). Every single character that
+    occurs in each role enters the vocab (so encoding of in-corpus
+    words never dead-ends except past the word-length cap), plus the
+    `n_multi` most corpus-frequent multi-character pieces (frequency =
+    word count × positions, over the DISTINCT-word table; ties break
+    initial-first then lexicographic — deterministic across engines).
+
+    Honesty note: real WordPiece induction maximizes unigram-LM
+    likelihood; this is the frequency variant. The ENCODER
+    (`wordpiece_encode`) is the exact BERT greedy contract either way
+    — the vocab input is pluggable (pass a hand-built or externally
+    trained table in the same shape)."""
+    words = (
+        docs.select(F.explode(_tokens()).alias("w"), "doc_id")
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.length("w") <= max_word_len)
+    )
+    subs = words.select(
+        "w",
+        "cnt",
+        F.explode(
+            F.expr(
+                f"""
+                flatten(transform(sequence(0, length(w) - 1), p ->
+                  transform(sequence(1, least({max_piece_len},
+                                              length(w) - p)), L ->
+                    named_struct('piece', substring(w, p + 1, L),
+                                 'is_initial', p = 0))))
+                """
+            )
+        ).alias("s"),
+    ).select("cnt", "s.piece", "s.is_initial")
+    chars = (
+        subs.where(F.length("piece") == 1)
+        .select("piece", "is_initial")
+        .distinct()
+    )
+    multi = (
+        subs.where(F.length("piece") >= 2)
+        .groupBy("piece", "is_initial")
+        .agg(F.sum("cnt").alias("freq"))
+        .orderBy(
+            F.col("freq").desc(),
+            F.col("is_initial").desc(),
+            F.col("piece").asc(),
+        )
+        .limit(n_multi)
+        .select("piece", "is_initial")
+    )
+    return chars.unionByName(multi)
+
+
+def wordpiece_encode(
+    docs: DataFrame,
+    vocab: DataFrame | None = None,
+    max_piece_len: int = WP_MAX_PIECE_LEN,
+    max_word_len: int = WP_MAX_WORD_LEN,
+) -> DataFrame:
+    """Greedy longest-match-first WordPiece encoding — the BERT
+    tokenizer's inference contract, with no Python in the plan:
+
+    per word, starting at position 0, consume the LONGEST vocab piece
+    that matches (word-initial pieces at position 0, continuation
+    pieces after); if no piece matches at some position — or the word
+    exceeds `max_word_len` — the WHOLE word is one [UNK] token.
+
+    Returns (doc_id, n_words, n_wp_tokens, n_unk_words): the numbers a
+    training pipeline bills by, the same shape as `bpe_encode`.
+
+    Spark-first shape (the point of the exercise — this is usually
+    written as a per-row Python loop): the DISTINCT-word table explodes
+    into its ≤ max_word_len × max_piece_len bounded substrings, one
+    BROADCAST join against the vocab marks the matches, a map-side
+    max() per (word, position) builds the longest-match jump table as
+    a dense array, and the greedy walk is ONE whole-stage-codegen
+    `aggregate` over that array (the walk advances ≥1 char per step,
+    so max_word_len steps always suffice). Per-doc totals then reuse
+    bpe_encode's salted doc⋈word join so stop words cannot hotspot.
+    Everything is linear in distinct words, never corpus tokens."""
+    if vocab is None:
+        vocab = wordpiece_vocab(docs, max_piece_len, max_word_len=max_word_len)
+    words = (
+        docs.select(F.explode(_tokens()).alias("w"))
+        .where(F.col("w") != "")
+        .distinct()
+    )
+    short = words.where(F.length("w") <= max_word_len)
+    subs = short.select(
+        "w",
+        F.explode(
+            F.expr(
+                f"""
+                flatten(transform(sequence(0, length(w) - 1), p ->
+                  transform(sequence(1, least({max_piece_len},
+                                              length(w) - p)), L ->
+                    named_struct('pos', p,
+                                 'piece', substring(w, p + 1, L),
+                                 'is_initial', p = 0))))
+                """
+            )
+        ).alias("s"),
+    ).select("w", "s.pos", "s.piece", "s.is_initial")
+    matched = (
+        subs.join(F.broadcast(vocab), ["piece", "is_initial"])
+        .groupBy("w", "pos")
+        .agg(F.max(F.length("piece")).alias("maxlen"))
+    )
+    jump = matched.groupBy("w").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("pos", "maxlen"))
+        ).alias("jmap")
+    )
+    walk = f"""
+    aggregate(
+      sequence(1, {max_word_len}),
+      named_struct('pos', 0, 'n', 0, 'ok', true),
+      (acc, i) -> CASE
+        WHEN NOT acc.ok OR acc.pos >= length(w) THEN acc
+        WHEN coalesce(element_at(jmap, acc.pos), 0) = 0
+          THEN named_struct('pos', acc.pos, 'n', acc.n, 'ok', false)
+        ELSE named_struct('pos', acc.pos + element_at(jmap, acc.pos),
+                          'n', acc.n + 1, 'ok', true)
+      END,
+      acc -> named_struct(
+        'n_sym', CAST(CASE WHEN acc.ok THEN acc.n ELSE 1 END AS BIGINT),
+        'unk', NOT acc.ok)
+    )
+    """
+    encoded_short = short.join(jump, "w", "left").select(
+        "w",
+        F.expr(walk).alias("e"),
+    ).select("w", "e.n_sym", "e.unk")
+    encoded_long = words.where(F.length("w") > max_word_len).select(
+        "w", F.lit(1).cast("long").alias("n_sym"), F.lit(True).alias("unk")
+    )
+    encoded = encoded_short.unionByName(encoded_long)
+    enc_salted = encoded.select(
+        "w",
+        "n_sym",
+        "unk",
+        F.explode(F.sequence(F.lit(0), F.lit(_GRAM_SALT - 1))).alias("_salt"),
+    )
+    doc_words = (
+        docs.select("doc_id", F.explode(_tokens()).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("_salt", (F.col("doc_id") % _GRAM_SALT).cast("int"))
+    )
+    return (
+        doc_words.join(enc_salted, ["w", "_salt"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_sym")).alias("n_wp_tokens"),
+            F.sum(F.when(F.col("unk"), F.col("cnt")).otherwise(F.lit(0))).alias(
+                "n_unk_words"
+            ),
+        )
+    )
+
+
+def wordpiece_encode_sql(
+    max_piece_len: int = WP_MAX_PIECE_LEN,
+    n_multi: int = WP_N_MULTI,
+    max_word_len: int = WP_MAX_WORD_LEN,
+) -> str:
+    """Vocab induction + greedy longest-match walk restated for
+    DuckDB. The walk seeds list_reduce with the accumulator as the
+    list head (DuckDB's reduce has no initial-value overload):
+    [pos, n_pieces, ok] stepped max_word_len times, advancing by the
+    per-position longest-match jump table exactly as the Spark
+    aggregate."""
+    L = max_piece_len
+    W = max_word_len
+    step = f"""CASE
+        WHEN acc[3] = 0 OR acc[1] >= len(jump) THEN acc
+        WHEN jump[acc[1] + 1] = 0 THEN [acc[1], acc[2], CAST(0 AS BIGINT)]
+        ELSE [acc[1] + jump[acc[1] + 1], acc[2] + 1, CAST(1 AS BIGINT)]
+      END"""
+    return rf"""
+WITH wcnt AS (
+  SELECT w, count(*) AS cnt FROM (
+    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+    FROM documents
+  ) WHERE w <> '' GROUP BY w
+),
+short AS (SELECT w, cnt FROM wcnt WHERE len(w) <= {W}),
+subs AS (
+  SELECT s.w, s.cnt, tp.pos AS pos,
+         substr(s.w, CAST(tp.pos AS INT) + 1, CAST(tl.L AS INT)) AS piece,
+         (tp.pos = 0) AS is_initial, tl.L AS L
+  FROM short s,
+       unnest(range(0, len(s.w))) tp(pos),
+       unnest(range(1, {L + 1})) tl(L)
+  WHERE tp.pos + tl.L <= len(s.w)
+),
+chars AS (SELECT DISTINCT piece, is_initial FROM subs WHERE len(piece) = 1),
+multi AS (
+  SELECT piece, is_initial FROM (
+    SELECT piece, is_initial, sum(cnt) AS freq
+    FROM subs WHERE len(piece) >= 2
+    GROUP BY piece, is_initial
+    ORDER BY freq DESC, is_initial DESC, piece ASC
+    LIMIT {n_multi}
+  )
+),
+vocab AS (SELECT * FROM chars UNION ALL SELECT * FROM multi),
+matches AS (
+  SELECT s.w, s.pos, max(s.L) AS maxlen
+  FROM subs s JOIN vocab v USING (piece, is_initial)
+  GROUP BY s.w, s.pos
+),
+dense AS (
+  SELECT sw.w, tp.pos, coalesce(m.maxlen, 0) AS j
+  FROM short sw
+  CROSS JOIN unnest(range(0, len(sw.w))) tp(pos)
+  LEFT JOIN matches m ON m.w = sw.w AND m.pos = tp.pos
+),
+jmp AS (SELECT w, list(j ORDER BY pos) AS jump FROM dense GROUP BY w),
+walked AS (
+  SELECT w,
+    list_reduce(
+      [[CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)]]
+        || list_transform(range(1, {W + 1}),
+                          i -> [CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                                CAST(0 AS BIGINT)]),
+      (acc, x) -> {step}) AS st
+  FROM jmp
+),
+enc AS (
+  SELECT w,
+         CAST(CASE WHEN st[3] = 1 THEN st[2] ELSE 1 END AS BIGINT) AS n_sym,
+         (st[3] = 0) AS unk
+  FROM walked
+  UNION ALL
+  SELECT w, CAST(1 AS BIGINT), true FROM wcnt WHERE len(w) > {W}
+),
+dwc AS (
+  SELECT doc_id, w, count(*) AS cnt FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+    FROM documents
+  ) WHERE w <> '' GROUP BY doc_id, w
+)
+SELECT doc_id,
+       CAST(sum(dwc.cnt) AS BIGINT) AS n_words,
+       CAST(sum(dwc.cnt * e.n_sym) AS BIGINT) AS n_wp_tokens,
+       CAST(sum(CASE WHEN e.unk THEN dwc.cnt ELSE 0 END) AS BIGINT)
+         AS n_unk_words
+FROM dwc JOIN enc e USING (w)
+GROUP BY doc_id
+"""
