@@ -960,3 +960,17 @@ def test_ivfpq_rerank_indexed_query_has_no_training(spark, oracle_sf_dir):
     assert "posexplode" not in plan
     assert "Scan ExistingRDD" not in plan
     assert "books" in plan and "coded" in plan and "centroids" in plan
+
+
+def test_wordpiece_encode_no_python_broadcast_vocab(spark, oracle_sf_dir):
+    """r10: the WordPiece walk must stay whole-stage-codegen — no
+    Python/Arrow evaluation anywhere in the plan (the whole point of
+    the jump-table formulation) — with the vocab joined BROADCAST and
+    the doc⋈word join salted, never a corpus-scale SortMergeJoin on
+    the bare word key."""
+    plan = _plan(spark, oracle_sf_dir, "wordpiece_encode_docs")
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
