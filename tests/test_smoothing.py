@@ -67,3 +67,109 @@ def test_holt_winters_validation():
         holt_winters_int(None, ["g"], "t", "x", season_len=0)
     with pytest.raises(ValueError):
         holt_winters_int(None, ["g"], "t", "x", season_len=2, gamma_num=0)
+
+
+def test_holt_winters_duckdb_recursion_matches_python_fold_property():
+    """Property test of the ORACLE's recursive-CTE-with-LIST-rotation
+    against an independent pure-Python fold on random series — the
+    risky piece of the entry is the recursion, and sf0.01 parity only
+    exercises one series shape (720 hourly buckets). Random lengths
+    cross the warm-up boundary in every way (empty tail, exactly one
+    season, just past it)."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    M = 4  # season length (small: more boundary crossings)
+    L = "((3 * (s.x - r.hist[1]) + 7 * (r.level + r.trend)) // 10)"
+    B = f"((1 * ({L} - r.level) + 9 * r.trend) // 10)"
+    S = f"((2 * (s.x - {L}) + 8 * r.hist[1]) // 10)"
+    sql = f"""
+WITH RECURSIVE series AS (
+  SELECT g, rn, x FROM src
+),
+init AS (
+  SELECT g, list(x ORDER BY rn) AS xs
+  FROM series WHERE rn <= {M} GROUP BY g HAVING count(*) = {M}
+),
+anchor AS (SELECT g, CAST(list_sum(xs) // {M} AS BIGINT) AS lm, xs FROM init),
+r AS (
+  SELECT s.g, s.rn, s.x, a.lm AS level, CAST(0 AS BIGINT) AS trend,
+         CAST(s.x - a.lm AS BIGINT) AS seasonal,
+         list_transform(a.xs, v -> CAST(v - a.lm AS BIGINT)) AS hist
+  FROM series s JOIN anchor a USING (g) WHERE s.rn = {M}
+  UNION ALL
+  SELECT s.g, s.rn, s.x,
+         CAST({L} AS BIGINT), CAST({B} AS BIGINT), CAST({S} AS BIGINT),
+         r.hist[2:] || [CAST({S} AS BIGINT)]
+  FROM series s JOIN r ON s.g = r.g AND s.rn = r.rn + 1
+),
+o AS (
+  SELECT g, rn, level, trend, seasonal,
+         CAST(level + trend + hist[1] AS BIGINT) AS forecast_next
+  FROM r
+)
+SELECT s.g, s.rn, s.x,
+       COALESCE(o.level, s.x) AS level, COALESCE(o.trend, 0) AS trend,
+       COALESCE(o.seasonal, 0) AS seasonal,
+       COALESCE(o.forecast_next, s.x) AS forecast_next
+FROM series s LEFT JOIN o ON s.g = o.g AND s.rn = o.rn
+"""
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return -q if (a < 0) != (b < 0) else q
+
+    def py_fold(xs, m=M):
+        out = []
+        lvl = trend = 0
+        hist = []
+        for i, x in enumerate(xs):
+            t = i + 1
+            if t < m or len(xs) < m:
+                out.append((x, 0, 0, x))
+                continue
+            if t == m:
+                lvl = tdiv(sum(xs[:m]), m)
+                trend = 0
+                hist = [v - lvl for v in xs[:m]]
+                s_t = hist[-1]
+            else:
+                s_old = hist[0]
+                prev = lvl
+                lvl = tdiv(3 * (x - s_old) + 7 * (lvl + trend), 10)
+                trend = tdiv(1 * (lvl - prev) + 9 * trend, 10)
+                s_t = tdiv(2 * (x - lvl) + 8 * s_old, 10)
+                hist = hist[1:] + [s_t]
+            out.append((lvl, trend, s_t, lvl + trend + hist[0]))
+        return out
+
+    @settings(max_examples=80, deadline=None)
+    @given(
+        st.lists(
+            st.lists(st.integers(-1000, 1000), min_size=1, max_size=12),
+            min_size=1,
+            max_size=3,
+        )
+    )
+    def run(series_list):
+        rows = [
+            (gi, rn + 1, x)
+            for gi, xs in enumerate(series_list)
+            for rn, x in enumerate(xs)
+        ]
+        con = duckdb.connect()
+        con.execute("CREATE TABLE src (g BIGINT, rn BIGINT, x BIGINT)")
+        con.executemany("INSERT INTO src VALUES (?, ?, ?)", rows)
+        got = {
+            (r[0], r[1]): tuple(r[3:])
+            for r in con.execute(sql).fetchall()
+        }
+        con.close()
+        want = {}
+        for gi, xs in enumerate(series_list):
+            for rn, vals in enumerate(py_fold(xs)):
+                want[(gi, rn + 1)] = vals
+        assert got == want
+
+    run()

@@ -71,3 +71,96 @@ def test_wordpiece_corpus_vocab_covers_short_words(spark):
     out = {r.doc_id: r for r in wordpiece_encode(docs, vocab=vocab).collect()}
     assert out[1].n_unk_words == 0
     assert out[2].n_unk_words == 1  # only the 20-char word
+
+
+# ------------------- the BERT contract, property-tested (hypothesis)
+# An INDEPENDENT pure-Python reference of frequency-induced-vocab +
+# greedy longest-match encoding, compared against the committed DuckDB
+# oracle on random corpora. The oracle is hash-compared against the
+# Spark plan at sf0.01 by test_oracle_parity, so this transitively
+# property-tests the Spark operator without a Spark session per
+# example.
+
+
+def _py_reference(docs, max_piece=4, n_multi=200, max_word=16):
+    from collections import Counter
+
+    wcnt = Counter()
+    for _, text in docs:
+        for w in text.strip().lower().split():
+            if w:
+                wcnt[w] += 1
+    subs = Counter()
+    chars = set()
+    for w, c in wcnt.items():
+        if len(w) > max_word:
+            continue
+        for p in range(len(w)):
+            for L in range(1, min(max_piece, len(w) - p) + 1):
+                piece, ini = w[p : p + L], p == 0
+                if L == 1:
+                    chars.add((piece, ini))
+                else:
+                    subs[(piece, ini)] += c
+    multi = sorted(
+        subs.items(), key=lambda kv: (-kv[1], not kv[0][1], kv[0][0])
+    )[:n_multi]
+    vocab = chars | {k for k, _ in multi}
+
+    def encode(w):
+        if len(w) > max_word:
+            return 1, True
+        pos, n = 0, 0
+        while pos < len(w):
+            for L in range(min(max_piece, len(w) - pos), 0, -1):
+                if (w[pos : pos + L], pos == 0) in vocab:
+                    pos += L
+                    n += 1
+                    break
+            else:
+                return 1, True
+        return n, False
+
+    out = {}
+    for doc_id, text in docs:
+        words = [w for w in text.strip().lower().split() if w]
+        if not words:
+            continue
+        n_words = len(words)
+        toks = unks = 0
+        for w in words:
+            n, unk = encode(w)
+            toks += n
+            unks += unk
+        out[doc_id] = (n_words, toks, unks)
+    return out
+
+
+def test_wordpiece_oracle_matches_python_reference_property():
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from khronus_spark.operators.text import wordpiece_encode_sql
+
+    sql = wordpiece_encode_sql(n_multi=12)  # small vocab: forces UNKs
+
+    word = st.text(alphabet="abcz", min_size=1, max_size=20)
+    doc = st.lists(word, min_size=1, max_size=8).map(" ".join)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=5))
+    def run(texts):
+        docs = list(enumerate(texts))
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE documents (doc_id BIGINT, text VARCHAR)"
+        )
+        con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+        got = {
+            r[0]: (r[1], r[2], r[3]) for r in con.execute(sql).fetchall()
+        }
+        con.close()
+        assert got == _py_reference(docs, n_multi=12)
+
+    run()
