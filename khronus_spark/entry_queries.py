@@ -6111,3 +6111,27 @@ def wordpiece_encode_docs(spark, sf_dir):
 
 
 PENDING_NEXT_WINDOW.append("wordpiece_encode_docs")
+
+
+@register("unigram_encode_docs", text_ops.unigram_encode_sql())
+def unigram_encode_docs(spark, sf_dir):
+    """Unigram-LM (SentencePiece-style) Viterbi segmentation — the
+    third of the big-three subword algorithms, completing the family
+    (BPE train/encode, WordPiece greedy, Unigram Viterbi), still with
+    no Python in the plan (operators/text.py::unigram_encode): the
+    WordPiece jump table generalizes to a per-(position, length) SCORE
+    table, and the greedy walk becomes a max-sum Viterbi DP — one
+    whole-stage-codegen aggregate carrying the dp vector as its
+    accumulator, per-step argmax = greatest() over candidate
+    (score, −n_pieces) structs. Scores are integer-quantized
+    log-likelihoods (bitlen(freq) − bitlen(F)), so both engines agree
+    bit-for-bit; ties break to fewer pieces. The pinned divergence
+    fixture shows why this face exists: greedy grabs the longest
+    prefix even when a shorter first piece unlocks a higher-likelihood
+    remainder. Per-doc output adds total_score — the corpus
+    log-likelihood a tokenizer-quality dashboard tracks."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.unigram_encode(docs)
+
+
+PENDING_NEXT_WINDOW.append("unigram_encode_docs")

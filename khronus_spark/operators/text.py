@@ -4066,3 +4066,299 @@ SELECT doc_id,
 FROM dwc JOIN enc e USING (w)
 GROUP BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# Unigram-LM (r10): SentencePiece-style Viterbi segmentation — the
+# third member of the big-three tokenizer family (BPE, WordPiece,
+# Unigram), as a whole-stage-codegen max-sum DP.
+# --------------------------------------------------------------------------
+
+
+def unigram_vocab(
+    docs: DataFrame,
+    max_piece_len: int = WP_MAX_PIECE_LEN,
+    n_multi: int = WP_N_MULTI,
+    max_word_len: int = WP_MAX_WORD_LEN,
+) -> DataFrame:
+    """Frequency-scored unigram vocabulary: (piece, freq) — every
+    character (so in-corpus words always segment) plus the `n_multi`
+    most frequent multi-character substrings, frequencies kept because
+    the ENCODER scores by them (unlike WordPiece, where the vocab is a
+    set). Deterministic ties (freq desc, piece asc). Real SentencePiece
+    prunes by EM'd likelihood loss; this is the frequency variant —
+    the Viterbi ENCODER below is the exact algorithm either way."""
+    words = (
+        docs.select(F.explode(_tokens()).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.length("w") <= max_word_len)
+    )
+    subs = words.select(
+        "cnt",
+        F.explode(
+            F.expr(
+                f"""
+                flatten(transform(sequence(0, length(w) - 1), p ->
+                  transform(sequence(1, least({max_piece_len},
+                                              length(w) - p)), L ->
+                    substring(w, p + 1, L))))
+                """
+            )
+        ).alias("piece"),
+    )
+    freqs = subs.groupBy("piece").agg(F.sum("cnt").alias("freq"))
+    chars = freqs.where(F.length("piece") == 1)
+    multi = (
+        freqs.where(F.length("piece") >= 2)
+        .orderBy(F.col("freq").desc(), F.col("piece").asc())
+        .limit(n_multi)
+    )
+    return chars.unionByName(multi)
+
+
+def unigram_encode(
+    docs: DataFrame,
+    vocab: DataFrame | None = None,
+    max_piece_len: int = WP_MAX_PIECE_LEN,
+    max_word_len: int = WP_MAX_WORD_LEN,
+) -> DataFrame:
+    """SentencePiece-style Viterbi segmentation: per word, the
+    segmentation into vocab pieces maximizing the integer-quantized
+    log-likelihood Σ (bitlen(freq_piece) − bitlen(F)), F = Σ vocab
+    freq — i.e. each piece pays the usual −log p(piece), quantized to
+    integer bits so both engines agree exactly; ties break to FEWER
+    pieces (the DP value is the struct (score, −n), compared
+    lexicographically). This is where greedy WordPiece and Viterbi
+    genuinely differ: greedy grabs the longest prefix even when a
+    shorter first piece unlocks a higher-likelihood remainder —
+    test-pinned with such a fixture. Words with no segmentation (or
+    longer than `max_word_len`) are [UNK]: 1 token, score −2·bitlen(F)
+    by convention.
+
+    Returns (doc_id, n_words, n_unigram_tokens, n_unk_words,
+    total_score).
+
+    Spark-first shape, one step past the WordPiece jump table: the
+    bounded substring explode + broadcast vocab join now carries a
+    SCORE per (position, length), and the greedy walk becomes a
+    max-sum Viterbi DP — still ONE whole-stage-codegen `aggregate`,
+    with the dp vector carried as the accumulator array and the
+    per-step argmax a `greatest()` over ≤ max_piece_len candidate
+    structs (NULL = unreachable; Spark's greatest skips NULLs).
+    Linear in distinct words; the only driver-side scalar is bitlen(F)
+    (one tiny agg, the bpe-merges-collect precedent)."""
+    if vocab is None:
+        vocab = unigram_vocab(docs, max_piece_len, max_word_len=max_word_len)
+    total = vocab.agg(F.sum("freq")).first()[0] or 1
+    c_pen = len(bin(int(total))) - 2  # bitlen(F)
+    scored = vocab.select(
+        "piece",
+        (F.length(F.expr("bin(freq)")) - F.lit(c_pen)).cast("int").alias("sc"),
+    )
+    words = (
+        docs.select(F.explode(_tokens()).alias("w"))
+        .where(F.col("w") != "")
+        .distinct()
+    )
+    short = words.where(F.length("w") <= max_word_len)
+    subs = short.select(
+        "w",
+        F.explode(
+            F.expr(
+                f"""
+                flatten(transform(sequence(0, length(w) - 1), p ->
+                  transform(sequence(1, least({max_piece_len},
+                                              length(w) - p)), L ->
+                    named_struct('pos', p,
+                                 'piece', substring(w, p + 1, L)))))
+                """
+            )
+        ).alias("s"),
+    ).select("w", "s.pos", "s.piece")
+    smap = (
+        subs.join(F.broadcast(scored), "piece")
+        .groupBy("w")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(
+                        (
+                            F.col("pos") * 8 + F.length("piece")
+                        ).cast("int").alias("k"),
+                        F.col("sc").alias("v"),
+                    )
+                )
+            ).alias("smap")
+        )
+    )
+    cands = ", ".join(
+        f"""
+        IF(i >= {L}
+           AND element_at(acc, i - {L} + 1) IS NOT NULL
+           AND element_at(smap, (i - {L}) * 8 + {L}) IS NOT NULL,
+           named_struct(
+             's', element_at(acc, i - {L} + 1).s
+                  + element_at(smap, (i - {L}) * 8 + {L}),
+             'n', element_at(acc, i - {L} + 1).n - 1),
+           CAST(NULL AS STRUCT<s: INT, n: INT>))
+        """
+        for L in range(1, max_piece_len + 1)
+    )
+    dp = f"""
+    aggregate(
+      sequence(1, length(w)),
+      array(named_struct('s', 0, 'n', 0)),
+      (acc, i) -> concat(acc, array(greatest({cands}))),
+      acc -> named_struct(
+        'n_sym', CAST(IF(element_at(acc, length(w) + 1) IS NULL,
+                         1, -element_at(acc, length(w) + 1).n) AS BIGINT),
+        'unk', element_at(acc, length(w) + 1) IS NULL,
+        'score', CAST(IF(element_at(acc, length(w) + 1) IS NULL,
+                         {-2 * c_pen},
+                         element_at(acc, length(w) + 1).s) AS BIGINT))
+    )
+    """
+    encoded_short = short.join(smap, "w", "left").select(
+        "w", F.expr(dp).alias("e")
+    ).select("w", "e.n_sym", "e.unk", "e.score")
+    encoded_long = words.where(F.length("w") > max_word_len).select(
+        "w",
+        F.lit(1).cast("long").alias("n_sym"),
+        F.lit(True).alias("unk"),
+        F.lit(-2 * c_pen).cast("long").alias("score"),
+    )
+    encoded = encoded_short.unionByName(encoded_long)
+    enc_salted = encoded.select(
+        "w",
+        "n_sym",
+        "unk",
+        "score",
+        F.explode(F.sequence(F.lit(0), F.lit(_GRAM_SALT - 1))).alias("_salt"),
+    )
+    doc_words = (
+        docs.select("doc_id", F.explode(_tokens()).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("_salt", (F.col("doc_id") % _GRAM_SALT).cast("int"))
+    )
+    return (
+        doc_words.join(enc_salted, ["w", "_salt"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_sym")).alias("n_unigram_tokens"),
+            F.sum(F.when(F.col("unk"), F.col("cnt")).otherwise(F.lit(0))).alias(
+                "n_unk_words"
+            ),
+            F.sum(F.col("cnt") * F.col("score")).alias("total_score"),
+        )
+    )
+
+
+def unigram_encode_sql(
+    max_piece_len: int = WP_MAX_PIECE_LEN,
+    n_multi: int = WP_N_MULTI,
+    max_word_len: int = WP_MAX_WORD_LEN,
+) -> str:
+    """Vocab induction + Viterbi max-sum DP restated for DuckDB: the
+    per-(position, length) scores land in a dense list (NULL = not in
+    vocab), the dp vector grows through a seeded list_reduce (the
+    accumulator rides as the list head), and the per-step argmax is
+    list_max over the ≤ max_piece_len candidate [score, −n] pairs —
+    the same lexicographic comparison as Spark's greatest() over
+    (s, n) structs."""
+    P = max_piece_len
+    W = max_word_len
+    cands = ", ".join(
+        f"""CASE WHEN len(acc) >= {L}
+             AND scd[(len(acc) - {L}) * {P} + {L}] IS NOT NULL
+             AND acc[len(acc) - {L} + 1] IS NOT NULL
+        THEN [acc[len(acc) - {L} + 1][1] + scd[(len(acc) - {L}) * {P} + {L}],
+              acc[len(acc) - {L} + 1][2] - 1] END"""
+        for L in range(1, P + 1)
+    )
+    return rf"""
+WITH wcnt AS (
+  SELECT w, count(*) AS cnt FROM (
+    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+    FROM documents
+  ) WHERE w <> '' GROUP BY w
+),
+short AS (SELECT w, cnt FROM wcnt WHERE len(w) <= {W}),
+subs AS (
+  SELECT s.w, s.cnt, tp.pos AS pos, tl.L AS L,
+         substr(s.w, CAST(tp.pos AS INT) + 1, CAST(tl.L AS INT)) AS piece
+  FROM short s,
+       unnest(range(0, len(s.w))) tp(pos),
+       unnest(range(1, {P + 1})) tl(L)
+  WHERE tp.pos + tl.L <= len(s.w)
+),
+pfreq AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS freq FROM subs GROUP BY piece),
+chars AS (SELECT piece, freq FROM pfreq WHERE len(piece) = 1),
+multi AS (
+  SELECT piece, freq FROM (
+    SELECT piece, freq FROM pfreq WHERE len(piece) >= 2
+    ORDER BY freq DESC, piece ASC LIMIT {n_multi}
+  )
+),
+vocab AS (SELECT * FROM chars UNION ALL SELECT * FROM multi),
+tot AS (SELECT CAST(len(bin(sum(freq))) AS BIGINT) AS c FROM vocab),
+scored AS (
+  SELECT piece, CAST(len(bin(freq)) AS BIGINT) - (SELECT c FROM tot) AS sc
+  FROM vocab
+),
+matches AS (
+  SELECT s.w, s.pos, s.L, v.sc FROM subs s JOIN scored v USING (piece)
+),
+grid AS (
+  SELECT sw.w, tp.pos, tl.L
+  FROM short sw,
+       unnest(range(0, len(sw.w))) tp(pos),
+       unnest(range(1, {P + 1})) tl(L)
+),
+dense AS (
+  SELECT g.w, g.pos, g.L, m.sc
+  FROM grid g LEFT JOIN matches m ON m.w = g.w AND m.pos = g.pos AND m.L = g.L
+),
+scl AS (SELECT w, list(sc ORDER BY pos, L) AS scd FROM dense GROUP BY w),
+walked AS (
+  SELECT w,
+    list_reduce(
+      [[[CAST(0 AS BIGINT), CAST(0 AS BIGINT)]]]
+        || list_transform(range(1, len(w) + 1),
+                          i -> [[CAST(0 AS BIGINT), CAST(0 AS BIGINT)]]),
+      (acc, x) -> acc || [list_max([{cands}])]) AS st
+  FROM scl
+),
+enc AS (
+  SELECT w,
+         CAST(CASE WHEN st[len(w) + 1] IS NULL THEN 1
+                   ELSE -st[len(w) + 1][2] END AS BIGINT) AS n_sym,
+         (st[len(w) + 1] IS NULL) AS unk,
+         CAST(CASE WHEN st[len(w) + 1] IS NULL THEN -2 * (SELECT c FROM tot)
+                   ELSE st[len(w) + 1][1] END AS BIGINT) AS score
+  FROM walked
+  UNION ALL
+  SELECT w, CAST(1 AS BIGINT), true,
+         CAST(-2 * (SELECT c FROM tot) AS BIGINT)
+  FROM wcnt WHERE len(w) > {W}
+),
+dwc AS (
+  SELECT doc_id, w, count(*) AS cnt FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+    FROM documents
+  ) WHERE w <> '' GROUP BY doc_id, w
+)
+SELECT doc_id,
+       CAST(sum(dwc.cnt) AS BIGINT) AS n_words,
+       CAST(sum(dwc.cnt * e.n_sym) AS BIGINT) AS n_unigram_tokens,
+       CAST(sum(CASE WHEN e.unk THEN dwc.cnt ELSE 0 END) AS BIGINT)
+         AS n_unk_words,
+       CAST(sum(dwc.cnt * e.score) AS BIGINT) AS total_score
+FROM dwc JOIN enc e USING (w)
+GROUP BY doc_id
+"""

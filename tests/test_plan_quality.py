@@ -974,3 +974,15 @@ def test_wordpiece_encode_no_python_broadcast_vocab(spark, oracle_sf_dir):
     assert "FlatMapGroupsInPandas" not in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_unigram_encode_no_python_broadcast_vocab(spark, oracle_sf_dir):
+    """r10: the Viterbi DP must stay whole-stage-codegen like the
+    WordPiece walk it generalizes — no Python/Arrow evaluation, scored
+    vocab joined broadcast, no cartesian."""
+    plan = _plan(spark, oracle_sf_dir, "unigram_encode_docs")
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
