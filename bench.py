@@ -256,6 +256,14 @@ def main() -> None:
         "seasonal_anomaly": lambda: run_df(
             q["events_seasonal_anomaly"](spark, sf_dir)
         ),
+        # r10: the two new tokenizer faces — WordPiece greedy walk and
+        # Unigram Viterbi DP, both pure codegen over the distinct-word
+        # table (vocab induction included: these are train+encode
+        # pipelines like bpe_merges, not pure query paths)
+        "wordpiece_encode": lambda: run_df(
+            q["wordpiece_encode_docs"](spark, sf_dir)
+        ),
+        "unigram_encode": lambda: run_df(q["unigram_encode_docs"](spark, sf_dir)),
     }
 
     import tempfile
