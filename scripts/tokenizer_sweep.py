@@ -57,16 +57,8 @@ def main() -> None:
         """Deterministic corpus: each doc is WORDS_PER_DOC words drawn
         xxhash64-uniformly from a `vocab`-word lexicon of pseudo-words
         (length 3-10 over a-z, themselves xxhash64-derived)."""
-        word = """
-          concat_ws('', transform(
-            sequence(0, CAST(3 + pmod(xxhash64(vid), 8) AS INT)),
-            i -> char(97 + pmod(xxhash64(vid, i), 26))))
-        """
-        text = f"""
-          concat_ws(' ', transform(sequence(1, {WORDS_PER_DOC}), j ->
-            (SELECT 1)))
-        """  # placeholder, built below
-        # build via two nested transforms: j -> vid -> word
+        # two nested transforms: word index j -> lexicon id -> the
+        # pseudo-word's characters
         text = f"""
           concat_ws(' ', transform(sequence(1, {WORDS_PER_DOC}), j ->
             concat_ws('', transform(
