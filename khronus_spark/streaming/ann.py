@@ -198,5 +198,100 @@ def refresh_streamed_index(
     books, coded, cents = ivf_pq_build_index(vectors, **build_kwargs)
     gen = f"gen-{uuid.uuid4().hex[:12]}"
     write_ivf_pq_index(books, coded, cents, os.path.join(index_path, gen))
+    # each generation carries the PROFILE of the distribution its
+    # quantizers were trained on — the reference the in-stream drift
+    # guard judges every arriving batch against (64 rows; one extra
+    # aggregate per refresh, amortized like the retrain itself)
+    from khronus_spark.operators.quantize import embedding_dim_stats
+
+    embedding_dim_stats(vectors).write.mode("overwrite").parquet(
+        os.path.join(index_path, gen, "train_stats")
+    )
     publish_generation(index_path, gen, grace_seconds)
     return gen
+
+
+def run_streaming_ivf_pq_add_guarded(
+    vectors_stream: DataFrame,
+    index_path: str,
+    checkpoint_path: str,
+    z_tenths: int = 50,
+):
+    """`run_streaming_ivf_pq_add` with the drift detector INSIDE the
+    trigger: each micro-batch encodes and lands exactly like the plain
+    add, then profiles itself (`embedding_dim_stats`) and is judged
+    against the CURRENT generation's persisted training profile
+    (`embedding_drift_flags`); a one-row verdict lands in
+    `{gen}/drift_log/batch=<id>` — batch-keyed like the coded dirs, so
+    replays replace verdicts with recomputed-identical content.
+
+    The verdict is deliberately the SIGNAL, not the action: acting on
+    it (retraining + generation swap) stays the out-of-band
+    `refresh_streamed_index` maintenance call — rebuilding inside the
+    trigger would couple index-retraining latency into the ingest
+    cadence, exactly the failure mode the generation-swap design
+    exists to avoid. An operator (or a cron'd maintenance job) reads
+    `read_drift_log` and refreshes when verdicts flag.
+
+    Requires a refresh-managed index (a generation with
+    `train_stats`); indexes laid out by a bare `write_ivf_pq_index`
+    carry no profile and fail loudly rather than guessing."""
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        import os
+
+        from khronus_spark.operators.quantize import (
+            embedding_dim_stats,
+            embedding_drift_flags,
+        )
+
+        spark = batch.sparkSession
+        root = resolve_generation_dir(index_path)
+        books = spark.read.parquet(f"{root}/books")
+        cents = spark.read.parquet(f"{root}/centroids")
+        batch = batch.persist()  # two consumers: encode + profile
+        try:
+            ivf_pq_encode(batch, books, cents).write.mode(
+                "overwrite"
+            ).parquet(f"{root}/coded_stream/batch={batch_id}")
+            train_stats = spark.read.parquet(f"{root}/train_stats")
+            flags = embedding_drift_flags(
+                train_stats, embedding_dim_stats(batch), z_tenths=z_tenths
+            )
+            verdict = flags.agg(
+                F.count(F.lit(1)).cast("long").alias("n_dims"),
+                F.sum(
+                    F.when(F.col("drifted"), F.lit(1)).otherwise(F.lit(0))
+                ).cast("long").alias("n_flagged"),
+            ).select(
+                F.lit(os.path.basename(root)).alias("generation"),
+                "n_dims",
+                "n_flagged",
+                (F.col("n_flagged") > 0).alias("drifted"),
+            )
+            verdict.write.mode("overwrite").parquet(
+                f"{root}/drift_log/batch={batch_id}"
+            )
+        finally:
+            batch.unpersist()
+
+    return (
+        vectors_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_drift_log(spark, index_path: str) -> DataFrame | None:
+    """The guard's verdicts for the CURRENT generation: one row per
+    streamed batch (generation, n_dims, n_flagged, drifted, batch).
+    None if no guarded batch has landed yet. `any(drifted)` is the
+    refresh trigger a maintenance job polls."""
+    import os
+
+    root = resolve_generation_dir(index_path)
+    path = f"{root}/drift_log"
+    if not os.path.isdir(path):
+        return None
+    return spark.read.parquet(path)

@@ -298,3 +298,71 @@ def test_drift_refresh_restores_shortlist_recall_and_stream_survives_swap(
         .collect()
     }
     assert ids == set(range(650))
+
+
+def test_drift_guard_verdicts_per_batch_and_replay(spark, tmp_path):
+    """The in-stream drift guard (signal in the trigger, action out of
+    band): an undrifted batch lands a drifted=false verdict, a drifted
+    batch lands drifted=true, both batch-keyed under the CURRENT
+    generation; the coded rows land exactly as the unguarded add; a
+    full redelivery from a fresh checkpoint replaces the verdicts with
+    recomputed-identical content."""
+    from khronus_spark.streaming.ann import (
+        read_drift_log,
+        run_streaming_ivf_pq_add_guarded,
+    )
+
+    corpus = anisotropic_corpus(spark, 750, dim=64)
+    corpus.where("vec_id < 650").write.parquet(f"{tmp_path}/base")
+    base = spark.read.parquet(f"{tmp_path}/base")
+    # chunk 1: same distribution, new ids; chunk 2: the drift shape
+    corpus.where("vec_id >= 650 AND vec_id < 700").write.parquet(
+        f"{tmp_path}/c1"
+    )
+    corpus.where("vec_id >= 700").select(
+        "vec_id", F.expr(_DRIFT).alias("embedding")
+    ).write.parquet(f"{tmp_path}/c2")
+    c1 = spark.read.parquet(f"{tmp_path}/c1")
+    c2 = spark.read.parquet(f"{tmp_path}/c2")
+
+    root = str(tmp_path / "index")
+    refresh_streamed_index(spark, root, base)
+
+    def stream_guarded(chunks, ckpt):
+        landing = f"{tmp_path}/landing_{ckpt}"
+        os.makedirs(landing, exist_ok=True)
+        stream = spark.readStream.schema(chunks[0].schema).parquet(landing)
+        for i, chunk in enumerate(chunks):
+            stage = f"{tmp_path}/stage_{ckpt}_{i}"
+            chunk.coalesce(1).write.mode("overwrite").parquet(stage)
+            for j, f_ in enumerate(sorted(os.listdir(stage))):
+                if f_.endswith(".parquet"):
+                    shutil.copy(
+                        f"{stage}/{f_}", f"{landing}/{ckpt}_{i}_{j}.parquet"
+                    )
+            q = run_streaming_ivf_pq_add_guarded(
+                stream, root, f"{tmp_path}/{ckpt}"
+            )
+            q.awaitTermination(120)
+
+    stream_guarded([c1, c2], "ckg")
+    log = {
+        r.batch: (r.n_flagged, r.drifted)
+        for r in read_drift_log(spark, root).collect()
+    }
+    assert log[0][1] is False  # same-distribution batch: quiet
+    assert log[1][1] is True and log[1][0] == 64  # the drift shape
+    # coded rows landed exactly like the unguarded add
+    ids = {
+        r["vec_id"]
+        for r in read_streamed_index(spark, root)[1].select("vec_id").collect()
+    }
+    assert ids == set(range(750))
+
+    # replay from a fresh checkpoint: verdicts replaced, not duplicated
+    before = sorted(
+        tuple(r) for r in read_drift_log(spark, root).collect()
+    )
+    stream_guarded([c1, c2], "ckg2")
+    after = sorted(tuple(r) for r in read_drift_log(spark, root).collect())
+    assert after == before
