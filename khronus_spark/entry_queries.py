@@ -5990,10 +5990,12 @@ _HW_L = "((3 * (s.x - r.hist[1]) + 7 * (r.level + r.trend)) // 10)"
 _HW_B = f"((1 * ({_HW_L} - r.level) + 9 * r.trend) // 10)"
 _HW_S = f"((2 * (s.x - {_HW_L}) + 8 * r.hist[1]) // 10)"
 
-
-@register(
-    "events_holt_winters_24h",
-    f"""
+#: the shared Holt-Winters oracle core (recursive CTE, the season
+#: rotating as a LIST column): defines `series` (hourly buckets + rn)
+#: and `hw` (every row with its smoothing state; warm-up rows carry
+#: the pass-through convention). Both the smoothing entry and the
+#: residual-anomaly face below build on it.
+_HW_CTE = f"""
 WITH RECURSIVE series AS (
   SELECT event_type,
          (epoch_ms(ts) // 3600000) * 3600000 AS ts_ms,
@@ -6034,14 +6036,24 @@ o AS (
   SELECT event_type, rn, level, trend, seasonal,
          CAST(level + trend + hist[1] AS BIGINT) AS forecast_next
   FROM r
-)
-SELECT s.event_type, s.ts_ms, s.x,
-       COALESCE(o.level, s.x) AS level,
-       COALESCE(o.trend, 0) AS trend,
-       COALESCE(o.seasonal, 0) AS seasonal,
-       COALESCE(o.forecast_next, s.x) AS forecast_next
-FROM series s
-LEFT JOIN o ON s.event_type = o.event_type AND s.rn = o.rn
+),
+hw AS (
+  SELECT s.event_type, s.rn, s.ts_ms, s.x,
+         COALESCE(o.level, s.x) AS level,
+         COALESCE(o.trend, 0) AS trend,
+         COALESCE(o.seasonal, 0) AS seasonal,
+         COALESCE(o.forecast_next, s.x) AS forecast_next
+  FROM series s
+  LEFT JOIN o ON s.event_type = o.event_type AND s.rn = o.rn
+)"""
+
+
+@register(
+    "events_holt_winters_24h",
+    _HW_CTE
+    + """
+SELECT event_type, ts_ms, x, level, trend, seasonal, forecast_next
+FROM hw
 """,
 )
 def events_holt_winters_24h(spark, sf_dir):
@@ -6135,3 +6147,103 @@ def unigram_encode_docs(spark, sf_dir):
 
 
 PENDING_NEXT_WINDOW.append("unigram_encode_docs")
+
+
+@register(
+    "events_hw_residual_anomaly",
+    _HW_CTE
+    + """,
+resid AS (
+  SELECT event_type, rn, ts_ms, x,
+         x - lag(forecast_next) OVER (
+           PARTITION BY event_type ORDER BY rn) AS r
+  FROM hw
+),
+rr AS (SELECT * FROM resid WHERE rn >= 25),
+prof AS (
+  SELECT event_type, count(*) AS n, sum(r) AS s, sum(r * r) AS q
+  FROM rr GROUP BY event_type HAVING count(*) >= 24
+)
+SELECT rr.event_type, rr.ts_ms, rr.x, CAST(rr.r AS BIGINT) AS resid
+FROM rr JOIN prof p USING (event_type)
+WHERE (p.n * rr.r - p.s) * (p.n * rr.r - p.s) > 9 * (p.n * p.q - p.s * p.s)
+""",
+)
+def events_hw_residual_anomaly(spark, sf_dir):
+    """Forecast-residual anomaly — the monitoring face the
+    Holt-Winters forecast exists FOR (the reference is a monitoring
+    engine; "actual diverges from forecast" is the alert a seasonal
+    model unlocks): the residual r_t = x_t − forecast_{t-1} is scored
+    by the same exact-integer cleared z-inequality as
+    `events_seasonal_anomaly` — (n·r − Σr)² > 9·(n·Σr² − (Σr)²) —
+    against the series' own residual profile. Complementary coverage:
+    the seasonal-PROFILE face normalizes each hour-of-day cell
+    independently, so a sustained LEVEL SHIFT that moves every cell
+    together reads normal there, while the one-step forecast residual
+    spikes at the shift point. Warm-up discipline: residuals start one
+    row after the first full season (earlier forecasts are the
+    pass-through convention), and series with under one further season
+    of residuals are suppressed.
+
+    Scale shape: the HW fold's one exchange, a lag window on the same
+    partitioning (no extra shuffle), a per-series 3-scalar profile
+    aggregate, profile broadcast back. Nothing joins event-to-event."""
+    from khronus_spark.sources.tables import ns_to_ms
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            (
+                F.call_function("div", ns_to_ms(F.col("ts")), F.lit(3_600_000))
+                * 3_600_000
+            ).alias("ts_ms"),
+        )
+        .groupBy("event_type", "ts_ms")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    hw = smoothing_ops.holt_winters_int(
+        hourly,
+        ["event_type"],
+        "ts_ms",
+        "x",
+        season_len=24,
+        alpha_num=3,
+        alpha_den=10,
+        beta_num=1,
+        beta_den=10,
+        gamma_num=2,
+        gamma_den=10,
+    )
+    w = Window.partitionBy("event_type").orderBy("ts_ms")
+    resid = (
+        hw.select(
+            "event_type",
+            "ts_ms",
+            "x",
+            (F.col("x") - F.lag("forecast_next").over(w)).alias("r"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") >= 25)
+    )
+    prof = (
+        resid.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("r").alias("s"),
+            F.sum(F.col("r") * F.col("r")).alias("q"),
+        )
+        .where(F.col("n") >= 24)
+    )
+    return (
+        resid.join(F.broadcast(prof), "event_type")
+        .where(
+            (F.col("n") * F.col("r") - F.col("s"))
+            * (F.col("n") * F.col("r") - F.col("s"))
+            > 9 * (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+        )
+        .select("event_type", "ts_ms", "x", F.col("r").cast("long").alias("resid"))
+    )
+
+
+PENDING_NEXT_WINDOW.append("events_hw_residual_anomaly")

@@ -986,3 +986,15 @@ def test_unigram_encode_no_python_broadcast_vocab(spark, oracle_sf_dir):
     assert "FlatMapGroupsInPandas" not in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hw_residual_anomaly_profile_broadcasts(spark, oracle_sf_dir):
+    """r10: the forecast-residual anomaly face — the only pandas in
+    the plan is the Holt-Winters fold itself (the order-dependent
+    recurrence, the documented exception class); the residual profile
+    is a per-series 3-scalar table and must broadcast back, never a
+    SortMergeJoin."""
+    plan = _plan(spark, oracle_sf_dir, "events_hw_residual_anomaly")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
