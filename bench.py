@@ -264,6 +264,11 @@ def main() -> None:
             q["wordpiece_encode_docs"](spark, sf_dir)
         ),
         "unigram_encode": lambda: run_df(q["unigram_encode_docs"](spark, sf_dir)),
+        # r10: seasonal smoothing + its forecast-residual anomaly face
+        # (the HW fold + lag window + broadcast residual profile)
+        "hw_residual_anomaly": lambda: run_df(
+            q["events_hw_residual_anomaly"](spark, sf_dir)
+        ),
     }
 
     import tempfile
@@ -458,6 +463,7 @@ def main() -> None:
     _ARROW_MIXED = {
         "media_features",
         "ewma_smooth",
+        "hw_residual_anomaly",
         "semantic_dedup",
         "semantic_dedup_auto",
         "ann_pq_topk_indexed",
