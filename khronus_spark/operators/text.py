@@ -4151,8 +4151,11 @@ def unigram_encode(
     (one tiny agg, the bpe-merges-collect precedent)."""
     if vocab is None:
         vocab = unigram_vocab(docs, max_piece_len, max_word_len=max_word_len)
-    total = vocab.agg(F.sum("freq")).first()[0] or 1
-    c_pen = len(bin(int(total))) - 2  # bitlen(F)
+    # bitlen(F); an EMPTY vocab (every corpus word overlong) has F=0
+    # and C=0 by convention — every word is then UNK at score 0, the
+    # same answer the oracle's coalesce and the reference produce
+    total = vocab.agg(F.sum("freq")).first()[0] or 0
+    c_pen = int(total).bit_length()
     scored = vocab.select(
         "piece",
         (F.length(F.expr("bin(freq)")) - F.lit(c_pen)).cast("int").alias("sc"),
@@ -4177,6 +4180,10 @@ def unigram_encode(
             )
         ).alias("s"),
     ).select("w", "s.pos", "s.piece")
+    # map key stride = max_piece_len (L ranges 1..max_piece_len, so
+    # pos*stride + L is collision-free for ANY piece length cap — the
+    # same keying the DuckDB oracle uses)
+    stride = max_piece_len
     smap = (
         subs.join(F.broadcast(scored), "piece")
         .groupBy("w")
@@ -4185,7 +4192,7 @@ def unigram_encode(
                 F.collect_list(
                     F.struct(
                         (
-                            F.col("pos") * 8 + F.length("piece")
+                            F.col("pos") * stride + F.length("piece")
                         ).cast("int").alias("k"),
                         F.col("sc").alias("v"),
                     )
@@ -4197,10 +4204,10 @@ def unigram_encode(
         f"""
         IF(i >= {L}
            AND element_at(acc, i - {L} + 1) IS NOT NULL
-           AND element_at(smap, (i - {L}) * 8 + {L}) IS NOT NULL,
+           AND element_at(smap, (i - {L}) * {stride} + {L}) IS NOT NULL,
            named_struct(
              's', element_at(acc, i - {L} + 1).s
-                  + element_at(smap, (i - {L}) * 8 + {L}),
+                  + element_at(smap, (i - {L}) * {stride} + {L}),
              'n', element_at(acc, i - {L} + 1).n - 1),
            CAST(NULL AS STRUCT<s: INT, n: INT>))
         """
@@ -4305,7 +4312,7 @@ multi AS (
   )
 ),
 vocab AS (SELECT * FROM chars UNION ALL SELECT * FROM multi),
-tot AS (SELECT CAST(len(bin(sum(freq))) AS BIGINT) AS c FROM vocab),
+tot AS (SELECT CAST(coalesce(len(bin(sum(freq))), 0) AS BIGINT) AS c FROM vocab),
 scored AS (
   SELECT piece, CAST(len(bin(freq)) AS BIGINT) - (SELECT c FROM tot) AS sc
   FROM vocab

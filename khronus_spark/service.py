@@ -116,10 +116,40 @@ class KhronusHttpService:
                 self.send_response(200)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Access-Control-Allow-Origin", "*")
-                accepts = self.headers.get("Accept-Encoding", "")
-                if "gzip" in accepts.lower():
+                if self._accepts_gzip():
                     body = gzip.compress(body)
                     self.send_header("Content-Encoding", "gzip")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _accepts_gzip(self) -> bool:
+                """RFC 9110 token parse, not a substring check: a
+                client sending 'gzip;q=0' is REFUSING gzip (it cannot
+                decode it — that is why it said q=0), and 'x-gzip' is
+                an alias, not a substring coincidence."""
+                for token in self.headers.get("Accept-Encoding", "").split(","):
+                    parts = token.strip().lower().split(";")
+                    if parts[0].strip() not in ("gzip", "x-gzip"):
+                        continue
+                    for p in parts[1:]:
+                        k, _, v = p.strip().partition("=")
+                        if k.strip() == "q":
+                            try:
+                                return float(v) > 0
+                            except ValueError:
+                                return False
+                    return True
+                return False
+
+            def _respond_error(self, code: int, message: str) -> None:
+                """Error body WITH the CORS header — the reference
+                wraps the whole route in respondWithCORS, so a
+                browser-based Grafana must be able to read the error
+                detail, not just an opaque network failure."""
+                body = message.encode()
+                self.send_response(code)
+                self.send_header("Access-Control-Allow-Origin", "*")
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
@@ -205,9 +235,7 @@ class KhronusHttpService:
                     try:
                         payload = dashboard_operation(service.dashboards, q)
                     except Exception as e:
-                        self.send_response(400)
-                        self.end_headers()
-                        self.wfile.write(str(e).encode())
+                        self._respond_error(400, str(e))
                         return
                     self._respond_json(payload)
                     return
@@ -218,9 +246,7 @@ class KhronusHttpService:
                     engine = service._engine_factory()
                     payload = series_to_json(engine.sql(q))
                 except Exception as e:
-                    self.send_response(400)
-                    self.end_headers()
-                    self.wfile.write(str(e).encode())
+                    self._respond_error(400, str(e))
                     return
                 self._respond_json(payload)
 
@@ -270,11 +296,14 @@ class KhronusHttpService:
     def dashboards(self):
         """Lazily constructed dashboard store (S11) — most deployments
         never POST a dashboard; don't touch its path until one does."""
-        if self._dashboards is None:
-            from khronus_spark.sources.dashboards import DashboardStore
+        with self._lock:  # handler threads race the first POST
+            if self._dashboards is None:
+                from khronus_spark.sources.dashboards import DashboardStore
 
-            self._dashboards = DashboardStore(self.spark, self.dashboards_path)
-        return self._dashboards
+                self._dashboards = DashboardStore(
+                    self.spark, self.dashboards_path
+                )
+            return self._dashboards
 
     def _default_engine(self) -> KhronusEngine:
         measurements = self.spark.read.schema(_SCHEMA).parquet(self.landing_path)

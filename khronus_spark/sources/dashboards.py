@@ -19,11 +19,26 @@ _SCHEMA = "name STRING, content STRING"
 
 
 class DashboardStore:
+    """Tiny dashboard metadata table. All operations — including reads
+    — serialize on one lock (r10 review fix): store/drop are
+    read-modify-overwrite, and the HTTP layer calls them from
+    ThreadingHTTPServer handler threads, so two concurrent POSTs would
+    each rewrite current-minus-the-other and the second overwrite
+    would silently lose the first dashboard (the metrics POST path was
+    hardened for exactly this; the dashboards path must be too). A
+    reader mid-overwrite would also catch the half-deleted parquet dir
+    in `_read`'s guard and answer an empty list. Dashboard CRUD is
+    rare, driver-side, and the table is a handful of rows — full
+    serialization costs nothing."""
+
     def __init__(self, spark: SparkSession, path: str):
+        import threading
+
         self.spark = spark
         self.path = path
+        self._lock = threading.Lock()
 
-    def _read(self) -> DataFrame:
+    def _read_unlocked(self) -> DataFrame:
         try:
             return self.spark.read.schema(_SCHEMA).parquet(self.path)
         except Exception:
@@ -31,30 +46,45 @@ class DashboardStore:
 
     def store(self, name: str, content: str) -> None:
         """Upsert by name (the reference overwrites by PK)."""
-        current = self._read().where(F.col("name") != name)
-        updated = current.unionByName(
-            self.spark.createDataFrame([(name, content)], _SCHEMA)
-        )
-        # small metadata table: a full rewrite is the simple, idempotent move
-        updated.write.mode("overwrite").parquet(self.path + ".tmp")
-        self.spark.read.schema(_SCHEMA).parquet(self.path + ".tmp").write.mode(
-            "overwrite"
-        ).parquet(self.path)
+        with self._lock:
+            current = self._read_unlocked().where(F.col("name") != name)
+            updated = current.unionByName(
+                self.spark.createDataFrame([(name, content)], _SCHEMA)
+            )
+            # small metadata table: a full rewrite is the simple,
+            # idempotent move
+            updated.write.mode("overwrite").parquet(self.path + ".tmp")
+            self.spark.read.schema(_SCHEMA).parquet(
+                self.path + ".tmp"
+            ).write.mode("overwrite").parquet(self.path)
 
     def lookup(self, regex: str) -> DataFrame:
         """Case-insensitive regex over dashboard names
-        (`InfluxDashboardResolver.scala:69-90`)."""
+        (`InfluxDashboardResolver.scala:69-90`). Collected eagerly
+        under the lock so the rows cannot race a concurrent rewrite."""
         pat = f"(?i){regex}"
-        return self._read().where(F.col("name").rlike(pat)).orderBy("name")
+        with self._lock:
+            rows = (
+                self._read_unlocked()
+                .where(F.col("name").rlike(pat))
+                .orderBy("name")
+                .collect()
+            )
+        return self.spark.createDataFrame(rows or [], _SCHEMA)
 
     def drop(self, regex: str) -> int:
         pat = re.compile(regex, re.IGNORECASE)
-        current = self._read().collect()
-        keep = [(r["name"], r["content"]) for r in current if not pat.search(r["name"])]
-        dropped = len(current) - len(keep)
-        self.spark.createDataFrame(keep or [], _SCHEMA).write.mode(
-            "overwrite"
-        ).parquet(self.path)
+        with self._lock:
+            current = self._read_unlocked().collect()
+            keep = [
+                (r["name"], r["content"])
+                for r in current
+                if not pat.search(r["name"])
+            ]
+            dropped = len(current) - len(keep)
+            self.spark.createDataFrame(keep or [], _SCHEMA).write.mode(
+                "overwrite"
+            ).parquet(self.path)
         return dropped
 
 
@@ -92,7 +122,11 @@ def dashboard_operation(store: DashboardStore, expression: str) -> list[dict]:
     m = _GET_DASHBOARD.match(expression)
     if m:
         name = _b64name(m.group(1))
-        rows = store.lookup(f"^(?:{name})$").collect()
+        # the decoded NAME is a literal, not a pattern — escape it
+        # (a Grafana title like "CPU (5m)" would otherwise be read as
+        # regex grouping and never match its own dashboard; the drop
+        # branch below always escaped)
+        rows = store.lookup(f"^{re.escape(name)}$").collect()
         return [_json.loads(r["content"]) for r in rows]
     m = _LIST_DASHBOARDS.match(expression)
     if m:

@@ -180,6 +180,34 @@ def exported_delta_version(table: TxnTable) -> int | None:
     return best
 
 
+def _verified_compaction(table: TxnTable, info: dict, prev: dict) -> bool:
+    """Only a compaction whose recorded content-preservation
+    fingerprint checks out against the pre-image's parquet-footer
+    counts earns dataChange: false — the same trust-but-verify rule
+    the partition-scoped CAS and change_feed apply (r10 hardening: a
+    mislabeled commit exported as dataChange:false would make external
+    incremental/streaming Delta readers silently drop its row deltas).
+    Unverifiable (missing fingerprint, vacuumed pre-image) demotes to
+    dataChange: true — conservative: readers reprocess, never skip."""
+    from khronus_spark.sources.txnlog import _parquet_dir_rows
+
+    if info.get("kind", "data") != "compaction":
+        return False
+    fp = info.get("fingerprint")
+    if fp is None:
+        return False
+    for key in info["partitions"]:
+        base = prev.get(key)
+        if base is None:
+            return False
+        try:
+            if _parquet_dir_rows(base) != fp.get(key):
+                return False
+        except OSError:
+            return False
+    return True
+
+
 def export_delta_log(
     spark: SparkSession, table: TxnTable, upto_version: int | None = None
 ) -> int:
@@ -228,10 +256,11 @@ def export_delta_log(
         # racing-exporter dedup in _atomic_write is sound byte-wise
         info = table.commit_info(txn_v)
         now_ms = int(info["committed_at_ms"])
-        # compaction commits are content-preserving rewrites — Delta's
-        # OPTIMIZE convention marks their actions dataChange: false so
-        # incremental/streaming readers skip them
-        data_change = info.get("kind", "data") != "compaction"
+        # content-preserving rewrites export with Delta's OPTIMIZE
+        # convention (dataChange: false) — but only when the recorded
+        # fingerprint VERIFIES against the pre-image (trust-but-verify,
+        # same as CAS/CDC); unverifiable claims demote to true
+        data_change = not _verified_compaction(table, info, prev)
         actions: list[dict] = []
         if delta_v == 0:
             actions.append({"protocol": _PROTOCOL})
@@ -467,16 +496,14 @@ def export_delta_namespace(
         info = table.commit_info(txn_v)
         now_ms = int(info["committed_at_ms"])
         kind = info.get("kind", "data")
-        data_change = kind != "compaction"
-        prev = (
-            {
-                k: d
-                for k, d in table.snapshot_files(txn_v - 1).items()
-                if k.startswith(prefix)
-            }
-            if txn_v > 1
-            else {}
-        )
+        full_prev = table.snapshot_files(txn_v - 1) if txn_v > 1 else {}
+        # trust-but-verify before the OPTIMIZE dataChange:false stamp,
+        # against the WHOLE pre-image (a commit's fingerprint covers
+        # every partition it touched, in or out of this namespace)
+        data_change = not _verified_compaction(table, info, full_prev)
+        prev = {
+            k: d for k, d in full_prev.items() if k.startswith(prefix)
+        }
         cur = {
             k: d
             for k, d in table.snapshot_files(txn_v).items()

@@ -253,6 +253,19 @@ class TxnTable:
                 f"(latest={self.version()}); committing past a gap would "
                 "make the commit permanently invisible"
             )
+        if kind == "compaction" and expect_version is None:
+            # a blind commit retries past intervening commits, so the
+            # content-preserving claim would have been verified against
+            # a snapshot that is no longer the pre-image — a racing
+            # data commit on the same key would be silently reverted
+            # under a content-preserving label (and the recorded
+            # fingerprint would disagree with the real pre-image,
+            # poisoning every later change_feed crossing it)
+            raise ValueError(
+                'kind="compaction" requires expect_version (CAS): the '
+                "fingerprint is only meaningful against the exact "
+                "pre-image the commit verified it on"
+            )
         staged = self._stage(parts)
         fingerprint: dict[str, int] | None = None
         if kind == "compaction":
@@ -344,9 +357,16 @@ class TxnTable:
                 return True  # unverifiable claim: conservative conflict
             for key in touched:
                 rel = info["partitions"][key]
-                if rel is None or _parquet_dir_rows(
-                    os.path.join(self.root, rel)
-                ) != fp.get(key):
+                if rel is None:
+                    return True
+                try:
+                    n = _parquet_dir_rows(os.path.join(self.root, rel))
+                except OSError:
+                    # staged dir gone (vacuumed past this superseded
+                    # version): unverifiable — conservative conflict,
+                    # never a crash out of the CAS path
+                    return True
+                if n != fp.get(key):
                     return True
         return False
 
@@ -462,13 +482,24 @@ def change_feed(
     they are content-preserving by construction (the same contract the
     partition-scoped CAS relies on), so their row-level delta is empty
     by definition — a through-the-log compactor costs CDC consumers
-    nothing.
+    nothing. The claim is VERIFIED first (recorded fingerprint vs the
+    pre-image's parquet-footer counts, no row reads); a compaction
+    whose fingerprint is missing (a pre-fingerprint legacy commit, or
+    a foreign writer bypassing `commit`) or disagrees is DEMOTED to
+    the data path: its true row deltas are computed and emitted.
+    Degrading costs the reads the skip saved, but CDC stays CORRECT on
+    any log — a forged label can make the feed slower, never wrong,
+    and legacy logs keep working.
 
     Scale shape: work is bounded by the TOUCHED partitions of the
     requested version range (never the table), each read at pinned
     versions from immutable files; the per-partition delta is one
-    co-partitionable exceptAll pair. Returns None when the range
-    contains no data commits."""
+    co-partitionable exceptAll pair. The live partition map is
+    maintained INCREMENTALLY across the version loop (one
+    snapshot_files replay at from_version, then per-commit dict
+    updates) — a feed over a long log is O(range), not O(range x
+    log-length). Returns None when the range contains no data
+    commits."""
     from pyspark.sql import functions as F
 
     to_v = table.version() if to_version is None else to_version
@@ -483,36 +514,42 @@ def change_feed(
             f"{from_version}..{to_v}"
         )
     out = None
+    # the live (key -> abs dir) map AT v-1, updated per commit below
+    files = dict(table.snapshot_files(from_version))
     for v in range(from_version + 1, to_v + 1):
         info = table.commit_info(v)
+        skip = False
         if info.get("kind", "data") == "compaction":
-            # content-preserving by contract — but VERIFY the recorded
-            # fingerprint against the pre-image's footer counts before
-            # dropping the commit from the feed (still no row reads):
-            # a mislabeled commit must fail loudly here, not silently
-            # vanish from CDC
+            skip = True
             fp = info.get("fingerprint")
-            prev_files = table.snapshot_files(v - 1)
-            for key, rel in info["partitions"].items():
+            for key in info["partitions"]:
                 recorded = None if fp is None else fp.get(key)
-                base_dir = prev_files.get(key)
-                if (
-                    recorded is None
-                    or base_dir is None
-                    or _parquet_dir_rows(base_dir) != recorded
-                ):
-                    raise RuntimeError(
-                        f"commit {v} claims kind=\"compaction\" on "
-                        f"partition {key!r} but its content-preservation "
-                        "fingerprint is missing or disagrees with the "
-                        "pre-image; refusing to skip it in the change "
-                        "feed (its row deltas would silently vanish "
-                        "from CDC)"
+                base_dir = files.get(key)
+                try:
+                    verified = (
+                        recorded is not None
+                        and base_dir is not None
+                        and _parquet_dir_rows(base_dir) == recorded
                     )
+                except OSError:
+                    verified = False
+                if not verified:
+                    skip = False  # demote: emit its real deltas below
+                    break
+        if skip:
+            _apply_commit(files, table.root, info)
             continue  # verified content-preserving: empty delta
         for key in info["partitions"]:
-            prev = table.read_partition(spark, key, v - 1)
-            cur = table.read_partition(spark, key, v)
+            prev_dir = files.get(key)
+            prev = (
+                None if prev_dir is None else spark.read.parquet(prev_dir)
+            )
+            cur_rel = info["partitions"][key]
+            cur = (
+                None
+                if cur_rel is None
+                else spark.read.parquet(os.path.join(table.root, cur_rel))
+            )
             deltas = []
             if cur is not None and prev is not None:
                 deltas.append((cur.exceptAll(prev), "insert"))
@@ -529,4 +566,16 @@ def change_feed(
                     F.lit(op).alias("_op"),
                 )
                 out = tagged if out is None else out.unionByName(tagged)
+        _apply_commit(files, table.root, info)
     return out
+
+
+def _apply_commit(files: dict, root: str, info: dict) -> None:
+    """Advance a live (key -> abs dir) snapshot map by one commit —
+    the incremental step change_feed uses instead of replaying the log
+    per version."""
+    for key, rel in info["partitions"].items():
+        if rel is None:
+            files.pop(key, None)
+        else:
+            files[key] = os.path.join(root, rel)

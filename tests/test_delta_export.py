@@ -496,3 +496,50 @@ def test_namespace_export_refusals(spark, tmp_path):
         export_delta_namespace(spark, t, "dim/")
     with pytest.raises(ValueError, match="non-empty"):
         export_delta_namespace(spark, t, "")
+
+
+def test_export_demotes_unverifiable_compaction_to_datachange_true(
+    spark, tmp_path
+):
+    """r10 hardening: only a compaction whose recorded fingerprint
+    verifies against the pre-image earns dataChange:false in the
+    export — a forged/legacy compaction (no fingerprint, content
+    differs) exports with dataChange:true so external incremental
+    Delta readers REPROCESS it instead of silently dropping its row
+    deltas; a genuine through-the-log compaction keeps the OPTIMIZE
+    convention."""
+    from tests.test_txnlog import _forge_compaction_commit
+
+    from khronus_spark.operators.rollup import compact_partition_txn
+    from khronus_spark.sources.logstore import PosixLinkLogStore
+    from khronus_spark.sources.txnlog import TxnTable
+
+    t = TxnTable(str(tmp_path / "t"), log_store=PosixLinkLogStore())
+    t.commit({"a": _df(spark, [("m", 1, 10), ("m", 2, 20)])})
+    genuine_v = compact_partition_txn(
+        spark, t, "a", n_files=1, sort_cols=("ts",)
+    )
+    forged_v = _forge_compaction_commit(
+        spark, t, "a", _df(spark, [("forged", 7, 70)])
+    )
+    assert export_delta_log(spark, t) == forged_v
+
+    def actions(delta_v):
+        raw = t.log_store.read_bytes(
+            os.path.join(t.root, "_delta_log", f"{delta_v:020d}.json")
+        )
+        return [json.loads(line) for line in raw.decode().splitlines()]
+
+    def changes(delta_v):
+        return {
+            a[k]["dataChange"]
+            for a in actions(delta_v)
+            for k in ("add", "remove")
+            if k in a
+        }
+
+    assert changes(genuine_v - 1) == {False}  # verified: OPTIMIZE stamp
+    assert changes(forged_v - 1) == {True}  # unverifiable: reprocess
+    # and the clean-room reader still reproduces the final state
+    got = {tuple(r) for r in read_delta_snapshot(spark, t.root).collect()}
+    assert got == {("forged", 7, 70)}

@@ -299,3 +299,56 @@ def test_query_route_gzips_when_accepted(service):
         assert r.headers.get("Content-Encoding") is None
         plain = json.loads(r.read())
     assert gz == plain
+
+
+def test_gzip_refused_with_q0_and_error_responses_carry_cors(service):
+    """r10 review fixes: a client sending 'gzip;q=0' is REFUSING gzip
+    (RFC 9110) and must get identity, substring matching be damned;
+    and error responses carry the CORS header like the success path
+    (the reference wraps the whole route in respondWithCORS), so a
+    browser Grafana can read the error detail."""
+    base = f"http://127.0.0.1:{service.port}"
+    url = f"{base}/khronus/db/influx/series?q=list%20series"
+    req = urllib.request.Request(
+        url, headers={"Accept-Encoding": "gzip;q=0, identity"}
+    )
+    with urllib.request.urlopen(req) as r:
+        assert r.headers.get("Content-Encoding") is None
+        json.loads(r.read())  # identity body parses
+
+    bad = f"{base}/khronus/db/influx/dashboards/series?q=nonsense"
+    try:
+        urllib.request.urlopen(bad)
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert e.headers.get("Access-Control-Allow-Origin") == "*"
+        assert b"Unsupported grafana expression" in e.read()
+
+
+def test_dashboard_get_name_with_regex_metacharacters(service):
+    """r10 review fix: the base64-decoded dashboard NAME is a literal;
+    a Grafana title like 'CPU (5m)' must round-trip through get (the
+    unescaped interpolation read the parens as regex grouping and
+    never matched its own dashboard)."""
+    import base64
+
+    base = f"http://127.0.0.1:{service.port}"
+    b64 = base64.b64encode(b"CPU (5m)").decode()
+    body = json.dumps(
+        [{"name": f"grafana.dashboard_{b64}", "columns": ["time"],
+          "points": [[1]]}]
+    ).encode()
+    req = urllib.request.Request(
+        f"{base}/khronus/db/influx/dashboards/series",
+        data=body,
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    assert urllib.request.urlopen(req).status == 200
+    q = urllib.parse.quote(f'select dashboard from "grafana.dashboard_{b64}"')
+    with urllib.request.urlopen(
+        f"{base}/khronus/db/influx/dashboards/series?q={q}"
+    ) as r:
+        got = json.loads(r.read())
+    assert [d["name"] for d in got] == [f"grafana.dashboard_{b64}"]

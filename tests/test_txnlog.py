@@ -559,17 +559,26 @@ def _forge_compaction_commit(spark, t, key, df):
     return version
 
 
-def test_change_feed_refuses_unverifiable_compaction(spark, tmp_path):
+def test_change_feed_demotes_unverifiable_compaction(spark, tmp_path):
     """A compaction commit with no fingerprint (a writer bypassing
-    commit()) must fail the feed loudly, not silently vanish from CDC."""
+    commit(), or a pre-fingerprint legacy log) must not vanish from
+    CDC — the feed DEMOTES it to the data path and emits its TRUE row
+    deltas (r10 hardening: degrading costs the reads the skip saved,
+    but a forged label can only make the feed slower, never wrong, and
+    legacy logs keep working instead of being dead forever)."""
     from khronus_spark.sources.txnlog import change_feed
 
     t = TxnTable(str(tmp_path / "t"))
     t.commit({"a": _df(spark, [(1, "x"), (2, "y")])})
     v = t.version()
     _forge_compaction_commit(spark, t, "a", _df(spark, [(7, "forged")]))
-    with pytest.raises(RuntimeError, match="fingerprint"):
-        change_feed(spark, t, v)
+    feed = change_feed(spark, t, v)
+    got = {(r["k"], r["v"], r["_op"]) for r in feed.collect()}
+    assert got == {
+        (7, "forged", "insert"),
+        (1, "x", "delete"),
+        (2, "y", "delete"),
+    }
 
 
 def test_cas_treats_unverifiable_compaction_as_conflict(spark, tmp_path):
@@ -588,3 +597,16 @@ def test_cas_treats_unverifiable_compaction_as_conflict(spark, tmp_path):
             expect_version=v,
             conflict_scope="partitions",
         )
+
+
+def test_compaction_commit_requires_cas(spark, tmp_path):
+    """r10 review fix: a BLIND compaction commit is refused up front —
+    blind commits retry past intervening commits, so the
+    content-preserving claim would have been verified against a
+    snapshot that is no longer the pre-image (a racing data commit on
+    the same key would be silently reverted under a content-preserving
+    label, and the recorded fingerprint would poison later CDC)."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.commit({"a": _df(spark, [(1, "x")])})
+    with pytest.raises(ValueError, match="expect_version"):
+        t.commit({"a": _df(spark, [(1, "x")])}, kind="compaction")

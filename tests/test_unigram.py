@@ -149,3 +149,18 @@ def test_unigram_oracle_matches_python_reference_property():
         assert got == _py_reference(docs)
 
     run()
+
+
+def test_unigram_max_piece_len_beyond_eight(spark):
+    """r10 review fix: the score-map key stride follows max_piece_len
+    (pos*stride + L), so piece caps past the old hard-coded 8 neither
+    collide keys nor mis-route DP scores. One 10-char piece must win
+    whole against its per-char decomposition."""
+    docs = _docs(spark, [(1, "abcdefghij")])
+    uv = spark.createDataFrame(
+        [("abcdefghij", 100)]
+        + [(c, 1) for c in "abcdefghij"],
+        "piece string, freq long",
+    )
+    row = unigram_encode(docs, vocab=uv, max_piece_len=10).first()
+    assert (row.n_unigram_tokens, row.n_unk_words) == (1, 0)
