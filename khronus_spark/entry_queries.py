@@ -5759,9 +5759,12 @@ def events_seasonal_anomaly(spark, sf_dir):
     hours are suppressed (warm-up rule shared with the rolling face).
 
     Caveats stated: the profile is over OBSERVED hourly buckets
-    (zero-event hours contribute no row — both engines agree); int64
-    holds while n·cnt² < 2^63, i.e. hourly counts to ~5e8 at a
-    year-deep profile — past that the counts must be pre-scaled.
+    (zero-event hours contribute no row — both engines agree). The
+    cleared inequality evaluates in DECIMAL(38,0) (the
+    `embedding_drift_flags` precedent, mirrored by the HW-residual
+    face): DuckDB's sum() promotes to HUGEINT, so an int64 Spark side
+    could silently wrap past n·cnt² ≥ 2^63 and diverge from the
+    oracle; the decimal cast keeps both engines exact to 10^38.
 
     Scale shape: one (type, hour) count shuffle, one profile
     aggregate over ≤ |types|·24 cells, profile broadcast back onto
@@ -5779,25 +5782,26 @@ def events_seasonal_anomaly(spark, sf_dir):
         # (scan-budget gated)
         .localCheckpoint(eager=False)
     )
+    cd = F.col("cnt").cast("decimal(38,0)")
     prof = (
         hourly.withColumn("hod", F.col("hour_idx") % 24)
         .groupBy("event_type", "hod")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("cnt").alias("s"),
-            F.sum(F.col("cnt") * F.col("cnt")).alias("q"),
+            F.sum(cd).alias("s"),
+            F.sum(cd * cd).alias("q"),
         )
     )
     joined = hourly.withColumn("hod", F.col("hour_idx") % 24).join(
         F.broadcast(prof), ["event_type", "hod"]
     )
+    dn = F.col("n").cast("decimal(38,0)")
+    dc = F.col("cnt").cast("decimal(38,0)")
+    ds = F.col("s").cast("decimal(38,0)")
+    dq = F.col("q").cast("decimal(38,0)")
     return joined.where(
         (F.col("n") >= 20)
-        & (
-            (F.col("n") * F.col("cnt") - F.col("s"))
-            * (F.col("n") * F.col("cnt") - F.col("s"))
-            > 9 * (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
-        )
+        & ((dn * dc - ds) * (dn * dc - ds) > 9 * (dn * dq - ds * ds))
     ).select(
         "event_type",
         (F.col("hour_idx") * 3600000).alias("ts_ms"),
@@ -6185,6 +6189,12 @@ def events_hw_residual_anomaly(spark, sf_dir):
     pass-through convention), and series with under one further season
     of residuals are suppressed.
 
+    Overflow discipline: the cleared inequality evaluates in
+    DECIMAL(38,0) (the `embedding_drift_flags` precedent) — the
+    DuckDB oracle's sum() promotes to HUGEINT, so an int64 Spark side
+    could silently wrap (non-ANSI) at large n·residual magnitudes and
+    diverge; the decimal cast keeps both engines exact.
+
     Scale shape: the HW fold's one exchange, a lag window on the same
     partitioning (no extra shuffle), a per-series 3-scalar profile
     aggregate, profile broadcast back. Nothing joins event-to-event."""
@@ -6226,22 +6236,23 @@ def events_hw_residual_anomaly(spark, sf_dir):
         )
         .where(F.col("rn") >= 25)
     )
+    rd = F.col("r").cast("decimal(38,0)")
     prof = (
         resid.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("r").alias("s"),
-            F.sum(F.col("r") * F.col("r")).alias("q"),
+            F.sum(rd).alias("s"),
+            F.sum(rd * rd).alias("q"),
         )
         .where(F.col("n") >= 24)
     )
+    dn = F.col("n").cast("decimal(38,0)")
+    ds = F.col("s").cast("decimal(38,0)")
+    dq = F.col("q").cast("decimal(38,0)")
+    dr = F.col("r").cast("decimal(38,0)")
     return (
         resid.join(F.broadcast(prof), "event_type")
-        .where(
-            (F.col("n") * F.col("r") - F.col("s"))
-            * (F.col("n") * F.col("r") - F.col("s"))
-            > 9 * (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
-        )
+        .where((dn * dr - ds) * (dn * dr - ds) > 9 * (dn * dq - ds * ds))
         .select("event_type", "ts_ms", "x", F.col("r").cast("long").alias("resid"))
     )
 

@@ -4200,6 +4200,10 @@ def unigram_encode(
             ).alias("smap")
         )
     )
+    # the trailing typed-NULL candidate keeps greatest() well-formed at
+    # max_piece_len=1 (Spark's greatest requires >= 2 args) and is a
+    # no-op otherwise: greatest skips NULLs, and an all-NULL step is
+    # NULL either way (the UNK convention below)
     cands = ", ".join(
         f"""
         IF(i >= {L}
@@ -4212,7 +4216,7 @@ def unigram_encode(
            CAST(NULL AS STRUCT<s: INT, n: INT>))
         """
         for L in range(1, max_piece_len + 1)
-    )
+    ) + ", CAST(NULL AS STRUCT<s: INT, n: INT>)"
     dp = f"""
     aggregate(
       sequence(1, length(w)),

@@ -127,19 +127,26 @@ class KhronusHttpService:
                 """RFC 9110 token parse, not a substring check: a
                 client sending 'gzip;q=0' is REFUSING gzip (it cannot
                 decode it — that is why it said q=0), and 'x-gzip' is
-                an alias, not a substring coincidence."""
-                for token in self.headers.get("Accept-Encoding", "").split(","):
-                    parts = token.strip().lower().split(";")
-                    if parts[0].strip() not in ("gzip", "x-gzip"):
-                        continue
-                    for p in parts[1:]:
+                an alias, not a substring coincidence. Scans EVERY
+                token before answering: 'gzip;q=0, x-gzip' still
+                accepts the encoding through the alias token — the
+                first refused token must not veto a later acceptable
+                one."""
+
+                def _q(parts: list[str]) -> float:
+                    for p in parts:
                         k, _, v = p.strip().partition("=")
                         if k.strip() == "q":
                             try:
-                                return float(v) > 0
+                                return float(v)
                             except ValueError:
-                                return False
-                    return True
+                                return 0.0
+                    return 1.0
+
+                for token in self.headers.get("Accept-Encoding", "").split(","):
+                    parts = token.strip().lower().split(";")
+                    if parts[0].strip() in ("gzip", "x-gzip") and _q(parts[1:]) > 0:
+                        return True
                 return False
 
             def _respond_error(self, code: int, message: str) -> None:
@@ -149,6 +156,7 @@ class KhronusHttpService:
                 detail, not just an opaque network failure."""
                 body = message.encode()
                 self.send_response(code)
+                self.send_header("Content-Type", "text/plain; charset=utf-8")
                 self.send_header("Access-Control-Allow-Origin", "*")
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()

@@ -38,11 +38,80 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from khronus_spark.operators.pq import ivf_pq_encode
+from khronus_spark.operators.pq import K, SUB, ivf_pq_encode
 from khronus_spark.streaming.retrieval import (
+    landed_batches,
     publish_generation,
     resolve_generation_dir,
 )
+
+
+def _land_batch(
+    spark,
+    root: str,
+    batch: DataFrame,
+    batch_id: int,
+    sub: int = SUB,
+    k: int = K,
+    dedup: bool = False,
+) -> None:
+    """Encode one micro-batch against generation `root`'s trained
+    state and land it as `coded_stream/batch=<id>` — WITH the raw
+    embedding column: the stream dirs are the only durable record of
+    which raw vectors each batch carried, and a generation refresh
+    needs exactly that to re-encode boundary-straddling batches under
+    the NEW codebooks (old pq_codes are meaningless under new books).
+    One batch-sized self-join per trigger is the storage/durability
+    price. `dedup=True` (refresh-boundary landings only — never the
+    hot path) drops vec_ids the target generation's retrain already
+    encoded into `coded`, so a batch that made it into the refresh
+    snapshot AND gets carried forward never yields duplicate
+    candidates."""
+    books = spark.read.parquet(f"{root}/books")
+    cents = spark.read.parquet(f"{root}/centroids")
+    out = ivf_pq_encode(batch, books, cents, sub, k).join(
+        batch.select("vec_id", "embedding"), "vec_id"
+    )
+    if dedup:
+        seen = (
+            spark.read.parquet(f"{root}/coded")
+            .join(F.broadcast(batch.select("vec_id")), "vec_id")
+            .select("vec_id")
+        )
+        out = out.join(F.broadcast(seen), "vec_id", "left_anti").persist()
+        try:
+            # a fully-deduped batch writes NOTHING: an empty parquet
+            # dir would break schema inference for every later reader
+            if not out.isEmpty():
+                out.write.mode("overwrite").parquet(
+                    f"{root}/coded_stream/batch={batch_id}"
+                )
+        finally:
+            out.unpersist()
+        return
+    out.write.mode("overwrite").parquet(f"{root}/coded_stream/batch={batch_id}")
+
+
+def _process_add(batch: DataFrame, batch_id: int, index_path: str) -> None:
+    """The add-path trigger body (module-level so the swap-closure is
+    directly testable): land into the CURRENT generation, then
+    re-resolve — if a refresh swapped generations mid-trigger, land
+    into the NEW current too (dedup'd), closing the writer side of the
+    refresh race: either the batch dir existed when the refresher
+    swept for boundary-straddling batches (carried forward by the
+    refresher), or the swap preceded this re-check (re-landed here).
+    Both sides may land the same batch; the content is deterministic
+    under the new generation's frozen state, so the double write is
+    an idempotent overwrite."""
+    spark = batch.sparkSession
+    # resolve the CURRENT generation per trigger: a refresh swap
+    # mid-stream redirects the next batch to the new trained
+    # state without restarting the stream (flat layout = no-op)
+    root = resolve_generation_dir(index_path)
+    _land_batch(spark, root, batch, batch_id)
+    root_after = resolve_generation_dir(index_path)
+    if root_after != root:
+        _land_batch(spark, root_after, batch, batch_id, dedup=True)
 
 
 def run_streaming_ivf_pq_add(
@@ -57,16 +126,7 @@ def run_streaming_ivf_pq_add(
     ingest contract shared with the incremental-dedup index."""
 
     def process(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        # resolve the CURRENT generation per trigger: a refresh swap
-        # mid-stream redirects the next batch to the new trained
-        # state without restarting the stream (flat layout = no-op)
-        root = resolve_generation_dir(index_path)
-        books = spark.read.parquet(f"{root}/books")
-        cents = spark.read.parquet(f"{root}/centroids")
-        ivf_pq_encode(batch, books, cents).write.mode("overwrite").parquet(
-            f"{root}/coded_stream/batch={batch_id}"
-        )
+        _process_add(batch, batch_id, index_path)
 
     return (
         vectors_stream.writeStream.foreachBatch(process)
@@ -144,6 +204,11 @@ def _reseeded_train_view(vectors: DataFrame, k: int) -> DataFrame:
         .limit(k)
         .collect()
     ]
+    if not seeds:
+        raise ValueError(
+            "reseeded retrain requires a non-empty standing corpus: "
+            "no vec_ids to draw k-means init seeds from"
+        )
     remap = None
     for i, s in enumerate(seeds):
         cond, val = F.col("vec_id") == s, F.lit(i)
@@ -153,12 +218,72 @@ def _reseeded_train_view(vectors: DataFrame, k: int) -> DataFrame:
     return vectors.select(remap.cast("long").alias("vec_id"), "embedding")
 
 
+def _stream_batch_ids(root: str) -> list[int]:
+    """Landed coded_stream batch ids under generation `root` (empty
+    when no streamed batch has landed)."""
+    import os
+
+    stream_dir = f"{root}/coded_stream"
+    if not os.path.isdir(stream_dir):
+        return []
+    return landed_batches(stream_dir)
+
+
+def _carry_forward(
+    spark,
+    old_root: str,
+    new_root: str,
+    covered: set[int],
+    sub: int,
+    k: int,
+) -> list[int]:
+    """Re-encode boundary-straddling streamed batches into a freshly
+    trained generation: every batch dir under the OLD generation's
+    coded_stream that is not in `covered` (the refresh's snapshot
+    boundary) re-encodes its RAW embeddings (persisted per batch by
+    `_land_batch` exactly for this) under the NEW books/centroids and
+    lands under the new generation with the same batch id — dedup'd
+    against the retrain's own coded output, so a batch the snapshot
+    half-included cannot double-count. Batches already present under
+    the new generation are skipped (idempotent second sweep; a
+    concurrent `_process_add` post-check landing the same batch writes
+    deterministically identical content). Refuses legacy stream dirs
+    that carry no embedding column — silently dropping those vectors
+    is exactly the defect this sweep exists to close."""
+    done = set(_stream_batch_ids(new_root))
+    carried = []
+    for b in _stream_batch_ids(old_root):
+        if b in covered or b in done:
+            continue
+        raw = spark.read.parquet(f"{old_root}/coded_stream/batch={b}")
+        if "embedding" not in raw.columns:
+            raise ValueError(
+                f"coded_stream batch={b} under {old_root} carries no "
+                "embedding column (written by a pre-carry-forward "
+                "version?): cannot re-encode it into the new "
+                "generation — re-ingest the batch or refresh with a "
+                "`vectors` frame that includes it"
+            )
+        _land_batch(
+            spark,
+            new_root,
+            raw.select("vec_id", "embedding"),
+            b,
+            sub,
+            k,
+            dedup=True,
+        )
+        carried.append(b)
+    return carried
+
+
 def refresh_streamed_index(
     spark,
     index_path: str,
     vectors: DataFrame,
     grace_seconds: float = 600.0,
     reseed_init: bool = True,
+    covered_batches: list[int] | None = None,
     **build_kwargs,
 ) -> str:
     """Retrain the IVF-PQ trained state over `vectors` (the standing
@@ -180,24 +305,47 @@ def refresh_streamed_index(
     corpus instead of the k lowest vec_ids — without it a retrain
     cannot allocate codewords to a drifted batch appended at high ids
     (see `_reseeded_train_view` for the measured failure). Returns
-    the published generation name."""
+    the published generation name.
+
+    INGEST-VISIBILITY boundary contract (the race this closes: a
+    micro-batch landing in the old generation's coded_stream after
+    the caller snapshotted `vectors` but before the swap used to
+    vanish from query results — its checkpoint offset was consumed,
+    its old-generation codes pruned with the old generation):
+    `covered_batches` records which streamed batches `vectors`
+    includes — default: every batch landed under the current
+    generation AT ENTRY, which is the natural contract when `vectors`
+    is "base + read of the landed stream dirs". Any batch beyond that
+    boundary is RE-ENCODED from its persisted raw embeddings into the
+    new generation (`_carry_forward`), once before the swap and once
+    after it (idempotent sweep — catches batches that landed during
+    the retrain); a batch whose trigger straddles the swap itself is
+    landed by the writer's own post-swap re-check (`_process_add`).
+    Between the two sides every batch ends up in exactly one
+    generation-consistent place."""
     import os
     import uuid
 
     from khronus_spark.operators.pq import (
-        K,
         ivf_pq_build_index,
         write_ivf_pq_index,
     )
 
     os.makedirs(index_path, exist_ok=True)
+    old_root = resolve_generation_dir(index_path)
+    covered = (
+        set(_stream_batch_ids(old_root))
+        if covered_batches is None
+        else set(covered_batches)
+    )
+    sub = build_kwargs.get("sub", SUB)
+    k = build_kwargs.get("k", K)
     if reseed_init and "train_frame" not in build_kwargs:
-        build_kwargs["train_frame"] = _reseeded_train_view(
-            vectors, build_kwargs.get("k", K)
-        )
+        build_kwargs["train_frame"] = _reseeded_train_view(vectors, k)
     books, coded, cents = ivf_pq_build_index(vectors, **build_kwargs)
     gen = f"gen-{uuid.uuid4().hex[:12]}"
-    write_ivf_pq_index(books, coded, cents, os.path.join(index_path, gen))
+    new_root = os.path.join(index_path, gen)
+    write_ivf_pq_index(books, coded, cents, new_root)
     # each generation carries the PROFILE of the distribution its
     # quantizers were trained on — the reference the in-stream drift
     # guard judges every arriving batch against (64 rows; one extra
@@ -205,9 +353,17 @@ def refresh_streamed_index(
     from khronus_spark.operators.quantize import embedding_dim_stats
 
     embedding_dim_stats(vectors).write.mode("overwrite").parquet(
-        os.path.join(index_path, gen, "train_stats")
+        os.path.join(new_root, "train_stats")
     )
+    # pre-swap sweep: batches past the snapshot boundary re-encode
+    # under the NEW books before readers can resolve this generation
+    _carry_forward(spark, old_root, new_root, covered, sub, k)
     publish_generation(index_path, gen, grace_seconds)
+    # post-swap sweep: a batch that landed in the old generation
+    # during the retrain (after the pre-swap sweep listed the dirs)
+    # is swept here; one that lands after the swap re-checks itself
+    # into this generation via _process_add
+    _carry_forward(spark, old_root, new_root, covered, sub, k)
     return gen
 
 
@@ -247,13 +403,9 @@ def run_streaming_ivf_pq_add_guarded(
 
         spark = batch.sparkSession
         root = resolve_generation_dir(index_path)
-        books = spark.read.parquet(f"{root}/books")
-        cents = spark.read.parquet(f"{root}/centroids")
         batch = batch.persist()  # two consumers: encode + profile
         try:
-            ivf_pq_encode(batch, books, cents).write.mode(
-                "overwrite"
-            ).parquet(f"{root}/coded_stream/batch={batch_id}")
+            _land_batch(spark, root, batch, batch_id)
             train_stats = spark.read.parquet(f"{root}/train_stats")
             flags = embedding_drift_flags(
                 train_stats, embedding_dim_stats(batch), z_tenths=z_tenths
@@ -272,6 +424,13 @@ def run_streaming_ivf_pq_add_guarded(
             verdict.write.mode("overwrite").parquet(
                 f"{root}/drift_log/batch={batch_id}"
             )
+            # same swap-straddle closure as the plain add path; the
+            # drift verdict stays with the generation it was judged
+            # against — a just-retrained generation starts its drift
+            # history clean by design
+            root_after = resolve_generation_dir(index_path)
+            if root_after != root:
+                _land_batch(spark, root_after, batch, batch_id, dedup=True)
         finally:
             batch.unpersist()
 

@@ -326,6 +326,39 @@ def test_gzip_refused_with_q0_and_error_responses_carry_cors(service):
         assert b"Unsupported grafana expression" in e.read()
 
 
+def test_gzip_alias_accepted_after_refused_token_and_error_content_type(
+    service,
+):
+    """r11 review fixes: 'gzip;q=0, x-gzip' REFUSES the gzip token but
+    accepts the x-gzip alias — the first refused token must not veto
+    the scan (RFC 9110 lists each coding independently); and error
+    responses declare a Content-Type so clients don't content-sniff
+    the plain-text detail."""
+    base = f"http://127.0.0.1:{service.port}"
+    url = f"{base}/khronus/db/influx/series?q=list%20series"
+    req = urllib.request.Request(
+        url, headers={"Accept-Encoding": "gzip;q=0, x-gzip"}
+    )
+    with urllib.request.urlopen(req) as r:
+        assert r.headers.get("Content-Encoding") == "gzip"
+        json.loads(gzip.decompress(r.read()))
+    # every-token-refused still means identity
+    req = urllib.request.Request(
+        url, headers={"Accept-Encoding": "x-gzip;q=0, gzip;q=0"}
+    )
+    with urllib.request.urlopen(req) as r:
+        assert r.headers.get("Content-Encoding") is None
+        json.loads(r.read())
+
+    bad = f"{base}/khronus/db/influx/dashboards/series?q=nonsense"
+    try:
+        urllib.request.urlopen(bad)
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert e.headers.get("Content-Type", "").startswith("text/plain")
+
+
 def test_dashboard_get_name_with_regex_metacharacters(service):
     """r10 review fix: the base64-decoded dashboard NAME is a literal;
     a Grafana title like 'CPU (5m)' must round-trip through get (the

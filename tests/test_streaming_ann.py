@@ -366,3 +366,134 @@ def test_drift_guard_verdicts_per_batch_and_replay(spark, tmp_path):
     stream_guarded([c1, c2], "ckg2")
     after = sorted(tuple(r) for r in read_drift_log(spark, root).collect())
     assert after == before
+
+
+# --------------------------------------------------------------------------
+# round-11: the refresh/ingest visibility race closed — a batch landing
+# after the refresh's `vectors` snapshot is re-encoded into the new
+# generation (carry-forward), and a trigger straddling the swap re-lands
+# itself into the new current generation (writer post-check).
+# --------------------------------------------------------------------------
+
+import pytest
+
+import khronus_spark.streaming.ann as ann_mod
+from khronus_spark.streaming.ann import _process_add
+
+
+def test_reseeded_train_view_empty_corpus_raises(spark):
+    from khronus_spark.streaming.ann import _reseeded_train_view
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="standing corpus"):
+        _reseeded_train_view(empty, 4)
+
+
+def _split_corpus(spark, tmp_path, n=500, cut=400):
+    corpus = anisotropic_corpus(spark, n, dim=64)
+    corpus.where(f"vec_id < {cut}").write.parquet(f"{tmp_path}/cA")
+    corpus.where(f"vec_id >= {cut}").write.parquet(f"{tmp_path}/cB")
+    return (
+        spark.read.parquet(f"{tmp_path}/cA"),
+        spark.read.parquet(f"{tmp_path}/cB"),
+    )
+
+
+def test_refresh_carries_boundary_straddling_batches(spark, tmp_path):
+    """A batch that landed AFTER the refresh's snapshot (covered_batches
+    says the snapshot saw nothing streamed) must be re-encoded under the
+    NEW books into the new generation — not silently vanish with the old
+    generation's prune."""
+    A, B = _split_corpus(spark, tmp_path)
+    root = str(tmp_path / "index")
+    refresh_streamed_index(spark, root, A)
+    gen1 = resolve_generation_dir(root)
+    _stream_chunks(
+        spark, str(tmp_path), [B.select("vec_id", "embedding")], root, "ckc"
+    )
+    assert os.path.isdir(f"{gen1}/coded_stream/batch=0")
+
+    # vectors = A only (the pre-landing snapshot); covered_batches=[]
+    # records that the snapshot covered no streamed batch
+    refresh_streamed_index(spark, root, A, covered_batches=[])
+    gen2 = resolve_generation_dir(root)
+    assert gen2 != gen1
+    assert os.path.isdir(f"{gen2}/coded_stream/batch=0")
+
+    _, coded2, _ = read_streamed_index(spark, root)
+    ids = {r["vec_id"] for r in coded2.select("vec_id").collect()}
+    assert ids == set(range(500))
+    # carried rows are RE-ENCODED under the new generation's books
+    # (old codes are meaningless under new books), not copied through
+    books2 = spark.read.parquet(f"{gen2}/books")
+    cents2 = spark.read.parquet(f"{gen2}/centroids")
+    want = _rows(ivf_pq_encode(B.select("vec_id", "embedding"), books2, cents2))
+    got = _rows(
+        spark.read.parquet(f"{gen2}/coded_stream/batch=0").select(
+            "vec_id", "pq_code", "centroid_id"
+        )
+    )
+    assert got == want
+
+
+def test_refresh_carry_dedups_snapshot_included_batches(spark, tmp_path):
+    """A batch the snapshot DID include (vectors = A∪B) that is also
+    swept by the carry-forward must not double-count: the retrain's
+    coded output already carries its ids, so the carried remainder is
+    empty and no duplicate candidates reach the reader."""
+    A, B = _split_corpus(spark, tmp_path)
+    root = str(tmp_path / "index")
+    refresh_streamed_index(spark, root, A)
+    _stream_chunks(
+        spark, str(tmp_path), [B.select("vec_id", "embedding")], root, "ckc"
+    )
+    allv = A.unionByName(B)
+    refresh_streamed_index(spark, root, allv, covered_batches=[])
+    gen2 = resolve_generation_dir(root)
+    _, coded2, _ = read_streamed_index(spark, root)
+    rows = coded2.select("vec_id").collect()
+    ids = [r["vec_id"] for r in rows]
+    assert sorted(set(ids)) == list(range(500))
+    assert len(ids) == 500  # no duplicates through the dedup'd carry
+
+
+def test_add_post_check_lands_batch_into_swapped_generation(
+    spark, tmp_path, monkeypatch
+):
+    """The writer side of the race: a trigger that resolved the OLD
+    generation, then saw a swap complete mid-trigger, re-lands its
+    batch (dedup'd) into the NEW current generation — so the batch is
+    query-visible no matter which side of the swap its dir landed on."""
+    A, B = _split_corpus(spark, tmp_path)
+    root = str(tmp_path / "index")
+    refresh_streamed_index(spark, root, A)
+    gen1 = resolve_generation_dir(root)
+    refresh_streamed_index(spark, root, A)
+    gen2 = resolve_generation_dir(root)
+    assert gen2 != gen1 and os.path.isdir(gen1)
+
+    real = resolve_generation_dir
+    calls = {"n": 0}
+
+    def stale_once(path):
+        calls["n"] += 1
+        return gen1 if calls["n"] == 1 else real(path)
+
+    monkeypatch.setattr(ann_mod, "resolve_generation_dir", stale_once)
+    _process_add(B.select("vec_id", "embedding"), 9, root)
+
+    assert os.path.isdir(f"{gen1}/coded_stream/batch=9")
+    assert os.path.isdir(f"{gen2}/coded_stream/batch=9")
+    books2 = spark.read.parquet(f"{gen2}/books")
+    cents2 = spark.read.parquet(f"{gen2}/centroids")
+    want = _rows(ivf_pq_encode(B.select("vec_id", "embedding"), books2, cents2))
+    got = _rows(
+        spark.read.parquet(f"{gen2}/coded_stream/batch=9").select(
+            "vec_id", "pq_code", "centroid_id"
+        )
+    )
+    assert got == want
+    # and the reader sees exactly one copy of every vector
+    _, coded2, _ = read_streamed_index(spark, root)
+    ids = [r["vec_id"] for r in coded2.select("vec_id").collect()]
+    assert sorted(set(ids)) == list(range(500)) and len(ids) == 500

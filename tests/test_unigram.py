@@ -53,6 +53,22 @@ def test_unigram_tie_breaks_to_fewer_pieces(spark):
     assert (row.n_unigram_tokens, row.total_score) == (1, -2)
 
 
+def test_unigram_max_piece_len_one_analyzes(spark):
+    """r11 review fix: max_piece_len=1 used to hand greatest() a single
+    candidate struct and fail analysis (greatest requires >= 2 args);
+    the trailing typed-NULL candidate keeps the plan well-formed.
+    Char-vocab scoring: a=3,b=1; F=4 -> C=3; 'ab' = (2-3)+(1-3) = -3."""
+    uv = spark.createDataFrame(
+        [("a", 3), ("b", 1)], "piece string, freq long"
+    )
+    row = unigram_encode(
+        _docs(spark, [(1, "ab")]), vocab=uv, max_piece_len=1
+    ).first()
+    assert (row.n_unigram_tokens, row.n_unk_words, row.total_score) == (
+        2, 0, -3,
+    )
+
+
 def test_unigram_unk_and_overlong(spark):
     uv = spark.createDataFrame([("a", 3)], "piece string, freq long")
     # F=3 -> C=2; 'aa' segments (2 pieces, (2-2)*2=0); 'ax' has no
