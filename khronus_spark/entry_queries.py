@@ -6258,3 +6258,24 @@ def events_hw_residual_anomaly(spark, sf_dir):
 
 
 PENDING_NEXT_WINDOW.append("events_hw_residual_anomaly")
+
+
+@register(
+    "ann_pq_dim16_topk",
+    pq_ops.pq_topk_sql(list(range(5)), 3, sub=4, k=8, iters=1, dims=16),
+)
+def ann_pq_dim16_topk(spark, sf_dir):
+    """ADC top-k at a NON-DEFAULT geometry — the driver proof of the
+    r10 verdict's dims parameterization (operators/pq.py::_subdim: the
+    subvector slicing was hard-wired to DIMS=64, an embedding-width
+    assumption surfaced by the round-10 dim-16 drift exploration): the
+    Spark side runs over the first-16-dims slice of the embeddings
+    table at dims=16/sub=4 (4-wide subquantizers), and the oracle's
+    slice/range bounds derive from the same parameter — a value
+    mismatch anywhere in the train/encode/LUT chain would move codes
+    and flip the hash. Same sub=4/k=8/iters=1 pins as the 64-dim
+    entries keep the unrolled CTE oracle tractable."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("slice(embedding, 1, 16)").alias("embedding")
+    )
+    return pq_ops.pq_topk(emb, list(range(5)), 3, sub=4, k=8, iters=1, dims=16)

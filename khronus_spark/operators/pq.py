@@ -41,6 +41,22 @@ SUB = 8
 K = 16
 ITERS = 2
 
+
+def _subdim(dims: int, sub: int) -> int:
+    """Validated subspace width. The geometry is caller-chosen (r10
+    verdict: DIMS=64 was hard-wired — an embedding-width assumption a
+    first-class 100 TB ANN operator must not make); indivisible
+    combinations fail at BUILD time with the actual numbers, not at
+    query time with a slice of the wrong width."""
+    if dims <= 0 or sub <= 0 or dims % sub:
+        raise ValueError(
+            f"PQ geometry invalid: dims={dims} must be a positive "
+            f"multiple of sub={sub} (each of the {sub} subquantizers "
+            "codes an equal contiguous slice)"
+        )
+    return dims // sub
+
+
 _QUANT_COL = "transform({c}, x -> floor((CAST(x AS DOUBLE) + 1.0D) * 1000000.0D))"
 _QUANT = _QUANT_COL.format(c="embedding")
 
@@ -68,11 +84,12 @@ def _pq_state(
     k: int,
     iters: int,
     mode: str | None,
+    dims: int = DIMS,
 ) -> list[tuple[DataFrame, DataFrame]]:
     """Per subspace: (quantized subvectors, trained centroids). Each
     subspace trains ONCE; codebooks, codes, and search all derive from
     this state."""
-    subdim = DIMS // sub
+    subdim = _subdim(dims, sub)
     kw = {} if mode is None else {"mode": mode}
     return [
         _kmeans_state(_sub_frame(embeddings, s, subdim), k, iters, **kw)
@@ -106,11 +123,12 @@ def pq_codebooks(
     k: int = K,
     iters: int = ITERS,
     mode: str | None = None,
+    dims: int = DIMS,
 ) -> DataFrame:
     """(s, cid, c: array<long>[subdim]) — one trained integer codebook
     per subspace (init: centroids = the subvectors of vec_id 0..k-1,
     the same deterministic rule as the full-space k-means)."""
-    return _books_from_state(_pq_state(embeddings, sub, k, iters, mode))
+    return _books_from_state(_pq_state(embeddings, sub, k, iters, mode, dims))
 
 
 def pq_codes(
@@ -119,11 +137,14 @@ def pq_codes(
     k: int = K,
     iters: int = ITERS,
     mode: str | None = None,
+    dims: int = DIMS,
 ) -> DataFrame:
     """(vec_id, pq_code) — the packed PQ index: code = Σ_s cid_s · k^s.
     `sub` assignment passes (each ≤N-row or zero shuffle, per the
     clustering module) combined by one map-side-combinable sum."""
-    return _codes_from_state(_pq_state(embeddings, sub, k, iters, mode), k, mode)
+    return _codes_from_state(
+        _pq_state(embeddings, sub, k, iters, mode, dims), k, mode
+    )
 
 
 def pq_encode(
@@ -132,6 +153,7 @@ def pq_encode(
     sub: int = SUB,
     k: int = K,
     mode: str | None = None,
+    dims: int = DIMS,
 ) -> DataFrame:
     """(vec_id, pq_code) — encode vectors against PROVIDED codebooks
     (s, cid, c): the apply half of the build/query split. Each subspace
@@ -139,7 +161,7 @@ def pq_encode(
     by one map-side-combinable sum. Used both by `pq_build_index` (full
     encode after sample training) and to encode NEW vectors into an
     existing index without retraining."""
-    subdim = DIMS // sub
+    subdim = _subdim(dims, sub)
     kw = {} if mode is None else {"mode": mode}
     out = None
     for s in range(sub):
@@ -160,6 +182,7 @@ def pq_encode_fused(
     books: DataFrame,
     sub: int = SUB,
     k: int = K,
+    dims: int = DIMS,
 ) -> DataFrame:
     """Map-only PQ encode: all `sub` subspace argmins score in ONE
     Arrow pass against the collected codebooks (sub·k short rows ship
@@ -177,7 +200,7 @@ def pq_encode_fused(
     import numpy as np
     import pandas as pd
 
-    subdim = DIMS // sub
+    subdim = _subdim(dims, sub)
     rows = books.orderBy("s", "cid").collect()
     by_s: dict[int, list] = {}
     for r in rows:
@@ -227,6 +250,7 @@ def pq_build_index(
     iters: int = ITERS,
     mode: str | None = None,
     train_sample_mod: int | None = None,
+    dims: int = DIMS,
 ) -> tuple[DataFrame, DataFrame]:
     """Build the PQ index ONCE — (codebooks, codes) — so queries never
     train: the round-4 verdict's index/query split (an index rebuilt
@@ -245,8 +269,8 @@ def pq_build_index(
         if train_sample_mod is None
         else embeddings.where(F.col("vec_id") % train_sample_mod == 0)
     )
-    books = _books_from_state(_pq_state(train, sub, k, iters, mode))
-    codes = pq_encode(embeddings, books, sub, k, mode)
+    books = _books_from_state(_pq_state(train, sub, k, iters, mode, dims))
+    codes = pq_encode(embeddings, books, sub, k, mode, dims)
     return books, codes
 
 
@@ -264,7 +288,9 @@ def read_pq_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
     )
 
 
-def _adc_luts(pvec: DataFrame, books: DataFrame, sub: int, k: int) -> DataFrame:
+def _adc_luts(
+    pvec: DataFrame, books: DataFrame, sub: int, k: int, dims: int = DIMS
+) -> DataFrame:
     """(probe_id, lut: map<int, long>) — the ADC lookup table keyed by
     s·k + cid. A MAP (not a positional array) because the trained
     codebook's cids need not be dense: a cluster emptied by a mean
@@ -273,7 +299,7 @@ def _adc_luts(pvec: DataFrame, books: DataFrame, sub: int, k: int) -> DataFrame:
     cid above the gap. Codes only ever contain surviving cids, so every
     lookup key is present. `pvec` is (probe_id, pe) with the quantized
     full vector."""
-    subdim = DIMS // sub
+    subdim = _subdim(dims, sub)
     pd2 = _D2.format(a=f"slice(pe, s * {subdim} + 1, {subdim})", b="c")
     per_cent = pvec.crossJoin(F.broadcast(books)).select(
         "probe_id",
@@ -305,19 +331,22 @@ def pq_topk(
     k: int = K,
     iters: int = ITERS,
     mode: str | None = None,
+    dims: int = DIMS,
 ) -> DataFrame:
     """(probe_id, neighbor_id, d2_adc) — ADC search over the packed
     codes: per probe a sub×k LUT of exact int64 subspace distances to
     every centroid (built in-engine from the broadcast codebooks), then
     every corpus code scores with `sub` lookups. Ties break to the
     smaller neighbor id; probes are excluded from their own results."""
-    state = _pq_state(embeddings, sub, k, iters, mode)
+    state = _pq_state(embeddings, sub, k, iters, mode, dims)
     books = _books_from_state(state)
     codes = _codes_from_state(state, k, mode)
     pvec = embeddings.where(F.col("vec_id").isin(probe_ids)).select(
         F.col("vec_id").alias("probe_id"), F.expr(_QUANT).alias("pe")
     )
-    return _adc_scan_topk(codes, _adc_luts(pvec, books, sub, k), n_neighbors, sub, k)
+    return _adc_scan_topk(
+        codes, _adc_luts(pvec, books, sub, k, dims), n_neighbors, sub, k
+    )
 
 
 def _adc_scan_topk(
@@ -346,6 +375,7 @@ def pq_topk_indexed(
     n_neighbors: int = 3,
     sub: int = SUB,
     k: int = K,
+    dims: int = DIMS,
 ) -> DataFrame:
     """ADC search over a PREBUILT index — the query half of the
     build/query split: `books`/`codes` come from `pq_build_index`
@@ -358,7 +388,9 @@ def pq_topk_indexed(
     pvec = probe_vecs.select(
         "probe_id", F.expr(_QUANT_COL.format(c="embedding")).alias("pe")
     )
-    return _adc_scan_topk(codes, _adc_luts(pvec, books, sub, k), n_neighbors, sub, k)
+    return _adc_scan_topk(
+        codes, _adc_luts(pvec, books, sub, k, dims), n_neighbors, sub, k
+    )
 
 
 # ---------------------------------------------------------------- oracles
@@ -405,8 +437,10 @@ p{s}_c{it + 1} AS (SELECT cid, list(m ORDER BY i) AS c FROM p{s}_m{it} GROUP BY 
     return "\n".join(parts)
 
 
-def pq_codes_sql(sub: int = SUB, k: int = K, iters: int = ITERS) -> str:
-    subdim = DIMS // sub
+def pq_codes_sql(
+    sub: int = SUB, k: int = K, iters: int = ITERS, dims: int = DIMS
+) -> str:
+    subdim = _subdim(dims, sub)
     chains = ",\n".join(_sub_ctes(s, subdim, k, iters) for s in range(sub))
     terms = " + ".join(f"p{s}_final.cid * {k ** s}" for s in range(sub))
     joins = "\n".join(
@@ -428,6 +462,7 @@ def _adc_score_ctes(
     iters: int,
     probe_pred: str | None = None,
     neighbor_pred: str | None = None,
+    dims: int = DIMS,
 ) -> str:
     """Shared oracle text: the per-subspace training chains plus
     `parts` and `score` CTEs — (probe_id, neighbor_id, d2_adc) for
@@ -437,7 +472,7 @@ def _adc_score_ctes(
     entries' modulo carve); `neighbor_pred` restricts the scanned code
     set (e.g. corpus-only for query/corpus splits) — training always
     sees every vector, matching `pq_build_index` on the full table."""
-    subdim = DIMS // sub
+    subdim = _subdim(dims, sub)
     if probe_pred is None:
         ids = ", ".join(str(i) for i in probe_ids)
         probe_pred = f"pr.vec_id IN ({ids})"
@@ -473,12 +508,13 @@ def pq_topk_sql(
     sub: int = SUB,
     k: int = K,
     iters: int = ITERS,
+    dims: int = DIMS,
 ) -> str:
     """ADC restated relationally: per subspace, the distance from each
     probe's subvector to every NEIGHBOR's assigned centroid, summed
     over subspaces — term-for-term the LUT computation."""
     return f"""
-WITH {_adc_score_ctes(probe_ids, sub, k, iters)}
+WITH {_adc_score_ctes(probe_ids, sub, k, iters, dims=dims)}
 SELECT probe_id, neighbor_id, d2_adc
 FROM score
 QUALIFY row_number() OVER (
@@ -493,15 +529,16 @@ def pq_rerank_topk_sql(
     sub: int = SUB,
     k: int = K,
     iters: int = ITERS,
+    dims: int = DIMS,
 ) -> str:
     """Two-stage oracle: ADC candidate cut (same score CTEs) followed by
     the exact full-space integer-L2 rerank on the survivors."""
     d2 = (
-        f"list_sum(list_transform(range(1, {DIMS + 1}), "
+        f"list_sum(list_transform(range(1, {dims + 1}), "
         "i -> (pq.e[i] - nq.e[i]) * (pq.e[i] - nq.e[i])))"
     )
     return f"""
-WITH {_adc_score_ctes(probe_ids, sub, k, iters)},
+WITH {_adc_score_ctes(probe_ids, sub, k, iters, dims=dims)},
 cand AS (
   SELECT probe_id, neighbor_id
   FROM score
@@ -532,6 +569,7 @@ def ivf_pq_topk(
     k: int = K,
     iters: int = ITERS,
     mode: str | None = None,
+    dims: int = DIMS,
 ) -> DataFrame:
     """IVF-PQ — the canonical billion-scale index (FAISS's IVFPQ, minus
     the optional residual encoding): the IVF coarse quantizer restricts
@@ -548,14 +586,14 @@ def ivf_pq_topk(
     only."""
     from khronus_spark.operators.similarity import ivf_assignments, ivf_probe_lists
 
-    state = _pq_state(embeddings, sub, k, iters, mode)
+    state = _pq_state(embeddings, sub, k, iters, mode, dims)
     books = _books_from_state(state)
     codes = _codes_from_state(state, k, mode)
     probe_lists = ivf_probe_lists(embeddings, probe_ids, nprobe, stride)
     pvec = probe_lists.select("probe_id", "probe_vec").distinct().select(
         "probe_id", F.expr(_QUANT_COL.format(c="probe_vec")).alias("pe")
     )
-    luts = _adc_luts(pvec, books, sub, k)
+    luts = _adc_luts(pvec, books, sub, k, dims)
     assign = ivf_assignments(embeddings, stride)
     cand = (
         codes.join(assign, "vec_id")
@@ -588,18 +626,23 @@ def ivf_pq_topk_sql(
     sub: int = SUB,
     k: int = K,
     iters: int = ITERS,
+    dims: int = DIMS,
 ) -> str:
     """Oracle: IVF candidate restriction (same cosine coarse quantizer
-    as the similarity module) + the relational ADC restatement."""
-    subdim = DIMS // sub
+    as the similarity module) + the relational ADC restatement. At
+    dims < the table's embedding width the FIRST `dims` entries are
+    the operand everywhere (slice bounds in the training chains, range
+    bounds in the cosine and the rerank), matching a Spark side whose
+    caller passed a dims-wide sliced view."""
+    subdim = _subdim(dims, sub)
     ids = ", ".join(str(i) for i in probe_ids)
     chains = ",\n".join(_sub_ctes(s, subdim, k, iters) for s in range(sub))
     dot = (
-        "list_sum(list_transform(range(1, 65), "
+        f"list_sum(list_transform(range(1, {dims + 1}), "
         "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
     )
     norm = (
-        "sqrt(list_sum(list_transform(range(1, 65), "
+        f"sqrt(list_sum(list_transform(range(1, {dims + 1}), "
         "i -> CAST({v}[i] AS DOUBLE) * CAST({v}[i] AS DOUBLE))))"
     )
     cos_ec = (
@@ -679,6 +722,7 @@ def ivf_pq_rerank_topk_sql(
     sub: int = SUB,
     k: int = K,
     iters: int = ITERS,
+    dims: int = DIMS,
 ) -> str:
     """Oracle for the indexed IVF-PQ + exact-rerank composition: the
     full `ivf_pq_topk_sql` restatement (coarse routing + relational
@@ -686,10 +730,10 @@ def ivf_pq_rerank_topk_sql(
     exact full-space integer L2 — the same two-stage shape as
     `pq_rerank_topk_sql` with the IVF restriction in front."""
     inner = ivf_pq_topk_sql(
-        probe_ids, n_candidates, stride, nprobe, sub, k, iters
+        probe_ids, n_candidates, stride, nprobe, sub, k, iters, dims
     )
     d2 = (
-        f"list_sum(list_transform(range(1, {DIMS + 1}), "
+        f"list_sum(list_transform(range(1, {dims + 1}), "
         "i -> (pq.e[i] - nq.e[i]) * (pq.e[i] - nq.e[i])))"
     )
     return f"""
@@ -719,6 +763,7 @@ def pq_rerank_topk(
     k: int = K,
     iters: int = ITERS,
     mode: str | None = None,
+    dims: int = DIMS,
 ) -> DataFrame:
     """Two-stage PQ retrieval: ADC over the packed codes keeps the
     `n_candidates` best per probe, then ONLY those candidates fetch
@@ -733,7 +778,9 @@ def pq_rerank_topk(
     random high-dim data) but the exact rerank recovers every exact
     neighbor whose candidate survives — 0.70 at C=30 — and planted
     near-duplicates (identical codes) are recalled at 1.0."""
-    cands = pq_topk(embeddings, probe_ids, n_candidates, sub, k, iters, mode)
+    cands = pq_topk(
+        embeddings, probe_ids, n_candidates, sub, k, iters, mode, dims
+    )
     vecs = embeddings.select("vec_id", F.expr(_QUANT).alias("e"))
     pv = vecs.where(F.col("vec_id").isin(probe_ids)).select(
         F.col("vec_id").alias("probe_id"), F.col("e").alias("pe")
@@ -764,6 +811,7 @@ def ivf_pq_rerank_topk(
     k: int = K,
     iters: int = ITERS,
     mode: str | None = None,
+    dims: int = DIMS,
 ) -> DataFrame:
     """The full production composition — IVF inverted lists → ADC over
     packed codes → exact rerank of the ADC survivors: each probe scans
@@ -775,7 +823,16 @@ def ivf_pq_rerank_topk(
     with its candidate stage restricted to the probed lists — the IVF
     and rerank stages only restrict candidates, never change scores."""
     cands = ivf_pq_topk(
-        embeddings, probe_ids, n_candidates, stride, nprobe, sub, k, iters, mode
+        embeddings,
+        probe_ids,
+        n_candidates,
+        stride,
+        nprobe,
+        sub,
+        k,
+        iters,
+        mode,
+        dims,
     )
     vecs = embeddings.select("vec_id", F.expr(_QUANT).alias("e"))
     pv = vecs.where(F.col("vec_id").isin(probe_ids)).select(
@@ -808,6 +865,7 @@ def ivf_pq_build_index(
     mode: str | None = None,
     train_sample_mod: int | None = None,
     train_frame: DataFrame | None = None,
+    dims: int = DIMS,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Build the IVF-PQ index ONCE — (books, coded inverted lists,
     centroids) — the round-5 verdict's remaining inline-training
@@ -834,8 +892,8 @@ def ivf_pq_build_index(
     train = embeddings if train_frame is None else train_frame
     if train_sample_mod is not None:
         train = train.where(F.col("vec_id") % train_sample_mod == 0)
-    books = _books_from_state(_pq_state(train, sub, k, iters, mode))
-    codes = pq_encode(embeddings, books, sub, k, mode)
+    books = _books_from_state(_pq_state(train, sub, k, iters, mode, dims))
+    codes = pq_encode(embeddings, books, sub, k, mode, dims)
     coded = codes.join(ivf_assignments(embeddings, stride), "vec_id")
     centroids = embeddings.where(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
@@ -876,6 +934,7 @@ def ivf_pq_topk_indexed(
     nprobe: int = 2,
     sub: int = SUB,
     k: int = K,
+    dims: int = DIMS,
 ) -> DataFrame:
     """Query half of the IVF-PQ split: probes route to their `nprobe`
     nearest lists via the BROADCAST prebuilt centroid table (identical
@@ -905,7 +964,7 @@ def ivf_pq_topk_indexed(
     pvec = probe_vecs.select(
         "probe_id", F.expr(_QUANT_COL.format(c="embedding")).alias("pe")
     )
-    luts = _adc_luts(pvec, books, sub, k)
+    luts = _adc_luts(pvec, books, sub, k, dims)
     cand = (
         coded.select(
             F.col("vec_id").alias("neighbor_id"), "pq_code", "centroid_id"
@@ -937,6 +996,7 @@ def pq_rerank_topk_indexed(
     n_candidates: int = 30,
     sub: int = SUB,
     k: int = K,
+    dims: int = DIMS,
 ) -> DataFrame:
     """Query half of the two-stage PQ retrieval split: ADC over the
     PREBUILT `books`/`codes` keeps `n_candidates` per probe (no
@@ -946,7 +1006,9 @@ def pq_rerank_topk_indexed(
     contract) for the exact integer-L2 rerank. Results identical to
     `pq_rerank_topk` when the index trained on the full corpus
     (test-pinned, same oracle)."""
-    cands = pq_topk_indexed(books, codes, probe_vecs, n_candidates, sub, k)
+    cands = pq_topk_indexed(
+        books, codes, probe_vecs, n_candidates, sub, k, dims
+    )
     return _rerank_exact(cands, probe_vecs, vectors, n_neighbors)
 
 
@@ -989,6 +1051,7 @@ def ivf_pq_rerank_topk_indexed(
     nprobe: int = 2,
     sub: int = SUB,
     k: int = K,
+    dims: int = DIMS,
 ) -> DataFrame:
     """The INDEXED full production composition, previously missing
     (the unindexed `ivf_pq_rerank_topk` retrains inside the query; the
@@ -1002,7 +1065,7 @@ def ivf_pq_rerank_topk_indexed(
     exact rerank means recall is the SHORTLIST's recall, uncontaminated
     by ADC ranking noise."""
     cands = ivf_pq_topk_indexed(
-        books, coded, centroids, probe_vecs, n_candidates, nprobe, sub, k
+        books, coded, centroids, probe_vecs, n_candidates, nprobe, sub, k, dims
     )
     return _rerank_exact(cands, probe_vecs, vectors, n_neighbors)
 
@@ -1014,6 +1077,7 @@ def ivf_pq_encode(
     sub: int = SUB,
     k: int = K,
     mode: str | None = None,
+    dims: int = DIMS,
 ) -> DataFrame:
     """Incremental add for the IVF-PQ index (FAISS `index.add()`):
     encode NEW vectors against the FIXED codebooks and route them to
@@ -1027,7 +1091,7 @@ def ivf_pq_encode(
     broadcast-probe map scans — the 100 TB ingest shape."""
     from khronus_spark.operators.similarity import cosine_col
 
-    codes = pq_encode(new_vectors, books, sub, k, mode)
+    codes = pq_encode(new_vectors, books, sub, k, mode, dims)
     pairs = new_vectors.crossJoin(F.broadcast(centroids))
     sim = cosine_col(F.col("embedding"), F.col("cvec"))
     assign = (

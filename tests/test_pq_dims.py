@@ -1,0 +1,140 @@
+"""PQ geometry parameterization (r10 verdict directive 3): the
+subvector slicing was hard-wired to DIMS=64 — surfaced by the round-10
+drift exploration's dim-16 corpus. Every build/encode/query face must
+run at dims 16 AND 64, indivisible combinations must fail loudly at
+build time, and the dim-16 oracle restatement must agree value-for-
+value with the Spark side (the same DuckDB parity discipline as the
+64-dim registry entries)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from khronus_spark.operators import pq as pq_ops
+from khronus_spark.operators.similarity import anisotropic_corpus
+
+
+@pytest.fixture(scope="module")
+def emb16(spark, tmp_path_factory):
+    """The drift exploration's corpus shape at dim=16, materialized
+    through parquet so self-joins don't share generator lineage."""
+    path = str(tmp_path_factory.mktemp("pq16") / "emb16")
+    anisotropic_corpus(spark, 300, dim=16).write.parquet(path)
+    return spark.read.parquet(path)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_invalid_geometry_fails_at_build_time(emb16):
+    with pytest.raises(ValueError, match="dims=16 .*sub=5"):
+        pq_ops.pq_codes(emb16, sub=5, k=8, iters=1, dims=16)
+    with pytest.raises(ValueError, match="positive multiple"):
+        pq_ops.pq_codes_sql(sub=7, k=8, iters=1, dims=16)
+    with pytest.raises(ValueError, match="positive multiple"):
+        pq_ops.ivf_pq_build_index(emb16, sub=3, k=8, iters=1, dims=16)
+
+
+def test_ivf_pq_build_encode_query_dim16(spark, emb16, tmp_path):
+    """The full indexed arc at dims=16/sub=4: build == inline (the
+    split must not change a value), incremental encode == rebuild over
+    the union, and the rerank face agrees with its inline twin."""
+    base = emb16.where("vec_id < 250")
+    kw = dict(sub=4, k=8, iters=1, dims=16)
+
+    books, coded, cents = pq_ops.ivf_pq_build_index(base, stride=50, **kw)
+    path = str(tmp_path / "idx16")
+    pq_ops.write_ivf_pq_index(books, coded, cents, path)
+    books, coded, cents = pq_ops.read_ivf_pq_index(spark, path)
+
+    # incremental add: copies of build-time vectors under fresh ids
+    # must carry the SAME (pq_code, centroid_id) as their originals
+    # (the test_projection 64-dim pin, at dims=16)
+    newcomers = base.where("vec_id < 6").select(
+        (F.col("vec_id") + 9000).alias("vec_id"), "embedding"
+    )
+    built = {r.vec_id: (r.pq_code, r.centroid_id) for r in coded.collect()}
+    added = {
+        r.vec_id: (r.pq_code, r.centroid_id)
+        for r in pq_ops.ivf_pq_encode(
+            newcomers, books, cents, sub=4, k=8, dims=16
+        ).collect()
+    }
+    for v in range(6):
+        assert added[9000 + v] == built[v], v
+
+    # indexed query == inline query (index trained on the full corpus)
+    books_f, coded_f, cents_f = pq_ops.ivf_pq_build_index(
+        emb16, stride=50, **kw
+    )
+    probes = [3, 77, 141]
+    pv = emb16.where(F.col("vec_id").isin(probes)).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    got = pq_ops.ivf_pq_topk_indexed(
+        books_f, coded_f, cents_f, pv, 3, nprobe=2, sub=4, k=8, dims=16
+    )
+    want = pq_ops.ivf_pq_topk(
+        emb16, probes, 3, stride=50, nprobe=2, sub=4, k=8, iters=1, dims=16
+    )
+    assert _rows(got) == _rows(want) and got.count() > 0
+
+    # and the full production composition (rerank) agrees too
+    got_rr = pq_ops.ivf_pq_rerank_topk_indexed(
+        books_f, coded_f, cents_f, pv, emb16, 3, 10, nprobe=2,
+        sub=4, k=8, dims=16,
+    )
+    want_rr = pq_ops.ivf_pq_rerank_topk(
+        emb16, probes, 3, 10, stride=50, nprobe=2, sub=4, k=8, iters=1,
+        dims=16,
+    )
+    assert _rows(got_rr) == _rows(want_rr) and got_rr.count() > 0
+
+
+def test_pq_encode_fused_matches_pq_encode_dim16(spark, emb16):
+    books = pq_ops.pq_codebooks(emb16, sub=4, k=8, iters=1, dims=16)
+    a = pq_ops.pq_encode(emb16, books, sub=4, k=8, dims=16)
+    b = pq_ops.pq_encode_fused(emb16, books, sub=4, k=8, dims=16)
+    assert _rows(a) == _rows(b)
+
+
+def test_dim16_oracle_parity_codes_and_topk(spark, emb16, tmp_path):
+    """DuckDB parity at dims=16 — the same gate the 64-dim registry
+    entries pass: codes and ADC top-k value-identical across engines."""
+    pdf = emb16.toPandas()
+    con = duckdb.connect()
+    con.register("embeddings", pdf)
+
+    got = _rows(pq_ops.pq_codes(emb16, sub=4, k=8, iters=1, dims=16))
+    want = sorted(
+        map(tuple, con.execute(
+            pq_ops.pq_codes_sql(sub=4, k=8, iters=1, dims=16)
+        ).fetchall())
+    )
+    assert got == want and len(got) == 300
+
+    probes = [0, 9, 42]
+    got_tk = _rows(
+        pq_ops.pq_topk(emb16, probes, 3, sub=4, k=8, iters=1, dims=16)
+    )
+    want_tk = sorted(
+        map(tuple, con.execute(
+            pq_ops.pq_topk_sql(probes, 3, sub=4, k=8, iters=1, dims=16)
+        ).fetchall())
+    )
+    assert got_tk == want_tk and len(got_tk) == 9
+
+
+def test_dim64_defaults_untouched(spark, sf_dir):
+    """The parameterization must not move a single default-geometry
+    value: pq_codes with and without an explicit dims=64 are
+    row-identical on the real embeddings table."""
+    from khronus_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").where("vec_id < 120")
+    a = _rows(pq_ops.pq_codes(emb, sub=4, k=8, iters=1))
+    b = _rows(pq_ops.pq_codes(emb, sub=4, k=8, iters=1, dims=64))
+    assert a == b
