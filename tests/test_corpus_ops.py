@@ -1269,3 +1269,19 @@ def test_leakage_safe_kfold_component_purity(spark, oracle_sf_dir):
     }
     pairs = {(buckets[r["doc_id"]], r["fold"]) for r in out}
     assert len(pairs) > 5 * 2  # many (bucket % k, fold) combinations
+
+
+def test_dedup_exact_docs_entry_is_not_vacuous(spark, oracle_sf_dir):
+    """r10 verdict What's-wrong #2: the dedup_exact_docs driver row was
+    0 == 0 in every round (the testdata has no byte-identical texts) —
+    the hash proved only that both engines return the empty set. The
+    re-pointed entry plants the five lowest doc_ids under ids +10^9;
+    the result must be exactly those five groups, each keeping the
+    ORIGINAL id — so the driver hash now proves grouping, counting,
+    and survivor choice."""
+    from khronus_spark.entry_queries import queries
+
+    rows = queries()["dedup_exact_docs"](spark, oracle_sf_dir).collect()
+    assert len(rows) == 5
+    assert all(r.n_docs == 2 for r in rows)
+    assert sorted(r.keep_doc_id for r in rows) == [0, 1, 2, 3, 4]
