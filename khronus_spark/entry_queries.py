@@ -122,28 +122,37 @@ def register(name: str, oracle: str | None):
 #: operator inside the window; everything else keeps registration order
 #: in the tail (still exercised by tests/test_oracle_parity.py locally).
 #:
-#: Round-10 rotation policy (same invariant as rounds 2-9): the window
-#: leads with (a) the drained round-9 queue — `events_user_skew_profile`,
-#: `events_alert_transitions`, `leakage_safe_kfold`, registered after
-#: the r9 window froze, never driver-checked — then (b) the FULL
-#: 16-entry r5 tail (`dedup_exact_docs` … `dedup_graph_pagerank`),
-#: retiring the LAST cohort of rotation debt: with this window green,
-#: every one of the registry's entries is driver-green within the
-#: trailing rounds or rows-only-by-design. The 4 `connected_components`
-#: consumers the round-9 ledger promised for r10
-#: (`dedup_components_minhash`, `corpus_curation`,
-#: `source_overlap_matrix`, `leakage_safe_split`) are INSIDE that
-#: 16-entry tail — the round-9 verdict's 3+16+4 arithmetic
-#: double-counts them. Then (c) every entry whose ENGINE PATH changed
-#: this round after its newest green row: `part_golden_records` (the
-#: assignment broadcast is now count-gated — plan identical at gate
-#: scale, the driver hash removes all doubt), plus any entry NEW in
-#: round 10. Then (d) the longest-unchecked fills: the oldest r6-only
-#: entries in registration order. Rows-only entries (xxhash64
-#: signatures, the stateful streaming face) stay out — the window
-#: accepts only hash-checkable entries, and their md5/stream==batch
-#: twins are covered. Everything else is still locally oracle-checked
-#: every run by tests/test_oracle_parity.py.
+#: Round-11 rotation policy (same invariant as rounds 2-10): the window
+#: leads with (a) the drained round-10 queue — the six entries
+#: registered after the r10 window froze, never driver-checked, all
+#: oracle-backed and hash-green locally: `ann_ivfpq_rerank_topk_indexed`
+#: (the full production ANN composition), `embedding_drift_flags`,
+#: `events_holt_winters_24h`, `wordpiece_encode_docs`,
+#: `unigram_encode_docs`, `events_hw_residual_anomaly`. Then (b) every
+#: entry whose ENGINE PATH or entry body changed this round after its
+#: newest green row: `dedup_exact_docs` (de-vacuated — the entry view
+#: now plants duplicates so the hash proves grouping, not emptiness;
+#: r10 What's-wrong #2), `events_seasonal_anomaly` (the cleared
+#: z-inequality and its profile sums now evaluate in DECIMAL(38,0) —
+#: identical values at gate scale, the driver hash removes all doubt),
+#: plus the NINE oracle-backed consumers of operators/pq.py, whose
+#: geometry was parameterized this round (dims threaded through every
+#: build/encode/query/SQL face — default-identical, re-proven on the
+#: r10 `part_golden_records` precedent): `pq_codes`, `ann_pq_topk`,
+#: `ann_pq_topk_indexed`, `ann_ivfpq_topk`, `ann_pq_rerank_topk`,
+#: `ann_ivfpq_topk_indexed`, `ann_pq_rerank_topk_indexed`,
+#: `hybrid_rrf_topk_indexed`, `ann_recall_at_k`. Then (c) the entry
+#: NEW in round 11: `ann_pq_dim16_topk` (the driver proof of the dims
+#: parameterization at a non-default geometry). Then (d) the
+#: longest-unchecked fills: the FULL 16-entry cohort whose newest
+#: green row is round 6 (`mixture_realization_audit` …
+#: `part_edit_graph_clustering`) and the 16 oldest round-7 rows in
+#: registration order (`influx_store_percentiles_1h` …
+#: `events_anomaly_zscore`). 6 + 11 + 1 + 16 + 16 = 50. Rows-only
+#: entries (xxhash64 signatures, the stateful streaming face) stay
+#: out — the window accepts only hash-checkable entries, and their
+#: md5/stream==batch twins are covered. Everything else is still
+#: locally oracle-checked every run by tests/test_oracle_parity.py.
 #: tests/test_oracle_parity.py::test_window_rotation_covers_unproven
 #: enforces the invariant "green before, in the window, or queued".
 DRIVER_WINDOW = 50
@@ -154,69 +163,70 @@ DRIVER_WINDOW = 50
 #: this explicit queue, each queued entry to be fully oracle-backed
 #: (hash-checked against DuckDB on every local parity run), and the
 #: NEXT round's window to lead with them (emptying the queue) before
-#: anything else rotates. Round 10 drained the round-9 queue (its three
-#: entries lead _PRIORITY below); entries added after the round-10
-#: window froze queue here for round 11.
+#: anything else rotates. Round 11 drained the round-10 queue (its six
+#: entries lead _PRIORITY below); entries added after the round-11
+#: window froze queue here for round 12.
 PENDING_NEXT_WINDOW: list[str] = []
 
 _PRIORITY = [
-    # -- the drained round-9 queue: first driver proof THIS round -------
-    "events_user_skew_profile",
-    "events_alert_transitions",
-    "leakage_safe_kfold",
-    # -- the FULL 16-entry r5 tail: retires the last rotation debt;
-    #    includes the 4 connected_components consumers promised for r10
+    # -- the drained round-10 queue: first driver proof THIS round ------
+    "ann_ivfpq_rerank_topk_indexed",
+    "embedding_drift_flags",
+    "events_holt_winters_24h",
+    "wordpiece_encode_docs",
+    "unigram_encode_docs",
+    "events_hw_residual_anomaly",
+    # -- entries whose entry body changed this round --------------------
     "dedup_exact_docs",
-    "doc_fingerprint",
-    "minhash_md5_pairs",
-    "simhash_md5",
-    "token_stats",
-    "doc_content_sample_25",
-    "doc_rolling_fingerprint",
-    "quality_score",
-    "lang_id",
-    "dedup_components_minhash",
-    "corpus_curation",
-    "source_overlap_matrix",
-    "leakage_safe_split",
-    "minhash_calibration",
-    "dedup_cluster_sizes",
-    "dedup_graph_pagerank",
-    # -- engine paths touched this round after their newest green row --
-    "part_golden_records",
-    # -- longest-unchecked fills: the 30 oldest r6-only entries in
-    #    registration order (new round-10 entries displace from the
-    #    BOTTOM of this section as they register) ----------------------
-    "influx_fill_linear_error_1h",
-    "influx_delta_click_1h",
-    "doc_top_terms_tfidf",
-    "training_batch_assembly",
-    "approx_distinct_users_hll",
-    "events_distinct_users_salted",
-    "reservoir_sample_per_lang",
-    "ann_cosine_topk",
-    "events_sessions_30m",
-    "metric_catalog",
-    "summary_retention_5m",
-    "corpus_vocabulary",
-    "pii_source_profile",
-    "domain_mixture_sqrt",
-    "pack_sequences_512",
-    "decontamination_scan",
-    "events_asof_signup",
-    "streaming_dedup_components",
-    "ts_hdr_cascade_1h",
+    "events_seasonal_anomaly",
+    # -- the nine oracle-backed pq.py consumers: the module's geometry
+    #    was parameterized this round (default-identical; re-proven on
+    #    the r10 part_golden_records precedent) -------------------------
+    "pq_codes",
+    "ann_pq_topk",
+    "ann_pq_topk_indexed",
+    "ann_ivfpq_topk",
+    "ann_pq_rerank_topk",
     "ann_ivfpq_topk_indexed",
     "ann_pq_rerank_topk_indexed",
-    "doc_winnow_fingerprints",
-    "winnow_match_pairs",
-    "canonical_by_quality",
-    "token_budget_sample",
-    "lm_reference_surprisal",
-    "intra_doc_repetition",
-    "length_bucketed_batches",
-    "doc_chunks_64_48",
-    "embedding_dim_stats",
+    "hybrid_rrf_topk_indexed",
+    "ann_recall_at_k",
+    # -- new in round 11: the non-default-geometry driver proof ---------
+    "ann_pq_dim16_topk",
+    # -- longest-unchecked fills: the full r6 cohort, then the 16
+    #    oldest r7 rows in registration order ---------------------------
+    "mixture_realization_audit",
+    "dsir_topk_sample",
+    "events_cohort_retention",
+    "events_zorder_curve",
+    "events_scd2_dominant_type",
+    "events_rfm_profile",
+    "data_quality_checks",
+    "events_anomaly_flags",
+    "part_name_edit_pairs",
+    "events_ewma_1h",
+    "events_new_vs_returning",
+    "events_type_transitions",
+    "events_cusum_changepoint",
+    "part_name_sorted_neighbor_pairs",
+    "events_holt_1h",
+    "part_edit_graph_clustering",
+    "influx_store_percentiles_1h",
+    "influx_percentiles_purchase_1h",
+    "tpch_q8_market_share",
+    "tpch_q13_order_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q22_idle_high_balance",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_suppliers",
+    "tpch_q12_ship_priority",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_part_family_share",
+    "tpch_q21_sole_late_supplier",
+    "events_anomaly_zscore",
 ]
 
 
@@ -6013,9 +6023,8 @@ def embedding_drift_flags(spark, sf_dir):
     )
 
 
-PENDING_NEXT_WINDOW.extend(
-    ["ann_ivfpq_rerank_topk_indexed", "embedding_drift_flags"]
-)
+# drained into the round-11 window (rotation policy at _PRIORITY):
+# ann_ivfpq_rerank_topk_indexed, embedding_drift_flags
 
 
 _HW_L = "((3 * (s.x - r.hist[1]) + 7 * (r.level + r.trend)) // 10)"
@@ -6130,7 +6139,7 @@ def events_holt_winters_24h(spark, sf_dir):
     )
 
 
-PENDING_NEXT_WINDOW.append("events_holt_winters_24h")
+# drained into the round-11 window: events_holt_winters_24h
 
 
 @register("wordpiece_encode_docs", text_ops.wordpiece_encode_sql())
@@ -6154,7 +6163,7 @@ def wordpiece_encode_docs(spark, sf_dir):
     return text_ops.wordpiece_encode(docs)
 
 
-PENDING_NEXT_WINDOW.append("wordpiece_encode_docs")
+# drained into the round-11 window: wordpiece_encode_docs
 
 
 @register("unigram_encode_docs", text_ops.unigram_encode_sql())
@@ -6178,7 +6187,7 @@ def unigram_encode_docs(spark, sf_dir):
     return text_ops.unigram_encode(docs)
 
 
-PENDING_NEXT_WINDOW.append("unigram_encode_docs")
+# drained into the round-11 window: unigram_encode_docs
 
 
 @register(
@@ -6285,7 +6294,7 @@ def events_hw_residual_anomaly(spark, sf_dir):
     )
 
 
-PENDING_NEXT_WINDOW.append("events_hw_residual_anomaly")
+# drained into the round-11 window: events_hw_residual_anomaly
 
 
 @register(

@@ -454,3 +454,70 @@ def read_drift_log(spark, index_path: str) -> DataFrame | None:
     if not os.path.isdir(path):
         return None
     return spark.read.parquet(path)
+
+
+def drift_maintenance_tick(
+    spark, index_path: str, standing_vectors, **refresh_kwargs
+) -> str | None:
+    """ONE poll of the closed drift loop — the maintenance action that
+    was manual until round 11 (`read_drift_log` + any(drifted) →
+    `refresh_streamed_index`, r10 verdict Next-round #5), packaged as
+    the idempotent tick a scheduler calls: if any batch verdict under
+    the CURRENT generation flags drift, retrain over the standing
+    corpus and swap generations (returns the new generation name);
+    otherwise do nothing (returns None). Self-resetting: verdicts stay
+    with the generation they judged, so the fresh generation starts
+    with a clean log and the next tick is quiet until the guard flags
+    again. `standing_vectors` is a zero-arg callable returning the
+    raw-corpus DataFrame (called only when a refresh actually fires —
+    a poll must not pay a table read) or a DataFrame."""
+    log = read_drift_log(spark, index_path)
+    if log is None or log.where("drifted").isEmpty():
+        return None
+    vectors = standing_vectors() if callable(standing_vectors) else standing_vectors
+    return refresh_streamed_index(spark, index_path, vectors, **refresh_kwargs)
+
+
+def run_drift_maintenance(
+    spark,
+    index_path: str,
+    standing_vectors,
+    interval_seconds: float = 10.0,
+    stop_event=None,
+    on_refresh=None,
+    **refresh_kwargs,
+):
+    """The production shape of the loop: a daemon thread that ticks
+    `drift_maintenance_tick` every `interval_seconds` (the process
+    runner's `--ann-tick-seconds`; 10 s default, the self-monitoring
+    flush cadence). Retraining happens on this thread, OUT OF BAND of
+    the ingest triggers — the coupling the generation-swap design
+    exists to avoid. Returns (thread, stop_event); set the event to
+    stop. `on_refresh(gen)` fires after each swap (the runner logs
+    it). A tick that throws (e.g. a reader racing a prune) logs to
+    stderr and keeps ticking — a maintenance daemon must outlive one
+    bad poll."""
+    import sys
+    import threading
+
+    stop = stop_event or threading.Event()
+
+    def loop():
+        while not stop.is_set():
+            try:
+                gen = drift_maintenance_tick(
+                    spark, index_path, standing_vectors, **refresh_kwargs
+                )
+                if gen is not None and on_refresh is not None:
+                    on_refresh(gen)
+            except Exception as e:  # noqa: BLE001 — daemon must survive
+                print(
+                    f"khronus-spark ann-maintenance tick failed: {e}",
+                    file=sys.stderr,
+                    flush=True,
+                )
+            stop.wait(interval_seconds)
+
+    t = threading.Thread(target=loop, daemon=True, name="ann-maintenance")
+    t.start()
+    return t, stop

@@ -497,3 +497,93 @@ def test_add_post_check_lands_batch_into_swapped_generation(
     _, coded2, _ = read_streamed_index(spark, root)
     ids = [r["vec_id"] for r in coded2.select("vec_id").collect()]
     assert sorted(set(ids)) == list(range(500)) and len(ids) == 500
+
+
+def test_maintenance_tick_self_heals_drifted_stream(spark, tmp_path):
+    """The closed loop in PRODUCTION shape (r10 verdict Next-round #5):
+    the in-stream guard flags a drifted batch, the runner's maintenance
+    thread polls the drift log and self-heals by retrain + generation
+    swap — no manual read_drift_log/refresh call anywhere — and the
+    measured shortlist recall through the production query face is
+    restored to the pinned reseeded-retrain level. The next tick is
+    quiet: verdicts stay with the generation they judged, so a fresh
+    generation starts clean."""
+    import time as _time
+
+    from khronus_spark.streaming.ann import (
+        drift_maintenance_tick,
+        run_drift_maintenance,
+        run_streaming_ivf_pq_add_guarded,
+    )
+
+    A, B, _ = _hard_tables(spark, tmp_path)
+    root = str(tmp_path / "index")
+    refresh_streamed_index(spark, root, A)
+    gen1 = resolve_generation_dir(root)
+
+    # the standing raw corpus the runner would point --ann-vectors at
+    vdir = f"{tmp_path}/standing"
+    A.write.parquet(vdir)
+    B.select("vec_id", "embedding").write.mode("append").parquet(vdir)
+    standing = lambda: spark.read.parquet(vdir)  # noqa: E731
+
+    # the drifted batch arrives through the GUARDED add: verdict lands
+    landing = f"{tmp_path}/landing_mt"
+    os.makedirs(landing, exist_ok=True)
+    stage = f"{tmp_path}/stage_mt"
+    B.select("vec_id", "embedding").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    for j, f_ in enumerate(sorted(os.listdir(stage))):
+        if f_.endswith(".parquet"):
+            shutil.copy(f"{stage}/{f_}", f"{landing}/mt_{j}.parquet")
+    q = run_streaming_ivf_pq_add_guarded(
+        spark.readStream.schema(
+            B.select("vec_id", "embedding").schema
+        ).parquet(landing),
+        root,
+        f"{tmp_path}/ck_mt",
+    )
+    q.awaitTermination(120)
+
+    # recall through the production face BEFORE the heal (stale books)
+    probes = list(range(400, 410))
+    pv = B.where(F.col("vec_id").isin(probes)).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    allv = A.unionByName(B)
+    truth = _l2_truth(allv, pv, 5)
+    recall_old = _recall(
+        truth,
+        ivf_pq_rerank_topk_indexed(
+            *read_streamed_index(spark, root), pv, allv,
+            n_neighbors=5, n_candidates=30,
+        ),
+    )
+
+    # the runner's loop: poll fast, heal once, report the swap
+    refreshed: list[str] = []
+    thread, stop = run_drift_maintenance(
+        spark, root, standing, interval_seconds=0.2,
+        on_refresh=refreshed.append,
+    )
+    deadline = _time.time() + 180
+    while not refreshed and _time.time() < deadline:
+        _time.sleep(0.5)
+    stop.set()
+    thread.join(60)
+    assert refreshed, "maintenance tick never triggered a refresh"
+
+    gen2 = resolve_generation_dir(root)
+    assert gen2 != gen1 and refreshed[0] == os.path.basename(gen2)
+    recall_new = _recall(
+        truth,
+        ivf_pq_rerank_topk_indexed(
+            *read_streamed_index(spark, root), pv, allv,
+            n_neighbors=5, n_candidates=30,
+        ),
+    )
+    assert recall_old <= 0.4
+    assert recall_new >= 0.85  # the pinned reseeded-retrain level
+    # the loop is self-resetting: the healed generation's log is clean
+    assert drift_maintenance_tick(spark, root, standing) is None
