@@ -6316,3 +6316,30 @@ def ann_pq_dim16_topk(spark, sf_dir):
         "vec_id", F.expr("slice(embedding, 1, 16)").alias("embedding")
     )
     return pq_ops.pq_topk(emb, list(range(5)), 3, sub=4, k=8, iters=1, dims=16)
+
+
+@register(
+    "ann_matryoshka_rerank_topk",
+    pq_ops.matryoshka_rerank_topk_sql(
+        list(range(5)), 3, n_candidates=30, prefix_dims=16, sub=4, k=8, iters=1
+    ),
+)
+def ann_matryoshka_rerank_topk(spark, sf_dir):
+    """Matryoshka two-stage retrieval (operators/pq.py::
+    matryoshka_rerank_topk) — the first consumer the r11 dims
+    parameterization UNLOCKS rather than merely permits: the ADC
+    shortlist trains/scans on the 16-dim PREFIX subspace only (MRL
+    embeddings make nested prefixes standalone-usable; 4x less
+    quantized scan work at prefix 16/64), and only the 30 survivors
+    per probe fetch full 64-dim vectors for the exact integer-L2
+    rerank. The oracle states the two-width split explicitly:
+    training chains + ADC at prefix_dims, rerank distance at the full
+    width — a shortlist/rerank width mixup anywhere flips the hash."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_ops.matryoshka_rerank_topk(
+        emb, list(range(5)), 3, n_candidates=30, prefix_dims=16,
+        sub=4, k=8, iters=1,
+    )
+
+
+PENDING_NEXT_WINDOW.append("ann_matryoshka_rerank_topk")

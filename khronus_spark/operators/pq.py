@@ -47,7 +47,16 @@ def _subdim(dims: int, sub: int) -> int:
     verdict: DIMS=64 was hard-wired — an embedding-width assumption a
     first-class 100 TB ANN operator must not make); indivisible
     combinations fail at BUILD time with the actual numbers, not at
-    query time with a slice of the wrong width."""
+    query time with a slice of the wrong width.
+
+    Width contract: the Spark faces expect `embeddings`/`probe_vecs`
+    frames whose arrays are EXACTLY `dims` wide — slice upstream
+    (`slice(embedding, 1, dims)`, as the ann_pq_dim16_topk entry
+    does). The subspace/ADC stages would silently prefix a wider
+    frame, but the exact-rerank distance and the IVF coarse cosine
+    read the full array, so a wider frame makes the stages disagree
+    with each other and with the SQL oracles (which always read the
+    FIRST `dims` entries of the table's arrays)."""
     if dims <= 0 or sub <= 0 or dims % sub:
         raise ValueError(
             f"PQ geometry invalid: dims={dims} must be a positive "
@@ -739,6 +748,104 @@ def ivf_pq_rerank_topk_sql(
     return f"""
 WITH cand AS (
   SELECT probe_id, neighbor_id FROM ({inner}) adc
+),
+fullq AS (SELECT vec_id, {_QUANT_DUCK} AS e FROM embeddings),
+rr AS (
+  SELECT cand.probe_id, cand.neighbor_id, CAST({d2} AS BIGINT) AS d2
+  FROM cand
+  JOIN fullq pq ON pq.vec_id = cand.probe_id
+  JOIN fullq nq ON nq.vec_id = cand.neighbor_id
+)
+SELECT probe_id, neighbor_id, d2
+FROM rr
+QUALIFY row_number() OVER (
+    PARTITION BY probe_id ORDER BY d2 ASC, neighbor_id ASC) <= {n_neighbors}
+"""
+
+
+def matryoshka_rerank_topk(
+    embeddings: DataFrame,
+    probe_ids: list[int],
+    n_neighbors: int = 3,
+    n_candidates: int = 30,
+    prefix_dims: int = 16,
+    sub: int = 4,
+    k: int = K,
+    iters: int = ITERS,
+    mode: str | None = None,
+    dims: int = DIMS,
+) -> DataFrame:
+    """Matryoshka-style two-stage retrieval, enabled by the r11 dims
+    parameterization: the ADC shortlist runs on the PREFIX subspace
+    only (`prefix_dims` of the full `dims` — MRL-trained embeddings
+    make nested prefixes usable as standalone vectors, so the prefix
+    index is 4x smaller to train/store and its LUTs 4x cheaper to
+    scan at prefix 16/64), then ONLY the `n_candidates` survivors
+    fetch full-width vectors for the exact integer-L2 rerank. Output
+    (probe_id, neighbor_id, d2) with exact FULL-width distances — the
+    same contract as `pq_rerank_topk`, reached through a quarter of
+    the quantized scan work.
+
+    Semantics note (why this is not just pq_rerank_topk at small
+    dims): the candidate stage deliberately sees a DIFFERENT metric
+    (prefix L2) than the rerank (full L2) — recall is the probability
+    the prefix shortlist contains the full-width neighbors, which is
+    exactly what MRL training optimizes. On non-MRL embeddings the
+    prefix carries whatever variance the first coordinates happen to
+    hold (the anisotropic test corpus front-loads variance, the
+    realistic case)."""
+    prefix = embeddings.select(
+        "vec_id",
+        F.expr(f"slice(embedding, 1, {prefix_dims})").alias("embedding"),
+    )
+    cands = pq_topk(
+        prefix, probe_ids, n_candidates, sub, k, iters, mode, prefix_dims
+    )
+    vecs = embeddings.select("vec_id", F.expr(_QUANT).alias("e"))
+    pv = vecs.where(F.col("vec_id").isin(probe_ids)).select(
+        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe")
+    )
+    nv = vecs.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ne"))
+    d2 = _D2.format(a="pe", b="ne")
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cands.join(F.broadcast(pv), "probe_id")
+        .join(nv, "neighbor_id")
+        .withColumn("d2", F.expr(d2))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= n_neighbors)
+        .select("probe_id", "neighbor_id", "d2")
+    )
+
+
+def matryoshka_rerank_topk_sql(
+    probe_ids: list[int],
+    n_neighbors: int = 3,
+    n_candidates: int = 30,
+    prefix_dims: int = 16,
+    sub: int = 4,
+    k: int = K,
+    iters: int = ITERS,
+    dims: int = DIMS,
+) -> str:
+    """Oracle for the Matryoshka composition: the per-subspace
+    training chains and ADC score CTEs run at `prefix_dims` (the
+    shortlist metric), the rerank distance at the full `dims` — the
+    two-width split IS the operator's semantics, so the oracle states
+    it explicitly rather than reusing the single-width rerank text."""
+    d2 = (
+        f"list_sum(list_transform(range(1, {dims + 1}), "
+        "i -> (pq.e[i] - nq.e[i]) * (pq.e[i] - nq.e[i])))"
+    )
+    return f"""
+WITH {_adc_score_ctes(probe_ids, sub, k, iters, dims=prefix_dims)},
+cand AS (
+  SELECT probe_id, neighbor_id
+  FROM score
+  QUALIFY row_number() OVER (
+      PARTITION BY probe_id ORDER BY d2_adc ASC, neighbor_id ASC) <= {n_candidates}
 ),
 fullq AS (SELECT vec_id, {_QUANT_DUCK} AS e FROM embeddings),
 rr AS (

