@@ -6343,3 +6343,38 @@ def ann_matryoshka_rerank_topk(spark, sf_dir):
 
 
 PENDING_NEXT_WINDOW.append("ann_matryoshka_rerank_topk")
+
+
+@register(
+    "ann_matryoshka_rerank_topk_indexed",
+    pq_ops.matryoshka_rerank_topk_sql(
+        list(range(5)), 3, n_candidates=30, prefix_dims=16, sub=4, k=8, iters=1
+    ),
+)
+def ann_matryoshka_rerank_topk_indexed(spark, sf_dir):
+    """The Matryoshka BUILD/QUERY split (operators/pq.py::
+    matryoshka_rerank_topk_indexed): the prefix-16 PQ index builds
+    once and persists (4x smaller than the full-width index), the
+    query slices probes to the prefix for the ADC shortlist and
+    fetches full vectors only for the rerank — no training anywhere
+    in the query plan (the standing index/query discipline every
+    other ANN face follows). Same oracle as the inline entry: the
+    split must not change a single value."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    prefix = emb.select(
+        "vec_id", F.expr("slice(embedding, 1, 16)").alias("embedding")
+    )
+    path = _scratch_dir("matryoshka_index")
+    books, codes = pq_ops.pq_build_index(prefix, sub=4, k=8, iters=1, dims=16)
+    pq_ops.write_pq_index(books, codes, path)
+    books, codes = pq_ops.read_pq_index(spark, path)
+    probes = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    return pq_ops.matryoshka_rerank_topk_indexed(
+        books, codes, probes, emb, 3, n_candidates=30, prefix_dims=16,
+        sub=4, k=8,
+    )
+
+
+PENDING_NEXT_WINDOW.append("ann_matryoshka_rerank_topk_indexed")

@@ -820,6 +820,36 @@ def matryoshka_rerank_topk(
     )
 
 
+def matryoshka_rerank_topk_indexed(
+    books: DataFrame,
+    codes: DataFrame,
+    probe_vecs: DataFrame,
+    vectors: DataFrame,
+    n_neighbors: int = 3,
+    n_candidates: int = 30,
+    prefix_dims: int = 16,
+    sub: int = 4,
+    k: int = K,
+) -> DataFrame:
+    """Query half of the Matryoshka split: `books`/`codes` come from
+    `pq_build_index` over the PREFIX-sliced corpus (train once, 4x
+    smaller index at prefix 16/64), probes slice themselves to the
+    prefix for the ADC shortlist, and only the survivors fetch
+    FULL-width vectors from the primary store for the exact rerank —
+    no training anywhere in the plan. Identical results to
+    `matryoshka_rerank_topk` when the index trained on the full
+    corpus (test-pinned). `probe_vecs` is (probe_id, embedding) at
+    full width; `vectors` is the full-width primary store."""
+    prefix_probes = probe_vecs.select(
+        "probe_id",
+        F.expr(f"slice(embedding, 1, {prefix_dims})").alias("embedding"),
+    )
+    cands = pq_topk_indexed(
+        books, codes, prefix_probes, n_candidates, sub, k, prefix_dims
+    )
+    return _rerank_exact(cands, probe_vecs, vectors, n_neighbors)
+
+
 def matryoshka_rerank_topk_sql(
     probe_ids: list[int],
     n_neighbors: int = 3,

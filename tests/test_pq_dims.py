@@ -190,3 +190,34 @@ def test_matryoshka_shortlist_is_prefix_metric_rerank_full_width(
     assert shared, "compositions should overlap on some exact neighbors"
     for r in shared:
         assert fd[(r.probe_id, r.neighbor_id)] == r.d2
+
+
+def test_matryoshka_indexed_matches_inline(spark, sf_dir, tmp_path):
+    """The Matryoshka build/query split must not change a value: the
+    prefix index built once + queried (no training in the plan) equals
+    the inline composition on the real 64-wide table."""
+    from khronus_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").where("vec_id < 200")
+    prefix = emb.select(
+        "vec_id", F.expr("slice(embedding, 1, 16)").alias("embedding")
+    )
+    books, codes = pq_ops.pq_build_index(
+        prefix, sub=4, k=8, iters=1, dims=16
+    )
+    path = str(tmp_path / "mat16")
+    pq_ops.write_pq_index(books, codes, path)
+    books, codes = pq_ops.read_pq_index(spark, path)
+    probes = [0, 1, 2, 3, 4]
+    pv = emb.where(F.col("vec_id").isin(probes)).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    got = pq_ops.matryoshka_rerank_topk_indexed(
+        books, codes, pv, emb, 3, n_candidates=10, prefix_dims=16,
+        sub=4, k=8,
+    )
+    want = pq_ops.matryoshka_rerank_topk(
+        emb, probes, 3, n_candidates=10, prefix_dims=16, sub=4, k=8,
+        iters=1,
+    )
+    assert _rows(got) == _rows(want) and got.count() == 15
