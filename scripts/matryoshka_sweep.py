@@ -2,24 +2,29 @@
 """Matryoshka retrieval: measured recall/cost tradeoff across prefix
 widths (round 11 — the operator ships with numbers, not claims).
 
-For prefix widths {8, 16, 32, 64} over the 64-dim anisotropic corpus
-(variance front-loaded by construction — the realistic MRL-like case)
-and, as the adversarial contrast, the same corpus with its dimensions
-REVERSED (variance back-loaded — the case prefix retrieval is WRONG
-for), measure:
+Two corpora, both xxhash64-deterministic:
 
-- recall@5 of `matryoshka_rerank_topk` against exact full-width L2
-  ground truth (C=30 candidates, the registry entry's sizing);
-- the quantized-scan cost proxy: LUT adds per corpus code = sub per
-  code, and codebook rows = sub*k — both linear in prefix subspaces,
-  so cost ratio vs full width is simply prefix/64 at fixed subdim.
+1. `isotropic_filaments` — the standing hard ANN corpus
+   (similarity.anisotropic_corpus): each cluster's stretched axis is a
+   HASH-CHOSEN dimension, so informative mass is spread uniformly
+   across dimensions. Expectation (and the honest headline): under
+   coarse PQ the shortlist is quantization-error-bound, not
+   width-bound — the prefix index matches full-width recall at a
+   fraction of the scan cost.
 
-Expectation: on the front-loaded corpus recall approaches the
-full-width composition's at a fraction of the scan work; on the
-reversed corpus small prefixes crater — the sweep pins BOTH
-directions so the operator's docstring claim ("recall is what MRL
-training optimizes; non-MRL corpora get whatever the first
-coordinates hold") is a measurement.
+2. `tail_only_signal` — the adversarial direction, constructed so the
+   prefix CANNOT work: 10 groups of 60 vectors share their entire
+   first 32 dims (zero prefix information; group size 60 > the C=30
+   candidate budget, so a prefix shortlist is an id-tie-break lottery
+   over the group), while true neighbors are defined by tight
+   subclusters (6 mates) in dims 33-64. Measured: prefix 8/16/32
+   recall = 0.0 — harsher than the naive ~0.5 lottery estimate,
+   because coarse prefix codebooks also COLLIDE across groups, so the
+   id-ascending tie-break hands the whole shortlist to globally-low
+   ids before any mate is reached — while full width reads 0.92.
+   This is the "non-MRL embeddings get whatever the first coordinates
+   hold" caveat from the operator docstring, measured at its
+   worst-case value.
 
 Writes sweeps/latest/matryoshka_sweep.json.
 """
@@ -63,12 +68,28 @@ def main() -> None:
     import tempfile
 
     tmp = tempfile.mkdtemp(prefix="matryoshka_sweep_")
-    anisotropic_corpus(spark, N, dim=64).write.parquet(f"{tmp}/fwd")
-    fwd = spark.read.parquet(f"{tmp}/fwd")
-    fwd.select(
-        "vec_id", F.expr("reverse(embedding)").alias("embedding")
-    ).write.parquet(f"{tmp}/rev")
-    rev = spark.read.parquet(f"{tmp}/rev")
+    anisotropic_corpus(spark, N, dim=64).write.parquet(f"{tmp}/iso")
+    iso = spark.read.parquet(f"{tmp}/iso")
+    # tail-only signal: dims 0-31 a function of the GROUP alone
+    # (vec_id div 60 -> 10 groups of 60); dims 32-63 a function of the
+    # SUBCLUSTER (6 mates: pmod(vec_id, 10)) plus +-0.01 noise, so the
+    # 5 mates are the exact full-L2 top-5 while the prefix sees one
+    # 60-way tie per group
+    tail_expr = """
+    transform(sequence(0, 63), d -> CAST(
+      CASE WHEN d < 32
+        THEN (pmod(xxhash64(vec_id div 60, d, 101), 2000001)
+              / 1000000.0D) - 1.0D
+        ELSE least(1.0D, greatest(-1.0D,
+          (pmod(xxhash64(vec_id div 60, pmod(vec_id, 10), d, 202),
+                1800001) / 1000000.0D) - 0.9D
+          + (pmod(xxhash64(vec_id, d, 303), 21) - 10) / 1000.0D))
+      END AS FLOAT))
+    """
+    spark.range(N).select(
+        F.col("id").alias("vec_id"), F.expr(tail_expr).alias("embedding")
+    ).write.parquet(f"{tmp}/tail")
+    tail = spark.read.parquet(f"{tmp}/tail")
 
     def l2_truth(vectors, pv):
         pairs = vectors.alias("e").join(
@@ -104,8 +125,8 @@ def main() -> None:
 
     results = {"n": N, "probes": len(PROBES), "k": K_NEIGHBORS,
                "candidates": C, "corpora": {}}
-    for tag, corpus in (("variance_front_loaded", fwd),
-                        ("variance_back_loaded_reversed", rev)):
+    for tag, corpus in (("isotropic_filaments", iso),
+                        ("tail_only_signal", tail)):
         pv = corpus.where(F.col("vec_id").isin(PROBES)).select(
             F.col("vec_id").alias("probe_id"), "embedding"
         )
