@@ -46,6 +46,36 @@ from khronus_spark.streaming.retrieval import (
 )
 
 
+def _landing_frame(
+    spark,
+    root: str,
+    batch: DataFrame,
+    sub: int = SUB,
+    k: int = K,
+    dedup: bool = False,
+) -> DataFrame:
+    """The frame a landing writes (factored for plan-gating): encode
+    against `root`'s trained state, re-attach the raw embeddings, and
+    — ONLY under dedup (refresh-boundary landings) — anti-join against
+    the generation's coded table. The hot ingest path must never scan
+    `coded` (it grows with the corpus; the trigger must stay
+    batch-sized), which tests/test_streaming_ann.py pins on this
+    frame's plan."""
+    books = spark.read.parquet(f"{root}/books")
+    cents = spark.read.parquet(f"{root}/centroids")
+    out = ivf_pq_encode(batch, books, cents, sub, k).join(
+        batch.select("vec_id", "embedding"), "vec_id"
+    )
+    if dedup:
+        seen = (
+            spark.read.parquet(f"{root}/coded")
+            .join(F.broadcast(batch.select("vec_id")), "vec_id")
+            .select("vec_id")
+        )
+        out = out.join(F.broadcast(seen), "vec_id", "left_anti")
+    return out
+
+
 def _land_batch(
     spark,
     root: str,
@@ -67,18 +97,9 @@ def _land_batch(
     encoded into `coded`, so a batch that made it into the refresh
     snapshot AND gets carried forward never yields duplicate
     candidates."""
-    books = spark.read.parquet(f"{root}/books")
-    cents = spark.read.parquet(f"{root}/centroids")
-    out = ivf_pq_encode(batch, books, cents, sub, k).join(
-        batch.select("vec_id", "embedding"), "vec_id"
-    )
+    out = _landing_frame(spark, root, batch, sub, k, dedup)
     if dedup:
-        seen = (
-            spark.read.parquet(f"{root}/coded")
-            .join(F.broadcast(batch.select("vec_id")), "vec_id")
-            .select("vec_id")
-        )
-        out = out.join(F.broadcast(seen), "vec_id", "left_anti").persist()
+        out = out.persist()
         try:
             # a fully-deduped batch writes NOTHING: an empty parquet
             # dir would break schema inference for every later reader

@@ -587,3 +587,103 @@ def test_maintenance_tick_self_heals_drifted_stream(spark, tmp_path):
     assert recall_new >= 0.85  # the pinned reseeded-retrain level
     # the loop is self-resetting: the healed generation's log is clean
     assert drift_maintenance_tick(spark, root, standing) is None
+
+
+def test_hot_add_path_never_scans_the_coded_table(spark, tmp_path):
+    """The ingest trigger must stay batch-sized: the dedup anti-join
+    scans the generation's coded table (which grows with the corpus)
+    and is reserved for refresh-boundary landings — if it ever leaked
+    into the hot path every trigger would pay a corpus-sized read."""
+    from khronus_spark.streaming.ann import _landing_frame
+
+    A, B = _split_corpus(spark, tmp_path)
+    root = str(tmp_path / "index")
+    refresh_streamed_index(spark, root, A)
+    gen = resolve_generation_dir(root)
+    batch = B.select("vec_id", "embedding")
+
+    def plan(df):
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+
+    hot = plan(_landing_frame(spark, gen, batch))
+    boundary = plan(_landing_frame(spark, gen, batch, dedup=True))
+    assert f"{gen}/coded]" not in hot and "/coded]" not in hot
+    assert f"{gen}/coded]" in boundary  # the dedup face does read it
+
+
+def test_repeated_drift_heal_cycles_stay_consistent(spark, tmp_path):
+    """Two full drift->flag->heal cycles through the maintenance tick:
+    each heal swaps to a fresh generation whose coded set is exactly
+    the standing corpus (no loss, no duplicates), and each healed
+    generation starts with a clean drift log. Pins that the loop is
+    re-entrant — generation N+1's carry/dedup machinery works against
+    a generation that was itself produced by a heal."""
+    from khronus_spark.streaming.ann import (
+        drift_maintenance_tick,
+        run_streaming_ivf_pq_add_guarded,
+    )
+
+    corpus = anisotropic_corpus(spark, 700, dim=64)
+    corpus.where("vec_id < 500").write.parquet(f"{tmp_path}/A")
+    A = spark.read.parquet(f"{tmp_path}/A")
+    corpus.where("vec_id >= 500").select(
+        "vec_id", F.expr(_DRIFT).alias("embedding")
+    ).write.parquet(f"{tmp_path}/D")
+    D = spark.read.parquet(f"{tmp_path}/D")
+    chunks = [D.where("vec_id < 600"), D.where("vec_id >= 600")]
+
+    root = str(tmp_path / "index")
+    refresh_streamed_index(spark, root, A)
+    vdir = f"{tmp_path}/standing"
+    A.write.parquet(vdir)
+
+    landing = f"{tmp_path}/landing_rc"
+    os.makedirs(landing, exist_ok=True)
+    seen_gens = {resolve_generation_dir(root)}
+    upto = [500, 600, 700]
+    for i, chunk in enumerate(chunks):
+        stage = f"{tmp_path}/stage_rc_{i}"
+        chunk.select("vec_id", "embedding").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        for j, f_ in enumerate(sorted(os.listdir(stage))):
+            if f_.endswith(".parquet"):
+                shutil.copy(f"{stage}/{f_}", f"{landing}/rc_{i}_{j}.parquet")
+        q = run_streaming_ivf_pq_add_guarded(
+            spark.readStream.schema(
+                chunk.select("vec_id", "embedding").schema
+            ).parquet(landing),
+            root,
+            f"{tmp_path}/ck_rc",
+        )
+        q.awaitTermination(120)
+        # grow the standing corpus like production would, then tick
+        chunk.select("vec_id", "embedding").write.mode("append").parquet(
+            vdir
+        )
+        gen = drift_maintenance_tick(
+            spark, root, lambda: spark.read.parquet(vdir)
+        )
+        assert gen is not None, f"cycle {i}: drift verdict did not fire"
+        cur = resolve_generation_dir(root)
+        assert cur not in seen_gens
+        seen_gens.add(cur)
+        ids = [
+            r["vec_id"]
+            for r in read_streamed_index(spark, root)[1]
+            .select("vec_id")
+            .collect()
+        ]
+        assert sorted(set(ids)) == list(range(upto[i + 1]))
+        assert len(ids) == upto[i + 1], "duplicate vec_ids after heal"
+        # healed generation starts clean: next tick is a no-op
+        assert (
+            drift_maintenance_tick(
+                spark, root, lambda: spark.read.parquet(vdir)
+            )
+            is None
+        )
