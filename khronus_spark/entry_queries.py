@@ -6378,3 +6378,70 @@ def ann_matryoshka_rerank_topk_indexed(spark, sf_dir):
 
 
 PENDING_NEXT_WINDOW.append("ann_matryoshka_rerank_topk_indexed")
+
+
+from khronus_spark.operators import coreset as coreset_ops  # noqa: E402
+
+
+@register("embedding_coreset_kcenter", coreset_ops.kcenter_select_sql(m=8))
+def embedding_coreset_kcenter(spark, sf_dir):
+    """Greedy k-center coreset selection (operators/coreset.py::
+    kcenter_select — Gonzalez's 2-approximation, the diversity-based
+    data-selection primitive: seed sets, diverse finetuning subsets):
+    center 0 is the smallest vec_id, each further center maximizes
+    distance-to-nearest-chosen on the shared x10^6 integer grid, ties
+    to the smaller vec_id; d2 is the winning distance (the prefix
+    covering radius, non-increasing). The oracle unrolls the greedy
+    rounds as a CTE chain, the k-means-oracle convention. Driver-side
+    scalars are one collected winner per round (m-1 tiny aggregates,
+    the bpe_merges driver-loop class)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return coreset_ops.kcenter_select(emb, m=8)
+
+
+@register(
+    "coreset_coverage_audit",
+    f"""
+WITH sel AS ({coreset_ops.kcenter_select_sql(m=6)}),
+q AS (SELECT vec_id,
+             list_transform(embedding, x ->
+               CAST(floor((CAST(x AS DOUBLE) + 1.0) * 1000000.0) AS BIGINT))
+             AS e
+      FROM embeddings),
+cv AS (SELECT q.vec_id AS cid, q.e AS ce FROM q JOIN sel USING (vec_id)),
+a AS (
+  SELECT q.vec_id, cv.cid,
+         list_sum(list_transform(range(1, 65),
+           i -> (q.e[i] - cv.ce[i]) * (q.e[i] - cv.ce[i]))) AS d2
+  FROM q CROSS JOIN cv
+  QUALIFY row_number() OVER (
+      PARTITION BY q.vec_id ORDER BY d2 ASC, cv.cid ASC) = 1
+)
+SELECT cid AS center_vec_id, count(*) AS n_members,
+       CAST(max(d2) AS BIGINT) AS max_d2
+FROM a GROUP BY cid
+""",
+)
+def coreset_coverage_audit(spark, sf_dir):
+    """The coreset's coverage audit (operators/coreset.py::
+    coreset_assign composed over the k-center selection): every vector
+    to its nearest selected center (broadcast centers, ties to the
+    smaller center id), grouped to per-center mass + realized radius —
+    the number a curation run reads to decide whether m centers cover
+    the corpus tightly enough. One broadcast map pass + one
+    map-side-combinable aggregate after the selection."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sel = coreset_ops.kcenter_select(emb, m=6)
+    return (
+        coreset_ops.coreset_assign(emb, sel)
+        .groupBy("center_vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max("d2").alias("max_d2"),
+        )
+    )
+
+
+PENDING_NEXT_WINDOW.extend(
+    ["embedding_coreset_kcenter", "coreset_coverage_audit"]
+)

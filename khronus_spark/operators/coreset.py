@@ -1,0 +1,183 @@
+"""Diversity-based data selection: greedy k-center coreset
+(Gonzalez's 2-approximation for the k-center objective — the standard
+"pick a maximally spread subset" primitive of training-data curation:
+seed sets for labeling, diverse finetuning subsets, eval-suite
+de-biasing; Sener & Savarese's coreset active-learning selection is
+exactly this rule over embeddings).
+
+Semantics, bit-stable across engines (the k-means discipline):
+vectors quantize on the shared ×10⁶ floor grid; center 0 is the
+smallest vec_id (the deterministic-seed convention the integer
+k-means uses for its init); each further center is the vector whose
+squared L2 distance to its NEAREST already-chosen center is LARGEST,
+ties to the smaller vec_id. The selection emits (rank, vec_id, d2) —
+d2 being the distance that won the argmax (the covering radius of
+the prefix, which is how the selection doubles as a radius curve:
+d2 at rank r bounds every unselected vector's distance to its
+nearest center among the first r).
+
+Scale shape: the selection keeps a RUNNING `mind2` column — each of
+the m−1 iterations is ONE map pass folding the newly chosen center
+into `least(mind2, d2(e, new))` plus one map-side-combinable max_by
+aggregate, with a localCheckpoint per round to keep lineage flat
+(the bpe_merges driver-loop class: m small jobs, never an m×N join).
+At 100 TB the honest deployment selects per IVF cell (or over the
+RP-projected table) and unions — m global passes over the raw corpus
+are the exact path only for m in the tens; the docstring states the
+composition rather than pretending the loop is free.
+
+`coreset_assign` is the query half: one broadcast pass mapping every
+vector to its nearest selected center (ties to smaller rank) — the
+coverage audit (per-center mass + realized radius).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: the module-shared quantization grid (pq/clustering convention)
+_QUANT = "transform(embedding, x -> floor((CAST(x AS DOUBLE) + 1.0D) * 1000000.0D))"
+
+_D2 = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+    "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+)
+
+
+def kcenter_select(embeddings: DataFrame, m: int = 8) -> DataFrame:
+    """(rank, vec_id, d2) — the greedy k-center selection over
+    (vec_id, embedding). rank 0 is the smallest vec_id with d2=0;
+    rank r>0 maximizes distance-to-nearest-chosen, ties to smaller
+    vec_id; d2 is the winning distance (the prefix covering radius,
+    non-increasing in rank)."""
+    if m < 1:
+        raise ValueError(f"k-center needs m >= 1 centers, got {m}")
+    spark = embeddings.sparkSession
+    q = embeddings.select("vec_id", F.expr(_QUANT).alias("e"))
+    first = q.orderBy(F.col("vec_id").asc()).limit(1).collect()
+    if not first:
+        raise ValueError("k-center selection over an empty corpus")
+    centers = [(0, int(first[0]["vec_id"]), 0, list(first[0]["e"]))]
+    # running min-distance-to-chosen; folded one center per round
+    state = q.select(
+        "vec_id", "e", F.lit(None).cast("long").alias("mind2")
+    )
+    for rank in range(1, m):
+        prev = centers[-1][3]
+        d_new = F.expr(
+            _D2.format(
+                a="e",
+                b=f"array({', '.join(str(int(x)) + 'L' for x in prev)})",
+            )
+        )
+        state = state.select(
+            "vec_id",
+            "e",
+            F.least(F.coalesce(F.col("mind2"), d_new), d_new).alias("mind2"),
+        ).localCheckpoint(eager=False)
+        win = (
+            state.where(F.col("vec_id") != centers[-1][1])
+            .agg(
+                F.max_by(
+                    F.struct("vec_id", "mind2", "e"),
+                    F.struct(F.col("mind2"), -F.col("vec_id")),
+                ).alias("b")
+            )
+            .select("b.vec_id", "b.mind2", "b.e")
+            .collect()
+        )
+        if not win or win[0]["mind2"] is None:
+            break  # fewer distinct vectors than centers requested
+        r = win[0]
+        if int(r["mind2"]) == 0:
+            break  # every remaining vector coincides with a center
+        centers.append((rank, int(r["vec_id"]), int(r["mind2"]), list(r["e"])))
+        state = state.where(F.col("vec_id") != int(r["vec_id"]))
+    return spark.createDataFrame(
+        [(c[0], c[1], c[2]) for c in centers],
+        "rank long, vec_id long, d2 long",
+    )
+
+
+def coreset_assign(
+    embeddings: DataFrame, centers: DataFrame
+) -> DataFrame:
+    """(vec_id, center_vec_id, d2) — every vector to its nearest
+    selected center (broadcast centers; ties to the smaller center
+    vec_id). `centers` is (rank, vec_id, ...) joined back to the
+    corpus for coordinates, so the audit needs only the selection
+    output plus the primary store."""
+    q = embeddings.select("vec_id", F.expr(_QUANT).alias("e"))
+    cvec = q.join(
+        F.broadcast(centers.select(F.col("vec_id").alias("cid"))),
+        F.col("vec_id") == F.col("cid"),
+    ).select("cid", F.col("e").alias("ce"))
+    d2 = F.expr(_D2.format(a="e", b="ce"))
+    return (
+        q.crossJoin(F.broadcast(cvec))
+        .select("vec_id", "cid", d2.alias("_d2"))
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(
+                F.struct(F.col("cid").alias("center_vec_id"), F.col("_d2").alias("d2")),
+                F.struct(F.col("_d2"), F.col("cid")),
+            ).alias("b")
+        )
+        .select("vec_id", "b.center_vec_id", "b.d2")
+    )
+
+
+_QUANT_DUCK = (
+    "list_transform(embedding, x -> "
+    "CAST(floor((CAST(x AS DOUBLE) + 1.0) * 1000000.0) AS BIGINT))"
+)
+
+
+def _duck_d2(a: str, b: str, dims: int) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {dims + 1}), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+
+
+def kcenter_select_sql(m: int = 8, dims: int = 64) -> str:
+    """Unrolled greedy selection as a CTE chain (the k-means-oracle
+    convention: one CTE pair per round — fold the new center into the
+    running min, pick the argmax). Every per-round CTE is declared
+    MATERIALIZED: each is referenced three times by later rounds, and
+    DuckDB's default inlining makes the expression tree grow ~3^m
+    (measured: m=4 1.4 s, m=6 19 s, m=8 exceeds 120 s on 500 rows);
+    materialization makes the chain linear in rounds."""
+    if m < 1:
+        raise ValueError(f"k-center needs m >= 1 centers, got {m}")
+    d2 = _duck_d2("q.e", "c.e", dims)
+    parts = [
+        f"q AS (SELECT vec_id, {_QUANT_DUCK} AS e FROM embeddings)",
+        "c0 AS (SELECT 0::BIGINT AS rank, vec_id, 0::BIGINT AS d2, e "
+        "FROM q ORDER BY vec_id ASC LIMIT 1)",
+        "m0 AS (SELECT q.vec_id, NULL::BIGINT AS mind2, q.e FROM q)",
+    ]
+    for r in range(1, m):
+        parts.append(
+            f"""m{r} AS MATERIALIZED (
+  SELECT q.vec_id,
+         least(coalesce(m{r - 1}.mind2, {d2}), {d2}) AS mind2, q.e
+  FROM m{r - 1}
+  JOIN q USING (vec_id)
+  CROSS JOIN (SELECT e FROM c{r - 1} WHERE rank = {r - 1}) c
+  WHERE q.vec_id NOT IN (SELECT vec_id FROM c{r - 1})
+),
+c{r} AS MATERIALIZED (
+  SELECT * FROM c{r - 1}
+  UNION ALL
+  (SELECT {r}::BIGINT AS rank, vec_id, mind2 AS d2, e
+   FROM m{r} WHERE mind2 > 0
+   ORDER BY mind2 DESC, vec_id ASC LIMIT 1)
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT rank, vec_id, CAST(d2 AS BIGINT) AS d2 FROM c{m - 1} ORDER BY rank"
+    )
