@@ -794,6 +794,14 @@ def matryoshka_rerank_topk(
     prefix carries whatever variance the first coordinates happen to
     hold (the anisotropic test corpus front-loads variance, the
     realistic case)."""
+    if prefix_dims > dims:
+        raise ValueError(
+            f"Matryoshka prefix_dims={prefix_dims} exceeds dims={dims}: "
+            "slice() would silently clamp and the upper prefix "
+            "subspaces would quantize empty slices (constant codes, "
+            "id-lottery shortlists) — the prefix must nest inside the "
+            "full width"
+        )
     prefix = embeddings.select(
         "vec_id",
         F.expr(f"slice(embedding, 1, {prefix_dims})").alias("embedding"),
@@ -801,23 +809,10 @@ def matryoshka_rerank_topk(
     cands = pq_topk(
         prefix, probe_ids, n_candidates, sub, k, iters, mode, prefix_dims
     )
-    vecs = embeddings.select("vec_id", F.expr(_QUANT).alias("e"))
-    pv = vecs.where(F.col("vec_id").isin(probe_ids)).select(
-        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe")
+    probe_vecs = embeddings.where(F.col("vec_id").isin(probe_ids)).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
     )
-    nv = vecs.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ne"))
-    d2 = _D2.format(a="pe", b="ne")
-    w = Window.partitionBy("probe_id").orderBy(
-        F.col("d2").asc(), F.col("neighbor_id").asc()
-    )
-    return (
-        cands.join(F.broadcast(pv), "probe_id")
-        .join(nv, "neighbor_id")
-        .withColumn("d2", F.expr(d2))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= n_neighbors)
-        .select("probe_id", "neighbor_id", "d2")
-    )
+    return _rerank_exact(cands, probe_vecs, embeddings, n_neighbors)
 
 
 def matryoshka_rerank_topk_indexed(
@@ -860,11 +855,16 @@ def matryoshka_rerank_topk_sql(
     iters: int = ITERS,
     dims: int = DIMS,
 ) -> str:
-    """Oracle for the Matryoshka composition: the per-subspace
+    """Oracle for the Matryoshka composition (prefix_dims must nest
+    inside dims, same validation as the operator): the per-subspace
     training chains and ADC score CTEs run at `prefix_dims` (the
     shortlist metric), the rerank distance at the full `dims` — the
     two-width split IS the operator's semantics, so the oracle states
     it explicitly rather than reusing the single-width rerank text."""
+    if prefix_dims > dims:
+        raise ValueError(
+            f"Matryoshka prefix_dims={prefix_dims} exceeds dims={dims}"
+        )
     d2 = (
         f"list_sum(list_transform(range(1, {dims + 1}), "
         "i -> (pq.e[i] - nq.e[i]) * (pq.e[i] - nq.e[i])))"

@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from khronus_spark.operators.pq import K, SUB, ivf_pq_encode
+from khronus_spark.operators.pq import DIMS, K, SUB, ivf_pq_encode
 from khronus_spark.streaming.retrieval import (
     landed_batches,
     publish_generation,
@@ -46,26 +46,60 @@ from khronus_spark.streaming.retrieval import (
 )
 
 
+def _write_geometry(root: str, sub: int, k: int, dims: int, mode) -> None:
+    """Persist the quantizer geometry WITH the trained state: a
+    generation is self-describing, so every later landing (hot adds,
+    carry-forwards, post-swap re-lands) encodes at the geometry the
+    books were trained with instead of trusting its caller to pass
+    matching flags — the r11 self-review found that a dims=16 refresh
+    would otherwise have its carried batches silently encoded at the
+    default 64 (upper subspaces slicing past the array end and
+    collapsing to cid 0)."""
+    import json
+    import os
+
+    tmp = os.path.join(root, ".geometry.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"sub": sub, "k": k, "dims": dims, "mode": mode}, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, os.path.join(root, "geometry.json"))
+
+
+def _geometry(root: str) -> dict:
+    """The generation's quantizer geometry; module defaults for
+    pre-sidecar layouts (bare `write_ivf_pq_index` output, whose
+    callers always used the defaults)."""
+    import json
+    import os
+
+    path = os.path.join(root, "geometry.json")
+    if not os.path.isfile(path):
+        return {"sub": SUB, "k": K, "dims": DIMS, "mode": None}
+    with open(path) as fh:
+        return json.load(fh)
+
+
 def _landing_frame(
     spark,
     root: str,
     batch: DataFrame,
-    sub: int = SUB,
-    k: int = K,
     dedup: bool = False,
 ) -> DataFrame:
     """The frame a landing writes (factored for plan-gating): encode
-    against `root`'s trained state, re-attach the raw embeddings, and
-    — ONLY under dedup (refresh-boundary landings) — anti-join against
-    the generation's coded table. The hot ingest path must never scan
-    `coded` (it grows with the corpus; the trigger must stay
-    batch-sized), which tests/test_streaming_ann.py pins on this
-    frame's plan."""
+    against `root`'s trained state AT ROOT'S OWN GEOMETRY
+    (`_geometry` — the sidecar written by the refresh), re-attach the
+    raw embeddings, and — ONLY under dedup (refresh-boundary landings)
+    — anti-join against the generation's coded table. The hot ingest
+    path must never scan `coded` (it grows with the corpus; the
+    trigger must stay batch-sized), which tests/test_streaming_ann.py
+    pins on this frame's plan."""
+    g = _geometry(root)
     books = spark.read.parquet(f"{root}/books")
     cents = spark.read.parquet(f"{root}/centroids")
-    out = ivf_pq_encode(batch, books, cents, sub, k).join(
-        batch.select("vec_id", "embedding"), "vec_id"
-    )
+    out = ivf_pq_encode(
+        batch, books, cents, g["sub"], g["k"], g["mode"], g["dims"]
+    ).join(batch.select("vec_id", "embedding"), "vec_id")
     if dedup:
         seen = (
             spark.read.parquet(f"{root}/coded")
@@ -76,54 +110,85 @@ def _landing_frame(
     return out
 
 
+def _write_batch_dir(out: DataFrame, root: str, batch_id: int, atomic: bool) -> None:
+    """Land a batch frame as `coded_stream/batch=<id>`. atomic=False
+    is the HOT path / checkpoint-replay semantics: plain overwrite (a
+    replayed trigger must REPLACE the dir with recomputed-identical
+    content). atomic=True is the dual-writer face (refresher
+    carry-forward vs. a trigger's post-swap re-land can both target
+    the same dir): write to a tmp dir, then rename-into-place —
+    POSIX dir rename fails on a non-empty target, so exactly one
+    writer wins and the loser discards its tmp; content is
+    deterministic under the generation's frozen state, so which one
+    wins is immaterial. (Spark's overwrite mode deletes the target
+    before committing, which under two concurrent writers can delete
+    the winner's in-flight files — the r11 self-review finding this
+    closes. On an object store this CAS belongs to the LogStore seam;
+    local mode is POSIX.)"""
+    import os
+    import shutil
+    import uuid
+
+    target = f"{root}/coded_stream/batch={batch_id}"
+    if not atomic:
+        out.write.mode("overwrite").parquet(target)
+        return
+    if os.path.isdir(target):
+        return  # the other writer already landed identical content
+    os.makedirs(f"{root}/coded_stream", exist_ok=True)
+    tmp = f"{root}/coded_stream/.landing-{uuid.uuid4().hex[:8]}"
+    out.write.mode("overwrite").parquet(tmp)
+    try:
+        os.rename(tmp, target)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+
+
 def _land_batch(
     spark,
     root: str,
     batch: DataFrame,
     batch_id: int,
-    sub: int = SUB,
-    k: int = K,
     dedup: bool = False,
+    atomic: bool = False,
 ) -> None:
     """Encode one micro-batch against generation `root`'s trained
-    state and land it as `coded_stream/batch=<id>` — WITH the raw
-    embedding column: the stream dirs are the only durable record of
-    which raw vectors each batch carried, and a generation refresh
-    needs exactly that to re-encode boundary-straddling batches under
-    the NEW codebooks (old pq_codes are meaningless under new books).
-    One batch-sized self-join per trigger is the storage/durability
-    price. `dedup=True` (refresh-boundary landings only — never the
-    hot path) drops vec_ids the target generation's retrain already
-    encoded into `coded`, so a batch that made it into the refresh
-    snapshot AND gets carried forward never yields duplicate
-    candidates."""
-    out = _landing_frame(spark, root, batch, sub, k, dedup)
+    state (at the generation's own persisted geometry) and land it as
+    `coded_stream/batch=<id>` — WITH the raw embedding column: the
+    stream dirs are the only durable record of which raw vectors each
+    batch carried, and a generation refresh needs exactly that to
+    re-encode boundary-straddling batches under the NEW codebooks
+    (old pq_codes are meaningless under new books). One batch-sized
+    self-join per trigger is the storage/durability price.
+    `dedup=True` (refresh-boundary landings only — never the hot
+    path) drops vec_ids the target generation's retrain already
+    encoded into `coded`; `atomic=True` is required whenever two
+    writers may target the same dir (see `_write_batch_dir`)."""
+    out = _landing_frame(spark, root, batch, dedup)
     if dedup:
         out = out.persist()
         try:
             # a fully-deduped batch writes NOTHING: an empty parquet
             # dir would break schema inference for every later reader
             if not out.isEmpty():
-                out.write.mode("overwrite").parquet(
-                    f"{root}/coded_stream/batch={batch_id}"
-                )
+                _write_batch_dir(out, root, batch_id, atomic)
         finally:
             out.unpersist()
         return
-    out.write.mode("overwrite").parquet(f"{root}/coded_stream/batch={batch_id}")
+    _write_batch_dir(out, root, batch_id, atomic)
 
 
 def _process_add(batch: DataFrame, batch_id: int, index_path: str) -> None:
     """The add-path trigger body (module-level so the swap-closure is
     directly testable): land into the CURRENT generation, then
     re-resolve — if a refresh swapped generations mid-trigger, land
-    into the NEW current too (dedup'd), closing the writer side of the
-    refresh race: either the batch dir existed when the refresher
-    swept for boundary-straddling batches (carried forward by the
-    refresher), or the swap preceded this re-check (re-landed here).
-    Both sides may land the same batch; the content is deterministic
-    under the new generation's frozen state, so the double write is
-    an idempotent overwrite."""
+    into the NEW current too (dedup'd, rename-into-place), closing the
+    writer side of the refresh race: either the batch dir existed when
+    the refresher swept for boundary-straddling batches (carried
+    forward by the refresher), or the swap preceded this re-check
+    (re-landed here). Both sides may race on the same dir; the atomic
+    landing makes exactly one win, and the content is deterministic
+    under the new generation's frozen state either way."""
     spark = batch.sparkSession
     # resolve the CURRENT generation per trigger: a refresh swap
     # mid-stream redirects the next batch to the new trained
@@ -132,7 +197,7 @@ def _process_add(batch: DataFrame, batch_id: int, index_path: str) -> None:
     _land_batch(spark, root, batch, batch_id)
     root_after = resolve_generation_dir(index_path)
     if root_after != root:
-        _land_batch(spark, root_after, batch, batch_id, dedup=True)
+        _land_batch(spark, root_after, batch, batch_id, dedup=True, atomic=True)
 
 
 def run_streaming_ivf_pq_add(
@@ -255,47 +320,67 @@ def _carry_forward(
     old_root: str,
     new_root: str,
     covered: set[int],
-    sub: int,
-    k: int,
 ) -> list[int]:
     """Re-encode boundary-straddling streamed batches into a freshly
     trained generation: every batch dir under the OLD generation's
-    coded_stream that is not in `covered` (the refresh's snapshot
-    boundary) re-encodes its RAW embeddings (persisted per batch by
-    `_land_batch` exactly for this) under the NEW books/centroids and
-    lands under the new generation with the same batch id — dedup'd
-    against the retrain's own coded output, so a batch the snapshot
-    half-included cannot double-count. Batches already present under
-    the new generation are skipped (idempotent second sweep; a
-    concurrent `_process_add` post-check landing the same batch writes
-    deterministically identical content). Refuses legacy stream dirs
-    that carry no embedding column — silently dropping those vectors
-    is exactly the defect this sweep exists to close."""
+    coded_stream not in `covered` is checked against the retrain's
+    own coded output and any MISSING vectors re-encode from their
+    persisted raw embeddings under the NEW books — so a batch the
+    snapshot fully or half-included cannot double-count, and one it
+    missed entirely cannot vanish. The missing-ness check is ONE
+    column-pruned scan for the whole sweep (union of late batch ids,
+    one anti-join against new `coded`), so sweeping the entire landed
+    history — the safe default when the caller cannot prove what its
+    `vectors` frame contained — costs one cheap pass, and only
+    genuinely missing batches pay an encode. Landings are
+    rename-into-place (`_write_batch_dir`): a concurrent post-swap
+    re-land of the same batch cannot corrupt the dir. Batches already
+    present under the new generation are skipped. Refuses legacy
+    stream dirs with no embedding column — silently dropping those
+    vectors is exactly the defect this sweep exists to close. Returns
+    every batch id it ACCOUNTED FOR (carried, confirmed-covered, or
+    already present), so a second sweep can skip them."""
     done = set(_stream_batch_ids(new_root))
-    carried = []
-    for b in _stream_batch_ids(old_root):
-        if b in covered or b in done:
-            continue
-        raw = spark.read.parquet(f"{old_root}/coded_stream/batch={b}")
-        if "embedding" not in raw.columns:
-            raise ValueError(
-                f"coded_stream batch={b} under {old_root} carries no "
-                "embedding column (written by a pre-carry-forward "
-                "version?): cannot re-encode it into the new "
-                "generation — re-ingest the batch or refresh with a "
-                "`vectors` frame that includes it"
-            )
-        _land_batch(
-            spark,
-            new_root,
-            raw.select("vec_id", "embedding"),
-            b,
-            sub,
-            k,
-            dedup=True,
+    late = [
+        b
+        for b in _stream_batch_ids(old_root)
+        if b not in covered and b not in done
+    ]
+    if not late:
+        return []
+    raw = spark.read.parquet(f"{old_root}/coded_stream").where(
+        F.col("batch").isin(late)
+    )
+    if "embedding" not in raw.columns:
+        raise ValueError(
+            f"coded_stream under {old_root} carries no embedding "
+            "column (written by a pre-carry-forward version?): cannot "
+            "re-encode its batches into the new generation — "
+            "re-ingest them or refresh with covered_batches listing "
+            "every batch the `vectors` frame includes"
         )
-        carried.append(b)
-    return carried
+    coded_ids = spark.read.parquet(f"{new_root}/coded").select("vec_id")
+    missing = (
+        raw.select("batch", "vec_id", "embedding")
+        .join(coded_ids, "vec_id", "left_anti")
+        .persist()
+    )
+    try:
+        todo = sorted(
+            r["batch"] for r in missing.select("batch").distinct().collect()
+        )
+        for b in todo:
+            out = _landing_frame(
+                spark,
+                new_root,
+                missing.where(F.col("batch") == b).select(
+                    "vec_id", "embedding"
+                ),
+            )
+            _write_batch_dir(out, new_root, b, atomic=True)
+    finally:
+        missing.unpersist()
+    return late
 
 
 def refresh_streamed_index(
@@ -332,18 +417,23 @@ def refresh_streamed_index(
     micro-batch landing in the old generation's coded_stream after
     the caller snapshotted `vectors` but before the swap used to
     vanish from query results — its checkpoint offset was consumed,
-    its old-generation codes pruned with the old generation):
-    `covered_batches` records which streamed batches `vectors`
-    includes — default: every batch landed under the current
-    generation AT ENTRY, which is the natural contract when `vectors`
-    is "base + read of the landed stream dirs". Any batch beyond that
-    boundary is RE-ENCODED from its persisted raw embeddings into the
-    new generation (`_carry_forward`), once before the swap and once
-    after it (idempotent sweep — catches batches that landed during
-    the retrain); a batch whose trigger straddles the swap itself is
-    landed by the writer's own post-swap re-check (`_process_add`).
-    Between the two sides every batch ends up in exactly one
-    generation-consistent place."""
+    its old-generation codes pruned with the old generation): EVERY
+    landed stream batch is swept by `_carry_forward` — any of its
+    vectors the retrain's coded output lacks re-encode from the
+    persisted raw embeddings into the new generation, once before the
+    swap and once after it (the sweeps skip whatever the first pass
+    accounted for; the missing-ness check is one column-pruned
+    anti-join, so sweeping the full landed history is cheap and only
+    genuinely missing batches pay an encode). The default assumes
+    NOTHING about which batches `vectors` contained — the r11
+    self-review showed the previous landed-at-entry default silently
+    dropped any batch the standing-corpus mirror had not caught up to
+    (the exact production wiring of the runner's maintenance tick).
+    `covered_batches` remains for callers who can PROVE coverage and
+    want to skip even the cheap sweep. A batch whose trigger straddles
+    the swap itself is landed by the writer's own post-swap re-check
+    (`_process_add`); both sides land rename-into-place, so their race
+    on the same dir has exactly one winner."""
     import os
     import uuid
 
@@ -354,12 +444,7 @@ def refresh_streamed_index(
 
     os.makedirs(index_path, exist_ok=True)
     old_root = resolve_generation_dir(index_path)
-    covered = (
-        set(_stream_batch_ids(old_root))
-        if covered_batches is None
-        else set(covered_batches)
-    )
-    sub = build_kwargs.get("sub", SUB)
+    covered = set() if covered_batches is None else set(covered_batches)
     k = build_kwargs.get("k", K)
     if reseed_init and "train_frame" not in build_kwargs:
         build_kwargs["train_frame"] = _reseeded_train_view(vectors, k)
@@ -367,6 +452,16 @@ def refresh_streamed_index(
     gen = f"gen-{uuid.uuid4().hex[:12]}"
     new_root = os.path.join(index_path, gen)
     write_ivf_pq_index(books, coded, cents, new_root)
+    # the generation is SELF-DESCRIBING: persist the geometry its
+    # quantizers were trained at, so every later landing (hot adds,
+    # carries, post-swap re-lands) encodes at the right one
+    _write_geometry(
+        new_root,
+        build_kwargs.get("sub", SUB),
+        k,
+        build_kwargs.get("dims", DIMS),
+        build_kwargs.get("mode"),
+    )
     # each generation carries the PROFILE of the distribution its
     # quantizers were trained on — the reference the in-stream drift
     # guard judges every arriving batch against (64 rows; one extra
@@ -376,15 +471,14 @@ def refresh_streamed_index(
     embedding_dim_stats(vectors).write.mode("overwrite").parquet(
         os.path.join(new_root, "train_stats")
     )
-    # pre-swap sweep: batches past the snapshot boundary re-encode
+    # pre-swap sweep: anything the retrain snapshot missed re-encodes
     # under the NEW books before readers can resolve this generation
-    _carry_forward(spark, old_root, new_root, covered, sub, k)
+    processed = _carry_forward(spark, old_root, new_root, covered)
     publish_generation(index_path, gen, grace_seconds)
     # post-swap sweep: a batch that landed in the old generation
     # during the retrain (after the pre-swap sweep listed the dirs)
-    # is swept here; one that lands after the swap re-checks itself
-    # into this generation via _process_add
-    _carry_forward(spark, old_root, new_root, covered, sub, k)
+    # is swept here; batches the first sweep accounted for are skipped
+    _carry_forward(spark, old_root, new_root, covered | set(processed))
     return gen
 
 

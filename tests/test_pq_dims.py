@@ -221,3 +221,17 @@ def test_matryoshka_indexed_matches_inline(spark, sf_dir, tmp_path):
         iters=1,
     )
     assert _rows(got) == _rows(want) and got.count() == 15
+
+
+def test_matryoshka_prefix_must_nest_inside_dims(spark, emb16):
+    """r11 self-review: slice() clamps silently, so an oversized
+    prefix would quantize empty upper subspaces into constant codes
+    (an id-lottery shortlist) — the misuse must fail at call time."""
+    with pytest.raises(ValueError, match="prefix_dims=32 exceeds dims=16"):
+        pq_ops.matryoshka_rerank_topk(
+            emb16, [0], 3, prefix_dims=32, sub=4, k=8, iters=1, dims=16
+        )
+    with pytest.raises(ValueError, match="exceeds dims"):
+        pq_ops.matryoshka_rerank_topk_sql(
+            [0], 3, prefix_dims=128, sub=4, k=8, iters=1
+        )

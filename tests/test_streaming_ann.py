@@ -687,3 +687,72 @@ def test_repeated_drift_heal_cycles_stay_consistent(spark, tmp_path):
             )
             is None
         )
+
+
+def test_refresh_default_carries_batches_missing_from_standing_corpus(
+    spark, tmp_path
+):
+    """The r11 self-review's production scenario: the maintenance tick
+    refreshes from a standing-corpus mirror that has NOT caught up to
+    the latest landed stream batch. The previous landed-at-entry
+    default marked that batch covered and dropped its vectors forever;
+    the safe default sweeps everything and re-encodes exactly the
+    missing rows."""
+    A, B = _split_corpus(spark, tmp_path)
+    root = str(tmp_path / "index")
+    refresh_streamed_index(spark, root, A)
+    _stream_chunks(
+        spark, str(tmp_path), [B.select("vec_id", "embedding")], root, "ckm"
+    )
+    # standing corpus is STALE: vectors = A only, defaults throughout —
+    # exactly what __main__'s tick does when the mirror lags
+    refresh_streamed_index(spark, root, A)
+    gen2 = resolve_generation_dir(root)
+    assert os.path.isdir(f"{gen2}/coded_stream/batch=0")
+    _, coded2, _ = read_streamed_index(spark, root)
+    ids = [r["vec_id"] for r in coded2.select("vec_id").collect()]
+    assert sorted(set(ids)) == list(range(500)) and len(ids) == 500
+
+
+def test_refresh_carries_at_the_generations_own_geometry(spark, tmp_path):
+    """A dims=16/sub=4 index (the r11 parameterization) whose refresh
+    must re-encode a boundary-straddling batch AT THAT geometry: the
+    generation's persisted geometry sidecar — not the module defaults
+    — drives every landing, so carried codes equal a direct
+    ivf_pq_encode at dims=16 under the new books."""
+    corpus = anisotropic_corpus(spark, 500, dim=16)
+    corpus.where("vec_id < 400").write.parquet(f"{tmp_path}/A16")
+    corpus.where("vec_id >= 400").write.parquet(f"{tmp_path}/B16")
+    A = spark.read.parquet(f"{tmp_path}/A16")
+    B = spark.read.parquet(f"{tmp_path}/B16")
+    root = str(tmp_path / "index16")
+    kw = dict(sub=4, k=8, iters=1, dims=16)
+    refresh_streamed_index(spark, root, A, **kw)
+    _stream_chunks(
+        spark, str(tmp_path), [B.select("vec_id", "embedding")], root, "ckg16"
+    )
+    refresh_streamed_index(spark, root, A, **kw)  # stale standing corpus
+    gen2 = resolve_generation_dir(root)
+    assert os.path.isdir(f"{gen2}/coded_stream/batch=0")
+    books2 = spark.read.parquet(f"{gen2}/books")
+    cents2 = spark.read.parquet(f"{gen2}/centroids")
+    want = _rows(
+        ivf_pq_encode(
+            B.select("vec_id", "embedding"), books2, cents2,
+            sub=4, k=8, dims=16,
+        )
+    )
+    got = _rows(
+        spark.read.parquet(f"{gen2}/coded_stream/batch=0").select(
+            "vec_id", "pq_code", "centroid_id"
+        )
+    )
+    assert got == want
+    # the sidecar is the mechanism: the generation records the
+    # geometry its books were trained at (a default-geometry encode
+    # against these books doesn't merely differ — it fails outright
+    # on the 16-wide arrays, which is what every landing would have
+    # hit without the sidecar)
+    from khronus_spark.streaming.ann import _geometry
+
+    assert _geometry(gen2) == {"sub": 4, "k": 8, "dims": 16, "mode": None}
