@@ -998,3 +998,14 @@ def test_hw_residual_anomaly_profile_broadcasts(spark, oracle_sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_matryoshka_indexed_query_has_no_training(spark, oracle_sf_dir):
+    """r11: the Matryoshka build/query split — the prefix index is
+    persisted (books/codes parquet), the query slices probes to the
+    prefix and reranks from the primary store; no k-means machinery
+    anywhere in the query plan."""
+    plan = _plan(spark, oracle_sf_dir, "ann_matryoshka_rerank_topk_indexed")
+    assert "posexplode" not in plan
+    assert "Scan ExistingRDD" not in plan
+    assert "books" in plan and "codes" in plan
