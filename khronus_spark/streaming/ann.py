@@ -340,11 +340,23 @@ def _carry_forward(
     vectors is exactly the defect this sweep exists to close. Returns
     every batch id it ACCOUNTED FOR (carried, confirmed-covered, or
     already present), so a second sweep can skip them."""
+    import os
+
     done = set(_stream_batch_ids(new_root))
+    # a batch dir without Spark's _SUCCESS marker is MID-COMMIT by a
+    # hot trigger (the hot path is plain overwrite): carrying it now
+    # would copy a truncated dir into the new generation, after which
+    # the trigger's own post-swap re-land skips (target exists) and the
+    # uncarried vectors never arrive — the r12 ADVICE race. Skipping is
+    # safe: the committing trigger's own post-swap re-check lands the
+    # full batch, and the refresher's post-swap sweep re-lists dirs, so
+    # a batch that completes between the sweeps is picked up there.
     late = [
         b
         for b in _stream_batch_ids(old_root)
-        if b not in covered and b not in done
+        if b not in covered
+        and b not in done
+        and os.path.isfile(f"{old_root}/coded_stream/batch={b}/_SUCCESS")
     ]
     if not late:
         return []
@@ -365,6 +377,19 @@ def _carry_forward(
         .join(coded_ids, "vec_id", "left_anti")
         .persist()
     )
+    # MIXED old/new batch dirs under one generation defeat the
+    # column-presence guard above: schema inference surfaces
+    # `embedding` from one new-style file and the legacy batches read
+    # it as NULL — re-encoding those rows would write garbage codes
+    # silently. Fail on any null instead of trusting column presence.
+    if not missing.where(F.col("embedding").isNull()).isEmpty():
+        raise ValueError(
+            f"coded_stream under {old_root} has batches with NULL "
+            "embeddings (mixed legacy/new batch dirs?): cannot "
+            "re-encode them — re-ingest those batches or refresh with "
+            "covered_batches listing every batch the `vectors` frame "
+            "includes"
+        )
     try:
         todo = sorted(
             r["batch"] for r in missing.select("batch").distinct().collect()
@@ -482,6 +507,60 @@ def refresh_streamed_index(
     return gen
 
 
+def _process_add_guarded(
+    batch: DataFrame, batch_id: int, index_path: str, z_tenths: int
+) -> None:
+    """The guarded-add trigger body (module-level so the swap-closure
+    is directly testable, exactly like `_process_add`): land, profile,
+    judge, log the verdict, then re-resolve the generation — a swap
+    that completed mid-trigger re-lands the batch into the NEW current
+    (dedup'd AND atomic: this re-land races the refresher's
+    carry-forward on the same dir, and the non-atomic overwrite
+    deletes the target before committing — the r12 ADVICE finding;
+    `_process_add` already passed atomic=True)."""
+    import os
+
+    from khronus_spark.operators.quantize import (
+        embedding_dim_stats,
+        embedding_drift_flags,
+    )
+
+    spark = batch.sparkSession
+    root = resolve_generation_dir(index_path)
+    batch = batch.persist()  # two consumers: encode + profile
+    try:
+        _land_batch(spark, root, batch, batch_id)
+        train_stats = spark.read.parquet(f"{root}/train_stats")
+        flags = embedding_drift_flags(
+            train_stats, embedding_dim_stats(batch), z_tenths=z_tenths
+        )
+        verdict = flags.agg(
+            F.count(F.lit(1)).cast("long").alias("n_dims"),
+            F.sum(
+                F.when(F.col("drifted"), F.lit(1)).otherwise(F.lit(0))
+            ).cast("long").alias("n_flagged"),
+        ).select(
+            F.lit(os.path.basename(root)).alias("generation"),
+            "n_dims",
+            "n_flagged",
+            (F.col("n_flagged") > 0).alias("drifted"),
+        )
+        verdict.write.mode("overwrite").parquet(
+            f"{root}/drift_log/batch={batch_id}"
+        )
+        # same swap-straddle closure as the plain add path; the drift
+        # verdict stays with the generation it was judged against — a
+        # just-retrained generation starts its drift history clean by
+        # design
+        root_after = resolve_generation_dir(index_path)
+        if root_after != root:
+            _land_batch(
+                spark, root_after, batch, batch_id, dedup=True, atomic=True
+            )
+    finally:
+        batch.unpersist()
+
+
 def run_streaming_ivf_pq_add_guarded(
     vectors_stream: DataFrame,
     index_path: str,
@@ -509,45 +588,7 @@ def run_streaming_ivf_pq_add_guarded(
     carry no profile and fail loudly rather than guessing."""
 
     def process(batch: DataFrame, batch_id: int) -> None:
-        import os
-
-        from khronus_spark.operators.quantize import (
-            embedding_dim_stats,
-            embedding_drift_flags,
-        )
-
-        spark = batch.sparkSession
-        root = resolve_generation_dir(index_path)
-        batch = batch.persist()  # two consumers: encode + profile
-        try:
-            _land_batch(spark, root, batch, batch_id)
-            train_stats = spark.read.parquet(f"{root}/train_stats")
-            flags = embedding_drift_flags(
-                train_stats, embedding_dim_stats(batch), z_tenths=z_tenths
-            )
-            verdict = flags.agg(
-                F.count(F.lit(1)).cast("long").alias("n_dims"),
-                F.sum(
-                    F.when(F.col("drifted"), F.lit(1)).otherwise(F.lit(0))
-                ).cast("long").alias("n_flagged"),
-            ).select(
-                F.lit(os.path.basename(root)).alias("generation"),
-                "n_dims",
-                "n_flagged",
-                (F.col("n_flagged") > 0).alias("drifted"),
-            )
-            verdict.write.mode("overwrite").parquet(
-                f"{root}/drift_log/batch={batch_id}"
-            )
-            # same swap-straddle closure as the plain add path; the
-            # drift verdict stays with the generation it was judged
-            # against — a just-retrained generation starts its drift
-            # history clean by design
-            root_after = resolve_generation_dir(index_path)
-            if root_after != root:
-                _land_batch(spark, root_after, batch, batch_id, dedup=True)
-        finally:
-            batch.unpersist()
+        _process_add_guarded(batch, batch_id, index_path, z_tenths)
 
     return (
         vectors_stream.writeStream.foreachBatch(process)

@@ -235,3 +235,27 @@ def test_matryoshka_prefix_must_nest_inside_dims(spark, emb16):
         pq_ops.matryoshka_rerank_topk_sql(
             [0], 3, prefix_dims=128, sub=4, k=8, iters=1
         )
+
+
+def test_matryoshka_indexed_rejects_oversized_prefix(spark, emb16, tmp_path):
+    """r12 ADVICE: the indexed twin used to skip the nesting check its
+    inline twin raises on — an oversized prefix_dims silently clamped
+    at slice() and the ADC shortlist degraded to an id-lottery. The
+    probe frame itself is the width source of truth."""
+    prefix = emb16.select(
+        "vec_id", F.expr("slice(embedding, 1, 8)").alias("embedding")
+    )
+    books, codes = pq_ops.pq_build_index(prefix, sub=4, k=8, iters=1, dims=8)
+    pv = emb16.where("vec_id < 3").select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    with pytest.raises(ValueError, match="prefix_dims=32 exceeds the probe"):
+        pq_ops.matryoshka_rerank_topk_indexed(
+            books, codes, pv, emb16, 3, prefix_dims=32, sub=4, k=8
+        ).collect()
+    # the nested geometry still runs (probe width 16 >= prefix 8)
+    ok = pq_ops.matryoshka_rerank_topk_indexed(
+        books, codes, pv, emb16, 3, n_candidates=10, prefix_dims=8,
+        sub=4, k=8,
+    )
+    assert ok.count() == 9

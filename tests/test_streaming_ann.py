@@ -756,3 +756,115 @@ def test_refresh_carries_at_the_generations_own_geometry(spark, tmp_path):
     from khronus_spark.streaming.ann import _geometry
 
     assert _geometry(gen2) == {"sub": 4, "k": 8, "dims": 16, "mode": None}
+
+
+def test_guarded_post_swap_reland_is_atomic(spark, tmp_path, monkeypatch):
+    """r12 ADVICE (medium): the guarded add's post-swap re-land races
+    the refresher's carry-forward on the same batch dir — it must go
+    rename-into-place like _process_add's, never Spark overwrite
+    (which deletes the target before committing). Pin: a dir another
+    writer already landed SURVIVES the re-land untouched."""
+    from khronus_spark.streaming.ann import _process_add_guarded
+
+    A, B = _split_corpus(spark, tmp_path)
+    root = str(tmp_path / "index")
+    refresh_streamed_index(spark, root, A)
+    gen1 = resolve_generation_dir(root)
+    refresh_streamed_index(spark, root, A)
+    gen2 = resolve_generation_dir(root)
+    assert gen2 != gen1 and os.path.isdir(gen1)
+
+    # the other writer (the refresher's carry) already owns the dir
+    sentinel_dir = f"{gen2}/coded_stream/batch=9"
+    os.makedirs(sentinel_dir)
+    with open(f"{sentinel_dir}/_SENTINEL", "w") as fh:
+        fh.write("other writer's landing")
+
+    real = resolve_generation_dir
+    calls = {"n": 0}
+
+    def stale_once(path):
+        calls["n"] += 1
+        return gen1 if calls["n"] == 1 else real(path)
+
+    monkeypatch.setattr(ann_mod, "resolve_generation_dir", stale_once)
+    _process_add_guarded(B.select("vec_id", "embedding"), 9, root, 50)
+
+    # landed into the stale generation, judged there...
+    assert os.path.isdir(f"{gen1}/coded_stream/batch=9")
+    assert os.path.isdir(f"{gen1}/drift_log/batch=9")
+    # ...and the post-swap re-land LOST the race gracefully: the other
+    # writer's dir is intact (an overwrite would have deleted it)
+    assert os.path.isfile(f"{sentinel_dir}/_SENTINEL")
+
+
+def test_carry_skips_mid_commit_batch_dirs(spark, tmp_path):
+    """r12 ADVICE: a batch dir without _SUCCESS is mid-commit by a hot
+    trigger — carrying it would copy a TRUNCATED dir into the new
+    generation, after which the trigger's own atomic re-land skips
+    (target exists) and the uncarried vectors never arrive. The sweep
+    must skip it; the committing trigger's own post-swap re-land (or a
+    later sweep seeing the completed dir) lands the full batch."""
+    A, B = _split_corpus(spark, tmp_path)
+    root = str(tmp_path / "index")
+    refresh_streamed_index(spark, root, A)
+    gen1 = resolve_generation_dir(root)
+    _stream_chunks(
+        spark, str(tmp_path), [B.select("vec_id", "embedding")], root, "ckm"
+    )
+    success = f"{gen1}/coded_stream/batch=0/_SUCCESS"
+    assert os.path.isfile(success)
+    os.remove(success)  # simulate the dir being mid-commit
+
+    refresh_streamed_index(spark, root, A, covered_batches=[])
+    gen2 = resolve_generation_dir(root)
+    # the truncated dir was NOT carried — no half-batch in gen2
+    assert not os.path.isdir(f"{gen2}/coded_stream/batch=0")
+    _, coded2, _ = read_streamed_index(spark, root)
+    ids = {r["vec_id"] for r in coded2.select("vec_id").collect()}
+    assert ids == set(range(400))
+
+    # the trigger finishes its commit and runs its own post-swap
+    # re-land (the protocol's other half) — full coverage restored
+    from khronus_spark.streaming.ann import _land_batch
+
+    _land_batch(
+        spark, gen2, B.select("vec_id", "embedding"), 0,
+        dedup=True, atomic=True,
+    )
+    assert os.path.isfile(f"{gen2}/coded_stream/batch=0/_SUCCESS")
+    _, coded2, _ = read_streamed_index(spark, root)
+    ids = {r["vec_id"] for r in coded2.select("vec_id").collect()}
+    assert ids == set(range(500))
+
+
+def test_carry_fails_loudly_on_null_embeddings(spark, tmp_path):
+    """r12 ADVICE: with MIXED legacy/new batch dirs under one
+    generation, schema inference can surface the embedding column from
+    a new-style file and the legacy batches then read embedding as
+    NULL — those rows must fail the sweep loudly, never re-encode into
+    null/garbage codes silently."""
+    import pytest
+
+    A, B = _split_corpus(spark, tmp_path)
+    root = str(tmp_path / "index")
+    refresh_streamed_index(spark, root, A)
+    gen1 = resolve_generation_dir(root)
+
+    # batch 0: new-style landing (embedding column present)
+    B0 = B.where("vec_id < 450").select("vec_id", "embedding")
+    from khronus_spark.streaming.ann import _land_batch
+
+    _land_batch(spark, gen1, B0, 0)
+    # batch 1: legacy-shaped dir — codes with embedding explicitly
+    # NULL (the shape a mixed-schema read surfaces for legacy files)
+    books1 = spark.read.parquet(f"{gen1}/books")
+    cents1 = spark.read.parquet(f"{gen1}/centroids")
+    B1 = B.where("vec_id >= 450").select("vec_id", "embedding")
+    legacy = ivf_pq_encode(B1, books1, cents1).withColumn(
+        "embedding", F.lit(None).cast("array<float>")
+    )
+    legacy.write.mode("overwrite").parquet(f"{gen1}/coded_stream/batch=1")
+
+    with pytest.raises(ValueError, match="NULL\\s+embeddings"):
+        refresh_streamed_index(spark, root, A, covered_batches=[])
