@@ -122,37 +122,32 @@ def register(name: str, oracle: str | None):
 #: operator inside the window; everything else keeps registration order
 #: in the tail (still exercised by tests/test_oracle_parity.py locally).
 #:
-#: Round-11 rotation policy (same invariant as rounds 2-10): the window
-#: leads with (a) the drained round-10 queue — the six entries
-#: registered after the r10 window froze, never driver-checked, all
-#: oracle-backed and hash-green locally: `ann_ivfpq_rerank_topk_indexed`
-#: (the full production ANN composition), `embedding_drift_flags`,
-#: `events_holt_winters_24h`, `wordpiece_encode_docs`,
-#: `unigram_encode_docs`, `events_hw_residual_anomaly`. Then (b) every
-#: entry whose ENGINE PATH or entry body changed this round after its
-#: newest green row: `dedup_exact_docs` (de-vacuated — the entry view
-#: now plants duplicates so the hash proves grouping, not emptiness;
-#: r10 What's-wrong #2), `events_seasonal_anomaly` (the cleared
-#: z-inequality and its profile sums now evaluate in DECIMAL(38,0) —
-#: identical values at gate scale, the driver hash removes all doubt),
-#: plus the NINE oracle-backed consumers of operators/pq.py, whose
-#: geometry was parameterized this round (dims threaded through every
-#: build/encode/query/SQL face — default-identical, re-proven on the
-#: r10 `part_golden_records` precedent): `pq_codes`, `ann_pq_topk`,
-#: `ann_pq_topk_indexed`, `ann_ivfpq_topk`, `ann_pq_rerank_topk`,
-#: `ann_ivfpq_topk_indexed`, `ann_pq_rerank_topk_indexed`,
-#: `hybrid_rrf_topk_indexed`, `ann_recall_at_k`. Then (c) the entry
-#: NEW in round 11: `ann_pq_dim16_topk` (the driver proof of the dims
-#: parameterization at a non-default geometry). Then (d) the
-#: longest-unchecked fills: the FULL 16-entry cohort whose newest
-#: green row is round 6 (`mixture_realization_audit` …
-#: `part_edit_graph_clustering`) and the 16 oldest round-7 rows in
-#: registration order (`influx_store_percentiles_1h` …
-#: `events_anomaly_zscore`). 6 + 11 + 1 + 16 + 16 = 50. Rows-only
-#: entries (xxhash64 signatures, the stateful streaming face) stay
-#: out — the window accepts only hash-checkable entries, and their
-#: md5/stream==batch twins are covered. Everything else is still
-#: locally oracle-checked every run by tests/test_oracle_parity.py.
+#: Round-12 rotation policy (same invariant as rounds 2-11): the window
+#: leads with (a) the drained round-11 queue — the four entries
+#: registered after the r11 window froze, never driver-checked, all
+#: oracle-backed and hash-green locally: `ann_matryoshka_rerank_topk`
+#: and `ann_matryoshka_rerank_topk_indexed` (the prefix-shortlist /
+#: full-rerank composition the r11 dims parameterization unlocked —
+#: the indexed twin additionally gained the r12 ADVICE probe-width
+#: validation, so its in-window row re-proves the touched path), plus
+#: `embedding_coreset_kcenter` and `coreset_coverage_audit` (the
+#: greedy k-center family). Then (b) the entries NEW in round 12:
+#: `coreset_kcenter_per_cell` (the per-IVF-cell 100 TB composition the
+#: r11 verdict asked to be code, not prose) and
+#: `matryoshka_recall_probe` (the sampled-recall guard for non-MRL
+#: corpora, its measured number hash-pinned). No other oracle-backed
+#: entry's engine path changed this round (the r12 streaming/ann.py
+#: race closures and the matryoshka_build_index face have no registry
+#: consumers outside the in-window entries). Then (c) the
+#: longest-unchecked fills: the FULL 29-entry cohort whose newest
+#: green row is round 7 (`near_dup_jaccard_lsh` …
+#: `events_type_affinity`) and the 15 oldest round-8 rows in
+#: registration order (`influx_field_plus_literal` … `bpe_encode_6`).
+#: 4 + 2 + 29 + 15 = 50. Rows-only entries (xxhash64 signatures, the
+#: stateful streaming face) stay out — the window accepts only
+#: hash-checkable entries, and their md5/stream==batch twins are
+#: covered. Everything else is still locally oracle-checked every run
+#: by tests/test_oracle_parity.py.
 #: tests/test_oracle_parity.py::test_window_rotation_covers_unproven
 #: enforces the invariant "green before, in the window, or queued".
 DRIVER_WINDOW = 50
@@ -163,70 +158,67 @@ DRIVER_WINDOW = 50
 #: this explicit queue, each queued entry to be fully oracle-backed
 #: (hash-checked against DuckDB on every local parity run), and the
 #: NEXT round's window to lead with them (emptying the queue) before
-#: anything else rotates. Round 11 drained the round-10 queue (its six
-#: entries lead _PRIORITY below); entries added after the round-11
-#: window froze queue here for round 12.
+#: anything else rotates. Round 12 drained the round-11 queue (its four
+#: entries lead _PRIORITY below); entries added after the round-12
+#: window froze queue here for round 13.
 PENDING_NEXT_WINDOW: list[str] = []
 
 _PRIORITY = [
-    # -- the drained round-10 queue: first driver proof THIS round ------
-    "ann_ivfpq_rerank_topk_indexed",
-    "embedding_drift_flags",
-    "events_holt_winters_24h",
-    "wordpiece_encode_docs",
-    "unigram_encode_docs",
-    "events_hw_residual_anomaly",
-    # -- entries whose entry body changed this round --------------------
-    "dedup_exact_docs",
-    "events_seasonal_anomaly",
-    # -- the nine oracle-backed pq.py consumers: the module's geometry
-    #    was parameterized this round (default-identical; re-proven on
-    #    the r10 part_golden_records precedent) -------------------------
-    "pq_codes",
-    "ann_pq_topk",
-    "ann_pq_topk_indexed",
-    "ann_ivfpq_topk",
-    "ann_pq_rerank_topk",
-    "ann_ivfpq_topk_indexed",
-    "ann_pq_rerank_topk_indexed",
-    "hybrid_rrf_topk_indexed",
-    "ann_recall_at_k",
-    # -- new in round 11: the non-default-geometry driver proof ---------
-    "ann_pq_dim16_topk",
-    # -- longest-unchecked fills: the full r6 cohort, then the 16
-    #    oldest r7 rows in registration order ---------------------------
-    "mixture_realization_audit",
-    "dsir_topk_sample",
-    "events_cohort_retention",
-    "events_zorder_curve",
-    "events_scd2_dominant_type",
-    "events_rfm_profile",
-    "data_quality_checks",
-    "events_anomaly_flags",
-    "part_name_edit_pairs",
-    "events_ewma_1h",
-    "events_new_vs_returning",
-    "events_type_transitions",
-    "events_cusum_changepoint",
-    "part_name_sorted_neighbor_pairs",
-    "events_holt_1h",
-    "part_edit_graph_clustering",
-    "influx_store_percentiles_1h",
-    "influx_percentiles_purchase_1h",
-    "tpch_q8_market_share",
-    "tpch_q13_order_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q22_idle_high_balance",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_suppliers",
-    "tpch_q12_ship_priority",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q20_part_family_share",
-    "tpch_q21_sole_late_supplier",
-    "events_anomaly_zscore",
+    # -- the drained round-11 queue: first driver proof THIS round ------
+    "ann_matryoshka_rerank_topk",
+    "ann_matryoshka_rerank_topk_indexed",
+    "embedding_coreset_kcenter",
+    "coreset_coverage_audit",
+    # -- new in round 12: the per-cell 100 TB coreset composition and
+    #    the Matryoshka non-MRL sampled-recall guard --------------------
+    "coreset_kcenter_per_cell",
+    "matryoshka_recall_probe",
+    # -- longest-unchecked fills: the full r7 cohort (29), then the 15
+    #    oldest r8 rows in registration order ---------------------------
+    "near_dup_jaccard_lsh",
+    "doc_repetition",
+    "gopher_rules",
+    "quality_classifier_score",
+    "approx_distinct_users_hll_daily",
+    "stratified_sample_by_lang",
+    "ann_lsh_buckets",
+    "influx_relative_now_10m",
+    "influx_string_filter_noop",
+    "events_json_props",
+    "events_user_gaps",
+    "events_distinct_users_daily",
+    "embedding_near_dup",
+    "ann_lsh_topk",
+    "bm25_eval_topk",
+    "embedding_knn_graph",
+    "decontamination_retrieval",
+    "hard_negative_pairs",
+    "hybrid_rrf_topk",
+    "doc_perplexity_split",
+    "hll_event_type_overlap",
+    "events_k_anonymity",
+    "events_scd2_conformance",
+    "events_scd2_backfill_conformance",
+    "part_lpa_communities",
+    "bm25_chunk_topk",
+    "ann_lsh_recall_sized",
+    "events_path_trigrams",
+    "events_type_affinity",
+    "influx_field_plus_literal",
+    "tpch_q1_pricing",
+    "tpch_q3_top_orders",
+    "tpch_q6_forecast_revenue",
+    "tpch_q14_promo_revenue",
+    "tpch_q4_late_orders",
+    "customer_lapsed_anti",
+    "tpch_q18_big_orders",
+    "tpch_q7_volume_shipping",
+    "tpch_q10_returned_revenue",
+    "events_rollup_type_daily",
+    "events_cube_type_daily",
+    "bpe_merges_batched",
+    "cms_heavy_users",
+    "bpe_encode_6",
 ]
 
 
@@ -6342,7 +6334,7 @@ def ann_matryoshka_rerank_topk(spark, sf_dir):
     )
 
 
-PENDING_NEXT_WINDOW.append("ann_matryoshka_rerank_topk")
+# drained into the round-12 window (rotation policy at _PRIORITY)
 
 
 @register(
@@ -6377,7 +6369,7 @@ def ann_matryoshka_rerank_topk_indexed(spark, sf_dir):
     )
 
 
-PENDING_NEXT_WINDOW.append("ann_matryoshka_rerank_topk_indexed")
+# drained into the round-12 window (rotation policy at _PRIORITY)
 
 
 from khronus_spark.operators import coreset as coreset_ops  # noqa: E402
@@ -6442,6 +6434,58 @@ def coreset_coverage_audit(spark, sf_dir):
     )
 
 
-PENDING_NEXT_WINDOW.extend(
-    ["embedding_coreset_kcenter", "coreset_coverage_audit"]
+# drained into the round-12 window (rotation policy at _PRIORITY):
+# embedding_coreset_kcenter, coreset_coverage_audit
+
+
+# -- round 12: the coreset's 100 TB composition made executable (r11
+# verdict Next-round #4) and the Matryoshka non-MRL guard measured as
+# an oracle-checked probe (Next-round #5). Registered BEFORE the r12
+# window froze, so both ride the window directly (the r11
+# ann_pq_dim16_topk precedent).
+
+
+@register(
+    "coreset_kcenter_per_cell",
+    coreset_ops.kcenter_select_per_cell_sql(m_per_cell=3, stride=50),
 )
+def coreset_kcenter_per_cell(spark, sf_dir):
+    """The per-IVF-cell k-center composition (operators/coreset.py::
+    kcenter_select_per_cell) — the 100 TB deployment the global
+    entry's docstring promised, now code: the standing cosine IVF
+    assignment (the `ann_ivf_assignments` entry's own split)
+    partitions the corpus, Gonzalez runs independently per cell with
+    every cell advancing in the SAME round (m_per_cell−1 map passes
+    total, not cells × rounds), and the union is the coreset. The
+    oracle unrolls the rounds with every argmax PARTITION BY cell —
+    one CTE pair per round, the operator's all-cells-together shape
+    restated."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = sim_ops.ivf_assignments(emb).withColumnRenamed(
+        "centroid_id", "cell"
+    )
+    return coreset_ops.kcenter_select_per_cell(emb, cells, m_per_cell=3)
+
+
+@register(
+    "matryoshka_recall_probe",
+    pq_ops.matryoshka_recall_probe_sql(
+        list(range(5)), 3, n_candidates=30, prefix_dims=16, sub=4, k=8,
+        iters=1,
+    ),
+)
+def matryoshka_recall_probe(spark, sf_dir):
+    """The Matryoshka fitness probe (operators/pq.py::
+    matryoshka_recall_probe): ONE row measuring the sampled recall of
+    the prefix-shortlist/full-rerank composition against exact
+    full-width top-k — the guard `matryoshka_build_index` runs before
+    an index serves, because on non-MRL embeddings the prefix metric
+    can be garbage while every global statistic (variance share
+    included — measured) looks healthy. recall_bp is integer-exact
+    (10000·hits div probes·k), so the driver hash pins the measured
+    number itself, not a float neighborhood."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_ops.matryoshka_recall_probe(
+        emb, list(range(5)), 3, n_candidates=30, prefix_dims=16,
+        sub=4, k=8, iters=1,
+    )

@@ -791,9 +791,13 @@ def matryoshka_rerank_topk(
     (prefix L2) than the rerank (full L2) — recall is the probability
     the prefix shortlist contains the full-width neighbors, which is
     exactly what MRL training optimizes. On non-MRL embeddings the
-    prefix carries whatever variance the first coordinates happen to
-    hold (the anisotropic test corpus front-loads variance, the
-    realistic case)."""
+    prefix carries whatever signal the first coordinates happen to
+    hold — measured worst case recall 0.0 on the tail-only-signal
+    corpus vs 0.92 at full width (sweeps/r11/matryoshka_sweep.json,
+    ASSERTED by tests/test_pq_dims.py::
+    test_matryoshka_probe_pins_the_sweep_numbers) — so gate any new
+    corpus through `matryoshka_build_index(probe_ids=...)` /
+    `matryoshka_recall_probe` before serving from a prefix index."""
     if prefix_dims > dims:
         raise ValueError(
             f"Matryoshka prefix_dims={prefix_dims} exceeds dims={dims}: "

