@@ -135,15 +135,22 @@ def register(name: str, oracle: str | None):
 #: `coreset_kcenter_per_cell` (the per-IVF-cell 100 TB composition the
 #: r11 verdict asked to be code, not prose) and
 #: `matryoshka_recall_probe` (the sampled-recall guard for non-MRL
-#: corpora, its measured number hash-pinned). No other oracle-backed
-#: entry's engine path changed this round (the r12 streaming/ann.py
-#: race closures and the matryoshka_build_index face have no registry
-#: consumers outside the in-window entries). Then (c) the
-#: longest-unchecked fills: the FULL 29-entry cohort whose newest
+#: corpora, its measured number hash-pinned). Then (c) the entries
+#: whose ENGINE PATH changed this round: `embedding_dim_stats` and
+#: `embedding_drift_flags` — the r12 dual-writer soak caught the
+#: int64 variance numerator n·Σv²−(Σv)² wrapping at n ≈ 2,300 rows
+#: per dim (the refresh's train-stats write threw, so the maintenance
+#: daemon could never heal a corpus past that size); var_num now
+#: evaluates in DECIMAL(38,0) on both engines, a schema change, so
+#: both faces re-prove under the driver. The other r12 engine changes
+#: (streaming/ann.py race closures, the matryoshka_build_index face)
+#: have no registry consumers outside the in-window entries. Then (d)
+#: the longest-unchecked fills: the FULL 29-entry cohort whose newest
 #: green row is round 7 (`near_dup_jaccard_lsh` …
-#: `events_type_affinity`) and the 15 oldest round-8 rows in
-#: registration order (`influx_field_plus_literal` … `bpe_encode_6`).
-#: 4 + 2 + 29 + 15 = 50. Rows-only entries (xxhash64 signatures, the
+#: `events_type_affinity`) and the 13 oldest round-8 rows in
+#: registration order (`influx_field_plus_literal` …
+#: `bpe_merges_batched`).
+#: 4 + 2 + 2 + 29 + 13 = 50. Rows-only entries (xxhash64 signatures, the
 #: stateful streaming face) stay out — the window accepts only
 #: hash-checkable entries, and their md5/stream==batch twins are
 #: covered. Everything else is still locally oracle-checked every run
@@ -173,6 +180,12 @@ _PRIORITY = [
     #    the Matryoshka non-MRL sampled-recall guard --------------------
     "coreset_kcenter_per_cell",
     "matryoshka_recall_probe",
+    # -- entries whose ENGINE PATH changed this round: the r12
+    #    dual-writer soak caught embedding_dim_stats' int64 variance
+    #    numerator wrapping at n≈2,300 rows/dim; var_num now evaluates
+    #    in DECIMAL(38,0) (schema change — both faces re-prove) --------
+    "embedding_dim_stats",
+    "embedding_drift_flags",
     # -- longest-unchecked fills: the full r7 cohort (29), then the 15
     #    oldest r8 rows in registration order ---------------------------
     "near_dup_jaccard_lsh",
@@ -217,8 +230,6 @@ _PRIORITY = [
     "events_rollup_type_daily",
     "events_cube_type_daily",
     "bpe_merges_batched",
-    "cms_heavy_users",
-    "bpe_encode_6",
 ]
 
 

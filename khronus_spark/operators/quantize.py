@@ -149,8 +149,14 @@ def embedding_dim_stats(embeddings: DataFrame) -> DataFrame:
     """Per-DIMENSION corpus statistics over the exact integer domain
     (the `_QUANT` micro-unit grid both engines share): (dim, n, min_q,
     max_q, mean_q, var_q x1e? — exact integer sums, variance in the
-    integer numerator form var_num = n·Σx² − (Σx)² so no float ever
-    enters) plus two QA flags — `dead` (the dimension never moves:
+    integer numerator form var_num = n·Σx² − (Σx)², evaluated in
+    DECIMAL(38,0) because the int64 form overflows at n ≈ 2,300 rows
+    per dim (v ≤ 2e6 ⇒ n·Σv² ≈ 4e12·n²; the r12 dual-writer soak
+    caught the refresh's train-stats write throwing exactly this once
+    the standing corpus crossed it — same wrap class as the r11 HW
+    hardening; exact up to ~1e12 rows, the documented drift-flags
+    bound) so no float ever enters) plus two QA flags — `dead` (the
+    dimension never moves:
     min == max) and `clipped` (≥1% of values pinned at either end of
     the [-1, 1] input range). The embedding-table health check run
     before any ANN/quantization stage: a dead dim wastes index bits,
@@ -174,7 +180,12 @@ def embedding_dim_stats(embeddings: DataFrame) -> DataFrame:
             F.min("v").alias("min_q"),
             F.max("v").alias("max_q"),
             F.expr("sum(v) div count(1)").alias("mean_q"),
-            F.expr("count(1) * sum(v * v) - sum(v) * sum(v)").alias("var_num"),
+            F.expr(
+                "CAST(count(1) AS DECIMAL(38,0))"
+                " * sum(CAST(v * v AS DECIMAL(38,0)))"
+                " - sum(CAST(v AS DECIMAL(38,0)))"
+                " * sum(CAST(v AS DECIMAL(38,0)))"
+            ).cast("decimal(38,0)").alias("var_num"),
             F.sum(F.expr(f"IF(v <= {lo} OR v >= {hi}, 1L, 0L)")).alias("n_pinned"),
         )
         .select(
@@ -201,7 +212,7 @@ SELECT CAST(dim - 1 AS BIGINT) AS dim,
        min(v) AS min_q,
        max(v) AS max_q,
        CAST(sum(v) // count(*) AS BIGINT) AS mean_q,
-       CAST(count(*) * sum(v * v) - sum(v) * sum(v) AS BIGINT) AS var_num,
+       CAST(count(*) * sum(v * v) - sum(v) * sum(v) AS DECIMAL(38,0)) AS var_num,
        (min(v) = max(v)) AS dead,
        (sum(CASE WHEN v <= 0 OR v >= 2000000 THEN 1 ELSE 0 END) * 100 >= count(*)) AS clipped
 FROM q
@@ -287,7 +298,7 @@ def embedding_drift_flags_sql(z_tenths: int = 50) -> str:
     stats = """
   SELECT dim, count(*) AS n, min(v) AS min_q, max(v) AS max_q,
          CAST(sum(v) // count(*) AS BIGINT) AS mean_q,
-         CAST(count(*) * sum(v * v) - sum(v) * sum(v) AS BIGINT) AS var_num,
+         CAST(count(*) * sum(v * v) - sum(v) * sum(v) AS DECIMAL(38,0)) AS var_num,
          (min(v) = max(v)) AS dead,
          (sum(CASE WHEN v <= 0 OR v >= 2000000 THEN 1 ELSE 0 END) * 100
             >= count(*)) AS clipped

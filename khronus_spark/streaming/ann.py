@@ -204,12 +204,16 @@ def run_streaming_ivf_pq_add(
     vectors_stream: DataFrame,
     index_path: str,
     checkpoint_path: str,
+    trigger: dict | None = None,
 ):
     """Fold each arriving micro-batch of (vec_id, embedding) rows into
     the persisted IVF-PQ index at `index_path` (as written by
     `write_ivf_pq_index`). Precondition: streamed vec_ids are new
     (disjoint from the base index and earlier batches) — the crawl
-    ingest contract shared with the incremental-dedup index."""
+    ingest contract shared with the incremental-dedup index.
+    `trigger` defaults to availableNow (drain-and-stop, the test/batch
+    cadence); pass e.g. {"processingTime": "2 seconds"} for a
+    continuously running ingest (the soak/production cadence)."""
 
     def process(batch: DataFrame, batch_id: int) -> None:
         _process_add(batch, batch_id, index_path)
@@ -217,7 +221,7 @@ def run_streaming_ivf_pq_add(
     return (
         vectors_stream.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_path)
-        .trigger(availableNow=True)
+        .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
 
@@ -566,6 +570,7 @@ def run_streaming_ivf_pq_add_guarded(
     index_path: str,
     checkpoint_path: str,
     z_tenths: int = 50,
+    trigger: dict | None = None,
 ):
     """`run_streaming_ivf_pq_add` with the drift detector INSIDE the
     trigger: each micro-batch encodes and lands exactly like the plain
@@ -593,7 +598,7 @@ def run_streaming_ivf_pq_add_guarded(
     return (
         vectors_stream.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_path)
-        .trigger(availableNow=True)
+        .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
 

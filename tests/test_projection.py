@@ -807,3 +807,38 @@ def test_embedding_dim_stats_flags_dead_and_clipped(spark):
     assert got[0].dead and got[0].var_num == 0 and not got[0].clipped
     assert got[1].clipped and not got[1].dead
     assert not got[2].dead and not got[2].clipped and got[2].var_num > 0
+
+
+def test_embedding_dim_stats_survives_int64_overflow_scale(spark):
+    """r12 dual-writer soak finding: the int64 variance numerator
+    n·Σv² − (Σv)² overflows at n ≈ 2,300 rows per dim (v ≤ 2e6), which
+    made refresh_streamed_index's train-stats write throw once the
+    standing corpus crossed it — the maintenance daemon then never
+    healed again. The numerator now evaluates in DECIMAL(38,0); pin it
+    at an n where the old form provably wrapped, value-checked against
+    exact Python integers."""
+    from khronus_spark.operators.quantize import embedding_dim_stats
+
+    n = 5000  # n² · 4e12 ≈ 1e20 >> int64 max
+    emb = spark.range(n).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(0, 3), d -> CAST("
+        "  (pmod(xxhash64(id, d, 11), 2001) - 1000) / 1000.0D AS FLOAT"
+        ")) AS embedding",
+    )
+    got = {r.dim: r for r in embedding_dim_stats(emb).collect()}
+    assert all(r.n == n for r in got.values())
+
+    rows = emb.selectExpr(
+        "transform(embedding, x -> "
+        "CAST(floor((CAST(x AS DOUBLE) + 1.0D) * 1000000.0D) AS LONG)) AS e"
+    ).collect()
+    for d in range(4):
+        vs = [r.e[d] for r in rows]
+        want = n * sum(v * v for v in vs) - sum(vs) ** 2
+        # the old int64 form wrapped in its INTERMEDIATES (n·Σv² and
+        # (Σv)² both exceed int64 here) even where the centered result
+        # squeaks under — exactly how the soak's refresh threw
+        assert n * sum(v * v for v in vs) > 2**63
+        assert sum(vs) ** 2 > 2**63
+        assert int(got[d].var_num) == want
