@@ -283,11 +283,32 @@ def pq_build_index(
     return books, codes
 
 
-def write_pq_index(books: DataFrame, codes: DataFrame, path: str) -> None:
+def write_pq_index(
+    books: DataFrame,
+    codes: DataFrame,
+    path: str,
+    geometry: dict | None = None,
+) -> None:
     """Persist the index as two parquet tables (books: sub·k short
-    rows; codes: ONE BIGINT per vector)."""
+    rows; codes: ONE BIGINT per vector). Pass `geometry` (e.g.
+    {"sub": 4, "k": 8, "dims": 16}) to make the index SELF-DESCRIBING
+    via a geometry.json sidecar — the streaming generations' r11
+    convention, here opt-in so pre-sidecar layouts stay byte-stable:
+    readers can then validate query-time parameters against the
+    trained geometry instead of trusting the caller (the r12 ADVICE
+    asked for exactly this on the Matryoshka indexed path)."""
     books.write.mode("overwrite").parquet(f"{path}/books")
     codes.write.mode("overwrite").parquet(f"{path}/codes")
+    if geometry is not None:
+        import json
+        import os
+
+        tmp = os.path.join(path, ".geometry.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(geometry, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, os.path.join(path, "geometry.json"))
 
 
 def read_pq_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
@@ -295,6 +316,20 @@ def read_pq_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
         spark.read.parquet(f"{path}/books"),
         spark.read.parquet(f"{path}/codes"),
     )
+
+
+def read_pq_index_geometry(path: str) -> dict | None:
+    """The geometry.json sidecar written by `write_pq_index(...,
+    geometry=...)`; None for pre-sidecar layouts (whose callers pass
+    geometry explicitly, the historical contract)."""
+    import json
+    import os
+
+    p = os.path.join(path, "geometry.json")
+    if not os.path.isfile(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
 
 
 def _adc_luts(
@@ -829,6 +864,7 @@ def matryoshka_rerank_topk_indexed(
     prefix_dims: int = 16,
     sub: int = 4,
     k: int = K,
+    trained_geometry: dict | None = None,
 ) -> DataFrame:
     """Query half of the Matryoshka split: `books`/`codes` come from
     `pq_build_index` over the PREFIX-sliced corpus (train once, 4x
@@ -839,6 +875,20 @@ def matryoshka_rerank_topk_indexed(
     `matryoshka_rerank_topk` when the index trained on the full
     corpus (test-pinned). `probe_vecs` is (probe_id, embedding) at
     full width; `vectors` is the full-width primary store."""
+    # when the index is self-describing (write_pq_index(geometry=...)
+    # -> read_pq_index_geometry), validate the query parameters
+    # against the TRAINED geometry — a prefix/sub/k mismatch against
+    # foreign books produces silently-garbage ADC scores
+    if trained_geometry is not None:
+        for name, got in (("dims", prefix_dims), ("sub", sub), ("k", k)):
+            want = trained_geometry.get(name)
+            if want is not None and want != got:
+                raise ValueError(
+                    f"Matryoshka query {name}={got} does not match the "
+                    f"index's trained {name}={want} "
+                    f"(geometry sidecar {trained_geometry}): codes are "
+                    "meaningless under mismatched quantizer geometry"
+                )
     # the inline twin validates prefix_dims against its dims parameter;
     # here the probe frame itself is the source of truth for the full
     # width — without this check slice() silently CLAMPS an oversized

@@ -352,3 +352,49 @@ def test_matryoshka_build_guard_warns_and_raises(spark, sweep_corpora):
     assert sorted(map(tuple, codes.collect())) == sorted(
         map(tuple, want_codes.collect())
     )
+
+
+def test_pq_index_geometry_sidecar_roundtrip_and_validation(
+    spark, emb16, tmp_path
+):
+    """r12: write_pq_index(geometry=...) makes the persisted index
+    self-describing; matryoshka_rerank_topk_indexed validates the
+    query parameters against the trained geometry and refuses a
+    mismatch (codes are meaningless under foreign books). Pre-sidecar
+    layouts read geometry None and keep the historical contract."""
+    from khronus_spark.operators.pq import read_pq_index_geometry
+
+    prefix = emb16.select(
+        "vec_id", F.expr("slice(embedding, 1, 8)").alias("embedding")
+    )
+    books, codes = pq_ops.pq_build_index(prefix, sub=4, k=8, iters=1, dims=8)
+    plain = str(tmp_path / "plain")
+    pq_ops.write_pq_index(books, codes, plain)
+    assert read_pq_index_geometry(plain) is None
+
+    sided = str(tmp_path / "sided")
+    pq_ops.write_pq_index(
+        books, codes, sided, geometry={"sub": 4, "k": 8, "dims": 8}
+    )
+    g = read_pq_index_geometry(sided)
+    assert g == {"sub": 4, "k": 8, "dims": 8}
+
+    books, codes = pq_ops.read_pq_index(spark, sided)
+    pv = emb16.where("vec_id < 3").select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    ok = pq_ops.matryoshka_rerank_topk_indexed(
+        books, codes, pv, emb16, 3, n_candidates=10, prefix_dims=8,
+        sub=4, k=8, trained_geometry=g,
+    )
+    assert ok.count() == 9
+    with pytest.raises(ValueError, match="trained dims=8"):
+        pq_ops.matryoshka_rerank_topk_indexed(
+            books, codes, pv, emb16, 3, prefix_dims=16, sub=4, k=8,
+            trained_geometry=g,
+        )
+    with pytest.raises(ValueError, match="trained k=8"):
+        pq_ops.matryoshka_rerank_topk_indexed(
+            books, codes, pv, emb16, 3, prefix_dims=8, sub=4, k=16,
+            trained_geometry=g,
+        )
