@@ -269,6 +269,16 @@ def main() -> None:
         "hw_residual_anomaly": lambda: run_df(
             q["events_hw_residual_anomaly"](spark, sf_dir)
         ),
+        # r12: the Matryoshka split — prefix-16 index build (k-means
+        # training, driver-loop) and the query face from a STABLE
+        # prebuilt index (prefix ADC shortlist -> full-width exact
+        # rerank; one tiny probe-width validation collect)
+        "ann_matryoshka_index_build": lambda: _matryoshka_build(),
+        "ann_matryoshka_indexed": lambda: _matryoshka_query(),
+        # r12: the per-IVF-cell k-center composition (m_per_cell-1
+        # rounds TOTAL across all cells — the 100 TB loop shape;
+        # driver-loop class like the other iterative builds)
+        "coreset_percell": lambda: _coreset_percell(),
     }
 
     import tempfile
@@ -396,11 +406,54 @@ def main() -> None:
             )
         )
 
+    _mat_build_dir = tempfile.mkdtemp(prefix="bench_mat_build_")
+    _mat_query_dir = tempfile.mkdtemp(prefix="bench_mat_query_")
+
+    def _matryoshka_build(out_dir=None):
+        emb = load_table(spark, sf_dir, "embeddings")
+        prefix = emb.select(
+            "vec_id", F.expr("slice(embedding, 1, 16)").alias("embedding")
+        )
+        books, codes = pq_ops.pq_build_index(
+            prefix, sub=4, k=8, iters=1, dims=16
+        )
+        pq_ops.write_pq_index(
+            books, codes, out_dir or _mat_build_dir,
+            geometry={"sub": 4, "k": 8, "dims": 16},
+        )
+
+    def _matryoshka_query():
+        emb = load_table(spark, sf_dir, "embeddings")
+        books, codes = pq_ops.read_pq_index(spark, _mat_query_dir)
+        probes = emb.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("probe_id"), "embedding"
+        )
+        run_df(
+            pq_ops.matryoshka_rerank_topk_indexed(
+                books, codes, probes, emb, 3, n_candidates=30,
+                prefix_dims=16, sub=4, k=8,
+                trained_geometry=pq_ops.read_pq_index_geometry(
+                    _mat_query_dir
+                ),
+            )
+        )
+
+    def _coreset_percell():
+        from khronus_spark.operators import coreset as coreset_ops
+        from khronus_spark.operators import similarity as sim_ops
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        cells = sim_ops.ivf_assignments(emb).withColumnRenamed(
+            "centroid_id", "cell"
+        )
+        run_df(coreset_ops.kcenter_select_per_cell(emb, cells, m_per_cell=3))
+
     # stable indexes for the query slots, built ONCE outside timing
     _dedup_build(_dedup_query_dir)
     _pq_build(_pq_query_dir)
     _hybrid_build(_hybrid_query_dir)
     _er_build(_er_query_dir)
+    _matryoshka_build(_mat_query_dir)
 
     # Median-of-N per query: the shared host shows 2-5x contention
     # variance between rounds, so a single sample conflates plan cost
@@ -471,6 +524,8 @@ def main() -> None:
         "dedup_index_build",
         "ann_pq_index_build",
         "hybrid_index_build",
+        "ann_matryoshka_index_build",
+        "coreset_percell",
     }
     _ARROW_MIXED = {
         "media_features",
@@ -479,6 +534,7 @@ def main() -> None:
         "semantic_dedup",
         "semantic_dedup_auto",
         "ann_pq_topk_indexed",
+        "ann_matryoshka_indexed",
         "hybrid_rrf_indexed",
         "perplexity_split",
         "bigram_surprisal",
