@@ -945,6 +945,12 @@ def matryoshka_recall_probe(
     ONE exact top-k pass for the sampled probes (broadcast probes ×
     one corpus scan — the `ann_recall_at_k` cost class, amortized
     into the index build it gates)."""
+    if not probe_ids:
+        raise ValueError(
+            "matryoshka_recall_probe needs at least one probe id: an "
+            "empty sample measures nothing (and recall_bp's "
+            "denominator would be zero)"
+        )
     got = matryoshka_rerank_topk(
         embeddings, probe_ids, n_neighbors, n_candidates, prefix_dims,
         sub, k, iters, mode, dims,

@@ -95,6 +95,17 @@ def _write_state(
         fh.flush()
         os.fsync(fh.fileno())
     os.replace(tmp, os.path.join(state_path, "meta.json"))
+    # prune superseded versions (best-effort — a concurrent reader
+    # resolved the CURRENT dir through meta.json before this swap at
+    # worst reads the previous version's intact dir; over a long
+    # stream the per-batch dirs would otherwise accumulate unbounded)
+    import shutil
+
+    for name in os.listdir(state_path):
+        if name.startswith("centers_v") and name != f"centers_v{batch_id}":
+            shutil.rmtree(
+                os.path.join(state_path, name), ignore_errors=True
+            )
 
 
 def read_streaming_kcenter(
@@ -171,7 +182,14 @@ def _fold_batch(
             continue
         # C full and a point sits beyond T2: raise the scale so at
         # least one center pair collapses, then greedily re-admit
-        # centers in vec_id order (deterministic; driver-side, ≤ m²)
+        # centers in vec_id order (deterministic; driver-side, ≤ m²).
+        # m == 1 has no pair to collapse — the scale must instead
+        # grow to cover the farthest point directly (its mind2 IS the
+        # new covering radius; without this the empty pairwise min
+        # raises and t2 = 4·0 would never make progress)
+        if len(centers) == 1:
+            t2 = max(4 * t2, int(win[0]["mind2"]))
+            continue
         min_pair = min(
             sum((a - b) * (a - b) for a, b in zip(e1, e2))
             for i, (_, e1) in enumerate(centers)

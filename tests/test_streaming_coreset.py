@@ -145,3 +145,38 @@ def test_fold_admits_gonzalez_style_until_full_then_merges(spark):
     if len(centers) == 2:
         (_, e1), (_, e2) = centers
         assert sum((a - b) ** 2 for a, b in zip(e1, e2)) > t2
+
+
+def test_fold_m1_covers_by_scale_growth_and_state_prunes(spark, tmp_path):
+    """Self-review pins: (a) m=1 has no center pair to merge — the
+    scale must grow to the farthest point's distance instead of
+    raising on an empty pairwise min; (b) superseded centers_v dirs
+    prune after each commit so a long stream's state dir stays
+    bounded."""
+    emb = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.2, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    centers, t2 = _fold_batch(spark, emb, [], 0, m=1)
+    assert len(centers) == 1 and centers[0][0] == 0
+    assert t2 >= 1_000_000_000_000  # covers the farthest point (v1)
+
+    chunks = [
+        emb.where("vec_id < 2").select("vec_id", "embedding"),
+        emb.where("vec_id = 2").select("vec_id", "embedding"),
+    ]
+    state = str(tmp_path / "s")
+    _stream_chunks(spark, str(tmp_path), chunks, state, "ckp", m=2)
+    vdirs = [d for d in os.listdir(state) if d.startswith("centers_v")]
+    assert vdirs == ["centers_v1"]  # older versions pruned
+
+
+def test_recall_probe_rejects_empty_probe_sample(spark):
+    from khronus_spark.operators import pq as pq_ops
+    import pytest
+
+    emb = spark.createDataFrame(
+        [(0, [0.0] * 16)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="at least one probe"):
+        pq_ops.matryoshka_recall_probe(emb, [], prefix_dims=8, dims=16)
