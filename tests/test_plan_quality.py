@@ -1009,3 +1009,62 @@ def test_matryoshka_indexed_query_has_no_training(spark, oracle_sf_dir):
     assert "posexplode" not in plan
     assert "Scan ExistingRDD" not in plan
     assert "books" in plan and "codes" in plan
+
+
+def test_percell_coreset_round_fold_broadcasts(spark, oracle_sf_dir):
+    """The per-cell k-center's scale contract: each round's fold joins
+    the corpus to an n_cells-row centers frame — that join must
+    BROADCAST (never shuffle the corpus against a frame the size of
+    the cell count), and nothing in the composition may degenerate to
+    a cartesian product. The entry runs the full m_per_cell=3
+    selection, so its final-state plan carries every round's fold."""
+    from khronus_spark.operators import coreset as coreset_ops
+    from khronus_spark.operators import similarity as sim_ops
+    from khronus_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, oracle_sf_dir, "embeddings")
+    cells = sim_ops.ivf_assignments(emb).withColumnRenamed(
+        "centroid_id", "cell"
+    )
+    # the round-fold frame (what each iteration re-selects): corpus
+    # state joined LEFT to the per-cell newest-center frame
+    q = emb.select(
+        "vec_id", F.expr(coreset_ops._QUANT).alias("e")
+    ).join(cells.select("vec_id", "cell"), "vec_id")
+    new_df = F.broadcast(
+        q.groupBy("cell").agg(F.min_by("e", F.col("vec_id")).alias("ce"))
+    )
+    folded = q.join(new_df, "cell", "left")
+    plan = folded._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_matryoshka_probe_exact_stage_broadcasts_probes(
+    spark, oracle_sf_dir
+):
+    """The recall probe's exact stage scans the corpus ONCE against
+    broadcast probes (the ann_recall_at_k cost class) — the probe-side
+    join must be a broadcast nested loop (tiny build side, non-equi
+    self-exclusion), never a cartesian product, and the one-row output
+    must not smuggle in a second corpus aggregate."""
+    from khronus_spark.operators import pq as pq_ops
+    from khronus_spark.sources.tables import load_table
+
+    emb = load_table(spark, oracle_sf_dir, "embeddings")
+    df = pq_ops.matryoshka_recall_probe(
+        emb, [0, 1, 2], 3, n_candidates=10, prefix_dims=16, sub=4, k=8,
+        iters=1,
+    )
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
