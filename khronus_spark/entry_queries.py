@@ -186,7 +186,7 @@ _PRIORITY = [
     #    in DECIMAL(38,0) (schema change — both faces re-prove) --------
     "embedding_dim_stats",
     "embedding_drift_flags",
-    # -- longest-unchecked fills: the full r7 cohort (29), then the 15
+    # -- longest-unchecked fills: the full r7 cohort (29), then the 13
     #    oldest r8 rows in registration order ---------------------------
     "near_dup_jaccard_lsh",
     "doc_repetition",

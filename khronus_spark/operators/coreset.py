@@ -177,14 +177,27 @@ def kcenter_select_per_cell(
     if not c0:
         raise ValueError("per-cell k-center selection over an empty corpus")
     out = [(int(r["cell"]), 0, int(r["vec_id"]), 0) for r in c0]
-    newest = [(int(r["cell"]), list(r["e"])) for r in c0]
+    newest = [(int(r["cell"]), int(r["vec_id"]), list(r["e"])) for r in c0]
+
+    # exclusions go through broadcast anti-joins on an n_cells-row
+    # frame, NEVER a literal isin() list: with cells scaling with the
+    # corpus (the composition's whole point) an IN expression of one
+    # winner per cell per round grows the plan O(m·n_cells) literals
+    # and stalls driver analysis long before the executors see work
+    def _won_frame(rows):
+        return F.broadcast(
+            spark.createDataFrame(
+                [(int(v),) for _, v, _ in rows], "vec_id long"
+            )
+        )
+
     state = q.select(
         "vec_id", "cell", "e", F.lit(None).cast("long").alias("mind2")
-    ).where(~F.col("vec_id").isin([int(r["vec_id"]) for r in c0]))
+    ).join(_won_frame(newest), "vec_id", "left_anti")
     d_new = F.expr(_D2.format(a="e", b="ce"))
     for rank in range(1, m_per_cell):
         new_df = spark.createDataFrame(
-            [(c, [int(x) for x in e]) for c, e in newest],
+            [(c, [int(x) for x in e]) for c, _, e in newest],
             "cell long, ce array<long>",
         )
         # stopped cells (no round-(rank-1) winner) have no ce row: the
@@ -222,10 +235,10 @@ def kcenter_select_per_cell(
             (int(r["cell"]), rank, int(r["vec_id"]), int(r["mind2"]))
             for r in wins
         )
-        newest = [(int(r["cell"]), list(r["e"])) for r in wins]
-        state = state.where(
-            ~F.col("vec_id").isin([int(r["vec_id"]) for r in wins])
-        )
+        newest = [
+            (int(r["cell"]), int(r["vec_id"]), list(r["e"])) for r in wins
+        ]
+        state = state.join(_won_frame(newest), "vec_id", "left_anti")
     return spark.createDataFrame(
         out, "cell long, rank long, vec_id long, d2 long"
     )

@@ -297,18 +297,25 @@ def write_pq_index(
     readers can then validate query-time parameters against the
     trained geometry instead of trusting the caller (the r12 ADVICE
     asked for exactly this on the Matryoshka indexed path)."""
+    import json
+    import os
+
     books.write.mode("overwrite").parquet(f"{path}/books")
     codes.write.mode("overwrite").parquet(f"{path}/codes")
+    sidecar = os.path.join(path, "geometry.json")
     if geometry is not None:
-        import json
-        import os
-
         tmp = os.path.join(path, ".geometry.tmp")
         with open(tmp, "w") as fh:
             json.dump(geometry, fh)
             fh.flush()
             os.fsync(fh.fileno())
-        os.replace(tmp, os.path.join(path, "geometry.json"))
+        os.replace(tmp, sidecar)
+    elif os.path.isfile(sidecar):
+        # a geometry-less REBUILD over a previously self-describing
+        # path must not leave the OLD sidecar describing the NEW
+        # books — a stale geometry would make the validation refuse
+        # correct queries (or wave through wrong ones)
+        os.remove(sidecar)
 
 
 def read_pq_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
@@ -950,6 +957,27 @@ def matryoshka_recall_probe(
             "matryoshka_recall_probe needs at least one probe id: an "
             "empty sample measures nothing (and recall_bp's "
             "denominator would be zero)"
+        )
+    if len(set(probe_ids)) != len(probe_ids):
+        raise ValueError(
+            "matryoshka_recall_probe probe_ids contain duplicates: "
+            "each duplicate inflates the denominator without adding a "
+            "measurement, silently deflating recall_bp"
+        )
+    n_found = (
+        embeddings.where(F.col("vec_id").isin(probe_ids))
+        .select("vec_id")
+        .distinct()
+        .count()
+    )
+    if n_found != len(probe_ids):
+        raise ValueError(
+            f"matryoshka_recall_probe: only {n_found} of "
+            f"{len(probe_ids)} probe_ids exist in the corpus — absent "
+            "probes contribute zero hits but still count in the "
+            "denominator, so the measured recall would be silently "
+            "deflated (and a healthy index could spuriously fail the "
+            "build guard). Sample probe ids from the corpus itself."
         )
     got = matryoshka_rerank_topk(
         embeddings, probe_ids, n_neighbors, n_candidates, prefix_dims,

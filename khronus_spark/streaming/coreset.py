@@ -95,14 +95,21 @@ def _write_state(
         fh.flush()
         os.fsync(fh.fileno())
     os.replace(tmp, os.path.join(state_path, "meta.json"))
-    # prune superseded versions (best-effort — a concurrent reader
-    # resolved the CURRENT dir through meta.json before this swap at
-    # worst reads the previous version's intact dir; over a long
-    # stream the per-batch dirs would otherwise accumulate unbounded)
+    # prune superseded versions, KEEPING current + previous (the
+    # publish_generation convention): a reader that resolved meta to
+    # the previous version just before this swap still holds an
+    # intact dir; only versions at least two commits old go. Over a
+    # long stream the per-batch dirs would otherwise accumulate
+    # unbounded.
     import shutil
 
-    for name in os.listdir(state_path):
-        if name.startswith("centers_v") and name != f"centers_v{batch_id}":
+    keep = {f"centers_v{batch_id}", os.path.basename(cdir)}
+    versions = sorted(
+        (n for n in os.listdir(state_path) if n.startswith("centers_v")),
+        key=lambda n: int(n.rsplit("v", 1)[1]),
+    )
+    for name in versions[:-2]:
+        if name not in keep:
             shutil.rmtree(
                 os.path.join(state_path, name), ignore_errors=True
             )

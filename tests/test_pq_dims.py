@@ -398,3 +398,40 @@ def test_pq_index_geometry_sidecar_roundtrip_and_validation(
             books, codes, pv, emb16, 3, prefix_dims=8, sub=4, k=16,
             trained_geometry=g,
         )
+
+
+def test_geometry_sidecar_cleared_on_geometryless_rebuild(
+    spark, emb16, tmp_path
+):
+    """Review pin: rebuilding an index at a previously self-describing
+    path WITHOUT geometry must remove the old sidecar — a stale
+    geometry would refuse correct queries against the new books (or
+    wave through wrong ones)."""
+    from khronus_spark.operators.pq import read_pq_index_geometry
+
+    prefix = emb16.select(
+        "vec_id", F.expr("slice(embedding, 1, 8)").alias("embedding")
+    )
+    books, codes = pq_ops.pq_build_index(prefix, sub=4, k=8, iters=1, dims=8)
+    path = str(tmp_path / "idx")
+    pq_ops.write_pq_index(books, codes, path, geometry={"dims": 8})
+    assert read_pq_index_geometry(path) == {"dims": 8}
+    pq_ops.write_pq_index(books, codes, path)  # geometry-less rebuild
+    assert read_pq_index_geometry(path) is None
+
+
+def test_recall_probe_rejects_absent_and_duplicate_probes(spark, emb16):
+    """Review pin: probe_ids absent from the corpus (or duplicated)
+    would contribute zero hits while still counting in the
+    denominator — a healthy index would spuriously fail the build
+    guard. Fail loudly instead."""
+    with pytest.raises(ValueError, match="exist in the corpus"):
+        pq_ops.matryoshka_recall_probe(
+            emb16, [0, 1, 10**9], 3, prefix_dims=8, sub=4, k=8,
+            iters=1, dims=16,
+        )
+    with pytest.raises(ValueError, match="duplicates"):
+        pq_ops.matryoshka_recall_probe(
+            emb16, [0, 0, 1], 3, prefix_dims=8, sub=4, k=8,
+            iters=1, dims=16,
+        )

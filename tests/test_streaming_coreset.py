@@ -162,13 +162,18 @@ def test_fold_m1_covers_by_scale_growth_and_state_prunes(spark, tmp_path):
     assert t2 >= 1_000_000_000_000  # covers the farthest point (v1)
 
     chunks = [
-        emb.where("vec_id < 2").select("vec_id", "embedding"),
+        emb.where("vec_id = 0").select("vec_id", "embedding"),
+        emb.where("vec_id = 1").select("vec_id", "embedding"),
         emb.where("vec_id = 2").select("vec_id", "embedding"),
     ]
     state = str(tmp_path / "s")
     _stream_chunks(spark, str(tmp_path), chunks, state, "ckp", m=2)
-    vdirs = [d for d in os.listdir(state) if d.startswith("centers_v")]
-    assert vdirs == ["centers_v1"]  # older versions pruned
+    vdirs = sorted(
+        d for d in os.listdir(state) if d.startswith("centers_v")
+    )
+    # current + previous retained (a reader that resolved meta just
+    # before the swap still holds an intact dir); older pruned
+    assert vdirs == ["centers_v1", "centers_v2"]
 
 
 def test_recall_probe_rejects_empty_probe_sample(spark):
