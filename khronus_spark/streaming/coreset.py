@@ -174,54 +174,63 @@ def _fold_batch(
         )
         if not win or win[0]["vec_id"] is None:
             return centers, t2
-        if len(centers) < m:
-            vid, e = int(win[0]["vec_id"]), list(win[0]["e"])
-            centers.append((vid, e))
-            d_new = F.expr(_D2.format(a="e", b=_arr(e)))
-            state = (
-                state.where(F.col("vec_id") != vid)
-                .select(
-                    "vec_id", "e",
-                    F.least(F.col("mind2"), d_new).alias("mind2"),
-                )
-                .localCheckpoint(eager=False)
-            )
-            continue
-        # C full and a point sits beyond T2: raise the scale so at
-        # least one center pair collapses, then greedily re-admit
-        # centers in vec_id order (deterministic; driver-side, ≤ m²).
-        # m == 1 has no pair to collapse — the scale must instead
-        # grow to cover the farthest point directly (its mind2 IS the
-        # new covering radius; without this the empty pairwise min
-        # raises and t2 = 4·0 would never make progress)
-        if len(centers) == 1:
-            t2 = max(4 * t2, int(win[0]["mind2"]))
-            continue
-        min_pair = min(
-            sum((a - b) * (a - b) for a, b in zip(e1, e2))
-            for i, (_, e1) in enumerate(centers)
-            for _, e2 in centers[i + 1 :]
-        )
-        t2 = max(4 * t2, min_pair)
-        kept: list[tuple[int, list[int]]] = []
-        for vid, e in sorted(centers):
-            if all(
-                sum((a - b) * (a - b) for a, b in zip(e, ke)) > t2
-                for _, ke in kept
-            ):
-                kept.append((vid, e))
-        centers = kept
-        folds = [F.expr(_D2.format(a="e", b=_arr(e))) for _, e in centers]
-        mind2 = folds[0]
-        for f_ in folds[1:]:
-            mind2 = F.least(mind2, f_)
+        # ADMIT FIRST (transiently allowing m+1 centers), merge after
+        # — the classic phase order. Merging before admitting (the
+        # first cut of this fold) raised the scale without giving the
+        # far region a center: at N=20k the stream collapsed to ONE
+        # center with T² far above the realized radius, still inside
+        # the guarantee but wasting the whole budget.
+        vid, e = int(win[0]["vec_id"]), list(win[0]["e"])
+        centers.append((vid, e))
+        d_new = F.expr(_D2.format(a="e", b=_arr(e)))
         state = (
-            state.where(
-                ~F.col("vec_id").isin([vid for vid, _ in centers])
+            state.where(F.col("vec_id") != vid)
+            .select(
+                "vec_id", "e",
+                F.least(F.col("mind2"), d_new).alias("mind2"),
             )
-            .select("vec_id", "e", mind2.alias("mind2"))
             .localCheckpoint(eager=False)
         )
+        merged = False
+        while len(centers) > m:
+            # over budget: raise the scale until a pair collapses
+            # (max() guarantees ≥ 1 merge per phase since the closest
+            # pair lands within the new T²), greedy keep by vec_id —
+            # deterministic, driver-side over ≤ (m+1)² pairs
+            merged = True
+            min_pair = min(
+                sum((a - b) * (a - b) for a, b in zip(e1, e2))
+                for i, (_, e1) in enumerate(centers)
+                for _, e2 in centers[i + 1 :]
+            )
+            t2 = max(4 * t2, min_pair)
+            kept: list[tuple[int, list[int]]] = []
+            for cvid, ce in sorted(centers):
+                if all(
+                    sum((a - b) * (a - b) for a, b in zip(ce, ke)) > t2
+                    for _, ke in kept
+                ):
+                    kept.append((cvid, ce))
+            centers = kept
+        if merged:
+            # recompute the running mind2 against the merged center
+            # set so the next far-point check sees the true coverage
+            # (the incremental least() fold only knows admits; the
+            # isin list here is ≤ m entries — a constant, not a
+            # corpus-scaling list)
+            folds = [
+                F.expr(_D2.format(a="e", b=_arr(ce))) for _, ce in centers
+            ]
+            mind2 = folds[0]
+            for f_ in folds[1:]:
+                mind2 = F.least(mind2, f_)
+            state = (
+                state.where(
+                    ~F.col("vec_id").isin([cv for cv, _ in centers])
+                )
+                .select("vec_id", "e", mind2.alias("mind2"))
+                .localCheckpoint(eager=False)
+            )
 
 
 def run_streaming_kcenter(
