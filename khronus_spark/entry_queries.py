@@ -6500,3 +6500,26 @@ def matryoshka_recall_probe(spark, sf_dir):
         emb, list(range(5)), 3, n_candidates=30, prefix_dims=16,
         sub=4, k=8, iters=1,
     )
+
+
+@register(
+    "ann_mmr_topk",
+    sim_ops.mmr_topk_sql(list(range(5)), k=5, pool=30, lam10=7),
+)
+def ann_mmr_topk(spark, sf_dir):
+    """Maximal-marginal-relevance diversity rerank (operators/
+    similarity.py::mmr_topk) — the retrieval face plain top-k lacks:
+    near-dup clusters dominate every shortlist, so the greedy trades
+    relevance (d² to the probe) against redundancy (min d² to what's
+    already picked), integer-exact on the shared grid with λ×10 = 7.
+    The oracle unrolls the greedy one CTE pair per round (the
+    k-center convention); the candidate pool is ONE corpus pass,
+    everything after is query-load-sized."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.mmr_topk(emb, list(range(5)), k=5, pool=30, lam10=7)
+
+
+#: registered after the round-12 window froze: queued for the r13
+#: window per the standing rotation policy (oracle-backed, hash-green
+#: in the local parity suite)
+PENDING_NEXT_WINDOW.append("ann_mmr_topk")

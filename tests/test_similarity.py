@@ -424,3 +424,71 @@ def test_ivf_sizing_p10_surfaces_the_tail_the_median_hides(spark):
     # the p10-chosen config genuinely covers the tail, at honest cost
     assert p10_cfg["measured_recall_bp"] >= 8000
     assert p10_cfg["scanned_pm"] > med_cfg["scanned_pm"]
+
+
+def test_mmr_breaks_up_duplicate_cluster(spark):
+    """The operator's reason to exist: 4 near-identical vectors sit
+    closest to the probe, a distinct vector farther out. Plain top-3
+    returns three of the clones; MMR at lam10=7 picks one clone, then
+    the distinct vector OVER the remaining clones (their redundancy
+    term swamps the relevance edge), then a second clone."""
+    from khronus_spark.operators.similarity import mmr_topk
+
+    rows = [(0, [0.0, 0.0])]  # probe
+    for i, eps in ((1, 0.001), (2, 0.002), (3, 0.003), (4, 0.004)):
+        rows.append((i, [0.1 + eps, 0.0]))  # the tight clone cluster
+    rows.append((9, [0.0, 0.12]))  # distinct, slightly farther out
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    got = {
+        r["rank"]: r["neighbor_id"]
+        for r in mmr_topk(emb, [0], k=3, pool=5, lam10=7).collect()
+    }
+    assert got[0] == 1          # pure relevance: nearest clone
+    assert got[1] == 9          # diversity beats the remaining clones
+    assert got[2] in (2, 3, 4)  # then back to the cluster
+
+
+def test_mmr_lam10_extremes_and_validation(spark, sf_dir):
+    """lam10=10 degenerates to the plain d² top-k (diversity term
+    weighted zero); bad parameters fail loudly."""
+    import pytest
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from khronus_spark.operators.clustering import _QUANT as _Q
+    from khronus_spark.operators.similarity import mmr_topk
+    from khronus_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").where("vec_id < 100")
+    got = [
+        (r["rank"], r["neighbor_id"])
+        for r in mmr_topk(emb, [0], k=4, pool=10, lam10=10)
+        .orderBy("rank")
+        .collect()
+    ]
+    pv = emb.where("vec_id = 0").select(F.expr(_Q).alias("pe"))
+    d2 = (
+        "aggregate(zip_with(pe, e, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    want = [
+        (i, r["vec_id"])
+        for i, r in enumerate(
+            emb.where("vec_id <> 0")
+            .select("vec_id", F.expr(_Q).alias("e"))
+            .crossJoin(F.broadcast(pv))
+            .withColumn("d2", F.expr(d2))
+            .orderBy(F.col("d2").asc(), F.col("vec_id").asc())
+            .limit(4)
+            .collect()
+        )
+    ]
+    assert got == want
+    with pytest.raises(ValueError, match="lam10=11"):
+        mmr_topk(emb, [0], lam10=11)
+    with pytest.raises(ValueError, match="pool >= k"):
+        mmr_topk(emb, [0], k=9, pool=5)
+    with pytest.raises(ValueError, match="at least one probe"):
+        mmr_topk(emb, [])
