@@ -6523,3 +6523,35 @@ def ann_mmr_topk(spark, sf_dir):
 #: window per the standing rotation policy (oracle-backed, hash-green
 #: in the local parity suite)
 PENDING_NEXT_WINDOW.append("ann_mmr_topk")
+
+
+@register(
+    "ann_pq_mmr_topk_indexed",
+    pq_ops.pq_mmr_topk_sql(
+        list(range(5)), n_picks=5, pool=30, lam10=7, sub=4, k=8, iters=1
+    ),
+)
+def ann_pq_mmr_topk_indexed(spark, sf_dir):
+    """The diversity composition behind the persisted index
+    (operators/pq.py::pq_mmr_topk_indexed): ADC shortlist over
+    prebuilt books/codes (no training in the query plan — plan-gated
+    like every indexed ANN face), exact full-width distances for the
+    survivors, then the SAME MMR greedy as `ann_mmr_topk` over the
+    pool — its oracle literally shares the greedy CTE generator with
+    the inline entry's, so the two restatements cannot fork. The
+    production diversity-retrieval recipe: nothing after the
+    shortlist scales with the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _scratch_dir("pq_mmr_index")
+    books, codes = pq_ops.pq_build_index(emb, sub=4, k=8, iters=1)
+    pq_ops.write_pq_index(books, codes, path)
+    books, codes = pq_ops.read_pq_index(spark, path)
+    probes = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    return pq_ops.pq_mmr_topk_indexed(
+        books, codes, probes, emb, 5, pool=30, lam10=7, sub=4, k=8
+    )
+
+
+PENDING_NEXT_WINDOW.append("ann_pq_mmr_topk_indexed")

@@ -1520,3 +1520,110 @@ def ivf_pq_encode(
         )
     )
     return codes.join(assign, "vec_id")
+
+
+def pq_mmr_topk_indexed(
+    books: DataFrame,
+    codes: DataFrame,
+    probe_vecs: DataFrame,
+    vectors: DataFrame,
+    n_picks: int = 5,
+    pool: int = 30,
+    lam10: int = 7,
+    sub: int = SUB,
+    k: int = K,
+    dims: int = DIMS,
+) -> DataFrame:
+    """DIVERSITY retrieval behind the persisted index — the production
+    composition of `similarity.mmr_rerank`: the ADC shortlist over
+    prebuilt `books`/`codes` keeps the `pool` best per probe (no
+    training anywhere in the plan — the standing index/query
+    discipline), survivors fetch full vectors from the primary store
+    for EXACT probe distances, and the MMR greedy picks `n_picks`
+    trading that exact relevance against redundancy with what's
+    already picked. The greedy never touches the corpus: everything
+    after the shortlist is pool × #probes rows — at 100 TB this is
+    the diversity face of `pq_rerank_topk_indexed` (same ADC cut,
+    MMR instead of plain re-sort). Output (probe_id, rank,
+    neighbor_id, mmr_score)."""
+    from khronus_spark.operators.similarity import mmr_rerank
+
+    cand = _mmr_candidates_indexed(
+        books, codes, probe_vecs, vectors, pool, sub, k, dims
+    )
+    return mmr_rerank(cand, n_picks, lam10)
+
+
+def _mmr_candidates_indexed(
+    books: DataFrame,
+    codes: DataFrame,
+    probe_vecs: DataFrame,
+    vectors: DataFrame,
+    pool: int,
+    sub: int,
+    k: int,
+    dims: int,
+) -> DataFrame:
+    """The composition's candidate stage, factored for plan-gating
+    (mmr_rerank's localCheckpoints cut lineage, so the no-training
+    property must be asserted on THIS frame): ADC shortlist from the
+    persisted index + exact full-width probe distances attached."""
+    cands = pq_topk_indexed(books, codes, probe_vecs, pool, sub, k, dims)
+    pv = probe_vecs.select(
+        "probe_id", F.expr(_QUANT_COL.format(c="embedding")).alias("pe")
+    )
+    nv = vectors.select(
+        F.col("vec_id").alias("neighbor_id"), F.expr(_QUANT).alias("e")
+    )
+    return (
+        cands.select("probe_id", "neighbor_id")
+        .join(F.broadcast(pv), "probe_id")
+        .join(nv, "neighbor_id")
+        .withColumn("d2q", F.expr(_D2.format(a="pe", b="e")))
+        .select("probe_id", "neighbor_id", "e", "d2q")
+    )
+
+
+def pq_mmr_topk_sql(
+    probe_ids: list[int],
+    n_picks: int = 5,
+    pool: int = 30,
+    lam10: int = 7,
+    sub: int = SUB,
+    k: int = K,
+    iters: int = ITERS,
+    dims: int = DIMS,
+) -> str:
+    """Oracle for the indexed PQ+MMR composition: the ADC restatement
+    (`_adc_score_ctes`, the proven pq_topk oracle core) shortlists the
+    pool, exact full-width distances attach, and the SHARED unrolled
+    greedy (`similarity._mmr_greedy_sql_parts` — the same text the
+    inline `ann_mmr_topk` oracle uses) picks. The split must not
+    change the greedy's restatement — sharing the generator makes a
+    fork impossible."""
+    from khronus_spark.operators.similarity import _mmr_greedy_sql_parts
+
+    d2 = (
+        f"list_sum(list_transform(range(1, {dims + 1}), "
+        "i -> (pq.e[i] - nq.e[i]) * (pq.e[i] - nq.e[i])))"
+    )
+    parts = [
+        f"""adc AS (
+  SELECT probe_id, neighbor_id FROM score
+  QUALIFY row_number() OVER (
+      PARTITION BY probe_id ORDER BY d2_adc ASC, neighbor_id ASC) <= {pool}
+)""",
+        f"fullq AS (SELECT vec_id, {_QUANT_DUCK} AS e FROM embeddings)",
+        f"""mcand AS MATERIALIZED (
+  SELECT adc.probe_id, adc.neighbor_id, nq.e, CAST({d2} AS BIGINT) AS d2q
+  FROM adc
+  JOIN fullq pq ON pq.vec_id = adc.probe_id
+  JOIN fullq nq ON nq.vec_id = adc.neighbor_id
+)""",
+    ]
+    greedy, final = _mmr_greedy_sql_parts(n_picks, lam10, dims)
+    return (
+        f"WITH {_adc_score_ctes(probe_ids, sub, k, iters, dims=dims)},\n"
+        + ",\n".join(parts + greedy)
+        + final
+    )

@@ -1433,8 +1433,30 @@ def mmr_topk(
         )
         .where(F.col("rn") <= pool)
         .select("probe_id", "neighbor_id", "e", "d2q")
-        .localCheckpoint(eager=False)
     )
+    return mmr_rerank(cand, k, lam10)
+
+
+def mmr_rerank(cand: DataFrame, k: int = 5, lam10: int = 7) -> DataFrame:
+    """The factored MMR greedy: `cand` is a per-probe candidate pool
+    (probe_id, neighbor_id, e, d2q) — e on the ×10⁶ grid, d2q the
+    EXACT integer probe distance — from any shortlister (the inline
+    `mmr_topk` builds it with one corpus pass; `operators/pq.py::
+    pq_mmr_topk_indexed` feeds the persisted-index ADC survivors in,
+    the 100 TB path). k rounds of per-probe argmins on pool-sized
+    frames; no collects, localCheckpoint lineage control."""
+    if not (0 <= lam10 <= 10):
+        raise ValueError(
+            f"lam10={lam10} out of range: λ×10 must sit in [0, 10] "
+            "(10 = pure relevance, 0 = pure diversity)"
+        )
+    if k < 1:
+        raise ValueError(f"mmr_rerank needs k >= 1 picks, got {k}")
+    d2 = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    cand = cand.localCheckpoint(eager=False)
     remaining = cand.withColumn("mind2_sel", F.lit(None).cast("long"))
     picks = []
     d2_sel = d2.format(a="e", b="se")
@@ -1515,7 +1537,7 @@ def mmr_topk_sql(
 
     parts = [
         f"q AS (SELECT vec_id, {quant} AS e FROM embeddings)",
-        f"""cand AS MATERIALIZED (
+        f"""mcand AS MATERIALIZED (
   SELECT p.vec_id AS probe_id, n.vec_id AS neighbor_id, n.e,
          {d2('p.e', 'n.e')} AS d2q
   FROM q p JOIN q n ON n.vec_id <> p.vec_id
@@ -1524,17 +1546,38 @@ def mmr_topk_sql(
       PARTITION BY p.vec_id ORDER BY {d2('p.e', 'n.e')} ASC,
       n.vec_id ASC) <= {pool}
 )""",
+    ]
+    greedy, final = _mmr_greedy_sql_parts(k, lam10, dims)
+    return "WITH " + ",\n".join(parts + greedy) + final
+
+
+def _mmr_greedy_sql_parts(
+    k: int, lam10: int, dims: int
+) -> tuple[list[str], str]:
+    """The unrolled MMR greedy as CTE strings over a pool CTE named
+    `mcand` with (probe_id, neighbor_id, e, d2q) — shared by the
+    inline oracle above and the persisted-PQ composition's oracle
+    (`operators/pq.py::pq_mmr_topk_indexed_sql`), so the greedy's
+    restatement can never fork between the two."""
+
+    def d2(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {dims + 1}), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+        )
+
+    parts = [
         f"""s0 AS MATERIALIZED (
   SELECT probe_id, 0::BIGINT AS rank, neighbor_id, e,
          CAST({lam10} * d2q AS BIGINT) AS mmr_score
-  FROM cand
+  FROM mcand
   QUALIFY row_number() OVER (
       PARTITION BY probe_id ORDER BY d2q ASC, neighbor_id ASC) = 1
 )""",
         """r0 AS MATERIALIZED (
-  SELECT cand.probe_id, cand.neighbor_id, cand.e, cand.d2q,
+  SELECT mcand.probe_id, mcand.neighbor_id, mcand.e, mcand.d2q,
          NULL::BIGINT AS mind2_sel
-  FROM cand
+  FROM mcand
 )""",
     ]
     for r in range(1, k):
@@ -1565,10 +1608,7 @@ s{r} AS MATERIALIZED (
                 neighbor_id ASC) = 1)
 )"""
         )
-    return (
-        "WITH "
-        + ",\n".join(parts)
-        + f"""
+    final = f"""
 SELECT probe_id, rank, neighbor_id, mmr_score
 FROM s{k - 1} ORDER BY probe_id, rank"""
-    )
+    return parts, final

@@ -1068,3 +1068,38 @@ def test_matryoshka_probe_exact_stage_broadcasts_probes(
     )
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pq_mmr_indexed_has_no_training(spark, oracle_sf_dir, tmp_path):
+    """The indexed PQ+MMR composition follows the standing
+    index/query discipline: the query plan reads persisted
+    books/codes and the primary store — no k-means aggregate, no
+    training scan anywhere in it."""
+    from pyspark.sql import functions as F
+
+    from khronus_spark.operators import pq as pq_ops
+    from khronus_spark.sources.tables import load_table
+
+    emb = load_table(spark, oracle_sf_dir, "embeddings")
+    books, codes = pq_ops.pq_build_index(emb, sub=4, k=8, iters=1)
+    path = str(tmp_path / "pqmmr")
+    pq_ops.write_pq_index(books, codes, path)
+    books, codes = pq_ops.read_pq_index(spark, path)
+    probes = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    # the greedy's localCheckpoints cut lineage, so the gate reads
+    # the factored CANDIDATE stage — the only part that touches the
+    # index/corpus (everything after is pool-sized driver algebra)
+    df = pq_ops._mmr_candidates_indexed(
+        books, codes, probes, emb, pool=10, sub=4, k=8, dims=64
+    )
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    # the trained state arrives from parquet, never recomputed
+    assert "pqmmr" in plan
+    assert "kmeans" not in plan.lower()
+    assert "CartesianProduct" not in plan
