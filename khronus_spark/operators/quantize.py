@@ -155,8 +155,16 @@ def embedding_dim_stats(embeddings: DataFrame) -> DataFrame:
     caught the refresh's train-stats write throwing exactly this once
     the standing corpus crossed it — same wrap class as the r11 HW
     hardening; exact up to ~1e12 rows, the documented drift-flags
-    bound) so no float ever enters) plus two QA flags — `dead` (the
-    dimension never moves:
+    bound) so no float ever enters. The EMITTED `var_num` column is
+    the exact integer CAST TO STRING: DECIMAL(38,0) is exact inside
+    the plan but has NO canonical cross-engine materialization —
+    Spark hands the driver `Decimal('3990380321932456')` where
+    DuckDB's client path degrades the same value to float64
+    `3.99038e+15`, so the r12 driver hash split on equal values (the
+    round's one red row). The decimal digits ARE canonical at every
+    scale; consumers (`embedding_drift_flags`) cast back to
+    DECIMAL(38,0), an exact round-trip for integers) plus two QA
+    flags — `dead` (the dimension never moves:
     min == max) and `clipped` (≥1% of values pinned at either end of
     the [-1, 1] input range). The embedding-table health check run
     before any ANN/quantization stage: a dead dim wastes index bits,
@@ -194,7 +202,7 @@ def embedding_dim_stats(embeddings: DataFrame) -> DataFrame:
             "min_q",
             "max_q",
             "mean_q",
-            "var_num",
+            F.col("var_num").cast("string").alias("var_num"),
             (F.col("min_q") == F.col("max_q")).alias("dead"),
             (F.col("n_pinned") * 100 >= F.col("n")).alias("clipped"),
         )
@@ -212,7 +220,7 @@ SELECT CAST(dim - 1 AS BIGINT) AS dim,
        min(v) AS min_q,
        max(v) AS max_q,
        CAST(sum(v) // count(*) AS BIGINT) AS mean_q,
-       CAST(count(*) * sum(v * v) - sum(v) * sum(v) AS DECIMAL(38,0)) AS var_num,
+       CAST(CAST(count(*) * sum(v * v) - sum(v) * sum(v) AS DECIMAL(38,0)) AS VARCHAR) AS var_num,
        (min(v) = max(v)) AS dead,
        (sum(CASE WHEN v <= 0 OR v >= 2000000 THEN 1 ELSE 0 END) * 100 >= count(*)) AS clipped
 FROM q
@@ -240,7 +248,9 @@ def embedding_drift_flags(
       ⇔ Δmean² · n_batch · n_train² · 100 > z_tenths² · var_num_train
 
     — the inequality cleared of sqrt/division so it evaluates in
-    EXACT integers (DECIMAL(38,0) products; `z_tenths` is z×10, so
+    EXACT integers (DECIMAL(38,0) products — `var_num` arrives as the
+    stats face's canonical digit STRING and casts back to
+    DECIMAL(38,0), an exact round-trip for integers; `z_tenths` is z×10, so
     the default 50 is a 5σ gate: per-dim false-positive odds are
     negligible while a real distribution shift clears it by orders of
     magnitude — shift/SE grows with √n_batch). Also flagged:

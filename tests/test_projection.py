@@ -804,9 +804,14 @@ def test_embedding_dim_stats_flags_dead_and_clipped(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     got = {r.dim: r for r in embedding_dim_stats(emb).collect()}
     assert len(got) == 64 and all(r.n == 200 for r in got.values())
-    assert got[0].dead and got[0].var_num == 0 and not got[0].clipped
+    assert got[0].dead and int(got[0].var_num) == 0 and not got[0].clipped
     assert got[1].clipped and not got[1].dead
-    assert not got[2].dead and not got[2].clipped and got[2].var_num > 0
+    assert not got[2].dead and not got[2].clipped and int(got[2].var_num) > 0
+    # r13: the driver-facing var_num is the exact integer's canonical
+    # DIGIT STRING (DECIMAL(38,0) has no cross-engine materialization —
+    # the r12 driver hash split on equal values), never a float/decimal
+    assert all(isinstance(r.var_num, str) for r in got.values())
+    assert all(r.var_num == str(int(r.var_num)) for r in got.values())
 
 
 def test_embedding_dim_stats_survives_int64_overflow_scale(spark):
