@@ -66,6 +66,23 @@ def _spark_tag(dtype: str) -> str:
     }.get(dtype, dtype)
 
 
+#: The ONLY logical-type tags with proven cross-engine hash
+#: canonicalization under the driver's typed value-hash (every tag here
+#: is carried by at least one historically hash-green driver row):
+#: int64, string, boolean, double, date. Everything else — DECIMAL
+#: (the r12 embedding_dim_stats red row: Spark materializes Decimal,
+#: DuckDB's client path float64, equal values hash apart), HUGEINT
+#: (rounds 1-2), intervals, timestamps-with-zone, structs — must be
+#: cast to a canonical face before it reaches a driver-facing column.
+_CANONICAL_TAGS = {"i", "s", "b", "f", "date"}
+
+
+def _non_canonical(tags: dict[str, str]) -> dict[str, str]:
+    """column -> tag for every driver-facing column whose logical-type
+    tag lacks a proven cross-engine hash canonicalization."""
+    return {c: t for c, t in tags.items() if t not in _CANONICAL_TAGS}
+
+
 def _normalize(rows, colnames):
     """Sort columns by name, canonicalize values TYPE-TAGGED, return
     sorted rows. int and float canon differently (('i', 123) vs
@@ -135,6 +152,16 @@ def test_query_matches_oracle(spark, oracle_sf_dir, name):
         if spark_tags[c] != duck_tags.get(c)
     }
     assert not tag_mismatch, f"{name}: column type mismatch {tag_mismatch}"
+    # r13 canonical-type lint (per-entry Spark face): matching tags are
+    # NOT enough — "dec" == "dec" passed the r12 embedding_dim_stats
+    # entry locally while the driver hash split on the two engines'
+    # decimal materializations. Every driver-facing column must carry a
+    # tag with a proven cross-engine hash canonicalization.
+    assert not _non_canonical(spark_tags), (
+        f"{name}: driver-facing Spark columns without a hash-canonical "
+        f"type {_non_canonical(spark_tags)} — cast to long/string/"
+        "boolean/double/date before the driver sees them"
+    )
     assert len(spark_rows) == len(duck_rows), (
         f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
     )
@@ -174,6 +201,56 @@ def test_all_oracles_free_of_hugeint(oracle_sf_dir):
             if _duck_tag(typ) in ("int128", "uint64"):
                 offenders.append((name, col, typ))
     assert not offenders, f"un-cast wide-integer oracle columns: {offenders}"
+
+
+def test_all_oracles_hash_canonical(oracle_sf_dir):
+    """Registry-wide canonical-type lint, oracle side (the r12 miss
+    generalized from HUGEINT to EVERY non-canonical face): DESCRIBE
+    each oracle — no execution — and assert every driver-facing column
+    tags into the proven-canonical set. A DECIMAL face like the r12
+    `embedding_dim_stats` var_num fails HERE, locally, instead of in
+    the driver artifact. The Spark half of the same lint runs
+    per-entry inside test_query_matches_oracle (the Spark schema only
+    exists once the entry has built its frame)."""
+    con = _duck_con(oracle_sf_dir)
+    offenders = {}
+    for name, sql in sorted(ORACLES.items()):
+        tags = {
+            col: _duck_tag(typ)
+            for col, typ, *_ in con.execute(f"DESCRIBE ({sql})").fetchall()
+        }
+        bad = _non_canonical(tags)
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        f"oracle columns without a hash-canonical type: {offenders} — "
+        "cast to BIGINT/VARCHAR/BOOLEAN/DOUBLE/DATE before the driver "
+        "hashes them"
+    )
+
+
+def test_decimal_face_goes_red():
+    """Red fixture for the r12 red-row class: a DECIMAL driver-facing
+    column must be flagged by the canonical-type lint on BOTH engines'
+    tag sides, even though the parity suite's value canon would have
+    compared the values as semantically equal — exactly how the r12
+    embedding_dim_stats row passed locally and went red at the driver."""
+    con = duckdb.connect()
+    desc = con.execute(
+        "DESCRIBE (SELECT CAST(42 AS DECIMAL(38,0)) AS var_num)"
+    ).fetchall()
+    duck_tags = {d[0]: _duck_tag(d[1]) for d in desc}
+    assert _non_canonical(duck_tags) == {"var_num": "dec"}
+    assert _non_canonical({"var_num": _spark_tag("decimal(38,0)")}) == {
+        "var_num": "dec"
+    }
+    # and the canonicalized STRING face is accepted on both sides
+    desc_ok = con.execute(
+        "DESCRIBE (SELECT CAST(CAST(42 AS DECIMAL(38,0)) AS VARCHAR)"
+        " AS var_num)"
+    ).fetchall()
+    assert not _non_canonical({d[0]: _duck_tag(d[1]) for d in desc_ok})
+    assert not _non_canonical({"var_num": _spark_tag("string")})
 
 
 def test_entry_smoke(spark):
