@@ -6526,6 +6526,25 @@ PENDING_NEXT_WINDOW.append("ann_mmr_topk")
 
 
 @register(
+    "ann_mmr_topk_lam0",
+    sim_ops.mmr_topk_sql(list(range(5)), k=5, pool=30, lam10=0),
+)
+def ann_mmr_topk_lam0(spark, sf_dir):
+    """The MMR objective's OTHER end, driver-pinned (r12 verdict
+    next-round #7): lam10=0 is pure diversity — rank 0 is still the
+    argmin-d² nearest neighbor (the pick every λ shares), every later
+    round maximizes min-distance-to-picked with the relevance term
+    weighted zero (farthest-point traversal of the pool). This config
+    is exactly where the r12 ADVICE found the rank-0 window ordering
+    by the all-zero score instead of by d2q (ties then handed back the
+    smallest neighbor_id); rank 0 now orders by d2q itself
+    (operators/similarity.py::mmr_rerank), and this row pins the fixed
+    greedy end-to-end against the shared unrolled-CTE oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.mmr_topk(emb, list(range(5)), k=5, pool=30, lam10=0)
+
+
+@register(
     "ann_pq_mmr_topk_indexed",
     pq_ops.pq_mmr_topk_sql(
         list(range(5)), n_picks=5, pool=30, lam10=7, sub=4, k=8, iters=1

@@ -1467,8 +1467,15 @@ def mmr_rerank(cand: DataFrame, k: int = 5, lam10: int = 7) -> DataFrame:
             else F.lit(lam10) * F.col("d2q")
             - F.lit(10 - lam10) * F.col("mind2_sel")
         )
+        # rank 0 ORDERS by d2q itself (argmin d², the docstring's and the
+        # oracle's pick_0) — ordering by score = lam10·d2q is equivalent
+        # only while lam10 > 0: at the documented-valid lam10 = 0 every
+        # candidate scores 0 and the tie-break would hand back the
+        # smallest neighbor_id instead of the nearest (r12 ADVICE).
+        # `score` still REPORTS the r=0 objective on the shared scale.
+        rank0_order = F.col("d2q") if r == 0 else F.col("score")
         w = Window.partitionBy("probe_id").orderBy(
-            F.col("score").asc(), F.col("neighbor_id").asc()
+            rank0_order.asc(), F.col("neighbor_id").asc()
         )
         pick = (
             remaining.withColumn("score", score)

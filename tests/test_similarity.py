@@ -492,3 +492,57 @@ def test_mmr_lam10_extremes_and_validation(spark, sf_dir):
         mmr_topk(emb, [0], k=9, pool=5)
     with pytest.raises(ValueError, match="at least one probe"):
         mmr_topk(emb, [])
+
+
+def test_mmr_lam0_pure_diversity_matches_oracle(spark, sf_dir):
+    """The objective's OTHER end (r12 ADVICE): at lam10=0 every rank-0
+    score is lam10·d2q = 0, and ordering the rank-0 window by score
+    handed back the smallest neighbor_id instead of the spec'd argmin
+    d² — Spark picked [9,34,26] where the oracle (whose s0 orders by
+    d2q) picked [15,13,19]. Rank 0 now orders by d2q itself; pin the
+    full lam10=0 greedy (nearest first, then pure farthest-from-picked)
+    against the unrolled-CTE oracle on the same corpus."""
+    import duckdb
+
+    from khronus_spark.operators.similarity import mmr_topk, mmr_topk_sql
+    from khronus_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = mmr_topk(emb, [0, 3], k=3, pool=12, lam10=0)
+    got = sorted(
+        (r["probe_id"], r["rank"], r["neighbor_id"], r["mmr_score"])
+        for r in res.collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            mmr_topk_sql([0, 3], k=3, pool=12, lam10=0)
+        ).fetchall()
+    )
+    assert got == want
+    # the r12 symptom pinned directly: rank 0 is each probe's NEAREST
+    # candidate (argmin exact d², ties to smaller id), computed
+    # independently of the greedy — not the pool's smallest neighbor_id
+    rank0 = {p: n for p, r, n, _ in got if r == 0}
+    nearest = dict(
+        con.execute(
+            """
+WITH q AS (SELECT vec_id, list_transform(embedding, x ->
+    CAST(floor((CAST(x AS DOUBLE) + 1.0) * 1000000.0) AS BIGINT)) AS e
+  FROM embeddings)
+SELECT p.vec_id, n.vec_id
+FROM q p JOIN q n ON n.vec_id <> p.vec_id
+WHERE p.vec_id IN (0, 3)
+QUALIFY row_number() OVER (PARTITION BY p.vec_id ORDER BY
+    list_sum(list_transform(range(1, 65),
+        i -> (p.e[i] - n.e[i]) * (p.e[i] - n.e[i]))) ASC,
+    n.vec_id ASC) = 1
+"""
+        ).fetchall()
+    )
+    assert rank0 == nearest
