@@ -296,43 +296,67 @@ def write_pq_index(
     convention, here opt-in so pre-sidecar layouts stay byte-stable:
     readers can then validate query-time parameters against the
     trained geometry instead of trusting the caller (the r12 ADVICE
-    asked for exactly this on the Matryoshka indexed path)."""
+    asked for exactly this on the Matryoshka indexed path).
+
+    Publish is ATOMIC (r12 ADVICE): books, codes, and the sidecar are
+    fully written into a fresh `gen-<token>/` under `path` and become
+    visible in ONE os.replace of the CURRENT pointer — the
+    `publish_generation` convention shared with streaming/ann.py. The
+    old layout wrote the three artifacts in place, so a reader between
+    the parquet overwrite and the sidecar write could pair the OLD
+    geometry with the NEW books (or inherit a stale sidecar if the
+    writer died before the remove) — exactly the mispairing the
+    sidecar exists to prevent. A crash mid-write leaves CURRENT on the
+    previous complete generation; readers resolve through
+    `read_pq_index`/`read_pq_index_geometry`, and pre-generation flat
+    layouts still read (resolve falls back to `path` itself)."""
     import json
     import os
+    import uuid
 
-    books.write.mode("overwrite").parquet(f"{path}/books")
-    codes.write.mode("overwrite").parquet(f"{path}/codes")
-    sidecar = os.path.join(path, "geometry.json")
+    from khronus_spark.streaming.retrieval import publish_generation
+
+    os.makedirs(path, exist_ok=True)
+    gen = f"gen-{uuid.uuid4().hex[:12]}"
+    gdir = os.path.join(path, gen)
+    books.write.mode("overwrite").parquet(os.path.join(gdir, "books"))
+    codes.write.mode("overwrite").parquet(os.path.join(gdir, "codes"))
     if geometry is not None:
-        tmp = os.path.join(path, ".geometry.tmp")
+        tmp = os.path.join(gdir, ".geometry.tmp")
         with open(tmp, "w") as fh:
             json.dump(geometry, fh)
             fh.flush()
             os.fsync(fh.fileno())
-        os.replace(tmp, sidecar)
-    elif os.path.isfile(sidecar):
-        # a geometry-less REBUILD over a previously self-describing
-        # path must not leave the OLD sidecar describing the NEW
-        # books — a stale geometry would make the validation refuse
-        # correct queries (or wave through wrong ones)
-        os.remove(sidecar)
+        os.replace(tmp, os.path.join(gdir, "geometry.json"))
+    # a geometry-less REBUILD over a previously self-describing path
+    # publishes a generation WITHOUT a sidecar — the old generation's
+    # geometry can never describe the new books because the swap
+    # replaces the whole directory view at once
+    publish_generation(path, gen, grace_seconds=600.0)
 
 
 def read_pq_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    from khronus_spark.streaming.retrieval import resolve_generation_dir
+
+    root = resolve_generation_dir(path)
     return (
-        spark.read.parquet(f"{path}/books"),
-        spark.read.parquet(f"{path}/codes"),
+        spark.read.parquet(f"{root}/books"),
+        spark.read.parquet(f"{root}/codes"),
     )
 
 
 def read_pq_index_geometry(path: str) -> dict | None:
     """The geometry.json sidecar written by `write_pq_index(...,
     geometry=...)`; None for pre-sidecar layouts (whose callers pass
-    geometry explicitly, the historical contract)."""
+    geometry explicitly, the historical contract). Resolves through
+    the generation pointer, so the sidecar can never describe another
+    generation's books."""
     import json
     import os
 
-    p = os.path.join(path, "geometry.json")
+    from khronus_spark.streaming.retrieval import resolve_generation_dir
+
+    p = os.path.join(resolve_generation_dir(path), "geometry.json")
     if not os.path.isfile(p):
         return None
     with open(p) as fh:
@@ -1318,26 +1342,60 @@ def ivf_pq_build_index(
 
 
 def write_ivf_pq_index(
-    books: DataFrame, coded: DataFrame, centroids: DataFrame, path: str
+    books: DataFrame,
+    coded: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    atomic: bool = True,
 ) -> None:
     """Persist the IVF-PQ index as three parquet tables. `coded` is
     repartitioned by centroid_id so each inverted list is physically
     co-located — at scale a probe's nprobe lists map to a bounded set
-    of files instead of touching every partition."""
-    books.write.mode("overwrite").parquet(f"{path}/books")
+    of files instead of touching every partition.
+
+    Same atomic generation publish as `write_pq_index` (three in-place
+    overwrites are three chances for a reader to pair tables from
+    different builds): everything lands in `gen-<token>/`, one CURRENT
+    swap makes it visible, flat pre-generation layouts still read.
+    `atomic=False` writes the flat layout for callers that already own
+    an outer atomic publish (`streaming/ann.py` builds into an
+    UNPUBLISHED generation dir of its own — nesting a second pointer
+    inside it would hide the tables from its flat readers)."""
+    import os
+    import uuid
+
+    from khronus_spark.streaming.retrieval import publish_generation
+
+    if not atomic:
+        books.write.mode("overwrite").parquet(f"{path}/books")
+        coded.repartition("centroid_id").write.mode("overwrite").parquet(
+            f"{path}/coded"
+        )
+        centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+        return
+    os.makedirs(path, exist_ok=True)
+    gen = f"gen-{uuid.uuid4().hex[:12]}"
+    gdir = os.path.join(path, gen)
+    books.write.mode("overwrite").parquet(os.path.join(gdir, "books"))
     coded.repartition("centroid_id").write.mode("overwrite").parquet(
-        f"{path}/coded"
+        os.path.join(gdir, "coded")
     )
-    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    centroids.write.mode("overwrite").parquet(
+        os.path.join(gdir, "centroids")
+    )
+    publish_generation(path, gen, grace_seconds=600.0)
 
 
 def read_ivf_pq_index(
     spark, path: str
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    from khronus_spark.streaming.retrieval import resolve_generation_dir
+
+    root = resolve_generation_dir(path)
     return (
-        spark.read.parquet(f"{path}/books"),
-        spark.read.parquet(f"{path}/coded"),
-        spark.read.parquet(f"{path}/centroids"),
+        spark.read.parquet(f"{root}/books"),
+        spark.read.parquet(f"{root}/coded"),
+        spark.read.parquet(f"{root}/centroids"),
     )
 
 

@@ -480,7 +480,10 @@ def refresh_streamed_index(
     books, coded, cents = ivf_pq_build_index(vectors, **build_kwargs)
     gen = f"gen-{uuid.uuid4().hex[:12]}"
     new_root = os.path.join(index_path, gen)
-    write_ivf_pq_index(books, coded, cents, new_root)
+    # flat write INTO the unpublished generation dir: this refresh owns
+    # the atomic publish below (publish_generation on index_path), so
+    # the writer must not nest a second generation pointer inside it
+    write_ivf_pq_index(books, coded, cents, new_root, atomic=False)
     # the generation is SELF-DESCRIBING: persist the geometry its
     # quantizers were trained at, so every later landing (hot adds,
     # carries, post-swap re-lands) encodes at the right one

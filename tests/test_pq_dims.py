@@ -420,6 +420,46 @@ def test_geometry_sidecar_cleared_on_geometryless_rebuild(
     assert read_pq_index_geometry(path) is None
 
 
+def test_pq_index_publish_is_atomic_generation_swap(spark, emb16, tmp_path):
+    """r12 ADVICE: the old in-place write published books/codes and the
+    geometry sidecar non-atomically — a reader between the parquet
+    overwrite and the sidecar write could pair OLD geometry with NEW
+    books. The writer now lands everything in a fresh gen-<token>/ and
+    publishes with ONE CURRENT-pointer swap (the streaming/ann.py
+    convention); the superseded generation stays readable (kept
+    unconditionally as `prev`), so a reader that resolved before the
+    swap keeps a consistent (books, codes, geometry) triple."""
+    import os
+
+    from khronus_spark.operators.pq import read_pq_index_geometry
+    from khronus_spark.streaming.retrieval import resolve_generation_dir
+
+    prefix = emb16.select(
+        "vec_id", F.expr("slice(embedding, 1, 8)").alias("embedding")
+    )
+    books, codes = pq_ops.pq_build_index(prefix, sub=4, k=8, iters=1, dims=8)
+    path = str(tmp_path / "idx")
+    pq_ops.write_pq_index(books, codes, path, geometry={"dims": 8})
+    gen1 = resolve_generation_dir(path)
+    assert gen1 != path and os.path.isfile(os.path.join(path, "CURRENT"))
+    assert os.path.isfile(os.path.join(gen1, "geometry.json"))
+
+    pq_ops.write_pq_index(books, codes, path, geometry={"dims": 8, "v": 2})
+    gen2 = resolve_generation_dir(path)
+    assert gen2 != gen1
+    assert read_pq_index_geometry(path) == {"dims": 8, "v": 2}
+    # the pre-swap generation keeps its complete, self-consistent view
+    assert os.path.isdir(os.path.join(gen1, "books"))
+    assert os.path.isdir(os.path.join(gen1, "codes"))
+    import json
+
+    with open(os.path.join(gen1, "geometry.json")) as fh:
+        assert json.load(fh) == {"dims": 8}
+    # and the published view reads end-to-end
+    b2, c2 = pq_ops.read_pq_index(spark, path)
+    assert b2.count() == books.count() and c2.count() == codes.count()
+
+
 def test_recall_probe_rejects_absent_and_duplicate_probes(spark, emb16):
     """Review pin: probe_ids absent from the corpus (or duplicated)
     would contribute zero hits while still counting in the

@@ -59,12 +59,15 @@ def test_streamed_adds_match_one_shot_encode_and_queries_agree(
     ]
     _stream_chunks(spark, str(tmp_path), chunks, index_path, "ck1")
 
-    spark_books = spark.read.parquet(f"{index_path}/books")
-    spark_cents = spark.read.parquet(f"{index_path}/centroids")
+    # r13: write_ivf_pq_index publishes atomically as a generation —
+    # read through the pointer like every production reader
+    root = resolve_generation_dir(index_path)
+    spark_books = spark.read.parquet(f"{root}/books")
+    spark_cents = spark.read.parquet(f"{root}/centroids")
     got = read_streamed_coded(spark, index_path)
     # content-level stream==batch: the streamed rows equal ONE encode
     # call over all new vectors against the same frozen books
-    want = spark.read.parquet(f"{index_path}/coded").unionByName(
+    want = spark.read.parquet(f"{root}/coded").unionByName(
         ivf_pq_encode(new, spark_books, spark_cents)
     )
     assert _rows(got) == _rows(want)
