@@ -1118,6 +1118,20 @@ def matryoshka_build_index(
             f"Matryoshka prefix_dims={prefix_dims} exceeds dims={dims}: "
             "the prefix must nest inside the full width"
         )
+    # mirror of the query-side probe-width check (r12 ADVICE follow-up):
+    # `dims` is caller-asserted, so a corpus whose rows are NARROWER
+    # than prefix_dims would slip past the parameter check and slice()
+    # would silently CLAMP — the index then trains on truncated
+    # prefixes and serves an id-lottery. One min(size()) aggregate is
+    # noise next to the k-means passes the build already pays.
+    widths = embeddings.agg(F.min(F.size("embedding")).alias("w")).collect()
+    if widths and widths[0]["w"] is not None and prefix_dims > widths[0]["w"]:
+        raise ValueError(
+            f"Matryoshka prefix_dims={prefix_dims} exceeds the corpus's "
+            f"minimum embedding width {widths[0]['w']}: slice() would "
+            "silently clamp and the index would train on truncated "
+            "prefixes — the prefix must nest inside every row's width"
+        )
     prefix = embeddings.select(
         "vec_id",
         F.expr(f"slice(embedding, 1, {prefix_dims})").alias("embedding"),

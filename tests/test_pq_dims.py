@@ -354,6 +354,23 @@ def test_matryoshka_build_guard_warns_and_raises(spark, sweep_corpora):
     )
 
 
+def test_matryoshka_build_refuses_short_width_corpus(spark, emb16):
+    """r12 ADVICE mirror of the query-side width check: prefix_dims is
+    validated against the dims PARAMETER, so a corpus whose rows are
+    narrower than prefix_dims used to slip through and slice() clamped
+    silently — the index trained on truncated prefixes. The build now
+    measures min(size(embedding)) and fails loudly."""
+    with pytest.raises(ValueError, match="minimum embedding width 16"):
+        pq_ops.matryoshka_build_index(
+            emb16, prefix_dims=24, sub=4, k=8, iters=1, dims=32
+        )
+    # exactly-nesting width still builds
+    books, _codes = pq_ops.matryoshka_build_index(
+        emb16, prefix_dims=16, sub=4, k=8, iters=1, dims=16
+    )
+    assert books.count() > 0
+
+
 def test_pq_index_geometry_sidecar_roundtrip_and_validation(
     spark, emb16, tmp_path
 ):
