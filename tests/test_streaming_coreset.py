@@ -185,3 +185,26 @@ def test_recall_probe_rejects_empty_probe_sample(spark):
     )
     with pytest.raises(ValueError, match="at least one probe"):
         pq_ops.matryoshka_recall_probe(emb, [], prefix_dims=8, dims=16)
+
+
+def test_replay_fixture_matches_oracle_sf(spark, oracle_sf_dir):
+    """The `coreset_streaming_kcenter_audit` oracle hard-codes the
+    streamed selection as an INPUT FIXTURE (the sequential doubling
+    fold is not SQL-expressible). Re-derive the selection here at the
+    oracle's own scale factor and assert it equals the registered
+    constants — so fixture drift (a fold change, a tie-break change, a
+    testdata regeneration) goes red locally before the driver hashes a
+    stale restatement. Also pins that replay == the foreachBatch
+    stream folding the same chunks (replay_kcenter IS the trigger
+    body, chunked identically)."""
+    from khronus_spark.entry_queries import (
+        _STREAM_KC_CENTERS,
+        _STREAM_KC_T2,
+    )
+    from khronus_spark.sources.tables import load_table
+    from khronus_spark.streaming.coreset import replay_kcenter
+
+    emb = load_table(spark, oracle_sf_dir, "embeddings")
+    centers, t2 = replay_kcenter(spark, emb, m=6, n_chunks=4)
+    assert sorted(v for v, _ in centers) == sorted(_STREAM_KC_CENTERS)
+    assert int(t2) == _STREAM_KC_T2
