@@ -122,35 +122,35 @@ def register(name: str, oracle: str | None):
 #: operator inside the window; everything else keeps registration order
 #: in the tail (still exercised by tests/test_oracle_parity.py locally).
 #:
-#: Round-12 rotation policy (same invariant as rounds 2-11): the window
-#: leads with (a) the drained round-11 queue — the four entries
-#: registered after the r11 window froze, never driver-checked, all
-#: oracle-backed and hash-green locally: `ann_matryoshka_rerank_topk`
-#: and `ann_matryoshka_rerank_topk_indexed` (the prefix-shortlist /
-#: full-rerank composition the r11 dims parameterization unlocked —
-#: the indexed twin additionally gained the r12 ADVICE probe-width
-#: validation, so its in-window row re-proves the touched path), plus
-#: `embedding_coreset_kcenter` and `coreset_coverage_audit` (the
-#: greedy k-center family). Then (b) the entries NEW in round 12:
-#: `coreset_kcenter_per_cell` (the per-IVF-cell 100 TB composition the
-#: r11 verdict asked to be code, not prose) and
-#: `matryoshka_recall_probe` (the sampled-recall guard for non-MRL
-#: corpora, its measured number hash-pinned). Then (c) the entries
-#: whose ENGINE PATH changed this round: `embedding_dim_stats` and
-#: `embedding_drift_flags` — the r12 dual-writer soak caught the
-#: int64 variance numerator n·Σv²−(Σv)² wrapping at n ≈ 2,300 rows
-#: per dim (the refresh's train-stats write threw, so the maintenance
-#: daemon could never heal a corpus past that size); var_num now
-#: evaluates in DECIMAL(38,0) on both engines, a schema change, so
-#: both faces re-prove under the driver. The other r12 engine changes
-#: (streaming/ann.py race closures, the matryoshka_build_index face)
-#: have no registry consumers outside the in-window entries. Then (d)
-#: the longest-unchecked fills: the FULL 29-entry cohort whose newest
-#: green row is round 7 (`near_dup_jaccard_lsh` …
-#: `events_type_affinity`) and the 13 oldest round-8 rows in
-#: registration order (`influx_field_plus_literal` …
-#: `bpe_merges_batched`).
-#: 4 + 2 + 2 + 29 + 13 = 50. Rows-only entries (xxhash64 signatures, the
+#: Round-13 rotation policy (same invariant as rounds 2-12): the window
+#: leads with (a) the drained round-12 queue — `ann_mmr_topk` and
+#: `ann_pq_mmr_topk_indexed`, the diversity-rerank pair registered
+#: after the r12 window froze, never driver-checked; BOTH additionally
+#: carry this round's rank-0 ordering fix (the r12 ADVICE lam10=0
+#: finding), so their in-window rows prove the touched greedy. Then
+#: (b) the entries NEW in round 13: `ann_mmr_topk_lam0` (the
+#: pure-diversity end of the MMR objective — exactly the config the
+#: ADVICE bug lived at, r12 verdict #7) and
+#: `coreset_streaming_kcenter_audit` (the streamed k-center's realized
+#: radius + scale, hash-pinned through the shared assignment audit —
+#: r12 verdict #6). Then (c) the entries whose ENGINE PATH changed
+#: this round: `embedding_dim_stats` and `embedding_drift_flags` (the
+#: r12 red row's fix — driver-facing var_num is now the exact
+#: integer's canonical DIGIT STRING on both engines, a schema change,
+#: so both faces re-prove; the DECIMAL interior math and its
+#: soak-found overflow fix are unchanged), plus the six indexed-ANN /
+#: hybrid faces whose persisted-index writers now publish atomically
+#: as generations with readers resolving the CURRENT pointer
+#: (`ann_pq_topk_indexed`, `ann_pq_rerank_topk_indexed`,
+#: `hybrid_rrf_topk_indexed`, `ann_matryoshka_rerank_topk_indexed`,
+#: `ann_ivfpq_topk_indexed`, `ann_ivfpq_rerank_topk_indexed`). The
+#: other r13 engine change (the matryoshka_build_index corpus-width
+#: guard) has no registry consumer. Then (d) the longest-unchecked
+#: fills: the FULL remaining 32-entry cohort whose newest green row is
+#: round 8 (`cms_heavy_users` … `corpus_version_diff`) and the 6
+#: oldest round-9 rows in registration order (`ts_counter_summary_5m`
+#: … `ts_cpm_5m`).
+#: 2 + 2 + 8 + 32 + 6 = 50. Rows-only entries (xxhash64 signatures, the
 #: stateful streaming face) stay out — the window accepts only
 #: hash-checkable entries, and their md5/stream==batch twins are
 #: covered. Everything else is still locally oracle-checked every run
@@ -165,71 +165,74 @@ DRIVER_WINDOW = 50
 #: this explicit queue, each queued entry to be fully oracle-backed
 #: (hash-checked against DuckDB on every local parity run), and the
 #: NEXT round's window to lead with them (emptying the queue) before
-#: anything else rotates. Round 12 drained the round-11 queue (its four
-#: entries lead _PRIORITY below); entries added after the round-12
-#: window froze queue here for round 13.
+#: anything else rotates. Round 13 drained the round-12 queue (its two
+#: MMR entries lead _PRIORITY below); entries added after the round-13
+#: window froze queue here for round 14.
 PENDING_NEXT_WINDOW: list[str] = []
 
 _PRIORITY = [
-    # -- the drained round-11 queue: first driver proof THIS round ------
-    "ann_matryoshka_rerank_topk",
-    "ann_matryoshka_rerank_topk_indexed",
-    "embedding_coreset_kcenter",
-    "coreset_coverage_audit",
-    # -- new in round 12: the per-cell 100 TB coreset composition and
-    #    the Matryoshka non-MRL sampled-recall guard --------------------
-    "coreset_kcenter_per_cell",
-    "matryoshka_recall_probe",
-    # -- entries whose ENGINE PATH changed this round: the r12
-    #    dual-writer soak caught embedding_dim_stats' int64 variance
-    #    numerator wrapping at n≈2,300 rows/dim; var_num now evaluates
-    #    in DECIMAL(38,0) (schema change — both faces re-prove) --------
+    # -- the drained round-12 queue: first driver proof THIS round,
+    #    additionally carrying the r13 rank-0 ordering fix --------------
+    "ann_mmr_topk",
+    "ann_pq_mmr_topk_indexed",
+    # -- new in round 13: the MMR objective's pure-diversity end (the
+    #    exact config the r12 ADVICE bug lived at) and the streamed
+    #    k-center's radius/scale pin through the assignment audit ------
+    "ann_mmr_topk_lam0",
+    "coreset_streaming_kcenter_audit",
+    # -- entries whose ENGINE PATH changed this round: the r12 red
+    #    row's canonicalization (var_num -> digit string, schema
+    #    change, both stats faces re-prove) and the six indexed faces
+    #    whose persisted-index writers now publish atomically as
+    #    generations ---------------------------------------------------
     "embedding_dim_stats",
     "embedding_drift_flags",
-    # -- longest-unchecked fills: the full r7 cohort (29), then the 13
-    #    oldest r8 rows in registration order ---------------------------
-    "near_dup_jaccard_lsh",
-    "doc_repetition",
-    "gopher_rules",
-    "quality_classifier_score",
-    "approx_distinct_users_hll_daily",
-    "stratified_sample_by_lang",
-    "ann_lsh_buckets",
-    "influx_relative_now_10m",
-    "influx_string_filter_noop",
-    "events_json_props",
-    "events_user_gaps",
-    "events_distinct_users_daily",
-    "embedding_near_dup",
-    "ann_lsh_topk",
-    "bm25_eval_topk",
-    "embedding_knn_graph",
-    "decontamination_retrieval",
-    "hard_negative_pairs",
-    "hybrid_rrf_topk",
-    "doc_perplexity_split",
-    "hll_event_type_overlap",
-    "events_k_anonymity",
-    "events_scd2_conformance",
-    "events_scd2_backfill_conformance",
-    "part_lpa_communities",
-    "bm25_chunk_topk",
-    "ann_lsh_recall_sized",
-    "events_path_trigrams",
-    "events_type_affinity",
-    "influx_field_plus_literal",
-    "tpch_q1_pricing",
-    "tpch_q3_top_orders",
-    "tpch_q6_forecast_revenue",
-    "tpch_q14_promo_revenue",
-    "tpch_q4_late_orders",
-    "customer_lapsed_anti",
-    "tpch_q18_big_orders",
-    "tpch_q7_volume_shipping",
-    "tpch_q10_returned_revenue",
-    "events_rollup_type_daily",
-    "events_cube_type_daily",
-    "bpe_merges_batched",
+    "ann_pq_topk_indexed",
+    "ann_pq_rerank_topk_indexed",
+    "hybrid_rrf_topk_indexed",
+    "ann_matryoshka_rerank_topk_indexed",
+    "ann_ivfpq_topk_indexed",
+    "ann_ivfpq_rerank_topk_indexed",
+    # -- longest-unchecked fills: the full remaining r8 cohort (32),
+    #    then the 6 oldest r9 rows in registration order ----------------
+    "cms_heavy_users",
+    "bpe_encode_6",
+    "duplicate_spans",
+    "unigram_surprisal",
+    "dup_ngram_5",
+    "kmeans_inertia",
+    "kmeans_embeddings",
+    "semantic_dedup",
+    "events_top_per_user",
+    "part_brand_stats",
+    "token_count_bpe_regex",
+    "events_in_session_range_join",
+    "ann_ivf_assignments",
+    "llm_corpus_prep",
+    "source_cap_sample",
+    "curriculum_shards",
+    "decontamination_fuzzy",
+    "c4_span_removal",
+    "decontamination_bloom",
+    "embedding_quantize_stats",
+    "ann_quantized_topk",
+    "ann_ivf_kmeans_topk",
+    "ann_ivf_topk",
+    "media_features",
+    "media_resize_plan",
+    "media_frame_sample",
+    "ts_hdr_encoded_roundtrip_1h",
+    "ts_hdr_summary_5m_hdrcompat",
+    "ts_hdr_summary_5m",
+    "dedup_incremental_batch",
+    "doc_text_normalize",
+    "corpus_version_diff",
+    "ts_counter_summary_5m",
+    "ts_histogram_summary_1m",
+    "ts_gauge_summary_30s",
+    "ts_histogram_summary_1h",
+    "ts_pregroup_5s",
+    "ts_cpm_5m",
 ]
 
 
@@ -6519,10 +6522,8 @@ def ann_mmr_topk(spark, sf_dir):
     return sim_ops.mmr_topk(emb, list(range(5)), k=5, pool=30, lam10=7)
 
 
-#: registered after the round-12 window froze: queued for the r13
-#: window per the standing rotation policy (oracle-backed, hash-green
-#: in the local parity suite)
-PENDING_NEXT_WINDOW.append("ann_mmr_topk")
+# drained into the round-13 window (rotation policy at _PRIORITY):
+# ann_mmr_topk leads the window together with its indexed twin
 
 
 @register(
@@ -6573,7 +6574,8 @@ def ann_pq_mmr_topk_indexed(spark, sf_dir):
     )
 
 
-PENDING_NEXT_WINDOW.append("ann_pq_mmr_topk_indexed")
+# drained into the round-13 window (rotation policy at _PRIORITY):
+# ann_pq_mmr_topk_indexed rides slot 2
 
 
 # -- round 13: the streamed k-center selection's quality number,

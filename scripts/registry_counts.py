@@ -28,5 +28,49 @@ def counts() -> str:
     )
 
 
+def driver_row_line() -> str:
+    """The LATEST driver artifact's green/red/err tally, machine-
+    derived (r12 verdict What's-wrong #2: ROUND12_NOTES' closing state
+    read all-green while CORRECTNESS_r12 carried a red hash row — the
+    closing ledger must quote the driver artifact, not only the local
+    suite). Paste into ROUNDn_NOTES' closing state;
+    tests/test_oracle_parity.py::test_round_notes_quote_driver_artifact
+    pins the copy in the newest round notes."""
+    import json
+    import re
+
+    arts = sorted(
+        Path(_REPO).glob("CORRECTNESS_r*.json"),
+        key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)),
+    )
+    if not arts:
+        return "Driver rows: no CORRECTNESS artifact present"
+    latest = arts[-1]
+    rows = json.loads(latest.read_text())
+    err = sorted(k for k, v in rows.items() if v.get("err"))
+    red = sorted(
+        k
+        for k, v in rows.items()
+        if not v.get("err")
+        and not (
+            v.get("rows_match")
+            and v.get("schema_match")
+            and v.get("hash_match") is not False
+        )
+    )
+    green = len(rows) - len(red) - len(err)
+    detail = ""
+    if red:
+        detail += f"; red: {', '.join(red)}"
+    if err:
+        detail += f"; err: {', '.join(err)}"
+    return (
+        f"Driver rows (machine-derived from {latest.name}): "
+        f"{green} green, {len(red)} red, {len(err)} err of {len(rows)}"
+        f"{detail}"
+    )
+
+
 if __name__ == "__main__":
     print(counts())
+    print(driver_row_line())

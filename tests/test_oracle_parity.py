@@ -335,3 +335,34 @@ def test_ledger_count_line_matches_registry():
         f"  python scripts/registry_counts.py\n"
         f"expected line: {want}"
     )
+
+
+def test_round_notes_quote_driver_artifact():
+    """r12 verdict What's-wrong #2: ROUND12_NOTES' closing state read
+    all-green while CORRECTNESS_r12 carried a red hash row. The newest
+    round notes must quote the LATEST driver artifact's machine-derived
+    green/red/err line (scripts/registry_counts.py::driver_row_line) —
+    a red driver row can no longer coexist with an all-green closing
+    narrative, because the narrative is generated from the artifact."""
+    import re
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(repo / "scripts"))
+    try:
+        from registry_counts import driver_row_line
+    finally:
+        sys.path.pop(0)
+    notes = sorted(
+        repo.glob("ROUND*_NOTES.md"),
+        key=lambda p: int(re.search(r"ROUND(\d+)", p.name).group(1)),
+    )
+    assert notes, "no round notes found"
+    want = driver_row_line()
+    text = notes[-1].read_text()
+    assert want in text, (
+        f"{notes[-1].name} does not quote the driver artifact — "
+        f"regenerate with scripts/registry_counts.py; expected line:\n"
+        f"{want}"
+    )
