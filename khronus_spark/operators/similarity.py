@@ -1418,6 +1418,14 @@ def mmr_topk(
     pv = embeddings.where(F.col("vec_id").isin(probe_ids)).select(
         F.col("vec_id").alias("probe_id"), F.expr(_Q).alias("pe")
     )
+    # the ONE corpus pass runs at a capped partition count: the pool
+    # build is a broadcast-join + per-probe window over higher-order
+    # array exprs, where per-partition plan startup dominates at bench
+    # scale (the Arrow-batch tradeoff `spread`'s docstring measures) —
+    # 8 partitions is that tradeoff's knee, NOT a scale assumption. At
+    # 100 TB this inline face is the wrong tool regardless of the cap:
+    # route through pq_mmr_topk_indexed, whose ADC shortlist feeds the
+    # same greedy a pool that never scales with the corpus.
     cand = (
         spread(embeddings, max_partitions=8)
         .select(F.col("vec_id").alias("neighbor_id"), F.expr(_Q).alias("e"))
