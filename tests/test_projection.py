@@ -814,6 +814,36 @@ def test_embedding_dim_stats_flags_dead_and_clipped(spark):
     assert all(r.var_num == str(int(r.var_num)) for r in got.values())
 
 
+def test_decimal_to_string_is_plain_digits_at_the_38_digit_bound(spark):
+    """The canonicalization claim behind the r13 var_num face, pinned
+    at the operator's own documented ceiling (~1e12 rows per dim ⇒
+    var_num ≈ 4e36, one digit shy of DECIMAL(38,0)'s capacity): BOTH
+    engines must render a full-width 38-digit DECIMAL(38,0) as plain
+    digits — no exponent, no grouping, no sign quirks — or the digit
+    string would stop being a canonical cross-engine face exactly
+    where the BIGINT alternative re-wraps."""
+    import duckdb
+
+    digits = "9" * 38          # DECIMAL(38,0) max
+    mid = "4" + "0" * 36       # ~4e36, the documented operating bound
+    for v in (digits, mid, "0"):
+        got = spark.sql(
+            f"SELECT CAST(CAST('{v}' AS DECIMAL(38,0)) AS STRING) AS s"
+        ).collect()[0]["s"]
+        assert got == v, (v, got)
+        duck = duckdb.sql(
+            f"SELECT CAST(CAST('{v}' AS DECIMAL(38,0)) AS VARCHAR)"
+        ).fetchone()[0]
+        assert duck == v, (v, duck)
+    # and the round-trip the drift-flags consumer relies on is exact
+    back = spark.sql(
+        f"SELECT CAST('{digits}' AS DECIMAL(38,0)) = "
+        f"CAST(CAST(CAST('{digits}' AS DECIMAL(38,0)) AS STRING)"
+        " AS DECIMAL(38,0)) AS ok"
+    ).collect()[0]["ok"]
+    assert back is True
+
+
 def test_embedding_dim_stats_survives_int64_overflow_scale(spark):
     """r12 dual-writer soak finding: the int64 variance numerator
     n·Σv² − (Σv)² overflows at n ≈ 2,300 rows per dim (v ≤ 2e6), which
