@@ -424,7 +424,10 @@ def main() -> None:
 
     def _matryoshka_query():
         emb = load_table(spark, sf_dir, "embeddings")
-        books, codes = pq_ops.read_pq_index(spark, _mat_query_dir)
+        # resolve the generation ONCE so tables and geometry can never
+        # come from two different publishes (resolve_pq_index_dir)
+        root = pq_ops.resolve_pq_index_dir(_mat_query_dir)
+        books, codes = pq_ops.read_pq_index(spark, root)
         probes = emb.where(F.col("vec_id") < 5).select(
             F.col("vec_id").alias("probe_id"), "embedding"
         )
@@ -432,9 +435,7 @@ def main() -> None:
             pq_ops.matryoshka_rerank_topk_indexed(
                 books, codes, probes, emb, 3, n_candidates=30,
                 prefix_dims=16, sub=4, k=8,
-                trained_geometry=pq_ops.read_pq_index_geometry(
-                    _mat_query_dir
-                ),
+                trained_geometry=pq_ops.read_pq_index_geometry(root),
             )
         )
 

@@ -6589,9 +6589,9 @@ def ann_pq_mmr_topk_indexed(spark, sf_dir):
 #: the streamed selection at sf0.01, m=6, 4 pmod chunks — an INPUT
 #: FIXTURE for the oracle restatement (the doubling fold is a
 #: sequential data-dependent algorithm DuckDB cannot restate; the
-#: fixture is re-derived and asserted by
-#: tests/test_streaming_coreset.py::test_replay_fixture_matches_sf001,
-#: so fixture drift fails locally before the driver sees it). On this
+#: fixture is re-derived and asserted by tests/test_streaming_coreset
+#: .py::test_replay_fixture_matches_oracle_sf, so fixture drift fails
+#: locally before the driver sees it). On this
 #: corpus the scale legitimately swallows the budget (the sweep's
 #: noise-floor note: OPT(m) ≈ OPT(1), so few centers and a tight-
 #: enough radius IS the algorithm's answer) — the pinned numbers are

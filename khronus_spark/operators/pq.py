@@ -288,6 +288,7 @@ def write_pq_index(
     codes: DataFrame,
     path: str,
     geometry: dict | None = None,
+    grace_seconds: float = 600.0,
 ) -> None:
     """Persist the index as two parquet tables (books: sub·k short
     rows; codes: ONE BIGINT per vector). Pass `geometry` (e.g.
@@ -312,13 +313,13 @@ def write_pq_index(
     layouts still read (resolve falls back to `path` itself)."""
     import json
     import os
-    import uuid
 
-    from khronus_spark.streaming.retrieval import publish_generation
+    from khronus_spark.streaming.retrieval import (
+        new_generation,
+        publish_generation,
+    )
 
-    os.makedirs(path, exist_ok=True)
-    gen = f"gen-{uuid.uuid4().hex[:12]}"
-    gdir = os.path.join(path, gen)
+    gen, gdir = new_generation(path)
     books.write.mode("overwrite").parquet(os.path.join(gdir, "books"))
     codes.write.mode("overwrite").parquet(os.path.join(gdir, "codes"))
     if geometry is not None:
@@ -332,13 +333,27 @@ def write_pq_index(
     # publishes a generation WITHOUT a sidecar — the old generation's
     # geometry can never describe the new books because the swap
     # replaces the whole directory view at once
-    publish_generation(path, gen, grace_seconds=600.0)
+    publish_generation(path, gen, grace_seconds=grace_seconds)
+
+
+def resolve_pq_index_dir(path: str) -> str:
+    """Resolve the index root's CURRENT pointer ONCE and return the
+    generation dir (the path itself for flat pre-generation layouts).
+    A caller that needs a CONSISTENT (books, codes, geometry) triple
+    under concurrent republish must resolve once and feed the returned
+    root to `read_pq_index` + `read_pq_index_geometry` — each of those
+    resolves independently when handed the unresolved root, so calling
+    them back-to-back on `path` can still pair one generation's tables
+    with another's sidecar if a publish lands in between. Resolution
+    is idempotent (a generation dir has no CURRENT file and resolves
+    to itself), so passing an already-resolved root is always safe."""
+    from khronus_spark.streaming.retrieval import resolve_generation_dir
+
+    return resolve_generation_dir(path)
 
 
 def read_pq_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
-    from khronus_spark.streaming.retrieval import resolve_generation_dir
-
-    root = resolve_generation_dir(path)
+    root = resolve_pq_index_dir(path)
     return (
         spark.read.parquet(f"{root}/books"),
         spark.read.parquet(f"{root}/codes"),
@@ -349,14 +364,13 @@ def read_pq_index_geometry(path: str) -> dict | None:
     """The geometry.json sidecar written by `write_pq_index(...,
     geometry=...)`; None for pre-sidecar layouts (whose callers pass
     geometry explicitly, the historical contract). Resolves through
-    the generation pointer, so the sidecar can never describe another
-    generation's books."""
+    the generation pointer; to pair with a `read_pq_index` call under
+    concurrent republish, resolve once via `resolve_pq_index_dir` and
+    pass the SAME root to both (see its docstring)."""
     import json
     import os
 
-    from khronus_spark.streaming.retrieval import resolve_generation_dir
-
-    p = os.path.join(resolve_generation_dir(path), "geometry.json")
+    p = os.path.join(resolve_pq_index_dir(path), "geometry.json")
     if not os.path.isfile(p):
         return None
     with open(p) as fh:
@@ -1361,6 +1375,7 @@ def write_ivf_pq_index(
     centroids: DataFrame,
     path: str,
     atomic: bool = True,
+    grace_seconds: float = 600.0,
 ) -> None:
     """Persist the IVF-PQ index as three parquet tables. `coded` is
     repartitioned by centroid_id so each inverted list is physically
@@ -1376,9 +1391,11 @@ def write_ivf_pq_index(
     UNPUBLISHED generation dir of its own — nesting a second pointer
     inside it would hide the tables from its flat readers)."""
     import os
-    import uuid
 
-    from khronus_spark.streaming.retrieval import publish_generation
+    from khronus_spark.streaming.retrieval import (
+        new_generation,
+        publish_generation,
+    )
 
     if not atomic:
         books.write.mode("overwrite").parquet(f"{path}/books")
@@ -1387,9 +1404,7 @@ def write_ivf_pq_index(
         )
         centroids.write.mode("overwrite").parquet(f"{path}/centroids")
         return
-    os.makedirs(path, exist_ok=True)
-    gen = f"gen-{uuid.uuid4().hex[:12]}"
-    gdir = os.path.join(path, gen)
+    gen, gdir = new_generation(path)
     books.write.mode("overwrite").parquet(os.path.join(gdir, "books"))
     coded.repartition("centroid_id").write.mode("overwrite").parquet(
         os.path.join(gdir, "coded")
@@ -1397,7 +1412,7 @@ def write_ivf_pq_index(
     centroids.write.mode("overwrite").parquet(
         os.path.join(gdir, "centroids")
     )
-    publish_generation(path, gen, grace_seconds=600.0)
+    publish_generation(path, gen, grace_seconds=grace_seconds)
 
 
 def read_ivf_pq_index(

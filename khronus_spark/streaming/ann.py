@@ -478,8 +478,9 @@ def refresh_streamed_index(
     if reseed_init and "train_frame" not in build_kwargs:
         build_kwargs["train_frame"] = _reseeded_train_view(vectors, k)
     books, coded, cents = ivf_pq_build_index(vectors, **build_kwargs)
-    gen = f"gen-{uuid.uuid4().hex[:12]}"
-    new_root = os.path.join(index_path, gen)
+    from khronus_spark.streaming.retrieval import new_generation
+
+    gen, new_root = new_generation(index_path)
     # flat write INTO the unpublished generation dir: this refresh owns
     # the atomic publish below (publish_generation on index_path), so
     # the writer must not nest a second generation pointer inside it

@@ -111,6 +111,22 @@ def resolve_generation_dir(path: str) -> str:
 _resolve_const_dir = resolve_generation_dir
 
 
+def new_generation(root: str) -> tuple[str, str]:
+    """A fresh UNPUBLISHED generation under `root`: returns (name,
+    dir). The single source of the `gen-<token>` naming convention
+    that `resolve_generation_dir` dereferences and
+    `publish_generation` prunes — writers (`operators/pq.py`'s two
+    index writers, `streaming/ann.py`'s refresh) build their artifacts
+    into the returned dir and then make them visible with ONE
+    `publish_generation` call."""
+    import os
+    import uuid
+
+    os.makedirs(root, exist_ok=True)
+    gen = f"gen-{uuid.uuid4().hex[:12]}"
+    return gen, os.path.join(root, gen)
+
+
 def publish_generation(root: str, gen: str, grace_seconds: float) -> None:
     """Atomically publish generation dir `gen` (already fully written
     under `root`) as CURRENT, then prune superseded generations by AGE

@@ -89,10 +89,17 @@ def main() -> None:
 
     stop = threading.Event()
     tallies = {
-        i: {"reads": 0, "current": 0, "stale": 0, "mixed": 0, "errors": 0}
+        i: {
+            "reads": 0,
+            "current": 0,
+            "stale": 0,
+            "mixed": 0,
+            "errors": 0,
+            "orphan_resolved": 0,
+        }
         for i in range(N_READERS)
     }
-    published = [0]  # newest tag visible to the writer
+    published = [0]  # newest tag the writer has COMMITTED (post-swap)
     mixed_examples: list[dict] = []
 
     def reader(idx: int) -> None:
@@ -102,7 +109,9 @@ def main() -> None:
                 # resolve ONCE per read, like a real query
                 root = resolve_generation_dir(path)
                 if root.endswith("gen-orphan-halfwrite"):
-                    t["errors"] += 1
+                    # its own counter: resolving an UNPUBLISHED dir is
+                    # the specific pointer regression, not a read error
+                    t["orphan_resolved"] += 1
                     continue
                 g = read_pq_index_geometry(root)  # root is already flat
                 books = spark.read.parquet(f"{root}/books")
@@ -115,7 +124,12 @@ def main() -> None:
                     continue
                 bt, ct, gt = btags[0], ctags[0], g["gen_tag"]
                 if bt == ct == gt:
-                    if bt == published[0]:
+                    # >= because CURRENT swaps inside write_pq_index,
+                    # BEFORE the writer loop updates published[0]: a
+                    # reader can legitimately be one generation AHEAD
+                    # of the writer's bookkeeping — that is a current
+                    # read, not a stale one
+                    if bt >= published[0]:
                         t["current"] += 1
                     else:
                         t["stale"] += 1  # consistent view of an older gen
@@ -160,7 +174,14 @@ def main() -> None:
 
     total = {
         k: sum(t[k] for t in tallies.values())
-        for k in ("reads", "current", "stale", "mixed", "errors")
+        for k in (
+            "reads",
+            "current",
+            "stale",
+            "mixed",
+            "errors",
+            "orphan_resolved",
+        )
     }
     out = {
         "metric": "pq index atomic-publish soak",
@@ -173,10 +194,12 @@ def main() -> None:
         "mixed_pairings": total["mixed"],
         "errors": total["errors"],
         "mixed_examples": mixed_examples,
-        "orphan_never_resolved": True,
+        "orphan_resolutions": total["orphan_resolved"],
+        "orphan_never_resolved": total["orphan_resolved"] == 0,
         "final_generation_reads_ok": bool(final_ok),
         "pass": total["mixed"] == 0
         and total["errors"] == 0
+        and total["orphan_resolved"] == 0
         and bool(final_ok),
     }
     dest = Path(_REPO) / "sweeps" / "latest"
