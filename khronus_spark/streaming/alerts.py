@@ -73,18 +73,25 @@ def streaming_threshold_alerts(
         rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
             "ts_ms", kind="mergesort"
         )
-        fresh = [
-            (int(t), int(v))
-            for t, v in zip(
-                rows["ts_ms"].astype("int64"), rows["value"].astype("int64")
-            )
-            if int(t) > last_ts  # at-or-behind the high-water mark: drop
-        ]
+        # advance the high-water mark PER ROW, not once per batch: an
+        # at-least-once redelivery can land both copies of a bucket in
+        # the SAME micro-batch, and a batch-scoped filter would fold
+        # the duplicate — double-incrementing consec, so whether a
+        # spurious ALERT fires depends on batch chunking (r13 review;
+        # the ewma/zscore siblings always dropped per-row)
+        fresh = []
+        mark = last_ts
+        for t, v in zip(
+            rows["ts_ms"].astype("int64"), rows["value"].astype("int64")
+        ):
+            t = int(t)
+            if t > mark:  # at-or-behind the high-water mark: drop
+                fresh.append((t, int(v)))
+                mark = t
         events, alert, consec = fold_alerts(
             fresh, int(alert), int(consec), enter, exit_below, min_breach
         )
-        if fresh:
-            last_ts = fresh[-1][0]
+        last_ts = mark
         state.update((last_ts, int(alert), int(consec)))
         if events:
             frame = pd.DataFrame(

@@ -178,6 +178,30 @@ def _land_batch(
     _write_batch_dir(out, root, batch_id, atomic)
 
 
+def _replay_landing_kwargs(root: str, batch_id: int) -> dict:
+    """Landing kwargs for the hot add paths (r13 review finding): a
+    checkpoint REPLAY of a batch that the current generation's refresh
+    already ACCOUNTED FOR — but whose vectors live in `coded` (the
+    retrain's standing corpus included them), so no batch dir exists
+    to overwrite-identically — must land dedup'd, or every vector
+    lands twice (once in coded, once in coded_stream) and duplicates
+    squeeze legitimate results out of the top-k. The membership test
+    is one JSON read; the dedup anti-join is bounded by the batch's
+    own ids (one column-pruned coded scan), and it only ever runs on
+    this rare replay shape — the hot path stays plain overwrite with
+    no coded scan (the plan-gate contract). A genuinely new batch that
+    happens to share an accounted id (a fresh checkpoint restarting
+    ids) loses nothing: dedup is content-based, and none of its
+    vec_ids are in coded."""
+    import os
+
+    covered = batch_id in _covered_batches(root)
+    landed = os.path.isdir(f"{root}/coded_stream/batch={batch_id}")
+    if covered and not landed:
+        return {"dedup": True, "atomic": True}
+    return {}
+
+
 def _process_add(batch: DataFrame, batch_id: int, index_path: str) -> None:
     """The add-path trigger body (module-level so the swap-closure is
     directly testable): land into the CURRENT generation, then
@@ -194,7 +218,7 @@ def _process_add(batch: DataFrame, batch_id: int, index_path: str) -> None:
     # mid-stream redirects the next batch to the new trained
     # state without restarting the stream (flat layout = no-op)
     root = resolve_generation_dir(index_path)
-    _land_batch(spark, root, batch, batch_id)
+    _land_batch(spark, root, batch, batch_id, **_replay_landing_kwargs(root, batch_id))
     root_after = resolve_generation_dir(index_path)
     if root_after != root:
         _land_batch(spark, root_after, batch, batch_id, dedup=True, atomic=True)
@@ -317,6 +341,34 @@ def _stream_batch_ids(root: str) -> list[int]:
     if not os.path.isdir(stream_dir):
         return []
     return landed_batches(stream_dir)
+
+
+def _covered_batches(root: str) -> set[int]:
+    """Batch ids generation `root`'s refresh PROVED are accounted for
+    in its coded table or coded_stream dirs (covered_batches.json,
+    written by `refresh_streamed_index` after its carry sweeps).
+    Empty for legacy/flat layouts — they fall back to the plain
+    landing semantics."""
+    import json
+    import os
+
+    p = os.path.join(root, "covered_batches.json")
+    if not os.path.isfile(p):
+        return set()
+    with open(p) as fh:
+        return set(json.load(fh))
+
+
+def _write_covered_batches(root: str, ids: set[int]) -> None:
+    import json
+    import os
+
+    tmp = os.path.join(root, ".covered_batches.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(sorted(ids), fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, os.path.join(root, "covered_batches.json"))
 
 
 def _carry_forward(
@@ -507,11 +559,21 @@ def refresh_streamed_index(
     # pre-swap sweep: anything the retrain snapshot missed re-encodes
     # under the NEW books before readers can resolve this generation
     processed = _carry_forward(spark, old_root, new_root, covered)
+    # record which batch ids this generation PROVABLY accounts for
+    # (caller-proven + swept + already-present): a checkpoint REPLAY of
+    # a batch whose vectors the retrain absorbed into `coded` has no
+    # batch dir to overwrite-identically, and a plain re-land would
+    # duplicate every vector — _process_add consults this set and
+    # re-lands such batches dedup'd instead (the r13 review finding)
+    accounted = covered | set(processed) | set(_stream_batch_ids(new_root))
+    _write_covered_batches(new_root, accounted)
     publish_generation(index_path, gen, grace_seconds)
     # post-swap sweep: a batch that landed in the old generation
     # during the retrain (after the pre-swap sweep listed the dirs)
     # is swept here; batches the first sweep accounted for are skipped
-    _carry_forward(spark, old_root, new_root, covered | set(processed))
+    swept = _carry_forward(spark, old_root, new_root, covered | set(processed))
+    if swept:
+        _write_covered_batches(new_root, accounted | set(swept))
     return gen
 
 
@@ -537,7 +599,10 @@ def _process_add_guarded(
     root = resolve_generation_dir(index_path)
     batch = batch.persist()  # two consumers: encode + profile
     try:
-        _land_batch(spark, root, batch, batch_id)
+        _land_batch(
+            spark, root, batch, batch_id,
+            **_replay_landing_kwargs(root, batch_id),
+        )
         train_stats = spark.read.parquet(f"{root}/train_stats")
         flags = embedding_drift_flags(
             train_stats, embedding_dim_stats(batch), z_tenths=z_tenths

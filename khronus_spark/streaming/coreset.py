@@ -103,16 +103,14 @@ def _write_state(
     # unbounded.
     import shutil
 
-    keep = {f"centers_v{batch_id}", os.path.basename(cdir)}
     versions = sorted(
         (n for n in os.listdir(state_path) if n.startswith("centers_v")),
         key=lambda n: int(n.rsplit("v", 1)[1]),
     )
+    # the just-written version is the max-numbered entry, so the slice
+    # can never touch it or its predecessor — no extra guard needed
     for name in versions[:-2]:
-        if name not in keep:
-            shutil.rmtree(
-                os.path.join(state_path, name), ignore_errors=True
-            )
+        shutil.rmtree(os.path.join(state_path, name), ignore_errors=True)
 
 
 def read_streaming_kcenter(

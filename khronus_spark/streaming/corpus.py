@@ -105,11 +105,22 @@ def corpus_prep_sink(
         # batch (the probe excludes this batch's own key, so replays
         # score against exactly the pre-delivery index)
         me = f"md5/batch={batch_id}"
-        claimed = None
-        for key, path in table.snapshot_files().items():
-            if key.startswith("md5/") and key != me:
-                part = spark.read.parquet(path).select("h")
-                claimed = part if claimed is None else claimed.unionByName(part)
+        # ONE multi-path parquet relation, not a unionByName chain: a
+        # Python-loop union builds an N-deep plan every trigger, so
+        # analysis time grows with stream AGE (O(N) per trigger,
+        # O(N^2) cumulative) — the r13 review's plan-depth finding.
+        # The parquet reader takes the path list natively; all parts
+        # share the claim schema.
+        claim_paths = [
+            path
+            for key, path in table.snapshot_files().items()
+            if key.startswith("md5/") and key != me
+        ]
+        claimed = (
+            spark.read.parquet(*claim_paths).select("h")
+            if claim_paths
+            else None
+        )
         keep_w = flagged.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
         step = flagged.join(F.broadcast(keep_w), "h")
         if claimed is not None:

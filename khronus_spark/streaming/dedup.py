@@ -105,13 +105,21 @@ def run_streaming_dedup(
     n: int = 3,
     family: str = "md5",
 ):
-    """Drive the online dedup with an availableNow trigger; edges append
-    to a parquet store (exactly-once per edge via the checkpoint)."""
+    """Drive the online dedup with an availableNow trigger; each
+    micro-batch's edges land as `out_path/batch=<id>` via overwrite —
+    foreachBatch is AT-LEAST-ONCE, so a checkpoint replay must REPLACE
+    its own batch dir with recomputed-identical content rather than
+    append a second copy (the r13 review finding: a flat append sink
+    duplicated every replayed edge; every other sink in this package —
+    the postings update, the incremental-dedup index, the ANN landings
+    — already wrote batch-keyed overwrites)."""
     edges = streaming_duplicate_edges(docs_stream, num_hashes, bands, n, family)
     return (
         edges.writeStream.outputMode("update")
         .foreachBatch(
-            lambda df, _id: df.write.mode("append").parquet(out_path)
+            lambda df, bid: df.write.mode("overwrite").parquet(
+                f"{out_path}/batch={bid}"
+            )
         )
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)
@@ -164,16 +172,30 @@ def run_streaming_incremental_dedup(
     static_index = corpus_index.select("band", "bucket", "n_docs", "min_doc_id")
 
     def process(batch_docs: DataFrame, batch_id: int) -> None:
+        from khronus_spark.streaming.retrieval import landed_batches
+
         spark = batch_docs.sparkSession
         batch_docs = batch_docs.localCheckpoint(eager=True)
-        try:
+        # probe for landed index parts by DIRECTORY, never by catching
+        # the read error: a transient read failure (FS hiccup, listing
+        # timeout) caught as "first batch" would compute verdicts
+        # against the static corpus alone and PERSIST them — wrong
+        # dup_of=null rows that replay-idempotence then never
+        # recomputes (the r13 review finding; ingest.py's upsert_sink
+        # probes existence for exactly this reason)
+        import os
+
+        has_prior = os.path.isdir(index_path) and bool(
+            landed_batches(index_path)
+        )
+        if has_prior:
             prior = (
                 spark.read.parquet(index_path)
                 .where(F.col("batch") < batch_id)
                 .select("band", "bucket", "n_docs", "min_doc_id")
             )
             full = static_index.unionByName(prior)
-        except Exception:  # first batch: no index parts yet
+        else:  # first batch: no index parts yet
             full = static_index
         verdicts = incremental_dedup(full, batch_docs, num_hashes, bands, n)
         verdicts.write.mode("overwrite").parquet(f"{out_path}/batch={batch_id}")

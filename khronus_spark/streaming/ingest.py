@@ -186,11 +186,33 @@ def upsert_sink(store_path: str):
         # Probe store existence explicitly — a transient read error must
         # fail the batch (checkpoint retries it), NOT be mistaken for
         # "first batch" and dynamic-overwrite away previously stored days.
+        # The probe looks for COMMITTED DAY PARTITIONS, not the bare
+        # directory: a pre-provisioned empty dir (mkdir -p before the
+        # stream starts) or a crash that left only _temporary/ under a
+        # never-committed store used to wedge the stream permanently —
+        # exists() was true, the read failed schema inference, and
+        # every checkpoint retry failed identically (r13 review
+        # finding). No data ⇒ the first-batch branch is safe: there is
+        # nothing to clobber. A transient LISTING error still raises
+        # and fails the batch, preserving the retry contract.
         jvm = spark._jvm
         hconf = spark._jsc.hadoopConfiguration()
         hpath = jvm.org.apache.hadoop.fs.Path(store_path)
         fs = hpath.getFileSystem(hconf)
-        if fs.exists(hpath):
+
+        def _has_committed_days() -> bool:
+            if not fs.exists(hpath):
+                return False
+            for st in fs.listStatus(hpath):
+                name = st.getPath().getName()
+                if st.isDirectory() and name.startswith("day="):
+                    for f in fs.listStatus(st.getPath()):
+                        leaf = f.getPath().getName()
+                        if not leaf.startswith(("_", ".")):
+                            return True
+            return False
+
+        if _has_committed_days():
             existing = spark.read.parquet(store_path).where(F.col("day").isin(days))
             keep = existing.join(
                 batch.select("metric", "ts").distinct(), ["metric", "ts"], "left_anti"

@@ -76,18 +76,32 @@ def read_streamed_postings(
     return df.select("doc_id", "dl", "w", "tf")
 
 
-def landed_batches(index_path: str) -> list[int]:
+def landed_batches(index_path: str, committed_only: bool = True) -> list[int]:
     """Batch ids with landed postings parts (directory names, no data
-    read) — the refresh boundary source."""
+    read) — the refresh boundary source. Only COMMITTED dirs count
+    (Spark's `_SUCCESS` marker, default on): a dir mid-overwrite by a
+    hot trigger is partially (or not at all) visible, and counting it
+    would let `refresh_streamed_constants` record a snapshot boundary
+    whose ceilings under-state that batch's postings — after the
+    trigger commits, the pruned query pairs the FULL postings with the
+    too-low ceilings and silently drops documents that should score
+    (the r13 review finding; `streaming/ann.py::_carry_forward` guards
+    the same race the same way). The skipped batch is simply past the
+    boundary: the next refresh covers it."""
     import os
 
     out = []
     for name in os.listdir(index_path):
         if name.startswith("batch="):
             try:
-                out.append(int(name.split("=", 1)[1]))
+                b = int(name.split("=", 1)[1])
             except ValueError:
                 continue
+            if committed_only and not os.path.isfile(
+                os.path.join(index_path, name, "_SUCCESS")
+            ):
+                continue
+            out.append(b)
     return sorted(out)
 
 

@@ -200,3 +200,38 @@ def test_alerts_over_rollup_summaries(spark, sf_dir):
     for states in by_metric.values():
         expected = [("OK", "ALERT"), ("ALERT", "OK")] * len(states)
         assert states == expected[: len(states)]
+
+
+def test_streaming_intra_batch_duplicate_does_not_double_fold(spark):
+    """r13 review finding: the high-water filter was computed once per
+    micro-batch against the pre-batch mark, so BOTH copies of an
+    at-least-once redelivered bucket landing in the SAME batch were
+    folded — consec double-incremented and a spurious ALERT could fire
+    from a single real breach at min_breach=2 (while the same
+    duplicate arriving in the NEXT batch was dropped: output depended
+    on chunking). The mark now advances per row, matching the
+    ewma/zscore siblings: one breach folds once wherever its duplicate
+    lands."""
+    tmp = tempfile.mkdtemp(prefix="khronus_alerts_dup_")
+    # one real breach at ts=3, delivered twice IN THE SAME chunk
+    dup_chunk = [
+        ("m1", 1, 10),
+        ("m1", 2, 20),
+        ("m1", 3, 500),
+        ("m1", 3, 500),  # at-least-once redelivery, same batch
+        ("m1", 4, 30),
+    ]
+    out = _stream_in_chunks(spark, tmp, [dup_chunk], 100, 60, 2, "ck1")
+    got = [tuple(r) for r in spark.read.parquet(out).collect()]
+    # min_breach=2: ONE real breach must not transition
+    assert got == []
+    # and split across chunks the outcome is identical (chunk-shape
+    # independence — the module's stream==batch contract)
+    tmp2 = tempfile.mkdtemp(prefix="khronus_alerts_dup2_")
+    out2 = _stream_in_chunks(
+        spark, tmp2,
+        [[("m1", 1, 10), ("m1", 2, 20), ("m1", 3, 500)],
+         [("m1", 3, 500), ("m1", 4, 30)]],
+        100, 60, 2, "ck1",
+    )
+    assert [tuple(r) for r in spark.read.parquet(out2).collect()] == []

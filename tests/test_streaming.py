@@ -320,6 +320,46 @@ def test_upsert_store_complete_and_idempotent(spark, staged):
     assert again == expected
 
 
+def test_upsert_store_survives_preprovisioned_empty_dir(spark, staged):
+    """r13 review finding: a store dir that EXISTS but holds no
+    committed day partitions (ops pre-created it, or the first batch's
+    write died leaving only _temporary/) wedged the stream forever —
+    fs.exists() was true, the parquet read failed schema inference,
+    and every checkpoint retry failed the same way. The probe now
+    looks for committed day=* data and takes the safe first-batch
+    branch when there is none."""
+    import os
+    import tempfile
+
+    from khronus_spark.streaming.ingest import run_streaming_rollup_upsert
+
+    tmp, schema, batch_m = staged
+    out = tempfile.mkdtemp(prefix="khronus_upsert_empty_")
+    store = f"{out}/store"
+    os.makedirs(f"{store}/_temporary", exist_ok=True)  # crash debris
+
+    stream = spark.readStream.schema(schema).parquet(f"{tmp}/in")
+    q = run_streaming_rollup_upsert(
+        stream.where(F.col("mtype") == "counter"),
+        store_path=store,
+        checkpoint_path=f"{out}/ckpt",
+        window_ms=300_000,
+        family="counter",
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["metric"], r["ts"]): r["count"]
+        for r in spark.read.parquet(store).collect()
+    }
+    expected = {
+        (r["metric"], r["ts"]): r["count"]
+        for r in counter_summary(
+            batch_m.where(F.col("mtype") == "counter"), 300_000
+        ).collect()
+    }
+    assert got == expected
+
+
 def test_stream_to_store_to_influx_query(spark, staged):
     """The full loop: streaming ingestion upserts the summary store,
     then the InfluxQL engine answers a dashboard query FROM that store

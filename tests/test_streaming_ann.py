@@ -871,3 +871,62 @@ def test_carry_fails_loudly_on_null_embeddings(spark, tmp_path):
 
     with pytest.raises(ValueError, match="NULL\\s+embeddings"):
         refresh_streamed_index(spark, root, A, covered_batches=[])
+
+
+def test_replayed_batch_absorbed_by_retrain_does_not_duplicate(
+    spark, sf_dir, tmp_path
+):
+    """r13 review finding: a trigger lands batch N, crashes BEFORE its
+    checkpoint commit; the maintenance refresh runs with the standing-
+    corpus mirror caught up, so the retrain absorbs batch N's vectors
+    into the new generation's `coded` and the carry sweep accounts for
+    N without writing a batch dir. The checkpoint replay then re-lands
+    N into the NEW generation — with the old plain-overwrite landing
+    every vector appeared twice (coded + coded_stream) and duplicates
+    squeezed real neighbors out of the top-k. The refresh now persists
+    the accounted-for batch ids (covered_batches.json) and the replay
+    lands dedup'd: zero rows survive the anti-join, nothing lands."""
+    from khronus_spark.streaming.ann import (
+        _covered_batches,
+        _process_add,
+        refresh_streamed_index,
+    )
+    from khronus_spark.streaming.retrieval import resolve_generation_dir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.where("vec_id < 300")
+    batch = emb.where("vec_id >= 300 AND vec_id < 360").select(
+        "vec_id", "embedding"
+    )
+    root_path = str(tmp_path / "idx")
+    refresh_streamed_index(spark, root_path, base)
+
+    # the trigger's landing completed; the checkpoint commit did not
+    _process_add(batch, 0, root_path)
+    assert read_streamed_coded(spark, root_path).count() == 360
+
+    # maintenance retrain with the mirror CAUGHT UP: batch 0's vectors
+    # are in the new coded; the sweep accounts for batch 0, no dir
+    refresh_streamed_index(
+        spark, root_path,
+        base.select("vec_id", "embedding").unionByName(batch),
+    )
+    gen2 = resolve_generation_dir(root_path)
+    assert 0 in _covered_batches(gen2)
+    assert not os.path.isdir(f"{gen2}/coded_stream/batch=0")
+    assert read_streamed_coded(spark, root_path).count() == 360
+
+    # restart: the replayed trigger re-delivers batch 0
+    _process_add(batch, 0, root_path)
+    coded = read_streamed_coded(spark, root_path)
+    assert coded.count() == 360
+    dupes = coded.groupBy("vec_id").count().where("count > 1").count()
+    assert dupes == 0
+
+    # and a genuinely NEW batch under a fresh checkpoint that reuses
+    # an accounted id still lands in full (dedup is content-based)
+    fresh = emb.where("vec_id >= 360 AND vec_id < 380").select(
+        "vec_id", "embedding"
+    )
+    _process_add(fresh, 0, root_path)
+    assert read_streamed_coded(spark, root_path).count() == 380

@@ -187,3 +187,44 @@ def test_compacted_index_probes_identically(spark, staged_docs):
     c = {(r.band, r.bucket): (r.n_docs, r.min_doc_id) for r in compacted.collect()}
     f = {(r.band, r.bucket): (r.n_docs, r.min_doc_id) for r in full.collect()}
     assert c == f  # compaction == rebuild, bit for bit
+
+
+def test_streaming_dedup_full_redelivery_replaces_batches(spark, staged_docs):
+    """r13 review finding: the edge sink appended into a flat path, so
+    any redelivered batch (foreachBatch is at-least-once: a crash
+    between the sink write and the checkpoint commit replays it)
+    appended its edges a second time — the docstring's exactly-once
+    claim held only while nothing ever crashed. Edges now land as
+    overwrite into batch=<id> dirs; a full redelivery (fresh
+    checkpoint, same inputs, same batch ids) must leave the store
+    byte-identical instead of doubling it."""
+    tmp, docs = staged_docs
+    out = f"{tmp}/out_redeliver"
+
+    def drive(ckpt):
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{tmp}/in/*")
+        )
+        q = run_streaming_dedup(
+            stream, out_path=out, checkpoint_path=f"{tmp}/{ckpt}"
+        )
+        q.awaitTermination(300)
+
+    drive("ckpt_rd1")
+    before = sorted(
+        tuple(r)
+        for r in spark.read.parquet(out)
+        .select("band", "bucket", "doc_a", "doc_b")
+        .collect()
+    )
+    assert before, "no edges emitted"
+    drive("ckpt_rd2")  # fresh checkpoint: every batch redelivered
+    after = sorted(
+        tuple(r)
+        for r in spark.read.parquet(out)
+        .select("band", "bucket", "doc_a", "doc_b")
+        .collect()
+    )
+    assert after == before

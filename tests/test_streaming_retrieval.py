@@ -348,3 +348,38 @@ def test_refresh_in_place_swaps_generations_atomically(spark, staged_docs):
     assert not os.path.isdir(gen1)
     assert not os.path.isdir(gen2)
     assert os.path.isdir(gen3)  # previous of the newest: always kept
+
+
+def test_refresh_boundary_skips_mid_commit_batch(spark, staged_docs, tmp_path):
+    """r13 review finding: the refresh boundary came from directory
+    NAMES alone, so a postings batch dir mid-overwrite by a hot
+    trigger (no _SUCCESS yet) was counted as covered while its rows
+    were partially visible — the recorded ceilings then under-state
+    that batch and the pruned path silently drops documents once the
+    trigger commits. landed_batches now counts committed dirs only."""
+    import os
+
+    from khronus_spark.operators.text import bm25_build_postings
+    from khronus_spark.streaming.retrieval import (
+        landed_batches,
+        refresh_streamed_constants,
+    )
+
+    _tmp, docs = staged_docs
+    index_path = str(tmp_path / "postings")
+    bm25_build_postings(docs.where("doc_id % 2 = 0")).write.parquet(
+        f"{index_path}/batch=0"
+    )
+    # a MID-COMMIT batch dir: exists, has data files, no _SUCCESS yet
+    # (Spark's overwrite deletes the marker first and commits it last)
+    bm25_build_postings(docs.where("doc_id % 2 = 1")).write.parquet(
+        f"{index_path}/batch=1"
+    )
+    os.remove(f"{index_path}/batch=1/_SUCCESS")
+
+    assert landed_batches(index_path) == [0]
+    assert landed_batches(index_path, committed_only=False) == [0, 1]
+
+    const_path = str(tmp_path / "const")
+    boundary = refresh_streamed_constants(spark, index_path, const_path)
+    assert boundary == 0  # the uncommitted batch stays past the boundary
