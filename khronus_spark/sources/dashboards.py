@@ -25,11 +25,11 @@ class DashboardStore:
     ThreadingHTTPServer handler threads, so two concurrent POSTs would
     each rewrite current-minus-the-other and the second overwrite
     would silently lose the first dashboard (the metrics POST path was
-    hardened for exactly this; the dashboards path must be too). A
-    reader mid-overwrite would also catch the half-deleted parquet dir
-    in `_read`'s guard and answer an empty list. Dashboard CRUD is
-    rare, driver-side, and the table is a handful of rows — full
-    serialization costs nothing."""
+    hardened for exactly this; the dashboards path must be too).
+    Writes publish as a generation + CURRENT swap (r13), so neither a
+    reader nor a crash can ever observe a half-deleted table dir.
+    Dashboard CRUD is rare, driver-side, and the table is a handful of
+    rows — full serialization costs nothing."""
 
     def __init__(self, spark: SparkSession, path: str):
         import threading
@@ -39,10 +39,39 @@ class DashboardStore:
         self._lock = threading.Lock()
 
     def _read_unlocked(self) -> DataFrame:
-        try:
-            return self.spark.read.schema(_SCHEMA).parquet(self.path)
-        except Exception:
+        """Resolve the committed generation and read it. ONLY the
+        never-stored case maps to an empty table; every other failure
+        PROPAGATES — the r13 review found that swallowing a transient
+        read error as "empty" made the next read-modify-overwrite
+        persist the loss of every other dashboard."""
+        import os
+
+        from khronus_spark.streaming.retrieval import (
+            resolve_generation_dir,
+        )
+
+        root = resolve_generation_dir(self.path)
+        if not os.path.isdir(root) or not os.listdir(root):
             return self.spark.createDataFrame([], _SCHEMA)
+        return self.spark.read.schema(_SCHEMA).parquet(root)
+
+    def _write_unlocked(self, updated: DataFrame) -> None:
+        """Publish the rewritten table as a fresh generation plus ONE
+        CURRENT-pointer swap (the repo's publish convention): the old
+        path overwrote the live dir (delete-then-write), so a crash
+        mid-rewrite left the store EMPTY and the next store()
+        persisted the total loss. Now a crash leaves CURRENT on the
+        previous complete generation; the new frame reads the OLD
+        generation while writing the new dir, so no self-overwrite
+        materialization dance is needed either."""
+        from khronus_spark.streaming.retrieval import (
+            new_generation,
+            publish_generation,
+        )
+
+        gen, gdir = new_generation(self.path)
+        updated.write.mode("overwrite").parquet(gdir)
+        publish_generation(self.path, gen, grace_seconds=600.0)
 
     def store(self, name: str, content: str) -> None:
         """Upsert by name (the reference overwrites by PK)."""
@@ -51,26 +80,24 @@ class DashboardStore:
             updated = current.unionByName(
                 self.spark.createDataFrame([(name, content)], _SCHEMA)
             )
-            # small metadata table: a full rewrite is the simple,
-            # idempotent move
-            updated.write.mode("overwrite").parquet(self.path + ".tmp")
-            self.spark.read.schema(_SCHEMA).parquet(
-                self.path + ".tmp"
-            ).write.mode("overwrite").parquet(self.path)
+            self._write_unlocked(updated)
 
-    def lookup(self, regex: str) -> DataFrame:
+    def lookup(self, regex: str) -> list:
         """Case-insensitive regex over dashboard names
-        (`InfluxDashboardResolver.scala:69-90`). Collected eagerly
-        under the lock so the rows cannot race a concurrent rewrite."""
+        (`InfluxDashboardResolver.scala:69-90`). Returns the matching
+        ROWS, collected eagerly under the lock so they cannot race a
+        concurrent rewrite — callers all want the materialized rows
+        (the HTTP serving path), so re-wrapping them in a DataFrame
+        only to collect again cost a Spark job per request (r13
+        review)."""
         pat = f"(?i){regex}"
         with self._lock:
-            rows = (
+            return (
                 self._read_unlocked()
                 .where(F.col("name").rlike(pat))
                 .orderBy("name")
                 .collect()
             )
-        return self.spark.createDataFrame(rows or [], _SCHEMA)
 
     def drop(self, regex: str) -> int:
         pat = re.compile(regex, re.IGNORECASE)
@@ -82,9 +109,9 @@ class DashboardStore:
                 if not pat.search(r["name"])
             ]
             dropped = len(current) - len(keep)
-            self.spark.createDataFrame(keep or [], _SCHEMA).write.mode(
-                "overwrite"
-            ).parquet(self.path)
+            self._write_unlocked(
+                self.spark.createDataFrame(keep or [], _SCHEMA)
+            )
         return dropped
 
 
@@ -126,11 +153,11 @@ def dashboard_operation(store: DashboardStore, expression: str) -> list[dict]:
         # (a Grafana title like "CPU (5m)" would otherwise be read as
         # regex grouping and never match its own dashboard; the drop
         # branch below always escaped)
-        rows = store.lookup(f"^{re.escape(name)}$").collect()
+        rows = store.lookup(f"^{re.escape(name)}$")
         return [_json.loads(r["content"]) for r in rows]
     m = _LIST_DASHBOARDS.match(expression)
     if m:
-        rows = store.lookup(f"^(?:{m.group(1)})$").collect()
+        rows = store.lookup(f"^(?:{m.group(1)})$")
         return [_json.loads(r["content"]) for r in rows]
     m = _DROP_DASHBOARD.match(expression)
     if m:

@@ -111,8 +111,7 @@ def _atomic_write(
     return store.put_if_absent(os.path.join(log_dir, name), payload.encode())
 
 
-def _schema_string(spark: SparkSession, table: TxnTable, version: int) -> str:
-    files = table.snapshot_files(version)
+def _schema_string(spark: SparkSession, files: dict) -> str:
     if not files:
         raise ValueError(
             "cannot export an empty table: Delta metaData requires a "
@@ -188,7 +187,17 @@ def _verified_compaction(table: TxnTable, info: dict, prev: dict) -> bool:
     mislabeled commit exported as dataChange:false would make external
     incremental/streaming Delta readers silently drop its row deltas).
     Unverifiable (missing fingerprint, vacuumed pre-image) demotes to
-    dataChange: true — conservative: readers reprocess, never skip."""
+    dataChange: true — conservative: readers reprocess, never skip.
+
+    BOTH sides of the claim are checked (r13 review): the pre-image
+    count proves the fingerprint describes what was there, and the
+    STAGED side (rel present, staged counts == fingerprint) proves the
+    commit actually preserves it — checking only the pre-image let a
+    forged compaction that drops or rewrites a partition (with an
+    honest pre-image count) export as dataChange:false, exactly the
+    silent-skip this guard exists to prevent. Count fingerprints
+    cannot catch an equal-count content swap; that residual is
+    inherent to the fingerprint design and documented on `commit`."""
     from khronus_spark.sources.txnlog import _parquet_dir_rows
 
     if info.get("kind", "data") != "compaction":
@@ -198,10 +207,16 @@ def _verified_compaction(table: TxnTable, info: dict, prev: dict) -> bool:
         return False
     for key in info["partitions"]:
         base = prev.get(key)
-        if base is None:
+        rel = info["partitions"][key]
+        if base is None or rel is None:
             return False
         try:
             if _parquet_dir_rows(base) != fp.get(key):
+                return False
+            if (
+                _parquet_dir_rows(os.path.join(table.root, rel))
+                != fp.get(key)
+            ):
                 return False
         except OSError:
             return False
@@ -238,10 +253,24 @@ def export_delta_log(
     else:
         cur_schema, active = _replay_exported(table.log_store, log_dir, done)
     written = 0
+    # ONE snapshot replay to seed the live map, then one commit read
+    # per exported version (`_apply_commit`, change_feed's incremental
+    # step) — the old per-version snapshot_files pair re-replayed the
+    # whole log twice per version, so a backlog export was O(V^2) and
+    # the per-trigger streaming export grew with table age (r13
+    # review)
+    from khronus_spark.sources.txnlog import _apply_commit
+
+    live = dict(table.snapshot_files(start_txn - 1)) if start_txn > 1 else {}
     for txn_v in range(start_txn, upto + 1):
         delta_v = txn_v - 1
-        prev = table.snapshot_files(txn_v - 1) if txn_v > 1 else {}
-        cur = table.snapshot_files(txn_v)
+        # action timestamps derive from the COMMIT's recorded time,
+        # not this process's clock: export is deterministic, so the
+        # racing-exporter dedup in _atomic_write is sound byte-wise
+        info = table.commit_info(txn_v)
+        prev = dict(live)
+        _apply_commit(live, table.root, info)
+        cur = dict(live)
         missing = {k: d for k, d in cur.items() if not os.path.isdir(d)}
         if missing:
             raise RuntimeError(
@@ -251,10 +280,6 @@ def export_delta_log(
                 "vacuuming past it (already-exported versions remain "
                 "valid)"
             )
-        # action timestamps derive from the COMMIT's recorded time,
-        # not this process's clock: export is deterministic, so the
-        # racing-exporter dedup in _atomic_write is sound byte-wise
-        info = table.commit_info(txn_v)
         now_ms = int(info["committed_at_ms"])
         # content-preserving rewrites export with Delta's OPTIMIZE
         # convention (dataChange: false) — but only when the recorded
@@ -278,7 +303,7 @@ def export_delta_log(
         if not cur and cur_schema is not None:
             version_schema = cur_schema
         else:
-            version_schema = _schema_string(spark, table, txn_v)
+            version_schema = _schema_string(spark, cur)
         if version_schema != cur_schema:
             actions.append(
                 {
@@ -468,13 +493,14 @@ def export_delta_namespace(
         raise ValueError(
             f"upto_version={upto} is ahead of the table (latest={latest})"
         )
+    # one commit_info read per version, reused by the loop below (the
+    # old shape re-read every commit per call AND re-replayed two full
+    # snapshots per exported version — O(V^2) on a backlog, r13 review)
+    infos = {v: table.commit_info(v) for v in range(1, upto + 1)}
     touching = [
         v
         for v in range(1, upto + 1)
-        if any(
-            k.startswith(prefix)
-            for k in table.commit_info(v)["partitions"]
-        )
+        if any(k.startswith(prefix) for k in infos[v]["partitions"])
     ]
     if not touching:
         raise ValueError(
@@ -490,13 +516,24 @@ def export_delta_namespace(
     else:
         cur_schema, active = _replay_exported(table.log_store, log_dir, done)
     written = 0
+    # incremental live map, advanced through EVERY commit (touching or
+    # not) so the pre-image at each touching version is exact without
+    # re-replaying the log per version
+    from khronus_spark.sources.txnlog import _apply_commit
+
+    full_live: dict = {}
+    applied_upto = 0
     for delta_v, txn_v in enumerate(touching):
+        for v in range(applied_upto + 1, txn_v):
+            _apply_commit(full_live, table.root, infos[v])
+        info = infos[txn_v]
+        full_prev = dict(full_live)
+        _apply_commit(full_live, table.root, info)
+        applied_upto = txn_v
         if done is not None and delta_v <= done:
             continue
-        info = table.commit_info(txn_v)
         now_ms = int(info["committed_at_ms"])
         kind = info.get("kind", "data")
-        full_prev = table.snapshot_files(txn_v - 1) if txn_v > 1 else {}
         # trust-but-verify before the OPTIMIZE dataChange:false stamp,
         # against the WHOLE pre-image (a commit's fingerprint covers
         # every partition it touched, in or out of this namespace)
@@ -506,7 +543,7 @@ def export_delta_namespace(
         }
         cur = {
             k: d
-            for k, d in table.snapshot_files(txn_v).items()
+            for k, d in full_live.items()
             if k.startswith(prefix)
         }
         missing = {k: d for k, d in cur.items() if not os.path.isdir(d)}

@@ -97,6 +97,21 @@ def load_table_raw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def ts_to_epoch_ns(col: Column, dtype: str) -> Column:
+    """The ONE source-encoding → epoch-ns dispatch (r13 review: this
+    three-way rule lived as divergent copy-paste in `load_table` and
+    `measurements_from_events`; a new timestamp physical type fixed in
+    one would silently misconvert in the other): TIMESTAMP_NTZ via the
+    naive-UTC reinterpretation, zoned TIMESTAMP via the instant, and
+    anything else (legacy INT64 nanos, arriving as long through
+    `nanosAsLong`) passes through."""
+    if dtype == "timestamp_ntz":
+        return ntz_to_epoch_ns(col)
+    if dtype.startswith("timestamp"):
+        return ltz_to_epoch_ns(col)
+    return col
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table; engine time columns come back as
     epoch-ns longs (see `_NS_LONG_COLUMNS`) whether the source stored
@@ -104,11 +119,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = load_table_raw(spark, sf_dir, name)
     dtypes = dict(df.dtypes)
     for c in _NS_LONG_COLUMNS.get(name, ()):
-        dt = dtypes.get(c, "")
-        if dt == "timestamp_ntz":
-            df = df.withColumn(c, ntz_to_epoch_ns(F.col(c)))
-        elif dt.startswith("timestamp"):
-            df = df.withColumn(c, ltz_to_epoch_ns(F.col(c)))
+        df = df.withColumn(c, ts_to_epoch_ns(F.col(c), dtypes.get(c, "")))
     return df
 
 
@@ -169,13 +180,7 @@ def measurements_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`store/MetricMeasurementStore.scala:122-127`).
     """
     ev = load_table_raw(spark, sf_dir, "events")
-    ts_dtype = dict(ev.dtypes)["ts"]
-    if ts_dtype == "timestamp_ntz":
-        ts_ns = ntz_to_epoch_ns(F.col("ts"))
-    elif ts_dtype.startswith("timestamp"):
-        ts_ns = ltz_to_epoch_ns(F.col("ts"))
-    else:
-        ts_ns = F.col("ts")
+    ts_ns = ts_to_epoch_ns(F.col("ts"), dict(ev.dtypes)["ts"])
     return (
         ev.where(F.col("value") >= 0)
         .select(

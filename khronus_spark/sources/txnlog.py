@@ -335,11 +335,20 @@ class TxnTable:
         a mid-link gap reads as a conflict rather than a green light).
 
         Compaction commits are exempt only when their recorded
-        `fingerprint` checks out: a compaction touching `keys` that
-        carries no fingerprint (a foreign writer bypassing `commit`) or
-        whose staged counts disagree with the fingerprint is treated as
-        a CONFLICT — re-deriving is the safe failure for an unverifiable
-        content-preservation claim."""
+        `fingerprint` checks out on BOTH sides (r13 review): the
+        PRE-IMAGE (the partition's rows at v−1) must match the
+        fingerprint — proving the claim describes what was actually
+        there — AND the staged dirs must match it — proving the commit
+        preserves it. Staged-side-only verification was
+        self-referential: `commit()` records the fingerprint FROM the
+        staged dirs, so any forger recording its own counts passed,
+        and a content-changing foreign commit was silently overridden
+        by the partitions-scoped CAS re-link. A compaction touching
+        `keys` that carries no fingerprint (a foreign writer bypassing
+        `commit`), or fails either side, is a CONFLICT — re-deriving
+        is the safe failure for an unverifiable content-preservation
+        claim. (Count fingerprints cannot catch an equal-count content
+        swap; that residual is inherent to the design.)"""
         for v in range(from_version, to_version + 1):
             try:
                 info = self.commit_info(v)
@@ -355,18 +364,24 @@ class TxnTable:
             fp = info.get("fingerprint")
             if fp is None:
                 return True  # unverifiable claim: conservative conflict
+            try:
+                pre_files = self.snapshot_files(v - 1)
+            except OSError:
+                return True
             for key in touched:
                 rel = info["partitions"][key]
-                if rel is None:
+                pre = pre_files.get(key)
+                if rel is None or pre is None:
                     return True
                 try:
                     n = _parquet_dir_rows(os.path.join(self.root, rel))
+                    n_pre = _parquet_dir_rows(pre)
                 except OSError:
                     # staged dir gone (vacuumed past this superseded
                     # version): unverifiable — conservative conflict,
                     # never a crash out of the CAS path
                     return True
-                if n != fp.get(key):
+                if n != fp.get(key) or n_pre != fp.get(key):
                     return True
         return False
 
@@ -525,11 +540,24 @@ def change_feed(
             for key in info["partitions"]:
                 recorded = None if fp is None else fp.get(key)
                 base_dir = files.get(key)
+                rel = info["partitions"][key]
+                # BOTH sides must match the fingerprint (r13 review):
+                # the pre-image proves the claim describes what was
+                # there, the STAGED side proves the commit preserves
+                # it — pre-image-only verification let a forged
+                # compaction that drops/rewrites a partition (with an
+                # honest pre-image count) skip as content-preserving,
+                # and the feed silently lost its deltas
                 try:
                     verified = (
                         recorded is not None
                         and base_dir is not None
+                        and rel is not None
                         and _parquet_dir_rows(base_dir) == recorded
+                        and _parquet_dir_rows(
+                            os.path.join(table.root, rel)
+                        )
+                        == recorded
                     )
                 except OSError:
                     verified = False

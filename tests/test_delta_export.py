@@ -543,3 +543,34 @@ def test_export_demotes_unverifiable_compaction_to_datachange_true(
     # and the clean-room reader still reproduces the final state
     got = {tuple(r) for r in read_delta_snapshot(spark, t.root).collect()}
     assert got == {("forged", 7, 70)}
+
+
+def test_export_demotes_self_consistent_forged_compaction(spark, tmp_path):
+    """r13 review: `_verified_compaction` checked only the pre-image
+    count, so a forged compaction whose pre-image count was honest —
+    but whose staged side dropped or rewrote the partition — exported
+    as dataChange:false and external incremental Delta readers
+    silently skipped its real row deltas. Both sides are checked now:
+    the forge exports with dataChange:true (readers reprocess)."""
+    import json
+
+    from tests.test_txnlog import _forge_fingerprinted_compaction
+
+    from khronus_spark.sources.delta_export import export_delta_log
+    from khronus_spark.sources.txnlog import TxnTable
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.commit({"a": _df(spark, [("r1", 1, 10), ("r2", 2, 20)])})
+    # honest pre-image count (2) but staged content differs (1 row)
+    forged_v = _forge_fingerprinted_compaction(
+        spark, t, "a", _df(spark, [("forged", 7, 70)]), {"a": 2}
+    )
+    assert export_delta_log(spark, t) == forged_v
+
+    log_dir = f"{t.root}/_delta_log"
+    with open(f"{log_dir}/{forged_v - 1:020d}.json") as fh:
+        actions = [json.loads(line) for line in fh if line.strip()]
+    changes = {
+        a["add"]["dataChange"] for a in actions if "add" in a
+    } | {a["remove"]["dataChange"] for a in actions if "remove" in a}
+    assert changes == {True}  # demoted: reprocess, never skip

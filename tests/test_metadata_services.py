@@ -15,17 +15,17 @@ def test_dashboard_crud(spark):
     store.store("prod-errors", '{"panels": 2}')
     store.store("dev-latency", '{"panels": 3}')
 
-    assert [r["name"] for r in store.lookup("PROD-.*").collect()] == [
+    assert [r["name"] for r in store.lookup("PROD-.*")] == [
         "prod-errors",
         "prod-latency",
     ]
     # upsert overwrites
     store.store("prod-errors", '{"panels": 9}')
-    got = store.lookup("prod-errors").collect()
+    got = store.lookup("prod-errors")
     assert len(got) == 1 and got[0]["content"] == '{"panels": 9}'
 
     assert store.drop("prod-.*") == 2
-    assert [r["name"] for r in store.lookup(".*").collect()] == ["dev-latency"]
+    assert [r["name"] for r in store.lookup(".*")] == ["dev-latency"]
 
 
 def test_monitoring_roundtrip(spark):
@@ -58,3 +58,40 @@ def test_monitoring_drains_on_flush(spark):
     mon.increment("x", 1, ts_ms=0)
     assert mon.flush(spark).count() == 1
     assert mon.flush(spark).count() == 0
+
+
+def test_dashboard_store_crash_safety_and_no_silent_empty(spark, tmp_path):
+    """r13 review pair: (a) a crash mid-rewrite used to leave the live
+    dir half-deleted and the NEXT store() persisted the total loss —
+    writes now publish as a generation + CURRENT swap, so a planted
+    unpublished half-write is invisible; (b) a transient read failure
+    used to be swallowed as an empty table, turning the next
+    read-modify-overwrite into silent total loss — a corrupt committed
+    generation now RAISES instead of answering empty."""
+    import os
+
+    import pytest
+
+    from khronus_spark.sources.dashboards import DashboardStore
+
+    path = str(tmp_path / "dash")
+    store = DashboardStore(spark, path)
+    store.store("a", '{"name": "a"}')
+    store.store("b", '{"name": "b"}')
+    assert [r["name"] for r in store.lookup(".*")] == ["a", "b"]
+
+    # (a) crash debris: a half-written generation that never published
+    os.makedirs(f"{path}/gen-halfwrite/_temporary", exist_ok=True)
+    assert [r["name"] for r in store.lookup(".*")] == ["a", "b"]
+    store.store("c", '{"name": "c"}')
+    assert [r["name"] for r in store.lookup(".*")] == ["a", "b", "c"]
+
+    # (b) a corrupt COMMITTED generation must raise, not read empty —
+    # if this were swallowed, the next store() would persist the loss
+    cur = open(f"{path}/CURRENT").read().strip()
+    for f in os.listdir(f"{path}/{cur}"):
+        if f.endswith(".parquet"):
+            with open(f"{path}/{cur}/{f}", "wb") as fh:
+                fh.write(b"not parquet at all")
+    with pytest.raises(Exception):
+        store.lookup(".*")

@@ -610,3 +610,75 @@ def test_compaction_commit_requires_cas(spark, tmp_path):
     t.commit({"a": _df(spark, [(1, "x")])})
     with pytest.raises(ValueError, match="expect_version"):
         t.commit({"a": _df(spark, [(1, "x")])}, kind="compaction")
+
+
+def _forge_fingerprinted_compaction(spark, t, key, df, fingerprint):
+    """The r13 forger: like `_forge_compaction_commit` but RECORDING a
+    fingerprint — self-consistent forgeries (staged counts matching
+    the forger's own fingerprint) used to pass the staged-side-only
+    verification."""
+    import json
+    import os
+
+    staged = t._stage({key: df}) if df is not None else {key: None}
+    version = t.version() + 1
+    payload = {
+        "version": version,
+        "partitions": staged,
+        "committed_at_ms": 0,
+        "kind": "compaction",
+        "fingerprint": fingerprint,
+    }
+    assert t.log_store.put_if_absent(
+        os.path.join(t._log_dir, f"{version:08d}.json"),
+        json.dumps(payload).encode(),
+    )
+    return version
+
+
+def test_change_feed_demotes_partition_dropping_forged_compaction(
+    spark, tmp_path
+):
+    """r13 review: a forged compaction that DROPS a partition while
+    recording the honest pre-image count passed the pre-image-only
+    verification and the feed skipped it — the delete rows for the
+    whole partition vanished, so applying the feed no longer
+    reproduced the target snapshot. Both sides are checked now: a
+    null/absent staged dir (or one whose counts disagree) demotes to
+    the data path and the TRUE deletes are emitted."""
+    from khronus_spark.sources.txnlog import change_feed
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.commit({"a": _df(spark, [(1, "x"), (2, "y")])})
+    v = t.version()
+    _forge_fingerprinted_compaction(spark, t, "a", None, {"a": 2})
+    feed = change_feed(spark, t, v)
+    got = {(r["k"], r["v"], r["_op"]) for r in feed.collect()}
+    assert got == {(1, "x", "delete"), (2, "y", "delete")}
+
+
+def test_cas_conflicts_on_self_consistent_forged_compaction(
+    spark, tmp_path
+):
+    """r13 review: the CAS verified the compaction fingerprint against
+    the compaction's OWN staged dirs — self-referential, so a forger
+    recording its own counts always passed and the partitions-scoped
+    re-link silently reverted its (content-changing) commit. The
+    fingerprint must also match the PRE-IMAGE; a mismatch is a
+    conflict."""
+    from khronus_spark.sources.txnlog import CommitConflict
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.commit({"a": _df(spark, [(1, "x"), (2, "y")])})
+    v = t.version()
+    # staged content differs (1 row), fingerprint matches the STAGED
+    # side — the exact forge the old check could not see
+    _forge_fingerprinted_compaction(
+        spark, t, "a", _df(spark, [(7, "forged")]), {"a": 1}
+    )
+    with pytest.raises(CommitConflict):
+        t.commit(
+            {"a": _df(spark, [(3, "z")])},
+            expect_version=v,
+            conflict_scope="partitions",
+        )
