@@ -75,6 +75,16 @@ class KhronusEngine:
     ):
         if measurements is None and summary_base_path is None:
             raise ValueError("need measurements or summary_base_path")
+        if measurements is None and catalog is None:
+            # the catalog property derives from measurements; without
+            # either, every query would die later with an opaque
+            # AttributeError instead of failing here with the cause
+            # (r13 review)
+            raise ValueError(
+                "a summary-store engine (summary_base_path without "
+                "measurements) needs an explicit catalog= — the metric "
+                "catalog cannot be derived from a summary store"
+            )
         self.spark = spark
         self.measurements = measurements
         self.summary_base_path = summary_base_path
@@ -211,8 +221,9 @@ class KhronusEngine:
     def now_ms(self) -> int:
         return self._now_ms if self._now_ms is not None else int(_time.time() * 1000)
 
-    def parse(self, query: str) -> InfluxCriteria:
-        parsed = InfluxQueryParser(now_ms=self.now_ms).parse(query)
+    def parse(self, query: str, now_ms: int | None = None) -> InfluxCriteria:
+        now = self.now_ms if now_ms is None else now_ms
+        parsed = InfluxQueryParser(now_ms=now).parse(query)
         return build_criteria(parsed, self.catalog)
 
     def sql(self, query: str) -> list[InfluxSeriesResult]:
@@ -224,8 +235,14 @@ class KhronusEngine:
                     "list_series_result", "", self.list_series(rest or ".*")
                 )
             ]
-        return self.executor.execute(self.parse(query), self.now_ms)
+        # ONE wall-clock read per query (r13 review): without an
+        # injected now_ms the property re-reads the clock, so parser
+        # and executor could disagree about "now" across a bucket
+        # boundary and the spine's from/to would be off by one bucket
+        now = self.now_ms
+        return self.executor.execute(self.parse(query, now), now)
 
     def sql_union(self, query: str) -> DataFrame:
         """All series of one query in long format (series, time, value)."""
-        return self.executor.execute_union(self.parse(query), self.now_ms)
+        now = self.now_ms
+        return self.executor.execute_union(self.parse(query, now), now)

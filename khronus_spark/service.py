@@ -91,13 +91,26 @@ class KhronusHttpService:
         port: int = 0,
         dashboards_path: str | None = None,
     ):
+        import os
+
         self.spark = spark
         self.landing_path = landing_path
+        # create the landing dir up front: a fresh service must answer
+        # queries (empty results) BEFORE its first ingest — without
+        # this, the read path 400s with PATH_NOT_FOUND until the first
+        # POST creates the dir (r13 review: Grafana bootstrap against
+        # an empty store was broken)
+        os.makedirs(landing_path, exist_ok=True)
         self.dashboards_path = (
             f"{landing_path}_dashboards" if dashboards_path is None else dashboards_path
         )
         self._engine_factory = engine_factory or self._default_engine
         self._dashboards = None
+        # default-engine cache: the catalog scan (distinct over the
+        # landed history) used to run per query; reuse the engine until
+        # new data lands (sequence bumped by _append)
+        self._engine_cache: tuple = (None, -1)
+        self._appended_seq = 0
         self._lock = threading.Lock()
         self._idle = threading.Condition(self._lock)
         self._inflight = 0
@@ -162,6 +175,25 @@ class KhronusHttpService:
                 self.end_headers()
                 self.wfile.write(body)
 
+            def do_OPTIONS(self):
+                """CORS preflight (r13 review): a browser POSTing JSON
+                cross-origin sends OPTIONS first; the default handler
+                answered 501 and the browser blocked the real request,
+                so the advertised Grafana dashboard route was unusable
+                cross-origin despite every data response carrying
+                Access-Control-Allow-Origin."""
+                self.send_response(204)
+                self.send_header("Access-Control-Allow-Origin", "*")
+                self.send_header(
+                    "Access-Control-Allow-Methods", "GET, POST, OPTIONS"
+                )
+                self.send_header(
+                    "Access-Control-Allow-Headers",
+                    "Content-Type, Content-Encoding, Accept-Encoding",
+                )
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+
             def do_POST(self):
                 path = urlparse(self.path).path
                 if path == "/khronus/db/influx/dashboards/series":
@@ -182,11 +214,36 @@ class KhronusHttpService:
                     # bound the DECOMPRESSED size too — a ~2 MB gzip
                     # bomb can expand ~1000×; decompress incrementally
                     # and refuse once the output passes the cap instead
-                    # of materializing it
-                    d = zlib.decompressobj(wbits=31)
-                    body = d.decompress(body, INGEST_BODY_LIMIT + 1)
-                    if len(body) > INGEST_BODY_LIMIT or d.unconsumed_tail:
-                        self.send_error(413)
+                    # of materializing it. Loops over CONCATENATED gzip
+                    # members (legal per RFC 1952 — chunked compressors
+                    # emit them): stopping at the first member's eof
+                    # silently dropped the rest of an acked batch (r13
+                    # review), and a malformed body now answers 400
+                    # instead of an unhandled zlib.error aborting the
+                    # connection with no response at all.
+                    try:
+                        out = b""
+                        data = body
+                        while data:
+                            d = zlib.decompressobj(wbits=31)
+                            out += d.decompress(
+                                data, INGEST_BODY_LIMIT + 1 - len(out)
+                            )
+                            if (
+                                len(out) > INGEST_BODY_LIMIT
+                                or d.unconsumed_tail
+                            ):
+                                self.send_error(413)
+                                return
+                            if not d.eof:
+                                self._respond_error(
+                                    400, "truncated gzip member"
+                                )
+                                return
+                            data = d.unused_data.lstrip(b"\x00")
+                        body = out
+                    except zlib.error as e:
+                        self._respond_error(400, f"malformed gzip body: {e}")
                         return
                 try:
                     rows = flatten_metric_batch(json.loads(body))
@@ -223,11 +280,24 @@ class KhronusHttpService:
                 if length > INGEST_BODY_LIMIT:
                     self.send_error(413)
                     return
+                # client errors and server failures split (r13 review):
+                # a disk-full/Spark failure used to answer 400 — a
+                # permanent-looking CLIENT error the client won't
+                # retry, losing the dashboard — through send_error,
+                # whose HTML page also lacks the CORS header every
+                # sibling route deliberately adds
                 try:
                     dashboards = json.loads(self.rfile.read(length))
+                except Exception as e:
+                    self._respond_error(400, f"malformed dashboard JSON: {e}")
+                    return
+                try:
                     name = store_dashboard_wire(service.dashboards, dashboards)
-                except Exception:
-                    self.send_error(400)
+                except (ValueError, KeyError, TypeError) as e:
+                    self._respond_error(400, str(e))
+                    return
+                except Exception as e:
+                    self._respond_error(500, f"dashboard store failure: {e}")
                     return
                 # the reference answers the decoded dashboard name
                 self._respond_json(name)
@@ -299,6 +369,8 @@ class KhronusHttpService:
         staged = f"{self.landing_path}/.staged-{name}.parquet"
         papq.write_table(table, staged)
         os.rename(staged, f"{self.landing_path}/part-{name}.parquet")
+        with self._lock:
+            self._appended_seq += 1  # invalidates the cached engine
 
     @property
     def dashboards(self):
@@ -314,14 +386,39 @@ class KhronusHttpService:
             return self._dashboards
 
     def _default_engine(self) -> KhronusEngine:
+        """Engine over the landing dir, CACHED until new data lands:
+        the engine's catalog binding runs a distinct() over the landed
+        history, and rebuilding both per dashboard refresh made every
+        query pay a full catalog scan that grows with table age (r13
+        review). The parquet file listing is pinned at DataFrame
+        creation, so the cache must (and does) invalidate on append —
+        `_appended_seq` bumps after each landed batch."""
+        with self._lock:
+            eng, cached_seq = self._engine_cache
+            seq = self._appended_seq
+        if eng is not None and cached_seq == seq:
+            return eng
         measurements = self.spark.read.schema(_SCHEMA).parquet(self.landing_path)
-        return KhronusEngine(self.spark, measurements=measurements)
+        eng = KhronusEngine(self.spark, measurements=measurements)
+        with self._lock:
+            self._engine_cache = (eng, seq)
+        return eng
 
     def wait_idle(self, timeout: float = 60.0) -> None:
         """Block until every acked ingest batch has landed (the ack is
-        fire-and-forget, so readers needing read-your-writes wait here)."""
+        fire-and-forget, so readers needing read-your-writes wait
+        here). Raises TimeoutError instead of returning silently on
+        timeout (r13 review: the ignored wait_for bool made a timeout
+        indistinguishable from idle, so a caller relying on
+        read-your-writes could query while acked batches were still in
+        flight)."""
         with self._idle:
-            self._idle.wait_for(lambda: self._inflight == 0, timeout=timeout)
+            if not self._idle.wait_for(
+                lambda: self._inflight == 0, timeout=timeout
+            ):
+                raise TimeoutError(
+                    f"ingest still in flight after {timeout}s"
+                )
 
     def start(self) -> None:
         self._thread.start()

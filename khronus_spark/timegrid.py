@@ -145,8 +145,13 @@ def adjust_resolution(
     """Pick which materialized resolution answers the query.
 
     Behavior (InfluxQueryResolver.scala:89-118): choose the configured
-    window nearest to the requested duration (ties go to the smaller
-    window); if `force`, use it as-is; otherwise, if the point count
+    window nearest to the requested duration. An equidistant tie goes
+    to the COARSER window — the reference's foldLeft runs over the
+    DESCENDING window list with a strict '<', so the first-seen
+    (larger) window keeps the tie (InfluxQueryResolver.scala:90-92;
+    verified against the fold by hand — an earlier docstring here
+    claimed ties went smaller, which the pinned 20m-between-10m-and-
+    30m case disproves). If `force`, use it as-is; otherwise, if the point count
     `(to-from)/window` falls outside [min_points, max_points], re-scan
     coarsest→finest keeping the finest window whose point count does not
     exceed max_points (a huge slice therefore pins to the coarsest).

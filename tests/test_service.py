@@ -385,3 +385,99 @@ def test_dashboard_get_name_with_regex_metacharacters(service):
     ) as r:
         got = json.loads(r.read())
     assert [d["name"] for d in got] == [f"grafana.dashboard_{b64}"]
+
+
+def test_fresh_service_answers_queries_before_first_ingest(spark):
+    """r13 review: a brand-new service's read path 400'd with
+    PATH_NOT_FOUND until the first ingest created the landing dir —
+    Grafana bootstrap against an empty store was broken. The landing
+    dir is created at construction; list series answers empty."""
+    landing = tempfile.mkdtemp(prefix="khronus_fresh_") + "/in"
+    svc = KhronusHttpService(spark, landing)
+    svc.start()
+    try:
+        base = f"http://127.0.0.1:{svc.port}"
+        with urllib.request.urlopen(
+            f"{base}/khronus/db/influx/series?q=list%20series"
+        ) as r:
+            listed = json.loads(r.read())
+        assert listed[0]["points"] == []
+    finally:
+        svc.stop()
+
+
+def test_corrupt_gzip_ingest_is_400_not_connection_abort(service):
+    import urllib.error
+
+    base = f"http://127.0.0.1:{service.port}"
+    req = urllib.request.Request(
+        f"{base}/khronus/metrics", data=b"\x1f\x8b garbage not gzip",
+        method="POST", headers={"Content-Encoding": "gzip"},
+    )
+    try:
+        urllib.request.urlopen(req)
+        raise AssertionError("corrupt gzip was accepted")
+    except urllib.error.HTTPError as e:
+        # the r13 fix: a definitive 400, not an unhandled zlib.error
+        # unwinding the handler with no response at all
+        assert e.code == 400
+        assert b"gzip" in e.read()
+
+
+def test_multi_member_gzip_ingest_lands_every_member(spark):
+    """r13 review: RFC 1952 allows concatenated gzip members (chunked
+    compressors emit them); decompression used to stop at the first
+    member's end and ACK a partially-dropped batch."""
+    landing = tempfile.mkdtemp(prefix="khronus_mm_") + "/in"
+    svc = KhronusHttpService(spark, landing)
+    svc.start()
+    try:
+        base = f"http://127.0.0.1:{svc.port}"
+        m1 = {"metrics": [{"name": "mm.a", "mtype": "counter",
+                           "measurements": [{"ts": 60_000, "values": [1]}]}]}
+        # two members: the JSON body is split across them mid-stream
+        raw = json.dumps(m1).encode()
+        body = gzip.compress(raw[:20]) + gzip.compress(raw[20:])
+        req = urllib.request.Request(
+            f"{base}/khronus/metrics", data=body, method="POST",
+            headers={"Content-Encoding": "gzip"},
+        )
+        assert urllib.request.urlopen(req).status == 200
+        svc.wait_idle()
+        rows = spark.read.parquet(landing).collect()
+        assert [(r["metric"], r["value"]) for r in rows] == [("mm.a", 1)]
+    finally:
+        svc.stop()
+
+
+def test_cors_preflight_options(service):
+    base = f"http://127.0.0.1:{service.port}"
+    req = urllib.request.Request(
+        f"{base}/khronus/db/influx/dashboards/series", method="OPTIONS",
+        headers={
+            "Origin": "http://grafana.local",
+            "Access-Control-Request-Method": "POST",
+            "Access-Control-Request-Headers": "Content-Type",
+        },
+    )
+    with urllib.request.urlopen(req) as r:
+        assert r.status == 204
+        assert r.headers["Access-Control-Allow-Origin"] == "*"
+        assert "POST" in r.headers["Access-Control-Allow-Methods"]
+        assert "Content-Type" in r.headers["Access-Control-Allow-Headers"]
+
+
+def test_malformed_dashboard_post_is_400_with_cors(service):
+    import urllib.error
+
+    base = f"http://127.0.0.1:{service.port}"
+    req = urllib.request.Request(
+        f"{base}/khronus/db/influx/dashboards/series",
+        data=b"{not json", method="POST",
+    )
+    try:
+        urllib.request.urlopen(req)
+        raise AssertionError("malformed dashboard accepted")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert e.headers["Access-Control-Allow-Origin"] == "*"

@@ -145,3 +145,16 @@ def test_store_backed_engine_self_describes(spark, sf_dir):
     assert r2[0].df.count() > 0
     names = {row["name"] for row in eng.list_series().collect()}
     assert names == {"click", "view", "signup", "purchase", "error"}
+
+
+def test_summary_engine_without_catalog_fails_at_construction(spark, tmp_path):
+    """r13 review: a summary-store engine without measurements has no
+    frame to derive the catalog from, and every query used to die
+    later with an opaque AttributeError; the constructor now names the
+    missing piece."""
+    import pytest
+
+    from khronus_spark.engine import KhronusEngine
+
+    with pytest.raises(ValueError, match="explicit catalog"):
+        KhronusEngine(spark, summary_base_path=str(tmp_path / "s"))

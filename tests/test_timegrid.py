@@ -83,3 +83,25 @@ def test_adjust_resolution_point_bounds():
     # huge slice: every window over-shoots → coarsest
     slc = Slice(0, 60 * 24 * H)
     assert adjust_resolution(slc, 30 * S) == H
+
+
+def test_adjust_resolution_tie_matches_reference_fold():
+    """r13 review adjudication: the review flagged the equidistant
+    tie as going to the wrong (larger) window, citing this module's
+    own docstring. The REFERENCE disagrees with its old docstring:
+    its foldLeft runs over the DESCENDING window list with a strict
+    '<' seeded by the finest (InfluxQueryResolver.scala:90-92), so
+    the first-seen LARGER window keeps a tie — 7.5m between 5m and
+    10m resolves to 10m, 45s between 30s and 1m keeps 30s only
+    because the finest is the fold's seed. The docstring was fixed;
+    the behavior is pinned here bit-for-bit against the fold."""
+    from khronus_spark.timegrid import Slice, adjust_resolution
+
+    slc = Slice(0, 3_600_000)
+    assert adjust_resolution(slc, 450_000, force=True) == 600_000  # tie -> 10m
+    # one-sided nearness still picks the genuinely closer window
+    assert adjust_resolution(slc, 450_001, force=True) == 600_000
+    assert adjust_resolution(slc, 449_999, force=True) == 300_000
+    # the midpoint between the two finest windows keeps the finest
+    # (the seed, not a smaller-tie rule)
+    assert adjust_resolution(slc, 45_000, force=True) == 30_000
