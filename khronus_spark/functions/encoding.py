@@ -32,6 +32,16 @@ __all__ = ["encode_hist", "decode_hist", "encoded_states", "decoded_states"]
 
 
 def _write_varint(out: bytearray, v: int) -> None:
+    if v < 0:
+        # a negative value delta means the entries broke the
+        # sorted-by-value precondition; without this guard the
+        # arithmetic shift converges to -1 (never 0) and the loop
+        # appends 0xFF bytes FOREVER — a silent hang + memory blowup
+        # inside the Arrow batch instead of an error (r13 review)
+        raise ValueError(
+            f"varint cannot encode negative value {v}: encode_hist "
+            "entries must be sorted ascending by value"
+        )
     while True:
         b = v & 0x7F
         v >>= 7

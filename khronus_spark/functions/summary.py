@@ -104,6 +104,14 @@ def histogram_summary(
         return state_summary(raw_state).select(
             "metric", "ts", *ALL_PERCENTILES, "min", "max", "count", "mean"
         )
+    # NULL values carry no sample in ANY mode: the counts path filters
+    # them explicitly, and without this filter an all-NULL bucket made
+    # the array path index element_at(_vals, 1) on an EMPTY collected
+    # array — a hard ANSI crash under Spark 4's defaults — while the
+    # counts path emitted no row for the same bucket (r13 review,
+    # verified live; the modes are documented bit-identical, so all
+    # three now agree: a bucket with no non-NULL sample yields no row)
+    measurements = measurements.where(F.col("value").isNotNull())
     grouped = measurements.groupBy(
         F.col("metric"), bucket_ts("ts_ms", window_ms)
     )

@@ -105,15 +105,29 @@ class InfluxQueryParser:
 
     @property
     def now_ms(self) -> int:
-        return self._now_ms if self._now_ms is not None else int(_time.time() * 1000)
+        # without an injected clock, the FIRST read is cached for the
+        # life of this parser instance (one instance per parse in the
+        # engine): two now() terms in one WHERE clause must resolve to
+        # the SAME instant, or a from/to pair straddling a bucket
+        # boundary between two clock reads disagrees about "now" (r13
+        # review — the engine's sql() already injects one read; this
+        # closes the same hole for direct parser users)
+        if self._now_ms is None:
+            self._now_ms = int(_time.time() * 1000)
+        return self._now_ms
 
     def parse(self, query: str) -> ParsedQuery:
         # Same pre-rewrite hack as the reference (InfluxQueryParser.scala:52),
         # but restricted to text OUTSIDE quoted spans so a metric named
         # e.g. "group by timers" survives intact (deliberate divergence:
-        # the reference mangles quoted names too).
+        # the reference's blind String.replace mangles quoted names
+        # too). The quoted-span scan is ESCAPE-AWARE, exactly like the
+        # tokenizer's (r13 review, verified by execution: "[^\"]*" used
+        # to stop at an escaped quote, so the rewrite fired INSIDE a
+        # metric name like "foo\"group by timers\"bar" and corrupted
+        # it — the two scanners must agree on where strings end).
         q = re.sub(
-            r"""("[^"]*"|'[^']*')|group by time""",
+            r"""("(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')|group by time""",
             lambda m: m.group(1) if m.group(1) else "group_by_time",
             query,
         )
@@ -266,7 +280,18 @@ class InfluxQueryParser:
                         f"invalid percentile {v}; valid: {sorted(PERCENTILE_BY_VALUE)}"
                     )
                 sel.append(PERCENTILE_BY_VALUE[v])
-            self._expect("delim", ")")
+            try:
+                self._expect("delim", ")")
+            except QueryParseError as e:
+                # the keyword + open paren are COMMITTED (class
+                # docstring): letting this backtrack surfaced an
+                # unrelated "expected at least one projection" for
+                # e.g. comma-separated selectors (r13 review,
+                # verified) — name the actual problem instead
+                raise _CommittedParseError(
+                    "percentiles(...) selectors are space-separated "
+                    f"numbers; {e}"
+                ) from e
             if sel:
                 names = sel
         return [Field(name, None, alias) for name in names]

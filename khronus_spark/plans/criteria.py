@@ -59,6 +59,22 @@ def build_criteria(query: ParsedQuery, catalog: list[tuple[str, str]]) -> Influx
     for table in query.tables:
         sources.extend(_resolve_table(table, catalog))
 
+    # table_ids must be UNIQUE after binding (r13 review, verified by
+    # execution): `from "cpu", "mem" as cpu` gave both sources the id
+    # "cpu", the executor's per-id summaries dict let one read
+    # overwrite the other, and BOTH output series silently rendered
+    # mem's numbers under cpu's label. The alias-vs-alias check alone
+    # can't see an alias colliding with a metric name (or the same
+    # metric listed twice).
+    ids = [s.table_id for s in sources]
+    dupes = sorted({i for i in ids if ids.count(i) > 1})
+    if dupes:
+        raise QueryValidationError(
+            f"FROM sources must bind unique identifiers: {dupes[0]!r} "
+            "is claimed by more than one source (an alias colliding "
+            "with a metric name, or a metric listed twice)"
+        )
+
     projections: list[SimpleProjection] = []
     for proj in query.projections:
         projections.extend(_bind_projection(proj, sources))

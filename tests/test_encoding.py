@@ -94,3 +94,23 @@ def test_worst_case_state_stays_under_reference_blob_cap():
     assert len(entries) > 10_000  # genuinely the full domain
     assert len(blob) < 200_000  # reference cap, with a wide margin
     assert decode_hist(blob) == entries
+
+
+def test_varint_refuses_negative_delta_instead_of_hanging():
+    """r13 review: an unsorted entry list produced a negative delta,
+    and the arithmetic right shift never terminates the varint loop
+    for negatives — a silent hang + unbounded memory inside the Arrow
+    batch. It now fails fast naming the broken precondition."""
+    import pytest
+
+    from khronus_spark.functions.encoding import encode_hist
+
+    with pytest.raises(ValueError, match="sorted ascending"):
+        encode_hist([(100, 1), (50, 2)])
+    # the sorted form still round-trips
+    from khronus_spark.functions.encoding import decode_hist
+
+    assert decode_hist(encode_hist([(50, 2), (100, 1)])) == [
+        (50, 2),
+        (100, 1),
+    ]

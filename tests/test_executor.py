@@ -284,3 +284,31 @@ def test_delta_valid_for_timer_and_star_expansion_excludes_it(engine):
     )
     names = sorted(s.name for s in res)
     assert names == ["count", "cpm"]
+
+
+def test_alias_colliding_with_metric_name_is_rejected(spark):
+    """r13 review (verified by execution): `from "cpu", "mem" as cpu`
+    bound BOTH sources to the table_id "cpu"; the executor's per-id
+    summaries dict let one read overwrite the other and both output
+    series silently rendered mem's numbers under cpu's label. Bound
+    table_ids must be unique."""
+    import pytest
+
+    from khronus_spark.plans.criteria import QueryValidationError
+    from khronus_spark.parser.parser import InfluxQueryParser
+    from khronus_spark.plans.criteria import build_criteria
+
+    catalog = [("cpu", "timer"), ("mem", "timer")]
+    parsed = InfluxQueryParser(now_ms=0).parse(
+        'select count from "cpu", "mem" as cpu '
+        "where time > 0 group by time(1m)"
+    )
+    with pytest.raises(QueryValidationError, match="unique identifiers"):
+        build_criteria(parsed, catalog)
+    # distinct ids still bind fine
+    ok = InfluxQueryParser(now_ms=0).parse(
+        'select count from "cpu", "mem" as m2 '
+        "where time > 0 group by time(1m)"
+    )
+    crit = build_criteria(ok, catalog)
+    assert sorted(s.table_id for s in crit.sources) == ["cpu", "m2"]

@@ -446,3 +446,41 @@ def test_parser_fuzz_never_raises_untyped_errors():
             pass  # the typed contract
 
     check()
+
+
+def test_group_by_rewrite_skips_escaped_quotes():
+    """r13 review (verified by execution): the pre-rewrite's quote
+    scan stopped at an ESCAPED quote while the tokenizer scans past
+    it, so 'group by time' inside a metric name like
+    "foo\\"group by timers\\"bar" was rewritten and the name
+    corrupted. The two scanners now share the escape-aware pattern."""
+    q = (
+        'select count from "foo\\"group by timers\\"bar" '
+        "where time > 0 group by time(1m)"
+    )
+    parsed = InfluxQueryParser(now_ms=0).parse(q)
+    assert parsed.tables[0].name == 'foo\\"group by timers\\"bar'
+    assert parsed.group_by.duration_ms == 60_000
+
+
+def test_percentiles_comma_separators_name_the_real_problem():
+    """r13 review (verified): percentiles(50, 80) used to backtrack
+    past the committed keyword and report an unrelated 'expected at
+    least one projection'; the committed paren now surfaces the
+    actual diagnostic."""
+    with pytest.raises(QueryParseError, match="space-separated"):
+        InfluxQueryParser(now_ms=0).parse(
+            'select percentiles(50, 80) from "t" where time > 0 '
+            "group by time(1m)"
+        )
+
+
+def test_parser_now_is_read_once_per_instance():
+    """r13 review: two now() terms in one WHERE clause must resolve to
+    the same instant even without an injected clock."""
+    p = InfluxQueryParser()
+    a = p.now_ms
+    import time as _t
+
+    _t.sleep(0.005)
+    assert p.now_ms == a

@@ -169,3 +169,23 @@ def test_exact_counts_mode_bit_identical_to_array_mode(spark, sf_dir):
     )
     assert len(a) == len(b) and len(a) > 50
     assert a == b
+
+
+def test_all_null_bucket_yields_no_row_in_every_mode(spark):
+    """r13 review (verified live): a bucket whose every value is NULL
+    used to CRASH the exact-array path under Spark 4's ANSI defaults
+    (element_at on the empty collected array) while the counts path
+    emitted no row — the two modes are documented bit-identical. NULL
+    values now carry no sample in any mode: the all-NULL bucket yields
+    no row, the mixed bucket aggregates its non-NULL samples."""
+    m = spark.createDataFrame(
+        [("m", 1_000, None), ("m", 70_000, 5), ("m", 75_000, None)],
+        "metric string, ts_ms long, value long",
+    )
+    for kwargs in ({}, {"exact_counts": True}, {"approx": True}):
+        got = {
+            r["ts"]: (r["count"], r["p50"])
+            for r in histogram_summary(m, 60_000, **kwargs).collect()
+        }
+        assert set(got) == {60_000}, kwargs
+        assert got[60_000][0] == 1 and float(got[60_000][1]) == 5.0, kwargs
