@@ -66,16 +66,50 @@ def _kmeans_state(
     )
 
     for _ in range(iters):
-        best = _assign(q, cents, mode).select("cid", "e")
-        ex = best.select("cid", F.posexplode("e").alias("dim", "v"))
-        means = ex.groupBy("cid", "dim").agg(
-            F.expr("sum(v) div count(1)").alias("m")
-        )
-        cents = means.groupBy("cid").agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(dim, m))), s -> s.m)"
-            ).alias("c")
-        ).localCheckpoint(eager=True)
+        if mode == "arrow":
+            # fused assignment + per-batch partial sums: only k short
+            # rows per Arrow batch cross the Python boundary (vs the
+            # whole assigned corpus), the N×dims posexplode expansion
+            # disappears, and ONE cid-keyed exchange carries the
+            # k×n_batches partials (the former path exchanged twice:
+            # (cid, dim) then cid). Integer sums are associative, so
+            # folding the per-batch sum vectors element-wise and then
+            # `div` by the total count is bit-identical to the
+            # row-expanded per-dimension mean.
+            part = _mean_partials_arrow(q, cents)
+            cents = (
+                part.groupBy("cid")
+                .agg(
+                    F.collect_list("s").alias("ss"),
+                    F.sum("n").alias("n"),
+                )
+                .select(
+                    "cid",
+                    F.expr(
+                        "transform(aggregate(ss, "
+                        "array_repeat(CAST(0 AS BIGINT), "
+                        "size(element_at(ss, 1))), "
+                        "(acc, x) -> zip_with(acc, x, (a, b) -> a + b)), "
+                        "v -> v div n)"
+                    ).alias("c"),
+                )
+            )
+        else:
+            best = _assign(q, cents, mode).select("cid", "e")
+            ex = best.select("cid", F.posexplode("e").alias("dim", "v"))
+            means = ex.groupBy("cid", "dim").agg(
+                F.expr("sum(v) div count(1)").alias("m")
+            )
+            cents = means.groupBy("cid").agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(dim, m))), s -> s.m)"
+                ).alias("c")
+            )
+        # lazy checkpoint: the NEXT action that touches cents (the
+        # following iteration's centroid collect, or the caller's first
+        # use) materializes it — same lineage truncation as eager=True
+        # with one fewer job per iteration
+        cents = cents.localCheckpoint(eager=False)
 
     return q, cents
 
@@ -156,6 +190,49 @@ def _assign_arrow(q: DataFrame, centroids: DataFrame) -> DataFrame:
             )
 
     return q.mapInPandas(run, out_schema)
+
+
+def _mean_partials_arrow(q: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Assignment + per-batch partial mean state in ONE Arrow pass:
+    (cid, s: per-dimension int64 sum over the batch's members, n:
+    member count). The distance/argmin math is `_assign_arrow`'s
+    verbatim (exact int64, ties to the smaller cid); only the OUTPUT
+    changes — k short rows per batch instead of the whole assigned
+    corpus, so the mean update never ships vectors back through the
+    Python boundary (guide §4: control what crosses). Per-batch sums
+    stay inside int64: |e| ≤ 2·10⁶ and a batch is ≤ arrow
+    maxRecordsPerBatch rows."""
+    import numpy as np
+    import pandas as pd
+
+    rows = centroids.orderBy("cid").collect()
+    out_schema = "cid long, s array<long>, n long"
+    if not rows:
+        return q.sparkSession.createDataFrame([], out_schema)
+    cids = np.array([r["cid"] for r in rows], dtype=np.int64)
+    cmat = np.array([list(r["c"]) for r in rows], dtype=np.int64)
+    c_sq = (cmat * cmat).sum(axis=1)
+
+    def run(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            emat = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["e"]])
+            d = (
+                (emat * emat).sum(axis=1, keepdims=True)
+                - 2 * (emat @ cmat.T)
+                + c_sq[None, :]
+            )
+            idx = d.argmin(axis=1)  # first min → smallest cid (sorted)
+            out_cid, out_s, out_n = [], [], []
+            for ci in np.unique(idx):
+                m = idx == ci
+                out_cid.append(int(cids[ci]))
+                out_s.append(emat[m].sum(axis=0).tolist())
+                out_n.append(int(m.sum()))
+            yield pd.DataFrame({"cid": out_cid, "s": out_s, "n": out_n})
+
+    return q.select("e").mapInPandas(run, out_schema)
 
 
 def kmeans_centroids(
@@ -243,13 +320,17 @@ def semantic_dedup(
                 "raise k or pre-shard the corpus", exp_pairs,
             )
     q, cents = _kmeans_state(embeddings, k, iters, mode)
-    a = (
-        _assign(q, cents, mode)
-        .select("vec_id", "e", F.col("cid").alias("cluster"))
-        .localCheckpoint(eager=True)
+    a = _assign(q, cents, mode).select(
+        "vec_id", "e", F.col("cid").alias("cluster")
     )
     if mode == "arrow":
+        # single consumer (the grouped Arrow pair search) — no
+        # checkpoint needed: the assignment pipe feeds the cluster-key
+        # shuffle directly, one job instead of materialize + replay
         return _dedup_within_clusters_arrow(a, d2_thresh)
+    # the SQL pair join reads `a` three times (left, right, final join)
+    # — truncate once; lazily, so the consumer's own action materializes
+    a = a.localCheckpoint(eager=False)
     left = a.select(F.col("vec_id").alias("a_id"), F.col("e").alias("ae"), "cluster")
     right = a.select(F.col("vec_id").alias("b_id"), F.col("e").alias("be"), "cluster")
     dropped = (

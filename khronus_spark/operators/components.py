@@ -62,17 +62,23 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """For each node u over the SYMMETRIZED edge set: connect every
-    strictly-larger neighbor to m = min(Γ(u) ∪ {u})."""
+    strictly-larger neighbor to m = min(Γ(u) ∪ {u}).
+
+    The per-u min label rides a WINDOW over the symmetrized set (one
+    exchange on src) instead of the former groupBy + self-join (an
+    aggregate exchange plus a second full-edge exchange for the join):
+    identical rows out, one shuffle of the edge set instead of two
+    (guide §2.4 — two operations keyed the same way share one
+    exchange). The window needs no ordering, only the partition key,
+    so no sort-cost trap hides here."""
+    from pyspark.sql import Window
+
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    label = (
-        sym.groupBy("src")
-        .agg(F.min("dst").alias("mn"))
-        .select("src", F.least("mn", "src").alias("m"))
-    )
+    w = Window.partitionBy("src")
     return (
-        sym.join(label, "src")
+        sym.withColumn("m", F.least(F.min("dst").over(w), F.col("src")))
         .where(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         .where(F.col("src") != F.col("dst"))
@@ -82,16 +88,27 @@ def _large_star(edges: DataFrame) -> DataFrame:
 
 def _small_star(edges: DataFrame) -> DataFrame:
     """Orient each edge large→small; for each node u connect u and all
-    its smaller neighbors to m = min of those neighbors."""
+    its smaller neighbors to m = min of those neighbors. Same
+    window-for-groupBy+join swap as `_large_star`: the self-edge
+    (u, m) emerges as the rewrite of the minimum neighbor's own row
+    (dst == m → (m, m) would be dropped; instead keep (src, m) for the
+    minimal row), so no separate label frame and no union are needed —
+    identical output rows, one exchange of the oriented set."""
+    from pyspark.sql import Window
+
     oriented = edges.select(
         F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
     ).where(F.col("src") != F.col("dst"))
-    label = oriented.groupBy("src").agg(F.min("dst").alias("m"))
-    relinked = (
-        oriented.join(label, "src")
-        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    w = Window.partitionBy("src")
+    labeled = oriented.withColumn("m", F.min("dst").over(w))
+    # every oriented row (u, v) contributes (v, m_u); the former
+    # self-edge union (u, m_u) is recovered from u's minimal row
+    # (v == m_u) by emitting (u, m_u) alongside — exactly the rows
+    # relinked ∪ self_edge produced, then the same src!=dst + distinct
+    relinked = labeled.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    self_edge = labeled.where(F.col("dst") == F.col("m")).select(
+        "src", F.col("m").alias("dst")
     )
-    self_edge = label.select(F.col("src"), F.col("m").alias("dst"))
     return (
         relinked.union(self_edge)
         .where(F.col("src") != F.col("dst"))
@@ -113,12 +130,16 @@ def connected_components(edges: DataFrame, stats: dict | None = None) -> DataFra
     cur = edges.select(
         F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
     ).where(F.col("src") != F.col("dst")).distinct()
-    cur = cur.localCheckpoint(eager=True)
+    # lazy checkpoints: the checksum that immediately follows each round
+    # materializes the checkpoint in the SAME action, so every round is
+    # one job instead of two (materialize + checksum) — same lineage
+    # truncation, half the driver-loop job latency
+    cur = cur.localCheckpoint(eager=False)
     prev_sig = _checksum(cur)
     edge_counts = [prev_sig[0]]
     rounds = 0
     for _ in range(MAX_ROUNDS):
-        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=False)
         sig = _checksum(nxt)
         cur = nxt
         rounds += 1

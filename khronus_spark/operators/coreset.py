@@ -165,9 +165,14 @@ def kcenter_select_per_cell(
             f"k-center needs m_per_cell >= 1 centers, got {m_per_cell}"
         )
     spark = embeddings.sparkSession
+    # lazy checkpoint: the c0 seed aggregate below materializes the
+    # quantized+celled corpus, so round 1 reads the cache instead of
+    # re-running the cell-assignment join (without it, the `cells` plan
+    # — in production the IVF assignment — executed once for c0 and
+    # again for the first round's fold)
     q = embeddings.select("vec_id", F.expr(_QUANT).alias("e")).join(
         cells.select("vec_id", "cell"), "vec_id"
-    )
+    ).localCheckpoint(eager=False)
     c0 = (
         q.groupBy("cell")
         .agg(F.min_by(F.struct("vec_id", "e"), F.col("vec_id")).alias("b"))

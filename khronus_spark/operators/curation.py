@@ -93,17 +93,20 @@ def curated_docs(
     a driver-side broadcast.
     """
     if callable(edge_gen):
-        # the built-in generators end localCheckpointed (their CC loop
-        # requires it), so the size-guard count below is a cheap read; a
-        # caller-supplied plan would be recomputed for the count AND the
-        # join — truncate it once here so the guard stays one-pass
-        comps = edge_gen(docs).localCheckpoint(eager=True)
+        comps = edge_gen(docs)
     elif edge_gen == "minhash":
         comps = minhash_duplicate_components(docs)
     elif edge_gen == "jaccard":
         comps = duplicate_components(docs, jaccard_threshold_bp)
     else:
         raise ValueError(f"unknown edge_gen {edge_gen!r}")
+    # lazy checkpoint for EVERY branch: the size-guard count below
+    # materializes it in its own job, and the canonical-keep join then
+    # replays the cached map instead of re-deriving the star-forest
+    # projection (the built-in generators checkpoint only their CC
+    # fixpoint EDGES — the members∪roots projection on top was being
+    # computed once for the count and again for the join)
+    comps = comps.localCheckpoint(eager=False)
     if comps.count() <= broadcast_component_limit:
         comps = F.broadcast(comps)
     sample_threshold = (1 << 32) * sample_pct // 100

@@ -97,13 +97,26 @@ def _pq_state(
 ) -> list[tuple[DataFrame, DataFrame]]:
     """Per subspace: (quantized subvectors, trained centroids). Each
     subspace trains ONCE; codebooks, codes, and search all derive from
-    this state."""
+    this state. The `sub` trainings are fully independent, so they run
+    from a small thread pool (guide §2.6): each training is a chain of
+    small sequential jobs (centroid collect per Lloyd iteration) whose
+    tail would otherwise leave the executor threads idle — overlapping
+    them cuts the build wall from Σ(subspaces) toward max(subspace)
+    with byte-identical results (scheduling overlap only)."""
     subdim = _subdim(dims, sub)
     kw = {} if mode is None else {"mode": mode}
-    return [
-        _kmeans_state(_sub_frame(embeddings, s, subdim), k, iters, **kw)
-        for s in range(sub)
-    ]
+    if sub == 1:
+        return [_kmeans_state(_sub_frame(embeddings, 0, subdim), k, iters, **kw)]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(sub, 8)) as pool:
+        futs = [
+            pool.submit(
+                _kmeans_state, _sub_frame(embeddings, s, subdim), k, iters, **kw
+            )
+            for s in range(sub)
+        ]
+        return [f.result() for f in futs]
 
 
 def _books_from_state(state) -> DataFrame:
@@ -279,7 +292,13 @@ def pq_build_index(
         else embeddings.where(F.col("vec_id") % train_sample_mod == 0)
     )
     books = _books_from_state(_pq_state(train, sub, k, iters, mode, dims))
-    codes = pq_encode(embeddings, books, sub, k, mode, dims)
+    # encode with the fused map-only pass (zero shuffle, one codebook
+    # collect) unless the caller pinned the SQL structural twin; the
+    # two encoders are test-pinned bit-identical
+    if mode == "sql":
+        codes = pq_encode(embeddings, books, sub, k, mode, dims)
+    else:
+        codes = pq_encode_fused(embeddings, books, sub, k, dims)
     return books, codes
 
 
@@ -320,8 +339,20 @@ def write_pq_index(
     )
 
     gen, gdir = new_generation(path)
-    books.write.mode("overwrite").parquet(os.path.join(gdir, "books"))
-    codes.write.mode("overwrite").parquet(os.path.join(gdir, "codes"))
+    # the two table writes are independent jobs into the same fresh
+    # generation dir — overlap them (guide §2.6); both must complete
+    # (exceptions propagate) before the pointer swap below
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _fb = _pool.submit(
+            books.write.mode("overwrite").parquet, os.path.join(gdir, "books")
+        )
+        _fc = _pool.submit(
+            codes.write.mode("overwrite").parquet, os.path.join(gdir, "codes")
+        )
+        _fb.result()
+        _fc.result()
     if geometry is not None:
         tmp = os.path.join(gdir, ".geometry.tmp")
         with open(tmp, "w") as fh:

@@ -111,10 +111,34 @@ def rrf_fuse(
     Both inputs are pool frames (#queries × pool rows), so every join
     and window here is on data whose size is set by the QUERY load,
     not the corpus — fusion adds nothing to the corpus-side cost."""
-    l = lex.select("query_id", "doc_id", F.col("rank").alias("lex_rank"))
-    s = sem.select("query_id", "doc_id", F.col("rank").alias("sem_rank"))
+    # union + one aggregate instead of a full-outer sort-merge join:
+    # each branch contributes ≤1 row per (query_id, doc_id), so
+    # max(branch rank) over the union reproduces the outer join's rows
+    # exactly (null where a branch lacks the doc). One exchange on
+    # query_id serves the aggregate (partitioning on a subset of the
+    # group keys satisfies the clustered distribution) AND the final
+    # window — the former plan exchanged both join inputs and then the
+    # window a third time (guide §2.4).
+    l = lex.select(
+        "query_id",
+        "doc_id",
+        F.col("rank").alias("lex_rank"),
+        F.lit(None).cast("long").alias("sem_rank"),
+    )
+    s = sem.select(
+        "query_id",
+        "doc_id",
+        F.lit(None).cast("long").alias("lex_rank"),
+        F.col("rank").alias("sem_rank"),
+    )
     fused = (
-        l.join(s, ["query_id", "doc_id"], "full_outer")
+        l.unionByName(s)
+        .repartition(F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.max("lex_rank").alias("lex_rank"),
+            F.max("sem_rank").alias("sem_rank"),
+        )
         .withColumn(
             "rrf_score",
             F.expr(
@@ -162,6 +186,46 @@ def hybrid_rrf_topk(
         broadcast_probes=broadcast_queries,
     )
     return rrf_fuse(lex, sem, k_rrf=k_rrf, k=k)
+
+
+def build_hybrid_index(
+    corpus: DataFrame,
+    embeddings: DataFrame,
+    out_dir: str,
+    sub: int = 4,
+    pq_k: int = 8,
+    iters: int = 1,
+) -> None:
+    """Build BOTH branch indexes of the hybrid retriever —
+    `{out_dir}/bm25` (postings + query-time constants) and
+    `{out_dir}/pq` (codebooks + codes) — CONCURRENTLY (guide §2.6):
+    the two builds share no state, and each is a chain of small
+    sequential jobs whose tails leave executor threads idle, so
+    overlapping them cuts the build wall toward max(branch) with
+    byte-identical artifacts. The per-branch builders are the same
+    `text.write_bm25_index` / `pq.pq_build_index`+`write_pq_index`
+    lifecycle callers use standalone."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from khronus_spark.operators import pq as pq_ops
+    from khronus_spark.operators import text as text_ops
+
+    def _bm25() -> None:
+        text_ops.write_bm25_index(
+            text_ops.bm25_build_postings(corpus), f"{out_dir}/bm25"
+        )
+
+    def _pq() -> None:
+        books, codes = pq_ops.pq_build_index(
+            embeddings, sub=sub, k=pq_k, iters=iters
+        )
+        pq_ops.write_pq_index(books, codes, f"{out_dir}/pq")
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fb = pool.submit(_bm25)
+        fp = pool.submit(_pq)
+        fb.result()
+        fp.result()
 
 
 def semantic_pq_rank(

@@ -1103,9 +1103,11 @@ def bpe_merges_sequential(docs: DataFrame, k: int = 6) -> DataFrame:
             break
         l, r, cnt = top[0]["l"], top[0]["r"], top[0]["pair_count"]
         merges.append((rank, l, r, int(cnt)))
+        # lazy checkpoint: the next pass's top-pair collect materializes
+        # it in the same action (one job per merge pass, not two)
         seqs = seqs.select(
             "cnt", _merge_fold(F.col("sym"), l, r).alias("sym")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return docs.sparkSession.createDataFrame(
         merges, "rank LONG, left STRING, right STRING, pair_count LONG"
     )
@@ -1267,7 +1269,9 @@ def bpe_merges_batched(
                 (len(merges) + 1, row["l"], row["r"], int(row["pair_count"]))
             )
             sym = _merge_fold(sym, row["l"], row["r"])
-        seqs = seqs.select("cnt", sym.alias("sym")).localCheckpoint(eager=True)
+        # lazy checkpoint (see the sequential trainer): the next pass's
+        # candidate-window collect materializes it in the same action
+        seqs = seqs.select("cnt", sym.alias("sym")).localCheckpoint(eager=False)
     if stats is not None:
         stats["passes"] = passes
     return docs.sparkSession.createDataFrame(
@@ -1745,9 +1749,10 @@ def perplexity_split(docs: DataFrame, n_buckets: int = 3) -> DataFrame:
     # is value-range × 64-salt bounded, normally thousands of cells,
     # but a pathological value spread could outgrow an executor — past
     # the limit the attach falls back to a shuffle join on the cell
-    # key, which is the right plan at that size. Eager checkpoint
-    # makes the guard count a one-pass read and the join a replay.
-    buckets = buckets.localCheckpoint(eager=True)
+    # key, which is the right plan at that size. The lazy checkpoint
+    # materializes inside the guard count's own job (one action, not
+    # two) and the join replays the cached cells.
+    buckets = buckets.localCheckpoint(eager=False)
     if buckets.count() <= _SPLIT_BROADCAST_LIMIT:
         buckets = F.broadcast(buckets)
     return per_doc.join(
@@ -2154,17 +2159,26 @@ def write_bm25_constants(
     so its ranking stays internally consistent over live postings."""
     df_t = postings.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     df_t = df_t.localCheckpoint(eager=False)
-    df_t.write.mode("overwrite").parquet(f"{path}/df")
-    (
+    stats_df = (
         postings.select("doc_id", "dl")
         .distinct()
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.expr("sum(dl) * 1000L div count(1)").alias("avgdl_m"),
         )
-        .write.mode("overwrite")
-        .parquet(f"{path}/stats")
     )
+    # df and stats derive independently from the checkpointed postings:
+    # overlap the two write jobs (guide §2.6; the shared checkpoint is
+    # computed once under the block manager's lock)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _fd = _pool.submit(df_t.write.mode("overwrite").parquet, f"{path}/df")
+        _fs = _pool.submit(
+            stats_df.write.mode("overwrite").parquet, f"{path}/stats"
+        )
+        _fd.result()
+        _fs.result()
     spark = postings.sparkSession
     n_docs, avgdl_m = spark.read.parquet(f"{path}/stats").collect()[0]
     # empty postings: sum(dl) div count(1) is NULL on zero rows; the
