@@ -34,6 +34,18 @@ def make_session(cpus: str, app: str = "khronus-spark-bench", extra_conf=None):
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "16g")
+        # Whole-stage codegen fuses a pipeline into ONE generated
+        # method; several operators here (z-order rank trees, tokenizer
+        # walks, histogram folds) exceed HotSpot's 8 KB huge-method
+        # bytecode limit, and an uncompilable method runs INTERPRETED —
+        # measured ~3.8 µs/row on the z-order cell projection (a
+        # per-row cost that scales with the corpus, not a local-mode
+        # artifact). Standard remedy, valid at any scale: lift the JIT
+        # refusal. On a cluster, set the same flag in
+        # spark.executor.extraJavaOptions (local mode: driver == executor).
+        .config(
+            "spark.driver.extraJavaOptions", "-XX:-DontCompileHugeMethods"
+        )
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

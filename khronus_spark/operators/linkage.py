@@ -93,10 +93,17 @@ def blocked_edit_pairs(
     )
     for c in cols:
         cond = cond & (F.col(c) == F.col(f"_b_{c}"))
+    # bounded levenshtein (Spark 3.5+): the threshold form runs the
+    # banded O(max_dist·n) algorithm and returns -1 past the bound —
+    # exact for every surviving pair, so the kept set and the reported
+    # distances are identical to the unbounded form, at a fraction of
+    # the per-pair CPU (the verify step dominates this operator's cost)
     return (
         a.join(b, on=cond)
-        .withColumn("dist", F.levenshtein("text_a", "text_b"))
-        .where(F.col("dist") <= F.lit(max_dist))
+        .withColumn(
+            "dist", F.expr(f"levenshtein(text_a, text_b, {int(max_dist)})")
+        )
+        .where((F.col("dist") >= 0) & (F.col("dist") <= F.lit(max_dist)))
         .select(*cols, "id_a", "id_b", "dist")
     )
 
@@ -173,21 +180,20 @@ def sorted_neighbor_pairs(
         F.col("nb.id_b").alias("id_b"),
         F.col("nb.text_b").alias("text_b"),
     )
+    # bounded levenshtein: see blocked_edit_pairs — banded evaluation,
+    # exact on survivors, and the distance computes ONCE instead of
+    # once in the filter and again in the projection
     return (
         exploded.where(F.col("id_b").isNotNull())
         .where(
-            (
-                F.abs(F.length("text_a") - F.length("text_b"))
-                <= F.lit(max_dist)
-            )
-            & (F.levenshtein("text_a", "text_b") <= F.lit(max_dist))
+            F.abs(F.length("text_a") - F.length("text_b"))
+            <= F.lit(max_dist)
         )
-        .select(
-            *cols,
-            "id_a",
-            "id_b",
-            F.levenshtein("text_a", "text_b").alias("dist"),
+        .withColumn(
+            "dist", F.expr(f"levenshtein(text_a, text_b, {int(max_dist)})")
         )
+        .where((F.col("dist") >= 0) & (F.col("dist") <= F.lit(max_dist)))
+        .select(*cols, "id_a", "id_b", "dist")
     )
 
 

@@ -433,14 +433,17 @@ def _adc_luts(
 
 def _adc_score_expr(sub: int, k: int) -> str:
     """Score expression over columns (lut, pq_code): Σ_s lut[s·k+cid_s].
-    The k^s divisors are a precomputed integer literal array — a
-    per-row float pow() would dominate the (otherwise add-only) scan."""
-    powers = ", ".join(str(k**s) + "L" for s in range(sub))
-    return (
-        f"aggregate(sequence(0, {sub - 1}), CAST(0 AS BIGINT), (acc, s) -> "
-        f"acc + element_at(lut, CAST(s * {k} + "
-        f"pq_code div element_at(array({powers}), s + 1) % {k} AS INT)))"
-    )
+    UNROLLED into `sub` plain element_at terms with literal k^s
+    divisors: the former aggregate(sequence(...)) form ran Catalyst's
+    INTERPRETED higher-order-function evaluator on every corpus code —
+    per-row interpreter cost on the hottest scan of the ANN family —
+    where the flat sum stays inside whole-stage codegen. Same int64
+    value, term for term."""
+    terms = [
+        f"element_at(lut, CAST({s * k} + pq_code div {k ** s} % {k} AS INT))"
+        for s in range(sub)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
 
 def pq_topk(
@@ -469,6 +472,19 @@ def pq_topk(
     )
 
 
+def _adc_scored(codes: DataFrame, luts: DataFrame, sub: int, k: int) -> DataFrame:
+    """(probe_id, neighbor_id, d2_adc) for EVERY (probe, corpus code)
+    pair — the map-only ADC scan before any per-probe ranking. Shared
+    by `_adc_scan_topk` and the fused hybrid tail (which ranks both
+    retriever branches under one exchange)."""
+    return (
+        codes.select(F.col("vec_id").alias("neighbor_id"), "pq_code")
+        .join(F.broadcast(luts), F.col("neighbor_id") != F.col("probe_id"))
+        .withColumn("d2_adc", F.expr(_adc_score_expr(sub, k)))
+        .select("probe_id", "neighbor_id", "d2_adc")
+    )
+
+
 def _adc_scan_topk(
     codes: DataFrame, luts: DataFrame, n_neighbors: int, sub: int, k: int
 ) -> DataFrame:
@@ -479,9 +495,7 @@ def _adc_scan_topk(
         F.col("d2_adc").asc(), F.col("neighbor_id").asc()
     )
     return (
-        codes.select(F.col("vec_id").alias("neighbor_id"), "pq_code")
-        .join(F.broadcast(luts), F.col("neighbor_id") != F.col("probe_id"))
-        .withColumn("d2_adc", F.expr(_adc_score_expr(sub, k)))
+        _adc_scored(codes, luts, sub, k)
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= n_neighbors)
         .select("probe_id", "neighbor_id", "d2_adc")

@@ -337,20 +337,89 @@ def hybrid_rrf_topk_indexed(
             broadcast_queries=broadcast_queries,
             seed_df_budget=seed_df_budget,
         ).select("query_id", "doc_id", "rank")
-    else:
-        lex = bm25_rank_indexed(
-            postings,
-            queries,
-            k=pool,
-            broadcast_queries=broadcast_queries,
-            share_postings=False,
-            df_t=df_t,
-            collection_stats=collection_stats,
-        ).select("query_id", "doc_id", "rank")
-    sem = semantic_pq_rank(
-        books, codes, probes, eval_mod=eval_mod, pool=pool, sub=sub, pq_k=pq_k
+        sem = semantic_pq_rank(
+            books, codes, probes, eval_mod=eval_mod, pool=pool, sub=sub,
+            pq_k=pq_k,
+        )
+        return rrf_fuse(lex, sem, k_rrf=k_rrf, k=k)
+    # FUSED TAIL (non-pruned path): both branches' map-side scores
+    # union FIRST, then ONE exchange on query_id serves every
+    # query-load-sized step — the per-branch pool ranking (window
+    # partitioned by (branch, query): hash(query_id) is a subset of
+    # the clustering keys, so no re-exchange), the RRF aggregate on
+    # (query, doc), and the final top-k window. The unfused form
+    # exchanged each branch for its own rank window and then again to
+    # fuse (guide §2.4 — operations keyed the same way share one
+    # exchange). Rank and score semantics are verbatim: lex orders by
+    # (score DESC, doc_id), sem by (d2_adc ASC, neighbor_id), both
+    # expressed as (_skey ASC, doc_id ASC) with _skey = -score / d2.
+    from khronus_spark.operators.pq import _QUANT_COL, _adc_luts, _adc_scored
+    from khronus_spark.operators.text import bm25_scored_indexed
+
+    lex_s = bm25_scored_indexed(
+        postings,
+        queries,
+        broadcast_queries=broadcast_queries,
+        share_postings=False,
+        df_t=df_t,
+        collection_stats=collection_stats,
     )
-    return rrf_fuse(lex, sem, k_rrf=k_rrf, k=k)
+    corpus_codes = codes.where(F.col("vec_id") % eval_mod != 0)
+    pvec = probes.select(
+        "probe_id", F.expr(_QUANT_COL.format(c="embedding")).alias("pe")
+    )
+    sem_s = _adc_scored(
+        corpus_codes, _adc_luts(pvec, books, sub, pq_k), sub, pq_k
+    )
+    u = lex_s.select(
+        "query_id",
+        "doc_id",
+        F.lit(0).alias("_br"),
+        (-F.col("score")).alias("_skey"),
+    ).unionByName(
+        sem_s.select(
+            F.col("probe_id").alias("query_id"),
+            F.col("neighbor_id").alias("doc_id"),
+            F.lit(1).alias("_br"),
+            F.col("d2_adc").alias("_skey"),
+        )
+    )
+    u = u.repartition(F.col("query_id"))
+    w_b = Window.partitionBy("_br", "query_id").orderBy(
+        F.col("_skey").asc(), F.col("doc_id").asc()
+    )
+    ranked = (
+        u.withColumn("rank", F.row_number().over(w_b).cast("long"))
+        .where(F.col("rank") <= pool)
+    )
+    fused = (
+        ranked.groupBy("query_id", "doc_id")
+        .agg(
+            F.max(F.when(F.col("_br") == 0, F.col("rank"))).alias("lex_rank"),
+            F.max(F.when(F.col("_br") == 1, F.col("rank"))).alias("sem_rank"),
+        )
+        .withColumn(
+            "rrf_score",
+            F.expr(
+                f"CASE WHEN lex_rank IS NULL THEN 0L "
+                f"ELSE 1000000L div ({k_rrf} + lex_rank) END + "
+                f"CASE WHEN sem_rank IS NULL THEN 0L "
+                f"ELSE 1000000L div ({k_rrf} + sem_rank) END"
+            ),
+        )
+        .withColumn("lex_rank", F.coalesce("lex_rank", F.lit(0).cast("long")))
+        .withColumn("sem_rank", F.coalesce("sem_rank", F.lit(0).cast("long")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "doc_id", "lex_rank", "sem_rank", "rrf_score", "rank"
+        )
+    )
 
 
 def hybrid_rrf_indexed_sql(

@@ -2267,6 +2267,42 @@ def bm25_rank_indexed(
     scans of short-row parquet beat one forced full materialization,
     and the plan keeps its honest FileScan nodes for the no-training
     gates."""
+    scored = bm25_scored_indexed(
+        postings,
+        queries,
+        k1_pm,
+        b_pm,
+        broadcast_queries,
+        share_postings,
+        df_t,
+        collection_stats,
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.select("query_id", "doc_id", "score")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def bm25_scored_indexed(
+    postings: DataFrame,
+    queries: DataFrame,
+    k1_pm: int = 1200,
+    b_pm: int = 750,
+    broadcast_queries: bool = True,
+    share_postings: bool = True,
+    df_t: DataFrame | None = None,
+    collection_stats: tuple[int, int] | None = None,
+) -> DataFrame:
+    """The per-(query, doc) exact BM25 score aggregate of
+    `bm25_rank_indexed` WITHOUT the per-query ranking window — for
+    callers that rank downstream under an exchange they already own
+    (the fused hybrid tail). Scoring semantics verbatim."""
     if share_postings:
         postings = postings.localCheckpoint(eager=False)
     if df_t is None:
@@ -2313,16 +2349,7 @@ def bm25_rank_indexed(
         .groupBy("query_id", "doc_id")
         .agg(F.sum(F.expr("idf_bits * tf_micro")).alias("score"))
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("doc_id").asc()
-    )
-    return (
-        scored.select("query_id", "doc_id", "score")
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
-    )
+    return scored.select("query_id", "doc_id", "score")
 
 
 def bm25_build_max_impact(
@@ -4165,6 +4192,11 @@ def unigram_encode(
     (one tiny agg, the bpe-merges-collect precedent)."""
     if vocab is None:
         vocab = unigram_vocab(docs, max_piece_len, max_word_len=max_word_len)
+    # checkpoint the vocab before the F scalar: the total-frequency agg
+    # below is its own action, and without truncation the whole vocab
+    # induction (tokenize + substring explode + two aggregates + top-n)
+    # re-ran a second time inside the final encode plan
+    vocab = vocab.localCheckpoint(eager=False)
     # bitlen(F); an EMPTY vocab (every corpus word overlong) has F=0
     # and C=0 by convention — every word is then UNK at score 0, the
     # same answer the oracle's coalesce and the reference produce
