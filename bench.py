@@ -34,19 +34,27 @@ def make_session(cpus: str, app: str = "khronus-spark-bench", extra_conf=None):
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "16g")
-        # Whole-stage codegen fuses a pipeline into ONE generated
-        # method; several operators here (z-order rank trees, tokenizer
-        # walks, histogram folds) exceed HotSpot's 8 KB huge-method
-        # bytecode limit, and an uncompilable method runs INTERPRETED —
-        # measured ~3.8 µs/row on the z-order cell projection (a
-        # per-row cost that scales with the corpus, not a local-mode
-        # artifact). Standard remedy, valid at any scale: lift the JIT
-        # refusal. On a cluster, set the same flag in
-        # spark.executor.extraJavaOptions (local mode: driver == executor).
-        .config(
+    )
+    # Whole-stage codegen fuses a pipeline into ONE generated method;
+    # several operators here (z-order rank trees, tokenizer walks)
+    # exceed HotSpot's 8 KB huge-method bytecode limit, and an
+    # uncompilable method runs INTERPRETED — measured ~3.8 µs/row on
+    # the z-order cell projection (a per-row cost that scales with the
+    # corpus, not a local-mode artifact). Lifting the JIT refusal
+    # (-XX:-DontCompileHugeMethods) fixes exactly those slots — the
+    # same-host A/B (sweeps/r13/bench_ab_jit_{off,on}.json) shows the
+    # huge-method slots 0.71-0.93x with the flag — but C2 then
+    # compiles EVERY big generated method, and at bench scale the
+    # compile churn steals cores from the many short jobs (geomean
+    # 1.118x across the suite, small slots 1.3-1.7x). Default OFF for
+    # the bench; at 100 TB the flag belongs in
+    # spark.executor.extraJavaOptions, where long-lived executors
+    # amortize the one-time compiles against hours of per-row work —
+    # the opposite tradeoff to a 60 s local suite.
+    if os.environ.get("SPARK_GRAFT_HUGE_METHOD_JIT", "0") != "0":
+        b = b.config(
             "spark.driver.extraJavaOptions", "-XX:-DontCompileHugeMethods"
         )
-    )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

@@ -136,6 +136,26 @@ class QueryExecutor:
             src.table_id: self._read_summaries(src, window_ms, slc, criteria)
             for src in criteria.sources
         }
+        # Share one summary computation across projections (guide §2.5):
+        # without this, every projection of the same source embeds its own
+        # copy of the summary subtree, and the union/multi-series plan
+        # re-scans + re-aggregates the measurements once PER SERIES
+        # (column pruning specializes each branch, so ReuseExchange never
+        # fires — plans/r13/influx_percentiles_before.txt shows 3 full
+        # scans for 3 percentile series). A lazy localCheckpoint makes
+        # every branch read the ONE materialized summary slice instead —
+        # bounded rows (the resolution clamp keeps rendered series ≤700
+        # points; a `force` override is bounded by the user's own
+        # slice/window choice, the same in-memory-series bound the
+        # reference carries). Only applied when ≥2 projections reference
+        # the source — a single-series query keeps its straight-line plan.
+        refs: dict[str, int] = {}
+        for proj in criteria.projections:
+            for tid in self._field_table_ids(proj):
+                refs[tid] = refs.get(tid, 0) + 1
+        for tid, n in refs.items():
+            if n > 1 and tid in summaries:
+                summaries[tid] = summaries[tid].localCheckpoint(eager=False)
 
         results = []
         for proj in sorted(criteria.projections, key=lambda p: p.series_id):
@@ -162,6 +182,17 @@ class QueryExecutor:
         return out
 
     # -- internals ----------------------------------------------------------
+
+    @staticmethod
+    def _field_table_ids(proj):
+        """table_ids a projection's value depends on (Numbers depend on
+        none — they render from the spine alone)."""
+        if isinstance(proj, Field):
+            yield proj.table_id
+        elif isinstance(proj, Operation):
+            for side in (proj.left, proj.right):
+                if isinstance(side, Field):
+                    yield side.table_id
 
     def _read_summaries(
         self, src: Source, window_ms: int, slc: Slice, criteria: InfluxCriteria
@@ -312,8 +343,18 @@ class QueryExecutor:
         raise QueryExecutionError(f"Unknown projection {proj!r}")
 
     def _finalize(self, df: DataFrame, criteria: InfluxCriteria) -> DataFrame:
-        """scale + 4dp HALF_UP rounding + time order (:214-224)."""
+        """scale + 4dp HALF_UP rounding + time order (:214-224).
+
+        The time order is a SINGLE-PARTITION sort, not a global orderBy:
+        a global sort range-partitions, which costs a separate boundary-
+        sampling job plus a range exchange PER SERIES — on a ≤700-point
+        rendered series (the same bound `_fill_linear`'s windows already
+        rely on) that is pure overhead at any scale. coalesce(1) narrows
+        the few post-aggregate partitions without a shuffle and the
+        within-partition sort then IS the total order — identical rows,
+        identical order (guide §2.1: remove shuffles the data's shape
+        makes unnecessary)."""
         value = F.col("value") * F.lit(float(criteria.scale if criteria.scale is not None else 1.0))
         df = df.select("time", F.round(value, 4).alias("value"))
         order = F.col("time").asc() if criteria.order_asc else F.col("time").desc()
-        return df.orderBy(order)
+        return df.coalesce(1).sortWithinPartitions(order)
