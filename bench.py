@@ -40,17 +40,26 @@ def make_session(cpus: str, app: str = "khronus-spark-bench", extra_conf=None):
     # exceed HotSpot's 8 KB huge-method bytecode limit, and an
     # uncompilable method runs INTERPRETED — measured ~3.8 µs/row on
     # the z-order cell projection (a per-row cost that scales with the
-    # corpus, not a local-mode artifact). Lifting the JIT refusal
-    # (-XX:-DontCompileHugeMethods) fixes exactly those slots — the
-    # same-host A/B (sweeps/r13/bench_ab_jit_{off,on}.json) shows the
-    # huge-method slots 0.71-0.93x with the flag — but C2 then
-    # compiles EVERY big generated method, and at bench scale the
-    # compile churn steals cores from the many short jobs (geomean
-    # 1.118x across the suite, small slots 1.3-1.7x). Default OFF for
-    # the bench; at 100 TB the flag belongs in
-    # spark.executor.extraJavaOptions, where long-lived executors
-    # amortize the one-time compiles against hours of per-row work —
-    # the opposite tradeoff to a 60 s local suite.
+    # corpus, not a local-mode artifact). Two fixes were A/B'd:
+    # (a) -XX:-DontCompileHugeMethods lifts the JIT refusal JVM-wide —
+    # the huge-method slots run 0.71-0.93x
+    # (sweeps/r13/bench_ab_jit_{off,on}.json) but C2 then compiles
+    # EVERY big generated method and the compile churn steals cores
+    # from the many short jobs (suite geomean 1.118x) — kept as an
+    # opt-in knob only; (b) spark.sql.codegen.hugeMethodLimit=8000
+    # aligns SPARK's own fallback with HotSpot's actual limit: any
+    # whole-stage method whose compiled bytecode exceeds 8000 bytes
+    # drops back to per-operator codegen (small, JIT-able methods) for
+    # THAT subtree only, leaving every other pipeline fused. Same-host
+    # A/B (sweeps/r13/huge_method_ab.json): zorder_layout 2.66->1.39 s,
+    # wordpiece_encode faster, no slot slower — this is the default.
+    # Scale-independent: the 8000-byte JIT ceiling is a HotSpot
+    # property, not a local[32] artifact, so the same value is right
+    # for cluster executors (set it in spark-defaults there).
+    b = b.config(
+        "spark.sql.codegen.hugeMethodLimit",
+        os.environ.get("SPARK_GRAFT_HUGE_METHOD_LIMIT", "8000"),
+    )
     if os.environ.get("SPARK_GRAFT_HUGE_METHOD_JIT", "0") != "0":
         b = b.config(
             "spark.driver.extraJavaOptions", "-XX:-DontCompileHugeMethods"

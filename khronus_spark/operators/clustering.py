@@ -161,7 +161,9 @@ def _assign_arrow(q: DataFrame, centroids: DataFrame) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    rows = centroids.orderBy("cid").collect()
+    # k tiny rows: collect + driver-side sort (no range-exchange/
+    # sampling job per iteration; guide §2.1)
+    rows = sorted(centroids.collect(), key=lambda r: int(r["cid"]))
     out_schema = "vec_id long, e array<long>, cid long, d long"
     if not rows:
         return q.sparkSession.createDataFrame([], out_schema)
@@ -205,7 +207,9 @@ def _mean_partials_arrow(q: DataFrame, centroids: DataFrame) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    rows = centroids.orderBy("cid").collect()
+    # k tiny rows: collect + driver-side sort (no range-exchange/
+    # sampling job per iteration; guide §2.1)
+    rows = sorted(centroids.collect(), key=lambda r: int(r["cid"]))
     out_schema = "cid long, s array<long>, n long"
     if not rows:
         return q.sparkSession.createDataFrame([], out_schema)

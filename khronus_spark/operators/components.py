@@ -77,12 +77,18 @@ def _large_star(edges: DataFrame) -> DataFrame:
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     w = Window.partitionBy("src")
+    # No trailing distinct here (guide §2.1): `_small_star` immediately
+    # re-keys these rows for its own window — whose min() is duplicate-
+    # insensitive — and ends with the round's distinct, so the per-round
+    # OUTPUT row set is identical while the round runs one exchange
+    # fewer (duplicate relink rows ride the next shuffle instead of
+    # paying a dedup exchange of their own; they are bounded by the
+    # multi-path relinks of a single round).
     return (
         sym.withColumn("m", F.least(F.min("dst").over(w), F.col("src")))
         .where(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         .where(F.col("src") != F.col("dst"))
-        .distinct()
     )
 
 

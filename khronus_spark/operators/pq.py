@@ -223,7 +223,10 @@ def pq_encode_fused(
     import pandas as pd
 
     subdim = _subdim(dims, sub)
-    rows = books.orderBy("s", "cid").collect()
+    # tiny frame (sub*k rows): collect unsorted and sort driver-side —
+    # a distributed orderBy costs a range-boundary sampling job plus a
+    # range exchange per call (guide §2.1)
+    rows = sorted(books.collect(), key=lambda r: (int(r["s"]), int(r["cid"])))
     by_s: dict[int, list] = {}
     for r in rows:
         by_s.setdefault(int(r["s"]), []).append((int(r["cid"]), list(r["c"])))
