@@ -429,7 +429,9 @@ def build_slots(spark, sf_dir: str, cpus: str) -> dict:
         ).parquet(out_dir or _er_build_dir)
 
     def _er_survivorship():
-        assignment = spark.read.parquet(_er_query_dir)
+        assignment = spark.read.schema(
+            "node_id long, component_id long"
+        ).parquet(_er_query_dir)
         run_df(
             linkage_ops.golden_records(
                 _er_part(), assignment, "p_partkey", ["p_name", "p_brand"]

@@ -954,7 +954,11 @@ def write_dedup_index(index: DataFrame, path: str) -> None:
 
 
 def read_dedup_index(spark, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+    # pinned schema: our own layout — skips the footer-probe inference
+    # job every probe batch would otherwise pay (guide §2.1)
+    return spark.read.schema(
+        "band int, bucket long, n_docs long, min_doc_id long"
+    ).parquet(path)
 
 
 def incremental_dedup(

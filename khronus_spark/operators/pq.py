@@ -386,11 +386,18 @@ def resolve_pq_index_dir(path: str) -> str:
     return resolve_generation_dir(path)
 
 
+#: the persisted index layouts are our own — pin schemas so no read
+#: pays the parquet footer-probe inference job (one job per call on the
+#: query path; guide §2.1)
+BOOKS_SCHEMA = "s long, cid long, c array<long>"
+CODES_SCHEMA = "vec_id long, pq_code long"
+
+
 def read_pq_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
     root = resolve_pq_index_dir(path)
     return (
-        spark.read.parquet(f"{root}/books"),
-        spark.read.parquet(f"{root}/codes"),
+        spark.read.schema(BOOKS_SCHEMA).parquet(f"{root}/books"),
+        spark.read.schema(CODES_SCHEMA).parquet(f"{root}/codes"),
     )
 
 
@@ -1470,9 +1477,11 @@ def read_ivf_pq_index(
 
     root = resolve_generation_dir(path)
     return (
-        spark.read.parquet(f"{root}/books"),
-        spark.read.parquet(f"{root}/coded"),
-        spark.read.parquet(f"{root}/centroids"),
+        spark.read.schema(BOOKS_SCHEMA).parquet(f"{root}/books"),
+        spark.read.schema("vec_id long, pq_code long, centroid_id long")
+        .parquet(f"{root}/coded"),
+        spark.read.schema("centroid_id long, cvec array<float>")
+        .parquet(f"{root}/centroids"),
     )
 
 

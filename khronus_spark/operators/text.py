@@ -2208,18 +2208,38 @@ def read_bm25_boundary(spark, path: str) -> int | None:
 
     if not os.path.isdir(f"{path}/boundary"):
         return None
-    return int(spark.read.parquet(f"{path}/boundary").first()["upto_batch"])
+    return int(
+        spark.read.schema("upto_batch long")
+        .parquet(f"{path}/boundary")
+        .first()["upto_batch"]
+    )
+
+
+# The index tables are OUR OWN persisted layouts with fixed schemas, so
+# every reader pins the schema explicitly: schema inference over parquet
+# is a footer-probe JOB per read call (measured: 2 jobs -> 1 on a
+# single-table read, and at scale the probe samples footers across the
+# whole file set) — pure waste on a layout the writer controls
+# (guide §6: know your layout; §2.1: every removed job is removed
+# driver-loop latency on the query path).
+POSTINGS_SCHEMA = "doc_id long, dl long, w string, tf long"
 
 
 def read_bm25_index(spark, path: str) -> DataFrame:
     """The postings table of a persisted index. Accepts both the
     round-7 layout ({path}/postings + df + stats) and a bare postings
-    directory (the streaming maintainer's accumulating layout)."""
+    directory (the streaming maintainer's accumulating layout; extra
+    columns there are ignored by the pinned-schema read exactly as the
+    previous select ignored them)."""
     import os
 
     sub = f"{path}/postings"
     target = sub if os.path.isdir(sub) else path
-    return spark.read.parquet(target).select("doc_id", "dl", "w", "tf")
+    return (
+        spark.read.schema(POSTINGS_SCHEMA)
+        .parquet(target)
+        .select("doc_id", "dl", "w", "tf")
+    )
 
 
 def read_bm25_stats(spark, path: str) -> tuple[DataFrame, int, int]:
@@ -2227,8 +2247,16 @@ def read_bm25_stats(spark, path: str) -> tuple[DataFrame, int, int]:
     constants. The one-row stats read is driver-side bounded metadata
     (the codebook-collect convention); df_t stays a distributed frame
     (vocab-sized)."""
-    df_t = spark.read.parquet(f"{path}/df").select("w", "df")
-    n_docs, avgdl_m = spark.read.parquet(f"{path}/stats").collect()[0]
+    df_t = (
+        spark.read.schema("w string, df long")
+        .parquet(f"{path}/df")
+        .select("w", "df")
+    )
+    n_docs, avgdl_m = (
+        spark.read.schema("n_docs long, avgdl_m long")
+        .parquet(f"{path}/stats")
+        .collect()[0]
+    )
     # degenerate empty index: zero docs leave avgdl NULL
     return df_t, int(n_docs), int(avgdl_m) if avgdl_m is not None else 0
 
@@ -2421,7 +2449,9 @@ def read_bm25_max_impact(
     requested (k1_pm, b_pm) match the build (the ceilings are
     parameter-specific — a mismatched read would silently break the
     pruning proof)."""
-    mi = spark.read.parquet(f"{path}/maximpact")
+    mi = spark.read.schema("w string, u long, k1_pm int, b_pm int").parquet(
+        f"{path}/maximpact"
+    )
     built = mi.select("k1_pm", "b_pm").first()
     if built is None:  # empty (degenerate) index: nothing to assert
         return mi.select("w", "u")
