@@ -221,7 +221,7 @@ def main() -> None:
     if only:
         frames = {k: v for k, v in frames.items() if k in only}
 
-    out_dir = Path(_REPO) / "plans" / "r13"
+    out_dir = Path(_REPO) / "plans" / os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14")
     out_dir.mkdir(parents=True, exist_ok=True)
     for name, fn in frames.items():
         try:
