@@ -29,37 +29,23 @@ def make_session(cpus: str, app: str = "khronus-spark-bench", extra_conf=None):
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "16g")
     )
-    # Whole-stage codegen fuses a pipeline into ONE generated method;
-    # several operators here (z-order rank trees, tokenizer walks)
-    # exceed HotSpot's 8 KB huge-method bytecode limit, and an
-    # uncompilable method runs INTERPRETED — measured ~3.8 µs/row on
-    # the z-order cell projection (a per-row cost that scales with the
-    # corpus, not a local-mode artifact). Two fixes were A/B'd:
-    # (a) -XX:-DontCompileHugeMethods lifts the JIT refusal JVM-wide —
-    # the huge-method slots run 0.71-0.93x
-    # (sweeps/r13/bench_ab_jit_{off,on}.json) but C2 then compiles
-    # EVERY big generated method and the compile churn steals cores
-    # from the many short jobs (suite geomean 1.118x) — kept as an
-    # opt-in knob only; (b) spark.sql.codegen.hugeMethodLimit=8000
-    # aligns SPARK's own fallback with HotSpot's actual limit: any
-    # whole-stage method whose compiled bytecode exceeds 8000 bytes
-    # drops back to per-operator codegen (small, JIT-able methods) for
-    # THAT subtree only, leaving every other pipeline fused. Same-host
-    # A/B (sweeps/r13/huge_method_ab.json): zorder_layout 2.66->1.39 s,
-    # wordpiece_encode faster, no slot slower — this is the default.
-    # Scale-independent: the 8000-byte JIT ceiling is a HotSpot
-    # property, not a local[32] artifact, so the same value is right
-    # for cluster executors (set it in spark-defaults there).
-    b = b.config(
-        "spark.sql.codegen.hugeMethodLimit",
-        os.environ.get("SPARK_GRAFT_HUGE_METHOD_LIMIT", "8000"),
-    )
+    # The engine-level recommended conf (hugeMethodLimit=8000 JIT
+    # alignment + AQE coalescing) now lives in ONE place —
+    # khronus_spark/session.py::recommended_session_conf — shared by
+    # this bench, `python -m khronus_spark`, and documented for
+    # cluster spark-defaults (r13 verdict What's-wrong #5: it was a
+    # bench-only artifact). Values and the A/B evidence are unchanged:
+    # sweeps/r13/huge_method_ab3_interleaved.json (zorder 2.533→1.756,
+    # others 0.90–1.08); the JVM-wide -XX:-DontCompileHugeMethods
+    # alternative stays opt-in (suite geomean 1.118x — compile churn).
+    from khronus_spark.session import recommended_session_conf
+
+    for k, v in recommended_session_conf().items():
+        b = b.config(k, v)
     if os.environ.get("SPARK_GRAFT_HUGE_METHOD_JIT", "0") != "0":
         b = b.config(
             "spark.driver.extraJavaOptions", "-XX:-DontCompileHugeMethods"
@@ -122,6 +108,27 @@ def build_slots(spark, sf_dir: str, cpus: str) -> dict:
         run_df(
             spark.range(0, 200_000_000, 1, int(cpus)).selectExpr(
                 "sum(id * 3 + (id & 255)) AS s"
+            )
+        )
+
+    def _scaling_canary():
+        # CPU-SATURATING positive control for the driver's 8-vs-32-core
+        # scaling block (r13 verdict What's-wrong #4 / Next-round #3):
+        # at sf0.1 every real slot is per-job-latency-bound, so the
+        # driver's ratio heuristic cannot distinguish "honors
+        # $SPARK_GRAFT_CPUS but latency-bound" from "ignores it". This
+        # slot is ~25 JVM-CPU-seconds of pure whole-stage-codegen
+        # integer hashing over 4×cores even partitions — task slots are
+        # the binding resource, so its 8-core/32-core wall ratio reads
+        # ≈3-4 iff the core count is actually honored. Deliberately
+        # heavier per row than the calibration probe (whose 0.2 s of
+        # work vanishes under per-job overhead at both core counts).
+        # pmod keeps the hash-fold inside int64 under ANSI (a raw
+        # xxhash64 chain sums past +/-2^63)
+        run_df(
+            spark.range(0, 20_000_000, 1, 4 * int(cpus)).selectExpr(
+                "sum(pmod(aggregate(sequence(1, 24), id, (a, i) -> "
+                "xxhash64(pmod(a, 1000000007) + i)), 1048576)) AS s"
             )
         )
 
@@ -313,6 +320,10 @@ def build_slots(spark, sf_dir: str, cpus: str) -> dict:
         # rounds TOTAL across all cells — the 100 TB loop shape;
         # driver-loop class like the other iterative builds)
         "coreset_percell": lambda: _coreset_percell(),
+        # r14: the scaling positive control (see _scaling_canary) —
+        # an ADDED queries entry per the driver contract (existing
+        # names unchanged)
+        "scaling_canary": _scaling_canary,
     }
 
     import tempfile
@@ -754,6 +765,18 @@ def main() -> None:
         (dest / "bench_full.json").write_text(json.dumps(full, indent=2))
     except OSError:
         pass  # a read-only checkout still gets the stdout line
+    # r14: the driver's stdout capture keeps the LAST 2000 BYTES
+    # (BENCH_r12.json and BENCH_r13.json tails are both exactly 2000 —
+    # r12's longer line lost its head and parsed null for six rounds).
+    # The r13 line was ~1970 bytes: adding this round's scaling_canary
+    # slot plus any CPU telemetry would overflow the capture and kill
+    # the r14-vs-r13 comparison. So the LINE carries an aggregate
+    # cpu_total (sum of per-slot JVM-CPU medians — wall moving without
+    # cpu_total moving = host contention, not plan regression) and the
+    # criteria as compact [observed, limit, pass] triples (same five
+    # criteria, same limits, same observables); the full per-slot
+    # cpu_sec/spread diagnostics stay in sweeps/latest/bench_full.json,
+    # committed per round as the artifact of record (sweeps/r14/).
     compact = {
         k: full[k]
         for k in (
@@ -762,12 +785,27 @@ def main() -> None:
             "unit",
             "runs",
             "sf",
-            "calibration",
-            "criteria",
-            "queries",
         )
     }
-    print(json.dumps(compact))
+    compact["calibration"] = {"wall": calib, "cpu": cpu_calib}
+    compact["cpu_total"] = round(sum(cpu.values()), 1)
+    compact["criteria"] = {
+        name: [next(v for k, v in c.items() if k not in ("limit", "pass")),
+               c["limit"], c["pass"]]
+        for name, c in criteria.items()
+    }
+    compact["queries"] = full["queries"]
+    line = json.dumps(compact)
+    if len(line) > 1950:
+        # never overflow the capture: shed the optional telemetry keys
+        # (full copies live in bench_full.json) before the contract
+        # keys; queries stays whole and last
+        for shed in ("cpu_total", "calibration", "criteria"):
+            compact.pop(shed, None)
+            line = json.dumps(compact)
+            if len(line) <= 1950:
+                break
+    print(line)
     spark.stop()
 
 

@@ -53,13 +53,19 @@ def main() -> None:
     from khronus_spark.engine import KhronusEngine
     from khronus_spark.service import KhronusHttpService
 
-    spark = (
+    from khronus_spark.session import recommended_session_conf
+
+    builder = (
         SparkSession.builder.master(f"local[{args.cpus}]")
         .appName("khronus-spark")
-        .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    # engine-recommended conf (JIT-aligned codegen fallback, AQE
+    # coalescing) — one source of truth with bench.py; see
+    # khronus_spark/session.py
+    for k, v in recommended_session_conf().items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     if args.summary_store:
