@@ -936,11 +936,21 @@ def duplicate_spans(docs: DataFrame, n: int = 5, min_tokens: int = 8) -> DataFra
             F.explode(F.sequence(F.lit(0), F.lit(_GRAM_SALT - 1))).alias("_salt"),
         )
     )
+    # NO distinct on (doc_id, pos) — it was a full (doc,pos)-keyed
+    # exchange guarding a uniqueness that holds by construction:
+    # posexplode emits exactly one gram per position, and the salted
+    # join matches each (g, _salt) probe row against at most one build
+    # row, so (doc_id, pos) is already unique here. Even under
+    # duplicate input rows the downstream is insensitive: equal
+    # positions lag to gap 0 (never a new island) and the span
+    # min/max/groupBy collapse repeats — so dropping the distinct
+    # cannot change the output for ANY input (guide §2.4: a distinct
+    # on data that is already unique is an accidental shuffle). The
+    # doc-keyed window exchange is now the tail's only shuffle.
     dup_pos = (
         pos_grams.withColumn("_salt", (F.col("doc_id") % _GRAM_SALT).cast("int"))
         .join(dup_grams, ["g", "_salt"])
         .select("doc_id", "pos")
-        .distinct()
     )
     # interval-union islands: a duplicated gram at position p covers
     # tokens [p, p+n-1], so positions p < q belong to one contiguous
@@ -1840,6 +1850,16 @@ def bigram_surprisal(docs: DataFrame) -> DataFrame:
         "ELSE array() END"
     )
     toks = docs.select("doc_id", _tokens().alias("t"))
+    # r14 note: two tail restructures that remove the final
+    # `docs LEFT JOIN agg` resurrection pass (explode_outer + LEFT
+    # count join; explode_outer + zero-row UNION) were TRIED AND
+    # REJECTED on interleaved A/B: the LEFT form forbids the BuildLeft
+    # broadcast the planner picks for the salted count join (+26% JVM
+    # CPU, fresh SortMergeJoin), and the union form still read ~+5%
+    # wall / +3% cpu over 4 interleaved passes — the removed SMJ joins
+    # ~N-docs-row frames (tiny next to the bigram aggregate) while the
+    # perturbation of the count join's build side costs more than the
+    # saved scan (OPTIMIZATION_r14.md; guide §1.1).
     bgs = toks.select("doc_id", F.explode(F.expr(bg_expr)).alias("bg"))
     # the per-doc bigram table is built ONCE and shared by the count
     # chain and the probe join (its tokenize+explode+agg subtree would
@@ -2330,7 +2350,15 @@ def bm25_scored_indexed(
     """The per-(query, doc) exact BM25 score aggregate of
     `bm25_rank_indexed` WITHOUT the per-query ranking window — for
     callers that rank downstream under an exchange they already own
-    (the fused hybrid tail). Scoring semantics verbatim."""
+    (the fused hybrid tail). Scoring semantics verbatim.
+
+    Do NOT be tempted to pre-partition the join output by query_id to
+    fuse this aggregate's exchange with a downstream per-query window:
+    the (query, doc) partial aggregation before the exchange combines
+    ~17.5 joined rows into one pair row (measured sf0.1 — stop words
+    match nearly every doc), so the "fused" form shuffles 17x the rows
+    for one fewer exchange and measured ~2x JVM CPU (r14 A/B,
+    OPTIMIZATION_r14.md)."""
     if share_postings:
         postings = postings.localCheckpoint(eager=False)
     if df_t is None:
@@ -2374,8 +2402,9 @@ def bm25_scored_indexed(
             "tf_micro",
             F.expr(f"1000L * (1000 + {k1_pm}) * tf div denom_m"),
         )
-        .groupBy("query_id", "doc_id")
-        .agg(F.sum(F.expr("idf_bits * tf_micro")).alias("score"))
+    )
+    scored = scored.groupBy("query_id", "doc_id").agg(
+        F.sum(F.expr("idf_bits * tf_micro")).alias("score")
     )
     return scored.select("query_id", "doc_id", "score")
 
@@ -2979,7 +3008,18 @@ def bm25_decontamination(
     the ≤ queries·k ranked rows — the deterministic arg-max query is
     a min(struct(-score, query_id)) riding the same aggregate, so no
     second pass over the ranked frame exists (the oracle keeps the
-    equivalent two-step flag+self-join formulation)."""
+    equivalent two-step flag+self-join formulation).
+
+    r14 note: the hybrid fused-tail treatment (partition the scored
+    rows by query_id once, share that exchange with the rank window)
+    was TRIED AND REJECTED here with measurements: the scoring join's
+    map-side (query, doc) partial aggregation combines ~17.5 rows
+    into 1 before the exchange (measured sf0.1: 4.51M joined rows →
+    257k pairs — stop words give every query terms in nearly every
+    doc), so trading that partial for one fewer exchange shuffles 17x
+    the rows and read ~2x JVM CPU / +0.6 s wall
+    (OPTIMIZATION_r14.md). Guide §1.1: the "ideal" plan lost to the
+    gotcha; the partial agg is load-bearing."""
     ranked = bm25_rank(docs, eval_mod, k, broadcast_queries=broadcast_queries)
     hits = ranked.where(F.col("score") >= score_min)
     # ONE aggregate: the deterministic arg-max query rides the same
@@ -3879,6 +3919,7 @@ def wordpiece_vocab(
     max_piece_len: int = WP_MAX_PIECE_LEN,
     n_multi: int = WP_N_MULTI,
     max_word_len: int = WP_MAX_WORD_LEN,
+    word_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Frequency-induced WordPiece vocabulary: (piece, is_initial) —
     `is_initial` distinguishes word-initial pieces from continuation
@@ -3894,13 +3935,19 @@ def wordpiece_vocab(
     (`wordpiece_encode`) is the exact BERT greedy contract either way
     — the vocab input is pluggable (pass a hand-built or externally
     trained table in the same shape)."""
-    words = (
-        docs.select(F.explode(_tokens()).alias("w"), "doc_id")
-        .where(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .where(F.length("w") <= max_word_len)
-    )
+    # `word_counts` (w, cnt — total corpus occurrences per distinct
+    # word) lets the train+encode pipeline pass its ONE corpus
+    # tokenize pass in (wordpiece_encode derives it from the
+    # checkpointed doc⋈word table); standalone callers still induce
+    # from the corpus directly
+    if word_counts is None:
+        word_counts = (
+            docs.select(F.explode(_tokens()).alias("w"), "doc_id")
+            .where(F.col("w") != "")
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+    words = word_counts.where(F.length("w") <= max_word_len)
     subs = words.select(
         "w",
         "cnt",
@@ -3963,13 +4010,37 @@ def wordpiece_encode(
     so max_word_len steps always suffice). Per-doc totals then reuse
     bpe_encode's salted doc⋈word join so stop words cannot hotspot.
     Everything is linear in distinct words, never corpus tokens."""
-    if vocab is None:
-        vocab = wordpiece_vocab(docs, max_piece_len, max_word_len=max_word_len)
-    words = (
-        docs.select(F.explode(_tokens()).alias("w"))
+    # ONE corpus tokenize pass (guide §2.5 — the bm25 postings
+    # pattern): the per-(doc, word) count table is built once and
+    # checkpointed; the distinct-word table, the vocab induction's
+    # word counts, AND the final per-doc totals all derive from it.
+    # The previous form ran the corpus scan + tokenize + explode three
+    # times (vocab words, encode distinct, doc⋈word probe).
+    doc_words = (
+        docs.select("doc_id", F.explode(_tokens()).alias("w"))
         .where(F.col("w") != "")
-        .distinct()
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
     )
+    # word_counts is deliberately NOT checkpointed here (unlike
+    # unigram_encode's, whose F-scalar collect splits the pipeline
+    # into two actions): everything below lives in ONE action, and the
+    # interleaved A/B read the extra materialization barrier as +4%
+    # wall / +15% cpu against letting the vocab/encode branches
+    # re-aggregate the checkpointed doc_words in parallel under AQE.
+    # At true corpus scale a deployment persisting the index would
+    # checkpoint this too (it turns five corpus-keyed shuffles into
+    # one + vocab-sized scans) — measured trade at bench scale only.
+    word_counts = doc_words.groupBy("w").agg(F.sum("cnt").alias("cnt"))
+    if vocab is None:
+        vocab = wordpiece_vocab(
+            docs,
+            max_piece_len,
+            max_word_len=max_word_len,
+            word_counts=word_counts,
+        )
+    words = word_counts.select("w")
     short = words.where(F.length("w") <= max_word_len)
     subs = short.select(
         "w",
@@ -4026,15 +4097,11 @@ def wordpiece_encode(
         "unk",
         F.explode(F.sequence(F.lit(0), F.lit(_GRAM_SALT - 1))).alias("_salt"),
     )
-    doc_words = (
-        docs.select("doc_id", F.explode(_tokens()).alias("w"))
-        .where(F.col("w") != "")
-        .groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("_salt", (F.col("doc_id") % _GRAM_SALT).cast("int"))
+    probe = doc_words.withColumn(
+        "_salt", (F.col("doc_id") % _GRAM_SALT).cast("int")
     )
     return (
-        doc_words.join(enc_salted, ["w", "_salt"])
+        probe.join(enc_salted, ["w", "_salt"])
         .groupBy("doc_id")
         .agg(
             F.sum("cnt").alias("n_words"),
@@ -4151,6 +4218,7 @@ def unigram_vocab(
     max_piece_len: int = WP_MAX_PIECE_LEN,
     n_multi: int = WP_N_MULTI,
     max_word_len: int = WP_MAX_WORD_LEN,
+    word_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Frequency-scored unigram vocabulary: (piece, freq) — every
     character (so in-corpus words always segment) plus the `n_multi`
@@ -4159,13 +4227,16 @@ def unigram_vocab(
     set). Deterministic ties (freq desc, piece asc). Real SentencePiece
     prunes by EM'd likelihood loss; this is the frequency variant —
     the Viterbi ENCODER below is the exact algorithm either way."""
-    words = (
-        docs.select(F.explode(_tokens()).alias("w"))
-        .where(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .where(F.length("w") <= max_word_len)
-    )
+    # same precomputed-word-counts contract as wordpiece_vocab: the
+    # train+encode pipeline passes its single corpus pass in
+    if word_counts is None:
+        word_counts = (
+            docs.select(F.explode(_tokens()).alias("w"))
+            .where(F.col("w") != "")
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+    words = word_counts.where(F.length("w") <= max_word_len)
     subs = words.select(
         "cnt",
         F.explode(
@@ -4220,8 +4291,32 @@ def unigram_encode(
     structs (NULL = unreachable; Spark's greatest skips NULLs).
     Linear in distinct words; the only driver-side scalar is bitlen(F)
     (one tiny agg, the bpe-merges-collect precedent)."""
+    # ONE corpus tokenize pass (guide §2.5, the wordpiece_encode twin):
+    # doc⋈word counts checkpointed once; distinct words, the vocab
+    # induction's counts, and the per-doc totals all derive from it
+    doc_words = (
+        docs.select("doc_id", F.explode(_tokens()).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    # checkpointed, UNLIKE wordpiece_encode's: the F-scalar collect
+    # below forces the vocab subtree as its own ACTION, and
+    # ReuseExchange cannot dedupe across actions — without the
+    # checkpoint the encode plan would re-run this aggregate
+    word_counts = (
+        doc_words.groupBy("w")
+        .agg(F.sum("cnt").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     if vocab is None:
-        vocab = unigram_vocab(docs, max_piece_len, max_word_len=max_word_len)
+        vocab = unigram_vocab(
+            docs,
+            max_piece_len,
+            max_word_len=max_word_len,
+            word_counts=word_counts,
+        )
     # checkpoint the vocab before the F scalar: the total-frequency agg
     # below is its own action, and without truncation the whole vocab
     # induction (tokenize + substring explode + two aggregates + top-n)
@@ -4236,11 +4331,7 @@ def unigram_encode(
         "piece",
         (F.length(F.expr("bin(freq)")) - F.lit(c_pen)).cast("int").alias("sc"),
     )
-    words = (
-        docs.select(F.explode(_tokens()).alias("w"))
-        .where(F.col("w") != "")
-        .distinct()
-    )
+    words = word_counts.select("w")
     short = words.where(F.length("w") <= max_word_len)
     subs = short.select(
         "w",
@@ -4324,15 +4415,11 @@ def unigram_encode(
         "score",
         F.explode(F.sequence(F.lit(0), F.lit(_GRAM_SALT - 1))).alias("_salt"),
     )
-    doc_words = (
-        docs.select("doc_id", F.explode(_tokens()).alias("w"))
-        .where(F.col("w") != "")
-        .groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("_salt", (F.col("doc_id") % _GRAM_SALT).cast("int"))
+    probe = doc_words.withColumn(
+        "_salt", (F.col("doc_id") % _GRAM_SALT).cast("int")
     )
     return (
-        doc_words.join(enc_salted, ["w", "_salt"])
+        probe.join(enc_salted, ["w", "_salt"])
         .groupBy("doc_id")
         .agg(
             F.sum("cnt").alias("n_words"),
