@@ -117,7 +117,9 @@ def corpus_prep_sink(
             if key.startswith("md5/") and key != me
         ]
         claimed = (
-            spark.read.parquet(*claim_paths).select("h")
+            # explicit (pruned) schema: one column read, no per-batch
+            # footer inference over the whole claim history
+            spark.read.schema("h string").parquet(*claim_paths).select("h")
             if claim_paths
             else None
         )
@@ -196,9 +198,14 @@ def read_corpus_prep(
     delta-decomposable. Column-for-column the batch `corpus_prep`
     schema."""
     out = None
+    acct_schema = (
+        "lang string, n_docs_kept long, n_tokens_kept long, "
+        "n_docs_quality_drop long, n_docs_contaminated_drop long, "
+        "n_docs_dup_drop long"
+    )
     for key, path in sorted(table.snapshot_files().items()):
         if key.startswith("acct/"):
-            df = spark.read.parquet(path)
+            df = spark.read.schema(acct_schema).parquet(path)
             out = df if out is None else out.unionByName(df)
     if out is None:
         return None

@@ -189,8 +189,14 @@ def run_streaming_incremental_dedup(
             landed_batches(index_path)
         )
         if has_prior:
+            # explicit schema: the index-part layout is self-owned
+            # (build_dedup_index) — no footer-inference job per batch
             prior = (
-                spark.read.parquet(index_path)
+                spark.read.schema(
+                    "band long, bucket long, n_docs long, "
+                    "min_doc_id long, batch int"
+                )
+                .parquet(index_path)
                 .where(F.col("batch") < batch_id)
                 .select("band", "bucket", "n_docs", "min_doc_id")
             )

@@ -213,7 +213,15 @@ def upsert_sink(store_path: str):
             return False
 
         if _has_committed_days():
-            existing = spark.read.parquet(store_path).where(F.col("day").isin(days))
+            # explicit schema (the batch's own, which the store was
+            # written from): no per-batch footer-inference job — the
+            # r13 persisted-index-reader pattern applied to the one
+            # read every micro-batch pays (r14 streaming profile)
+            existing = (
+                spark.read.schema(batch.schema)
+                .parquet(store_path)
+                .where(F.col("day").isin(days))
+            )
             keep = existing.join(
                 batch.select("metric", "ts").distinct(), ["metric", "ts"], "left_anti"
             )

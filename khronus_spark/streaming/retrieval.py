@@ -70,7 +70,13 @@ def read_streamed_postings(
     ceilings upper-bound only the postings they were built from, so
     the pruned query must see exactly that snapshot
     (`text.write_bm25_constants` docstring states the contract)."""
-    df = spark.read.parquet(index_path)
+    # explicit schema on the self-owned postings layout — no
+    # footer-inference job per read (the r13 reader-schema pattern);
+    # `batch` stays a declared partition column so upto_batch pruning
+    # is unchanged
+    df = spark.read.schema(
+        "doc_id long, dl long, w string, tf long, batch int"
+    ).parquet(index_path)
     if upto_batch is not None:
         df = df.where(F.col("batch") <= upto_batch)
     return df.select("doc_id", "dl", "w", "tf")
