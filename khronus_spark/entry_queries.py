@@ -122,39 +122,29 @@ def register(name: str, oracle: str | None):
 #: operator inside the window; everything else keeps registration order
 #: in the tail (still exercised by tests/test_oracle_parity.py locally).
 #:
-#: Round-13 rotation policy (same invariant as rounds 2-12): the window
-#: leads with (a) the drained round-12 queue — `ann_mmr_topk` and
-#: `ann_pq_mmr_topk_indexed`, the diversity-rerank pair registered
-#: after the r12 window froze, never driver-checked; BOTH additionally
-#: carry this round's rank-0 ordering fix (the r12 ADVICE lam10=0
-#: finding), so their in-window rows prove the touched greedy. Then
-#: (b) the entries NEW in round 13: `ann_mmr_topk_lam0` (the
-#: pure-diversity end of the MMR objective — exactly the config the
-#: ADVICE bug lived at, r12 verdict #7) and
-#: `coreset_streaming_kcenter_audit` (the streamed k-center's realized
-#: radius + scale, hash-pinned through the shared assignment audit —
-#: r12 verdict #6). Then (c) the entries whose ENGINE PATH changed
-#: this round: `embedding_dim_stats` and `embedding_drift_flags` (the
-#: r12 red row's fix — driver-facing var_num is now the exact
-#: integer's canonical DIGIT STRING on both engines, a schema change,
-#: so both faces re-prove; the DECIMAL interior math and its
-#: soak-found overflow fix are unchanged), plus the six indexed-ANN /
-#: hybrid faces whose persisted-index writers now publish atomically
-#: as generations with readers resolving the CURRENT pointer
-#: (`ann_pq_topk_indexed`, `ann_pq_rerank_topk_indexed`,
-#: `hybrid_rrf_topk_indexed`, `ann_matryoshka_rerank_topk_indexed`,
-#: `ann_ivfpq_topk_indexed`, `ann_ivfpq_rerank_topk_indexed`). The
-#: other r13 engine change (the matryoshka_build_index corpus-width
-#: guard) has no registry consumer. Then (d) the longest-unchecked
-#: fills: the FULL remaining 32-entry cohort whose newest green row is
-#: round 8 (`cms_heavy_users` … `corpus_version_diff`) and the 6
-#: oldest round-9 rows in registration order (`ts_counter_summary_5m`
-#: … `ts_cpm_5m`).
-#: 2 + 2 + 8 + 32 + 6 = 50. Rows-only entries (xxhash64 signatures, the
-#: stateful streaming face) stay out — the window accepts only
-#: hash-checkable entries, and their md5/stream==batch twins are
-#: covered. Everything else is still locally oracle-checked every run
-#: by tests/test_oracle_parity.py.
+#: Round-14 rotation policy (same invariant as rounds 2-13): the
+#: round-13 queue is empty, so the window leads with (a) the entries
+#: whose ENGINE PATH changed this round — `wordpiece_encode_docs` and
+#: `unigram_encode_docs` (the train+encode pipelines now tokenize the
+#: corpus ONCE: doc⋈word counts checkpointed, distinct words + vocab
+#: induction + per-doc totals all derived from it) and
+#: `duplicate_spans` (the no-op (doc,pos) distinct and its exchange
+#: removed) — then (b) the longest-unchecked fills, which this round
+#: double as the r13 verdict's item-10 coverage asks: the ENTIRE
+#: remaining r9 cohort (37 entries — including the full InfluxQL
+#: executor battery, whose multi-series summary-sharing optimization
+#: (r13 audit #17) the r13 window never driver-verified, and the
+#: CC-backed `dedup_components` / `part_entity_components`), plus the
+#: 10 oldest r10 rows in registration order
+#: (`influx_fill_linear_error_1h` — the fill(linear) executor face,
+#: also r13-touched-unverified — through `lang_id`).
+#: 3 + 37 + 10 = 50. The r14 streaming-reader schema pins have no
+#: registry consumer (maintainer-side paths); they are proven by the
+#: stream==batch/replay batteries. Rows-only entries (xxhash64
+#: signatures, the stateful streaming face) stay out — the window
+#: accepts only hash-checkable entries, and their md5/stream==batch
+#: twins are covered. Everything else is still locally oracle-checked
+#: every run by tests/test_oracle_parity.py.
 #: tests/test_oracle_parity.py::test_window_rotation_covers_unproven
 #: enforces the invariant "green before, in the window, or queued".
 DRIVER_WINDOW = 50
@@ -165,74 +155,74 @@ DRIVER_WINDOW = 50
 #: this explicit queue, each queued entry to be fully oracle-backed
 #: (hash-checked against DuckDB on every local parity run), and the
 #: NEXT round's window to lead with them (emptying the queue) before
-#: anything else rotates. Round 13 drained the round-12 queue (its two
-#: MMR entries lead _PRIORITY below); entries added after the round-13
-#: window froze queue here for round 14.
+#: anything else rotates. Rounds 13 and 14 added no post-freeze
+#: entries (round 14 is an optimization round — no new surface);
+#: entries added after the round-14 window froze queue here for
+#: round 15.
 PENDING_NEXT_WINDOW: list[str] = []
 
 _PRIORITY = [
-    # -- the drained round-12 queue: first driver proof THIS round,
-    #    additionally carrying the r13 rank-0 ordering fix --------------
-    "ann_mmr_topk",
-    "ann_pq_mmr_topk_indexed",
-    # -- new in round 13: the MMR objective's pure-diversity end (the
-    #    exact config the r12 ADVICE bug lived at) and the streamed
-    #    k-center's radius/scale pin through the assignment audit ------
-    "ann_mmr_topk_lam0",
-    "coreset_streaming_kcenter_audit",
-    # -- entries whose ENGINE PATH changed this round: the r12 red
-    #    row's canonicalization (var_num -> digit string, schema
-    #    change, both stats faces re-prove) and the six indexed faces
-    #    whose persisted-index writers now publish atomically as
-    #    generations ---------------------------------------------------
-    "embedding_dim_stats",
-    "embedding_drift_flags",
-    "ann_pq_topk_indexed",
-    "ann_pq_rerank_topk_indexed",
-    "hybrid_rrf_topk_indexed",
-    "ann_matryoshka_rerank_topk_indexed",
-    "ann_ivfpq_topk_indexed",
-    "ann_ivfpq_rerank_topk_indexed",
-    # -- longest-unchecked fills: the full remaining r8 cohort (32),
-    #    then the 6 oldest r9 rows in registration order ----------------
-    "cms_heavy_users",
-    "bpe_encode_6",
+    # -- entries whose ENGINE PATH changed in round 14 (tokenizer
+    #    single-corpus-pass encoders; duplicate_spans' removed
+    #    (doc,pos) distinct) — their in-window rows prove the touched
+    #    operators under the driver --------------------------------
+    "wordpiece_encode_docs",
+    "unigram_encode_docs",
     "duplicate_spans",
-    "unigram_surprisal",
-    "dup_ngram_5",
-    "kmeans_inertia",
-    "kmeans_embeddings",
-    "semantic_dedup",
-    "events_top_per_user",
-    "part_brand_stats",
-    "token_count_bpe_regex",
-    "events_in_session_range_join",
-    "ann_ivf_assignments",
-    "llm_corpus_prep",
-    "source_cap_sample",
-    "curriculum_shards",
-    "decontamination_fuzzy",
-    "c4_span_removal",
-    "decontamination_bloom",
-    "embedding_quantize_stats",
-    "ann_quantized_topk",
-    "ann_ivf_kmeans_topk",
-    "ann_ivf_topk",
-    "media_features",
-    "media_resize_plan",
-    "media_frame_sample",
-    "ts_hdr_encoded_roundtrip_1h",
-    "ts_hdr_summary_5m_hdrcompat",
-    "ts_hdr_summary_5m",
-    "dedup_incremental_batch",
-    "doc_text_normalize",
-    "corpus_version_diff",
-    "ts_counter_summary_5m",
-    "ts_histogram_summary_1m",
-    "ts_gauge_summary_30s",
-    "ts_histogram_summary_1h",
-    "ts_pregroup_5s",
-    "ts_cpm_5m",
+    # -- longest-unchecked fills: the ENTIRE remaining r9 cohort (37
+    #    — including the full InfluxQL executor battery, proving the
+    #    r13 multi-series summary-sharing change the r13 window never
+    #    covered, and the CC-backed dedup_components /
+    #    part_entity_components) plus the 10 oldest r10 rows in
+    #    registration order (influx_fill_linear_error_1h = the
+    #    fill(linear) executor face, also r13-touched-unverified) ---
+    "influx_count_click_5m",
+    "influx_auto_resolution_click",
+    "influx_from_materialized_store",
+    "influx_spread_error_1h",
+    "influx_fill_zero_view_10m",
+    "influx_scale_limit_desc_click_1m",
+    "influx_op_two_sources_30m",
+    "influx_star_click_5m",
+    "influx_regex_fanout_5m",
+    "influx_list_series",
+    "events_column_profile",
+    "events_pivot_type_daily",
+    "events_sliding_counts_10m_5m",
+    "user_funnel_vcp",
+    "user_weekly_retention",
+    "events_value_deciles",
+    "user_segments_setops",
+    "events_value_moving_avg_7d",
+    "tpch_q5_regional_revenue",
+    "events_user_daily",
+    "events_top_users",
+    "bpe_merges_6",
+    "dedup_components",
+    "embedding_rp_project",
+    "ann_rp_topk",
+    "bigram_surprisal",
+    "vocab_oov_by_source",
+    "approx_distinct_users_weekly_cascade",
+    "cms_heavy_users_weekly_cascade",
+    "tokenizer_fertility_by_lang",
+    "bm25_eval_topk_pruned",
+    "bm25_eval_topk_routed",
+    "lang_confusion_matrix",
+    "source_health_report",
+    "part_entity_components",
+    "bm25_chunk_topk_indexed",
+    "ann_ivf_sized",
+    "influx_fill_linear_error_1h",
+    "influx_delta_click_1h",
+    "doc_fingerprint",
+    "minhash_md5_pairs",
+    "simhash_md5",
+    "token_stats",
+    "doc_content_sample_25",
+    "doc_rolling_fingerprint",
+    "quality_score",
+    "lang_id",
 ]
 
 
