@@ -123,12 +123,21 @@ def build_slots(spark, sf_dir: str, cpus: str) -> dict:
         # ≈3-4 iff the core count is actually honored. Deliberately
         # heavier per row than the calibration probe (whose 0.2 s of
         # work vanishes under per-job overhead at both core counts).
-        # pmod keeps the hash-fold inside int64 under ANSI (a raw
-        # xxhash64 chain sums past +/-2^63)
+        # UNROLLED hash chain, not aggregate(sequence(...)): the
+        # higher-order form allocates a 24-element array per row and
+        # the GC cost grows with thread count (measured 72.6 vs 54.8
+        # JVM-cpu-s for identical work at 32 vs 8 threads), flattening
+        # the very ratio this slot exists to expose. The nested
+        # expression is pure ALU codegen; pmod keeps every step inside
+        # int64 under ANSI. ~19 core-seconds per 40M rows (measured):
+        # 120M rows reads ~2.3 s at 32 cores vs ~7.3 s at 8 -> ratio ~3.2
+        # when task slots bind.
+        chain = "id"
+        for i in range(24):
+            chain = f"xxhash64(pmod({chain}, 1000000007) + {i})"
         run_df(
-            spark.range(0, 20_000_000, 1, 4 * int(cpus)).selectExpr(
-                "sum(pmod(aggregate(sequence(1, 24), id, (a, i) -> "
-                "xxhash64(pmod(a, 1000000007) + i)), 1048576)) AS s"
+            spark.range(0, 120_000_000, 1, 4 * int(cpus)).selectExpr(
+                f"sum(pmod({chain}, 1048576)) AS s"
             )
         )
 
