@@ -584,13 +584,18 @@ def test_ann_topk_windows_have_group_limit(spark, oracle_sf_dir):
 
 def test_pq_indexed_query_has_no_training(spark, oracle_sf_dir):
     """The indexed PQ query must READ the persisted index, not rebuild
-    it: the plan scans the books/codes parquet and contains no k-means
+    it: the plan scans the codes parquet and contains no k-means
     machinery (no centroid-mean aggregation, no posexplode of the
     embedding table into (cid, dim) rows, no localCheckpoint barrier
-    from the Lloyd loop)."""
+    from the Lloyd loop). The codebook is sub·k rows of bounded index
+    metadata and arrives as driver-collected LITERALS in the LUT
+    projection (r14, the codebook-collect convention) — no books scan,
+    no cross join, no LUT aggregate in the executed plan."""
     plan = _plan(spark, oracle_sf_dir, "ann_pq_topk_indexed")
     assert "posexplode" not in plan
-    assert "books" in plan and "codes" in plan  # parquet index scans
+    assert "codes" in plan              # parquet index scan
+    assert "books" not in plan          # codebook inlined as literals
+    assert "map_from_entries" in plan   # the literal LUT projection
     assert "Scan ExistingRDD" not in plan       # no Lloyd checkpoint residue
 
 
@@ -625,12 +630,14 @@ def test_ivfpq_and_rerank_indexed_queries_have_no_training(spark, oracle_sf_dir)
     plan = _plan(spark, oracle_sf_dir, "ann_ivfpq_topk_indexed")
     assert "posexplode" not in plan
     assert "Scan ExistingRDD" not in plan
-    assert "books" in plan and "coded" in plan and "centroids" in plan
+    assert "coded" in plan and "centroids" in plan
+    assert "books" not in plan          # codebook inlined as literals (r14)
 
     plan = _plan(spark, oracle_sf_dir, "ann_pq_rerank_topk_indexed")
     assert "posexplode" not in plan
     assert "Scan ExistingRDD" not in plan
-    assert "books" in plan and "codes" in plan
+    assert "codes" in plan
+    assert "books" not in plan          # codebook inlined as literals (r14)
 
 
 def test_hybrid_indexed_query_reads_both_indexes_no_training(
@@ -646,7 +653,8 @@ def test_hybrid_indexed_query_reads_both_indexes_no_training(
     plan = _plan(spark, oracle_sf_dir, "hybrid_rrf_topk_indexed")
     assert "posexplode" not in plan
     assert "Scan ExistingRDD" not in plan
-    assert "postings" in plan and "books" in plan and "codes" in plan
+    assert "postings" in plan and "codes" in plan
+    assert "books" not in plan          # codebook inlined as literals (r14)
     lines = plan.splitlines()
     post_scans = [
         ln for ln in lines if "Location" in ln and "postings" in ln
@@ -959,7 +967,8 @@ def test_ivfpq_rerank_indexed_query_has_no_training(spark, oracle_sf_dir):
     plan = _plan(spark, oracle_sf_dir, "ann_ivfpq_rerank_topk_indexed")
     assert "posexplode" not in plan
     assert "Scan ExistingRDD" not in plan
-    assert "books" in plan and "coded" in plan and "centroids" in plan
+    assert "coded" in plan and "centroids" in plan
+    assert "books" not in plan          # codebook inlined as literals (r14)
 
 
 def test_wordpiece_encode_no_python_broadcast_vocab(spark, oracle_sf_dir):
@@ -1008,7 +1017,8 @@ def test_matryoshka_indexed_query_has_no_training(spark, oracle_sf_dir):
     plan = _plan(spark, oracle_sf_dir, "ann_matryoshka_rerank_topk_indexed")
     assert "posexplode" not in plan
     assert "Scan ExistingRDD" not in plan
-    assert "books" in plan and "codes" in plan
+    assert "codes" in plan
+    assert "books" not in plan          # codebook inlined as literals (r14)
 
 
 def test_percell_coreset_round_fold_broadcasts(spark, oracle_sf_dir):
