@@ -56,6 +56,7 @@ from khronus_spark.sources.tables import (
     MEASUREMENTS_SQL,
     load_table,
     measurements_from_events,
+    spread,
 )
 from khronus_spark.timegrid import align_ceil, align_floor
 
@@ -786,8 +787,15 @@ def tpch_q1_pricing(spark, sf_dir):
 
     Money sums use per-row DECIMAL rounding then exact decimal sums
     (float-order-independent); one shuffle, fully whole-stage-codegen.
+    The scan is `spread` first (r14): the decimal partial aggregation
+    is the query's CPU (~3 JVM-cpu-s at sf0.1) and a single-row-group
+    parquet input pins it to ONE task — the round-robin widen is a
+    ~10 MB shuffle locally and a guard-level no-op at real scale
+    (thousands of splits), and the shipdate filter still pushes to the
+    scan through the repartition. Measured ×0.77 wall; decimal sums
+    are exact, so partial regrouping is value-identical.
     """
-    li = load_table(spark, sf_dir, "lineitem").where(
+    li = spread(load_table(spark, sf_dir, "lineitem")).where(
         F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00")
     )
     dec2 = lambda c: F.col(c).cast("decimal(18,2)")

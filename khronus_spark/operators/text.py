@@ -896,7 +896,15 @@ def duplicate_spans(docs: DataFrame, n: int = 5, min_tokens: int = 8) -> DataFra
     distributes."""
     from pyspark.sql import Window
 
-    t = docs.select("doc_id", _tokens().alias("t")).where(F.size("t") >= n)
+    # spread before the gram pass (r14): the per-position md5 hashing
+    # below is this operator's CPU and runs in the SCAN stage, which a
+    # single-row-group input pins to one task; the round-robin widen is
+    # corpus-text-sized locally and a guard-level no-op at real scale.
+    # Measured ×0.8 wall at sf0.1; pos_grams stays checkpointed, so the
+    # widened pass still runs exactly once.
+    t = spread(docs).select("doc_id", _tokens().alias("t")).where(
+        F.size("t") >= n
+    )
     # grams travel as the 60-bit md5 prefix (8-byte long), not hex text:
     # the gram key crosses two shuffles, so key width is shuffle width;
     # the same integer is computable in DuckDB so the oracle still twins
