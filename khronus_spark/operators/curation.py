@@ -1198,8 +1198,14 @@ def dsir_importance_weights(
         F.conv(F.substring(F.md5(F.col("f")), 1, 15), 16, 10).cast("long")
         % n_buckets
     ).alias("b")
+    # spread before the feature pass (r14): the tokenize + bigram
+    # explode + per-feature md5 below is the operator's CPU and runs in
+    # the SCAN stage, which a single-row-group input pins to one task;
+    # the widen is corpus-text-sized locally and a guard-level no-op at
+    # real scale. Measured ×0.73 wall at sf0.1; the pass still runs
+    # once (the pre-aggregate below stays checkpointed).
     feat = (
-        docs.select("doc_id", _mix_tokens().alias("t"))
+        spread(docs).select("doc_id", _mix_tokens().alias("t"))
         .select("doc_id", F.explode(F.expr(feats_expr)).alias("f"))
         .select("doc_id", bucket)
     )
