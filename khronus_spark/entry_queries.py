@@ -787,15 +787,18 @@ def tpch_q1_pricing(spark, sf_dir):
 
     Money sums use per-row DECIMAL rounding then exact decimal sums
     (float-order-independent); one shuffle, fully whole-stage-codegen.
-    The scan is `spread` first (r14): the decimal partial aggregation
-    is the query's CPU (~3 JVM-cpu-s at sf0.1) and a single-row-group
-    parquet input pins it to ONE task — the round-robin widen is a
-    ~10 MB shuffle locally and a guard-level no-op at real scale
-    (thousands of splits), and the shipdate filter still pushes to the
-    scan through the repartition. Measured ×0.77 wall; decimal sums
-    are exact, so partial regrouping is value-identical.
+
+    An r14 `spread()` of the single-row-group scan (the widen that
+    stuck on duplicate_spans/dsir) was tried here and REVERTED: the
+    entry-level interleaved A/B read ×0.80, but repeated slot-level
+    profiles read a wash (0.97–1.05 → 0.90–1.16) with occasional
+    pathological passes (2.35 s / 42 JVM-cpu-s — repartition + wide
+    decimal partials JIT/GC instability) and a steady +5–10 cpu-s.
+    The serial decimal partial aggregation is a test-layout artifact
+    (one parquet row group); at real scale the scan parallelizes
+    itself, so the stable plan wins.
     """
-    li = spread(load_table(spark, sf_dir, "lineitem")).where(
+    li = load_table(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00")
     )
     dec2 = lambda c: F.col(c).cast("decimal(18,2)")
